@@ -1,0 +1,468 @@
+"""The csv2rdf conversion kernel: one annotated CSV document -> triples.
+
+Pure-Python, deterministic re-implementation of the row/cell loop of
+/root/reference/src/DataDock.CsvWeb/Rdf/Converter.cs:265-471 (W3C csv2rdf
+section 4 algorithm).  This kernel is the unit of work of the heterogeneous
+Spark path (operators/triples.py::convert_pages runs it per page inside
+mapInPandas over Arrow batches); the homogeneous scale path compiles the
+same semantics into native Spark column expressions and is tested for
+triple-set equality against this kernel.
+
+Triple representation (FIXTURES.md §3): a tuple
+    (subj, pred, obj, obj_kind, obj_datatype, obj_lang)
+with obj_kind in {'iri', 'literal', 'bnode'} and blank nodes rendered as
+deterministic skolem labels '_:...' (graph-isomorphic to the reference's
+fresh bnodes; the W3C harness compares blank-node-insensitively,
+Tests/CsvwTestCasesSpec.cs:159-168).
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import io
+from dataclasses import dataclass, field
+from typing import Iterator, Optional
+
+from .cells import normalize_cell
+from .context import CSVW_NS, RDF_TYPE
+from .formats import FormatError
+from .model import (
+    Column,
+    ConversionError,
+    Table,
+    TableGroup,
+    XSD_BOOLEAN,
+    XSD_DATE,
+    XSD_DATETIME,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+    XSD_STRING,
+)
+from .normalize_meta import expand_url
+from .uritemplate import (
+    BindingError,
+    CompiledTemplate,
+    compile_template,
+    resolve_against_base,
+)
+
+MODE_STANDARD = "standard"
+MODE_MINIMAL = "minimal"
+
+IRI, LITERAL, BNODE = "iri", "literal", "bnode"
+
+
+@dataclass
+class Triple:
+    subj: str
+    pred: str
+    obj: str
+    obj_kind: str = LITERAL
+    obj_datatype: Optional[str] = None
+    obj_lang: Optional[str] = None
+
+    def astuple(self):
+        return (self.subj, self.pred, self.obj, self.obj_kind,
+                self.obj_datatype, self.obj_lang)
+
+
+@dataclass
+class ConversionResult:
+    triples: list = field(default_factory=list)
+    errors: list = field(default_factory=list)
+
+
+def parse_csv_rows(text: str, dialect) -> Iterator[list]:
+    """CSV records honoring the dialect subset the reference applies
+    (Rdf/Converter.cs:491-511): comment prefix, delimiter, blank-row policy.
+    Trimming is NOT done here (reference disables reader-level trimming).
+    A leading UTF-8 BOM is stripped (C# StreamReader behavior)."""
+    if text.startswith("﻿"):
+        text = text[1:]
+    comment = (dialect.comment_prefix or "#")[0]
+    delim = dialect.delimiter or ","
+    if len(delim) == 1:
+        reader = _csv.reader(
+            io.StringIO(text, newline=""),
+            delimiter=delim,
+            quotechar=(dialect.quote_char or '"')[0] if dialect.quote_char else '"',
+            doublequote=True,
+            strict=False,
+        )
+        rows = reader
+    else:
+        # multi-character delimiter: quote-unaware line splitter fallback
+        rows = (line.split(delim) for line in text.splitlines())
+    for row in rows:
+        if not row:  # truly empty line - CsvHelper IgnoreBlankLines default
+            continue
+        if row[0].startswith(comment) and len(row) >= 1 and _is_comment_row(row, comment):
+            continue
+        if dialect.skip_blank_rows and all(f == "" for f in row):
+            continue
+        yield row
+
+
+def _is_comment_row(row: list, comment: str) -> bool:
+    # CsvHelper treats a row as a comment when the raw line starts with the
+    # comment char; after csv-splitting that is field 0 starting with it.
+    return row[0].startswith(comment)
+
+
+def _compiled(template: Optional[str]) -> Optional[CompiledTemplate]:
+    return compile_template(template) if template else None
+
+
+def _default_datetime_normalize(lit: str, datatype_iri: str) -> str:
+    """Converter.NormalizeLiteral's built-in date/dateTime handling
+    (Rdf/Converter.cs:577-595): DateTime.Parse + dotNetRDF's XSD render
+    formats ('yyyy-MM-ddK' / 'yyyy-MM-ddTHH:mm:ss.ffffffK')."""
+    from datetime import datetime
+
+    s = lit.strip()
+    try:
+        if datatype_iri == XSD_DATE:
+            for fmt in ("%Y-%m-%d", "%m/%d/%Y", "%d %B %Y"):
+                try:
+                    return datetime.strptime(s, fmt).strftime("%Y-%m-%d")
+                except ValueError:
+                    continue
+            return datetime.fromisoformat(s).strftime("%Y-%m-%d")
+        if datatype_iri == XSD_DATETIME:
+            d = datetime.fromisoformat(s.replace("Z", "+00:00"))
+            base = d.strftime("%Y-%m-%dT%H:%M:%S.%f")
+            if d.tzinfo is not None:
+                off = d.utcoffset()
+                total = int(off.total_seconds() // 60)
+                if total == 0:
+                    return base + "Z"
+                sign = "+" if total >= 0 else "-"
+                return f"{base}{sign}{abs(total) // 60:02d}:{abs(total) % 60:02d}"
+            return base
+    except ValueError as ex:
+        raise ConversionError(str(ex))
+    return lit
+
+
+def normalize_literal(lit: str, column: Column) -> str:
+    """Converter.NormalizeLiteral (577-595)."""
+    dt = column.datatype
+    if dt is not None and dt.format is not None:
+        try:
+            return dt.format.normalize(lit)
+        except FormatError as ex:
+            raise ConversionError(str(ex))
+    iri = column.datatype_iri
+    if iri in (XSD_DATE, XSD_DATETIME):
+        return _default_datetime_normalize(lit, iri)
+    return lit
+
+
+def make_literal(value: str, column: Column,
+                 suppress_string_datatype: bool = False) -> Triple:
+    """Converter.CreateLiteralNode (533-559) - returns a Triple shell with
+    only the object fields populated."""
+    iri = column.datatype_iri
+    if iri == XSD_STRING:
+        if column.lang:
+            return Triple("", "", value, LITERAL, None, column.lang)
+        if suppress_string_datatype:
+            return Triple("", "", value, LITERAL, None, None)
+    value = normalize_literal(value, column)
+    return Triple("", "", value, LITERAL, iri, None)
+
+
+class PageConverter:
+    """Converts one annotated table (one page's CSV payload).
+
+    Blank-node labels are deterministic skolem ids scoped by `bnode_scope`
+    (empty for single-table runs; the Spark paths pass a per-url scope so
+    labels are globally unique across a trillion-page corpus)."""
+
+    def __init__(self, mode: str = MODE_MINIMAL, bnode_scope: str = "",
+                 suppress_string_datatype: bool = False):
+        self.mode = mode
+        self.scope = bnode_scope
+        self.suppress_string_datatype = suppress_string_datatype
+        self._bnode_counter = 0
+
+    def _fresh_bnode(self, hint: str) -> str:
+        self._bnode_counter += 1
+        return f"_:{self.scope}{hint}{self._bnode_counter}"
+
+    # -- public API -----------------------------------------------------------
+
+    def convert_table_group(self, group: TableGroup,
+                            csv_texts: dict) -> ConversionResult:
+        """ConvertAsync(TableGroup) (Rdf/Converter.cs:227-263).
+        csv_texts maps table url -> CSV text."""
+        result = ConversionResult()
+        if not group.tables:
+            result.errors.append(
+                "The CSV metadata must contain at least one table definition.")
+            return result
+        group_node = None
+        if self.mode == MODE_STANDARD:
+            group_node = group.id if group.id else self._fresh_bnode("g")
+            gkind = IRI if group.id else BNODE
+            result.triples.append(Triple(group_node, RDF_TYPE,
+                                         CSVW_NS + "TableGroup", IRI))
+            self._group_kind = gkind
+        self._emit_common_properties(result, group_node, group.common_properties)
+        for table in group.tables:
+            if table.suppress_output:
+                continue
+            text = csv_texts[table.url]
+            self.convert_table(table, text, result, group_node)
+        return result
+
+    def convert_table(self, table: Table, text: str,
+                      result: Optional[ConversionResult] = None,
+                      group_node: Optional[str] = None) -> ConversionResult:
+        """Convert(Table, TextReader) (Rdf/Converter.cs:265-471)."""
+        if result is None:
+            result = ConversionResult()
+        table_node = None
+        if self.mode == MODE_STANDARD:
+            table_node = table.id if table.id else self._fresh_bnode("t")
+            if group_node is not None:
+                result.triples.append(Triple(group_node, CSVW_NS + "table",
+                                             table_node,
+                                             IRI if table.id else BNODE))
+            result.triples.append(Triple(table_node, RDF_TYPE,
+                                         CSVW_NS + "Table", IRI))
+            result.triples.append(Triple(table_node, CSVW_NS + "url",
+                                         table.url, IRI))
+            self._emit_common_properties(result, table_node,
+                                         table.common_properties)
+            if table.notes:
+                self._emit_common_property(result, table_node,
+                                           CSVW_NS + "note", table.notes)
+
+        dialect = table.dialect
+        header_rows = dialect.effective_header_row_count()
+        rows = parse_csv_rows(text, dialect)
+
+        header_record = None
+        for _ in range(header_rows):
+            header_record = next(rows, None)
+
+        columns = table.columns
+        if columns is None:
+            if header_rows > 0 and header_record is not None:
+                seen = set()
+                columns = []
+                for i, name in enumerate(header_record, start=1):
+                    if name in seen:
+                        continue
+                    seen.add(name)
+                    columns.append(table.make_inferred_column(name, i))
+            else:
+                columns = []
+        # working copy - default columns may be appended for overflow cells
+        columns = list(columns)
+
+        about_tpl = [_compiled(c.about_url) for c in columns]
+        prop_tpl = [_compiled(c.property_url) for c in columns]
+        value_tpl = [_compiled(c.value_url) for c in columns]
+
+        logical_row = 0
+        for record in rows:
+            logical_row += 1
+            source_row = header_rows + logical_row
+
+            row_node = None
+            if self.mode == MODE_STANDARD:
+                row_node = self._fresh_bnode("r")
+                result.triples.append(Triple(table_node, CSVW_NS + "row",
+                                             row_node, BNODE))
+                result.triples.append(Triple(row_node, RDF_TYPE,
+                                             CSVW_NS + "Row", IRI))
+                result.triples.append(Triple(row_node, CSVW_NS + "rownum",
+                                             str(logical_row), LITERAL,
+                                             XSD_INTEGER))
+                result.triples.append(Triple(row_node, CSVW_NS + "url",
+                                             f"{table.url}#row={source_row}",
+                                             IRI))
+
+            s_def = f"_:{self.scope}sd{logical_row}"
+            source_col_ix = dialect.skip_columns
+            source_count = len(record)
+            col_ix = 0
+            while source_col_ix < source_count or col_ix < len(columns):
+                if col_ix >= len(columns):
+                    c = table.make_inferred_column(None, col_ix + 1)
+                    columns.append(c)
+                    about_tpl.append(_compiled(c.about_url))
+                    prop_tpl.append(_compiled(c.property_url))
+                    value_tpl.append(_compiled(c.value_url))
+                c = columns[col_ix]
+                if c.suppress_output:
+                    col_ix += 1
+                    source_col_ix += 1
+                    continue
+
+                ctx = _BindContext(table, columns, record, dialect,
+                                   logical_row, source_row,
+                                   col_ix + 1, source_col_ix + 1, c.name)
+                try:
+                    self._convert_cell(result, table, c, record, col_ix, ctx,
+                                       s_def, row_node,
+                                       about_tpl[col_ix], prop_tpl[col_ix],
+                                       value_tpl[col_ix])
+                except (ConversionError, BindingError, Exception) as ex:
+                    result.errors.append(
+                        f"Conversion error at row {source_row}, column "
+                        f"'{c.name}'. {ex}")
+                col_ix += 1
+                source_col_ix += 1
+        return result
+
+    # -- internals --------------------------------------------------------------
+
+    def _convert_cell(self, result, table, c, record, col_ix, ctx,
+                      s_def, row_node, about_tpl, prop_tpl, value_tpl):
+        # 4.6.8.1 subject
+        if about_tpl is None:
+            s, s_kind = s_def, BNODE
+        else:
+            s = self._resolve_template(table, about_tpl, ctx)
+            s_kind = IRI
+            if s is None:
+                # null subject -> triple construction fails -> cell error
+                raise ConversionError("Cannot resolve aboutUrl template")
+        if self.mode == MODE_STANDARD and row_node is not None:
+            result.triples.append(Triple(row_node, CSVW_NS + "describes",
+                                         s, s_kind))
+        # 4.6.8.3 predicate
+        if prop_tpl is None:
+            p = resolve_against_base(table.url, "#" + (c.name or ""))
+        else:
+            p = self._resolve_template(table, prop_tpl, ctx)
+            if p is None:
+                raise ConversionError("Cannot resolve propertyUrl template")
+        if value_tpl is not None:
+            # 4.6.8.4 object from valueUrl; unresolvable -> no triple, no error
+            o = self._resolve_template(table, value_tpl, ctx)
+            if o is not None:
+                result.triples.append(Triple(s, p, o, IRI))
+            return
+        raw = record[col_ix] if col_ix < len(record) else None
+        if c.virtual:
+            cell = normalize_cell(c.default, c)
+        else:
+            cell = normalize_cell(raw if raw is not None else c.default, c)
+        if cell.is_list and cell.value_list is not None:
+            for v in cell.value_list:
+                if v is not None:
+                    lit = make_literal(v, c, self.suppress_string_datatype)
+                    result.triples.append(Triple(s, p, lit.obj, LITERAL,
+                                                 lit.obj_datatype, lit.obj_lang))
+        elif not cell.is_list and cell.value is not None:
+            lit = make_literal(cell.value, c, self.suppress_string_datatype)
+            result.triples.append(Triple(s, p, lit.obj, LITERAL,
+                                         lit.obj_datatype, lit.obj_lang))
+
+    def _resolve_template(self, table, tpl: CompiledTemplate, ctx) -> Optional[str]:
+        """ResolveTemplate (597-609): binding failure -> None."""
+        try:
+            iri = tpl.resolve(ctx.lookup)
+        except BindingError:
+            return None
+        return resolve_against_base(table.url, iri)
+
+    # -- common properties (T3/T4, Rdf/Converter.cs:638-765) ---------------------
+
+    def _emit_common_properties(self, result, subject, props: dict):
+        for name, value in (props or {}).items():
+            pred = expand_url(name)
+            self._emit_common_property(result, subject, pred, value)
+
+    def _emit_common_property(self, result, subject, predicate, value):
+        subj = subject if subject is not None else self._fresh_bnode("cp")
+        if isinstance(value, list):
+            for item in value:
+                self._emit_common_property(result, subject, predicate, item)
+        elif isinstance(value, dict):
+            if "@value" in value:
+                lit = str(value["@value"])
+                if "@type" in value:
+                    result.triples.append(Triple(subj, predicate, lit, LITERAL,
+                                                 expand_url(value["@type"])))
+                elif "@language" in value:
+                    result.triples.append(Triple(subj, predicate, lit, LITERAL,
+                                                 None, value["@language"]))
+                else:
+                    result.triples.append(Triple(subj, predicate, lit, LITERAL,
+                                                 XSD_STRING))
+            else:
+                if "@id" in value:
+                    node, kind = value["@id"], IRI
+                else:
+                    node, kind = self._fresh_bnode("cp"), BNODE
+                result.triples.append(Triple(subj, predicate, node, kind))
+                t = value.get("@type")
+                if t is not None:
+                    for tv in (t if isinstance(t, list) else [t]):
+                        result.triples.append(Triple(node, RDF_TYPE,
+                                                     expand_url(str(tv)), IRI))
+                for pname, pval in value.items():
+                    if not pname.startswith("@"):
+                        self._emit_common_property(result, node,
+                                                   expand_url(pname), pval)
+        elif isinstance(value, bool):
+            result.triples.append(Triple(subj, predicate,
+                                         "true" if value else "false",
+                                         LITERAL, XSD_BOOLEAN))
+        elif isinstance(value, int):
+            result.triples.append(Triple(subj, predicate, str(value),
+                                         LITERAL, XSD_INTEGER))
+        elif isinstance(value, float):
+            result.triples.append(Triple(subj, predicate, f"{value:E}",
+                                         LITERAL, XSD_DOUBLE))
+        else:
+            result.triples.append(Triple(subj, predicate, str(value),
+                                         LITERAL, XSD_STRING))
+
+
+class _BindContext:
+    """Template variable binding (Converter.ResolveProperty, 611-627):
+    specials _row/_sourceRow/_column/_sourceColumn/_name; otherwise the RAW
+    cell value of the named column (null-list checked, NOT whitespace
+    normalized), fetched at skipColumns + schema index."""
+
+    __slots__ = ("table", "columns", "record", "dialect", "row", "source_row",
+                 "column", "source_column", "name")
+
+    def __init__(self, table, columns, record, dialect, row, source_row,
+                 column, source_column, name):
+        self.table = table
+        self.columns = columns
+        self.record = record
+        self.dialect = dialect
+        self.row = row
+        self.source_row = source_row
+        self.column = column
+        self.source_column = source_column
+        self.name = name
+
+    def lookup(self, var: str) -> Optional[str]:
+        if var == "_row":
+            return str(self.row)
+        if var == "_sourceRow":
+            return str(self.source_row)
+        if var == "_column":
+            return str(self.column)
+        if var == "_sourceColumn":
+            return str(self.source_column)
+        if var == "_name":
+            return self.name
+        for i, col in enumerate(self.columns):
+            if col.name is not None and col.name == var:
+                src_ix = self.dialect.skip_columns + i
+                v = self.record[src_ix] if src_ix < len(self.record) else None
+                if v is not None and v in col.null_values:
+                    return None
+                return v
+        raise ConversionError(
+            f"Could not find a column named {var} in the CSV metadata.")

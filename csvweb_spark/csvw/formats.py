@@ -1,0 +1,397 @@
+"""CSVW datatype `format` specifications: validation + lexical normalization.
+
+Re-implements, in pure Python (vectorizable via pandas .map / .str.extract),
+the semantics of the reference's NodaTime-backed format specs:
+
+- boolean  "true|false" literal pair   (Metadata/BooleanFormatSpecification.cs)
+- date     Unicode pattern -> ISO date (Metadata/DateFormatSpecification.cs:12-27)
+- time     incl. offset tokens         (Metadata/TimeFormatSpecification.cs:12-55)
+- datetime date+time combination       (Metadata/DateTimeFormatSpecification.cs:12-37)
+- numeric  decimalChar/groupChar/pattern (Metadata/NumericFormatSpecification.cs)
+
+Load-bearing quirks replicated exactly (verified against the reference's own
+96 format test rows, Tests/{Date,Time,DateTime}FormatSpecificationSpec.cs):
+
+* Offset tokens map as in TimeFormatSpecification.GetNodaTimePattern (lines
+  27-35): X ~ {Z, +-HH, +-HHmm}; XX and Z ~ {Z, +-HHmm}; XXX ~ {Z, +-HH:mm};
+  x ~ {+-HH, +-HHmm}; xx ~ {+-HHmm}; xxx ~ {+-HH:mm}.
+* Normalized offsets use NodaTime's extended-ISO "general" form: zero ->
+  "Z"; otherwise +-HH with the ":mm" suffix only when minutes are non-zero
+  ("+09:00" -> "+09", "+0530" -> "+05:30").
+* Fractional seconds are parsed per the 'S' count then trailing zeros are
+  trimmed on output ('F' pattern semantics); ".000" disappears entirely.
+* Numeric normalization strips the group char, swaps the decimal char, and
+  round-trips through a binary double iff the literal contains 'E', else
+  through an exact decimal (scale preserved) - mirroring double.Parse vs
+  decimal.Parse in NumericFormatSpecification.Normalize.
+"""
+
+from __future__ import annotations
+
+import re
+from decimal import Decimal, InvalidOperation
+from typing import Optional
+
+
+class FormatError(Exception):
+    """Raised by Normalize on invalid input (maps to a cell conversion error,
+    Rdf/Converter.cs:456-461)."""
+
+
+class FormatSpecification:
+    def is_valid(self, literal: str) -> bool:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def normalize(self, literal: str) -> str:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class BooleanFormat(FormatSpecification):
+    """'trueLiteral|falseLiteral' pair; normalizes to 'true'/'false'."""
+
+    def __init__(self, fmt: str):
+        parts = fmt.split("|")
+        self.true_format = parts[0]
+        self.false_format = parts[1] if len(parts) > 1 else ""
+
+    def is_valid(self, literal: str) -> bool:
+        return literal == self.true_format or literal == self.false_format
+
+    def normalize(self, literal: str) -> str:
+        if literal == self.true_format:
+            return "true"
+        if literal == self.false_format:
+            return "false"
+        raise FormatError(
+            f"Could not parse cell value '{literal}' as a boolean according to "
+            "the column format specification."
+        )
+
+
+# --- Unicode date/time pattern -> regex compilation -------------------------
+
+# Offset-token alternatives (see module docstring). Each yields named groups
+# off_sign/off_h/off_m or off_z.
+_OFFSET_RE = {
+    "X": r"(?:(?P<off_z>Z)|(?P<off_sign>[+-])(?P<off_h>\d{2})(?P<off_m>\d{2})?)",
+    "XX": r"(?:(?P<off_z>Z)|(?P<off_sign>[+-])(?P<off_h>\d{2})(?P<off_m>\d{2}))",
+    "XXX": r"(?:(?P<off_z>Z)|(?P<off_sign>[+-])(?P<off_h>\d{2}):(?P<off_m>\d{2}))",
+    "x": r"(?P<off_sign>[+-])(?P<off_h>\d{2})(?P<off_m>\d{2})?",
+    "xx": r"(?P<off_sign>[+-])(?P<off_h>\d{2})(?P<off_m>\d{2})",
+    "xxx": r"(?P<off_sign>[+-])(?P<off_h>\d{2}):(?P<off_m>\d{2})",
+}
+# 'Z' pattern letter maps to NodaTime o<Z+HHmm>, i.e. same acceptance as XX.
+_OFFSET_ALIASES = {"Z": "XX", "ZZ": "XX", "ZZZ": "XX"}
+
+_FIELD_RES = {
+    "yyyy": r"(?P<year>\d{4})",
+    "u": r"(?P<year>-?\d{1,9})",  # NodaTime 'u': signed year, variable width
+    "MM": r"(?P<month>\d{2})",
+    "M": r"(?P<month>\d{1,2})",
+    "dd": r"(?P<day>\d{2})",
+    "d": r"(?P<day>\d{1,2})",
+    "HH": r"(?P<hour>\d{2})",
+    "H": r"(?P<hour>\d{1,2})",
+    "mm": r"(?P<minute>\d{2})",
+    "m": r"(?P<minute>\d{1,2})",
+    "ss": r"(?P<second>\d{2})",
+    "s": r"(?P<second>\d{1,2})",
+}
+
+
+def _compile_pattern(pattern: str) -> tuple[re.Pattern, bool]:
+    """Translate a CSVW Unicode date/time pattern into an anchored regex.
+
+    Returns (compiled_regex, has_offset). Mirrors the token mapping of
+    TimeFormatSpecification.GetNodaTimePattern / LocalDate(Time)Pattern."""
+    out = []
+    i = 0
+    has_offset = False
+    n = len(pattern)
+    while i < n:
+        c = pattern[i]
+        j = i
+        while j < n and pattern[j] == c:
+            j += 1
+        run = pattern[i:j]
+        if c in "Xx":
+            key = run if run in _OFFSET_RE else ("X" if c == "X" else "x")
+            out.append(_OFFSET_RE[key])
+            has_offset = True
+        elif c == "Z":
+            out.append(_OFFSET_RE[_OFFSET_ALIASES.get(run, "XX")])
+            has_offset = True
+        elif c == "S":
+            # fraction of a second; preceded by a literal '.' already emitted
+            out.append(rf"(?P<frac>\d{{1,{len(run)}}})")
+        elif run in _FIELD_RES:
+            out.append(_FIELD_RES[run])
+        elif c == "y":
+            out.append(r"(?P<year>\d{" + str(len(run)) + r"})")
+        elif c == "u":
+            out.append(_FIELD_RES["u"])
+        elif c == "T":
+            # literal date/time separator (NodaTime treats 'T' as a literal)
+            out.append("T" * len(run))
+        elif c.isalpha():
+            raise FormatError(f"Unsupported pattern field '{run}' in '{pattern}'")
+        else:
+            out.append(re.escape(run))
+        i = j
+    return re.compile("^" + "".join(out) + "$"), has_offset
+
+
+def _norm_offset(m: re.Match) -> str:
+    if m.groupdict().get("off_z"):
+        return "Z"
+    sign = m.group("off_sign")
+    h = int(m.group("off_h"))
+    mm = int(m.group("off_m") or 0)
+    if h == 0 and mm == 0:
+        return "Z"
+    return f"{sign}{h:02d}:{mm:02d}" if mm else f"{sign}{h:02d}"
+
+
+def _norm_frac(m: re.Match) -> str:
+    frac = (m.groupdict().get("frac") or "").rstrip("0")
+    return f".{frac}" if frac else ""
+
+
+_DAYS_IN_MONTH = [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+
+
+def _valid_date(y: int, mo: int, d: int) -> bool:
+    if not 1 <= mo <= 12:
+        return False
+    dim = _DAYS_IN_MONTH[mo - 1]
+    if mo == 2 and (y % 4 == 0 and (y % 100 != 0 or y % 400 == 0)):
+        dim = 29
+    return 1 <= d <= dim
+
+
+class DateFormat(FormatSpecification):
+    def __init__(self, fmt: str):
+        self._regex, _ = _compile_pattern(fmt)
+
+    def _parse(self, literal: str) -> Optional[re.Match]:
+        m = self._regex.match(literal)
+        if m is None:
+            return None
+        g = m.groupdict()
+        if not _valid_date(int(g["year"]), int(g["month"]), int(g["day"])):
+            return None
+        return m
+
+    def is_valid(self, literal: str) -> bool:
+        return self._parse(literal) is not None
+
+    def normalize(self, literal: str) -> str:
+        m = self._parse(literal)
+        if m is None:
+            raise FormatError(f"Cannot parse '{literal}' as date")
+        g = m.groupdict()
+        return f"{int(g['year']):04d}-{int(g['month']):02d}-{int(g['day']):02d}"
+
+
+class TimeFormat(FormatSpecification):
+    def __init__(self, fmt: str):
+        self._regex, self.has_offset = _compile_pattern(fmt)
+
+    def _parse(self, literal: str) -> Optional[re.Match]:
+        m = self._regex.match(literal)
+        if m is None:
+            return None
+        g = m.groupdict()
+        if int(g.get("hour") or 0) > 23 or int(g.get("minute") or 0) > 59 \
+                or int(g.get("second") or 0) > 59:
+            return None
+        return m
+
+    def is_valid(self, literal: str) -> bool:
+        return self._parse(literal) is not None
+
+    def normalize(self, literal: str) -> str:
+        m = self._parse(literal)
+        if m is None:
+            raise FormatError(f"Cannot parse '{literal}' as time")
+        g = m.groupdict()
+        base = (
+            f"{int(g.get('hour') or 0):02d}:{int(g.get('minute') or 0):02d}"
+            f":{int(g.get('second') or 0):02d}{_norm_frac(m)}"
+        )
+        return base + (_norm_offset(m) if self.has_offset else "")
+
+
+class DateTimeFormat(FormatSpecification):
+    def __init__(self, fmt: str):
+        self._regex, self.has_offset = _compile_pattern(fmt)
+
+    def _parse(self, literal: str) -> Optional[re.Match]:
+        m = self._regex.match(literal)
+        if m is None:
+            return None
+        g = m.groupdict()
+        if not _valid_date(int(g["year"]), int(g["month"]), int(g["day"])):
+            return None
+        if int(g.get("hour") or 0) > 23 or int(g.get("minute") or 0) > 59 \
+                or int(g.get("second") or 0) > 59:
+            return None
+        return m
+
+    def is_valid(self, literal: str) -> bool:
+        return self._parse(literal) is not None
+
+    def normalize(self, literal: str) -> str:
+        m = self._parse(literal)
+        if m is None:
+            raise FormatError(f"Cannot parse '{literal}' as dateTime")
+        g = m.groupdict()
+        s = (
+            f"{int(g['year']):04d}-{int(g['month']):02d}-{int(g['day']):02d}"
+            f"T{int(g.get('hour') or 0):02d}:{int(g.get('minute') or 0):02d}"
+            f":{int(g.get('second') or 0):02d}{_norm_frac(m)}"
+        )
+        return s + (_norm_offset(m) if self.has_offset else "")
+
+
+# --- numeric -----------------------------------------------------------------
+
+
+def format_double_csharp(d: float) -> str:
+    """Shortest-round-trip double rendering matching .NET invariant
+    double.ToString(): scientific iff decimal exponent >= 15 or < -5,
+    uppercase 'E' with a signed 2+-digit exponent, no trailing '.0'."""
+    if d != d:
+        return "NaN"
+    if d == float("inf"):
+        return "Infinity"
+    if d == float("-inf"):
+        return "-Infinity"
+    r = repr(float(d))
+    neg = r.startswith("-")
+    if neg:
+        r = r[1:]
+    if "e" in r:
+        mant, exp = r.split("e")
+        exp10 = int(exp)
+    else:
+        mant, exp10 = r, 0
+    digits = mant.replace(".", "").lstrip("0") or "0"
+    if "." in mant:
+        int_len = len(mant.split(".")[0].lstrip("0") or "")
+    else:
+        int_len = len(mant.lstrip("0") or "")
+    # decimal exponent of the leading digit
+    if mant.lstrip("0").startswith("."):
+        # 0.00xyz form: count zeros after the point
+        frac = mant.split(".")[1]
+        lead_zeros = len(frac) - len(frac.lstrip("0"))
+        dec_exp = -lead_zeros - 1 + exp10
+    else:
+        dec_exp = (int_len - 1 if int_len > 0 else 0) + exp10
+    digits = digits.rstrip("0") or "0"
+    sign = "-" if neg else ""
+    if digits == "0":
+        return "0"
+    if dec_exp >= 15 or dec_exp < -5:
+        mant_out = digits[0] + ("." + digits[1:] if len(digits) > 1 else "")
+        return f"{sign}{mant_out}E{'+' if dec_exp >= 0 else '-'}{abs(dec_exp):02d}"
+    if dec_exp >= len(digits) - 1:
+        return sign + digits + "0" * (dec_exp - len(digits) + 1)
+    if dec_exp >= 0:
+        return sign + digits[: dec_exp + 1] + "." + digits[dec_exp + 1:]
+    return sign + "0." + "0" * (-dec_exp - 1) + digits
+
+
+def format_decimal_csharp(dec: Decimal) -> str:
+    """decimal.ToString(InvariantCulture): plain notation, scale preserved."""
+    sign, digits, exp = dec.as_tuple()
+    s = "".join(map(str, digits))
+    if exp >= 0:
+        out = s + "0" * exp
+    elif -exp < len(s):
+        out = s[:exp] + "." + s[exp:]
+    else:
+        out = "0." + "0" * (-exp - len(s)) + s
+    return ("-" if sign else "") + out
+
+
+class NumericFormat(FormatSpecification):
+    """decimalChar/groupChar/pattern numeric format
+    (Metadata/NumericFormatSpecification.cs). Note the explicit `pattern`
+    regex is UNANCHORED in the reference (MakePatternRegex) - substring
+    match - replicated here."""
+
+    def __init__(self, decimal_char: str = ".", group_char: Optional[str] = ",",
+                 pattern: Optional[str] = None):
+        self.decimal_char = decimal_char
+        self.group_char = group_char
+        self.pattern = pattern
+        self._validate_pattern()
+        self._make_regex()
+
+    def _validate_pattern(self):
+        if self.pattern is None:
+            return
+        valid = {"0", "#", self.decimal_char, "E", "+", "%", "‰"}
+        if self.group_char:
+            valid.add(self.group_char)
+        if any(c not in valid for c in self.pattern):
+            from .model import MetadataParseError
+            raise MetadataParseError("Invalid pattern for numeric format specification.")
+
+    def _make_regex(self):
+        if self.pattern:
+            rx = self.pattern.replace("#", r"\d").replace("0", r"\d").replace(".", r"\.")
+            self._regex = re.compile(rx)
+            self._anchored = False
+        else:
+            grp = "|" + re.escape(self.group_char) if self.group_char else ""
+            dec = re.escape(self.decimal_char)
+            # NB: the trailing (E..|%|‰) group is NOT optional in the
+            # reference's regex (NumericFormatSpecification.MakePatternRegex) -
+            # replicated verbatim, quirk included.
+            self._regex = re.compile(
+                r"^(((\+|-)?\d(\d" + grp + r")*(" + dec + r"\d+)?"
+                r"((E(\+|-)?\d+)|%|‰))|NaN|(-)?INF)$"
+            )
+            self._anchored = True
+
+    def is_valid(self, literal: str) -> bool:
+        return bool(self._regex.search(literal))
+
+    def normalize(self, literal: str) -> str:
+        if self.group_char:
+            literal = literal.replace(self.group_char, "")
+        literal = literal.replace(self.decimal_char, ".")
+        try:
+            if "E" in literal:
+                return format_double_csharp(float(literal))
+            return format_decimal_csharp(Decimal(literal))
+        except (ValueError, InvalidOperation) as ex:
+            raise FormatError(f"Cannot parse '{literal}' as a number: {ex}")
+
+
+def make_format(base: str, fmt) -> FormatSpecification:
+    """Format dispatch per base datatype (Parsing/JsonMetadataParser.cs:612-649).
+    Unknown bases with a format raise, matching the reference's
+    NotImplementedException at line 647."""
+    if base == "boolean":
+        return BooleanFormat(fmt)
+    if base == "date":
+        return DateFormat(fmt)
+    if base == "time":
+        return TimeFormat(fmt)
+    if base in ("datetime", "dateTime"):
+        return DateTimeFormat(fmt)
+    if base in ("number", "decimal", "double", "float"):
+        if isinstance(fmt, dict):
+            return NumericFormat(
+                decimal_char=fmt.get("decimalChar", ".")[:1] or ".",
+                group_char=(fmt.get("groupChar", ",")[:1] or ","),
+                pattern=fmt.get("pattern"),
+            )
+        return NumericFormat(pattern=fmt)
+    raise NotImplementedError(
+        f"Support for format annotations on the datatype '{base}' is not yet implemented"
+    )

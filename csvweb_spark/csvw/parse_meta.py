@@ -1,0 +1,381 @@
+"""CSVW metadata JSON -> flat table descriptors.
+
+Driver-side re-implementation of
+/root/reference/src/DataDock.CsvWeb/Parsing/JsonMetadataParser.cs (753 LoC):
+normalize (normalize_meta.MetadataNormalizer), then walk the normalized tree
+into the flattened object model of csvw/model.py with the inheritance chain
+Column -> Schema -> Table -> TableGroup resolved eagerly
+(Metadata/InheritedPropertyContainer.cs:26-101).
+
+Parity notes vs the reference:
+  * column 'name' falls back to titles[defaultLanguage] then titles['und'],
+    then '_col.N' (JsonMetadataParser.cs:248-259)
+  * names starting with '_' are rejected (lines 314-318)
+  * 'default' is only ever parsed on columns; 'required' is recognized but
+    never parsed anywhere -> always False (matches reference behavior)
+  * dialect parse with defaults + lenient warnings (lines 320-384)
+  * numeric-only min/max constraints are parsed then ignored by conversion
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+from urllib.parse import urljoin
+
+from .formats import make_format
+from .model import (
+    Column,
+    Datatype,
+    Dialect,
+    MetadataParseError,
+    Table,
+    TableGroup,
+    DATATYPE_ANNOTATIONS,
+)
+from .normalize_meta import (
+    MetadataNormalizer,
+    is_common_property,
+    is_valid_language_tag,
+    load_metadata_json,
+)
+
+
+def parse_metadata(text: str, base_uri: str,
+                   default_language: Optional[str] = None,
+                   json_resolver: Optional[Callable[[str], dict]] = None) -> TableGroup:
+    """JsonMetadataParser.Parse(TextReader): deserialize -> normalize ->
+    object-model parse (JsonMetadataParser.cs:54-67)."""
+    root = load_metadata_json(text)
+    normalizer = MetadataNormalizer(base_uri, default_language, json_resolver)
+    root = normalizer.normalize(root)
+    return parse_normalized(root, base_uri, default_language)
+
+
+def parse_normalized(root: dict, base_uri: str,
+                     default_language: Optional[str] = None) -> TableGroup:
+    p = _Parser(base_uri, default_language)
+    if "tables" in root:
+        return p.parse_table_group(root)
+    if "url" in root:
+        group = TableGroup()
+        p.parse_table(group, root)
+        return group
+    raise MetadataParseError("Unrecognized root object type")
+
+
+class _Parser:
+    def __init__(self, base_uri: str, default_language: Optional[str]):
+        self.base_uri = base_uri
+        self.default_language = default_language
+        self.warnings: list[str] = []
+
+    # -- table group ---------------------------------------------------------
+
+    def parse_table_group(self, root: dict) -> TableGroup:
+        tables = root.get("tables")
+        if not isinstance(tables, list):
+            raise MetadataParseError("The value of the 'tables' property must be an array")
+        group = TableGroup()
+        if "dialect" in root:
+            if not isinstance(root["dialect"], dict):
+                raise MetadataParseError(
+                    "The value of the 'dialect' property must be a JSON object")
+            group.dialect = self.parse_dialect(root["dialect"])
+        else:
+            group.dialect = Dialect()
+        group_inherited = self.parse_inherited(root, parent={})
+        for item in tables:
+            if not isinstance(item, dict):
+                raise MetadataParseError("Items in the 'tables' array must be objects")
+            self.parse_table(group, item, group_inherited)
+        if "@id" in root:
+            group.id = self.parse_link(root["@id"], "@id")
+        group.common_properties = self.parse_common(root)
+        group.notes = self.parse_notes(root)
+        return group
+
+    # -- table ----------------------------------------------------------------
+
+    def parse_table(self, group: TableGroup, root: dict,
+                    group_inherited: Optional[dict] = None) -> Table:
+        if "url" not in root:
+            raise MetadataParseError("Did not find required 'url' property on table object")
+        table = Table(url=self.parse_link(root["url"], "url"))
+        if "@id" in root:
+            table.id = self.parse_link(root["@id"], "@id")
+        if "dialect" in root:
+            if not isinstance(root["dialect"], dict):
+                raise MetadataParseError(
+                    "The value of the 'dialect' property must be a JSON object")
+            table.dialect = self.parse_dialect(root["dialect"])
+        else:
+            table.dialect = group.dialect or Dialect()
+        table.suppress_output = self.parse_suppress_output(root)
+        table_inherited = self.parse_inherited(root, parent=group_inherited or {})
+
+        schema = root.get("tableSchema")
+        if schema is not None:
+            if not isinstance(schema, dict):
+                raise MetadataParseError(
+                    "The value of the 'tableSchema' property must be a JSON object")
+            schema_inherited = self.parse_inherited(schema, parent=table_inherited)
+            table.inherited = schema_inherited
+            cols = schema.get("columns")
+            if cols is not None:
+                if not isinstance(cols, list):
+                    raise MetadataParseError(
+                        "The value of the 'columns' property must be a JSON array")
+                table.columns = []
+                for i, item in enumerate(cols, start=1):
+                    if not isinstance(item, dict):
+                        raise MetadataParseError(
+                            "The items in the 'columns' array must be JSON objects")
+                    table.columns.append(
+                        self.parse_column(item, i, schema_inherited))
+            # else columns stay None -> inferred from header at convert time
+        else:
+            table.inherited = table_inherited
+
+        table.common_properties = self.parse_common(root)
+        table.notes = self.parse_notes(root)
+        group.tables.append(table)
+        return table
+
+    # -- column ----------------------------------------------------------------
+
+    def parse_column(self, root: dict, column_number: int, parent: dict) -> Column:
+        col = Column()
+        if "name" in root:
+            if not isinstance(root["name"], str):
+                raise MetadataParseError("The value of the 'name' property must be a string")
+            if root["name"].startswith("_"):
+                raise MetadataParseError(
+                    f"Column name {root['name']} is not valid. Column names must "
+                    "not start with an _ character.")
+            col.name = root["name"]
+        if "titles" in root:
+            col.titles = self.parse_natural_language(root["titles"])
+        if "default" in root:
+            if not isinstance(root["default"], str):
+                raise MetadataParseError("The value of the 'default' property must be a string")
+            col.default = root["default"]
+        if "virtual" in root:
+            if not isinstance(root["virtual"], bool):
+                raise MetadataParseError("The value of the 'virtual' property must be a boolean")
+            col.virtual = root["virtual"]
+        if col.name is None and col.titles:
+            by_lang = {lang: v for lang, v in reversed(col.titles)}
+            col.name = by_lang.get(self.default_language) or by_lang.get("und")
+        if col.name is None:
+            col.name = f"_col.{column_number}"
+        col.suppress_output = self.parse_suppress_output(root)
+
+        inherited = self.parse_inherited(root, parent=parent)
+        col.about_url = inherited.get("about_url")
+        col.property_url = inherited.get("property_url")
+        col.value_url = inherited.get("value_url")
+        col.datatype = inherited.get("datatype")
+        col.lang = inherited.get("lang")
+        col.null_values = inherited.get("null_values", ("",))
+        col.separator = inherited.get("separator")
+        if col.default is None:
+            col.default = parent.get("default")
+        return col
+
+    # -- shared ------------------------------------------------------------------
+
+    def parse_inherited(self, root: dict, parent: dict) -> dict:
+        """ParseInheritedProperties (JsonMetadataParser.cs:468-583), with the
+        parent chain flattened: a property explicitly present here overrides
+        the parent's resolved value.  NB 'null' never falls back (the
+        reference initializes _null={""} at every level)."""
+        out = dict(parent)
+        out["null_values"] = ("",)
+        if "datatype" in root:
+            dt = root["datatype"]
+            if isinstance(dt, str):
+                # pre-normalization string form
+                if dt in DATATYPE_ANNOTATIONS:
+                    out["datatype"] = Datatype(base=dt)
+                else:
+                    self.warnings.append(f"Unsupported base datatype '{dt}'")
+            elif isinstance(dt, dict):
+                out["datatype"] = self.parse_datatype(dt)
+            else:
+                raise MetadataParseError(
+                    "The value of the 'datatype' property must be a string or a JSON object")
+        if "lang" in root:
+            if isinstance(root["lang"], str):
+                if is_valid_language_tag(root["lang"]):
+                    out["lang"] = root["lang"]
+                else:
+                    self.warnings.append(
+                        f"The value '{root['lang']}' is not a valid BCP-47 language tag.")
+            else:
+                self.warnings.append("The value of the 'lang' property must be a string")
+        for prop, key in (("aboutUrl", "about_url"), ("propertyUrl", "property_url"),
+                          ("valueUrl", "value_url")):
+            if prop in root:
+                if not isinstance(root[prop], str):
+                    raise MetadataParseError(
+                        f"The value of the '{prop}' property must be a string")
+                out[key] = root[prop]
+        if "null" in root:
+            nv = root["null"]
+            if isinstance(nv, list):
+                out["null_values"] = tuple(str(v) for v in nv)
+            elif nv is not None:
+                out["null_values"] = (str(nv),)
+        if "separator" in root:
+            if isinstance(root["separator"], (str, type(None))):
+                out["separator"] = root["separator"]
+            else:
+                raise MetadataParseError(
+                    "The value of the 'separator' property must be a string")
+        return out
+
+    def parse_datatype(self, root: dict) -> Datatype:
+        dt = Datatype()
+        base = root.get("base", "string")
+        if not isinstance(base, str):
+            raise MetadataParseError("The value of the 'base' property must be a string")
+        if base in DATATYPE_ANNOTATIONS:
+            dt.base = base
+        else:
+            self.warnings.append(f"Unsupported base datatype '{base}'")
+            dt.base = "string"
+        if "@id" in root and isinstance(root["@id"], str):
+            dt.id = root["@id"]
+        if "format" in root:
+            dt.format = make_format(dt.base, root["format"])
+        for prop, kind in (("minimum", "min"), ("minInclusive", "min"),
+                           ("minExclusive", "min_exclusive"), ("maximum", "max"),
+                           ("maxInclusive", "max"), ("maxExclusive", "max_exclusive")):
+            if prop in root:
+                v = root[prop]
+                if not isinstance(v, (int, float)) or isinstance(v, bool):
+                    raise NotImplementedError(
+                        "Only numeric minimum and maximum constraints are currently supported")
+                dt.constraints.append((kind, float(v)))
+        return dt
+
+    def parse_dialect(self, root: dict) -> Dialect:
+        d = Dialect(
+            comment_prefix=self._string(root, "commentPrefix", "#"),
+            delimiter=self._string(root, "delimiter", ","),
+            double_quote=self._bool(root, "doubleQuote", True),
+            encoding=self._string(root, "encoding", "utf-8"),
+            header=self._bool(root, "header", True),
+            line_terminators=tuple(self._strings(root, "lineTerminators",
+                                                 ("\r\n", "\n"))),
+            quote_char=self._string(root, "quoteChar", '"', allow_null=True),
+            skip_blank_rows=self._bool(root, "skipBlankRows", False),
+            skip_columns=self._nonneg(root, "skipColumns", 0),
+            skip_initial_space=self._bool(root, "skipInitialSpace", False),
+            skip_rows=self._nonneg(root, "skipRows", 0),
+        )
+        d.header_row_count = self._nonneg(root, "headerRowCount", 1 if d.header else 0)
+        if "trim" in root:
+            t = root["trim"]
+            if isinstance(t, bool):
+                d.trim = "true" if t else "false"
+            elif t in ("true", "false", "start", "end"):
+                d.trim = t
+            else:
+                self.warnings.append(
+                    "Expected trim to be one of 'true', 'false', 'start', 'end'.")
+                d.trim = "true"
+        else:
+            d.trim = "start" if d.skip_initial_space else "false"
+        try:
+            import codecs
+            codecs.lookup(d.encoding)
+        except LookupError:
+            self.warnings.append(
+                f"{d.encoding} is not a recognized text encoding. Using 'utf-8'")
+            d.encoding = "utf-8"
+        return d
+
+    def parse_link(self, token, prop: str) -> str:
+        if not isinstance(token, str):
+            self.warnings.append(f"Value of property '{prop}' must be a string")
+            token = ""
+        return urljoin(self.base_uri, token)
+
+    def parse_natural_language(self, tok) -> list:
+        ret = []
+        if isinstance(tok, str):
+            ret.append((self.default_language, tok))
+        elif isinstance(tok, dict):
+            for lang, v in tok.items():
+                if isinstance(v, list):
+                    ret.extend((lang, str(item)) for item in v)
+                else:
+                    ret.append((lang, str(v)))
+        elif isinstance(tok, list):
+            for item in tok:
+                ret.extend(self.parse_natural_language(item))
+        return ret
+
+    @staticmethod
+    def parse_suppress_output(root: dict) -> bool:
+        if "suppressOutput" in root:
+            if not isinstance(root["suppressOutput"], bool):
+                raise MetadataParseError(
+                    "The value of the 'suppressOutput' property must be a boolean")
+            return root["suppressOutput"]
+        return False
+
+    @staticmethod
+    def parse_common(root: dict) -> dict:
+        return {k: v for k, v in root.items() if is_common_property(k)}
+
+    def parse_notes(self, root: dict):
+        if "notes" in root:
+            if not isinstance(root["notes"], list):
+                raise MetadataParseError("The value of the 'notes' property must be a JSON array")
+            return root["notes"]
+        return None
+
+    # -- lenient scalar parsing (JsonMetadataParser.cs:386-466) -------------------
+
+    def _string(self, root, name, default, allow_null=False):
+        if name in root:
+            v = root[name]
+            if isinstance(v, str):
+                return v
+            if allow_null and v is None:
+                return None
+            self.warnings.append(f"Value of '{name}' must be a string")
+        return default
+
+    def _bool(self, root, name, default):
+        if name in root:
+            v = root[name]
+            if isinstance(v, bool):
+                return v
+            self.warnings.append(f"Value of '{name}' must be a boolean")
+        return default
+
+    def _nonneg(self, root, name, default):
+        if name in root:
+            v = root[name]
+            if isinstance(v, int) and not isinstance(v, bool):
+                if v >= 0:
+                    return v
+                self.warnings.append(
+                    f"Expected value of '{name}' to be a non-negative integer.")
+            else:
+                self.warnings.append(f"Value of '{name}' must be an integer")
+        return default
+
+    def _strings(self, root, name, default):
+        if name not in root:
+            return default
+        v = root[name]
+        if isinstance(v, list):
+            return tuple(x for x in v if isinstance(x, str))
+        if isinstance(v, str):
+            return (v,)
+        self.warnings.append(f"Value of '{name}' must be an array of strings or a string")
+        return default
