@@ -1,0 +1,600 @@
+"""Triple extraction over a pages DataFrame - the engine's flagship operator.
+
+Input (BASELINE.json input_hint): an Iceberg/parquet table of
+Common-Crawl-style web pages (url:string, warc_ts:timestamp, html:binary,
+text:string, lang:string).  Output: a triples DataFrame
+(url, row, subj, pred, obj, obj_kind, obj_datatype, obj_lang).
+
+Two execution paths, both semantically equal to the Python kernel in
+csvw/convert.py (asserted by tests/test_spark_triples.py):
+
+1. `convert_table_group_spark` - the HOMOGENEOUS scale path: one CSVW table
+   descriptor applied to billions of pages of the same shape.
+   Stage A (narrow, the only Python): `mapInPandas` batches of pages ->
+   (url, row, vals array<string>) via the dialect-aware CSV reader.
+   Stage B (narrow, all JVM): per-column CSVW semantics compiled ONCE on the
+   driver into Catalyst expressions - whitespace normalization
+   (translate/regexp_replace), default/null handling (coalesce/when/isin),
+   URI-template expansion (concat of literals and null-checked raw cell
+   refs), list splitting (split + transform + filter), literal datatype
+   constants - producing one array<struct> of triples per row, flattened and
+   exploded in a single whole-stage-codegen pass.  No shuffle anywhere:
+   pages in -> triples out is a pure narrow pipeline, so it scales linearly
+   with executors and parquet split count.
+   Format-driven lexical normalization (date/time/number patterns), the one
+   part Catalyst can't express, runs as a vectorized Arrow pandas UDF over
+   only the affected columns' exploded triples.
+
+2. `convert_pages_spark` - the HETEROGENEOUS path: per-page metadata
+   (sidecar join on url-derived keys per the reference's discovery order,
+   Rdf/Converter.cs:141-207), executed by the Python kernel per page inside
+   `mapInPandas` with an executor-local parsed-metadata cache.
+
+Reference semantics being re-expressed: Rdf/Converter.cs:265-471 (row/cell
+loop), CellParser.cs:53-149, UriTemplate.cs:30-118.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import Column as SparkColumn, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, LongType, StringType, StructField, StructType,
+)
+
+from ..csvw.cells import normalize_cell
+from ..csvw.context import CSVW_NS, RDF_TYPE
+from ..csvw.convert import (
+    MODE_MINIMAL, MODE_STANDARD, PageConverter, parse_csv_rows,
+)
+from ..csvw.formats import FormatError
+from ..csvw.model import (
+    Column, Table, TableGroup,
+    RETAINS_LEADING_TRAILING_WS, RETAINS_LEADING_TRAILING_WS_IN_LIST,
+    RETAINS_LINE_ENDINGS, XSD_DATE, XSD_DATETIME, XSD_INTEGER, XSD_STRING,
+)
+from ..csvw.uritemplate import SPECIAL_VARS, compile_template
+
+TRIPLE_FIELDS = ["subj", "pred", "obj", "obj_kind", "obj_datatype", "obj_lang"]
+
+ROWS_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("row", LongType()),
+    StructField("vals", ArrayType(StringType())),
+])
+
+TRIPLES_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("row", LongType()),
+    StructField("subj", StringType()),
+    StructField("pred", StringType()),
+    StructField("obj", StringType()),
+    StructField("obj_kind", StringType()),
+    StructField("obj_datatype", StringType()),
+    StructField("obj_lang", StringType()),
+])
+
+
+# --------------------------------------------------------------------------
+# Stage A: pages -> cell rows (the only Python on the homogeneous path)
+# --------------------------------------------------------------------------
+
+
+def extract_rows(pages_df: DataFrame, table: Table) -> DataFrame:
+    """Parse each page's CSV payload into (url, row, vals) rows.
+
+    Narrow mapInPandas: each Arrow batch of pages is expanded page by page
+    with the C-speed csv module; the per-page logical row index is assigned
+    here (deterministic, no global sort - SURVEY.md §4.2 item 3)."""
+    dialect = table.dialect
+    header_rows = dialect.effective_header_row_count()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, rows_out, vals_out = [], [], []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                if text is None:
+                    continue
+                it = parse_csv_rows(text, dialect)
+                for _ in range(header_rows):
+                    next(it, None)
+                for i, rec in enumerate(it, start=1):
+                    urls.append(url)
+                    rows_out.append(i)
+                    vals_out.append(rec)
+            yield pd.DataFrame({"url": urls, "row": rows_out, "vals": vals_out})
+
+    return pages_df.select("url", "text").mapInPandas(gen, ROWS_SCHEMA)
+
+
+def infer_columns(table: Table, sample_text: str) -> list[Column]:
+    """Header-based schema inference (Rdf/Converter.cs:512-525) done once on
+    the driver from a sample page (homogeneous corpus => one header)."""
+    it = parse_csv_rows(sample_text, table.dialect)
+    header = None
+    for _ in range(table.dialect.effective_header_row_count()):
+        header = next(it, None)
+    cols, seen = [], set()
+    if header:
+        for i, name in enumerate(header, start=1):
+            if name in seen:
+                continue
+            seen.add(name)
+            cols.append(table.make_inferred_column(name, i))
+    return cols
+
+
+# --------------------------------------------------------------------------
+# Stage B: compiled CSVW semantics as Catalyst expressions
+# --------------------------------------------------------------------------
+
+
+def _ws_normalize(col: SparkColumn, base: str) -> SparkColumn:
+    """CellParser.cs:69-79 as JVM expressions."""
+    if base not in RETAINS_LINE_ENDINGS:
+        col = F.translate(col, "\r\n\t", "   ")
+    if base not in RETAINS_LEADING_TRAILING_WS:
+        col = F.regexp_replace(
+            F.regexp_replace(col, r"^\s+|\s+$", ""), r"\s+", " ")
+    return col
+
+
+def _null_to_none(col: SparkColumn, null_values: tuple) -> SparkColumn:
+    if not null_values:
+        return col
+    return F.when(col.isin(*[F.lit(v) for v in null_values]), F.lit(None)).otherwise(col)
+
+
+class _PlanContext:
+    """Per-(table, page-set) compile context."""
+
+    def __init__(self, table: Table, columns: list[Column], mode: str,
+                 scope_by_url: bool):
+        self.table = table
+        self.columns = columns
+        self.mode = mode
+        self.header_rows = table.dialect.effective_header_row_count()
+        self.skip_columns = table.dialect.skip_columns
+        # bnode scope: per-url prefix for multi-page corpora so skolem labels
+        # are globally unique; empty for single-table parity with the kernel
+        if scope_by_url:
+            self.scope = F.concat(F.lit("p"), F.substring(F.md5(F.col("url")), 1, 10))
+        else:
+            self.scope = F.lit("")
+        self.url = F.col("url")
+        self.row = F.col("row")
+
+    # -- raw cell access -----------------------------------------------------
+
+    def raw_cell(self, ix: int) -> SparkColumn:
+        # record[colIx]; element_at is 1-based and returns NULL out of range
+        return F.element_at(F.col("vals"), ix + 1)
+
+    def raw_cell_for_binding(self, name: str) -> SparkColumn:
+        """Template variable -> RAW cell at skipColumns + schema index with
+        the named column's null-list check (Converter.cs:611-627)."""
+        for i, c in enumerate(self.columns):
+            if c.name == name:
+                v = F.element_at(F.col("vals"), self.skip_columns + i + 1)
+                return _null_to_none(v, c.null_values)
+        raise KeyError(f"Could not find a column named {name} in the CSV metadata.")
+
+    def binding(self, var: str, col_number: int, source_col_number: int,
+                name: Optional[str]) -> SparkColumn:
+        if var == "_row":
+            return self.row.cast("string")
+        if var == "_sourceRow":
+            return (self.row + self.header_rows).cast("string")
+        if var == "_column":
+            return F.lit(str(col_number))
+        if var == "_sourceColumn":
+            return F.lit(str(source_col_number))
+        if var == "_name":
+            return F.lit(name)
+        return self.raw_cell_for_binding(var)
+
+    # -- URI templates ---------------------------------------------------------
+
+    def template_expr(self, template: str, col_number: int,
+                      source_col_number: int, name: Optional[str]) -> SparkColumn:
+        """Compiled template -> concat expression; NULL when any binding is
+        missing/empty (UriTemplate.cs:105-117) - the caller suppresses the
+        triple, matching ResolveTemplate's null (Converter.cs:597-609)."""
+        compiled = compile_template(template)
+        try:
+            pieces, guards = self._template_pieces(
+                compiled, col_number, source_col_number, name)
+        except KeyError:
+            # unknown column variable: every row errors in the reference ->
+            # every triple suppressed here
+            return F.lit(None).cast("string")
+        expr = F.concat(*pieces) if pieces else F.lit("")
+        expr = self._absolutize(template, expr)
+        for g in guards:
+            expr = F.when(g.isNull() | (g == ""), F.lit(None)).otherwise(expr)
+        return expr
+
+    def _template_pieces(self, compiled, col_number, source_col_number, name):
+        pieces, guards = [], []
+        for kind, payload in compiled.parts:
+            if kind == "lit":
+                pieces.append(F.lit(payload))
+            else:
+                prefix, variables = payload
+                if prefix:
+                    pieces.append(F.lit(prefix))
+                for j, v in enumerate(variables):
+                    if j:
+                        pieces.append(F.lit(","))
+                    b = self.binding(v, col_number, source_col_number, name)
+                    guards.append(b)
+                    pieces.append(b)
+        return pieces, guards
+
+    def _absolutize(self, template: str, expr: SparkColumn) -> SparkColumn:
+        """Relative template -> resolve against the page url at plan time
+        (Converter.cs:602). The template's static prefix tells us which RFC
+        3986 case applies; page urls are plain hierarchical http(s) IRIs."""
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", template):
+            return expr
+        if template.startswith("#") or template == "":
+            return F.concat(self.url, expr)
+        if template.startswith("/"):
+            authority = F.regexp_extract(self.url, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
+            return F.concat(authority, expr)
+        if template.startswith("{"):
+            # dynamic start: may expand to an absolute IRI - decide per row
+            base_dir = F.regexp_replace(self.url, r"[^/]*$", "")
+            return F.when(expr.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), expr) \
+                    .otherwise(F.concat(base_dir, expr))
+        base_dir = F.regexp_replace(self.url, r"[^/]*$", "")
+        return F.concat(base_dir, expr)
+
+    def predicate_expr(self, c: Column, col_number: int,
+                       source_col_number: int) -> SparkColumn:
+        if c.property_url is None:
+            # tableUrl + '#' + name (Converter.cs:409-411)
+            return F.concat(self.url, F.lit("#" + (c.name or "")))
+        return self.template_expr(c.property_url, col_number,
+                                  source_col_number, c.name)
+
+    def subject_expr(self, c: Column, col_number: int,
+                     source_col_number: int) -> tuple[SparkColumn, SparkColumn]:
+        if c.about_url is None:
+            subj = F.concat(F.lit("_:"), self.scope, F.lit("sd"),
+                            self.row.cast("string"))
+            return subj, F.lit("bnode")
+        return (self.template_expr(c.about_url, col_number,
+                                   source_col_number, c.name),
+                F.lit("iri"))
+
+
+_STRUCT_ARRAY_T = ("array<struct<subj:string,pred:string,obj:string,"
+                   "obj_kind:string,obj_datatype:string,obj_lang:string,"
+                   "col_ix:int>>")
+
+
+def _empty_arr() -> SparkColumn:
+    return F.array().cast(_STRUCT_ARRAY_T)
+
+
+def _triple_struct(subj, pred, obj, kind, dtype, lang, col_ix) -> SparkColumn:
+    return F.struct(
+        subj.alias("subj"), pred.alias("pred"), obj.alias("obj"),
+        (kind if isinstance(kind, SparkColumn) else F.lit(kind)).alias("obj_kind"),
+        (dtype if isinstance(dtype, SparkColumn) else F.lit(dtype)).alias("obj_datatype"),
+        (lang if isinstance(lang, SparkColumn) else F.lit(lang)).alias("obj_lang"),
+        F.lit(col_ix).alias("col_ix"),
+    )
+
+
+def _cell_triples_expr(ctx: _PlanContext, c: Column, i: int) -> Optional[SparkColumn]:
+    """array<struct> of the triples one cell contributes (possibly empty) -
+    the Spark mirror of Converter.cs:394-455."""
+    if c.suppress_output:
+        return None
+    col_number = i + 1
+    source_col_number = ctx.skip_columns + i + 1
+
+    subj, subj_kind = ctx.subject_expr(c, col_number, source_col_number)
+    pred = ctx.predicate_expr(c, col_number, source_col_number)
+    guard_sp = subj.isNull() | pred.isNull()
+
+    extras = []
+    if ctx.mode == MODE_STANDARD:
+        row_node = F.concat(F.lit("_:"), ctx.scope, F.lit("r"),
+                            ctx.row.cast("string"))
+        extras.append(
+            F.when(subj.isNull(), _empty_arr()).otherwise(F.array(_triple_struct(
+                row_node, F.lit(CSVW_NS + "describes"), subj, subj_kind,
+                F.lit(None).cast("string"), F.lit(None).cast("string"), i))))
+
+    if c.value_url is not None:
+        obj = ctx.template_expr(c.value_url, col_number, source_col_number, c.name)
+        main = F.when(guard_sp | obj.isNull(), _empty_arr()).otherwise(
+            F.array(_triple_struct(subj, pred, obj, "iri", None, None, i)))
+        return F.concat(*extras, main) if extras else main
+
+    base = c.base
+    is_string_lang = (c.datatype_iri == XSD_STRING and c.lang)
+    dtype = None if is_string_lang else c.datatype_iri
+    lang = c.lang if is_string_lang else None
+
+    if c.virtual:
+        # constant value every row: run the kernel's normalization at plan time
+        cell = normalize_cell(c.default, c)
+        values = cell.value_list if cell.is_list else (
+            [cell.value] if cell.value is not None else [])
+        values = [v for v in (values or []) if v is not None]
+        if c.datatype is not None and c.datatype.format is not None:
+            values = [c.datatype.format.normalize(v) for v in values]
+        structs = [_triple_struct(subj, pred, F.lit(v), "literal", dtype, lang, i)
+                   for v in values]
+        main = (F.when(guard_sp, _empty_arr()).otherwise(F.array(*structs))
+                if structs else _empty_arr())
+        return F.concat(*extras, main) if extras else main
+
+    raw = ctx.raw_cell(i)
+    if c.default is not None:
+        raw = F.coalesce(raw, F.lit(c.default))  # GetField ?? c.Default
+    s = _ws_normalize(raw, base)
+    if c.default is not None:
+        s = F.when(s == "", F.lit(c.default)).otherwise(s)
+    else:
+        s = F.when(s == "", F.lit(None)).otherwise(s)
+
+    if c.separator is not None:
+        # 5.1 whole-value null check BEFORE split (CellParser.cs:92-96)
+        s = _null_to_none(s, c.null_values)
+        arr = F.split(s, re.escape(c.separator), -1)
+        if base not in RETAINS_LEADING_TRAILING_WS_IN_LIST:
+            arr = F.transform(arr, lambda t: F.regexp_replace(t, r"^\s+|\s+$", ""))
+        if c.default is not None:
+            arr = F.transform(arr, lambda t: F.when(t == "", F.lit(c.default)).otherwise(t))
+        else:
+            arr = F.transform(arr, lambda t: F.when(t == "", F.lit(None)).otherwise(t))
+        arr = F.transform(arr, lambda t: _null_to_none(t, c.null_values))
+        arr = F.filter(arr, lambda t: t.isNotNull())
+        main = F.when(guard_sp | s.isNull(), _empty_arr()).otherwise(
+            F.transform(arr, lambda t: _triple_struct(
+                subj, pred, t, "literal", dtype, lang, i)))
+    else:
+        v = _null_to_none(s, c.null_values)
+        main = F.when(guard_sp | v.isNull(), _empty_arr()).otherwise(
+            F.array(_triple_struct(subj, pred, v, "literal", dtype, lang, i)))
+    return F.concat(*extras, main) if extras else main
+
+
+def _row_scaffolding_exprs(ctx: _PlanContext) -> list[SparkColumn]:
+    """Standard-mode per-row and (row==1-gated) per-table triples
+    (Rdf/Converter.cs:267-290,337-368)."""
+    row_node = F.concat(F.lit("_:"), ctx.scope, F.lit("r"), ctx.row.cast("string"))
+    table_node = (F.lit(ctx.table.id) if ctx.table.id
+                  else F.concat(F.lit("_:"), ctx.scope, F.lit("t")))
+    table_kind = "iri" if ctx.table.id else "bnode"
+    group_node = F.concat(F.lit("_:"), ctx.scope, F.lit("g"))
+    none = F.lit(None).cast("string")
+
+    per_row = F.array(
+        _triple_struct(table_node, F.lit(CSVW_NS + "row"), row_node,
+                       "bnode", None, None, -1),
+        _triple_struct(row_node, F.lit(RDF_TYPE), F.lit(CSVW_NS + "Row"),
+                       "iri", None, None, -1),
+        _triple_struct(row_node, F.lit(CSVW_NS + "rownum"),
+                       ctx.row.cast("string"), "literal",
+                       F.lit(XSD_INTEGER), none, -1),
+        _triple_struct(row_node, F.lit(CSVW_NS + "url"),
+                       F.concat(ctx.url, F.lit("#row="),
+                                (ctx.row + ctx.header_rows).cast("string")),
+                       "iri", None, None, -1),
+    )
+    per_table = F.when(ctx.row == 1, F.array(
+        _triple_struct(group_node, F.lit(RDF_TYPE),
+                       F.lit(CSVW_NS + "TableGroup"), "iri", None, None, -1),
+        _triple_struct(group_node, F.lit(CSVW_NS + "table"), table_node,
+                       table_kind, None, None, -1),
+        _triple_struct(table_node, F.lit(RDF_TYPE), F.lit(CSVW_NS + "Table"),
+                       "iri", None, None, -1),
+        _triple_struct(table_node, F.lit(CSVW_NS + "url"), ctx.url,
+                       "iri", None, None, -1),
+    )).otherwise(_empty_arr())
+    statics = _static_metadata_triples(ctx, table_node, table_kind, group_node)
+    return [per_table, per_row] + ([statics] if statics is not None else [])
+
+
+def _static_metadata_triples(ctx: _PlanContext, table_node, table_kind,
+                             group_node) -> Optional[SparkColumn]:
+    """Common properties + notes (T3/T4, Rdf/Converter.cs:638-765,652-658):
+    computed once on the driver by the kernel, emitted per page gated on
+    row==1 with bnode labels re-scoped per page."""
+    sentinel_t, sentinel_g, sentinel_b = "\x00T", "\x00G", "_:\x00B"
+    kern = PageConverter(mode=MODE_STANDARD, bnode_scope="\x00B")
+    from ..csvw.convert import ConversionResult
+    res = ConversionResult()
+    kern._emit_common_properties(res, sentinel_g,
+                                 ctx.table.common_properties and {} or {})
+    # group-level common properties live on the TableGroup; per-page we only
+    # re-emit table-level ones (group props would duplicate per page)
+    kern._emit_common_properties(res, sentinel_t, ctx.table.common_properties)
+    if ctx.table.notes:
+        kern._emit_common_property(res, sentinel_t, CSVW_NS + "note",
+                                   ctx.table.notes)
+    if not res.triples:
+        return None
+
+    def term(value: str, is_obj_kind: Optional[str] = None) -> SparkColumn:
+        if value == sentinel_t:
+            return table_node
+        if value == sentinel_g:
+            return group_node
+        if value.startswith(sentinel_b):
+            return F.concat(F.lit("_:"), ctx.scope, F.lit("b" + value[len(sentinel_b):]))
+        return F.lit(value)
+
+    structs = []
+    for t in res.triples:
+        structs.append(_triple_struct(
+            term(t.subj), F.lit(t.pred),
+            term(t.obj) if t.obj_kind in ("iri", "bnode") else F.lit(t.obj),
+            t.obj_kind, t.obj_datatype, t.obj_lang, -1))
+    return F.when(ctx.row == 1, F.array(*structs)).otherwise(_empty_arr())
+
+
+def _format_normalizer_udf(c: Column):
+    """Arrow-vectorized lexical normalization for one format column; invalid
+    values -> NULL (triple suppressed; the kernel records a cell error)."""
+    fmt = c.datatype.format if c.datatype else None
+    iri = c.datatype_iri
+
+    from ..csvw.convert import _default_datetime_normalize
+    from ..csvw.model import ConversionError
+
+    def norm_one(v):
+        if v is None:
+            return None
+        try:
+            if fmt is not None:
+                return fmt.normalize(v)
+            return _default_datetime_normalize(v, iri)
+        except (FormatError, ConversionError, ValueError):
+            return None
+
+    @F.pandas_udf(StringType())
+    def norm(series: pd.Series) -> pd.Series:
+        # vectorize via unique-value mapping (typical pages repeat lexical forms)
+        uniq = {v: norm_one(v) for v in series.dropna().unique()}
+        return series.map(uniq)
+
+    # deterministic in truth, but marked otherwise so Catalyst neither
+    # duplicates the Arrow eval into the downstream null-filter nor re-runs
+    # it per referencing expression (one ArrowEvalPython node in the plan)
+    return norm.asNondeterministic()
+
+
+def compile_triples(rows_df: DataFrame, table: Table, columns: list[Column],
+                    mode: str = MODE_MINIMAL,
+                    scope_by_url: bool = True) -> DataFrame:
+    """Stage B: (url, row, vals) -> triples, single narrow JVM pass."""
+    ctx = _PlanContext(table, columns, mode, scope_by_url)
+    arrays = []
+    if mode == MODE_STANDARD:
+        arrays.extend(_row_scaffolding_exprs(ctx))
+    for i, c in enumerate(columns):
+        e = _cell_triples_expr(ctx, c, i)
+        if e is not None:
+            arrays.append(e)
+    exploded = (
+        rows_df
+        .select("url", "row", F.explode(F.flatten(F.array(*arrays))).alias("t"))
+        .select("url", "row", "t.*")
+    )
+    # post-explode format normalization (only the affected columns pay)
+    needs_norm = [
+        (i, c) for i, c in enumerate(columns)
+        if not c.virtual and c.value_url is None and (
+            (c.datatype is not None and c.datatype.format is not None)
+            or c.datatype_iri in (XSD_DATE, XSD_DATETIME))
+    ]
+    if needs_norm:
+        obj = F.col("obj")
+        for i, c in needs_norm:
+            udf = _format_normalizer_udf(c)
+            obj = F.when((F.col("col_ix") == i) & (F.col("obj_kind") == "literal"),
+                         udf(F.col("obj"))).otherwise(obj)
+        exploded = exploded.withColumn("obj", obj).filter(F.col("obj").isNotNull())
+    return exploded.drop("col_ix")
+
+
+def convert_table_group_spark(pages_df: DataFrame, table: Table,
+                              mode: str = MODE_MINIMAL,
+                              columns: Optional[list[Column]] = None,
+                              scope_by_url: bool = True,
+                              sample_text: Optional[str] = None) -> DataFrame:
+    """Homogeneous scale path: one table descriptor, N pages.
+
+    When the schema must be inferred from the header, pass `sample_text` (or
+    let this read ONE page via .first() - driver-side, constant cost)."""
+    cols = columns if columns is not None else table.columns
+    if cols is None:
+        if sample_text is None:
+            first = pages_df.select("text").filter(F.col("text").isNotNull()).first()
+            sample_text = first["text"] if first else ""
+        cols = infer_columns(table, sample_text)
+    rows = extract_rows(pages_df, table)
+    return compile_triples(rows, table, cols, mode, scope_by_url)
+
+
+# --------------------------------------------------------------------------
+# Heterogeneous path: per-page metadata via the Python kernel
+# --------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=256)
+def _parse_meta_cached(metadata_json: str, base_uri: str):
+    from ..csvw.parse_meta import parse_metadata
+    return parse_metadata(metadata_json, base_uri)
+
+
+def convert_pages_spark(pages_df: DataFrame, mode: str = MODE_MINIMAL,
+                        metadata_col: str = "metadata_json") -> DataFrame:
+    """Pages with per-page CSVW metadata sidecar column -> triples.
+
+    mapInPandas over Arrow batches; metadata parsing is cached per distinct
+    document per executor (typical web corpora have few distinct schemas).
+    Bnode labels are scoped by a url digest -> globally unique."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ["url", "row", *TRIPLE_FIELDS]}
+            for url, text, meta in zip(pdf["url"], pdf["text"], pdf[metadata_col]):
+                if text is None:
+                    continue
+                if meta is None:
+                    meta = '{"url": "%s"}' % url
+                group = _parse_meta_cached(meta, url)
+                scope = "p" + hashlib.md5(url.encode()).hexdigest()[:10]
+                conv = PageConverter(mode=mode, bnode_scope=scope)
+                # per-page table: the descriptor's url is overridden by the
+                # page url only when the descriptor used a relative url
+                texts = {t.url: text for t in group.tables}
+                result = conv.convert_table_group(group, texts)
+                for t in result.triples:
+                    out["url"].append(url)
+                    out["row"].append(0)
+                    for k, v in zip(TRIPLE_FIELDS, t.astuple()):
+                        out[k].append(v)
+            yield pd.DataFrame(out)
+
+    cols = ["url", "text", metadata_col]
+    return pages_df.select(*cols).mapInPandas(gen, TRIPLES_SCHEMA)
+
+
+def discover_metadata_keys(url_col: SparkColumn) -> list[SparkColumn]:
+    """Metadata discovery as deterministic key derivation (S3,
+    Rdf/Converter.cs:141-207): '{url}-metadata.json' then sibling
+    'csv-metadata.json'. At scale this drives an equi-join of pages against
+    a metadata sidecar table instead of per-url HTTP probing."""
+    sibling = F.concat(F.regexp_replace(url_col, r"[^/]*$", ""),
+                       F.lit("csv-metadata.json"))
+    return [F.concat(url_col, F.lit("-metadata.json")), sibling]
+
+
+def join_metadata_sidecar(pages_df: DataFrame, meta_df: DataFrame) -> DataFrame:
+    """Left-join pages to a (meta_url, metadata_json) sidecar table via the
+    derived discovery keys, broadcast when small (driver hints it)."""
+    keys = discover_metadata_keys(F.col("url"))
+    p = pages_df.withColumn("_k1", keys[0]).withColumn("_k2", keys[1])
+    m = F.broadcast(meta_df.select(F.col("meta_url"), F.col("metadata_json")))
+    j1 = p.join(m.withColumnRenamed("metadata_json", "_m1"),
+                p["_k1"] == m["meta_url"], "left").drop("meta_url")
+    m2 = F.broadcast(meta_df.select(F.col("meta_url").alias("_mu2"),
+                                    F.col("metadata_json").alias("_m2")))
+    j2 = j1.join(m2, j1["_k2"] == m2["_mu2"], "left")
+    return (j2.withColumn("metadata_json", F.coalesce("_m1", "_m2"))
+              .drop("_k1", "_k2", "_m1", "_m2", "_mu2"))
