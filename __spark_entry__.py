@@ -1,38 +1,764 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship CSVW triple-extraction pipeline on
+sf0.001; `queries()` exposes every implemented operator from SURVEY.md §2
+plus the training-data pipeline operators; `oracle_sql()` gives the DuckDB
+equivalent for each SQL-expressible query (same column names; floats are
+emitted as exact integer basis points or round()ed identically on both
+sides so value hashes match).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+CSVW = "http://www.w3.org/ns/csvw#"
+
+
+def _load(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# CSVW triple-extraction queries (pages synthesized from the driver tables
+# so the DuckDB oracle can recompute the expected triples independently)
+# --------------------------------------------------------------------------
+
+
+def _nation_pages(spark, sf_dir):
+    from csvweb_spark.sources.pages import pages_from_table
+    nation = _load(spark, sf_dir, "nation")
+    return pages_from_table(
+        nation, F.lit(0), "http://ex.org/nation.csv",
+        ["n_nationkey", "n_name", "n_regionkey"], "n_nationkey")
+
+
+def _nation_table():
+    from csvweb_spark.csvw.model import Column, Datatype, Table
+    t = Table(url="http://ex.org/nation.csv")
+    about = "http://ex.org/nation/{n_nationkey}"
+    t.columns = [
+        Column(name="n_nationkey", about_url=about,
+               datatype=Datatype(base="integer")),
+        Column(name="n_name", about_url=about),
+        Column(name="n_regionkey", about_url=about,
+               datatype=Datatype(base="integer")),
+    ]
+    return t
+
+
+def q_csvw_minimal_triples(spark, sf_dir):
+    from csvweb_spark.operators.triples import convert_table_group_spark
+    out = convert_table_group_spark(_nation_pages(spark, sf_dir),
+                                    _nation_table(), scope_by_url=False)
+    return out.select("subj", "pred", "obj", "obj_datatype")
+
+
+def q_csvw_standard_rownum(spark, sf_dir):
+    from csvweb_spark.csvw.convert import MODE_STANDARD
+    from csvweb_spark.operators.triples import convert_table_group_spark
+    out = convert_table_group_spark(_nation_pages(spark, sf_dir),
+                                    _nation_table(), mode=MODE_STANDARD,
+                                    scope_by_url=False)
+    return (out.filter(F.col("pred") == CSVW + "rownum")
+            .select("subj", "pred", "obj", "obj_datatype"))
+
+
+def q_csvw_list_explode(spark, sf_dir):
+    from csvweb_spark.csvw.model import Column, Datatype, Table
+    from csvweb_spark.operators.triples import convert_table_group_spark
+    from csvweb_spark.sources.pages import pages_from_table
+    part = _load(spark, sf_dir, "part").withColumn(
+        "tags", F.concat_ws("|", "p_brand", "p_type"))
+    pages = pages_from_table(part, (F.col("p_partkey") / 500).cast("long"),
+                             "http://ex.org/part/{key}.csv",
+                             ["p_partkey", "tags"], "p_partkey")
+    t = Table(url="http://ex.org/part.csv")
+    about = "http://ex.org/part/{p_partkey}"
+    t.columns = [
+        Column(name="p_partkey", about_url=about,
+               datatype=Datatype(base="integer")),
+        Column(name="tags", about_url=about, separator="|",
+               property_url="http://ex.org/def/tag"),
+    ]
+    out = convert_table_group_spark(pages, t, scope_by_url=False)
+    return (out.filter(F.col("pred") == "http://ex.org/def/tag")
+            .select("subj", "pred", "obj"))
+
+
+def q_csvw_datatype_date(spark, sf_dir):
+    from csvweb_spark.csvw.model import Column, Datatype, Table
+    from csvweb_spark.csvw.formats import DateFormat
+    from csvweb_spark.operators.triples import convert_table_group_spark
+    from csvweb_spark.sources.pages import pages_from_table
+    orders = (_load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderkey") < 3000)
+              .withColumn("odate", F.date_format("o_orderdate", "M/d/yyyy")))
+    pages = pages_from_table(orders, (F.col("o_orderkey") / 500).cast("long"),
+                             "http://ex.org/orders/{key}.csv",
+                             ["o_orderkey", "odate"], "o_orderkey")
+    t = Table(url="http://ex.org/orders.csv")
+    about = "http://ex.org/order/{o_orderkey}"
+    dt = Datatype(base="date")
+    dt.format = DateFormat("M/d/yyyy")
+    t.columns = [
+        Column(name="o_orderkey", about_url=about,
+               property_url="http://ex.org/def/okey",
+               datatype=Datatype(base="integer")),
+        Column(name="odate", about_url=about, datatype=dt,
+               property_url="http://ex.org/def/odate"),
+    ]
+    out = convert_table_group_spark(pages, t, scope_by_url=False)
+    return (out.filter(F.col("obj_datatype") == XSD + "date")
+            .select("subj", "pred", "obj", "obj_datatype"))
+
+
+def q_csvw_null_default_virtual(spark, sf_dir):
+    from csvweb_spark.csvw.model import Column, Datatype, Table
+    from csvweb_spark.operators.triples import convert_table_group_spark
+    from csvweb_spark.sources.pages import pages_from_table
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 600)
+    pages = pages_from_table(cust, (F.col("c_custkey") / 300).cast("long"),
+                             "http://ex.org/cust/{key}.csv",
+                             ["c_custkey", "c_mktsegment"], "c_custkey")
+    t = Table(url="http://ex.org/customer.csv")
+    about = "http://ex.org/customer/{c_custkey}"
+    t.columns = [
+        Column(name="c_custkey", about_url=about,
+               property_url="http://ex.org/def/custkey",
+               datatype=Datatype(base="integer")),
+        Column(name="c_mktsegment", about_url=about,
+               property_url="http://ex.org/def/segment",
+               null_values=("HOUSEHOLD",)),
+        Column(name="flag", about_url=about, virtual=True, default="seen",
+               property_url="http://ex.org/def/flag"),
+    ]
+    out = convert_table_group_spark(pages, t, scope_by_url=False)
+    return out.select("subj", "pred", "obj", "obj_datatype")
+
+
+def q_csvw_template_specials(spark, sf_dir):
+    from csvweb_spark.csvw.model import Column, Table
+    from csvweb_spark.operators.triples import convert_table_group_spark
+    from csvweb_spark.sources.pages import pages_from_table
+    region = _load(spark, sf_dir, "region")
+    pages = pages_from_table(region, F.lit(0), "http://ex.org/region.csv",
+                             ["r_regionkey", "r_name"], "r_regionkey")
+    t = Table(url="http://ex.org/region.csv")
+    t.columns = [
+        Column(name="r_regionkey", about_url="http://ex.org/r/{_row}",
+               property_url="http://ex.org/def/{_name}/col{_column}"),
+        Column(name="r_name", about_url="http://ex.org/r/{_row}",
+               property_url="http://ex.org/def/{_name}/col{_column}"),
+    ]
+    out = convert_table_group_spark(pages, t, scope_by_url=False)
+    return out.select("subj", "pred", "obj")
+
+
+def q_csvw_valueurl_iri(spark, sf_dir):
+    from csvweb_spark.csvw.model import Column, Datatype, Table
+    from csvweb_spark.operators.triples import convert_table_group_spark
+    from csvweb_spark.sources.pages import pages_from_table
+    sup = _load(spark, sf_dir, "supplier")
+    pages = pages_from_table(sup, F.lit(0), "http://ex.org/supplier.csv",
+                             ["s_suppkey", "s_nationkey"], "s_suppkey")
+    t = Table(url="http://ex.org/supplier.csv")
+    about = "http://ex.org/supplier/{s_suppkey}"
+    t.columns = [
+        Column(name="s_suppkey", about_url=about,
+               datatype=Datatype(base="integer")),
+        Column(name="s_nationkey", about_url=about,
+               property_url="http://ex.org/def/nation",
+               value_url="http://ex.org/nation/{s_nationkey}"),
+    ]
+    out = convert_table_group_spark(pages, t, scope_by_url=False)
+    return out.select("subj", "pred", "obj", "obj_kind")
+
+
+def q_csvw_hetero_pages(spark, sf_dir):
+    from csvweb_spark.operators.triples import convert_pages_spark
+    region = _load(spark, sf_dir, "region")
+    url = F.concat(F.lit("http://ex.org/r/"), F.col("r_regionkey"),
+                   F.lit(".csv"))
+    pages = region.select(
+        url.alias("url"),
+        F.concat(F.lit("r_regionkey,r_name\n"), F.col("r_regionkey"),
+                 F.lit(","), F.col("r_name"), F.lit("\n")).alias("text"),
+        F.concat(F.lit('{"url": "'), url, F.lit('"}')).alias("metadata_json"))
+    out = convert_pages_spark(pages)
+    return out.select("url", "subj", "pred", "obj", "obj_datatype")
+
+
+# --------------------------------------------------------------------------
+# entity linking / canonicalization
+# --------------------------------------------------------------------------
+
+ALIAS_ROWS = [("spark", 1, "http://ex.org/e/1"),
+              ("window", 2, "http://ex.org/e/2"),
+              ("customer", 3, "http://ex.org/e/3"),
+              ("vector", 4, "http://ex.org/e/4")]
+ALIAS_SCHEMA = "alias string, entity_id long, entity_uri string"
+
+
+def q_entity_link_exact(spark, sf_dir):
+    from csvweb_spark.operators.linking import link_exact
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    mentions = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("mention"))
+    aliases = spark.createDataFrame(ALIAS_ROWS, ALIAS_SCHEMA)
+    out = link_exact(mentions, aliases)
+    return (out.groupBy("doc_id", "entity_id")
+            .agg(F.count(F.lit(1)).alias("n_mentions")))
+
+
+def q_entity_link_contains(spark, sf_dir):
+    from csvweb_spark.operators.linking import link_contains
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    aliases = spark.createDataFrame(ALIAS_ROWS, ALIAS_SCHEMA)
+    return link_contains(docs, aliases).select(
+        "doc_id", "alias", "entity_id", "entity_uri")
+
+
+def q_canonicalize_cc(spark, sf_dir):
+    from csvweb_spark.operators.canonicalize import connected_components
+    cust = _load(spark, sf_dir, "customer").select("c_custkey")
+    # within-100-block chains (k -> k+1 when both exist), block 0 as a hub
+    # star (0 -> j) to exercise skew; components = contiguous key blocks
+    nxt = cust.select((F.col("c_custkey")).alias("dst"))
+    chains = (cust.filter(F.col("c_custkey") % 100 != 99)
+              .select(F.col("c_custkey").alias("src"),
+                      (F.col("c_custkey") + 1).alias("dst"))
+              .join(nxt, "dst", "left_semi"))
+    star = (cust.filter((F.col("c_custkey") > 0) & (F.col("c_custkey") < 100))
+            .select(F.lit(0).cast("long").alias("src"),
+                    F.col("c_custkey").alias("dst")))
+    edges = chains.unionByName(star)
+    return connected_components(edges).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"))
+
+
+# --------------------------------------------------------------------------
+# dedup suite
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    from csvweb_spark.operators.dedup import dedup_exact
+    docs = _load(spark, sf_dir, "documents")
+    # plant exact duplicates so the operator has real work
+    dups = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang",
+        "source", "n_chars")
+    return dedup_exact(docs.unionByName(dups))
+
+
+def _docs_with_near_dups(spark, sf_dir, limit, offset_id, suffix):
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < limit)
+    planted = docs.filter(F.col("doc_id") < limit // 4).select(
+        (F.col("doc_id") + offset_id).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(suffix)).alias("text"),
+        "lang", "source", "n_chars")
+    return docs.unionByName(planted)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from csvweb_spark.operators.dedup import jaccard, shingles
+    d = _docs_with_near_dups(spark, sf_dir, 120, 10000, " x")
+    base = d.select("doc_id", "source", shingles(F.col("text"), 3).alias("sh"))
+    a = base.select(F.col("doc_id").alias("id_a"), F.col("source").alias("blk"),
+                    F.col("sh").alias("sh_a"))
+    b = base.select(F.col("doc_id").alias("id_b"), F.col("source").alias("blk"),
+                    F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("long")
+    # integer basis points: exact in both engines, no FP rounding hazard
+    jbp = F.floor(inter * 10000 / union).cast("long")
+    return (a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("jaccard_bp", jbp)
+            .filter(F.col("jaccard_bp") >= 3500)
+            .select("id_a", "id_b", "jaccard_bp"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from csvweb_spark.operators.dedup import dedup_minhash_lsh
+    d = _docs_with_near_dups(spark, sf_dir, 150, 20000, " y")
+    out = dedup_minhash_lsh(d, threshold=0.6)
+    return out.select("id_a", "id_b",
+                      F.floor(F.col("jaccard") * 10000).cast("long")
+                       .alias("jaccard_bp"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from csvweb_spark.operators.dedup import dedup_simhash
+    d = _docs_with_near_dups(spark, sf_dir, 150, 30000, " z")
+    return dedup_simhash(d, max_hamming=10)
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    from csvweb_spark.operators.dedup import dedup_embedding_cosine
+    emb = _load(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    d = emb.unionByName(planted)
+    out = dedup_embedding_cosine(d, threshold=0.995)
+    return out.select("id_a", "id_b", "cos")
+
+
+def q_ann_topk(spark, sf_dir):
+    from csvweb_spark.operators.similarity import ann_topk_bruteforce
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ann_topk_bruteforce(emb, queries, k=5)
+    return out.select("query_id", "neighbor_id",
+                      F.col("rank").cast("long").alias("rank"), "cos4")
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    from csvweb_spark.operators.similarity import ann_topk_lsh
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ann_topk_lsh(emb, queries, k=5, dim=64, bits=6, tables=6)
+    return out.select("query_id", "neighbor_id",
+                      F.col("rank").cast("long").alias("rank"), "cos4")
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+def q_text_profile(spark, sf_dir):
+    from csvweb_spark.operators.text import text_profile
+    docs = _load(spark, sf_dir, "documents")
+    out = text_profile(docs)
+    return out.select("doc_id", "lang_detected",
+                      F.col("n_tokens_ws").cast("long").alias("n_tokens_ws"),
+                      F.col("n_tokens_bpe").cast("long").alias("n_tokens_bpe"),
+                      "fingerprint")
+
+
+def q_text_quality(spark, sf_dir):
+    from csvweb_spark.operators.text import quality_features
+    docs = _load(spark, sf_dir, "documents")
+    out = quality_features(docs)
+    return out.select("doc_id",
+                      F.col("n_chars_text").cast("long").alias("n_chars_text"),
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      F.col("n_alpha").cast("long").alias("n_alpha"),
+                      F.col("n_punct").cast("long").alias("n_punct"),
+                      "quality_score_bp")
+
+
+# --------------------------------------------------------------------------
+# relational / streaming-shaped analytics over the star schema
+# --------------------------------------------------------------------------
+
+
+def q_q1_pricing_summary(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (li.filter(F.col("l_shipdate") <= F.lit("2002-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(dec("l_quantity")).cast("decimal(38,4)").alias("sum_qty"),
+                 F.sum(dec("l_extendedprice")).cast("decimal(38,4)").alias("sum_base_price"),
+                 F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+                  .cast("decimal(38,8)").alias("sum_disc_price"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+def q_revenue_by_region(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    sup = _load(spark, sf_dir, "supplier")
+    nat = _load(spark, sf_dir, "nation")
+    reg = _load(spark, sf_dir, "region")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    dims = (sup.join(F.broadcast(nat),
+                     sup["s_nationkey"] == nat["n_nationkey"])
+            .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+            .select("s_suppkey", "r_name"))
+    return (li.join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"])
+            .groupBy("r_name")
+            .agg(F.sum(dec("l_extendedprice")
+                       * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+                 .cast("decimal(38,8)").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+def q_events_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(prev.isNull()
+               | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTES")),
+               F.lit(1)).otherwise(F.lit(0)))
+    return (flagged.groupBy("user_id")
+            .agg(F.sum("new_session").cast("long").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+def q_multimodal_binary_stats(spark, sf_dir):
+    from csvweb_spark.operators.multimodal import binary_stats
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pages = docs.select(
+        F.concat(F.lit("http://pages.example.org/doc/"), F.col("doc_id"))
+         .alias("url"),
+        F.encode("text", "utf-8").alias("html"))
+    return binary_stats(pages).select(
+        "url", F.col("n_bytes").cast("long").alias("n_bytes"), "sha256")
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_csvw_minimal_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "csvw_minimal_triples": q_csvw_minimal_triples,
+        "csvw_standard_rownum": q_csvw_standard_rownum,
+        "csvw_list_explode": q_csvw_list_explode,
+        "csvw_datatype_date": q_csvw_datatype_date,
+        "csvw_null_default_virtual": q_csvw_null_default_virtual,
+        "csvw_template_specials": q_csvw_template_specials,
+        "csvw_valueurl_iri": q_csvw_valueurl_iri,
+        "csvw_hetero_pages": q_csvw_hetero_pages,
+        "entity_link_exact": q_entity_link_exact,
+        "entity_link_contains": q_entity_link_contains,
+        "canonicalize_cc": q_canonicalize_cc,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "text_profile": q_text_profile,
+        "text_quality": q_text_quality,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "revenue_by_region": q_revenue_by_region,
+        "events_sessionize": q_events_sessionize,
+        "multimodal_binary_stats": q_multimodal_binary_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_NORM_SQL = ("trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', "
+             "' ', 'g'), '\\s+', ' ', 'g'))")
+
+_ALIAS_VALUES = ("(VALUES ('spark', 1, 'http://ex.org/e/1'), "
+                 "('window', 2, 'http://ex.org/e/2'), "
+                 "('customer', 3, 'http://ex.org/e/3'), "
+                 "('vector', 4, 'http://ex.org/e/4'))")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    xsd_s = XSD + "string"
+    xsd_i = XSD + "integer"
+    xsd_d = XSD + "date"
+    return {
+        "csvw_minimal_triples": f"""
+            SELECT 'http://ex.org/nation/' || n_nationkey AS subj,
+                   'http://ex.org/nation.csv#n_nationkey' AS pred,
+                   n_nationkey::varchar AS obj, '{xsd_i}' AS obj_datatype
+            FROM nation
+            UNION ALL
+            SELECT 'http://ex.org/nation/' || n_nationkey,
+                   'http://ex.org/nation.csv#n_name', n_name, '{xsd_s}'
+            FROM nation
+            UNION ALL
+            SELECT 'http://ex.org/nation/' || n_nationkey,
+                   'http://ex.org/nation.csv#n_regionkey',
+                   n_regionkey::varchar, '{xsd_i}'
+            FROM nation
+        """,
+        "csvw_standard_rownum": f"""
+            SELECT '_:r' || rn AS subj, '{CSVW}rownum' AS pred,
+                   rn::varchar AS obj, '{xsd_i}' AS obj_datatype
+            FROM (SELECT row_number() OVER (ORDER BY n_nationkey) AS rn
+                  FROM nation)
+        """,
+        "csvw_list_explode": """
+            SELECT 'http://ex.org/part/' || p_partkey AS subj,
+                   'http://ex.org/def/tag' AS pred, p_brand AS obj FROM part
+            UNION ALL
+            SELECT 'http://ex.org/part/' || p_partkey,
+                   'http://ex.org/def/tag', p_type FROM part
+        """,
+        "csvw_datatype_date": f"""
+            SELECT 'http://ex.org/order/' || o_orderkey AS subj,
+                   'http://ex.org/def/odate' AS pred,
+                   strftime(o_orderdate, '%Y-%m-%d') AS obj,
+                   '{xsd_d}' AS obj_datatype
+            FROM orders WHERE o_orderkey < 3000
+        """,
+        "csvw_null_default_virtual": f"""
+            WITH c AS (SELECT * FROM customer WHERE c_custkey < 600)
+            SELECT 'http://ex.org/customer/' || c_custkey AS subj,
+                   'http://ex.org/def/custkey' AS pred,
+                   c_custkey::varchar AS obj, '{xsd_i}' AS obj_datatype FROM c
+            UNION ALL
+            SELECT 'http://ex.org/customer/' || c_custkey,
+                   'http://ex.org/def/segment',
+                   c_mktsegment, '{xsd_s}'
+            FROM c WHERE c_mktsegment <> 'HOUSEHOLD'
+            UNION ALL
+            SELECT 'http://ex.org/customer/' || c_custkey,
+                   'http://ex.org/def/flag', 'seen', '{xsd_s}' FROM c
+        """,
+        "csvw_template_specials": """
+            WITH r AS (SELECT r_regionkey, r_name,
+                              row_number() OVER (ORDER BY r_regionkey) AS rn
+                       FROM region)
+            SELECT 'http://ex.org/r/' || rn AS subj,
+                   'http://ex.org/def/r_regionkey/col1' AS pred,
+                   r_regionkey::varchar AS obj FROM r
+            UNION ALL
+            SELECT 'http://ex.org/r/' || rn,
+                   'http://ex.org/def/r_name/col2', r_name FROM r
+        """,
+        "csvw_valueurl_iri": f"""
+            SELECT 'http://ex.org/supplier/' || s_suppkey AS subj,
+                   'http://ex.org/supplier.csv#s_suppkey' AS pred,
+                   s_suppkey::varchar AS obj, 'literal' AS obj_kind
+            FROM supplier
+            UNION ALL
+            SELECT 'http://ex.org/supplier/' || s_suppkey,
+                   'http://ex.org/def/nation',
+                   'http://ex.org/nation/' || s_nationkey, 'iri'
+            FROM supplier
+        """,
+        "csvw_hetero_pages": f"""
+            WITH r AS (SELECT r_regionkey, r_name,
+                              'http://ex.org/r/' || r_regionkey || '.csv' AS url
+                       FROM region)
+            SELECT url, '_:p' || substring(md5(url), 1, 10) || 'sd1' AS subj,
+                   url || '#r_regionkey' AS pred,
+                   r_regionkey::varchar AS obj, '{xsd_s}' AS obj_datatype
+            FROM r
+            UNION ALL
+            SELECT url, '_:p' || substring(md5(url), 1, 10) || 'sd1',
+                   url || '#r_name', r_name, '{xsd_s}'
+            FROM r
+        """,
+        "entity_link_exact": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS mention
+                FROM documents WHERE doc_id < 100),
+            normed AS (
+                SELECT doc_id, {_NORM_SQL.format(c='mention')} AS nf FROM toks),
+            al AS (
+                SELECT {_NORM_SQL.format(c='alias')} AS nf, entity_id
+                FROM {_ALIAS_VALUES} a(alias, entity_id, entity_uri))
+            SELECT n.doc_id, al.entity_id,
+                   count(*)::bigint AS n_mentions
+            FROM normed n JOIN al ON n.nf = al.nf
+            GROUP BY 1, 2
+        """,
+        "entity_link_contains": f"""
+            WITH d AS (SELECT doc_id,
+                              ' ' || {_NORM_SQL.format(c='text')} || ' ' AS nt
+                       FROM documents WHERE doc_id < 200),
+            al AS (SELECT alias, entity_id, entity_uri,
+                          ' ' || {_NORM_SQL.format(c='alias')} || ' ' AS na
+                   FROM {_ALIAS_VALUES} a(alias, entity_id, entity_uri))
+            SELECT d.doc_id, al.alias, al.entity_id, al.entity_uri
+            FROM d JOIN al ON contains(d.nt, al.na)
+        """,
+        "canonicalize_cc": """
+            SELECT c_custkey::bigint AS node,
+                   ((c_custkey // 100) * 100)::bigint AS component
+            FROM customer
+        """,
+        "dedup_exact": """
+            WITH d AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25)
+            SELECT md5(text) AS digest, min(doc_id)::bigint AS keeper,
+                   count(*)::bigint AS n_dups
+            FROM d GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": """
+            WITH d AS (
+                SELECT doc_id, text, source FROM documents WHERE doc_id < 120
+                UNION ALL
+                SELECT doc_id + 10000, text || ' x', source
+                FROM documents WHERE doc_id < 30),
+            sh AS (
+                SELECT doc_id, source,
+                       list_distinct([substring(text, i, 3)
+                                      for i in range(1, greatest(len(text) - 1, 1))]) AS s
+                FROM d)
+            SELECT a.doc_id::bigint AS id_a, b.doc_id::bigint AS id_b,
+                   ((len(list_intersect(a.s, b.s))::bigint * 10000)
+                    // len(list_distinct(a.s || b.s)))::bigint AS jaccard_bp
+            FROM sh a JOIN sh b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE (len(list_intersect(a.s, b.s))::bigint * 10000)
+                  // len(list_distinct(a.s || b.s)) >= 3500
+        """,
+        "dedup_embedding_cosine": """
+            WITH e AS (
+                SELECT vec_id, embedding, label FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000, embedding, label
+                FROM embeddings WHERE vec_id < 20)
+            SELECT a.vec_id::bigint AS id_a, b.vec_id::bigint AS id_b,
+                   round(list_cosine_similarity(a.embedding::double[],
+                                                b.embedding::double[]), 4) AS cos
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::double[],
+                                               b.embedding::double[]), 4) >= 0.995
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 10),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(e.embedding::double[],
+                                                    q.qv::double[]), 4) AS cos4
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos4 DESC, neighbor_id) AS rank,
+                   cos4
+            FROM scored
+            QUALIFY rank <= 5
+        """,
+        "text_profile": """
+            WITH s AS (
+                SELECT doc_id, text, ' ' || lower(text) || ' ' AS pt
+                FROM documents),
+            scores AS (
+                SELECT doc_id, text,
+                       (contains(pt, ' the ')::int + contains(pt, ' and ')::int
+                        + contains(pt, ' of ')::int + contains(pt, ' is ')::int
+                        + contains(pt, ' with ')::int) AS s_en,
+                       (contains(pt, ' der ')::int + contains(pt, ' und ')::int
+                        + contains(pt, ' nicht ')::int + contains(pt, ' das ')::int
+                        + contains(pt, ' ist ')::int) AS s_de,
+                       (contains(pt, ' le ')::int + contains(pt, ' et ')::int
+                        + contains(pt, ' les ')::int + contains(pt, ' des ')::int
+                        + contains(pt, ' une ')::int) AS s_fr,
+                       (contains(pt, ' el ')::int + contains(pt, ' que ')::int
+                        + contains(pt, ' los ')::int + contains(pt, ' una ')::int
+                        + contains(pt, ' es ')::int) AS s_es
+                FROM s)
+            SELECT doc_id,
+                   CASE
+                     WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                          AND s_en > 0 THEN 'en'
+                     WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es
+                          AND s_de > 0 THEN 'de'
+                     WHEN s_fr > s_en AND s_fr > s_de AND s_fr >= s_es
+                          AND s_fr > 0 THEN 'fr'
+                     WHEN s_es > s_en AND s_es > s_de AND s_es > s_fr
+                          AND s_es > 0 THEN 'es'
+                     ELSE 'und'
+                   END AS lang_detected,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(
+                                 regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                 '\\s+')) END::bigint AS n_tokens_ws,
+                   len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))::bigint
+                       AS n_tokens_bpe,
+                   md5(regexp_replace(regexp_replace(lower(text), '\\s+', ' ',
+                                                     'g'), '^ | $', '', 'g'))
+                       AS fingerprint
+            FROM scores
+        """,
+        "text_quality": """
+            WITH f AS (
+                SELECT doc_id, len(text)::bigint AS n_chars_text,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(
+                                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                     '\\s+')) END::bigint AS n_tokens,
+                       len(regexp_replace(text, '[^A-Za-z]', '', 'g'))::bigint
+                           AS n_alpha,
+                       len(regexp_replace(text, '[^.,;:!?]', '', 'g'))::bigint
+                           AS n_punct
+                FROM documents)
+            SELECT doc_id, n_chars_text, n_tokens, n_alpha, n_punct,
+                   CASE WHEN n_chars_text > 0
+                        THEN (10000 * least(n_tokens, 64) * n_alpha
+                              * (n_chars_text - n_punct))
+                             // (64 * n_chars_text * n_chars_text)
+                        ELSE 0 END::bigint AS quality_score_bp
+            FROM f
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity::decimal(18,4))::decimal(38,4) AS sum_qty,
+                   sum(l_extendedprice::decimal(18,4))::decimal(38,4)
+                       AS sum_base_price,
+                   sum(l_extendedprice::decimal(18,4)
+                       * (1::decimal(18,4) - l_discount::decimal(18,4)))
+                       ::decimal(38,8) AS sum_disc_price,
+                   count(*)::bigint AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= date '2002-09-02'
+            GROUP BY 1, 2
+        """,
+        "revenue_by_region": """
+            SELECT r.r_name,
+                   sum(l.l_extendedprice::decimal(18,4)
+                       * (1::decimal(18,4) - l.l_discount::decimal(18,4)))
+                       ::decimal(38,8) AS revenue,
+                   count(*)::bigint AS n_items
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1
+        """,
+        "events_sessionize": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) IS NULL
+                            THEN 1
+                            WHEN ts - lag(ts) OVER
+                                 (PARTITION BY user_id ORDER BY ts, event_id)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events)
+            SELECT user_id, sum(new_session)::bigint AS n_sessions,
+                   count(*)::bigint AS n_events
+            FROM g GROUP BY 1
+        """,
+        "multimodal_binary_stats": """
+            SELECT 'http://pages.example.org/doc/' || doc_id AS url,
+                   octet_length(encode(text))::bigint AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents WHERE doc_id < 100
+        """,
+    }
+
+
+if __name__ == "__main__":
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    df = entry(spark)
+    df.show(10, truncate=60)
+    print("rows:", df.count())

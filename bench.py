@@ -1,0 +1,143 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Timed sections exclude input synthesis (pages are materialized and counted
+before the clock starts). The flagship is the CSVW triple-extraction
+pipeline over a pages table synthesized from `documents` (one CSV page per
+10 docs), reported both as seconds and docs/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def docs_table_spec():
+    from csvweb_spark.csvw.model import Column, Datatype, Table
+    t = Table(url="http://pages.example.org/docs.csv")
+    about = "http://pages.example.org/doc/{doc_id}"
+    t.columns = [
+        Column(name="doc_id", about_url=about, datatype=Datatype(base="integer")),
+        Column(name="lang", about_url=about),
+        Column(name="source", about_url=about),
+        Column(name="n_chars", about_url=about, datatype=Datatype(base="integer")),
+        Column(name="text", about_url=about),
+    ]
+    return t
+
+
+def build_session(cpus: int) -> SparkSession:
+    return (SparkSession.builder.master(f"local[{cpus}]")
+            .appName("csvweb-spark-bench")
+            .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.skewJoin.enabled", "true")
+            .config("spark.driver.memory", os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "16g"))
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
+def run_bench(spark: SparkSession, sf_dir: str) -> dict:
+    from csvweb_spark.csvw.convert import MODE_STANDARD
+    from csvweb_spark.operators.dedup import dedup_minhash_lsh
+    from csvweb_spark.operators.similarity import ann_topk_bruteforce
+    from csvweb_spark.operators.text import quality_features, text_profile
+    from csvweb_spark.operators.triples import (
+        convert_pages_spark, convert_table_group_spark)
+    from csvweb_spark.sources.pages import pages_from_documents
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # ---- input synthesis (not timed) ----
+    pages = pages_from_documents(spark, sf_dir, docs_per_page=10)
+    pages = pages.repartition(spark.sparkContext.defaultParallelism).persist()
+    n_pages = pages.count()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    n_docs = docs.count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    emb.count()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    table = docs_table_spec()
+
+    def timed(name, fn):
+        t0 = time.time()
+        result = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return result
+
+    # flagship: compiled CSVW extraction (minimal mode)
+    n_triples = timed("csvw_extract_compiled", lambda: convert_table_group_spark(
+        pages, table, scope_by_url=True).count())
+    extras["docs_per_sec_compiled"] = round(
+        n_docs / max(timings["csvw_extract_compiled"], 1e-9), 1)
+    extras["triples_compiled"] = n_triples
+
+    # standard mode (4x triple volume: row scaffolding)
+    timed("csvw_extract_standard", lambda: convert_table_group_spark(
+        pages, table, mode=MODE_STANDARD, scope_by_url=True).count())
+
+    # heterogeneous kernel path on the same pages (per-page metadata)
+    hpages = pages.withColumn(
+        "metadata_json",
+        F.concat(F.lit('{"url": "'), F.col("url"), F.lit('"}')))
+    timed("csvw_extract_kernel", lambda: convert_pages_spark(hpages).count())
+    extras["docs_per_sec_kernel"] = round(
+        n_docs / max(timings["csvw_extract_kernel"], 1e-9), 1)
+
+    # dedup: MinHash-LSH near-dup over documents
+    timed("dedup_minhash_lsh", lambda: dedup_minhash_lsh(
+        docs, threshold=0.6).count())
+
+    # similarity: exact top-5 for 32 query vectors
+    queries = emb.filter(F.col("vec_id") < 32)
+    timed("ann_topk", lambda: ann_topk_bruteforce(emb, queries, k=5).count())
+
+    # text analysis full pass
+    timed("text_profile", lambda: text_profile(docs).count())
+    timed("text_quality", lambda: quality_features(docs).count())
+
+    # relational: TPC-H-ish Q1
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    timed("q1_pricing_summary", lambda: (
+        li.filter(F.col("l_shipdate") <= F.lit("2002-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(dec("l_quantity")).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n"))).count())
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "n_pages": n_pages,
+        "n_docs": n_docs,
+        **extras,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    result = run_bench(spark, sf_dir)
+    result["cpus"] = cpus
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

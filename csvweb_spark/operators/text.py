@@ -1,0 +1,128 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure JVM column expressions (whole-stage codegen, no Python at row
+time), deliberately restricted to functions with exact DuckDB equivalents so
+every operator has a SQL oracle (see __spark_entry__.oracle_sql):
+
+* language id        - marker-word scoring (n-gram heuristic)
+* quality scoring    - length / alpha ratio / punctuation ratio / token stats
+* token counting     - whitespace tokens + a BPE-ish regex token count
+* fingerprinting     - md5 of case/whitespace-canonicalized text
+
+At 100 TB these are narrow map-only passes over the documents scan: no
+shuffle, column-pruned to `text` (+key), linear scale-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker lexicons for the language-id heuristic (tiny, constant-folded into
+# the plan; ties break by this ordering)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "with"],
+    "de": ["der", "und", "nicht", "das", "ist"],
+    "fr": ["le", "et", "les", "des", "une"],
+    "es": ["el", "que", "los", "una", "es"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]
+
+# BPE-ish token pattern: letter runs, single digits, or single
+# non-alphanumeric-non-space marks (kept regex-dialect-neutral: works the
+# same in Java regex and DuckDB's RE2)
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    """Number of marker words of `lang` present (word-boundary contains)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    score = F.lit(0)
+    for w in LANG_MARKERS[lang]:
+        score = score + F.when(padded.contains(f" {w} "), 1).otherwise(0)
+    return score
+
+
+def detect_language(text: Column) -> Column:
+    """argmax of marker scores, ties resolved by LANG_ORDER; all-zero -> 'und'."""
+    scores = {lang: lang_score(text, lang) for lang in LANG_ORDER}
+    best = None
+    for lang in LANG_ORDER:
+        cond = F.lit(True)
+        for other in LANG_ORDER:
+            if other != lang:
+                op = (scores[lang] >= scores[other]
+                      if LANG_ORDER.index(other) > LANG_ORDER.index(lang)
+                      else scores[lang] > scores[other])
+                cond = cond & op
+        cond = cond & (scores[lang] > 0)
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    return best.otherwise(F.lit("und"))
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    trimmed = F.regexp_replace(text, r"^\s+|\s+$", "")
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+")))
+
+
+def token_count_bpe(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+def alpha_chars(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+
+
+def punct_chars(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+
+
+def quality_features(df: DataFrame, text_col: str = "text",
+                     key_cols: tuple = ("doc_id",)) -> DataFrame:
+    """Per-document quality features + a combined [0,1] score.
+
+    score_bp = floor(10^4 * min(tokens,64) * alpha * (n-punct) / (64*n*n)) -
+    exact integer arithmetic, so Spark and the DuckDB oracle agree
+    bit-for-bit (no float-rounding tie-break hazard)."""
+    t = F.col(text_col)
+    n = F.length(t).cast("long")
+    tokens = token_count_ws(t).cast("long")
+    alpha = alpha_chars(t).cast("long")
+    punct = punct_chars(t).cast("long")
+    score_bp = F.when(n > 0, F.floor(
+        (F.lit(10000) * F.least(tokens, F.lit(64)) * alpha * (n - punct))
+        / (F.lit(64) * n * n))).otherwise(F.lit(0)).cast("long")
+    return df.select(
+        *key_cols,
+        n.alias("n_chars_text"),
+        tokens.alias("n_tokens"),
+        alpha.alias("n_alpha"),
+        punct.alias("n_punct"),
+        score_bp.alias("quality_score_bp"),
+    )
+
+
+def normalize_for_fingerprint(text: Column) -> Column:
+    """lower + collapse whitespace runs + trim - the canonical form hashed
+    by document fingerprinting (rolling-hash-equivalent exact dedup key)."""
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(text), r"\s+", " "), r"^ | $", "")
+
+
+def fingerprint(text: Column) -> Column:
+    return F.md5(normalize_for_fingerprint(text))
+
+
+def text_profile(df: DataFrame, text_col: str = "text",
+                 key_cols: tuple = ("doc_id",)) -> DataFrame:
+    """One-pass profile: language, token counts, fingerprint."""
+    t = F.col(text_col)
+    return df.select(
+        *key_cols,
+        detect_language(t).alias("lang_detected"),
+        token_count_ws(t).alias("n_tokens_ws"),
+        token_count_bpe(t).alias("n_tokens_bpe"),
+        fingerprint(t).alias("fingerprint"),
+    )

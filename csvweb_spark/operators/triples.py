@@ -107,7 +107,9 @@ def extract_rows(pages_df: DataFrame, table: Table) -> DataFrame:
                     urls.append(url)
                     rows_out.append(i)
                     vals_out.append(rec)
-            yield pd.DataFrame({"url": urls, "row": rows_out, "vals": vals_out})
+            if urls:  # empty frames infer wrong dtypes for Arrow
+                yield pd.DataFrame({"url": urls, "row": rows_out,
+                                    "vals": vals_out})
 
     return pages_df.select("url", "text").mapInPandas(gen, ROWS_SCHEMA)
 
@@ -569,7 +571,8 @@ def convert_pages_spark(pages_df: DataFrame, mode: str = MODE_MINIMAL,
                     out["row"].append(0)
                     for k, v in zip(TRIPLE_FIELDS, t.astuple()):
                         out[k].append(v)
-            yield pd.DataFrame(out)
+            if out["url"]:  # empty frames infer wrong dtypes for Arrow
+                yield pd.DataFrame(out)
 
     cols = ["url", "text", metadata_col]
     return pages_df.select(*cols).mapInPandas(gen, TRIPLES_SCHEMA)

@@ -1,0 +1,239 @@
+"""Spark operator tests: dedup, similarity, linking, canonicalization,
+text analysis, multimodal plumbing, lineage/resume."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_dedup_exact(spark):
+    from csvweb_spark.operators.dedup import dedup_exact, dedup_exact_keep_first
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa"), (5, "ccc")],
+        "doc_id int, text string")
+    groups = {r.keeper: r.n_dups for r in dedup_exact(df).collect()}
+    assert groups == {1: 3, 2: 1, 5: 1}
+    kept = sorted(r.doc_id for r in dedup_exact_keep_first(df).collect())
+    assert kept == [1, 2, 5]
+
+
+def test_shingles_and_jaccard(spark):
+    from csvweb_spark.operators.dedup import shingles
+    df = spark.createDataFrame([("abcd",), ("ab",)], "t string")
+    rows = df.select(shingles(F.col("t"), 3).alias("s")).collect()
+    assert rows[0].s == ["abc", "bcd"]
+    assert rows[1].s == []
+
+
+def test_dedup_ngram_jaccard_finds_near_dups(spark):
+    from csvweb_spark.operators.dedup import dedup_ngram_jaccard
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps", "s"),
+         (2, "the quick brown fox jumped", "s"),
+         (3, "completely different words here", "s"),
+         (4, "the quick brown fox jumps", "t")],
+        "doc_id int, text string, source string")
+    pairs = {(r.id_a, r.id_b) for r in dedup_ngram_jaccard(df, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+    assert (1, 4) not in pairs  # different block
+
+
+def test_minhash_lsh_recovers_exact_pairs(spark, docs):
+    """LSH(verified) pairs must be a subset of brute-force exact pairs, and
+    catch planted near-duplicates."""
+    from csvweb_spark.operators.dedup import dedup_minhash_lsh
+    small = docs.filter(F.col("doc_id") < 60).select("doc_id", "text")
+    # plant near-dups: copy of doc 0 with a tiny suffix change
+    base = small.filter(F.col("doc_id") == 0).select(
+        F.lit(9000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"))
+    d = small.unionByName(base)
+    got = dedup_minhash_lsh(d, threshold=0.7).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert (0, 9000) in pairs
+    for r in got:
+        assert r.jaccard >= 0.7
+
+
+def test_simhash_hamming_pairs(spark):
+    from csvweb_spark.operators.dedup import dedup_simhash, simhash
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta iota"),
+         (3, "one two three four five six seven eight")],
+        "doc_id int, text string")
+    h = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert h[1] != 0 and h[1] != h[3]
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in dedup_simhash(df, max_hamming=16).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_embedding_cosine_dedup(spark, embeddings):
+    from csvweb_spark.operators.dedup import dedup_embedding_cosine
+    # plant an exact duplicate vector with a new id
+    dup = embeddings.filter(F.col("vec_id") == 0).select(
+        F.lit(99999).alias("vec_id"), F.col("embedding"), F.col("label"))
+    d = embeddings.unionByName(dup)
+    pairs = {(r.id_a, r.id_b): r.cos
+             for r in dedup_embedding_cosine(d, threshold=0.9999).collect()}
+    assert pairs.get((0, 99999)) == pytest.approx(1.0)
+
+
+def test_ann_topk_bruteforce_and_lsh(spark, embeddings):
+    from csvweb_spark.operators.similarity import ann_topk_bruteforce, ann_topk_lsh
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    exact = ann_topk_bruteforce(embeddings, queries, k=5)
+    rows = exact.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cos4))
+    assert set(by_q) == {0, 1, 2}
+    for q, lst in by_q.items():
+        lst.sort()
+        assert [r for r, _, _ in lst] == [1, 2, 3, 4, 5]
+        sims = [c for _, _, c in lst]
+        assert sims == sorted(sims, reverse=True)
+    # LSH: candidates are a subset; top-1 recall is high on 64-dim clusters
+    approx = ann_topk_lsh(embeddings, queries, k=5, dim=64, bits=6, tables=6)
+    top1_exact = {(r.query_id, r.neighbor_id) for r in rows if r.rank == 1}
+    top1_approx = {(r.query_id, r.neighbor_id)
+                   for r in approx.collect() if r.rank == 1}
+    assert len(top1_exact & top1_approx) >= 2  # >=2/3 recall@1
+
+
+def test_link_exact_and_contains(spark, docs):
+    from csvweb_spark.operators.linking import link_contains, link_exact
+    aliases = spark.createDataFrame(
+        [("Spark", 1, "http://e/1"), ("window", 2, "http://e/2"),
+         ("nosuchword", 3, "http://e/3")],
+        "alias string, entity_id long, entity_uri string")
+    mentions = spark.createDataFrame(
+        [(1, "spark"), (2, "  WINDOW "), (3, "nothing")],
+        "mention_id int, mention string")
+    hits = {(r.mention_id, r.entity_id) for r in
+            link_exact(mentions, aliases).collect()}
+    assert hits == {(1, 1), (2, 2)}
+    linked = link_contains(docs.limit(50), aliases)
+    got = linked.groupBy("entity_id").count().collect()
+    ids = {r.entity_id for r in got}
+    assert 3 not in ids and len(ids) >= 1
+
+
+def test_link_fuzzy_minhash(spark):
+    from csvweb_spark.operators.linking import link_fuzzy_minhash
+    aliases = spark.createDataFrame(
+        [("barack obama",), ("new york city",), ("quantum computing",)],
+        "alias string")
+    mentions = spark.createDataFrame(
+        [(1, "obama barack"), (2, "york new city"), (3, "zebra crossing")],
+        "mention_id int, mention string")
+    got = link_fuzzy_minhash(mentions, aliases, max_distance=0.4)
+    pairs = {(r.mention_id, r.alias) for r in got.collect()}
+    assert (1, "barack obama") in pairs
+    assert (2, "new york city") in pairs
+    assert all(m != 3 for m, _ in pairs)
+
+
+def test_connected_components_chain_hub_and_isolated(spark):
+    from csvweb_spark.operators.canonicalize import (
+        component_stats, connected_components)
+    # chain 0-1-2-...-9; hub 100 connected to 101..140; pair 200-201
+    edges = [(i, i + 1) for i in range(9)]
+    edges += [(100, x) for x in range(101, 141)]
+    edges += [(200, 201)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    labels = {r.node: r.component
+              for r in connected_components(df).collect()}
+    assert all(labels[i] == 0 for i in range(10))
+    assert all(labels[x] == 100 for x in [100, *range(101, 141)])
+    assert labels[200] == labels[201] == 200
+    sizes = {r.component: r.size
+             for r in component_stats(
+                 connected_components(df)).collect()}
+    assert sizes == {0: 10, 100: 41, 200: 2}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """O(log n) convergence: a 200-node chain must finish within max_iter."""
+    from csvweb_spark.operators.canonicalize import connected_components
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "src long, dst long")
+    labels = connected_components(df, max_iter=12)
+    comps = labels.select("component").distinct().collect()
+    assert len(comps) == 1 and comps[0].component == 0
+
+
+def test_text_profile_and_quality(spark, docs):
+    from csvweb_spark.operators.text import quality_features, text_profile
+    prof = text_profile(docs.limit(20)).collect()
+    assert all(r.n_tokens_ws > 0 for r in prof)
+    assert all(len(r.fingerprint) == 32 for r in prof)
+    q = quality_features(docs.limit(20)).collect()
+    assert all(0 <= r.quality_score_bp <= 10000 for r in q)
+
+
+def test_detect_language_markers(spark):
+    from csvweb_spark.operators.text import detect_language
+    df = spark.createDataFrame(
+        [("the cat and the dog is here",),
+         ("der hund und das nicht ist",),
+         ("le chat et les oiseaux des une",),
+         ("xyzzy plugh",)], "t string")
+    langs = [r.l for r in df.select(detect_language(F.col("t")).alias("l")).collect()]
+    assert langs == ["en", "de", "fr", "und"]
+
+
+def test_multimodal_plumbing(spark):
+    from csvweb_spark.operators.multimodal import binary_stats, image_metadata
+    pages = spark.createDataFrame(
+        [("u1", bytearray(b"\xff\xd8\xffrest-of-jpeg")),
+         ("u2", bytearray(b"\x89PNG\r\n\x1a\nrest-of-png")),
+         ("u3", None)],
+        "url string, html binary")
+    meta = {r.url: r for r in image_metadata(pages).collect()}
+    assert set(meta) == {"u1", "u2"}
+    assert meta["u1"].format == "jpeg" and meta["u2"].format == "png"
+    assert len(meta["u1"].feature) == 8
+    norm = sum(v * v for v in meta["u1"].feature)
+    assert norm == pytest.approx(1.0, abs=1e-3)
+    stats = {r.url: r.n_bytes for r in binary_stats(pages).collect()}
+    assert stats["u1"] == 15
+
+
+def test_lineage_write_and_resume(spark, tmp_path, docs):
+    from csvweb_spark.plans.lineage import (
+        committed_partitions, resume_filter, write_partitioned,
+        write_resumable)
+    out = str(tmp_path / "triples_out")
+    df = docs.limit(40).select(
+        F.concat(F.lit("http://p/"), F.col("doc_id")).alias("url"), "text")
+    from csvweb_spark.plans.lineage import with_part_key
+    keyed = with_part_key(df, n_buckets=8)
+    first_run = keyed.filter(F.col("part_key") < 4)
+    m1 = write_partitioned(first_run, out, n_buckets=8)
+    assert 0 < m1["total_rows"] < 40
+    done = committed_partitions(out)
+    assert done == {p["part_key"] for p in m1["partitions"]}
+    # resume: only uncommitted buckets remain
+    remaining = resume_filter(df, out, n_buckets=8)
+    assert remaining.count() == 40 - m1["total_rows"]
+    m2 = write_resumable(df, out, n_buckets=8)
+    total = spark.read.parquet(os.path.join(out, "data")).count()
+    assert total == 40  # all buckets now present (committed ones kept)
+    assert committed_partitions(out) > done
