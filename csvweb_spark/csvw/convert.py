@@ -72,14 +72,21 @@ class ConversionResult:
     errors: list = field(default_factory=list)
 
 
-def parse_csv_rows(text: str, dialect) -> Iterator[list]:
+def parse_csv_rows(text: str, dialect,
+                   apply_default_comment: bool = True) -> Iterator[list]:
     """CSV records honoring the dialect subset the reference applies
     (Rdf/Converter.cs:491-511): comment prefix, delimiter, blank-row policy.
     Trimming is NOT done here (reference disables reader-level trimming).
-    A leading UTF-8 BOM is stripped (C# StreamReader behavior)."""
+    A leading UTF-8 BOM is stripped (C# StreamReader behavior).
+    apply_default_comment=False suppresses the reference's implicit '#'
+    comment prefix (W3C default dialect has none)."""
     if text.startswith("﻿"):
         text = text[1:]
-    comment = (dialect.comment_prefix or "#")[0]
+    if not apply_default_comment and not getattr(
+            dialect, "comment_prefix_explicit", False):
+        comment = None
+    else:
+        comment = (dialect.comment_prefix or "#")[0]
     delim = dialect.delimiter or ","
     if len(delim) == 1:
         reader = _csv.reader(
@@ -96,7 +103,7 @@ def parse_csv_rows(text: str, dialect) -> Iterator[list]:
     for row in rows:
         if not row:  # truly empty line - CsvHelper IgnoreBlankLines default
             continue
-        if row[0].startswith(comment) and len(row) >= 1 and _is_comment_row(row, comment):
+        if comment is not None and row[0].startswith(comment):
             continue
         if dialect.skip_blank_rows and all(f == "" for f in row):
             continue
@@ -110,7 +117,22 @@ def _is_comment_row(row: list, comment: str) -> bool:
 
 
 def _compiled(template: Optional[str]) -> Optional[CompiledTemplate]:
-    return compile_template(template) if template else None
+    return compile_template(template) if template is not None else None
+
+
+def encode_column_name(name: str) -> str:
+    """W3C column-name production: [A-Za-z0-9] first, [A-Za-z0-9._] after,
+    everything else uppercase-percent-encoded (how the suite's expected
+    graphs render title-derived names). The reference leaves names raw
+    (escaping golden) - this is only applied in 'w3c' uri_escaping mode."""
+    out = []
+    for i, ch in enumerate(name):
+        ok = ch.isascii() and (ch.isalnum() or ch == "_" or (i > 0 and ch in "."))
+        if ok:
+            out.append(ch)
+        else:
+            out.extend("%%%02X" % b for b in ch.encode("utf-8"))
+    return "".join(out)
 
 
 def _default_datetime_normalize(lit: str, datatype_iri: str) -> str:
@@ -130,7 +152,9 @@ def _default_datetime_normalize(lit: str, datatype_iri: str) -> str:
             return datetime.fromisoformat(s).strftime("%Y-%m-%d")
         if datatype_iri == XSD_DATETIME:
             d = datetime.fromisoformat(s.replace("Z", "+00:00"))
-            base = d.strftime("%Y-%m-%dT%H:%M:%S.%f")
+            base = d.strftime("%Y-%m-%dT%H:%M:%S")
+            if d.microsecond:
+                base += ("%.6f" % (d.microsecond / 1e6))[1:].rstrip("0")
             if d.tzinfo is not None:
                 off = d.utcoffset()
                 total = int(off.total_seconds() // 60)
@@ -158,16 +182,63 @@ def normalize_literal(lit: str, column: Column) -> str:
     return lit
 
 
+_LEXICAL_RES = {
+    "integer": r"[+-]?\d+",
+    "long": r"[+-]?\d+", "int": r"[+-]?\d+", "short": r"[+-]?\d+",
+    "byte": r"[+-]?\d+", "nonNegativeInteger": r"\+?\d+",
+    "positiveInteger": r"\+?\d+", "unsignedLong": r"\+?\d+",
+    "unsignedInt": r"\+?\d+", "unsignedShort": r"\+?\d+",
+    "unsignedByte": r"\+?\d+", "nonPositiveInteger": r"(-\d+|0+)",
+    "negativeInteger": r"-\d+",
+    "decimal": r"[+-]?(\d+(\.\d*)?|\.\d+)",
+    "double": r"([+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|[+-]?INF|NaN)",
+    "float": r"([+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|[+-]?INF|NaN)",
+    "number": r"([+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|[+-]?INF|NaN)",
+    "boolean": r"(true|false|1|0)",
+    "date": r"-?\d{4,}-\d{2}-\d{2}(Z|[+-]\d{2}:\d{2})?",
+    "dateTime": r"-?\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?",
+    "datetime": r"-?\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?",
+    "time": r"\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?",
+    "gYear": r"-?\d{4,}_TZ", "gMonth": r"--\d{2}_TZ", "gDay": r"---\d{2}_TZ",
+    "gYearMonth": r"-?\d{4,}-\d{2}_TZ", "gMonthDay": r"--\d{2}-\d{2}_TZ",
+}
+_TZ_SUFFIX = r"(Z|[+-]\d{2}:\d{2})?"
+_LEXICAL_COMPILED = {
+    k: __import__("re").compile("^(" + v.replace("_TZ", _TZ_SUFFIX) + ")$")
+    for k, v in _LEXICAL_RES.items()}
+
+
+def lexical_valid(value: str, column: Column) -> bool:
+    """W3C cell-parsing step 8 value check: format.IsValid when a format is
+    declared, else the base type's lexical space (bases without a rule
+    accept everything). The reference skips this entirely
+    (ValidateCellValue stub, Rdf/Converter.cs:527-531); implementing it
+    aligns emitted datatypes with the W3C suite's expected graphs."""
+    dt = column.datatype
+    if dt is None:
+        return True
+    if dt.format is not None:
+        try:
+            return dt.format.is_valid(value)
+        except Exception:
+            return False
+    rx = _LEXICAL_COMPILED.get(dt.base)
+    return rx.match(value) is not None if rx else True
+
+
 def make_literal(value: str, column: Column,
                  suppress_string_datatype: bool = False) -> Triple:
     """Converter.CreateLiteralNode (533-559) - returns a Triple shell with
-    only the object fields populated."""
+    only the object fields populated; invalid-for-datatype values fall back
+    to xsd:string (W3C; see lexical_valid)."""
     iri = column.datatype_iri
     if iri == XSD_STRING:
         if column.lang:
             return Triple("", "", value, LITERAL, None, column.lang)
         if suppress_string_datatype:
             return Triple("", "", value, LITERAL, None, None)
+    if iri != XSD_STRING and not lexical_valid(value, column):
+        return Triple("", "", value, LITERAL, XSD_STRING, None)
     value = normalize_literal(value, column)
     return Triple("", "", value, LITERAL, iri, None)
 
@@ -180,10 +251,15 @@ class PageConverter:
     labels are globally unique across a trillion-page corpus)."""
 
     def __init__(self, mode: str = MODE_MINIMAL, bnode_scope: str = "",
-                 suppress_string_datatype: bool = False):
+                 suppress_string_datatype: bool = False,
+                 uri_escaping: str = "reference"):
         self.mode = mode
         self.scope = bnode_scope
         self.suppress_string_datatype = suppress_string_datatype
+        # 'reference': no percent-encoding anywhere (UriTemplate.cs and the
+        # escaping golden); 'w3c': encode column names in default predicates
+        # and template-substituted values per the CSVW spec
+        self.uri_escaping = uri_escaping
         self._bnode_counter = 0
 
     def _fresh_bnode(self, hint: str) -> str:
@@ -241,7 +317,9 @@ class PageConverter:
 
         dialect = table.dialect
         header_rows = dialect.effective_header_row_count()
-        rows = parse_csv_rows(text, dialect)
+        rows = parse_csv_rows(text, dialect,
+                              apply_default_comment=(self.uri_escaping
+                                                     != "w3c"))
 
         header_record = None
         for _ in range(header_rows):
@@ -250,13 +328,19 @@ class PageConverter:
         columns = table.columns
         if columns is None:
             if header_rows > 0 and header_record is not None:
+                positional = (self.uri_escaping == "w3c"
+                              and getattr(table, "had_schema", False))
                 seen = set()
                 columns = []
                 for i, name in enumerate(header_record, start=1):
                     if name in seen:
                         continue
                     seen.add(name)
-                    columns.append(table.make_inferred_column(name, i))
+                    col = table.make_inferred_column(name, i)
+                    if positional:
+                        col.titles = [(None, name)]
+                        col.name = f"_col.{i}"
+                    columns.append(col)
             else:
                 columns = []
         # working copy - default columns may be appended for overflow cells
@@ -285,6 +369,18 @@ class PageConverter:
                                              f"{table.url}#row={source_row}",
                                              IRI))
 
+            if self.mode == MODE_STANDARD and table.row_titles and row_node:
+                # 4.6.6: row titles -> (R, csvw:title, tv) per titled column
+                for rt_name in table.row_titles:
+                    for i, col in enumerate(columns):
+                        if col.name == rt_name and i < len(record):
+                            cell = normalize_cell(record[i], col)
+                            if cell.value is not None:
+                                result.triples.append(Triple(
+                                    row_node, CSVW_NS + "title", cell.value,
+                                    LITERAL,
+                                    None if col.lang else XSD_STRING,
+                                    col.lang))
             s_def = f"_:{self.scope}sd{logical_row}"
             source_col_ix = dialect.skip_columns
             source_count = len(record)
@@ -336,7 +432,10 @@ class PageConverter:
                                          s, s_kind))
         # 4.6.8.3 predicate
         if prop_tpl is None:
-            p = resolve_against_base(table.url, "#" + (c.name or ""))
+            name = c.name or ""
+            if self.uri_escaping == "w3c":
+                name = encode_column_name(name)
+            p = resolve_against_base(table.url, "#" + name)
         else:
             p = self._resolve_template(table, prop_tpl, ctx)
             if p is None:
@@ -365,8 +464,15 @@ class PageConverter:
 
     def _resolve_template(self, table, tpl: CompiledTemplate, ctx) -> Optional[str]:
         """ResolveTemplate (597-609): binding failure -> None."""
+        lookup = ctx.lookup
+        if self.uri_escaping == "w3c":
+            from urllib.parse import quote
+
+            def lookup(var, _inner=ctx.lookup):
+                v = _inner(var)
+                return quote(v, safe="-._~!$&'()*+,;=:@/") if v is not None else None
         try:
-            iri = tpl.resolve(ctx.lookup)
+            iri = tpl.resolve(lookup)
         except BindingError:
             return None
         return resolve_against_base(table.url, iri)

@@ -171,7 +171,7 @@ def _valid_date(y: int, mo: int, d: int) -> bool:
 
 class DateFormat(FormatSpecification):
     def __init__(self, fmt: str):
-        self._regex, _ = _compile_pattern(fmt)
+        self._regex, self.has_offset = _compile_pattern(fmt)
 
     def _parse(self, literal: str) -> Optional[re.Match]:
         m = self._regex.match(literal)
@@ -190,7 +190,17 @@ class DateFormat(FormatSpecification):
         if m is None:
             raise FormatError(f"Cannot parse '{literal}' as date")
         g = m.groupdict()
-        return f"{int(g['year']):04d}-{int(g['month']):02d}-{int(g['day']):02d}"
+        out = f"{int(g['year']):04d}-{int(g['month']):02d}-{int(g['day']):02d}"
+        if self.has_offset:
+            # dates keep the XSD full-form timezone (Z / +-HH:MM) - unlike
+            # NodaTime's short offset form used for times/dateTimes
+            if g.get("off_z"):
+                out += "Z"
+            elif g.get("off_sign"):
+                h, mm = int(g["off_h"]), int(g.get("off_m") or 0)
+                out += "Z" if h == 0 and mm == 0 else \
+                    f"{g['off_sign']}{h:02d}:{mm:02d}"
+        return out
 
 
 class TimeFormat(FormatSpecification):
@@ -337,14 +347,12 @@ class NumericFormat(FormatSpecification):
         if self.group_char:
             valid.add(self.group_char)
         if any(c not in valid for c in self.pattern):
-            from .model import MetadataParseError
-            raise MetadataParseError("Invalid pattern for numeric format specification.")
+            raise FormatError("Invalid pattern for numeric format specification.")
 
     def _make_regex(self):
         if self.pattern:
-            rx = self.pattern.replace("#", r"\d").replace("0", r"\d").replace(".", r"\.")
-            self._regex = re.compile(rx)
-            self._anchored = False
+            self._regex = re.compile(self._pattern_to_regex(self.pattern))
+            self._anchored = True
         else:
             grp = "|" + re.escape(self.group_char) if self.group_char else ""
             dec = re.escape(self.decimal_char)
@@ -357,41 +365,151 @@ class NumericFormat(FormatSpecification):
             )
             self._anchored = True
 
+    def _pattern_to_regex(self, pattern: str) -> str:
+        """UAX#35-lite number pattern -> anchored regex: '0' mandatory digit,
+        '#' optional digit, decimalChar/groupChar literal separators, 'E'
+        exponent, '+'/'%'/permille literal affixes. Integer part allows more
+        digits than shown (UAX35); fraction max = shown digits."""
+        dec, grp = self.decimal_char, self.group_char
+        # split off exponent
+        mant, _, exp = pattern.partition("E")
+        int_frac = mant.split(dec, 1)
+        int_part = int_frac[0]
+        frac_part = int_frac[1] if len(int_frac) > 1 else None
+
+        def affixes(s):
+            digits = "".join(c for c in s if c in "#0" or (grp and c == grp))
+            start = len(s) - len(s.lstrip("".join(set("+-%‰"))))
+            # prefix: chars before the first digit symbol
+            first = min((s.index(c) for c in "#0" if c in s), default=len(s))
+            last = max((s.rindex(c) for c in "#0" if c in s), default=-1)
+            return s[:first], s[first:last + 1], s[last + 1:]
+
+        pre, int_digits, int_suffix = affixes(int_part)
+        min_int = int_digits.count("0")
+        rx = "^" + re.escape(pre)
+        if "+" not in pre and "-" not in pre:
+            rx += "[+-]?"  # UAX35: sign is accepted even if not in pattern
+        if grp:
+            rx += rf"(?=(\d|{re.escape(grp)}){{{min_int},}})[\d{re.escape(grp)}]*\d"                 if min_int else rf"[\d{re.escape(grp)}]*"
+        else:
+            rx += rf"\d{{{max(min_int, 1)},}}" if min_int else r"\d*"
+        rx += re.escape(int_suffix)
+        if frac_part is not None:
+            fpre, f_digits, fsuf = affixes(frac_part)
+            fmin = f_digits.count("0")
+            fmax = len(f_digits)
+            if fmin:
+                rx += re.escape(dec) + rf"\d{{{fmin},{fmax}}}"
+            else:
+                rx += rf"(?:{re.escape(dec)}\d{{1,{max(fmax, 1)}}})?"
+            rx += re.escape(fsuf)
+        if exp:
+            e_digits = "".join(c for c in exp if c in "#0")
+            emin = max(e_digits.count("0"), 1)
+            esuf = exp[len(exp) - len(exp.lstrip("#0")):] if False else ""
+            tail = "".join(c for c in exp if c not in "#0+")
+            rx += rf"[eE][+-]?\d{{{emin},}}" + re.escape(tail)
+        return rx + "$"
+
     def is_valid(self, literal: str) -> bool:
+        if self._anchored:
+            return bool(self._regex.match(literal))
         return bool(self._regex.search(literal))
 
     def normalize(self, literal: str) -> str:
+        """W3C csv2rdf numeric normalization is a STRING transform: strip
+        the group char, swap the decimal char for '.', and scale by 1/100
+        (percent) or 1/1000 (permille); the lexical form is otherwise
+        preserved (signs, trailing zeros, exponent case - see suite tests
+        158/283). Only the percent path round-trips through Decimal."""
         if self.group_char:
             literal = literal.replace(self.group_char, "")
         literal = literal.replace(self.decimal_char, ".")
+        factor = 1
+        if "%" in literal:
+            factor, literal = 100, literal.replace("%", "")
+        elif "‰" in literal:
+            factor, literal = 1000, literal.replace("‰", "")
+        literal = literal.strip()
+        if factor == 1:
+            return literal
         try:
-            if "E" in literal:
-                return format_double_csharp(float(literal))
-            return format_decimal_csharp(Decimal(literal))
+            return format_decimal_csharp(Decimal(literal) / Decimal(factor))
         except (ValueError, InvalidOperation) as ex:
             raise FormatError(f"Cannot parse '{literal}' as a number: {ex}")
 
 
+class RegexFormat(FormatSpecification):
+    """W3C: for datatypes without a dedicated format microsyntax, `format`
+    is a regular expression the full value must match; normalization is
+    identity. (The reference raises NotImplementedException instead,
+    Parsing/JsonMetadataParser.cs:647.)"""
+
+    def __init__(self, fmt):
+        if not isinstance(fmt, str):
+            raise FormatError("format must be a string regular expression")
+        try:
+            self._regex = re.compile(fmt)
+        except re.error as ex:
+            raise FormatError(f"invalid regular expression format: {ex}")
+
+    def is_valid(self, literal: str) -> bool:
+        return self._regex.fullmatch(literal) is not None
+
+    def normalize(self, literal: str) -> str:
+        return literal
+
+
+_NUMERIC_BASES = {"number", "decimal", "double", "float", "integer", "long",
+                  "int", "short", "byte", "nonNegativeInteger",
+                  "positiveInteger", "unsignedLong", "unsignedInt",
+                  "unsignedShort", "unsignedByte", "nonPositiveInteger",
+                  "negativeInteger"}
+
+
 def make_format(base: str, fmt) -> FormatSpecification:
-    """Format dispatch per base datatype (Parsing/JsonMetadataParser.cs:612-649).
-    Unknown bases with a format raise, matching the reference's
-    NotImplementedException at line 647."""
+    """Format dispatch per base datatype. The reference supports only
+    boolean/date/time/datetime/number-family (Parsing/JsonMetadataParser.cs:
+    612-649); per W3C, integer-family formats are number patterns and every
+    other base takes a regular expression. Malformed formats raise
+    FormatError, which the metadata parser downgrades to a warning (format
+    ignored - W3C behavior)."""
     if base == "boolean":
+        if not isinstance(fmt, str):
+            raise FormatError("boolean format must be a 'true|false' string")
         return BooleanFormat(fmt)
-    if base == "date":
-        return DateFormat(fmt)
-    if base == "time":
-        return TimeFormat(fmt)
-    if base in ("datetime", "dateTime"):
-        return DateTimeFormat(fmt)
-    if base in ("number", "decimal", "double", "float"):
+    if base in ("date", "time", "datetime", "dateTime", "dateTimeStamp"):
+        if not isinstance(fmt, str):
+            raise FormatError("date/time format must be a pattern string")
+        try:
+            if base == "date":
+                return DateFormat(fmt)
+            if base == "time":
+                return TimeFormat(fmt)
+            return DateTimeFormat(fmt)
+        except re.error as ex:
+            raise FormatError(f"bad date/time pattern: {ex}")
+    if base in ("duration", "dayTimeDuration", "yearMonthDuration"):
+        return RegexFormat(fmt)
+    if base in ("gDay", "gMonth", "gMonthDay", "gYear", "gYearMonth"):
+        # date-field patterns for Gregorian parts / duration regexes: treat
+        # as opaque - values validate against the base lexical space only
+        class _AcceptAll(FormatSpecification):
+            def is_valid(self, literal):
+                return True
+
+            def normalize(self, literal):
+                return literal
+        return _AcceptAll()
+    if base in _NUMERIC_BASES:
         if isinstance(fmt, dict):
             return NumericFormat(
-                decimal_char=fmt.get("decimalChar", ".")[:1] or ".",
-                group_char=(fmt.get("groupChar", ",")[:1] or ","),
+                decimal_char=(fmt.get("decimalChar") or ".")[:1] or ".",
+                group_char=((fmt.get("groupChar") or ",")[:1] or ","),
                 pattern=fmt.get("pattern"),
             )
+        if not isinstance(fmt, str):
+            raise FormatError("numeric format must be a string or object")
         return NumericFormat(pattern=fmt)
-    raise NotImplementedError(
-        f"Support for format annotations on the datatype '{base}' is not yet implemented"
-    )
+    return RegexFormat(fmt)

@@ -132,6 +132,10 @@ class Dialect:
     reference."""
 
     comment_prefix: str = "#"
+    # the reference defaults commentPrefix to '#' (Dialect.cs:10) while the
+    # W3C default dialect has NO comment handling; converters in 'w3c'
+    # escaping mode only honor an explicitly-declared prefix
+    comment_prefix_explicit: bool = False
     delimiter: str = ","
     double_quote: bool = True
     encoding: str = "utf-8"
@@ -189,6 +193,12 @@ class Table:
     suppress_output: bool = False
     common_properties: dict = field(default_factory=dict)
     notes: Optional[list] = None
+    row_titles: list = field(default_factory=list)  # schema rowTitles names
+    # True when the metadata document carried a tableSchema: under W3C
+    # semantics header-derived columns then get positional _col.N names
+    # (suite tests 100/107/130); a bare/undescribed csv derives names from
+    # the header (reference behavior, always used in 'reference' mode)
+    had_schema: bool = False
     # inherited-property values captured at table/schema level, used when
     # columns are inferred from the CSV header at conversion time
     # (Rdf/Converter.cs:512-525 creates bare ColumnDescriptions whose

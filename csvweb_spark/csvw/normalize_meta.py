@@ -113,6 +113,11 @@ class MetadataNormalizer:
                 if isinstance(item, dict):
                     return self._process_context(item)
         if isinstance(ctx, dict):
+            extras = set(ctx) - {"@base", "@language"}
+            if extras:
+                raise MetadataParseError(
+                    f"@context objects may only contain @base and @language, "
+                    f"found {sorted(extras)}")
             base = self.base_uri
             lang = None
             if "@base" in ctx:
@@ -177,17 +182,25 @@ class MetadataNormalizer:
                 elif isinstance(value, dict):
                     self._normalize_object(value, base, lang, name)
                 else:
-                    raise MetadataParseError(
+                    # W3C: invalid value -> warning, property ignored (an
+                    # empty tableSchema is kept so positional-name semantics
+                    # know a schema was declared - suite tests 107/130)
+                    self.warnings.append(
                         f"Property {name} must be either a URI reference or an object.")
+                    if name == "tableSchema":
+                        o[name] = {}
+                    else:
+                        del o[name]
             elif name in NATURAL_LANGUAGE_PROPERTIES:
                 if isinstance(value, str):
                     o[name] = {lang or "und": [value]}
                 elif isinstance(value, list):
                     o[name] = {lang or "und": value}
                 elif not isinstance(value, dict):
-                    raise MetadataParseError(
+                    self.warnings.append(
                         f"Property {name} must be either a string, an array of "
                         "string or an object.")
+                    del o[name]
             elif name in ATOMIC_PROPERTIES:
                 if isinstance(value, str) and name == "datatype":
                     o[name] = {"base": value}
@@ -219,8 +232,18 @@ class MetadataNormalizer:
             return ret
         if isinstance(value, dict):
             if "@value" in value:
+                extras = set(value) - {"@value", "@type", "@language"}
+                if extras:
+                    raise MetadataParseError(
+                        f"@value objects may not contain {sorted(extras)}")
+                if "@type" in value and "@language" in value:
+                    raise MetadataParseError(
+                        "@value objects may not have both @type and @language")
                 return value
             for name in list(value.keys()):
+                if name.startswith("@") and name not in ("@id", "@type"):
+                    raise MetadataParseError(
+                        f"Invalid keyword property '{name}' in common property value")
                 if name == "@id":
                     vid = value[name]
                     if isinstance(vid, str) and vid.startswith("_:"):

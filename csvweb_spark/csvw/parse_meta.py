@@ -59,6 +59,7 @@ def parse_normalized(root: dict, base_uri: str,
     if "url" in root:
         group = TableGroup()
         p.parse_table(group, root)
+        p.resolve_group_foreign_keys(group)
         return group
     raise MetadataParseError("Unrecognized root object type")
 
@@ -68,6 +69,7 @@ class _Parser:
         self.base_uri = base_uri
         self.default_language = default_language
         self.warnings: list[str] = []
+        self._fk_specs: list = []
 
     # -- table group ---------------------------------------------------------
 
@@ -92,6 +94,7 @@ class _Parser:
             group.id = self.parse_link(root["@id"], "@id")
         group.common_properties = self.parse_common(root)
         group.notes = self.parse_notes(root)
+        self.resolve_group_foreign_keys(group)
         return group
 
     # -- table ----------------------------------------------------------------
@@ -100,6 +103,8 @@ class _Parser:
                     group_inherited: Optional[dict] = None) -> Table:
         if "url" not in root:
             raise MetadataParseError("Did not find required 'url' property on table object")
+        if not isinstance(root["url"], str):
+            raise MetadataParseError("The value of the 'url' property must be a string")
         table = Table(url=self.parse_link(root["url"], "url"))
         if "@id" in root:
             table.id = self.parse_link(root["@id"], "@id")
@@ -126,12 +131,30 @@ class _Parser:
                     raise MetadataParseError(
                         "The value of the 'columns' property must be a JSON array")
                 table.columns = []
+                seen_names = set()
+                seen_virtual = False
                 for i, item in enumerate(cols, start=1):
                     if not isinstance(item, dict):
                         raise MetadataParseError(
                             "The items in the 'columns' array must be JSON objects")
-                    table.columns.append(
-                        self.parse_column(item, i, schema_inherited))
+                    col = self.parse_column(item, i, schema_inherited)
+                    if col.name in seen_names:
+                        raise MetadataParseError(
+                            f"Duplicate column name '{col.name}'")
+                    seen_names.add(col.name)
+                    if col.virtual:
+                        seen_virtual = True
+                    elif seen_virtual:
+                        raise MetadataParseError(
+                            "Virtual columns must come after all non-virtual columns")
+                    table.columns.append(col)
+                self.validate_foreign_keys(schema, table)
+            rt = schema.get("rowTitles")
+            if isinstance(rt, str):
+                table.row_titles = [rt]
+            elif isinstance(rt, list):
+                table.row_titles = [x for x in rt if isinstance(x, str)]
+            table.had_schema = True
             # else columns stay None -> inferred from header at convert time
         else:
             table.inherited = table_inherited
@@ -139,7 +162,79 @@ class _Parser:
         table.common_properties = self.parse_common(root)
         table.notes = self.parse_notes(root)
         group.tables.append(table)
+        self._fk_specs.append((table, (root.get("tableSchema") or {})
+                               .get("foreignKeys")))
         return table
+
+    def validate_foreign_keys(self, schema: dict, table: Table) -> None:
+        """Structural validation of foreignKeys (W3C; the reference only
+        recognizes the property name, MetadataSpecHelper.cs:11). Source
+        columns are checked here; destination resolution happens once the
+        whole group is parsed (resolve_group_foreign_keys)."""
+        fks = schema.get("foreignKeys")
+        if fks is None:
+            return
+        if not isinstance(fks, list):
+            raise MetadataParseError("'foreignKeys' must be an array")
+        names = {c.name for c in (table.columns or [])}
+        for fk in fks:
+            if not isinstance(fk, dict):
+                # items that are not valid objects are ignored (W3C test097)
+                self.warnings.append("Ignoring non-object foreignKeys entry")
+                continue
+            extras = set(fk) - {"columnReference", "reference"}
+            if extras:
+                raise MetadataParseError(
+                    f"Invalid propert(ies) on foreign key: {sorted(extras)}")
+            colref = fk.get("columnReference")
+            cols = [colref] if isinstance(colref, str) else colref
+            if not isinstance(cols, list) or not cols:
+                raise MetadataParseError(
+                    "Foreign key requires a 'columnReference'")
+            for c in cols:
+                if c not in names:
+                    raise MetadataParseError(
+                        f"Foreign key references unknown column '{c}'")
+            ref = fk.get("reference")
+            if not isinstance(ref, dict):
+                raise MetadataParseError("Foreign key requires a 'reference' object")
+            extras = set(ref) - {"resource", "schemaReference", "columnReference"}
+            if extras:
+                raise MetadataParseError(
+                    f"Invalid propert(ies) on foreign key reference: {sorted(extras)}")
+            rcolref = ref.get("columnReference")
+            rcols = [rcolref] if isinstance(rcolref, str) else rcolref
+            if not isinstance(rcols, list) or not rcols:
+                raise MetadataParseError(
+                    "Foreign key reference requires a 'columnReference'")
+            if "resource" not in ref and "schemaReference" not in ref:
+                raise MetadataParseError(
+                    "Foreign key reference requires 'resource' or 'schemaReference'")
+
+    def resolve_group_foreign_keys(self, group: TableGroup) -> None:
+        by_url = {t.url: t for t in group.tables}
+        for table, fks in self._fk_specs:
+            if not isinstance(fks, list):
+                continue
+            for fk in fks:
+                ref = fk.get("reference") if isinstance(fk, dict) else None
+                if not isinstance(ref, dict):
+                    continue
+                resource = ref.get("resource")
+                if resource is None:
+                    continue
+                target = by_url.get(urljoin(self.base_uri, resource))
+                if target is None:
+                    raise MetadataParseError(
+                        f"Foreign key references unknown table '{resource}'")
+                rcolref = ref.get("columnReference")
+                rcols = [rcolref] if isinstance(rcolref, str) else (rcolref or [])
+                tnames = {c.name for c in (target.columns or [])}
+                for c in rcols:
+                    if c not in tnames:
+                        raise MetadataParseError(
+                            f"Foreign key references unknown column '{c}' "
+                            f"in table '{resource}'")
 
     # -- column ----------------------------------------------------------------
 
@@ -147,22 +242,25 @@ class _Parser:
         col = Column()
         if "name" in root:
             if not isinstance(root["name"], str):
-                raise MetadataParseError("The value of the 'name' property must be a string")
-            if root["name"].startswith("_"):
-                raise MetadataParseError(
-                    f"Column name {root['name']} is not valid. Column names must "
-                    "not start with an _ character.")
-            col.name = root["name"]
+                self.warnings.append("The value of the 'name' property must be a string")
+            elif root["name"].startswith("_"):
+                self.warnings.append(
+                    f"Column name {root['name']} is not valid. Column names "
+                    "must not start with an _ character.")
+            else:
+                col.name = root["name"]
         if "titles" in root:
             col.titles = self.parse_natural_language(root["titles"])
         if "default" in root:
             if not isinstance(root["default"], str):
-                raise MetadataParseError("The value of the 'default' property must be a string")
-            col.default = root["default"]
+                self.warnings.append("The value of the 'default' property must be a string")
+            else:
+                col.default = root["default"]
         if "virtual" in root:
             if not isinstance(root["virtual"], bool):
-                raise MetadataParseError("The value of the 'virtual' property must be a boolean")
-            col.virtual = root["virtual"]
+                self.warnings.append("The value of the 'virtual' property must be a boolean")
+            else:
+                col.virtual = root["virtual"]
         if col.name is None and col.titles:
             by_lang = {lang: v for lang, v in reversed(col.titles)}
             col.name = by_lang.get(self.default_language) or by_lang.get("und")
@@ -190,7 +288,6 @@ class _Parser:
         the parent's resolved value.  NB 'null' never falls back (the
         reference initializes _null={""} at every level)."""
         out = dict(parent)
-        out["null_values"] = ("",)
         if "datatype" in root:
             dt = root["datatype"]
             if isinstance(dt, str):
@@ -226,11 +323,17 @@ class _Parser:
                 out["null_values"] = tuple(str(v) for v in nv)
             elif nv is not None:
                 out["null_values"] = (str(nv),)
+        if "required" in root:
+            if isinstance(root["required"], bool):
+                out["required"] = root["required"]
+            else:
+                self.warnings.append(
+                    "The value of the 'required' property must be a boolean")
         if "separator" in root:
             if isinstance(root["separator"], (str, type(None))):
                 out["separator"] = root["separator"]
             else:
-                raise MetadataParseError(
+                self.warnings.append(
                     "The value of the 'separator' property must be a string")
         return out
 
@@ -244,24 +347,87 @@ class _Parser:
         else:
             self.warnings.append(f"Unsupported base datatype '{base}'")
             dt.base = "string"
-        if "@id" in root and isinstance(root["@id"], str):
-            dt.id = root["@id"]
+        if "@id" in root:
+            vid = root["@id"]
+            if not isinstance(vid, str) or vid.startswith("_:"):
+                raise MetadataParseError(
+                    "The datatype @id must be an IRI and must not start with '_:'")
+            if vid in set(DATATYPE_ANNOTATIONS.values()):
+                raise MetadataParseError(
+                    "The datatype @id must not be the IRI of a built-in datatype")
+            dt.id = vid
         if "format" in root:
-            dt.format = make_format(dt.base, root["format"])
-        for prop, kind in (("minimum", "min"), ("minInclusive", "min"),
-                           ("minExclusive", "min_exclusive"), ("maximum", "max"),
-                           ("maxInclusive", "max"), ("maxExclusive", "max_exclusive")):
-            if prop in root:
-                v = root[prop]
-                if not isinstance(v, (int, float)) or isinstance(v, bool):
-                    raise NotImplementedError(
-                        "Only numeric minimum and maximum constraints are currently supported")
-                dt.constraints.append((kind, float(v)))
+            from .formats import FormatError
+            try:
+                dt.format = make_format(dt.base, root["format"])
+            except FormatError as ex:
+                self.warnings.append(f"Ignoring invalid format: {ex}")
+        self._validate_constraints(dt, root)
         return dt
+
+    _STRINGY_BASES = {"string", "normalizedString", "token", "language",
+                      "Name", "NMTOKEN", "QName", "anyURI", "xml", "html",
+                      "json", "base64Binary", "hexBinary", "binary",
+                      "anyAtomicType", "any"}
+
+    def _validate_constraints(self, dt: Datatype, root: dict) -> None:
+        """W3C datatype-constraint applicability (negative tests 199-201,
+        222-227, 261): length facets apply only to string/binary bases;
+        value facets never apply to string bases; min/max bounds must be
+        consistent. Constraints are recorded but (like the reference,
+        Rdf/Converter.cs:527-531) never enforced on cell values."""
+        length_keys = [k for k in ("length", "minLength", "maxLength")
+                       if k in root]
+        if length_keys and dt.base not in self._STRINGY_BASES:
+            raise MetadataParseError(
+                f"Length constraints are not applicable to datatype '{dt.base}'")
+        def _num(k):
+            v = root.get(k)
+            return v if isinstance(v, (int, float)) and not isinstance(v, bool) else None
+        mn, mx, ln = _num("minLength"), _num("maxLength"), _num("length")
+        if mn is not None and mx is not None and mn > mx:
+            raise MetadataParseError("minLength must be <= maxLength")
+        if ln is not None and ((mn is not None and ln < mn)
+                               or (mx is not None and ln > mx)):
+            raise MetadataParseError("length must satisfy minLength/maxLength")
+        value_keys = [k for k in ("minimum", "maximum", "minInclusive",
+                                  "maxInclusive", "minExclusive",
+                                  "maxExclusive") if k in root]
+        if value_keys and dt.base in self._STRINGY_BASES:
+            raise MetadataParseError(
+                f"Value constraints are not applicable to datatype '{dt.base}'")
+        if "minInclusive" in root and "minExclusive" in root:
+            raise MetadataParseError(
+                "minInclusive and minExclusive may not both be specified")
+        if "maxInclusive" in root and "maxExclusive" in root:
+            raise MetadataParseError(
+                "maxInclusive and maxExclusive may not both be specified")
+
+        def _cmp_pair(lo_key, hi_key, strict):
+            lo, hi = root.get(lo_key), root.get(hi_key)
+            if lo is None or hi is None:
+                return
+            if type(lo) is bool or type(hi) is bool:
+                return
+            if isinstance(lo, (int, float)) != isinstance(hi, (int, float)):
+                return
+            if (hi < lo) if not strict else (hi <= lo):
+                raise MetadataParseError(
+                    f"{hi_key} must be {'>' if strict else '>='} {lo_key}")
+
+        _cmp_pair("minInclusive", "maxInclusive", strict=False)
+        _cmp_pair("minInclusive", "maxExclusive", strict=True)
+        _cmp_pair("minExclusive", "maxInclusive", strict=True)
+        _cmp_pair("minExclusive", "maxExclusive", strict=False)
+        for k in length_keys:
+            dt.constraints.append((k, root[k]))
+        for k in value_keys:
+            dt.constraints.append((k, root[k]))
 
     def parse_dialect(self, root: dict) -> Dialect:
         d = Dialect(
             comment_prefix=self._string(root, "commentPrefix", "#"),
+            comment_prefix_explicit="commentPrefix" in root,
             delimiter=self._string(root, "delimiter", ","),
             double_quote=self._bool(root, "doubleQuote", True),
             encoding=self._string(root, "encoding", "utf-8"),
@@ -317,12 +483,12 @@ class _Parser:
                 ret.extend(self.parse_natural_language(item))
         return ret
 
-    @staticmethod
-    def parse_suppress_output(root: dict) -> bool:
+    def parse_suppress_output(self, root: dict) -> bool:
         if "suppressOutput" in root:
             if not isinstance(root["suppressOutput"], bool):
-                raise MetadataParseError(
+                self.warnings.append(
                     "The value of the 'suppressOutput' property must be a boolean")
+                return False
             return root["suppressOutput"]
         return False
 

@@ -24,7 +24,10 @@ def urljoin(base: str, iri: str) -> str:
     namespace prefixes like xsd's trailing '#')."""
     if not base or re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", iri):
         return iri
-    return _urljoin(base, iri)
+    out = _urljoin(base, iri)
+    if iri.endswith("#") and not out.endswith("#"):
+        out += "#"  # urljoin drops empty fragments; namespaces need them
+    return out
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
@@ -152,6 +155,11 @@ class TurtleParser:
 
     def _parse_statement(self):
         subj, kind = self._parse_subject()
+        # '[ ...po-list... ] .' - predicateObjectList is optional after a
+        # blankNodePropertyList subject
+        if kind == "bnode" and self._peek()[1] == ".":
+            self._next()
+            return
         self._parse_predicate_object_list(subj, kind)
         self._expect(".")
 

@@ -155,16 +155,19 @@ def test_boolean_format():
     assert spec.is_valid("Y") and spec.is_valid("N") and not spec.is_valid("y")
 
 
-def test_numeric_normalize_decimal_path():
+def test_numeric_normalize_is_string_transform():
+    # W3C csv2rdf numeric normalization: group strip + decimal swap only,
+    # lexical form otherwise preserved (suite tests 158/283)
     spec = NumericFormat(decimal_char=",", group_char=".")
-    assert spec.normalize("1.234,50") == "1234.50"  # scale preserved
-    assert spec.normalize("+1,5") == "1.5"
+    assert spec.normalize("1.234,50") == "1234.50"
+    assert spec.normalize("+1,5") == "+1.5"
 
 
-def test_numeric_normalize_double_path():
+def test_numeric_normalize_percent_scaling():
     spec = NumericFormat()
-    assert spec.normalize("1.5E2") == "150"
-    assert spec.normalize("1E-7") == "1E-07"
+    assert spec.normalize("123%") == "1.23"
+    assert spec.normalize("-123‰") == "-0.123"
+    assert spec.normalize("1.5E2") == "1.5E2"  # exponent form preserved
 
 
 def test_numeric_default_regex_quirk():

@@ -55,21 +55,24 @@ def test_titles_fallback_to_und_language():
     assert g.tables[0].columns[0].name == "_col.1"
 
 
-def test_underscore_column_name_rejected():
-    with pytest.raises(MetadataParseError):
-        parse_metadata(
-            '{"url":"t.csv","tableSchema":{"columns":[{"name":"_bad"}]}}', BASE)
+def test_underscore_column_name_ignored_with_warning():
+    # W3C: names starting with '_' are reserved -> warning + positional name
+    # (the reference instead raises, JsonMetadataParser.cs:314-318; we keep
+    # the lenient W3C behavior for suite parity)
+    g = parse_metadata(
+        '{"url":"t.csv","tableSchema":{"columns":[{"name":"_bad"}]}}', BASE)
+    assert g.tables[0].columns[0].name == "_col.1"
 
 
 def test_virtual_default_and_null():
     g = parse_metadata(
         """{"url":"t.csv","tableSchema":{"columns":[
-            {"name":"v","virtual":true,"default":"foo"},
-            {"name":"n","null":["NA","-"],"separator":";"}
+            {"name":"n","null":["NA","-"],"separator":";"},
+            {"name":"v","virtual":true,"default":"foo"}
         ]}}""",
         BASE,
     )
-    v, n = g.tables[0].columns
+    n, v = g.tables[0].columns
     assert v.virtual and v.default == "foo"
     assert n.null_values == ("NA", "-") and n.separator == ";"
 

@@ -1,0 +1,24 @@
+"""W3C CSVW csv2rdf conformance suite (manifest-rdf, 270 entries).
+
+BASELINE.json gate: triple-level precision/recall >= 0.95 against the
+suite's expected graphs. The run also asserts a floor on whole-test passes
+so regressions in individual features stay visible."""
+
+import pytest
+
+from csvweb_spark.testing.w3c import SUITE_DIR, run_suite
+from tests.conftest import have_reference
+
+pytestmark = pytest.mark.skipif(
+    not have_reference(), reason="reference fixture corpus not available")
+
+
+def test_w3c_suite_precision_recall():
+    r = run_suite(SUITE_DIR)
+    assert r["precision"] >= 0.95, f"precision {r['precision']:.4f}"
+    assert r["recall"] >= 0.95, f"recall {r['recall']:.4f}"
+    assert r["n_pass"] >= 215, (
+        f"pass={r['n_pass']} fail={r['n_fail']} err={r['n_error']}: "
+        + "; ".join(f"{o.test_id}:{o.status}" for o in r["outcomes"]
+                    if o.status in ("fail", "error"))[:800])
+    assert r["n_error"] == 0
