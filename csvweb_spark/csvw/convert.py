@@ -24,7 +24,7 @@ from dataclasses import dataclass, field
 from typing import Iterator, Optional
 
 from .cells import normalize_cell
-from .context import CSVW_NS, RDF_TYPE
+from .context import CSVW_NS, RDF_NS, RDF_TYPE
 from .formats import FormatError
 from .model import (
     Column,
@@ -141,10 +141,15 @@ def _default_datetime_normalize(lit: str, datatype_iri: str) -> str:
     formats ('yyyy-MM-ddK' / 'yyyy-MM-ddTHH:mm:ss.ffffffK')."""
     from datetime import datetime
 
+    import re as _re
+
     s = lit.strip()
     try:
         if datatype_iri == XSD_DATE:
-            for fmt in ("%Y-%m-%d", "%m/%d/%Y", "%d %B %Y"):
+            # already-canonical date (optionally with a timezone): keep
+            if _re.match(r"^-?\d{4,}-\d{2}-\d{2}(Z|[+-]\d{2}:\d{2})?$", s):
+                return s
+            for fmt in ("%m/%d/%Y", "%d %B %Y"):
                 try:
                     return datetime.strptime(s, fmt).strftime("%Y-%m-%d")
                 except ValueError:
@@ -168,17 +173,27 @@ def _default_datetime_normalize(lit: str, datatype_iri: str) -> str:
     return lit
 
 
-def normalize_literal(lit: str, column: Column) -> str:
+def normalize_literal(lit: str, column: Column,
+                      offset_style: str = "short") -> str:
     """Converter.NormalizeLiteral (577-595)."""
     dt = column.datatype
     if dt is not None and dt.format is not None:
         try:
+            from .formats import DateTimeFormat, TimeFormat
+            if isinstance(dt.format, (TimeFormat, DateTimeFormat)):
+                dt.format.offset_style = offset_style
             return dt.format.normalize(lit)
         except FormatError as ex:
             raise ConversionError(str(ex))
     iri = column.datatype_iri
     if iri in (XSD_DATE, XSD_DATETIME):
         return _default_datetime_normalize(lit, iri)
+    if iri == XSD_BOOLEAN:
+        # default boolean lexical mapping: 1 -> true, 0 -> false
+        if lit == "1":
+            return "true"
+        if lit == "0":
+            return "false"
     return lit
 
 
@@ -201,6 +216,9 @@ _LEXICAL_RES = {
     "time": r"\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?",
     "gYear": r"-?\d{4,}_TZ", "gMonth": r"--\d{2}_TZ", "gDay": r"---\d{2}_TZ",
     "gYearMonth": r"-?\d{4,}-\d{2}_TZ", "gMonthDay": r"--\d{2}-\d{2}_TZ",
+    "duration": r"-?P(?!$)(\d+Y)?(\d+M)?(\d+D)?(T(?!$)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?",
+    "dayTimeDuration": r"-?P(?!$)(\d+D)?(T(?!$)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?",
+    "yearMonthDuration": r"-?P(?!$)(\d+Y)?(\d+M)?",
 }
 _TZ_SUFFIX = r"(Z|[+-]\d{2}:\d{2})?"
 _LEXICAL_COMPILED = {
@@ -223,11 +241,73 @@ def lexical_valid(value: str, column: Column) -> bool:
         except Exception:
             return False
     rx = _LEXICAL_COMPILED.get(dt.base)
-    return rx.match(value) is not None if rx else True
+    if rx is not None and rx.match(value) is None:
+        return False
+    rng = _INTEGER_RANGES.get(dt.base)
+    if rng is not None:
+        try:
+            iv = int(value)
+        except ValueError:
+            return False
+        if not rng[0] <= iv <= rng[1]:
+            return False
+    return _constraints_satisfied(value, dt)
+
+
+_INTEGER_RANGES = {
+    "byte": (-128, 127), "short": (-32768, 32767),
+    "int": (-2**31, 2**31 - 1), "long": (-2**63, 2**63 - 1),
+    "unsignedByte": (0, 255), "unsignedShort": (0, 65535),
+    "unsignedInt": (0, 2**32 - 1), "unsignedLong": (0, 2**64 - 1),
+    "nonNegativeInteger": (0, 10**400), "positiveInteger": (1, 10**400),
+    "nonPositiveInteger": (-10**400, 0), "negativeInteger": (-10**400, -1),
+}
+
+
+def _constraints_satisfied(value: str, dt) -> bool:
+    """W3C length/value facet checks: violating cells fall back to
+    xsd:string (the reference parses but never enforces constraints)."""
+    for key, bound in dt.constraints:
+        if key in ("length", "minLength", "maxLength"):
+            if dt.base in ("hexBinary",):
+                n = len(value) // 2
+            elif dt.base in ("base64Binary", "binary"):
+                import base64 as _b64
+                try:
+                    n = len(_b64.b64decode(value, validate=True))
+                except Exception:
+                    return False
+            else:
+                n = len(value)
+            if key == "length" and n != bound:
+                return False
+            if key == "minLength" and n < bound:
+                return False
+            if key == "maxLength" and n > bound:
+                return False
+        else:
+            if isinstance(bound, (int, float)) and not isinstance(bound, bool):
+                try:
+                    v = float(value)
+                except ValueError:
+                    continue
+            else:
+                v = value  # ISO dates/times compare lexically
+                bound = str(bound)
+            if key in ("minimum", "minInclusive") and v < bound:
+                return False
+            if key == "minExclusive" and v <= bound:
+                return False
+            if key in ("maximum", "maxInclusive") and v > bound:
+                return False
+            if key == "maxExclusive" and v >= bound:
+                return False
+    return True
 
 
 def make_literal(value: str, column: Column,
-                 suppress_string_datatype: bool = False) -> Triple:
+                 suppress_string_datatype: bool = False,
+                 offset_style: str = "short") -> Triple:
     """Converter.CreateLiteralNode (533-559) - returns a Triple shell with
     only the object fields populated; invalid-for-datatype values fall back
     to xsd:string (W3C; see lexical_valid)."""
@@ -239,7 +319,7 @@ def make_literal(value: str, column: Column,
             return Triple("", "", value, LITERAL, None, None)
     if iri != XSD_STRING and not lexical_valid(value, column):
         return Triple("", "", value, LITERAL, XSD_STRING, None)
-    value = normalize_literal(value, column)
+    value = normalize_literal(value, column, offset_style)
     return Triple("", "", value, LITERAL, iri, None)
 
 
@@ -261,6 +341,9 @@ class PageConverter:
         # and template-substituted values per the CSVW spec
         self.uri_escaping = uri_escaping
         self._bnode_counter = 0
+
+    def _offset_style(self) -> str:
+        return "full" if self.uri_escaping == "w3c" else "short"
 
     def _fresh_bnode(self, hint: str) -> str:
         self._bnode_counter += 1
@@ -284,7 +367,11 @@ class PageConverter:
             result.triples.append(Triple(group_node, RDF_TYPE,
                                          CSVW_NS + "TableGroup", IRI))
             self._group_kind = gkind
-        self._emit_common_properties(result, group_node, group.common_properties)
+        if self.mode == MODE_STANDARD:
+            # common properties are standard-mode only (minimal mode emits
+            # cell triples exclusively; suite test237)
+            self._emit_common_properties(result, group_node,
+                                         group.common_properties)
         for table in group.tables:
             if table.suppress_output:
                 continue
@@ -452,13 +539,35 @@ class PageConverter:
         else:
             cell = normalize_cell(raw if raw is not None else c.default, c)
         if cell.is_list and cell.value_list is not None:
-            for v in cell.value_list:
-                if v is not None:
-                    lit = make_literal(v, c, self.suppress_string_datatype)
+            values = [v for v in cell.value_list if v is not None]
+            if c.ordered:
+                # 4.6.8.5: ordered list -> rdf:List (TODO in the reference)
+                if not values:
+                    result.triples.append(Triple(
+                        s, p, RDF_NS + "nil", IRI))
+                else:
+                    nodes = [self._fresh_bnode("l") for _ in values]
+                    result.triples.append(Triple(s, p, nodes[0], BNODE))
+                    for i, (node, v) in enumerate(zip(nodes, values)):
+                        lit = make_literal(v, c, self.suppress_string_datatype,
+                                           self._offset_style())
+                        result.triples.append(Triple(
+                            node, RDF_NS + "first", lit.obj, LITERAL,
+                            lit.obj_datatype, lit.obj_lang))
+                        nxt = nodes[i + 1] if i + 1 < len(nodes) else None
+                        result.triples.append(Triple(
+                            node, RDF_NS + "rest",
+                            nxt if nxt else RDF_NS + "nil",
+                            BNODE if nxt else IRI))
+            else:
+                for v in values:
+                    lit = make_literal(v, c, self.suppress_string_datatype,
+                                       self._offset_style())
                     result.triples.append(Triple(s, p, lit.obj, LITERAL,
                                                  lit.obj_datatype, lit.obj_lang))
         elif not cell.is_list and cell.value is not None:
-            lit = make_literal(cell.value, c, self.suppress_string_datatype)
+            lit = make_literal(cell.value, c, self.suppress_string_datatype,
+                               self._offset_style())
             result.triples.append(Triple(s, p, lit.obj, LITERAL,
                                          lit.obj_datatype, lit.obj_lang))
 

@@ -141,7 +141,7 @@ def _compile_pattern(pattern: str) -> tuple[re.Pattern, bool]:
     return re.compile("^" + "".join(out) + "$"), has_offset
 
 
-def _norm_offset(m: re.Match) -> str:
+def _norm_offset(m: re.Match, style: str = "short") -> str:
     if m.groupdict().get("off_z"):
         return "Z"
     sign = m.group("off_sign")
@@ -149,6 +149,8 @@ def _norm_offset(m: re.Match) -> str:
     mm = int(m.group("off_m") or 0)
     if h == 0 and mm == 0:
         return "Z"
+    if style == "full":
+        return f"{sign}{h:02d}:{mm:02d}"
     return f"{sign}{h:02d}:{mm:02d}" if mm else f"{sign}{h:02d}"
 
 
@@ -204,6 +206,10 @@ class DateFormat(FormatSpecification):
 
 
 class TimeFormat(FormatSpecification):
+    # 'short' renders +09:00 as +09 (NodaTime/reference); 'full' keeps
+    # minutes (W3C suite expected graphs) - toggled by the converter mode
+    offset_style = "short"
+
     def __init__(self, fmt: str):
         self._regex, self.has_offset = _compile_pattern(fmt)
 
@@ -229,10 +235,13 @@ class TimeFormat(FormatSpecification):
             f"{int(g.get('hour') or 0):02d}:{int(g.get('minute') or 0):02d}"
             f":{int(g.get('second') or 0):02d}{_norm_frac(m)}"
         )
-        return base + (_norm_offset(m) if self.has_offset else "")
+        return base + (_norm_offset(m, self.offset_style)
+                       if self.has_offset else "")
 
 
 class DateTimeFormat(FormatSpecification):
+    offset_style = "short"  # see TimeFormat
+
     def __init__(self, fmt: str):
         self._regex, self.has_offset = _compile_pattern(fmt)
 
@@ -261,7 +270,8 @@ class DateTimeFormat(FormatSpecification):
             f"T{int(g.get('hour') or 0):02d}:{int(g.get('minute') or 0):02d}"
             f":{int(g.get('second') or 0):02d}{_norm_frac(m)}"
         )
-        return s + (_norm_offset(m) if self.has_offset else "")
+        return s + (_norm_offset(m, self.offset_style)
+                    if self.has_offset else "")
 
 
 # --- numeric -----------------------------------------------------------------
@@ -351,71 +361,124 @@ class NumericFormat(FormatSpecification):
 
     def _make_regex(self):
         if self.pattern:
-            self._regex = re.compile(self._pattern_to_regex(self.pattern))
-            self._anchored = True
+            self._parts = self._parse_pattern(self.pattern)
+            self._regex = None
         else:
             grp = "|" + re.escape(self.group_char) if self.group_char else ""
             dec = re.escape(self.decimal_char)
-            # NB: the trailing (E..|%|‰) group is NOT optional in the
-            # reference's regex (NumericFormatSpecification.MakePatternRegex) -
-            # replicated verbatim, quirk included.
+            # reference regex (NumericFormatSpecification.MakePatternRegex)
+            # with the E/%/permille suffix made OPTIONAL - W3C validation
+            # accepts plain numbers (suite test158); the reference never
+            # invokes IsValid during conversion so no parity is lost
             self._regex = re.compile(
                 r"^(((\+|-)?\d(\d" + grp + r")*(" + dec + r"\d+)?"
-                r"((E(\+|-)?\d+)|%|‰))|NaN|(-)?INF)$"
+                r"((E(\+|-)?\d+)|%|‰)?)|NaN|(-)?INF)$"
             )
-            self._anchored = True
+            self._parts = None
 
-    def _pattern_to_regex(self, pattern: str) -> str:
-        """UAX#35-lite number pattern -> anchored regex: '0' mandatory digit,
-        '#' optional digit, decimalChar/groupChar literal separators, 'E'
-        exponent, '+'/'%'/permille literal affixes. Integer part allows more
-        digits than shown (UAX35); fraction max = shown digits."""
-        dec, grp = self.decimal_char, self.group_char
-        # split off exponent
-        mant, _, exp = pattern.partition("E")
-        int_frac = mant.split(dec, 1)
-        int_part = int_frac[0]
-        frac_part = int_frac[1] if len(int_frac) > 1 else None
+    def _parse_pattern(self, pattern: str) -> dict:
+        """UAX#35-lite decomposition of a number pattern into prefix/suffix
+        literals, integer/fraction min-max digit counts, grouping
+        availability per part, and exponent minimum digits."""
+        mant, has_exp, exp = pattern.partition("E")
+        first = min((mant.index(c) for c in "#0" if c in mant),
+                    default=len(mant))
+        last = max((mant.rindex(c) for c in "#0" if c in mant), default=-1)
+        prefix, digits, suffix = mant[:first], mant[first:last + 1], mant[last + 1:]
+        int_part, has_dec, frac_part = digits.partition(self.decimal_char)
+        grp = self.group_char
+        primary = secondary = None
+        if grp and grp in int_part:
+            runs = int_part.split(grp)
+            primary = len(runs[-1])
+            secondary = len(runs[-2]) if len(runs) > 2 else primary
+        return {
+            "primary_grp": primary,
+            "secondary_grp": secondary,
+            "prefix": prefix,
+            "suffix": suffix,
+            "min_int": int_part.count("0"),
+            "int_grouped": bool(grp) and grp in int_part,
+            "has_frac": bool(has_dec),
+            "min_frac": frac_part.count("0"),
+            "max_frac": frac_part.count("0") + frac_part.count("#"),
+            "frac_grouped": bool(grp) and grp in frac_part,
+            "has_exp": bool(has_exp),
+            "min_exp": max(exp.count("0"), 1) if has_exp else 0,
+            "max_exp": (exp.count("0") + exp.count("#")) if has_exp else 0,
+        }
 
-        def affixes(s):
-            digits = "".join(c for c in s if c in "#0" or (grp and c == grp))
-            start = len(s) - len(s.lstrip("".join(set("+-%‰"))))
-            # prefix: chars before the first digit symbol
-            first = min((s.index(c) for c in "#0" if c in s), default=len(s))
-            last = max((s.rindex(c) for c in "#0" if c in s), default=-1)
-            return s[:first], s[first:last + 1], s[last + 1:]
+    def _match_pattern(self, literal: str) -> bool:
+        p = self._parts
+        s = literal
+        if not s.startswith(p["prefix"]):
+            return False
+        s = s[len(p["prefix"]):]
+        if p["suffix"]:
+            if not s.endswith(p["suffix"]):
+                return False
+            s = s[:len(s) - len(p["suffix"])]
+        # sign accepted even when not in the pattern (UAX35)
+        if "+" not in p["prefix"] and "-" not in p["prefix"] and s[:1] in "+-":
+            s = s[1:]
+        if p["has_exp"]:
+            m = re.match(r"^(.*)[eE]([+-]?\d+)$", s)
+            if not m:
+                return False
+            ed = len(m.group(2).lstrip("+-"))
+            if ed < p["min_exp"] or ed > max(p["max_exp"], p["min_exp"]):
+                return False
+            s = m.group(1)
+        elif re.search(r"[eE][+-]?\d+$", s):
+            return False
+        int_s, has_dec, frac_s = s.partition(self.decimal_char)
+        if has_dec and not p["has_frac"]:
+            return False
+        grp = self.group_char
 
-        pre, int_digits, int_suffix = affixes(int_part)
-        min_int = int_digits.count("0")
-        rx = "^" + re.escape(pre)
-        if "+" not in pre and "-" not in pre:
-            rx += "[+-]?"  # UAX35: sign is accepted even if not in pattern
-        if grp:
-            rx += rf"(?=(\d|{re.escape(grp)}){{{min_int},}})[\d{re.escape(grp)}]*\d"                 if min_int else rf"[\d{re.escape(grp)}]*"
-        else:
-            rx += rf"\d{{{max(min_int, 1)},}}" if min_int else r"\d*"
-        rx += re.escape(int_suffix)
-        if frac_part is not None:
-            fpre, f_digits, fsuf = affixes(frac_part)
-            fmin = f_digits.count("0")
-            fmax = len(f_digits)
-            if fmin:
-                rx += re.escape(dec) + rf"\d{{{fmin},{fmax}}}"
+        def digits(part, grouped):
+            if grouped and grp:
+                if part.startswith(grp) or part.endswith(grp) or grp + grp in part:
+                    return None
+                part = part.replace(grp, "")
+            return part if part.isdigit() or part == "" else None
+
+        if p["int_grouped"] and grp:
+            chunks = int_s.split(grp)
+            if any(not c.isdigit() for c in chunks if c != "") or "" in chunks:
+                return False
+            primary, secondary = p["primary_grp"], p["secondary_grp"]
+            if len(chunks) == 1:
+                if len(chunks[0]) > primary:
+                    return False  # grouping required beyond the primary size
             else:
-                rx += rf"(?:{re.escape(dec)}\d{{1,{max(fmax, 1)}}})?"
-            rx += re.escape(fsuf)
-        if exp:
-            e_digits = "".join(c for c in exp if c in "#0")
-            emin = max(e_digits.count("0"), 1)
-            esuf = exp[len(exp) - len(exp.lstrip("#0")):] if False else ""
-            tail = "".join(c for c in exp if c not in "#0+")
-            rx += rf"[eE][+-]?\d{{{emin},}}" + re.escape(tail)
-        return rx + "$"
+                if len(chunks[-1]) != primary:
+                    return False
+                if any(len(c) != secondary for c in chunks[1:-1]):
+                    return False
+                if not 1 <= len(chunks[0]) <= secondary:
+                    return False
+        di = digits(int_s, p["int_grouped"])
+        if di is None or len(di) < p["min_int"]:
+            return False
+        if not di and not has_dec:
+            return False
+        if has_dec:
+            df = digits(frac_s, p["frac_grouped"])
+            if df is None or not (p["min_frac"] <= len(df) <= p["max_frac"]):
+                return False
+        elif p["min_frac"] > 0:
+            return False
+        return True
 
     def is_valid(self, literal: str) -> bool:
-        if self._anchored:
-            return bool(self._regex.match(literal))
-        return bool(self._regex.search(literal))
+        if self._parts is not None:
+            return self._match_pattern(literal)
+        g = self.group_char
+        if g and (g + g in literal or literal.endswith(g)
+                  or literal.startswith(g)):
+            return False
+        return bool(self._regex.match(literal))
 
     def normalize(self, literal: str) -> str:
         """W3C csv2rdf numeric normalization is a STRING transform: strip
@@ -432,6 +495,8 @@ class NumericFormat(FormatSpecification):
         elif "‰" in literal:
             factor, literal = 1000, literal.replace("‰", "")
         literal = literal.strip()
+        # exponent marker is emitted lowercase (suite test158)
+        literal = re.sub(r"(?<=\d)E(?=[+-]?\d)", "e", literal)
         if factor == 1:
             return literal
         try:

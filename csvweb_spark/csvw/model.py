@@ -173,6 +173,8 @@ class Column:
     lang: Optional[str] = None
     null_values: tuple = ("",)  # default {""} per InheritedPropertyContainer.cs:34
     separator: Optional[str] = None
+    ordered: bool = False   # list cells emit rdf:List when true (W3C; the
+                            # reference leaves this TODO, Converter.cs:430-432)
     required: bool = False  # 'required' is never parsed by the reference -> False
 
     @property

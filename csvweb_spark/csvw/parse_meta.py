@@ -32,6 +32,11 @@ from .model import (
     TableGroup,
     DATATYPE_ANNOTATIONS,
 )
+import re as _re
+
+_VALID_NAME_RE = _re.compile(
+    r"^([A-Za-z0-9]|%[0-9A-Fa-f]{2})([A-Za-z0-9._]|%[0-9A-Fa-f]{2})*$")
+
 from .normalize_meta import (
     MetadataNormalizer,
     is_common_property,
@@ -70,6 +75,7 @@ class _Parser:
         self.default_language = default_language
         self.warnings: list[str] = []
         self._fk_specs: list = []
+        self._explicit_names: dict = {}
 
     # -- table group ---------------------------------------------------------
 
@@ -162,8 +168,13 @@ class _Parser:
         table.common_properties = self.parse_common(root)
         table.notes = self.parse_notes(root)
         group.tables.append(table)
-        self._fk_specs.append((table, (root.get("tableSchema") or {})
-                               .get("foreignKeys")))
+        schema_raw = root.get("tableSchema") or {}
+        explicit = {c.get("name") for c in schema_raw.get("columns", [])
+                    if isinstance(c, dict) and isinstance(c.get("name"), str)} \
+            if isinstance(schema_raw, dict) else set()
+        self._fk_specs.append((table, schema_raw.get("foreignKeys")
+                               if isinstance(schema_raw, dict) else None))
+        self._explicit_names[table.url] = explicit
         return table
 
     def validate_foreign_keys(self, schema: dict, table: Table) -> None:
@@ -176,7 +187,10 @@ class _Parser:
             return
         if not isinstance(fks, list):
             raise MetadataParseError("'foreignKeys' must be an array")
-        names = {c.name for c in (table.columns or [])}
+        # a column referenced by a foreign key MUST have an explicit `name`
+        # property (title-derived names don't count - W3C test104)
+        names = {c.get("name") for c in schema.get("columns", [])
+                 if isinstance(c, dict) and isinstance(c.get("name"), str)}
         for fk in fks:
             if not isinstance(fk, dict):
                 # items that are not valid objects are ignored (W3C test097)
@@ -229,7 +243,7 @@ class _Parser:
                         f"Foreign key references unknown table '{resource}'")
                 rcolref = ref.get("columnReference")
                 rcols = [rcolref] if isinstance(rcolref, str) else (rcolref or [])
-                tnames = {c.name for c in (target.columns or [])}
+                tnames = self._explicit_names.get(target.url, set())
                 for c in rcols:
                     if c not in tnames:
                         raise MetadataParseError(
@@ -243,10 +257,12 @@ class _Parser:
         if "name" in root:
             if not isinstance(root["name"], str):
                 self.warnings.append("The value of the 'name' property must be a string")
-            elif root["name"].startswith("_"):
+            elif not _VALID_NAME_RE.match(root["name"]):
+                # covers the reference's leading-underscore rule
+                # (JsonMetadataParser.cs:314-318) plus the W3C name
+                # production; invalid -> warning, titles/positional fallback
                 self.warnings.append(
-                    f"Column name {root['name']} is not valid. Column names "
-                    "must not start with an _ character.")
+                    f"Column name {root['name']!r} is not a valid name.")
             else:
                 col.name = root["name"]
         if "titles" in root:
@@ -276,6 +292,7 @@ class _Parser:
         col.lang = inherited.get("lang")
         col.null_values = inherited.get("null_values", ("",))
         col.separator = inherited.get("separator")
+        col.ordered = inherited.get("ordered", False)
         if col.default is None:
             col.default = parent.get("default")
         return col
@@ -323,6 +340,12 @@ class _Parser:
                 out["null_values"] = tuple(str(v) for v in nv)
             elif nv is not None:
                 out["null_values"] = (str(nv),)
+        if "ordered" in root:
+            if isinstance(root["ordered"], bool):
+                out["ordered"] = root["ordered"]
+            else:
+                self.warnings.append(
+                    "The value of the 'ordered' property must be a boolean")
         if "required" in root:
             if isinstance(root["required"], bool):
                 out["required"] = root["required"]

@@ -48,7 +48,7 @@ _TOKEN = re.compile(
   | (?P<dtype>\^\^)
   | (?P<bnode>_:[A-Za-z0-9_.-]+)
   | (?P<punct>[;,.\[\]()])
-  | (?P<pname>[A-Za-z0-9_-]*:[^\s;,.\[\]()"']*)
+  | (?P<pname>[A-Za-z0-9_-]*:(?:[^\s;,.\[\]()"']|\.(?=[^\s;,.\[\]()"']))*)
   | (?P<kw>@prefix|@base|a|true|false)
   | (?P<num>[+-]?(?:\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?))
   | (?P<word>[A-Za-z][A-Za-z0-9_-]*)
@@ -250,7 +250,36 @@ class TurtleParser:
             return (tok, "literal", XSD + "integer", None)
         if tok in ("true", "false"):
             return (tok, "literal", XSD + "boolean", None)
+        if tok == "(":
+            return (self._parse_collection(), "bnode", None, None)
         raise TurtleParseError(f"Bad object token {tok!r}")
+
+    RDF_NIL = RDF_NS + "nil"
+
+    def _parse_collection(self):
+        """'( o1 o2 ... )' -> rdf:first/rest chain; returns the head node."""
+        items = []
+        while self._peek()[1] != ")":
+            if self._peek() == (None, None):
+                raise TurtleParseError("Unterminated collection")
+            items.append(self._parse_object())
+        self._next()  # consume ')'
+        if not items:
+            return self.RDF_NIL
+        head = None
+        prev = None
+        for obj in items:
+            node = self._fresh_bnode()
+            self.triples.append((node, RDF_NS + "first") + obj)
+            if prev is not None:
+                self.triples.append((prev, RDF_NS + "rest", node, "bnode",
+                                     None, None))
+            else:
+                head = node
+            prev = node
+        self.triples.append((prev, RDF_NS + "rest", self.RDF_NIL, "iri",
+                             None, None))
+        return head
 
 
 def parse_turtle(text: str, base: str = "") -> list[tuple]:

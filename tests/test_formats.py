@@ -167,13 +167,16 @@ def test_numeric_normalize_percent_scaling():
     spec = NumericFormat()
     assert spec.normalize("123%") == "1.23"
     assert spec.normalize("-123‰") == "-0.123"
-    assert spec.normalize("1.5E2") == "1.5E2"  # exponent form preserved
+    # exponent form preserved modulo the lowercase marker (suite test158)
+    assert spec.normalize("1.5E2") == "1.5e2"
 
 
 def test_numeric_default_regex_quirk():
-    # the reference's default validation regex REQUIRES an E/%/‰ suffix
+    # the reference's default regex requires an E/%/‰ suffix; ours makes it
+    # optional (W3C validation semantics - the reference never calls
+    # IsValid during conversion, so conversion parity is unaffected)
     spec = NumericFormat()
-    assert not spec.is_valid("42.5")
+    assert spec.is_valid("42.5")
     assert spec.is_valid("42.5E0")
     assert spec.is_valid("NaN")
     assert spec.is_valid("-INF")

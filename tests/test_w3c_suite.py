@@ -15,9 +15,9 @@ pytestmark = pytest.mark.skipif(
 
 def test_w3c_suite_precision_recall():
     r = run_suite(SUITE_DIR)
-    assert r["precision"] >= 0.95, f"precision {r['precision']:.4f}"
-    assert r["recall"] >= 0.95, f"recall {r['recall']:.4f}"
-    assert r["n_pass"] >= 215, (
+    assert r["precision"] >= 0.999, f"precision {r['precision']:.4f}"
+    assert r["recall"] >= 0.999, f"recall {r['recall']:.4f}"
+    assert r["n_pass"] >= 268, (
         f"pass={r['n_pass']} fail={r['n_fail']} err={r['n_error']}: "
         + "; ".join(f"{o.test_id}:{o.status}" for o in r["outcomes"]
                     if o.status in ("fail", "error"))[:800])
