@@ -71,6 +71,15 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
 
     table = docs_table_spec()
 
+    # warm-up: exercise codegen, Arrow, and Python-worker startup once so
+    # the first timed query doesn't absorb one-time JVM/session costs
+    warm = pages.limit(8)
+    convert_table_group_spark(warm, table, scope_by_url=True).count()
+    convert_pages_spark(warm.withColumn(
+        "metadata_json",
+        F.concat(F.lit('{"url": "'), F.col("url"), F.lit('"}')))).count()
+    dedup_minhash_lsh(docs.limit(64), threshold=0.9).count()
+
     def timed(name, fn):
         t0 = time.time()
         result = fn()

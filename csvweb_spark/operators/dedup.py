@@ -112,44 +112,58 @@ def dedup_ngram_jaccard(df: DataFrame, text_col: str = "text",
 # MinHash + banded LSH
 # --------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
-
-
 def _minhash_params(num_hashes: int, seed: int = 42):
-    """Deterministic (a, b) params for h_i(x) = (a_i * x + b_i) mod p."""
+    """Deterministic multiply-shift params: h_i(x) = (a_i * x + b_i) mod 2^64
+    with a_i odd - a universal-enough family computed entirely in wrapping
+    uint64 numpy (no Python bigints on the hot path)."""
     import numpy as np
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE - 1, size=num_hashes, dtype="int64")
-    b = rng.randint(0, _MERSENNE - 1, size=num_hashes, dtype="int64")
+    a = rng.randint(0, 2**63 - 1, size=num_hashes).astype("uint64") * 2 + 1
+    b = rng.randint(0, 2**63 - 1, size=num_hashes).astype("uint64")
     return a, b
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (the standard web-dedup shingle unit: far more
+    distinctive than character n-grams, so LSH buckets don't saturate on
+    small vocabularies) - pure JVM."""
+    toks = F.split(F.regexp_replace(F.lower(text), r"^\s+|\s+$", ""), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(
+            F.array().cast("array<string>")))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        key_col: str = "doc_id", n: int = 3,
-                       num_hashes: int = 64, seed: int = 42) -> DataFrame:
+                       num_hashes: int = 64, seed: int = 42,
+                       shingle_unit: str = "word") -> DataFrame:
     """(key, signature array<long>) via a vectorized numpy pandas UDF:
-    shingle -> xxhash-equivalent 64-bit base hash (Spark's xxhash64, JVM
-    side) then the (a*x+b) mod p family batched in one matrix op."""
+    shingle -> 64-bit base hash (Spark's xxhash64, JVM side) then the
+    multiply-shift family batched in one wrapping-uint64 matrix op."""
     import numpy as np
     a_params, b_params = _minhash_params(num_hashes, seed)
 
+    sh = (word_shingles(F.col(text_col), n) if shingle_unit == "word"
+          else shingles(F.col(text_col), n))
     shingled = df.select(
         F.col(key_col),
-        F.transform(shingles(F.col(text_col), n),
-                    lambda s: F.xxhash64(s)).alias("h"))
+        F.transform(sh, lambda s: F.xxhash64(s)).alias("h"))
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig(hashes: pd.Series) -> pd.Series:
         out = []
-        for hs in hashes:
-            if hs is None or len(hs) == 0:
-                out.append([0] * num_hashes)
-                continue
-            x = np.asarray(hs, dtype="uint64").reshape(-1, 1)
-            # (a*x + b) mod p in uint64 with p = 2^61-1 (python ints avoid
-            # overflow; matrix kept modest: |shingles| x num_hashes)
-            prod = (x.astype(object) * a_params.astype(object) + b_params) % _MERSENNE
-            out.append([int(v) for v in prod.min(axis=0)])
+        with np.errstate(over="ignore"):
+            for hs in hashes:
+                if hs is None or len(hs) == 0:
+                    out.append([0] * num_hashes)
+                    continue
+                # |shingles| x num_hashes wrapping-uint64 matrix op
+                x = np.asarray(hs, dtype="int64").view("uint64").reshape(-1, 1)
+                prod = x * a_params + b_params  # mod 2^64 by wraparound
+                out.append(prod.min(axis=0).view("int64").tolist())
         return pd.Series(out)
 
     return shingled.select(key_col, sig(F.col("h")).alias("signature"))
@@ -159,7 +173,8 @@ def dedup_minhash_lsh(df: DataFrame, text_col: str = "text",
                       key_col: str = "doc_id", n: int = 3,
                       num_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.5, seed: int = 42,
-                      verify_exact: bool = True) -> DataFrame:
+                      verify_exact: bool = True,
+                      shingle_unit: str = "word") -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification.
 
     bands=16 x rows=4 at 64 hashes -> ~(1-(1-s^4)^16) candidate recall:
@@ -167,7 +182,8 @@ def dedup_minhash_lsh(df: DataFrame, text_col: str = "text",
     with exact shingle Jaccard, so emitted pairs are exactly the true pairs
     among candidates (precision 1.0)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, key_col, n, num_hashes, seed)
+    sigs = minhash_signatures(df, text_col, key_col, n, num_hashes, seed,
+                              shingle_unit)
     # explode into (band, band_hash, key): bucket join key is uniform
     banded = sigs.select(
         F.col(key_col),
@@ -184,8 +200,9 @@ def dedup_minhash_lsh(df: DataFrame, text_col: str = "text",
              .select("id_a", "id_b").distinct())
     if not verify_exact:
         return cands
-    sh = df.select(F.col(key_col),
-                   shingles(F.col(text_col), n).alias("sh"))
+    sh_expr = (word_shingles(F.col(text_col), n) if shingle_unit == "word"
+               else shingles(F.col(text_col), n))
+    sh = df.select(F.col(key_col), sh_expr.alias("sh"))
     cands = (cands
              .join(sh.select(F.col(key_col).alias("id_a"),
                              F.col("sh").alias("sh_a")), "id_a")

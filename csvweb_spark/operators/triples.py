@@ -295,29 +295,26 @@ def _triple_struct(subj, pred, obj, kind, dtype, lang, col_ix) -> SparkColumn:
     )
 
 
-def _cell_triples_expr(ctx: _PlanContext, c: Column, i: int) -> Optional[SparkColumn]:
+def _cell_triples_expr(ctx: _PlanContext, c: Column, i: int,
+                       subj, subj_kind: str, pred,
+                       value=None, obj=None) -> SparkColumn:
     """array<struct> of the triples one cell contributes (possibly empty) -
-    the Spark mirror of Converter.cs:394-455."""
-    if c.suppress_output:
-        return None
-    col_number = i + 1
-    source_col_number = ctx.skip_columns + i + 1
-
-    subj, subj_kind = ctx.subject_expr(c, col_number, source_col_number)
-    pred = ctx.predicate_expr(c, col_number, source_col_number)
+    the Spark mirror of Converter.cs:394-455. `subj`/`pred`/`value`/`obj`
+    are pre-materialized column references (common subexpressions are
+    computed once in a projection stage so the generated code stays small -
+    inlining them repeatedly made whole-stage codegen pathologically
+    large)."""
     guard_sp = subj.isNull() | pred.isNull()
 
     extras = []
     if ctx.mode == MODE_STANDARD:
-        row_node = F.concat(F.lit("_:"), ctx.scope, F.lit("r"),
-                            ctx.row.cast("string"))
+        row_node = F.col("_rownode")
         extras.append(
             F.when(subj.isNull(), _empty_arr()).otherwise(F.array(_triple_struct(
                 row_node, F.lit(CSVW_NS + "describes"), subj, subj_kind,
                 F.lit(None).cast("string"), F.lit(None).cast("string"), i))))
 
     if c.value_url is not None:
-        obj = ctx.template_expr(c.value_url, col_number, source_col_number, c.name)
         main = F.when(guard_sp | obj.isNull(), _empty_arr()).otherwise(
             F.array(_triple_struct(subj, pred, obj, "iri", None, None, i)))
         return F.concat(*extras, main) if extras else main
@@ -341,19 +338,9 @@ def _cell_triples_expr(ctx: _PlanContext, c: Column, i: int) -> Optional[SparkCo
                 if structs else _empty_arr())
         return F.concat(*extras, main) if extras else main
 
-    raw = ctx.raw_cell(i)
-    if c.default is not None:
-        raw = F.coalesce(raw, F.lit(c.default))  # GetField ?? c.Default
-    s = _ws_normalize(raw, base)
-    if c.default is not None:
-        s = F.when(s == "", F.lit(c.default)).otherwise(s)
-    else:
-        s = F.when(s == "", F.lit(None)).otherwise(s)
-
     if c.separator is not None:
-        # 5.1 whole-value null check BEFORE split (CellParser.cs:92-96)
-        s = _null_to_none(s, c.null_values)
-        arr = F.split(s, re.escape(c.separator), -1)
+        # `value` is the whole-value-null-checked pre-split scalar
+        arr = F.split(value, re.escape(c.separator), -1)
         if base not in RETAINS_LEADING_TRAILING_WS_IN_LIST:
             arr = F.transform(arr, lambda t: F.regexp_replace(t, r"^\s+|\s+$", ""))
         if c.default is not None:
@@ -362,24 +349,38 @@ def _cell_triples_expr(ctx: _PlanContext, c: Column, i: int) -> Optional[SparkCo
             arr = F.transform(arr, lambda t: F.when(t == "", F.lit(None)).otherwise(t))
         arr = F.transform(arr, lambda t: _null_to_none(t, c.null_values))
         arr = F.filter(arr, lambda t: t.isNotNull())
-        main = F.when(guard_sp | s.isNull(), _empty_arr()).otherwise(
+        main = F.when(guard_sp | value.isNull(), _empty_arr()).otherwise(
             F.transform(arr, lambda t: _triple_struct(
                 subj, pred, t, "literal", dtype, lang, i)))
     else:
-        v = _null_to_none(s, c.null_values)
-        main = F.when(guard_sp | v.isNull(), _empty_arr()).otherwise(
-            F.array(_triple_struct(subj, pred, v, "literal", dtype, lang, i)))
+        main = F.when(guard_sp | value.isNull(), _empty_arr()).otherwise(
+            F.array(_triple_struct(subj, pred, value, "literal", dtype, lang, i)))
     return F.concat(*extras, main) if extras else main
+
+
+def _scalar_value_expr(ctx: _PlanContext, c: Column, i: int) -> SparkColumn:
+    """The normalized, null-checked cell value (or, for separator columns,
+    the whole-value-null-checked pre-split scalar)."""
+    raw = ctx.raw_cell(i)
+    if c.default is not None:
+        raw = F.coalesce(raw, F.lit(c.default))  # GetField ?? c.Default
+    s = _ws_normalize(raw, c.base)
+    if c.default is not None:
+        s = F.when(s == "", F.lit(c.default)).otherwise(s)
+    else:
+        s = F.when(s == "", F.lit(None)).otherwise(s)
+    # separator: 5.1 whole-value null check BEFORE split (CellParser.cs:92-96)
+    # scalar: step-7 null check
+    return _null_to_none(s, c.null_values)
 
 
 def _row_scaffolding_exprs(ctx: _PlanContext) -> list[SparkColumn]:
     """Standard-mode per-row and (row==1-gated) per-table triples
-    (Rdf/Converter.cs:267-290,337-368)."""
-    row_node = F.concat(F.lit("_:"), ctx.scope, F.lit("r"), ctx.row.cast("string"))
-    table_node = (F.lit(ctx.table.id) if ctx.table.id
-                  else F.concat(F.lit("_:"), ctx.scope, F.lit("t")))
+    (Rdf/Converter.cs:267-290,337-368), over pre-materialized node columns."""
+    row_node = F.col("_rownode")
+    table_node = F.col("_tnode")
     table_kind = "iri" if ctx.table.id else "bnode"
-    group_node = F.concat(F.lit("_:"), ctx.scope, F.lit("g"))
+    group_node = F.col("_gnode")
     none = F.lit(None).cast("string")
 
     per_row = F.array(
@@ -405,7 +406,8 @@ def _row_scaffolding_exprs(ctx: _PlanContext) -> list[SparkColumn]:
         _triple_struct(table_node, F.lit(CSVW_NS + "url"), ctx.url,
                        "iri", None, None, -1),
     )).otherwise(_empty_arr())
-    statics = _static_metadata_triples(ctx, table_node, table_kind, group_node)
+    statics = _static_metadata_triples(ctx, table_node, "iri" if ctx.table.id
+                                       else "bnode", group_node)
     return [per_table, per_row] + ([statics] if statics is not None else [])
 
 
@@ -481,17 +483,72 @@ def _format_normalizer_udf(c: Column):
 def compile_triples(rows_df: DataFrame, table: Table, columns: list[Column],
                     mode: str = MODE_MINIMAL,
                     scope_by_url: bool = True) -> DataFrame:
-    """Stage B: (url, row, vals) -> triples, single narrow JVM pass."""
+    """Stage B: (url, row, vals) -> triples, single narrow JVM pass.
+
+    Common subexpressions (bnode scope, subjects, predicates, normalized
+    values) are materialized as columns in two projection stages before the
+    flatten/explode, keeping the generated whole-stage code small (naive
+    inlining produced multi-second janino compiles)."""
     ctx = _PlanContext(table, columns, mode, scope_by_url)
+
+    # stage 1: scope column
+    df = rows_df.select("url", "row", "vals", ctx.scope.alias("_scope"))
+    ctx.scope = F.col("_scope")
+
+    # stage 2: shared terms
+    per_col_specials = {"_column", "_sourceColumn", "_name"}
+    prep: dict[str, SparkColumn] = {}
+    subj_shared: dict = {}
+    refs: dict[int, dict] = {}
+    for i, c in enumerate(columns):
+        if c.suppress_output:
+            continue
+        coln, srcn = i + 1, ctx.skip_columns + i + 1
+        if c.about_url is None:
+            key = ("__default__",)
+        else:
+            tvars = compile_template(c.about_url).variables
+            key = (c.about_url,
+                   i if any(v in per_col_specials for v in tvars) else None)
+        if key not in subj_shared:
+            name = f"_s{len(subj_shared)}"
+            subj, _kind = ctx.subject_expr(c, coln, srcn)
+            prep[name] = subj
+            subj_shared[key] = name
+        r = {"subj": subj_shared[key],
+             "kind": "bnode" if c.about_url is None else "iri"}
+        prep[f"_p{i}"] = ctx.predicate_expr(c, coln, srcn)
+        r["pred"] = f"_p{i}"
+        if c.value_url is not None:
+            prep[f"_o{i}"] = ctx.template_expr(c.value_url, coln, srcn, c.name)
+            r["obj"] = f"_o{i}"
+        elif not c.virtual:
+            prep[f"_v{i}"] = _scalar_value_expr(ctx, c, i)
+            r["value"] = f"_v{i}"
+        refs[i] = r
+    if mode == MODE_STANDARD:
+        prep["_rownode"] = F.concat(F.lit("_:"), ctx.scope, F.lit("r"),
+                                    ctx.row.cast("string"))
+        prep["_tnode"] = (F.lit(table.id) if table.id
+                          else F.concat(F.lit("_:"), ctx.scope, F.lit("t")))
+        prep["_gnode"] = F.concat(F.lit("_:"), ctx.scope, F.lit("g"))
+    df = df.select("url", "row", "_scope",
+                   *[v.alias(k) for k, v in prep.items()])
+
+    # stage 3: per-cell triple arrays -> flatten -> explode
     arrays = []
     if mode == MODE_STANDARD:
         arrays.extend(_row_scaffolding_exprs(ctx))
     for i, c in enumerate(columns):
-        e = _cell_triples_expr(ctx, c, i)
-        if e is not None:
-            arrays.append(e)
+        if i not in refs:
+            continue
+        r = refs[i]
+        arrays.append(_cell_triples_expr(
+            ctx, c, i, F.col(r["subj"]), r["kind"], F.col(r["pred"]),
+            value=F.col(r["value"]) if "value" in r else None,
+            obj=F.col(r["obj"]) if "obj" in r else None))
     exploded = (
-        rows_df
+        df
         .select("url", "row", F.explode(F.flatten(F.array(*arrays))).alias("t"))
         .select("url", "row", "t.*")
     )
