@@ -125,11 +125,14 @@ def canonicalize_triples(triples: DataFrame, labels: DataFrame,
     """Rewrite triple subjects/objects to canonical entity URIs given a
     (node, component) labeling over xxhash64(uri) ids. IRIs not in any
     component pass through."""
-    canon = labels.select(
-        F.col("node"),
-        (uri_for_component(F.col("component")) if uri_for_component
-         else F.concat(F.lit("http://example.org/canon/"),
-                       F.col("component").cast("string"))).alias("canonical"))
+    if "canonical" in labels.columns:
+        canon = labels.select("node", "canonical")
+    else:
+        canon = labels.select(
+            F.col("node"),
+            (uri_for_component(F.col("component")) if uri_for_component
+             else F.concat(F.lit("http://example.org/canon/"),
+                           F.col("component").cast("string"))).alias("canonical"))
     subj_map = F.broadcast(canon.select(F.col("node").alias("_n1"),
                                         F.col("canonical").alias("_sc")))
     obj_map = F.broadcast(canon.select(F.col("node").alias("_n2"),

@@ -1,0 +1,103 @@
+"""End-to-end knowledge-graph construction (BASELINE.json north_star).
+
+One composition of the five stages over a Common-Crawl-style pages table:
+
+  A. extraction     pages -> cell rows        (narrow mapInPandas)
+  B. conversion     cell rows -> triples      (compiled Catalyst plan)
+  C. entity linking triple objects vs a broadcast alias dictionary
+  D. canonicalize   sameAs edges -> connected components -> rewrite
+  E. materialize    node/edge tables + per-partition lineage manifests
+
+Stages A-B are shuffle-free; C broadcasts the (small) alias dictionary;
+D is the only iterative/wide stage (large-star/small-star, O(log n)
+rounds); E commits bucket-partitioned parquet with manifests so a restart
+resumes from the last committed bucket (plans/lineage.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .csvw.convert import MODE_MINIMAL
+from .csvw.model import Table
+from .operators.canonicalize import (
+    canonicalize_triples, connected_components, edges_from_uris)
+from .operators.linking import link_exact
+from .operators.triples import convert_table_group_spark
+from .plans.lineage import observe_metrics, write_resumable
+
+
+def link_triple_objects(triples: DataFrame, aliases: DataFrame) -> DataFrame:
+    """Stage C: literal objects matched against the alias dictionary ->
+    (subj as mention node, entity_uri) sameAs candidate edges."""
+    mentions = (triples
+                .filter(F.col("obj_kind") == "literal")
+                .select(F.col("subj"), F.col("obj").alias("mention")))
+    linked = link_exact(mentions, aliases)
+    mention_edges = linked.select(F.col("subj").alias("src"),
+                                  F.col("entity_uri").alias("dst"))
+    # alias URIs sharing an entity_id are the same entity: connect each to
+    # the entity's minimum URI so components merge across surface forms
+    alias_edges = (aliases
+                   .groupBy("entity_id")
+                   .agg(F.min("entity_uri").alias("dst"))
+                   .join(aliases, "entity_id")
+                   .select(F.col("entity_uri").alias("src"), F.col("dst"))
+                   .filter(F.col("src") != F.col("dst")))
+    return mention_edges.unionByName(alias_edges)
+
+
+def build_knowledge_graph(spark: SparkSession, pages: DataFrame, table: Table,
+                          aliases: DataFrame, output_dir: str,
+                          mode: str = MODE_MINIMAL,
+                          n_buckets: int = 64) -> dict:
+    """Run A-E; returns {'triples': manifest, 'nodes': ..., 'metrics': ...}.
+
+    `aliases` columns: (alias, entity_id, entity_uri). Output layout:
+      output_dir/triples/   canonicalized triples (bucketed by url hash)
+      output_dir/entities/  (node, component, canonical_uri)
+      output_dir/_manifests under each table dir (commit records)
+    """
+    # A+B: extraction + conversion (narrow)
+    triples = convert_table_group_spark(pages, table, mode=mode,
+                                        scope_by_url=True)
+    triples, obs = observe_metrics(triples, "triples")
+
+    # C: entity linking -> sameAs edges
+    edges_uri = link_triple_objects(triples, aliases)
+
+    # D: connected components over hashed node ids
+    edges = edges_from_uris(edges_uri)
+    labels = connected_components(edges)
+    # canonical uri per component: the minimum entity uri in the component
+    uri_nodes = (edges_uri.select(F.col("src").alias("uri"))
+                 .unionByName(edges_uri.select(F.col("dst").alias("uri")))
+                 .distinct()
+                 .withColumn("node", F.xxhash64("uri")))
+    comp = uri_nodes.join(labels, "node", "left").select(
+        "uri", "node", F.coalesce("component", "node").alias("component"))
+    canon = (comp.groupBy("component")
+             .agg(F.min("uri").alias("canonical_uri")))
+    entity_map = comp.join(canon, "component").select(
+        "node", "uri", "component", "canonical_uri")
+
+    canonical_triples = canonicalize_triples(
+        triples, entity_map.select("node", F.col("canonical_uri")
+                                   .alias("canonical")))
+
+    # E: materialize with lineage
+    t_manifest = write_resumable(canonical_triples,
+                                 os.path.join(output_dir, "triples"),
+                                 n_buckets=n_buckets)
+    e_manifest = write_resumable(
+        entity_map.withColumn("url", F.col("uri")),
+        os.path.join(output_dir, "entities"), n_buckets=max(n_buckets // 4, 1))
+    return {
+        "triples": t_manifest,
+        "entities": e_manifest,
+        "metrics": dict(obs.get) if t_manifest["total_rows"] else {},
+    }

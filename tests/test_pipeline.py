@@ -1,0 +1,84 @@
+"""End-to-end knowledge-graph pipeline: pages -> triples -> linked ->
+canonicalized -> materialized with lineage, plus resume."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from csvweb_spark.csvw.model import Column, Table
+
+
+def _table():
+    t = Table(url="http://pages.example.org/t.csv")
+    about = "http://pages.example.org/e/{ent}"
+    t.columns = [
+        Column(name="ent", about_url=about),
+        Column(name="label", about_url=about,
+               property_url="http://pages.example.org/def/label"),
+    ]
+    return t
+
+
+@pytest.fixture()
+def pages(spark):
+    # entity surface forms appear as labels; aliases map variants of the
+    # same real-world entity so canonicalization must merge them
+    rows = []
+    labels = ["Acme Corp", "ACME Corporation", "Globex", "Initech",
+              "Acme Corp"]
+    for i in range(40):
+        lbl = labels[i % len(labels)]
+        rows.append((f"http://p/{i}.csv",
+                     f"ent,label\ne{i},{lbl}\n"))
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+@pytest.fixture()
+def aliases(spark):
+    return spark.createDataFrame(
+        [("acme corp", 1, "http://kb/acme"),
+         ("acme corporation", 1, "http://kb/acme-alias"),
+         ("globex", 2, "http://kb/globex")],
+        "alias string, entity_id long, entity_uri string")
+
+
+def test_build_knowledge_graph_end_to_end(spark, pages, aliases, tmp_path):
+    from csvweb_spark.pipeline import build_knowledge_graph
+
+    out = str(tmp_path / "kg")
+    result = build_knowledge_graph(spark, pages, _table(), aliases, out)
+    assert result["triples"]["total_rows"] > 0
+
+    triples = spark.read.parquet(os.path.join(out, "triples", "data"))
+    entities = spark.read.parquet(os.path.join(out, "entities", "data"))
+    # every page yields 2 cell triples
+    assert triples.count() == 40 * 2
+    # linked labels were rewritten to the canonical entity uri of their
+    # component: subjects with Acme-ish labels share one canonical subject
+    # object side: labels stay literals
+    assert entities.count() > 0
+    canon_uris = {r.canonical_uri for r in entities.collect()}
+    assert "http://kb/acme" in canon_uris or any(
+        "acme" in u for u in canon_uris)
+
+    # subjects of pages 0 and 1 ("Acme Corp" vs "ACME Corporation") were
+    # both linked into the same component via the alias dictionary
+    subj0 = {r.subj for r in triples.filter(
+        F.col("url") == "http://p/0.csv").collect()}
+    subj1 = {r.subj for r in triples.filter(
+        F.col("url") == "http://p/1.csv").collect()}
+    assert subj0 == subj1  # canonicalized to the same entity node
+
+
+def test_pipeline_resume_skips_committed(spark, pages, aliases, tmp_path):
+    from csvweb_spark.pipeline import build_knowledge_graph
+
+    out = str(tmp_path / "kg2")
+    r1 = build_knowledge_graph(spark, pages, _table(), aliases, out)
+    n1 = spark.read.parquet(os.path.join(out, "triples", "data")).count()
+    # a re-run with the same input commits nothing new (all buckets done)
+    r2 = build_knowledge_graph(spark, pages, _table(), aliases, out)
+    assert r2["triples"]["total_rows"] == 0
+    n2 = spark.read.parquet(os.path.join(out, "triples", "data")).count()
+    assert n1 == n2
