@@ -419,6 +419,85 @@ def q_multimodal_binary_stats(spark, sf_dir):
         "url", F.col("n_bytes").cast("long").alias("n_bytes"), "sha256")
 
 
+def q_entity_link_fuzzy(spark, sf_dir):
+    """MinHash-LSH candidate generation for entity linking (north_star:
+    'batch-scored against a broadcast alias dictionary with MinHash-LSH
+    candidate generation'): tokenize -> binary HashingTF -> MinHashLSH
+    banded bucket join, filtered to Jaccard distance <= 0.6. No oracle_sql:
+    LSH banding recall is probabilistic (a candidate pair can be missed),
+    so exact SQL recomputation of the candidate SET is not well-defined;
+    rows-only check + test_operators.py::test_link_fuzzy_minhash hold the
+    semantics."""
+    from csvweb_spark.operators.linking import link_fuzzy_minhash
+    nation = _load(spark, sf_dir, "nation")
+    aliases = nation.select(F.lower("n_name").alias("alias"))
+    mentions = nation.select(
+        F.col("n_nationkey").cast("long").alias("mention_id"),
+        F.concat(F.lower("n_name"), F.lit(" republic")).alias("mention"))
+    out = link_fuzzy_minhash(mentions, aliases, max_distance=0.6)
+    return out.select("mention_id", "mention", "alias")
+
+
+def q_html_table_triples(spark, sf_dir):
+    """HTML <table> path (north_star: detect+parse tabular content from the
+    html:binary payload): sources/html_tables.py parses every <table> with
+    a stdlib-HTMLParser mapInPandas and re-renders it as RFC-4180 CSV, so
+    conversion reuses the SAME compiled Catalyst plan as the embedded-CSV
+    path. Oracle: DuckDB recomputes the identical triples from the source
+    rows - the HTML round-trip must be lossless."""
+    from csvweb_spark.operators.triples import convert_table_group_spark
+    from csvweb_spark.sources.html_tables import (extract_html_tables,
+                                                  html_pages_from_table)
+    nation = _load(spark, sf_dir, "nation")
+    hpages = html_pages_from_table(
+        nation, F.lit(0), "http://ex.org/nation.csv",
+        ["n_nationkey", "n_name", "n_regionkey"], "n_nationkey")
+    tables = extract_html_tables(hpages)
+    out = convert_table_group_spark(tables, _nation_table(),
+                                    scope_by_url=False)
+    return out.select("subj", "pred", "obj", "obj_datatype")
+
+
+def q_detect_tabular(spark, sf_dir):
+    """Tabular-content classifier over mixed pages: HTML-table pages (from
+    nation), embedded-CSV pages (from region), and a prose page -> kind +
+    table count + sniffed delimiter per url."""
+    from csvweb_spark.sources.html_tables import (detect_tabular,
+                                                  html_pages_from_table)
+    from csvweb_spark.sources.pages import pages_from_table
+    nation = _load(spark, sf_dir, "nation")
+    region = _load(spark, sf_dir, "region")
+    h = html_pages_from_table(
+        nation, F.lit(0), "http://ex.org/nation.html",
+        ["n_nationkey", "n_name", "n_regionkey"], "n_nationkey")
+    c = pages_from_table(
+        region, F.lit(0), "http://ex.org/region.csv",
+        ["r_regionkey", "r_name"], "r_regionkey")
+    p = spark.createDataFrame(
+        [("http://ex.org/prose.txt", None, None,
+          "just some prose with words.\nanother line of words here\n", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    return detect_tabular(h.unionByName(c).unionByName(p)).select(
+        "url", "content_kind", "n_html_tables", "csv_delimiter")
+
+
+def q_kg_pipeline(spark, sf_dir):
+    """Flagship end-to-end composition (stages A-D of pipeline.py):
+    pages -> CSVW triples -> entity linking against a synthesized alias
+    dictionary -> connected-components canonicalization. No oracle_sql
+    (iterative union-find is not single-statement-SQL-expressible); the
+    driver records the rows-only check, and tests/test_pipeline.py holds
+    the semantic assertions."""
+    from bench import docs_table_spec
+    from csvweb_spark.pipeline import kg_canonical_triples, synth_aliases
+    from csvweb_spark.sources.pages import pages_from_documents
+    docs = _load(spark, sf_dir, "documents")
+    pages = pages_from_documents(spark, sf_dir, docs_per_page=10)
+    canonical, _, _ = kg_canonical_triples(pages, docs_table_spec(),
+                                           synth_aliases(docs))
+    return canonical.select("subj", "pred", "obj")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -455,6 +534,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_region": q_revenue_by_region,
         "events_sessionize": q_events_sessionize,
         "multimodal_binary_stats": q_multimodal_binary_stats,
+        "entity_link_fuzzy": q_entity_link_fuzzy,
+        "html_table_triples": q_html_table_triples,
+        "detect_tabular": q_detect_tabular,
+        "kg_pipeline": q_kg_pipeline,
     }
 
 
@@ -750,6 +833,32 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text))::bigint AS n_bytes,
                    sha256(text) AS sha256
             FROM documents WHERE doc_id < 100
+        """,
+        # the HTML <table> round-trip must be lossless: same triples as the
+        # embedded-CSV path, recomputed by DuckDB from the source rows
+        "html_table_triples": f"""
+            SELECT 'http://ex.org/nation/' || n_nationkey AS subj,
+                   'http://ex.org/nation.csv#n_nationkey' AS pred,
+                   n_nationkey::varchar AS obj, '{xsd_i}' AS obj_datatype
+            FROM nation
+            UNION ALL
+            SELECT 'http://ex.org/nation/' || n_nationkey,
+                   'http://ex.org/nation.csv#n_name', n_name, '{xsd_s}'
+            FROM nation
+            UNION ALL
+            SELECT 'http://ex.org/nation/' || n_nationkey,
+                   'http://ex.org/nation.csv#n_regionkey',
+                   n_regionkey::varchar, '{xsd_i}'
+            FROM nation
+        """,
+        "detect_tabular": """
+            SELECT * FROM (VALUES
+              ('http://ex.org/nation.html', 'html_table', 1::int,
+               CAST(NULL AS VARCHAR)),
+              ('http://ex.org/region.csv', 'csv', 0::int, ','),
+              ('http://ex.org/prose.txt', 'none', 0::int,
+               CAST(NULL AS VARCHAR))
+            ) AS t(url, content_kind, n_html_tables, csv_delimiter)
         """,
     }
 

@@ -54,6 +54,9 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     from csvweb_spark.operators.text import quality_features, text_profile
     from csvweb_spark.operators.triples import (
         convert_pages_spark, convert_table_group_spark)
+    from csvweb_spark.pipeline import kg_canonical_triples, synth_aliases
+    from csvweb_spark.sources.html_tables import (
+        extract_html_tables, html_pages_from_table)
     from csvweb_spark.sources.pages import pages_from_documents
 
     timings: dict[str, float] = {}
@@ -68,6 +71,11 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
     emb.count()
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    hpages = html_pages_from_table(
+        docs, (F.col("doc_id") / 10).cast("long"),
+        "http://pages.example.org/h/{key}.html",
+        ["doc_id", "lang", "source", "n_chars", "text"], "doc_id").persist()
+    hpages.count()
 
     table = docs_table_spec()
 
@@ -112,6 +120,14 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     # similarity: exact top-5 for 32 query vectors
     queries = emb.filter(F.col("vec_id") < 32)
     timed("ann_topk", lambda: ann_topk_bruteforce(emb, queries, k=5).count())
+
+    # HTML <table> detection + extraction (north_star tabular-content path)
+    timed("html_table_extract", lambda: extract_html_tables(hpages).count())
+
+    # end-to-end KG construction stages A-D (extraction -> conversion ->
+    # linking -> connected-components canonicalization)
+    timed("kg_pipeline_e2e", lambda: kg_canonical_triples(
+        pages, table, synth_aliases(docs))[0].count())
 
     # text analysis full pass
     timed("text_profile", lambda: text_profile(docs).count())

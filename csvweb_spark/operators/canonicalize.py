@@ -124,7 +124,13 @@ def canonicalize_triples(triples: DataFrame, labels: DataFrame,
                          uri_for_component=None) -> DataFrame:
     """Rewrite triple subjects/objects to canonical entity URIs given a
     (node, component) labeling over xxhash64(uri) ids. IRIs not in any
-    component pass through."""
+    component pass through.
+
+    The canon map is broadcast: its size is bounded by the knowledge base
+    (linked entities + their aliases), not by the corpus - the 10^12-page
+    scan never shuffles here. If the KB ever outgrows executor memory,
+    drop the F.broadcast hints and let AQE pick a sort-merge join; the
+    rewrite stays correct."""
     if "canonical" in labels.columns:
         canon = labels.select("node", "canonical")
     else:

@@ -51,17 +51,30 @@ def link_triple_objects(triples: DataFrame, aliases: DataFrame) -> DataFrame:
     return mention_edges.unionByName(alias_edges)
 
 
-def build_knowledge_graph(spark: SparkSession, pages: DataFrame, table: Table,
-                          aliases: DataFrame, output_dir: str,
-                          mode: str = MODE_MINIMAL,
-                          n_buckets: int = 64) -> dict:
-    """Run A-E; returns {'triples': manifest, 'nodes': ..., 'metrics': ...}.
+def synth_aliases(docs: DataFrame) -> DataFrame:
+    """Deterministic alias dictionary synthesized from the corpus' `source`
+    values: every distinct source becomes an entity with two surface forms
+    (raw + 'the <src> archive'), so canonicalization must merge aliases of
+    one entity. Sources are hub entities (many docs share few sources) -
+    the wikipedia.org-style skew shape the north_star calls out."""
+    base = (docs.select(F.lower(F.col("source")).alias("src")).distinct()
+            .withColumn("entity_id", F.xxhash64("src"))
+            .withColumn("entity_uri",
+                        F.concat(F.lit("http://kb.example.org/src/"),
+                                 F.col("src"))))
+    a1 = base.select(F.col("src").alias("alias"), "entity_id", "entity_uri")
+    a2 = base.select(
+        F.concat(F.lit("the "), F.col("src"),
+                 F.lit(" archive")).alias("alias"),
+        "entity_id",
+        F.concat(F.col("entity_uri"), F.lit("#archive")).alias("entity_uri"))
+    return a1.unionByName(a2)
 
-    `aliases` columns: (alias, entity_id, entity_uri). Output layout:
-      output_dir/triples/   canonicalized triples (bucketed by url hash)
-      output_dir/entities/  (node, component, canonical_uri)
-      output_dir/_manifests under each table dir (commit records)
-    """
+
+def kg_canonical_triples(pages: DataFrame, table: Table, aliases: DataFrame,
+                         mode: str = MODE_MINIMAL):
+    """Stages A-D as DataFrames (no materialization): returns
+    (canonical_triples, entity_map, observation)."""
     # A+B: extraction + conversion (narrow)
     triples = convert_table_group_spark(pages, table, mode=mode,
                                         scope_by_url=True)
@@ -88,6 +101,22 @@ def build_knowledge_graph(spark: SparkSession, pages: DataFrame, table: Table,
     canonical_triples = canonicalize_triples(
         triples, entity_map.select("node", F.col("canonical_uri")
                                    .alias("canonical")))
+    return canonical_triples, entity_map, obs
+
+
+def build_knowledge_graph(spark: SparkSession, pages: DataFrame, table: Table,
+                          aliases: DataFrame, output_dir: str,
+                          mode: str = MODE_MINIMAL,
+                          n_buckets: int = 64) -> dict:
+    """Run A-E; returns {'triples': manifest, 'entities': ..., 'metrics': ...}.
+
+    `aliases` columns: (alias, entity_id, entity_uri). Output layout:
+      output_dir/triples/   canonicalized triples (bucketed by url hash)
+      output_dir/entities/  (node, component, canonical_uri)
+      output_dir/_manifests under each table dir (commit records)
+    """
+    canonical_triples, entity_map, obs = kg_canonical_triples(
+        pages, table, aliases, mode=mode)
 
     # E: materialize with lineage
     t_manifest = write_resumable(canonical_triples,

@@ -26,7 +26,6 @@ import argparse
 import json
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 
 def docs_table_spec():
@@ -45,23 +44,6 @@ def docs_table_spec():
     return t
 
 
-def synth_aliases(docs):
-    """Deterministic alias dictionary: every distinct document `source`
-    becomes an entity with two surface forms (raw + 'the <src> archive'),
-    so canonicalization must merge aliases of one entity."""
-    base = (docs.select(F.lower(F.col("source")).alias("src")).distinct()
-            .withColumn("entity_id", F.xxhash64("src"))
-            .withColumn("entity_uri",
-                        F.concat(F.lit("http://kb.example.org/src/"),
-                                 F.col("src"))))
-    a1 = base.select(F.col("src").alias("alias"), "entity_id", "entity_uri")
-    a2 = base.select(
-        F.concat(F.lit("the "), F.col("src"), F.lit(" archive")).alias("alias"),
-        "entity_id",
-        F.concat(F.col("entity_uri"), F.lit("#archive")).alias("entity_uri"))
-    return a1.unionByName(a2)
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -75,7 +57,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     # imports resolved from the --py-files zip on executors and driver
-    from csvweb_spark.pipeline import build_knowledge_graph
+    from csvweb_spark.pipeline import build_knowledge_graph, synth_aliases
     from csvweb_spark.sources.pages import pages_from_documents
 
     docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
