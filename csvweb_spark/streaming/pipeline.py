@@ -59,6 +59,66 @@ def stream_triples(spark: SparkSession, input_dir: str, output_dir: str,
     return writer.start()
 
 
+OUTPUT_HOST_STATS = ("host string, batch_pages long, total_pages long, "
+                     "batch_new_urls long, total_urls_approx long")
+_STATE_HOST_STATS = "total_pages long, total_urls long, bloom binary"
+_BLOOM_BITS = 1 << 19  # 64 KiB per host; FP ~1% at ~3.6e4 urls (k=3)
+
+
+def _host_stats_update(key, pdf_iter, state):
+    """applyInPandasWithState update: cumulative per-host page count +
+    approximate distinct-url count via a Bloom filter held IN state (a
+    fixed 64 KiB binary - exact sets would grow without bound; at
+    10^12-page scale this is the only state shape that survives)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    if state.exists:
+        total_pages, total_urls, bloom_bytes = state.get
+        bloom = np.frombuffer(bloom_bytes, dtype=np.uint8).copy()
+    else:
+        total_pages, total_urls = 0, 0
+        bloom = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+
+    batch_pages, batch_new = 0, 0
+    for pdf in pdf_iter:
+        batch_pages += len(pdf)
+        for u in pdf["url"]:
+            h = int.from_bytes(
+                hashlib.blake2b(str(u).encode(), digest_size=8).digest(),
+                "big")
+            probes = [(h >> (21 * i)) % _BLOOM_BITS for i in range(3)]
+            if any(not (bloom[p >> 3] >> (p & 7)) & 1 for p in probes):
+                batch_new += 1
+                for p in probes:
+                    bloom[p >> 3] |= 1 << (p & 7)
+    total_pages += batch_pages
+    total_urls += batch_new
+    state.update((total_pages, total_urls, bloom.tobytes()))
+    yield pd.DataFrame([{
+        "host": key[0], "batch_pages": batch_pages,
+        "total_pages": total_pages, "batch_new_urls": batch_new,
+        "total_urls_approx": total_urls,
+    }])
+
+
+def stream_host_stats(spark: SparkSession, input_dir: str,
+                      max_files_per_trigger: Optional[int] = None) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-host
+    cumulative crawl statistics that persist across micro-batches - the
+    'custom stateful operator' pattern the batch pipeline cannot express.
+    Returns the update-mode streaming DataFrame (caller picks the sink)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pages = read_pages_stream(spark, input_dir, max_files_per_trigger)
+    keyed = pages.withColumn("host", F.expr("parse_url(url, 'HOST')"))
+    return (keyed.groupBy("host").applyInPandasWithState(
+        _host_stats_update, OUTPUT_HOST_STATS, _STATE_HOST_STATS,
+        "update", GroupStateTimeout.NoTimeout))
+
+
 def stream_page_stats(spark: SparkSession, input_dir: str,
                       window: str = "1 hour", slide: Optional[str] = None,
                       watermark: str = "10 minutes") -> DataFrame:

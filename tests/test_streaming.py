@@ -74,3 +74,46 @@ def test_windowed_stats_with_watermark(spark, pages_dir):
     total = sum(r.n_pages for r in rows)
     assert total == 30
     assert len({r.win for r in rows}) == 3  # 30 pages over 3 10-min windows
+
+
+def test_stateful_host_stats_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: state (page totals + url Bloom filter) must
+    persist across micro-batches; re-crawled urls don't bump distinct."""
+    from csvweb_spark.streaming.pipeline import stream_host_stats
+
+    path = str(tmp_path / "pages_batches")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string").coalesce(1)
+    # batch 1: 4 urls on host a, 2 on host b
+    mk([(f"http://a.example/{i}", None, None, "x", "en") for i in range(4)]
+       + [(f"http://b.example/{i}", None, None, "x", "en") for i in range(2)]
+       ).write.mode("append").parquet(path)
+    # batch 2: host a re-crawls 2 urls + 1 new; host b 1 new
+    mk([("http://a.example/0", None, None, "x", "en"),
+        ("http://a.example/1", None, None, "x", "en"),
+        ("http://a.example/9", None, None, "x", "en"),
+        ("http://b.example/9", None, None, "x", "en"),
+        ]).write.mode("append").parquet(path)
+
+    agg = stream_host_stats(spark, path, max_files_per_trigger=1)
+    q = (agg.writeStream.format("memory").queryName("host_stats")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("select * from host_stats").collect()
+    # one output row per (host, micro-batch); batch order is not guaranteed,
+    # so assert on order-independent facts: the cumulative row (max pages)
+    # and the per-host sums
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    assert len(by_host["a.example"]) == 2  # two micro-batches reached a
+    a = max(by_host["a.example"], key=lambda r: r.total_pages)
+    b = max(by_host["b.example"], key=lambda r: r.total_pages)
+    assert a.total_pages == 7 and b.total_pages == 3
+    # state persisted across micro-batches: re-crawled urls were found in
+    # the Bloom filter carried in state, so distinct-url count < page count
+    assert a.total_urls_approx == 5
+    assert b.total_urls_approx == 3
+    assert sum(r.batch_new_urls for r in by_host["a.example"]) == 5
+    assert sum(r.batch_pages for r in by_host["a.example"]) == 7
