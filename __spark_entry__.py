@@ -419,6 +419,20 @@ def q_multimodal_binary_stats(spark, sf_dir):
         "url", F.col("n_bytes").cast("long").alias("n_bytes"), "sha256")
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF ANN: distributed-KMeans coarse quantizer, constant-folded
+    centroid probing (n_probe nearest cells per query), exact cosine
+    re-rank over probed inverted lists only. No oracle_sql: the quantizer
+    is iterative (KMeans) and cell assignment is not SQL-replicable;
+    rows-only check + test_operators.py::test_ann_topk_ivf assert recall
+    against the exact brute force."""
+    from csvweb_spark.operators.similarity import ann_topk_ivf
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 32)
+    out = ann_topk_ivf(emb, queries, k=5, n_cells=8, n_probe=3)
+    return out.select("query_id", "neighbor_id", "rank", "cos4")
+
+
 def q_entity_link_fuzzy(spark, sf_dir):
     """MinHash-LSH candidate generation for entity linking (north_star:
     'batch-scored against a broadcast alias dictionary with MinHash-LSH
@@ -528,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "text_profile": q_text_profile,
         "text_quality": q_text_quality,
         "q1_pricing_summary": q_q1_pricing_summary,

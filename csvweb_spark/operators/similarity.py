@@ -9,6 +9,9 @@
 * `ann_topk_lsh` - the scale path: random-hyperplane LSH bucket join
   (sign-bit sketches), probing only same-bucket candidates, exact cosine
   re-rank. Recall tunable via bits/tables.
+* `ann_topk_ivf` - the other scale path: IVF (inverted-file) - a k-means
+  coarse quantizer partitions the corpus into cells; each query probes its
+  n_probe nearest centroids and exact-reranks only those inverted lists.
 
 At 100 TB the broadcast side is the queries (KBs-MBs); the corpus scan
 stays narrow and column-pruned to (key, vector).
@@ -100,6 +103,65 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
     for extra in cand_tables[1:]:
         cands = cands.unionByName(extra)
     cands = cands.dropDuplicates(["query_id", "neighbor_id"])
+    if exclude_self:
+        cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cands.withColumn(
+        "cos4", F.round(cosine_sim(F.col("cv"), F.col("qv")), 4))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos4").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos4"))
+
+
+def _l2_to_const(vec: Column, center: list[float]) -> Column:
+    """Squared L2 distance from `vec` to a constant centroid (folded into
+    the codegen'd expression - no UDF, no broadcast join)."""
+    return F.aggregate(
+        F.zip_with(vec, F.array(*[F.lit(float(x)) for x in center]),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 key_col: str = "vec_id", vec_col: str = "embedding",
+                 query_key: str = "vec_id", n_cells: int = 16,
+                 n_probe: int = 4, seed: int = 42,
+                 exclude_self: bool = True) -> DataFrame:
+    """IVF approximate top-k: candidate volume ~ n x n_probe / n_cells per
+    query instead of n (brute force). The quantizer trains distributed
+    (pyspark.ml KMeans over the corpus); the resulting centroids are a
+    driver-side constant (n_cells x dim floats, KBs) folded into the probe
+    expression, so cell assignment and query probing are pure codegen'd
+    column math. At 100 TB: train on a sample, assign in the same narrow
+    scan that reads the vectors, shuffle only (cell)-bucketed candidates."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(F.col(key_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(
+        c.withColumn("features", array_to_vector("cv")))
+    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+
+    def cell_dists(vec):
+        return F.array(*[
+            F.struct(_l2_to_const(vec, ctr).alias("d"),
+                     F.lit(i).alias("cell"))
+            for i, ctr in enumerate(centroids)])
+
+    # corpus side: hard assignment to the nearest centroid (argmin = first
+    # element of the sorted (d, cell) struct array)
+    assigned = c.withColumn(
+        "cell", F.array_sort(cell_dists(F.col("cv")))[0]["cell"])
+    # query side: probe the n_probe nearest cells
+    probed = (queries.select(
+        F.col(query_key).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"))
+        .withColumn("cell", F.explode(F.transform(
+            F.slice(F.array_sort(cell_dists(F.col("qv"))), 1, n_probe),
+            lambda s: s["cell"]))))
+    cands = assigned.join(F.broadcast(probed), "cell").drop("cell")
     if exclude_self:
         cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = cands.withColumn(

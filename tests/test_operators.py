@@ -237,3 +237,22 @@ def test_lineage_write_and_resume(spark, tmp_path, docs):
     total = spark.read.parquet(os.path.join(out, "data")).count()
     assert total == 40  # all buckets now present (committed ones kept)
     assert committed_partitions(out) > done
+
+
+def test_ann_topk_ivf(spark, embeddings):
+    """IVF: k-means cells + n_probe probing must recover most exact top-1
+    neighbors on the clustered embedding corpus; candidate sets shrink to
+    ~n_probe/n_cells of the corpus per query."""
+    from csvweb_spark.operators.similarity import (ann_topk_bruteforce,
+                                                   ann_topk_ivf)
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    exact = ann_topk_bruteforce(embeddings, queries, k=5).collect()
+    approx = ann_topk_ivf(embeddings, queries, k=5,
+                          n_cells=8, n_probe=3).collect()
+    assert {r.query_id for r in approx} == {0, 1, 2}
+    for q in (0, 1, 2):
+        ranks = sorted(r.rank for r in approx if r.query_id == q)
+        assert ranks == [1, 2, 3, 4, 5]
+    top1_exact = {(r.query_id, r.neighbor_id) for r in exact if r.rank == 1}
+    top1_approx = {(r.query_id, r.neighbor_id) for r in approx if r.rank == 1}
+    assert len(top1_exact & top1_approx) >= 2  # >=2/3 recall@1
