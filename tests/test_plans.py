@@ -1,0 +1,99 @@
+"""Physical-plan regression tests: the 100 TB story lives or dies on plan
+shape, so pin it. A refactor that silently adds a shuffle to the narrow
+extraction path, drops parquet pushdown, or turns the alias broadcast into
+a sort-merge join must fail CI, not a cluster bill."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_scan_pushdown_and_column_pruning(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = (li.filter(F.col("l_shipdate") <= "1995-01-01")
+         .select("l_orderkey", "l_quantity"))
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    # projection + filter column only - not the 16-column lineitem schema
+    assert read_cols == {"l_orderkey", "l_quantity", "l_shipdate"}
+
+
+def test_compiled_triples_plan_is_shuffle_free(spark, tmp_path):
+    """The flagship extraction: one MapInPandas (csv parse) + JVM
+    expressions; NO Exchange anywhere in the conversion plan."""
+    from bench import docs_table_spec
+    from csvweb_spark.operators.triples import convert_table_group_spark
+
+    path = str(tmp_path / "pages")
+    spark.createDataFrame(
+        [(f"http://p/{i}.csv",
+          "doc_id,lang,source,n_chars,text\n1,en,web,3,abc\n")
+         for i in range(4)],
+        "url string, text string").write.parquet(path)
+    pages = spark.read.parquet(path)
+    out = convert_table_group_spark(pages, docs_table_spec(),
+                                    scope_by_url=True)
+    plan = plan_of(out)
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
+    # no row-at-a-time python in the hot path
+    assert "BatchEvalPython" not in plan
+
+
+def test_html_extraction_plan_is_shuffle_free(spark, tmp_path):
+    from csvweb_spark.sources.html_tables import extract_html_tables
+
+    path = str(tmp_path / "hpages")
+    spark.createDataFrame(
+        [("http://p/1", None, b"<table><tr><th>a</th></tr>"
+          b"<tr><td>1</td></tr></table>", None, "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string").write.parquet(path)
+    plan = plan_of(extract_html_tables(spark.read.parquet(path)))
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 1
+
+
+def test_link_exact_uses_broadcast_join(spark):
+    from csvweb_spark.operators.linking import link_exact
+    mentions = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id"), F.col("source").alias("mention"))
+    aliases = spark.createDataFrame(
+        [("web", 1, "http://e/1")],
+        "alias string, entity_id long, entity_uri string")
+    plan = plan_of(link_exact(mentions, aliases))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_text_ops_stay_jvm_side(spark):
+    """Quality scoring / profiling must be pure Catalyst expressions - any
+    python eval node here is a 10-100x regression at corpus scale."""
+    from csvweb_spark.operators.text import quality_features, text_profile
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for q in (text_profile(docs), quality_features(docs)):
+        plan = plan_of(q)
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_canonicalize_triples_broadcasts_canon_map(spark):
+    from csvweb_spark.operators.canonicalize import canonicalize_triples
+    triples = spark.createDataFrame(
+        [("http://s/1", "p", "http://o/1", "iri")],
+        "subj string, pred string, obj string, obj_kind string")
+    labels = spark.createDataFrame(
+        [(1, "http://canon/1")], "node long, canonical string")
+    plan = plan_of(canonicalize_triples(triples, labels))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
