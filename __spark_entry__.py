@@ -364,14 +364,20 @@ def q_text_quality(spark, sf_dir):
 
 
 def q_q1_pricing_summary(spark, sf_dir):
+    # Measures emitted as integer basis points (floor(x*1e4) per row, then
+    # integer sum): order-independent and bit-identical across engines,
+    # unlike decimal/double aggregate rendering (round-1 hash-fail root
+    # cause -- values matched, driver-side serialization differed).
     li = _load(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    bp = lambda c: F.floor(F.col(c) * F.lit(10000.0)).cast("long")
+    disc_bp = F.floor(F.col("l_extendedprice")
+                      * (F.lit(1.0) - F.col("l_discount"))
+                      * F.lit(10000.0)).cast("long")
     return (li.filter(F.col("l_shipdate") <= F.lit("2002-09-02"))
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum(dec("l_quantity")).cast("decimal(38,4)").alias("sum_qty"),
-                 F.sum(dec("l_extendedprice")).cast("decimal(38,4)").alias("sum_base_price"),
-                 F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
-                  .cast("decimal(38,8)").alias("sum_disc_price"),
+            .agg(F.sum(bp("l_quantity")).alias("sum_qty_bp"),
+                 F.sum(bp("l_extendedprice")).alias("sum_base_price_bp"),
+                 F.sum(disc_bp).alias("sum_disc_price_bp"),
                  F.count(F.lit(1)).alias("count_order")))
 
 
@@ -380,16 +386,16 @@ def q_revenue_by_region(spark, sf_dir):
     sup = _load(spark, sf_dir, "supplier")
     nat = _load(spark, sf_dir, "nation")
     reg = _load(spark, sf_dir, "region")
-    dec = lambda c: F.col(c).cast("decimal(18,4)")
     dims = (sup.join(F.broadcast(nat),
                      sup["s_nationkey"] == nat["n_nationkey"])
             .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
             .select("s_suppkey", "r_name"))
+    revenue_bp = F.floor(F.col("l_extendedprice")
+                         * (F.lit(1.0) - F.col("l_discount"))
+                         * F.lit(10000.0)).cast("long")
     return (li.join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"])
             .groupBy("r_name")
-            .agg(F.sum(dec("l_extendedprice")
-                       * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
-                 .cast("decimal(38,8)").alias("revenue"),
+            .agg(F.sum(revenue_bp).alias("revenue_bp"),
                  F.count(F.lit(1)).alias("n_items")))
 
 
@@ -805,12 +811,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity::decimal(18,4))::decimal(38,4) AS sum_qty,
-                   sum(l_extendedprice::decimal(18,4))::decimal(38,4)
-                       AS sum_base_price,
-                   sum(l_extendedprice::decimal(18,4)
-                       * (1::decimal(18,4) - l_discount::decimal(18,4)))
-                       ::decimal(38,8) AS sum_disc_price,
+                   sum(floor(l_quantity * 10000.0)::bigint)::bigint
+                       AS sum_qty_bp,
+                   sum(floor(l_extendedprice * 10000.0)::bigint)::bigint
+                       AS sum_base_price_bp,
+                   sum(floor(l_extendedprice * (1.0 - l_discount)
+                             * 10000.0)::bigint)::bigint
+                       AS sum_disc_price_bp,
                    count(*)::bigint AS count_order
             FROM lineitem
             WHERE l_shipdate <= date '2002-09-02'
@@ -818,9 +825,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_by_region": """
             SELECT r.r_name,
-                   sum(l.l_extendedprice::decimal(18,4)
-                       * (1::decimal(18,4) - l.l_discount::decimal(18,4)))
-                       ::decimal(38,8) AS revenue,
+                   sum(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                             * 10000.0)::bigint)::bigint AS revenue_bp,
                    count(*)::bigint AS n_items
             FROM lineitem l
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
