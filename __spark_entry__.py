@@ -62,6 +62,18 @@ def q_csvw_minimal_triples(spark, sf_dir):
     return out.select("subj", "pred", "obj", "obj_datatype")
 
 
+def q_rdf_ntriples(spark, sf_dir):
+    """N-Triples export of the nation conversion: pure-column serialization
+    (operators/serialize.py; reference sink: Rdf/Converter.cs:235-238 via
+    dotNetRDF writers). Oracle rebuilds the exact lines with SQL string
+    concatenation + the same escape chain."""
+    from csvweb_spark.operators.serialize import to_ntriples
+    from csvweb_spark.operators.triples import convert_table_group_spark
+    out = convert_table_group_spark(_nation_pages(spark, sf_dir),
+                                    _nation_table(), scope_by_url=False)
+    return to_ntriples(out)
+
+
 def q_csvw_standard_rownum(spark, sf_dir):
     from csvweb_spark.csvw.convert import MODE_STANDARD
     from csvweb_spark.operators.triples import convert_table_group_spark
@@ -119,6 +131,45 @@ def q_csvw_datatype_date(spark, sf_dir):
     out = convert_table_group_spark(pages, t, scope_by_url=False)
     return (out.filter(F.col("obj_datatype") == XSD + "date")
             .select("subj", "pred", "obj", "obj_datatype"))
+
+
+def q_csvw_cell_errors(spark, sf_dir):
+    """Compiled-path per-cell error side-output (E1): lexically valid
+    dateTime literals that normalization rejects (impossible calendar
+    dates) produce (url, row, col_ix, col_name, message) mirroring the
+    kernel's ConversionResult.errors wording (reference
+    Rdf/Converter.cs:456-461). Every 7th order gets '2024-02-31T12:00:00';
+    the oracle reconstructs the exact messages in SQL. (Format-INVALID
+    values are NOT errors -- they fall back to xsd:string literals, W3C
+    cell-parsing step 8; see test_compiled_error_side_output_matches_kernel
+    for that split.)"""
+    from csvweb_spark.csvw.model import Column, Datatype, Table
+    from csvweb_spark.operators.triples import (
+        convert_table_group_spark_with_errors)
+    from csvweb_spark.sources.pages import pages_from_table
+    orders = (_load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderkey") < 3000)
+              .withColumn("ots",
+                          F.when(F.col("o_orderkey") % 7 == 0,
+                                 F.lit("2024-02-31T12:00:00"))
+                          .otherwise(F.date_format("o_orderdate",
+                                                   "yyyy-MM-dd'T'HH:mm:ss"))))
+    pages = pages_from_table(orders, (F.col("o_orderkey") / 500).cast("long"),
+                             "http://ex.org/orders/{key}.csv",
+                             ["o_orderkey", "ots"], "o_orderkey")
+    t = Table(url="http://ex.org/orders.csv")
+    about = "http://ex.org/order/{o_orderkey}"
+    t.columns = [
+        Column(name="o_orderkey", about_url=about,
+               property_url="http://ex.org/def/okey",
+               datatype=Datatype(base="integer")),
+        Column(name="ots", about_url=about,
+               datatype=Datatype(base="dateTime"),
+               property_url="http://ex.org/def/ots"),
+    ]
+    _triples, errors = convert_table_group_spark_with_errors(
+        pages, t, scope_by_url=False)
+    return errors.select("url", "row", "col_ix", "col_name", "message")
 
 
 def q_csvw_null_default_virtual(spark, sf_dir):
@@ -298,9 +349,16 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """60-bit JVM simhash + hamming block-trick pairs. Oracle-exact: the
+    token hash is the first 15 md5 hex chars, which DuckDB reproduces with
+    ('0x'||substr(md5(t),1,15))::bigint; the oracle brute-forces all pairs
+    while Spark uses the block-bucket join -- identical result sets because
+    the block trick is exhaustive at hamming <= max_hamming."""
     from csvweb_spark.operators.dedup import dedup_simhash
     d = _docs_with_near_dups(spark, sf_dir, 150, 30000, " z")
-    return dedup_simhash(d, max_hamming=10)
+    out = dedup_simhash(d, max_hamming=10)
+    return out.select("id_a", "id_b",
+                      F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
@@ -427,16 +485,21 @@ def q_multimodal_binary_stats(spark, sf_dir):
 
 def q_ann_topk_ivf(spark, sf_dir):
     """IVF ANN: distributed-KMeans coarse quantizer, constant-folded
-    centroid probing (n_probe nearest cells per query), exact cosine
-    re-rank over probed inverted lists only. No oracle_sql: the quantizer
-    is iterative (KMeans) and cell assignment is not SQL-replicable;
-    rows-only check + test_operators.py::test_ann_topk_ivf assert recall
-    against the exact brute force."""
+    centroid probing, exact cosine re-rank over probed inverted lists.
+
+    Oracle strategy: run with n_probe = n_cells (full probing). The union
+    of ALL inverted lists must reconstruct the corpus exactly once -- so
+    the result must equal the exact brute force, and DuckDB's cross-join
+    top-k is a hash-exact oracle for the whole IVF plumbing (KMeans cell
+    assignment partition, probe-list explode/join, re-rank window). The
+    recall/cost tradeoff at n_probe < n_cells is covered separately by
+    test_operators.py::test_ann_topk_ivf against the brute force."""
     from csvweb_spark.operators.similarity import ann_topk_ivf
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 32)
-    out = ann_topk_ivf(emb, queries, k=5, n_cells=8, n_probe=3)
-    return out.select("query_id", "neighbor_id", "rank", "cos4")
+    out = ann_topk_ivf(emb, queries, k=5, n_cells=8, n_probe=8)
+    return out.select("query_id", "neighbor_id",
+                      F.col("rank").cast("long").alias("rank"), "cos4")
 
 
 def q_entity_link_fuzzy(spark, sf_dir):
@@ -504,10 +567,12 @@ def q_detect_tabular(spark, sf_dir):
 def q_kg_pipeline(spark, sf_dir):
     """Flagship end-to-end composition (stages A-D of pipeline.py):
     pages -> CSVW triples -> entity linking against a synthesized alias
-    dictionary -> connected-components canonicalization. No oracle_sql
-    (iterative union-find is not single-statement-SQL-expressible); the
-    driver records the rows-only check, and tests/test_pipeline.py holds
-    the semantic assertions."""
+    dictionary -> connected-components canonicalization. Oracle: DuckDB
+    recomputes the same graph with a recursive-CTE min-label closure
+    (components here are min-reachable-URI sets, so the fixpoint of the
+    closure equals the large/small-star result exactly); triples derive
+    straight from `documents` (the CSV page round-trip is byte-identical
+    per the input_hint invariant, tested in test_byte_identity_invariant)."""
     from bench import docs_table_spec
     from csvweb_spark.pipeline import kg_canonical_triples, synth_aliases
     from csvweb_spark.sources.pages import pages_from_documents
@@ -534,6 +599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csvw_standard_rownum": q_csvw_standard_rownum,
         "csvw_list_explode": q_csvw_list_explode,
         "csvw_datatype_date": q_csvw_datatype_date,
+        "csvw_cell_errors": q_csvw_cell_errors,
+        "rdf_ntriples": q_rdf_ntriples,
         "csvw_null_default_virtual": q_csvw_null_default_virtual,
         "csvw_template_specials": q_csvw_template_specials,
         "csvw_valueurl_iri": q_csvw_valueurl_iri,
@@ -569,6 +636,44 @@ _ALIAS_VALUES = ("(VALUES ('spark', 1, 'http://ex.org/e/1'), "
                  "('window', 2, 'http://ex.org/e/2'), "
                  "('customer', 3, 'http://ex.org/e/3'), "
                  "('vector', 4, 'http://ex.org/e/4'))")
+
+
+def _simhash_oracle_sql(bits: int = 60, max_hamming: int = 10) -> str:
+    """DuckDB replica of operators/dedup.py::simhash + dedup_simhash over
+    the q_dedup_simhash corpus: token hash = first 15 md5 hex chars (60
+    bits), per-bit vote sums, sign-packed; pairs brute-forced (the Spark
+    side's block-bucket join is exhaustive at hamming <= max_hamming, so
+    the sets agree exactly)."""
+    votes = ",\n                       ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS v{j}" for j in range(bits))
+    pack = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j}::bigint ELSE 0::bigint END"
+        for j in range(bits))
+    return f"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 150
+                UNION ALL
+                SELECT doc_id + 30000, text || ' z'
+                FROM documents WHERE doc_id < 37),
+            tok AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(t), 1, 15))::bigint AS h
+                FROM (SELECT doc_id,
+                             unnest(string_split_regex(
+                                 regexp_replace(lower(text),
+                                                '^\\s+|\\s+$', '', 'g'),
+                                 '\\s+')) AS t
+                      FROM corpus)),
+            votes AS (
+                SELECT doc_id,
+                       {votes}
+                FROM tok GROUP BY doc_id),
+            sh AS (SELECT doc_id, ({pack}) AS simhash FROM votes)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash))::bigint AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -610,6 +715,48 @@ def oracle_sql() -> dict[str, str]:
                    strftime(o_orderdate, '%Y-%m-%d') AS obj,
                    '{xsd_d}' AS obj_datatype
             FROM orders WHERE o_orderkey < 3000
+        """,
+        "csvw_cell_errors": """
+            WITH src AS (
+                SELECT o_orderkey,
+                       (o_orderkey // 500)::bigint AS pk,
+                       row_number() OVER (PARTITION BY o_orderkey // 500
+                                          ORDER BY o_orderkey) AS rn
+                FROM orders WHERE o_orderkey < 3000)
+            SELECT 'http://ex.org/orders/' || pk || '.csv' AS url,
+                   rn::bigint AS row,
+                   1::bigint AS col_ix,
+                   'ots' AS col_name,
+                   'Conversion error at row ' || (rn + 1)
+                       || ', column ''ots''. '
+                       || 'day is out of range for month' AS message
+            FROM src WHERE o_orderkey % 7 = 0
+        """,
+        "rdf_ntriples": f"""
+            WITH t AS (
+                SELECT 'http://ex.org/nation/' || n_nationkey AS subj,
+                       'http://ex.org/nation.csv#n_nationkey' AS pred,
+                       n_nationkey::varchar AS obj, '{xsd_i}' AS obj_datatype
+                FROM nation
+                UNION ALL
+                SELECT 'http://ex.org/nation/' || n_nationkey,
+                       'http://ex.org/nation.csv#n_name', n_name, '{xsd_s}'
+                FROM nation
+                UNION ALL
+                SELECT 'http://ex.org/nation/' || n_nationkey,
+                       'http://ex.org/nation.csv#n_regionkey',
+                       n_regionkey::varchar, '{xsd_i}'
+                FROM nation),
+            esc AS (
+                SELECT subj, pred, obj_datatype,
+                       replace(replace(replace(replace(replace(obj,
+                           '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'),
+                           chr(13), '\\r'), chr(9), '\\t') AS obj
+                FROM t)
+            SELECT '<' || subj || '> <' || pred || '> "' || obj ||
+                   CASE WHEN obj_datatype = '{xsd_s}' THEN '" .'
+                        ELSE '"^^<' || obj_datatype || '> .' END AS line
+            FROM esc
         """,
         "csvw_null_default_virtual": f"""
             WITH c AS (SELECT * FROM customer WHERE c_custkey < 600)
@@ -745,6 +892,76 @@ def oracle_sql() -> dict[str, str]:
                    cos4
             FROM scored
             QUALIFY rank <= 5
+        """,
+        # full probing (n_probe = n_cells) makes IVF exactly the brute
+        # force, so the exact top-k oracle checks the whole IVF plumbing
+        "ann_topk_ivf": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 32),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(e.embedding::double[],
+                                                    q.qv::double[]), 4) AS cos4
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos4 DESC, neighbor_id) AS rank,
+                   cos4
+            FROM scored
+            QUALIFY rank <= 5
+        """,
+        "dedup_simhash": _simhash_oracle_sql(),
+        "kg_pipeline": """
+            WITH al AS (
+                SELECT lower(source) AS src,
+                       lower(source) AS alias,
+                       'http://kb.example.org/src/' || lower(source) AS entity_uri
+                FROM (SELECT DISTINCT source FROM documents)
+                UNION ALL
+                SELECT lower(source),
+                       'the ' || lower(source) || ' archive',
+                       'http://kb.example.org/src/' || lower(source) || '#archive'
+                FROM (SELECT DISTINCT source FROM documents)),
+            triples AS (
+                SELECT 'http://pages.example.org/doc/' || doc_id AS subj,
+                       'http://pages.example.org/docs/' || (doc_id // 10)
+                           || '.csv#doc_id' AS pred,
+                       doc_id::varchar AS obj FROM documents
+                UNION ALL
+                SELECT 'http://pages.example.org/doc/' || doc_id,
+                       'http://pages.example.org/docs/' || (doc_id // 10) || '.csv#lang', lang FROM documents
+                UNION ALL
+                SELECT 'http://pages.example.org/doc/' || doc_id,
+                       'http://pages.example.org/docs/' || (doc_id // 10) || '.csv#source', source FROM documents
+                UNION ALL
+                SELECT 'http://pages.example.org/doc/' || doc_id,
+                       'http://pages.example.org/docs/' || (doc_id // 10) || '.csv#n_chars',
+                       n_chars::varchar FROM documents
+                UNION ALL
+                SELECT 'http://pages.example.org/doc/' || doc_id,
+                       'http://pages.example.org/docs/' || (doc_id // 10) || '.csv#text', text FROM documents),
+            links AS (
+                SELECT DISTINCT t.subj AS src, a.entity_uri AS dst
+                FROM triples t JOIN al a
+                  ON trim(regexp_replace(regexp_replace(lower(t.obj), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g'))
+                   = trim(regexp_replace(regexp_replace(lower(a.alias), '[^a-z0-9 ]', ' ', 'g'), '\s+', ' ', 'g'))),
+            alias_edges AS (
+                SELECT a.entity_uri AS src, m.mn AS dst
+                FROM al a JOIN (SELECT src, min(entity_uri) AS mn FROM al GROUP BY src) m
+                  ON a.src = m.src
+                WHERE a.entity_uri <> m.mn),
+            edges AS (SELECT src, dst FROM links UNION SELECT src, dst FROM alias_edges),
+            und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+            nodes AS (SELECT src AS node FROM und UNION SELECT dst FROM und),
+            reach AS (
+                WITH RECURSIVE r(node, comp) AS (
+                    SELECT node, node FROM nodes
+                    UNION
+                    SELECT u.dst, r.comp FROM r JOIN und u ON u.src = r.node)
+                SELECT node, min(comp) AS canonical FROM r GROUP BY node)
+            SELECT coalesce(l.canonical, t.subj) AS subj, t.pred, t.obj
+            FROM triples t LEFT JOIN reach l ON l.node = t.subj
         """,
         "text_profile": """
             WITH s AS (

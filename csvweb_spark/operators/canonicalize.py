@@ -8,13 +8,14 @@ O(log n) rounds even on long chains, vs O(diameter) for naive label
 propagation.
 
 Scale/skew design (north_star mandate - hub entities must not hot-spot):
-* the min-neighbor aggregation is a groupBy(min): map-side partial
-  aggregation means a hub with 10^8 edges contributes ONE row per input
-  partition to the shuffle - hubs are cheap by construction;
-* the join back to the edge list is skewed on hubs -> AQE skew-join
-  splitting is enabled by the session config (spark.sql.adaptive.
-  skewJoin.enabled), and `salt_edges` provides explicit two-phase salting
-  for pre-AQE clusters;
+* the min-neighbor aggregation is a SALTED two-phase min (partial min per
+  (node, salt) with map-side combine, then a skew-free merge over
+  <= n_salts rows per node) - a hub with 10^8 edges contributes at most
+  n_salts x n_partitions rows to any shuffle;
+* the join back to the edge list is keyed by (node, salt) against the
+  salt-replicated min map, so hub edges spread over n_salts reduce tasks
+  instead of one; AQE skew-join splitting remains enabled as a second
+  line of defense;
 * per-round `localCheckpoint` truncates the exponentially-growing lineage.
 
 API: long node ids (use `edges_from_uris` to hash string entity URIs).
@@ -23,7 +24,7 @@ Output: (node, component) with component = min node id of the component.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -45,22 +46,47 @@ def _canonical(edges: DataFrame) -> DataFrame:
             .distinct())
 
 
+N_SALTS = 16
+
+
+def _salted_min(edges: DataFrame, key: str, val: str,
+                n_salts: int = N_SALTS) -> tuple[DataFrame, DataFrame]:
+    """Hub-safe per-key min: (salted edges with `_salt`, per-key mins).
+
+    Two-phase shape (round-1 used Window.partitionBy(key).min, which ships
+    EVERY edge of a hub node to one task):
+      1. partial min per (key, salt) -- map-side combine, so a 10^8-degree
+         hub contributes at most n_salts x n_input_partitions rows to the
+         shuffle;
+      2. global min over <= n_salts rows per key -- skew-free by
+         construction.
+    The salt is derived from the value endpoint, so a hub's edges spread
+    uniformly over n_salts reduce tasks. Callers that need the min joined
+    back to the edges join on (key, _salt) against the salt-replicated min
+    map (see _large_star) -- the heavy exchange is then keyed by
+    (key, salt), never by key alone."""
+    salted = edges.withColumn("_salt", F.pmod(F.xxhash64(val), F.lit(n_salts)))
+    partial = salted.groupBy(key, "_salt").agg(F.min(val).alias("_pm"))
+    mins = partial.groupBy(key).agg(F.min("_pm").alias("_m"))
+    return salted, mins
+
+
+def _replicate_per_salt(mins: DataFrame, n_salts: int = N_SALTS) -> DataFrame:
+    return mins.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """large-star: every neighbor larger than u points to u's min neighbor
-    (including u itself).
-
-    One shuffle for the per-node min (window over the SAME partitioning the
-    subsequent filter consumes - no groupBy+self-join round trip) plus the
-    distinct's exchange: 2 shuffles instead of 3. A window min is a running
-    aggregate, not a sort-buffer blowup, and the hub-node skew argument is
-    unchanged (map-side combine is lost, but rows-per-node is the same as
-    the join fan-out the groupBy variant paid)."""
+    (including u itself). Salted two-phase min + (key, salt)-keyed join
+    back, so hub nodes never concentrate in a single task."""
     bidir = (edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
              .unionByName(edges.select(F.col("v").alias("a"),
                                        F.col("u").alias("b"))))
-    w = Window.partitionBy("a")
-    return (bidir
-            .withColumn("m", F.least(F.min("b").over(w), F.col("a")))
+    salted, mins = _salted_min(bidir, "a", "b")
+    mins = mins.select("a", F.least("_m", F.col("a")).alias("m"))
+    joined = salted.join(_replicate_per_salt(mins), ["a", "_salt"])
+    return (joined
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("u"), F.col("m").alias("v"))
             .distinct())
@@ -69,11 +95,12 @@ def _large_star(edges: DataFrame) -> DataFrame:
 def _small_star(edges: DataFrame) -> DataFrame:
     """small-star: for each node u (over edges oriented big->small), connect
     all of its smaller neighbors and u itself to the minimum neighbor.
-    Window-min formulation, same shuffle saving as _large_star."""
-    w = Window.partitionBy("u")
-    nbrs = edges.withColumn("m", F.min("v").over(w))
-    to_min = nbrs.select(F.col("v").alias("s"), F.col("m").alias("d"))
-    self_edge = nbrs.select(F.col("u").alias("s"), F.col("m").alias("d"))
+    Same salted two-phase min as _large_star; the u->min self edge comes
+    straight from the (tiny) per-key min map, no join needed."""
+    salted, mins = _salted_min(edges, "u", "v")
+    joined = salted.join(_replicate_per_salt(mins), ["u", "_salt"])
+    to_min = joined.select(F.col("v").alias("s"), F.col("_m").alias("d"))
+    self_edge = mins.select(F.col("u").alias("s"), F.col("_m").alias("d"))
     return (to_min.unionByName(self_edge)
             .filter(F.col("s") != F.col("d"))
             .select(F.greatest("s", "d").alias("u"),

@@ -14,8 +14,9 @@ scale/recall point:
                      candidates verified with exact Jaccard so precision is
                      exact, recall is the banding probability. The scale
                      path for 10^12 docs.
-* simhash          - 64-bit simhash from md5-hashed tokens (vectorized
-                     numpy inside a pandas UDF); hamming-band bucketing.
+* simhash          - 60-bit simhash from md5-hashed tokens, pure JVM
+                     codegen (explode -> per-bit vote sums -> sign pack);
+                     hamming-band bucketing. DuckDB-replicable exactly.
 * embedding_cosine - exact cosine near-dup over an embedding column
                      (array<float>) with JVM-side F.aggregate dot products.
 
@@ -174,13 +175,25 @@ def dedup_minhash_lsh(df: DataFrame, text_col: str = "text",
                       num_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.5, seed: int = 42,
                       verify_exact: bool = True,
-                      shingle_unit: str = "word") -> DataFrame:
+                      shingle_unit: str = "word",
+                      max_bucket_size: int = 64,
+                      return_dropped: bool = False):
     """LSH candidate generation + exact-Jaccard verification.
 
     bands=16 x rows=4 at 64 hashes -> ~(1-(1-s^4)^16) candidate recall:
     s=0.5 -> 0.65, s=0.7 -> 0.99, s=0.8 -> 0.9996. Candidates are verified
     with exact shingle Jaccard, so emitted pairs are exactly the true pairs
-    among candidates (precision 1.0)."""
+    among candidates (precision 1.0).
+
+    Skew guard: the candidate self-join is quadratic INSIDE a bucket, so a
+    boilerplate-heavy corpus (or exact duplicates) would otherwise create a
+    mega-bucket and a runaway task. Buckets larger than `max_bucket_size`
+    are dropped BEFORE the self-join -- run `dedup_exact` first so identical
+    docs never reach LSH, and audit the drop via `return_dropped=True`,
+    which returns (pairs, dropped) where dropped lists every skipped
+    (band, bucket, size). No silent caps: callers see exactly what was cut.
+    Singleton buckets (size 1, the vast majority) are pruned by the same
+    count, which also shrinks the self-join input."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, key_col, n, num_hashes, seed,
                               shingle_unit)
@@ -193,13 +206,23 @@ def dedup_minhash_lsh(df: DataFrame, text_col: str = "text",
                 ",", F.slice(F.col("signature"),
                              bi * rows_per_band + 1, rows_per_band)), bi)
         )).alias("band", "bucket"))
-    a = banded.select(F.col(key_col).alias("id_a"), "band", "bucket")
-    b = banded.select(F.col(key_col).alias("id_b"), "band", "bucket")
+    # bucket-size census: map-side-combinable count, then keep only buckets
+    # that can produce pairs and stay under the skew cap
+    sizes = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("bucket_size"))
+    eligible = (sizes
+                .filter((F.col("bucket_size") >= 2)
+                        & (F.col("bucket_size") <= max_bucket_size))
+                .select("band", "bucket"))
+    dropped = sizes.filter(F.col("bucket_size") > max_bucket_size)
+    pruned = banded.join(eligible, ["band", "bucket"])
+    a = pruned.select(F.col(key_col).alias("id_a"), "band", "bucket")
+    b = pruned.select(F.col(key_col).alias("id_b"), "band", "bucket")
     cands = (a.join(b, ["band", "bucket"])
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b").distinct())
     if not verify_exact:
-        return cands
+        return (cands, dropped) if return_dropped else cands
     sh_expr = (word_shingles(F.col(text_col), n) if shingle_unit == "word"
                else shingles(F.col(text_col), n))
     sh = df.select(F.col(key_col), sh_expr.alias("sh"))
@@ -210,7 +233,8 @@ def dedup_minhash_lsh(df: DataFrame, text_col: str = "text",
                              F.col("sh").alias("sh_b")), "id_b")
              .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
              .filter(F.col("jaccard") >= threshold))
-    return cands.select("id_a", "id_b", "jaccard")
+    pairs = cands.select("id_a", "id_b", "jaccard")
+    return (pairs, dropped) if return_dropped else pairs
 
 
 # --------------------------------------------------------------------------
@@ -219,51 +243,43 @@ def dedup_minhash_lsh(df: DataFrame, text_col: str = "text",
 
 
 def simhash(df: DataFrame, text_col: str = "text", key_col: str = "doc_id",
-            bits: int = 64) -> DataFrame:
-    """64-bit SimHash over whitespace tokens; token hashes via md5 (stable
-    across engines), bit-vote accumulation vectorized in numpy."""
-    import hashlib
-    import numpy as np
+            bits: int = 60) -> DataFrame:
+    """SimHash over whitespace tokens, entirely JVM-side (no Python on the
+    hot path -- round-1 hashed tokens with per-token Python md5).
 
-    tokens = df.select(
-        F.col(key_col),
-        F.split(F.regexp_replace(F.lower(text_col), r"^\s+|\s+$", ""), r"\s+")
-         .alias("toks"))
-
-    @F.pandas_udf(LongType())
-    def sim(tok_series: pd.Series) -> pd.Series:
-        out = []
-        cache: dict[str, int] = {}
-        for toks in tok_series:
-            if toks is None or len(toks) == 0:
-                out.append(0)
-                continue
-            votes = np.zeros(bits, dtype="int64")
-            shift = np.arange(bits, dtype="uint64")
-            for t in toks:
-                h = cache.get(t)
-                if h is None:
-                    h = int.from_bytes(
-                        hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
-                    cache[t] = h
-                bitsarr = ((np.uint64(h) >> shift) & np.uint64(1)).astype("int64")
-                votes += bitsarr * 2 - 1
-            v = int(((votes > 0).astype("uint64") << np.arange(bits, dtype="uint64")).sum())
-            out.append(v - (1 << 64) if v >= (1 << 63) else v)
-        return pd.Series(out, dtype="int64")
-
-    return tokens.select(key_col, sim(F.col("toks")).alias("simhash"))
+    Token hash = first 15 hex chars of md5 (60 bits), which DuckDB
+    reproduces exactly as ('0x' || substr(md5(t),1,15))::bigint -- so the
+    whole operator is oracle-checkable in SQL. Shape: explode tokens ->
+    per-bit vote sums (ONE groupBy with map-side combine; a document's
+    tokens never concentrate anywhere) -> pack sign bits. bits must be
+    <= 60 (the token-hash width; keeps every value in a signed long)."""
+    assert bits <= 60, "token hash provides 60 bits"
+    toks = F.split(
+        F.regexp_replace(F.lower(text_col), r"^\s+|\s+$", ""), r"\s+")
+    tok = df.select(F.col(key_col), F.explode(toks).alias("t"))
+    h = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+    tok = tok.select(key_col, h.alias("h"))
+    votes = tok.groupBy(key_col).agg(*[
+        F.sum(F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1)) * 2 - 1)
+         .alias(f"v{j}")
+        for j in range(bits)])
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        sim = sim + F.when(F.col(f"v{j}") > 0,
+                           F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+    return votes.select(key_col, sim.alias("simhash"))
 
 
 def dedup_simhash(df: DataFrame, text_col: str = "text",
-                  key_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                  key_col: str = "doc_id", max_hamming: int = 3,
+                  bits: int = 60) -> DataFrame:
     """Near-dup pairs with hamming distance <= max_hamming, found by the
-    standard 4-block trick: split 64 bits into max_hamming+1 blocks; any
+    standard block trick: split the hash into max_hamming+1 blocks; any
     pair within distance k shares at least one exact block -> bucket join
     per block, then exact hamming verification (bit_count of xor)."""
     blocks = max_hamming + 1
-    width = 64 // blocks
-    h = simhash(df, text_col, key_col)
+    width = bits // blocks
+    h = simhash(df, text_col, key_col, bits)
     block_exprs = [
         F.shiftrightunsigned(F.col("simhash"), bi * width)
          .bitwiseAND(F.lit((1 << width) - 1))

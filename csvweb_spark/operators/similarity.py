@@ -1,11 +1,11 @@
 """Similarity search over an embedding column (array<float>).
 
 * `ann_topk_bruteforce` - exact cosine top-k: broadcast the (small) query
-  set against the corpus; per-partition numpy matmul inside a pandas UDF
-  batch, then a global top-k per query (partial top-k map-side via window
-  over repartitioned queries is unnecessary at k << corpus: the shuffle
-  carries only corpus_rows x queries scored pairs filtered to per-partition
-  top-k first).
+  set against the corpus (narrow crossJoin, JVM-codegen'd cosine), then a
+  PER-PARTITION top-k prune (mapInPandas over the already-scored rows,
+  same (cos4 desc, neighbor_id asc) total order as the final ranking)
+  before the global per-query window - the exchange carries at most
+  k x n_partitions rows per query, never corpus x queries.
 * `ann_topk_lsh` - the scale path: random-hyperplane LSH bucket join
   (sign-bit sketches), probing only same-bucket candidates, exact cosine
   re-rank. Recall tunable via bits/tables.
@@ -36,6 +36,32 @@ def _scored(corpus: DataFrame, queries: DataFrame, key_col: str,
             .withColumn("cos", cosine_sim(F.col("cv"), F.col("qv"))))
 
 
+def partition_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Exact per-partition top-k over (query_id, neighbor_id, cos4) rows,
+    shuffle-free: mapInPandas keeps a running best-k per query across the
+    partition's Arrow batches (vectorized pandas sort, no per-row Python).
+    The order (cos4 desc, neighbor_id asc) is IDENTICAL to the global
+    ranking window, so per-partition pruning is lossless for the final
+    top-k; output is <= k rows per (query, partition)."""
+    import pandas as pd
+
+    sel = scored.select("query_id", "neighbor_id", "cos4")
+    schema = sel.schema
+
+    def gen(batches):
+        best = None
+        for pdf in batches:
+            cur = pd.concat([best, pdf]) if best is not None else pdf
+            cur = cur.sort_values(["query_id", "cos4", "neighbor_id"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort")
+            best = cur.groupby("query_id", sort=False).head(k)
+        if best is not None and len(best):
+            yield best
+
+    return sel.mapInPandas(gen, schema)
+
+
 def ann_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
                         key_col: str = "vec_id", vec_col: str = "embedding",
                         query_key: str = "vec_id",
@@ -43,15 +69,20 @@ def ann_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """Exact top-k neighbors per query by cosine (desc), ties by neighbor id.
 
     Returns (query_id, neighbor_id, rank, cos4) with cos4 = round(cos, 4) so
-    results hash-compare stably across engines."""
+    results hash-compare stably across engines. The score is computed by the
+    JVM expression (matches the DuckDB oracle bit-for-bit); the per-query
+    window only ever sees the per-partition top-k survivors, so no single
+    reduce task receives the full scored corpus (round-1 defect: the window
+    shuffled all n x q scored rows to q partitions)."""
     scored = _scored(corpus, queries, key_col, vec_col, query_key)
     if exclude_self:
         scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     # rank on the rounded score so cross-engine float noise cannot reorder
     scored = scored.withColumn("cos4", F.round(F.col("cos"), 4))
+    partial = partition_topk(scored, k)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos4").desc(), F.col("neighbor_id").asc())
-    return (scored
+    return (partial
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cos4"))
@@ -127,21 +158,30 @@ def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  key_col: str = "vec_id", vec_col: str = "embedding",
                  query_key: str = "vec_id", n_cells: int = 16,
                  n_probe: int = 4, seed: int = 42,
-                 exclude_self: bool = True) -> DataFrame:
+                 exclude_self: bool = True,
+                 train_fraction: float | None = None,
+                 max_train_rows: int = 65536) -> DataFrame:
     """IVF approximate top-k: candidate volume ~ n x n_probe / n_cells per
-    query instead of n (brute force). The quantizer trains distributed
-    (pyspark.ml KMeans over the corpus); the resulting centroids are a
-    driver-side constant (n_cells x dim floats, KBs) folded into the probe
-    expression, so cell assignment and query probing are pure codegen'd
-    column math. At 100 TB: train on a sample, assign in the same narrow
-    scan that reads the vectors, shuffle only (cell)-bucketed candidates."""
+    query instead of n (brute force). The quantizer trains on a SAMPLE of
+    the corpus (a coarse quantizer needs ~1000x n_cells points, not 10^12:
+    train_fraction=None auto-sizes the sample to max_train_rows); the
+    resulting centroids are a driver-side constant (n_cells x dim floats,
+    KBs) folded into the probe expression, so cell assignment and query
+    probing are pure codegen'd column math. Assignment happens in the same
+    narrow scan that reads the vectors; only (cell)-bucketed candidates
+    shuffle."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     c = corpus.select(F.col(key_col).alias("neighbor_id"),
                       F.col(vec_col).cast("array<double>").alias("cv"))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(
-        c.withColumn("features", array_to_vector("cv")))
+    feat = c.withColumn("features", array_to_vector("cv"))
+    if train_fraction is None:
+        n = corpus.count()  # parquet sources: metadata-only
+        train_fraction = min(1.0, max_train_rows / max(n, 1))
+    train = (feat.sample(False, train_fraction, seed)
+             if train_fraction < 1.0 else feat)
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
     centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
 
     def cell_dists(vec):

@@ -44,7 +44,7 @@ import pandas as pd
 from pyspark.sql import Column as SparkColumn, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, LongType, StringType, StructField, StructType,
+    ArrayType, BooleanType, LongType, StringType, StructField, StructType,
 )
 
 from ..csvw.cells import normalize_cell
@@ -449,30 +449,58 @@ def _static_metadata_triples(ctx: _PlanContext, table_node, table_kind,
     return F.when(ctx.row == 1, F.array(*structs)).otherwise(_empty_arr())
 
 
+_NORM_RESULT_TYPE = StructType([
+    StructField("norm", StringType()),
+    StructField("err", StringType()),
+    StructField("fallback", BooleanType()),
+])
+
+
 def _format_normalizer_udf(c: Column):
-    """Arrow-vectorized lexical normalization for one format column; invalid
-    values -> NULL (triple suppressed; the kernel records a cell error)."""
+    """Arrow-vectorized lexical normalization for one format column,
+    mirroring the kernel's cell semantics EXACTLY (it calls the same
+    functions):
+
+    * lexically INVALID value (kernel csvw/convert.py:320, W3C cell-parsing
+      step 8) -> (raw, err=None, fallback=True): the triple survives with
+      the raw value retyped xsd:string;
+    * valid value whose normalization RAISES (e.g. '2024-02-31T12:00:00'
+      passes the dateTime lexical regex, fromisoformat rejects it) ->
+      (None, str(ex), False): triple dropped + error side-output, the
+      kernel's loop-level capture (convert.py:496-499, reference
+      Rdf/Converter.cs:456-461);
+    * valid + normalizable -> (normalized, None, False)."""
     fmt = c.datatype.format if c.datatype else None
     iri = c.datatype_iri
+    is_string = iri == XSD_STRING
 
-    from ..csvw.convert import _default_datetime_normalize
+    from ..csvw.convert import _default_datetime_normalize, lexical_valid
     from ..csvw.model import ConversionError
 
     def norm_one(v):
         if v is None:
-            return None
+            return (None, None, False)
+        if is_string:
+            # kernel: string literals (incl. lang) bypass validity checks;
+            # string-base formats normalize as identity
+            return (v, None, False)
+        if not lexical_valid(v, c):
+            return (v, None, True)
         try:
             if fmt is not None:
-                return fmt.normalize(v)
-            return _default_datetime_normalize(v, iri)
-        except (FormatError, ConversionError, ValueError):
-            return None
+                return (fmt.normalize(v), None, False)
+            return (_default_datetime_normalize(v, iri), None, False)
+        except (FormatError, ConversionError, ValueError) as ex:
+            return (None, str(ex), False)
 
-    @F.pandas_udf(StringType())
-    def norm(series: pd.Series) -> pd.Series:
+    @F.pandas_udf(_NORM_RESULT_TYPE)
+    def norm(series: pd.Series) -> pd.DataFrame:
         # vectorize via unique-value mapping (typical pages repeat lexical forms)
         uniq = {v: norm_one(v) for v in series.dropna().unique()}
-        return series.map(uniq)
+        mapped = series.map(lambda v: uniq.get(v, (None, None, False)))
+        return pd.DataFrame({"norm": mapped.map(lambda t: t[0]),
+                             "err": mapped.map(lambda t: t[1]),
+                             "fallback": mapped.map(lambda t: t[2])})
 
     # deterministic in truth, but marked otherwise so Catalyst neither
     # duplicates the Arrow eval into the downstream null-filter nor re-runs
@@ -483,7 +511,35 @@ def _format_normalizer_udf(c: Column):
 def compile_triples(rows_df: DataFrame, table: Table, columns: list[Column],
                     mode: str = MODE_MINIMAL,
                     scope_by_url: bool = True) -> DataFrame:
-    """Stage B: (url, row, vals) -> triples, single narrow JVM pass.
+    """Stage B: (url, row, vals) -> triples, single narrow JVM pass."""
+    triples, _errors = compile_triples_with_errors(
+        rows_df, table, columns, mode, scope_by_url)
+    return triples
+
+
+ERRORS_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("row", LongType()),
+    StructField("col_ix", LongType()),
+    StructField("col_name", StringType()),
+    StructField("message", StringType()),
+])
+
+
+def compile_triples_with_errors(
+        rows_df: DataFrame, table: Table, columns: list[Column],
+        mode: str = MODE_MINIMAL,
+        scope_by_url: bool = True) -> tuple[DataFrame, DataFrame]:
+    """Stage B: (url, row, vals) -> (triples, cell-error side-output).
+
+    The error DataFrame carries (url, row, col_ix, col_name, message) for
+    every cell whose lexical form fails its declared format/datatype --
+    the same events the Python kernel appends to ConversionResult.errors
+    (csvw/convert.py:496-499; reference Rdf/Converter.cs:456-461 Progress
+    +Errors channel). message reproduces the kernel's wording, including
+    its 1-based SOURCE row (logical row + header rows). Both outputs share
+    one lazy plan; materializing both costs one extra scan unless the
+    caller persists the common prefix.
 
     Common subexpressions (bnode scope, subjects, predicates, normalized
     values) are materialized as columns in two projection stages before the
@@ -559,14 +615,45 @@ def compile_triples(rows_df: DataFrame, table: Table, columns: list[Column],
             (c.datatype is not None and c.datatype.format is not None)
             or c.datatype_iri in (XSD_DATE, XSD_DATETIME))
     ]
-    if needs_norm:
-        obj = F.col("obj")
-        for i, c in needs_norm:
-            udf = _format_normalizer_udf(c)
-            obj = F.when((F.col("col_ix") == i) & (F.col("obj_kind") == "literal"),
-                         udf(F.col("obj"))).otherwise(obj)
-        exploded = exploded.withColumn("obj", obj).filter(F.col("obj").isNotNull())
-    return exploded.drop("col_ix")
+    if not needs_norm:
+        empty_errors = rows_df.sparkSession.createDataFrame([], ERRORS_SCHEMA)
+        return exploded.drop("col_ix"), empty_errors
+
+    header_rows = table.dialect.effective_header_row_count()
+    res = F.struct(F.col("obj").alias("norm"),
+                   F.lit(None).cast("string").alias("err"),
+                   F.lit(False).alias("fallback"))
+    for i, c in needs_norm:
+        udf = _format_normalizer_udf(c)
+        res = F.when((F.col("col_ix") == i) & (F.col("obj_kind") == "literal"),
+                     udf(F.col("obj"))).otherwise(res)
+    normed = exploded.withColumn("_n", res)
+    # kernel wording: csvw/convert.py:497-499 (source row = row + header rows)
+    name_expr = F.lit(None).cast("string")
+    for i, c in needs_norm:
+        name_expr = F.when(F.col("col_ix") == i, F.lit(c.name or "")) \
+                     .otherwise(name_expr)
+    errors = (normed.filter(F.col("_n.err").isNotNull())
+              .select("url", "row", F.col("col_ix").cast("long").alias("col_ix"),
+                      name_expr.alias("col_name"),
+                      F.concat(F.lit("Conversion error at row "),
+                               (F.col("row") + F.lit(header_rows)).cast("string"),
+                               F.lit(", column '"), name_expr, F.lit("'. "),
+                               F.col("_n.err")).alias("message")))
+    # W3C step-8 fallback: lexically invalid values keep the raw literal but
+    # retype to xsd:string (and drop any lang) -- kernel convert.py:320-321
+    triples = (normed
+               .withColumn("obj", F.col("_n.norm"))
+               .withColumn("obj_datatype",
+                           F.when(F.col("_n.fallback"), F.lit(XSD_STRING))
+                            .otherwise(F.col("obj_datatype")))
+               .withColumn("obj_lang",
+                           F.when(F.col("_n.fallback"),
+                                  F.lit(None).cast("string"))
+                            .otherwise(F.col("obj_lang")))
+               .filter(F.col("obj").isNotNull())
+               .drop("col_ix", "_n"))
+    return triples, errors
 
 
 def convert_table_group_spark(pages_df: DataFrame, table: Table,
@@ -586,6 +673,24 @@ def convert_table_group_spark(pages_df: DataFrame, table: Table,
         cols = infer_columns(table, sample_text)
     rows = extract_rows(pages_df, table)
     return compile_triples(rows, table, cols, mode, scope_by_url)
+
+
+def convert_table_group_spark_with_errors(
+        pages_df: DataFrame, table: Table,
+        mode: str = MODE_MINIMAL,
+        columns: Optional[list[Column]] = None,
+        scope_by_url: bool = True,
+        sample_text: Optional[str] = None) -> tuple[DataFrame, DataFrame]:
+    """convert_table_group_spark plus the per-cell error side-output
+    (see compile_triples_with_errors)."""
+    cols = columns if columns is not None else table.columns
+    if cols is None:
+        if sample_text is None:
+            first = pages_df.select("text").filter(F.col("text").isNotNull()).first()
+            sample_text = first["text"] if first else ""
+        cols = infer_columns(table, sample_text)
+    rows = extract_rows(pages_df, table)
+    return compile_triples_with_errors(rows, table, cols, mode, scope_by_url)
 
 
 # --------------------------------------------------------------------------

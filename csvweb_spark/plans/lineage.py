@@ -12,7 +12,8 @@ metadata instead):
   input (url hash bucket) - NOT by Spark task id, so retries/resumes land
   in the same logical partition;
 * each run writes data files under data/part_key=K/ plus one manifest row
-  per partition (row count, triple count, min/max url, content hash) into
+  per partition (row count, file count, min/max url bounds -- read from the
+  written parquet footers, Iceberg-manifest style) into
   _manifests/<run_id>.json, written ONLY after the data write succeeds -
   the manifest is the commit record;
 * `resume_filter` anti-joins the input against committed partition keys so
@@ -72,46 +73,85 @@ def resume_filter(df: DataFrame, output_dir: str, url_col: str = "url",
     return keyed.filter(~F.col("part_key").isin(sorted(done)))
 
 
+def _partition_stats_from_footers(data_dir: str, part_key: int,
+                                  url_col: str) -> dict:
+    """Per-partition stats read from the parquet FILE FOOTERS of the files
+    just written: row counts and per-row-group min/max column statistics
+    are parquet metadata, so no data pages are read and nothing is
+    recomputed. This is exactly what an Iceberg commit records in its
+    snapshot manifests (record_count, lower_bounds/upper_bounds per file);
+    string bounds may be writer-truncated prefixes, which keeps them valid
+    as pruning bounds (lower <= true min, upper >= true max), the same
+    contract Iceberg uses."""
+    import pyarrow.parquet as pq
+
+    pdir = os.path.join(data_dir, f"part_key={part_key}")
+    rows, n_files = 0, 0
+    mins, maxs = [], []
+    for fn in sorted(os.listdir(pdir)):
+        if not fn.endswith(".parquet"):
+            continue
+        n_files += 1
+        md = pq.ParquetFile(os.path.join(pdir, fn)).metadata
+        rows += md.num_rows
+        try:
+            col_ix = md.schema.names.index(url_col)
+        except ValueError:
+            continue
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_ix).statistics
+            if st is not None and st.has_min_max:
+                mins.append(st.min)
+                maxs.append(st.max)
+    return {"part_key": part_key, "rows": rows, "n_files": n_files,
+            "min_url": min(mins) if mins else None,
+            "max_url": max(maxs) if maxs else None}
+
+
 def write_partitioned(df: DataFrame, output_dir: str, url_col: str = "url",
                       n_buckets: int = N_BUCKETS_DEFAULT,
                       run_id: Optional[str] = None) -> dict:
     """Write df partitioned by part_key + commit a lineage manifest.
 
-    Returns the manifest dict. The data write happens first; the manifest
-    (the commit record) is written only on success, so a crashed run leaves
-    uncommitted data that a resume overwrites (dynamic partition
-    overwrite)."""
+    SINGLE materialization of the input: the data write is the only job
+    that computes the pipeline; per-partition stats then come from the
+    written parquet footers (metadata-only reads -- see
+    _partition_stats_from_footers), never from a second pass over the
+    input. (Round-1 version collected a groupBy over the full pipeline
+    before writing -- 2x the whole job at scale.)
+
+    The manifest (the commit record) is written only after the data write
+    succeeds, so a crashed run leaves uncommitted data that a resume
+    overwrites (dynamic partition overwrite). This run's partitions are
+    identified as data-dir partitions not yet covered by a committed
+    manifest -- sound because resume reprocesses exactly the uncommitted
+    buckets of a deterministic input."""
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     run_id = run_id or f"run-{int(time.time() * 1000)}"
     keyed = df if "part_key" in df.columns else with_part_key(df, url_col, n_buckets)
 
-    stats = (keyed.groupBy("part_key")
-             .agg(F.count(F.lit(1)).alias("rows"),
-                  F.approx_count_distinct(url_col).alias("urls"),
-                  F.min(url_col).alias("min_url"),
-                  F.max(url_col).alias("max_url"),
-                  F.coalesce(F.sum(F.crc32(F.concat_ws("\x00", *[
-                      F.coalesce(F.col(c).cast("string"), F.lit(""))
-                      for c in df.columns if c != "part_key"]))), F.lit(0))
-                  .alias("content_sum"))
-             .collect())
+    data_dir = os.path.join(output_dir, "data")
+    already_committed = committed_partitions(output_dir)
 
     (keyed.write.mode("overwrite")
      .partitionBy("part_key")
-     .parquet(os.path.join(output_dir, "data")))
+     .parquet(data_dir))
 
+    on_disk = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(data_dir)
+        if d.startswith("part_key=")
+    }
+    new_parts = sorted(on_disk - already_committed)
+    stats = [_partition_stats_from_footers(data_dir, p, url_col)
+             for p in new_parts]
     manifest = {
         "run_id": run_id,
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "n_buckets": n_buckets,
-        "partitions": [
-            {"part_key": r["part_key"], "rows": r["rows"], "urls": r["urls"],
-             "min_url": r["min_url"], "max_url": r["max_url"],
-             "content_sum": int(r["content_sum"])}
-            for r in sorted(stats, key=lambda r: r["part_key"])
-        ],
-        "total_rows": int(sum(r["rows"] for r in stats)),
+        "partitions": stats,
+        "total_rows": int(sum(s["rows"] for s in stats)),
     }
     mdir = os.path.join(output_dir, "_manifests")
     os.makedirs(mdir, exist_ok=True)

@@ -69,6 +69,25 @@ def test_minhash_lsh_recovers_exact_pairs(spark, docs):
         assert r.jaccard >= 0.7
 
 
+def test_minhash_lsh_bucket_cap_bounds_megabucket(spark):
+    """1000 identical docs (a pathological mega-bucket): the bucket-size cap
+    must drop the bucket instead of attempting a ~10^6-pair self-join, and
+    the drop must be reported, not silent. Exact duplicates are
+    dedup_exact's job; LSH only owes bounded work."""
+    from csvweb_spark.operators.dedup import dedup_minhash_lsh
+    boiler = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate page text repeated on every mirror "
+              "of this site with no variation at all").alias("text"))
+    pairs, dropped = dedup_minhash_lsh(boiler, threshold=0.5,
+                                       max_bucket_size=64,
+                                       return_dropped=True)
+    drop_rows = dropped.collect()
+    assert len(drop_rows) >= 1  # every band collapses to one mega-bucket
+    assert all(r.bucket_size == 1000 for r in drop_rows)
+    assert pairs.count() == 0  # bounded: no quadratic candidate explosion
+
+
 def test_simhash_hamming_pairs(spark):
     from csvweb_spark.operators.dedup import dedup_simhash, simhash
     df = spark.createDataFrame(
@@ -169,6 +188,27 @@ def test_connected_components_chain_hub_and_isolated(spark):
     assert sizes == {0: 10, 100: 41, 200: 2}
 
 
+def test_connected_components_megahub(spark):
+    """>=10^5-degree hub star: the salted two-phase min bounds per-task
+    fan-in (no single task receives all hub edges); labeling stays exact
+    and the star rounds compile without a Window node."""
+    from csvweb_spark.operators.canonicalize import (
+        _large_star, connected_components)
+    hub = spark.range(1, 100_001).select(
+        F.lit(500_000).cast("long").alias("src"),
+        (F.col("id") + 1_000_000).cast("long").alias("dst"))
+    plan = _large_star(
+        hub.selectExpr("greatest(src,dst) u", "least(src,dst) v")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    labels = connected_components(hub)
+    agg = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("component").alias("c"),
+        F.min("component").alias("m")).collect()[0]
+    assert (agg.n, agg.c, agg.m) == (100_001, 1, 500_000)
+
+
 def test_connected_components_long_chain_converges(spark):
     """O(log n) convergence: a 200-node chain must finish within max_iter."""
     from csvweb_spark.operators.canonicalize import connected_components
@@ -237,6 +277,35 @@ def test_lineage_write_and_resume(spark, tmp_path, docs):
     total = spark.read.parquet(os.path.join(out, "data")).count()
     assert total == 40  # all buckets now present (committed ones kept)
     assert committed_partitions(out) > done
+
+
+def test_write_partitioned_single_materialization(spark, tmp_path):
+    """The lineage write must compute its input exactly once: manifest
+    stats come from the written parquet footers, not a second pass
+    (round-1 defect: a stats groupBy.collect() recomputed the whole
+    pipeline before the write -- 2x the job at 100 TB)."""
+    import pandas as pd
+
+    from csvweb_spark.plans.lineage import write_partitioned
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def gen(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    base = spark.range(100).select(
+        F.concat(F.lit("http://u/"), F.col("id")).alias("url"), "id")
+    df = base.mapInPandas(gen, "url string, id long")
+    m = write_partitioned(df, str(tmp_path / "out"), n_buckets=4)
+    assert m["total_rows"] == 100
+    assert acc.value == 100  # each input row flowed through exactly once
+    assert sum(p["rows"] for p in m["partitions"]) == 100
+    for p in m["partitions"]:
+        assert p["n_files"] >= 1
+        assert p["min_url"].startswith("http://u/")
+        assert p["min_url"] <= p["max_url"]
 
 
 def test_ann_topk_ivf(spark, embeddings):

@@ -97,3 +97,18 @@ def test_canonicalize_triples_broadcasts_canon_map(spark):
     plan = plan_of(canonicalize_triples(triples, labels))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ntriples_serialization_jvm_only(spark):
+    """Export is one narrow codegen'd projection: no shuffle, no Python."""
+    from csvweb_spark.operators.serialize import to_ntriples
+    df = spark.range(10).select(
+        F.concat(F.lit("http://s/"), "id").alias("subj"),
+        F.lit("http://p").alias("pred"),
+        F.col("id").cast("string").alias("obj"),
+        F.lit("literal").alias("obj_kind"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"))
+    plan = plan_of(to_ntriples(df))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan

@@ -155,3 +155,93 @@ def test_byte_identity_invariant(spark):
     w = _csv.writer(buf, lineterminator="\n")
     w.writerows(rows)
     assert buf.getvalue() == text
+
+
+def test_compiled_error_side_output_matches_kernel(spark):
+    """E1 parity: the compiled path's error side-channel carries the same
+    per-cell errors (same messages, same count) the kernel records in
+    ConversionResult.errors (reference Rdf/Converter.cs:456-461), and the
+    surviving triples are identical in both paths -- including the W3C
+    step-8 fallback (format-invalid value kept as an xsd:string literal,
+    NOT an error) vs. the true error case (lexically valid dateTime that
+    normalization rejects)."""
+    from csvweb_spark.csvw.formats import DateFormat
+    from csvweb_spark.csvw.model import Column, Datatype, Table
+    from csvweb_spark.operators.triples import (
+        convert_table_group_spark_with_errors)
+
+    t = Table(url="http://ex.org/t.csv")
+    about = "http://ex.org/r/{k}"
+    fmt_dt = Datatype(base="date")
+    fmt_dt.format = DateFormat("M/d/yyyy")
+    t.columns = [
+        Column(name="k", about_url=about,
+               property_url="http://ex.org/def/k",
+               datatype=Datatype(base="integer")),
+        Column(name="d", about_url=about,
+               property_url="http://ex.org/def/d", datatype=fmt_dt),
+        Column(name="ts", about_url=about,
+               property_url="http://ex.org/def/ts",
+               datatype=Datatype(base="dateTime")),
+    ]
+    csv_text = ("k,d,ts\n"
+                "1,2/3/2001,2001-02-03T04:05:06\n"
+                "2,13/40/2099,2024-02-31T12:00:00\n"   # d: fallback; ts: error
+                "3,not-a-date,2002-01-01T00:00:00\n"   # d: fallback
+                "4,4/5/2002,2023-06-31T01:02:03\n")    # ts: error
+    pages = _pages(spark, t.url, csv_text)
+    triples, errors = convert_table_group_spark_with_errors(
+        pages, t, scope_by_url=False)
+    err_rows = errors.collect()
+
+    kern = PageConverter().convert_table(t, csv_text)
+    assert len(kern.errors) == 2  # the two impossible dateTimes
+    assert sorted(r.message for r in err_rows) == sorted(kern.errors)
+    assert sorted((r.row, r.col_ix, r.col_name) for r in err_rows) == \
+        [(2, 2, "ts"), (4, 2, "ts")]
+    actual = _collect_triples(triples)
+    expected = [tr.astuple() for tr in kern.triples]
+    # fallback triples present with xsd:string in BOTH paths
+    from csvweb_spark.testing.turtle import XSD as _X
+    assert ("http://ex.org/r/2", "http://ex.org/def/d", "13/40/2099",
+            "literal", _X + "string", None) in actual
+    assert graphs_isomorphic(actual, expected), diff_report(actual, expected)
+
+
+def test_ntriples_roundtrip(spark):
+    """to_ntriples output parses back (N-Triples is a Turtle subset) to an
+    isomorphic graph -- escape-heavy literals, lang tags, bnodes, typed
+    literals, IRI objects."""
+    from csvweb_spark.operators.serialize import to_ntriples
+    from csvweb_spark.testing.turtle import XSD
+
+    rows = [
+        ("http://e/s1", "http://e/p", 'he said "hi"\n\tback\\slash',
+         "literal", XSD + "string", None),
+        ("http://e/s1", "http://e/p2", "bonjour", "literal", None, "fr"),
+        ("_:b0", "http://e/p3", "42", "literal", XSD + "integer", None),
+        ("http://e/s2", "http://e/p4", "_:b0", "bnode", None, None),
+        ("http://e/s2", "http://e/p5", "http://e/o", "iri", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_kind string, "
+              "obj_datatype string, obj_lang string")
+    text = "\n".join(r.line for r in to_ntriples(df).collect())
+    parsed = parse_turtle(text)
+    assert graphs_isomorphic(parsed, rows), diff_report(parsed, rows)
+
+
+def test_ntriples_of_compiled_conversion_roundtrip(spark):
+    """End-to-end: compiled conversion -> N-Triples text -> parse -> same
+    graph as the conversion emitted."""
+    from csvweb_spark.operators.serialize import to_ntriples
+
+    group = parse_metadata(reference_fixture("valid-table-1.json"), BASE)
+    table = group.tables[0]
+    pages = _pages(spark, table.url, reference_fixture("countries.csv"))
+    out = convert_table_group_spark(pages, table, mode=MODE_MINIMAL,
+                                    scope_by_url=False)
+    expected = _collect_triples(out)
+    text = "\n".join(r.line for r in to_ntriples(out).collect())
+    parsed = parse_turtle(text)
+    assert graphs_isomorphic(parsed, expected), diff_report(parsed, expected)

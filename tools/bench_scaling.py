@@ -60,9 +60,13 @@ table = docs_table_spec()
 # it must not sit inside the timed region (on a real cluster it is a
 # one-time driver cost, not per-executor work).
 df = convert_table_group_spark(pages, table, scope_by_url=True)
-# warm-up (untimed): sample job -> codegen + python-worker startup (the OS
-# page cache is primed by the orchestrator before any timed pair)
-df.limit(2000).count()
+# warm-up (untimed): one FULL pass. A limit()-style warm-up only starts a
+# single task slot, leaving cold Python-worker fork + pandas import + JIT
+# inside the timed region for the other slots -- a fixed serial cost that
+# penalizes the higher-parallelism level exactly like a serial fraction.
+# On a real cluster executors and their python daemons persist across
+# jobs, so steady-state throughput is the quantity the north rule scales.
+df.count()
 b0 = _stat()
 t0 = time.time()
 n_triples = df.count()
