@@ -40,7 +40,20 @@ def _stat():
 
 cpus = int(sys.argv[1])
 pages_path = sys.argv[2]
-spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+# SCALING_MODE=cluster runs N SEPARATE single-core executor JVMs
+# (Spark standalone local-cluster) - the literal "N executors vs 4N
+# executors" topology of the north rule: per-executor heaps/GC/python
+# daemons, no shared-JVM contention between executors. Default stays
+# local[N] (task slots in one JVM).
+mode = os.environ.get("SCALING_MODE", "local")
+exec_mem = os.environ.get("SCALING_EXECUTOR_MEM_MB", "6144")
+master = (f"local-cluster[{{cpus}},1,{{exec_mem}}]" if mode == "cluster"
+          else f"local[{{cpus}}]")
+builder = SparkSession.builder.master(master)
+if mode == "cluster":
+    builder = builder.config("spark.executorEnv.PYTHONPATH", {repo!r})
+spark = (builder
+         .config("spark.pyspark.python", sys.executable)
          .config("spark.sql.shuffle.partitions", str(cpus * 2))
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
@@ -83,6 +96,15 @@ print(json.dumps({{"cpus": cpus, "sec": round(dt, 3), "n_pages": n_pages,
 
 
 def main():
+    if os.environ.get("SCALING_MODE") == "cluster":
+        # pip-installed pyspark: local-cluster executors need SPARK_HOME
+        # and an importable repo on the python workers' path
+        import pyspark
+        os.environ.setdefault(
+            "SPARK_HOME", os.path.dirname(pyspark.__file__))
+        repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        os.environ["PYTHONPATH"] = repo_dir + os.pathsep + os.environ.get(
+            "PYTHONPATH", "")
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     replication = int(sys.argv[2]) if len(sys.argv) > 2 else 800
     n_low = int(sys.argv[3]) if len(sys.argv) > 3 else 2
@@ -200,15 +222,24 @@ def main():
     }
     print(json.dumps(summary))
 
+    mode = os.environ.get("SCALING_MODE", "local")
+    if mode == "cluster":
+        topo = (f"Spark standalone local-cluster: {n_low} vs {n_high} "
+                f"SEPARATE single-core executor JVMs (own heap, GC and "
+                f"python daemon per executor - the literal 'N executors vs "
+                f"4N executors' topology of the north rule), one driver, "
+                f"fresh cluster per level")
+    else:
+        topo = (f"local[{n_low}] vs local[{n_high}] task slots; each slot "
+                f"pairs a JVM task thread with its own Python worker "
+                f"process, exactly as executor cores do on a real node")
     with open(os.path.join(repo, "SCALING.md"), "w") as f:
         f.write(f"""# Scaling efficiency evidence (N -> 4N)
 
 BASELINE.json north_rule requires >=0.8 throughput scaling efficiency
 between N and 4N executors. No multi-node cluster exists in this sandbox,
-so the same job runs at two Spark parallelism levels (local[{n_low}] vs
-local[{n_high}] task slots; each slot pairs a JVM task thread with its own
-Python worker process, exactly as executor cores do on a real node) on
-identical input, identical config, fresh JVM per level.
+so the same job runs at two Spark parallelism levels ({topo}) on
+identical input, identical config, fresh JVM(s) per level.
 
 **Measurement: median of {len(pairs)} PAIRED efficiencies.** Each pair runs
 both levels back-to-back (ABBA order alternation), and efficiency is
@@ -232,7 +263,7 @@ replicated x{replication} (~1 GB parquet). The plan is a shuffle-free
 narrow pipeline (mapInPandas csv parse -> codegen'd expression stage), so
 scaling is bounded only by input-split parallelism and per-core throughput.
 
-| level | task slots | median wall (s) | docs/sec |
+| level | cores ({'executors' if mode == 'cluster' else 'task slots'}) | median wall (s) | docs/sec |
 |---|---|---|---|
 | N | {n_low} | {results[n_low]['sec']} | {thr8} |
 | 4N | {n_high} | {results[n_high]['sec']} | {thr32} |
