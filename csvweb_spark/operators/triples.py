@@ -295,6 +295,62 @@ def _triple_struct(subj, pred, obj, kind, dtype, lang, col_ix) -> SparkColumn:
     )
 
 
+def _jvm_lexical_fallback(c: Column) -> bool:
+    """True when this column's W3C step-8 lexical check compiles to pure
+    JVM expressions (see _typed_literal_exprs). Columns with a format,
+    date/dateTime defaults, or metadata value/length constraints take the
+    pandas-UDF normalizer path instead (needs_norm in compile_triples),
+    which calls the kernel's own lexical_valid/normalize_literal."""
+    return (c.datatype is not None
+            and c.datatype.format is None
+            and not c.datatype.constraints
+            and not (c.datatype_iri == XSD_STRING and c.lang)
+            and c.datatype_iri not in (None, XSD_STRING, XSD_DATE,
+                                       XSD_DATETIME))
+
+
+def _typed_literal_exprs(value: SparkColumn, c: Column):
+    """W3C cell-parsing step-8 lexical check as codegen'd JVM expressions
+    (kernel: convert.py lexical_valid + normalize_literal): invalid values
+    keep the raw literal retyped xsd:string; booleans get the default
+    '1'/'0' -> 'true'/'false' lexical map. Returns (obj_expr, dtype_expr).
+
+    Shares the kernel's own regex table (_LEXICAL_RES -- the patterns are
+    Java-regex compatible) and integer ranges, so the two paths cannot
+    drift."""
+    from ..csvw.convert import _INTEGER_RANGES, _LEXICAL_RES, _TZ_SUFFIX
+
+    base = c.base
+    rx = _LEXICAL_RES.get(base)
+    rng = _INTEGER_RANGES.get(base)
+    if rx is None and rng is None:
+        return value, F.lit(c.datatype_iri)  # no lexical rule: accept all
+    valid = (value.rlike("^(" + rx.replace("_TZ", _TZ_SUFFIX) + ")$")
+             if rx is not None else F.lit(True))
+    if rng is not None:
+        lo, hi = rng
+        if -10**38 < lo and hi < 10**38:
+            # bounded types (byte..unsignedLong): decimal(38,0) compare;
+            # overflow -> null -> invalid, which is also correct
+            d = value.cast("decimal(38,0)")
+            valid = valid & d.isNotNull() & (d >= F.lit(lo)) & (d <= F.lit(hi))
+        else:
+            # sign-constrained unbounded integers: the base regex already
+            # enforces the sign; exclude the zero forms the regex admits
+            if lo == 1:
+                valid = valid & ~value.rlike(r"^\+?0+$")
+            if hi == -1:
+                valid = valid & ~value.rlike(r"^-0+$")
+    obj = value
+    if base == "boolean":
+        obj = (F.when(~valid, value)
+               .when(value == "1", F.lit("true"))
+               .when(value == "0", F.lit("false"))
+               .otherwise(value))
+    dtype = F.when(valid, F.lit(c.datatype_iri)).otherwise(F.lit(XSD_STRING))
+    return obj, dtype
+
+
 def _cell_triples_expr(ctx: _PlanContext, c: Column, i: int,
                        subj, subj_kind: str, pred,
                        value=None, obj=None) -> SparkColumn:
@@ -325,18 +381,30 @@ def _cell_triples_expr(ctx: _PlanContext, c: Column, i: int,
     lang = c.lang if is_string_lang else None
 
     if c.virtual:
-        # constant value every row: run the kernel's normalization at plan time
+        # constant value every row: run the kernel's own literal
+        # constructor at plan time (full parity: lexical fallback, boolean
+        # map, format normalization -- convert.py make_literal)
+        from ..csvw.convert import make_literal
         cell = normalize_cell(c.default, c)
         values = cell.value_list if cell.is_list else (
             [cell.value] if cell.value is not None else [])
         values = [v for v in (values or []) if v is not None]
-        if c.datatype is not None and c.datatype.format is not None:
-            values = [c.datatype.format.normalize(v) for v in values]
-        structs = [_triple_struct(subj, pred, F.lit(v), "literal", dtype, lang, i)
-                   for v in values]
+        lits = [make_literal(v, c) for v in values]
+        structs = [_triple_struct(subj, pred, F.lit(t.obj), "literal",
+                                  t.obj_datatype, t.obj_lang, i)
+                   for t in lits]
         main = (F.when(guard_sp, _empty_arr()).otherwise(F.array(*structs))
                 if structs else _empty_arr())
         return F.concat(*extras, main) if extras else main
+
+    jvm_fallback = _jvm_lexical_fallback(c)
+
+    def lit_struct(v: SparkColumn) -> SparkColumn:
+        if jvm_fallback:
+            obj_v, dtype_v = _typed_literal_exprs(v, c)
+            return _triple_struct(subj, pred, obj_v, "literal", dtype_v,
+                                  lang, i)
+        return _triple_struct(subj, pred, v, "literal", dtype, lang, i)
 
     if c.separator is not None:
         # `value` is the whole-value-null-checked pre-split scalar
@@ -350,11 +418,10 @@ def _cell_triples_expr(ctx: _PlanContext, c: Column, i: int,
         arr = F.transform(arr, lambda t: _null_to_none(t, c.null_values))
         arr = F.filter(arr, lambda t: t.isNotNull())
         main = F.when(guard_sp | value.isNull(), _empty_arr()).otherwise(
-            F.transform(arr, lambda t: _triple_struct(
-                subj, pred, t, "literal", dtype, lang, i)))
+            F.transform(arr, lit_struct))
     else:
         main = F.when(guard_sp | value.isNull(), _empty_arr()).otherwise(
-            F.array(_triple_struct(subj, pred, value, "literal", dtype, lang, i)))
+            F.array(lit_struct(value)))
     return F.concat(*extras, main) if extras else main
 
 
@@ -470,11 +537,9 @@ def _format_normalizer_udf(c: Column):
       kernel's loop-level capture (convert.py:496-499, reference
       Rdf/Converter.cs:456-461);
     * valid + normalizable -> (normalized, None, False)."""
-    fmt = c.datatype.format if c.datatype else None
-    iri = c.datatype_iri
-    is_string = iri == XSD_STRING
+    is_string = c.datatype_iri == XSD_STRING
 
-    from ..csvw.convert import _default_datetime_normalize, lexical_valid
+    from ..csvw.convert import lexical_valid, normalize_literal
     from ..csvw.model import ConversionError
 
     def norm_one(v):
@@ -487,9 +552,9 @@ def _format_normalizer_udf(c: Column):
         if not lexical_valid(v, c):
             return (v, None, True)
         try:
-            if fmt is not None:
-                return (fmt.normalize(v), None, False)
-            return (_default_datetime_normalize(v, iri), None, False)
+            # the kernel's own dispatcher: format / boolean lexical map /
+            # default date+dateTime rendering (convert.py:176-198)
+            return (normalize_literal(v, c), None, False)
         except (FormatError, ConversionError, ValueError) as ex:
             return (None, str(ex), False)
 

@@ -245,3 +245,52 @@ def test_ntriples_of_compiled_conversion_roundtrip(spark):
     text = "\n".join(r.line for r in to_ntriples(out).collect())
     parsed = parse_turtle(text)
     assert graphs_isomorphic(parsed, expected), diff_report(parsed, expected)
+
+
+def test_compiled_lexical_fallback_matches_kernel(spark):
+    """W3C step-8 for PLAIN typed columns (no format): invalid lexical
+    forms keep the raw value retyped xsd:string; booleans get the 1/0 ->
+    true/false map; bounded integer types range-check. The compiled JVM
+    guard (_typed_literal_exprs) must agree with the kernel exactly."""
+    from csvweb_spark.csvw.model import Column, Datatype, Table
+    from csvweb_spark.operators.triples import convert_table_group_spark
+
+    t = Table(url="http://ex.org/t.csv")
+    about = "http://ex.org/r/{k}"
+    t.columns = [
+        Column(name="k", about_url=about,
+               property_url="http://ex.org/def/k",
+               datatype=Datatype(base="integer")),
+        Column(name="n", about_url=about,
+               property_url="http://ex.org/def/n",
+               datatype=Datatype(base="integer")),
+        Column(name="b", about_url=about,
+               property_url="http://ex.org/def/b",
+               datatype=Datatype(base="byte")),
+        Column(name="f", about_url=about,
+               property_url="http://ex.org/def/f",
+               datatype=Datatype(base="boolean")),
+        Column(name="d", about_url=about,
+               property_url="http://ex.org/def/d",
+               datatype=Datatype(base="double")),
+    ]
+    csv_text = ("k,n,b,f,d\n"
+                "1,42,127,1,3.5e2\n"      # all valid (bool 1 -> true)
+                "2,abc,300,TRUE,NaN\n"    # invalid int, byte range, bool
+                "3,-7,-128,false,not-a-number\n"
+                "4,+05,0,0,-INF\n")
+    pages = _pages(spark, t.url, csv_text)
+    out = convert_table_group_spark(pages, t, scope_by_url=False)
+    actual = _collect_triples(out)
+    kern = PageConverter().convert_table(t, csv_text)
+    expected = [tr.astuple() for tr in kern.triples]
+    assert graphs_isomorphic(actual, expected), diff_report(actual, expected)
+    from csvweb_spark.testing.turtle import XSD as _X
+    got = {(s.rsplit('/', 1)[-1], p.rsplit('/', 1)[-1]): (o, dt)
+           for s, p, o, kk, dt, _l in actual}
+    assert got[("1", "f")] == ("true", _X + "boolean")
+    assert got[("2", "n")] == ("abc", _X + "string")
+    assert got[("2", "b")] == ("300", _X + "string")
+    assert got[("2", "f")] == ("TRUE", _X + "string")
+    assert got[("2", "d")] == ("NaN", _X + "double")
+    assert got[("4", "f")] == ("false", _X + "boolean")
