@@ -361,6 +361,21 @@ def q_dedup_simhash(spark, sf_dir):
                       F.col("hamming").cast("long").alias("hamming"))
 
 
+def q_dedup_spans(spark, sf_dir):
+    """Span-level exact-substring dedup (strided token windows, JVM md5
+    span hashes): planted copies of the first 30 docs (with a suffix, so
+    doc-level exact dedup would MISS them) must surface as duplicated
+    spans. Oracle recomputes the same windows with DuckDB list slicing."""
+    from csvweb_spark.operators.dedup import duplicate_spans
+    d = _docs_with_near_dups(spark, sf_dir, 120, 50000, " zz tail")
+    out = duplicate_spans(d, window=16, stride=8)
+    return out.select("span_hash",
+                      F.col("n_docs").cast("long").alias("n_docs"),
+                      F.col("n_occurrences").cast("long")
+                       .alias("n_occurrences"),
+                      F.col("first_doc").cast("long").alias("first_doc"))
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     from csvweb_spark.operators.dedup import dedup_embedding_cosine
     emb = _load(spark, sf_dir, "embeddings")
@@ -612,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_spans": q_dedup_spans,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -912,6 +928,29 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 5
         """,
         "dedup_simhash": _simhash_oracle_sql(),
+        "dedup_spans": r"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 120
+                UNION ALL
+                SELECT doc_id + 50000, text || ' zz tail'
+                FROM documents WHERE doc_id < 30),
+            tok AS (
+                SELECT doc_id,
+                       string_split_regex(regexp_replace(lower(text),
+                                                         '^\s+|\s+$', '', 'g'),
+                                          '\s+') AS t
+                FROM corpus),
+            w AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(array_to_string(t[i+1:i+16], ' ')),
+                                       1, 15))::bigint AS span_hash
+                FROM tok, unnest(range(0, len(t) - 16 + 1, 8)) AS u(i)
+                WHERE len(t) >= 16)
+            SELECT span_hash, count(DISTINCT doc_id)::bigint AS n_docs,
+                   count(*)::bigint AS n_occurrences,
+                   min(doc_id)::bigint AS first_doc
+            FROM w GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
+        """,
         "kg_pipeline": """
             WITH al AS (
                 SELECT lower(source) AS src,

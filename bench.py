@@ -125,6 +125,11 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     timed("dedup_minhash_lsh", lambda: dedup_minhash_lsh(
         docs, threshold=0.6).count())
 
+    # dedup: span-level exact-substring (stride-1 = suffix-array guarantee)
+    from csvweb_spark.operators.dedup import duplicate_spans
+    timed("dedup_spans", lambda: duplicate_spans(
+        docs, window=16, stride=1).count())
+
     # similarity: exact top-5 for 32 query vectors
     queries = emb.filter(F.col("vec_id") < 32)
     timed("ann_topk", lambda: ann_topk_bruteforce(emb, queries, k=5).count())

@@ -302,6 +302,51 @@ def dedup_simhash(df: DataFrame, text_col: str = "text",
 
 
 # --------------------------------------------------------------------------
+# span-level exact-duplicate detection
+# --------------------------------------------------------------------------
+
+
+def duplicate_spans(df: DataFrame, text_col: str = "text",
+                    key_col: str = "doc_id", window: int = 16,
+                    stride: int = 8, min_docs: int = 2) -> DataFrame:
+    """Span-level exact-duplicate detection: the 'exact substring dedup'
+    of LLM training-data pipelines (suffix-array style, cf. Lee et al.
+    'Deduplicating Training Data Makes Language Models Better'),
+    re-expressed scale-first as fixed-width token windows with stride.
+
+    Detection guarantee: with stride=1, ANY repeated passage of >= window
+    tokens produces a matching window (the full suffix-array property, at
+    n_tokens windows per doc). With stride=s the cost drops by s but only
+    passages whose start offsets agree modulo s are guaranteed -- the
+    right setting for mirror/boilerplate dedup where copies share a
+    prefix. Callers choose the recall/cost point.
+
+    Entirely JVM-side: tokenize -> strided window explode -> md5-prefix
+    span hash (60 bits, DuckDB-replicable exactly like simhash) -> one
+    groupBy on the uniform hash key (map-side combinable, skew-free).
+    Returns (span_hash, n_docs, n_occurrences, first_doc) for spans seen
+    in >= min_docs distinct documents. Span volume is len/stride windows
+    per doc -- linear in corpus size; no pairwise joins anywhere."""
+    toks = F.split(
+        F.regexp_replace(F.lower(text_col), r"^\s+|\s+$", ""), r"\s+")
+    base = (df.select(F.col(key_col), toks.alias("t"))
+            .filter(F.size("t") >= window))
+    span_h = lambda i: F.conv(
+        F.substring(F.md5(F.concat_ws(" ", F.slice("t", i + 1, window))),
+                    1, 15), 16, 10).cast("long")
+    wins = base.select(
+        key_col,
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("t") - window, F.lit(stride)),
+            span_h)).alias("span_hash"))
+    return (wins.groupBy("span_hash")
+            .agg(F.countDistinct(key_col).alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"),
+                 F.min(key_col).alias("first_doc"))
+            .filter(F.col("n_docs") >= min_docs))
+
+
+# --------------------------------------------------------------------------
 # embedding cosine near-dup
 # --------------------------------------------------------------------------
 

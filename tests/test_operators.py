@@ -88,6 +88,33 @@ def test_minhash_lsh_bucket_cap_bounds_megabucket(spark):
     assert pairs.count() == 0  # bounded: no quadratic candidate explosion
 
 
+def test_duplicate_spans(spark):
+    """Span-level exact dedup: a passage copied between two docs at
+    DIFFERENT offsets (so doc-level dedup misses it and strided windows
+    would misalign) must surface with stride=1 -- the suffix-array
+    guarantee: any shared run >= window tokens matches."""
+    from csvweb_spark.operators.dedup import duplicate_spans
+    passage = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, "intro one two three " + passage + " outro alpha"),
+        (2, "different lead-in words over here " + passage + " and more"),
+        (3, " ".join(f"u{i}" for i in range(60))),   # unique text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_spans(df, window=16, stride=1).collect()
+    assert len(out) >= 40 - 16 + 1  # every shared 16-window, any alignment
+    for r in out:
+        assert r.n_docs == 2 and r.first_doc == 1
+    # strided variant still catches PREFIX-aligned copies at 1/8 the cost
+    pre = spark.createDataFrame(
+        [(1, passage + " tail a"), (2, passage + " other end b")],
+        "doc_id long, text string")
+    assert duplicate_spans(pre, window=16, stride=8).count() >= 1
+    # no false positives: doc 3 shares nothing
+    solo = duplicate_spans(df.filter("doc_id = 3"), window=16, stride=1)
+    assert solo.count() == 0
+
+
 def test_simhash_hamming_pairs(spark):
     from csvweb_spark.operators.dedup import dedup_simhash, simhash
     df = spark.createDataFrame(

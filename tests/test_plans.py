@@ -112,3 +112,45 @@ def test_ntriples_serialization_jvm_only(spark):
     plan = plan_of(to_ntriples(df))
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_ann_bruteforce_prunes_before_window(spark):
+    """The per-query ranking window must receive at most k rows per
+    (query, input partition) -- never the full n x q scored set (round-1
+    defect). Also: pruning is lossless, the result equals the unpruned
+    window's."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from csvweb_spark.operators.dedup import cosine_sim
+    from csvweb_spark.operators.similarity import (
+        ann_topk_bruteforce, partition_topk)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(4)
+    queries = emb.filter(F.col("vec_id") < 3)
+    k = 5
+    out = ann_topk_bruteforce(emb, queries, k=k)
+
+    # volume bound on the exchange input: <= k * partitions per query
+    q = F.broadcast(queries.select(F.col("vec_id").alias("query_id"),
+                                   F.col("embedding").cast("array<double>")
+                                   .alias("qv")))
+    scored = (emb.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("embedding").cast("array<double>").alias("cv"))
+              .crossJoin(q)
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .withColumn("cos4", F.round(cosine_sim("cv", "qv"), 4)))
+    partial = partition_topk(scored, k)
+    n_parts = emb.rdd.getNumPartitions()
+    n_queries = queries.count()
+    assert partial.count() <= k * n_parts * n_queries
+    assert partial.count() < scored.count()  # actually pruned
+
+    # lossless: identical to the unpruned global window
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos4").desc(), F.col("neighbor_id").asc())
+    unpruned = (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "rank", "cos4"))
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, unpruned.collect()))

@@ -1,0 +1,83 @@
+"""Pluggable resolver + single-URL conversion (reference surface:
+ITableResolver.cs + ConvertAsync(Uri) discovery, Rdf/Converter.cs:141-207).
+Pure-Python tests (no Spark session)."""
+
+import pytest
+
+from csvweb_spark.csvw.parse_meta import MetadataParseError
+from csvweb_spark.sources.resolver import (
+    DictResolver, FileResolver, convert_url, locate_metadata)
+
+CSV_URL = "http://ex.org/data/countries.csv"
+CSV_TEXT = "code,name\nAD,Andorra\nAE,United Arab Emirates\n"
+META = """{
+  "@context": "http://www.w3.org/ns/csvw",
+  "url": "countries.csv",
+  "tableSchema": {
+    "aboutUrl": "http://ex.org/c/{code}",
+    "columns": [
+      {"name": "code", "propertyUrl": "http://ex.org/def/code"},
+      {"name": "name", "propertyUrl": "http://ex.org/def/name"}
+    ]
+  }
+}"""
+
+
+def test_sidecar_metadata_discovery_and_convert():
+    r = DictResolver({CSV_URL: CSV_TEXT, CSV_URL + "-metadata.json": META})
+    found = locate_metadata(r, CSV_URL)
+    assert found is not None and found[0] == CSV_URL + "-metadata.json"
+    res = convert_url(CSV_URL, r)
+    trip = {(t.subj, t.pred, t.obj) for t in res.triples}
+    assert ("http://ex.org/c/AD", "http://ex.org/def/name", "Andorra") in trip
+    assert len(res.triples) == 4
+    assert res.errors == []
+
+
+def test_link_header_takes_precedence():
+    r = DictResolver(
+        {CSV_URL: CSV_TEXT,
+         "http://ex.org/data/linked.json": META,
+         CSV_URL + "-metadata.json": '{"url": "countries.csv"}'},
+        links={CSV_URL: '<linked.json>; rel="describedby"; '
+                        'type="application/csvm+json"'})
+    found = locate_metadata(r, CSV_URL)
+    assert found[0] == "http://ex.org/data/linked.json"
+
+
+def test_wellknown_csvm_template_override():
+    r = DictResolver({
+        CSV_URL: CSV_TEXT,
+        "http://ex.org/.well-known/csvm": "{+url}.desc.json\n",
+        CSV_URL + ".desc.json": META,
+    })
+    found = locate_metadata(r, CSV_URL)
+    assert found[0] == CSV_URL + ".desc.json"
+
+
+def test_bare_csv_inferred_schema():
+    r = DictResolver({CSV_URL: CSV_TEXT})
+    assert locate_metadata(r, CSV_URL) is None
+    res = convert_url(CSV_URL, r)
+    # inferred columns: predicate = url#<header-name>, subjects are bnodes
+    preds = {t.pred for t in res.triples}
+    assert preds == {CSV_URL + "#code", CSV_URL + "#name"}
+    assert len(res.triples) == 4
+
+
+def test_unresolvable_raises():
+    r = DictResolver({})
+    with pytest.raises(MetadataParseError):
+        convert_url("http://nowhere.example/x.csv", r)
+
+
+def test_file_resolver(tmp_path):
+    (tmp_path / "d").mkdir()
+    (tmp_path / "d" / "t.csv").write_text("a,b\n1,2\n")
+    (tmp_path / "d" / "t.csv-metadata.json").write_text(
+        '{"@context": "http://www.w3.org/ns/csvw", "url": "t.csv"}')
+    r = FileResolver(str(tmp_path), "http://ex.org")
+    url = "http://ex.org/d/t.csv"
+    assert r.resolve(url).startswith("a,b")
+    res = convert_url(url, r)
+    assert len(res.triples) == 2
