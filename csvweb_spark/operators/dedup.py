@@ -206,10 +206,24 @@ def dedup_minhash_lsh(df: DataFrame, text_col: str = "text",
                 ",", F.slice(F.col("signature"),
                              bi * rows_per_band + 1, rows_per_band)), bi)
         )).alias("band", "bucket"))
+    # one explicit exchange on the bucket key that EVERY downstream consumer
+    # (census, prune join, candidate self-join) shares via ReusedExchange --
+    # without it the census's aggregate exchange differs from the join
+    # exchanges and the signature UDF stage would compute twice. The
+    # explicit isNotNull filters make every branch's scan constraints
+    # identical (the joins would otherwise INFER them on their sides only,
+    # breaking canonical-plan equality and with it the reuse).
+    banded = banded.filter(F.col(key_col).isNotNull()
+                           & F.col("band").isNotNull()
+                           & F.col("bucket").isNotNull())
+    banded = banded.repartition("band", "bucket")
     # bucket-size census: map-side-combinable count, then keep only buckets
-    # that can produce pairs and stay under the skew cap
+    # that can produce pairs and stay under the skew cap. count(key) rather
+    # than count(1): it keeps the census's projection identical to the join
+    # sides' (count(1) lets Catalyst prune the key column, which makes this
+    # branch's exchange non-identical and defeats the reuse below)
     sizes = banded.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("bucket_size"))
+        F.count(key_col).alias("bucket_size"))
     eligible = (sizes
                 .filter((F.col("bucket_size") >= 2)
                         & (F.col("bucket_size") <= max_bucket_size))
