@@ -593,8 +593,8 @@ def q_kg_pipeline(spark, sf_dir):
     from csvweb_spark.sources.pages import pages_from_documents
     docs = _load(spark, sf_dir, "documents")
     pages = pages_from_documents(spark, sf_dir, docs_per_page=10)
-    canonical, _, _ = kg_canonical_triples(pages, docs_table_spec(),
-                                           synth_aliases(docs))
+    canonical = kg_canonical_triples(pages, docs_table_spec(),
+                                     synth_aliases(docs))[0]
     return canonical.select("subj", "pred", "obj")
 
 

@@ -74,10 +74,17 @@ def synth_aliases(docs: DataFrame) -> DataFrame:
 def kg_canonical_triples(pages: DataFrame, table: Table, aliases: DataFrame,
                          mode: str = MODE_MINIMAL):
     """Stages A-D as DataFrames (no materialization): returns
-    (canonical_triples, entity_map, observation)."""
+    (canonical_triples, entity_map, observation, cell_errors).
+
+    cell_errors is the compiled path's per-cell error side-output
+    (url, row, col_ix, col_name, message) -- the reference's
+    ConversionResult.Errors channel (Rdf/Converter.cs:456-461) as a
+    DataFrame the caller can materialize next to the graph tables."""
+    from .operators.triples import convert_table_group_spark_with_errors
+
     # A+B: extraction + conversion (narrow)
-    triples = convert_table_group_spark(pages, table, mode=mode,
-                                        scope_by_url=True)
+    triples, errors = convert_table_group_spark_with_errors(
+        pages, table, mode=mode, scope_by_url=True)
     triples, obs = observe_metrics(triples, "triples")
 
     # C: entity linking -> sameAs edges
@@ -101,7 +108,7 @@ def kg_canonical_triples(pages: DataFrame, table: Table, aliases: DataFrame,
     canonical_triples = canonicalize_triples(
         triples, entity_map.select("node", F.col("canonical_uri")
                                    .alias("canonical")))
-    return canonical_triples, entity_map, obs
+    return canonical_triples, entity_map, obs, errors
 
 
 def build_knowledge_graph(spark: SparkSession, pages: DataFrame, table: Table,
@@ -115,18 +122,23 @@ def build_knowledge_graph(spark: SparkSession, pages: DataFrame, table: Table,
       output_dir/entities/  (node, component, canonical_uri)
       output_dir/_manifests under each table dir (commit records)
     """
-    canonical_triples, entity_map, obs = kg_canonical_triples(
+    canonical_triples, entity_map, obs, errors = kg_canonical_triples(
         pages, table, aliases, mode=mode)
 
-    # E: materialize with lineage
+    # E: materialize with lineage (graph tables + the cell-error table --
+    # the data-quality channel, reference Rdf/Converter.cs:456-461)
     t_manifest = write_resumable(canonical_triples,
                                  os.path.join(output_dir, "triples"),
                                  n_buckets=n_buckets)
     e_manifest = write_resumable(
         entity_map.withColumn("url", F.col("uri")),
         os.path.join(output_dir, "entities"), n_buckets=max(n_buckets // 4, 1))
+    err_manifest = write_resumable(
+        errors, os.path.join(output_dir, "errors"),
+        n_buckets=max(n_buckets // 4, 1))
     return {
         "triples": t_manifest,
         "entities": e_manifest,
+        "errors": err_manifest,
         "metrics": dict(obs.get) if t_manifest["total_rows"] else {},
     }

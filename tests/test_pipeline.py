@@ -49,6 +49,11 @@ def test_build_knowledge_graph_end_to_end(spark, pages, aliases, tmp_path):
     out = str(tmp_path / "kg")
     result = build_knowledge_graph(spark, pages, _table(), aliases, out)
     assert result["triples"]["total_rows"] > 0
+    # the cell-error table is materialized (empty here: clean corpus) with
+    # its own commit manifest -- the data-quality channel of stage E
+    assert "errors" in result
+    assert result["errors"]["total_rows"] == 0
+    assert os.path.isdir(os.path.join(out, "errors", "_manifests"))
 
     triples = spark.read.parquet(os.path.join(out, "triples", "data"))
     entities = spark.read.parquet(os.path.join(out, "entities", "data"))
