@@ -487,6 +487,27 @@ def q_events_sessionize(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_events")))
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of (nearest-prior) join: every event matched to the most recent
+    marker event (event_id % 5 == 0) of the same user at or before its
+    timestamp. Spark side is the union + carry-forward window (one
+    exchange, no inequality join); oracle is DuckDB's native ASOF LEFT
+    JOIN -- exact row parity."""
+    from csvweb_spark.operators.asof import asof_join
+    ev = _load(spark, sf_dir, "events")
+    markers = (ev.filter(F.col("event_id") % 5 == 0)
+               .groupBy("user_id", "ts")
+               .agg(F.max("event_id").alias("marker_id")))
+    out = asof_join(ev.select("event_id", "user_id", "ts"), markers,
+                    "ts", ["user_id"], ["marker_id"])
+    epoch = lambda c: F.col(c).cast("timestamp").cast("long")
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("marker_id").cast("long").alias("marker_id"),
+        (epoch("ts") - epoch("asof_ts")).cast("long").alias("lag_sec"))
+
+
 def q_multimodal_binary_stats(spark, sf_dir):
     from csvweb_spark.operators.multimodal import binary_stats
     docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -637,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q_q1_pricing_summary,
         "revenue_by_region": q_revenue_by_region,
         "events_sessionize": q_events_sessionize,
+        "events_asof": q_events_asof,
         "multimodal_binary_stats": q_multimodal_binary_stats,
         "entity_link_fuzzy": q_entity_link_fuzzy,
         "html_table_triples": q_html_table_triples,
@@ -928,6 +950,17 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 5
         """,
         "dedup_simhash": _simhash_oracle_sql(),
+        "events_asof": """
+            WITH m AS (SELECT user_id, ts, max(event_id) AS marker_id
+                       FROM events WHERE event_id % 5 = 0 GROUP BY 1, 2)
+            SELECT e.event_id::bigint AS event_id,
+                   e.user_id::bigint AS user_id,
+                   m.marker_id::bigint AS marker_id,
+                   (floor(epoch(e.ts))::bigint
+                    - floor(epoch(m.ts))::bigint)::bigint AS lag_sec
+            FROM events e ASOF LEFT JOIN m
+              ON e.user_id = m.user_id AND e.ts >= m.ts
+        """,
         "dedup_spans": r"""
             WITH corpus AS (
                 SELECT doc_id, text FROM documents WHERE doc_id < 120

@@ -88,7 +88,7 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
         F.concat(F.lit('{"url": "'), F.col("url"), F.lit('"}')))).count()
     dedup_minhash_lsh(docs.limit(64), threshold=0.9).count()
 
-    def timed(name, fn, retry_under: float = 30.0):
+    def timed(name, fn, retry_under: float = 40.0):
         """min-of-2 for short queries: the sandbox host has multi-minute
         throttling epochs (see SCALING.md); a second sample keeps one bad
         window from inflating a 2 s query 5x. Long queries run once."""

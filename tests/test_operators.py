@@ -88,6 +88,31 @@ def test_minhash_lsh_bucket_cap_bounds_megabucket(spark):
     assert pairs.count() == 0  # bounded: no quadratic candidate explosion
 
 
+def test_asof_join(spark):
+    """Nearest-prior (inclusive) as-of join via union + carry-forward:
+    equal timestamps match, earlier markers carry forward, no prior
+    marker -> NULL, tolerance expires stale matches."""
+    from csvweb_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(1, 100, 5), (1, 200, 6), (1, 205, 7), (2, 50, 8)],
+        "u long, t long, ev long").selectExpr(
+        "u", "timestamp_seconds(t) AS t", "ev")
+    right = spark.createDataFrame(
+        [(1, 100, 71), (1, 201, 72), (3, 10, 73)],
+        "u long, t long, m long").selectExpr(
+        "u", "timestamp_seconds(t) AS t", "m")
+    out = {r.ev: (r.m, r.asof_ts) for r in asof_join(
+        left, right, "t", ["u"], ["m"]).collect()}
+    assert out[5][0] == 71      # equal ts matches (inclusive)
+    assert out[6][0] == 71      # 200 < 201: still the earlier marker
+    assert out[7][0] == 72      # 205 >= 201
+    assert out[8] == (None, None)  # user 2 has no markers
+    # tolerance: the 105-second-old match for ev=6 expires at 60s
+    tol = {r.ev: r.m for r in asof_join(
+        left, right, "t", ["u"], ["m"], tolerance_seconds=60).collect()}
+    assert tol[5] == 71 and tol[7] == 72 and tol[6] is None
+
+
 def test_duplicate_spans(spark):
     """Span-level exact dedup: a passage copied between two docs at
     DIFFERENT offsets (so doc-level dedup misses it and strided windows
