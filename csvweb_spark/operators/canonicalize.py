@@ -64,8 +64,15 @@ def _salted_min(edges: DataFrame, key: str, val: str,
     uniformly over n_salts reduce tasks. Callers that need the min joined
     back to the edges join on (key, _salt) against the salt-replicated min
     map (see _large_star) -- the heavy exchange is then keyed by
-    (key, salt), never by key alone."""
+    (key, salt), never by key alone.
+
+    The explicit repartition makes the ONE full-data exchange shared by
+    both consumers (the per-(key,salt) aggregate needs no further exchange
+    because its grouping keys equal the partitioning; the join-back reuses
+    the same partitioning): total exchanges per star round equal the
+    unsalted window formulation, with the hub spread on top."""
     salted = edges.withColumn("_salt", F.pmod(F.xxhash64(val), F.lit(n_salts)))
+    salted = salted.repartition(key, "_salt")
     partial = salted.groupBy(key, "_salt").agg(F.min(val).alias("_pm"))
     mins = partial.groupBy(key).agg(F.min("_pm").alias("_m"))
     return salted, mins
