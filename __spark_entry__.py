@@ -340,12 +340,16 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash (Carter-Wegman over GF(2^31-1), md5 base hash) + banded LSH
+    bucket join + exact-Jaccard verify. Oracle-EXACT since round 2: the
+    whole family is deterministic bigint arithmetic that DuckDB replays
+    (signatures, band buckets, bucket-size cap, verification), so the
+    emitted pair SET - including LSH's probabilistic recall behavior - is
+    checked, not just the verified Jaccard values."""
     from csvweb_spark.operators.dedup import dedup_minhash_lsh
     d = _docs_with_near_dups(spark, sf_dir, 150, 20000, " y")
     out = dedup_minhash_lsh(d, threshold=0.6)
-    return out.select("id_a", "id_b",
-                      F.floor(F.col("jaccard") * 10000).cast("long")
-                       .alias("jaccard_bp"))
+    return out.select("id_a", "id_b", F.col("jaccard_bp"))
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -396,6 +400,12 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_topk_lsh(spark, sf_dir):
+    """Sign-random-projection LSH ANN. Oracle-EXACT since round 2: the
+    hyperplanes are md5-derived integers and the sketch dot products are
+    integer arithmetic over floor(x*1e6)-quantized components, so DuckDB
+    regenerates the identical buckets/candidates - LSH recall included -
+    then re-ranks by the same rounded cosine (round 1: random gaussian
+    planes -> no_oracle)."""
     from csvweb_spark.operators.similarity import ann_topk_lsh
     emb = _load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -472,6 +482,33 @@ def q_revenue_by_region(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_items")))
 
 
+def q_revenue_rollup(spark, sf_dir):
+    """Grouping-sets analytics (ROLLUP region -> nation -> grand total):
+    one shuffle produces every aggregation level via Spark's Expand node
+    with map-side partial aggregation - the scale shape for hierarchical
+    reporting over 100 TB fact tables (vs one job per level). Subtotal
+    rows surface NULL group keys; they are coalesced to 'ALL' so the
+    oracle compare is total-order stable."""
+    li = _load(spark, sf_dir, "lineitem")
+    sup = _load(spark, sf_dir, "supplier")
+    nat = _load(spark, sf_dir, "nation")
+    reg = _load(spark, sf_dir, "region")
+    dims = (sup.join(F.broadcast(nat),
+                     sup["s_nationkey"] == nat["n_nationkey"])
+            .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+            .select("s_suppkey", "r_name", "n_name"))
+    revenue_bp = F.floor(F.col("l_extendedprice")
+                         * (F.lit(1.0) - F.col("l_discount"))
+                         * F.lit(10000.0)).cast("long")
+    return (li.join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"])
+            .rollup("r_name", "n_name")
+            .agg(F.sum(revenue_bp).alias("revenue_bp"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .select(F.coalesce("r_name", F.lit("ALL")).alias("region"),
+                    F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+                    "revenue_bp", "n_items"))
+
+
 def q_events_sessionize(spark, sf_dir):
     from pyspark.sql import Window
     ev = _load(spark, sf_dir, "events")
@@ -541,12 +578,12 @@ def q_ann_topk_ivf(spark, sf_dir):
 def q_entity_link_fuzzy(spark, sf_dir):
     """MinHash-LSH candidate generation for entity linking (north_star:
     'batch-scored against a broadcast alias dictionary with MinHash-LSH
-    candidate generation'): tokenize -> binary HashingTF -> MinHashLSH
-    banded bucket join, filtered to Jaccard distance <= 0.6. No oracle_sql:
-    LSH banding recall is probabilistic (a candidate pair can be missed),
-    so exact SQL recomputation of the candidate SET is not well-defined;
-    rows-only check + test_operators.py::test_link_fuzzy_minhash hold the
-    semantics."""
+    candidate generation'): token-set minhash (deterministic md5 /
+    Carter-Wegman family, rows-per-band = 1) -> banded bucket join against
+    the broadcast alias dictionary -> exact-Jaccard verify, filtered to
+    Jaccard distance <= 0.6. Oracle-EXACT since round 2: DuckDB replays
+    signatures, buckets and verification, so candidate recall itself is
+    checked (round 1 used pyspark.ml MinHashLSH -> no_oracle)."""
     from csvweb_spark.operators.linking import link_fuzzy_minhash
     nation = _load(spark, sf_dir, "nation")
     aliases = nation.select(F.lower("n_name").alias("alias"))
@@ -554,7 +591,7 @@ def q_entity_link_fuzzy(spark, sf_dir):
         F.col("n_nationkey").cast("long").alias("mention_id"),
         F.concat(F.lower("n_name"), F.lit(" republic")).alias("mention"))
     out = link_fuzzy_minhash(mentions, aliases, max_distance=0.6)
-    return out.select("mention_id", "mention", "alias")
+    return out.select("mention_id", "mention", "alias", "jaccard_dist_bp")
 
 
 def q_html_table_triples(spark, sf_dir):
@@ -657,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "q1_pricing_summary": q_q1_pricing_summary,
         "revenue_by_region": q_revenue_by_region,
+        "revenue_rollup": q_revenue_rollup,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
         "multimodal_binary_stats": q_multimodal_binary_stats,
@@ -711,6 +749,207 @@ def _simhash_oracle_sql(bits: int = 60, max_hamming: int = 10) -> str:
                    bit_count(xor(a.simhash, b.simhash))::bigint AS hamming
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        """
+
+
+def _minhash_perm_values(num_hashes: int, seed: int = 42) -> str:
+    """VALUES rows (i, a, b) of the Carter-Wegman family used by
+    operators/dedup.py::minhash_signatures - plain bigint in DuckDB."""
+    from csvweb_spark.operators.dedup import _minhash_params
+    a, b = _minhash_params(num_hashes, seed)
+    return ",\n                ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_hashes))
+
+
+def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16,
+                        threshold_bp: int = 6000,
+                        max_bucket: int = 64) -> str:
+    """DuckDB replica of dedup.py::dedup_minhash_lsh over the
+    q_dedup_minhash_lsh corpus: word 3-gram shingles -> 31-bit md5-prefix
+    base hash -> (a*x+b) mod 2^31-1 signature minima -> 60-bit md5 band
+    buckets -> size-capped bucket self-join -> exact integer-bp Jaccard
+    verification. Every step is deterministic bigint arithmetic, so the
+    oracle checks the LSH candidate behavior itself."""
+    rpb = num_hashes // bands
+    p = (1 << 31) - 1
+    return f"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 150
+                UNION ALL
+                SELECT doc_id + 20000, text || ' y'
+                FROM documents WHERE doc_id < 37),
+            toks AS (
+                SELECT doc_id,
+                       string_split_regex(regexp_replace(lower(text),
+                                          '^\\s+|\\s+$', '', 'g'),
+                                          '\\s+') AS w
+                FROM corpus),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) >= 3
+                            THEN list_distinct([array_to_string(w[i:i+2], ' ')
+                                                for i in range(1, len(w) - 1)])
+                            ELSE [] END AS s
+                FROM toks),
+            hx AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(u.sg), 1, 8))::bigint % {p} AS x
+                FROM (SELECT doc_id, unnest(s) AS sg FROM sh) u),
+            perm AS (SELECT * FROM (VALUES
+                {_minhash_perm_values(num_hashes)}) p(i, a, b)),
+            sigv AS (
+                SELECT s.doc_id, p.i,
+                       coalesce(min((p.a * h.x + p.b) % {p}), 0) AS v
+                FROM sh s CROSS JOIN perm p
+                LEFT JOIN hx h ON h.doc_id = s.doc_id
+                GROUP BY s.doc_id, p.i),
+            siglist AS (
+                SELECT doc_id, list(v ORDER BY i) AS sig
+                FROM sigv GROUP BY doc_id),
+            banded AS (
+                SELECT doc_id, r.bi,
+                       ('0x' || substr(md5(r.bi::varchar || ':' ||
+                           array_to_string(sig[r.bi*{rpb}+1 : r.bi*{rpb}+{rpb}],
+                                           ',')), 1, 15))::bigint AS bucket
+                FROM siglist, range({bands}) r(bi)),
+            sizes AS (SELECT bi, bucket, count(*) AS nsz
+                      FROM banded GROUP BY bi, bucket),
+            eligible AS (SELECT bi, bucket FROM sizes
+                         WHERE nsz BETWEEN 2 AND {max_bucket}),
+            pruned AS (SELECT b.doc_id, b.bi, b.bucket
+                       FROM banded b JOIN eligible e
+                         ON b.bi = e.bi AND b.bucket = e.bucket),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM pruned a JOIN pruned b
+                       ON a.bi = b.bi AND a.bucket = b.bucket
+                      AND a.doc_id < b.doc_id)
+            SELECT c.id_a::bigint AS id_a, c.id_b::bigint AS id_b,
+                   ((len(list_intersect(sa.s, sb.s))::bigint * 10000)
+                    // greatest(len(list_distinct(sa.s || sb.s)), 1))::bigint
+                       AS jaccard_bp
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b
+            WHERE (len(list_intersect(sa.s, sb.s))::bigint * 10000)
+                  // greatest(len(list_distinct(sa.s || sb.s)), 1)
+                  >= {threshold_bp}
+        """
+
+
+def _fuzzy_link_oracle_sql(num_hashes: int = 16,
+                           dist_bp_max: int = 6000) -> str:
+    """DuckDB replica of linking.py::link_fuzzy_minhash over the
+    q_entity_link_fuzzy corpus (mentions = nation names + ' republic',
+    aliases = nation names): token-set minhash with rows-per-band = 1,
+    band-bucket join, exact integer-bp Jaccard-distance verify."""
+    p = (1 << 31) - 1
+    return f"""
+            WITH m AS (
+                SELECT n_nationkey::bigint AS mention_id,
+                       lower(n_name) || ' republic' AS mention
+                FROM nation),
+            al AS (SELECT lower(n_name) AS alias FROM nation),
+            mt AS (
+                SELECT mention_id, mention,
+                       list_filter(list_distinct(string_split_regex(
+                           lower(mention), '[^a-z0-9]+')),
+                           t -> t <> '') AS toks
+                FROM m),
+            at AS (
+                SELECT alias,
+                       list_filter(list_distinct(string_split_regex(
+                           lower(alias), '[^a-z0-9]+')),
+                           t -> t <> '') AS toks
+                FROM al),
+            mt2 AS (SELECT * FROM mt WHERE len(toks) > 0),
+            at2 AS (SELECT * FROM at WHERE len(toks) > 0),
+            perm AS (SELECT * FROM (VALUES
+                {_minhash_perm_values(num_hashes)}) p(i, a, b)),
+            mh AS (SELECT mention_id, ('0x' || substr(md5(u.tk), 1, 8))::bigint
+                              % {p} AS x
+                   FROM (SELECT mention_id, unnest(toks) AS tk FROM mt2) u),
+            ah AS (SELECT alias, ('0x' || substr(md5(u.tk), 1, 8))::bigint
+                              % {p} AS x
+                   FROM (SELECT alias, unnest(toks) AS tk FROM at2) u),
+            msig AS (SELECT h.mention_id, p.i,
+                            min((p.a * h.x + p.b) % {p}) AS v
+                     FROM mh h CROSS JOIN perm p GROUP BY h.mention_id, p.i),
+            asig AS (SELECT h.alias, p.i,
+                            min((p.a * h.x + p.b) % {p}) AS v
+                     FROM ah h CROSS JOIN perm p GROUP BY h.alias, p.i),
+            mb AS (SELECT mention_id, i AS band,
+                          ('0x' || substr(md5(i::varchar || ':' ||
+                              v::varchar), 1, 15))::bigint AS bucket
+                   FROM msig),
+            ab AS (SELECT alias, i AS band,
+                          ('0x' || substr(md5(i::varchar || ':' ||
+                              v::varchar), 1, 15))::bigint AS bucket
+                   FROM asig),
+            cand AS (SELECT DISTINCT mb.mention_id, ab.alias
+                     FROM mb JOIN ab
+                       ON mb.band = ab.band AND mb.bucket = ab.bucket)
+            SELECT c.mention_id, mt2.mention, c.alias,
+                   (10000 - (len(list_intersect(mt2.toks, at2.toks))::bigint
+                             * 10000)
+                    // greatest(len(list_distinct(mt2.toks || at2.toks)), 1)
+                   )::bigint AS jaccard_dist_bp
+            FROM cand c
+            JOIN mt2 ON mt2.mention_id = c.mention_id
+            JOIN at2 ON at2.alias = c.alias
+            WHERE 10000 - (len(list_intersect(mt2.toks, at2.toks))::bigint
+                           * 10000)
+                  // greatest(len(list_distinct(mt2.toks || at2.toks)), 1)
+                  <= {dist_bp_max}
+        """
+
+
+def _ann_lsh_oracle_sql(dim: int = 64, bits: int = 6, tables: int = 6,
+                        seed: int = 42, k: int = 5, scale: int = 1000) -> str:
+    """DuckDB replica of similarity.py::ann_topk_lsh over the
+    q_ann_topk_lsh corpus: md5-derived integer hyperplanes, integer sketch
+    dot products over floor(x*1e6)-quantized components, per-table bucket
+    join of queries (vec_id < 10) vs the corpus, exact-cosine re-rank."""
+    return f"""
+            WITH planes AS (
+                SELECT t.t, b.b, d.d,
+                       (('0x' || substr(md5(t.t::varchar || ':' ||
+                            b.b::varchar || ':' || d.d::varchar),
+                            1, 15))::bigint % {2 * scale + 1}) - {scale} AS w
+                FROM range({seed}, {seed + tables}) t(t),
+                     range({bits}) b(b), range({dim}) d(d)),
+            ev AS (
+                SELECT vec_id, i.i AS d,
+                       floor(embedding[i.i + 1]::double * 1000000.0)::bigint
+                           AS eq
+                FROM embeddings, range({dim}) i(i)),
+            dots AS (
+                SELECT e.vec_id, p.t, p.b, sum(e.eq * p.w) AS dot
+                FROM ev e JOIN planes p ON p.d = e.d
+                GROUP BY e.vec_id, p.t, p.b),
+            buckets AS (
+                SELECT vec_id, t,
+                       sum(CASE WHEN dot > 0
+                                THEN (1::bigint << b) ELSE 0 END) AS bucket
+                FROM dots GROUP BY vec_id, t),
+            cand AS (
+                SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                FROM buckets c JOIN buckets q
+                  ON c.t = q.t AND c.bucket = q.bucket
+                WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+            scored AS (
+                SELECT cd.query_id, cd.neighbor_id,
+                       round(list_cosine_similarity(ce.embedding::double[],
+                                                    qe.embedding::double[]),
+                             4) AS cos4
+                FROM cand cd
+                JOIN embeddings ce ON ce.vec_id = cd.neighbor_id
+                JOIN embeddings qe ON qe.vec_id = cd.query_id)
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos4 DESC, neighbor_id) AS rank,
+                   cos4
+            FROM scored
+            QUALIFY rank <= {k}
         """
 
 
@@ -950,6 +1189,9 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY rank <= 5
         """,
         "dedup_simhash": _simhash_oracle_sql(),
+        "dedup_minhash_lsh": _minhash_oracle_sql(),
+        "entity_link_fuzzy": _fuzzy_link_oracle_sql(),
+        "ann_topk_lsh": _ann_lsh_oracle_sql(),
         "events_asof": """
             WITH m AS (SELECT user_id, ts, max(event_id) AS marker_id
                        FROM events WHERE event_id % 5 = 0 GROUP BY 1, 2)
@@ -1122,6 +1364,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY 1
+        """,
+        "revenue_rollup": """
+            SELECT coalesce(r.r_name, 'ALL') AS region,
+                   coalesce(n.n_name, 'ALL') AS nation,
+                   sum(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                             * 10000.0)::bigint)::bigint AS revenue_bp,
+                   count(*)::bigint AS n_items
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY ROLLUP (r.r_name, n.n_name)
         """,
         "events_sessionize": """
             WITH g AS (

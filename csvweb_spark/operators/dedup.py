@@ -13,7 +13,9 @@ scale/recall point:
                      candidates at O(n) via bucket-join instead of O(n^2);
                      candidates verified with exact Jaccard so precision is
                      exact, recall is the banding probability. The scale
-                     path for 10^12 docs.
+                     path for 10^12 docs. Signatures are pure JVM codegen
+                     over a deterministic md5/Carter-Wegman family ->
+                     DuckDB-replicable exactly (no Python on the hot path).
 * simhash          - 60-bit simhash from md5-hashed tokens, pure JVM
                      codegen (explode -> per-bit vote sums -> sign pack);
                      hamming-band bucketing. DuckDB-replicable exactly.
@@ -29,12 +31,18 @@ from __future__ import annotations
 
 from typing import Optional
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
 
 from .text import normalize_for_fingerprint
+
+
+def md5_hash60(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative long - the cross-engine base
+    hash used by minhash/simhash/span dedup: DuckDB reproduces it exactly
+    as ('0x' || substr(md5(x), 1, 15))::bigint, so every operator built on
+    it is oracle-checkable in SQL."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 # --------------------------------------------------------------------------
 # exact dedup
@@ -88,6 +96,27 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
 
 
+def jaccard_bp(a: Column, b: Column) -> Column:
+    """Jaccard in integer basis points, floor((|inter| * 10000) / |union|):
+    exact in both engines (DuckDB: integer //), no FP rounding hazard at
+    threshold boundaries. The double quotient here is safe: numerator
+    <= ~1e9 is exact in double and true quotients are >= 1/|union| away
+    from any integer they don't hit exactly, far beyond one ulp."""
+    inter = F.size(F.array_intersect(a, b)).cast("long")
+    union = F.size(F.array_union(a, b)).cast("long")
+    return F.when(union > 0, F.floor(inter * 10000 / union).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+
+
+def token_set(text: Column) -> Column:
+    """Distinct lowercase alphanumeric tokens - the 1-gram shingle unit for
+    short strings (entity surface forms, aliases), where word n-grams would
+    be degenerate. DuckDB mirror: list_distinct(string_split_regex(...))
+    after the same lower/strip."""
+    return F.array_distinct(F.filter(
+        F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != ""))
+
+
 def dedup_ngram_jaccard(df: DataFrame, text_col: str = "text",
                         key_col: str = "doc_id", block_col: str = "source",
                         n: int = 3, threshold: float = 0.5) -> DataFrame:
@@ -113,14 +142,19 @@ def dedup_ngram_jaccard(df: DataFrame, text_col: str = "text",
 # MinHash + banded LSH
 # --------------------------------------------------------------------------
 
+MERSENNE31 = (1 << 31) - 1  # prime modulus of the minhash family
+
+
 def _minhash_params(num_hashes: int, seed: int = 42):
-    """Deterministic multiply-shift params: h_i(x) = (a_i * x + b_i) mod 2^64
-    with a_i odd - a universal-enough family computed entirely in wrapping
-    uint64 numpy (no Python bigints on the hot path)."""
+    """Deterministic Carter-Wegman params over GF(p), p = 2^31 - 1:
+    h_i(x) = (a_i * x + b_i) mod p, a_i in [1, p), b_i in [0, p).
+    The 31-bit domain keeps every intermediate below 2^62, which makes the
+    family computable with plain (ANSI-overflow-safe) long arithmetic in
+    Spark codegen AND plain-bigint arithmetic in the DuckDB oracle."""
     import numpy as np
     rng = np.random.RandomState(seed)
-    a = rng.randint(0, 2**63 - 1, size=num_hashes).astype("uint64") * 2 + 1
-    b = rng.randint(0, 2**63 - 1, size=num_hashes).astype("uint64")
+    a = rng.randint(1, MERSENNE31, size=num_hashes, dtype="int64")
+    b = rng.randint(0, MERSENNE31, size=num_hashes, dtype="int64")
     return a, b
 
 
@@ -137,37 +171,70 @@ def word_shingles(text: Column, n: int = 3) -> Column:
             F.array().cast("array<string>")))
 
 
+def md5_hash31(col: Column) -> Column:
+    """32-bit md5-prefix base hash reduced into GF(2^31-1) - the minhash
+    base hash. DuckDB mirror:
+    ('0x' || substr(md5(x), 1, 8))::bigint % 2147483647."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") \
+        % F.lit(MERSENNE31)
+
+
+def _minhash_param_arrays(num_hashes: int, seed: int = 42):
+    """(a, b) as array-literal Columns."""
+    a_p, b_p = _minhash_params(num_hashes, seed)
+    a = F.array(*[F.lit(int(v)) for v in a_p])
+    b = F.array(*[F.lit(int(v)) for v in b_p])
+    return a, b
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        key_col: str = "doc_id", n: int = 3,
                        num_hashes: int = 64, seed: int = 42,
                        shingle_unit: str = "word") -> DataFrame:
-    """(key, signature array<long>) via a vectorized numpy pandas UDF:
-    shingle -> 64-bit base hash (Spark's xxhash64, JVM side) then the
-    multiply-shift family batched in one wrapping-uint64 matrix op."""
-    import numpy as np
-    a_params, b_params = _minhash_params(num_hashes, seed)
+    """(key, signature array<long>) entirely in JVM codegen: shingle ->
+    31-bit md5-prefix base hash x, then per permutation i
+        h_i(x) = (a_i * x + b_i) mod (2^31 - 1)
+    minimized over the doc's shingles (pairwise-independent Carter-Wegman
+    family; 31-bit values are the standard minhash width).
 
+    Round-1 used xxhash64 + a numpy pandas UDF; this formulation removes
+    Python workers and Arrow transfer from the hot path entirely AND is
+    DuckDB-replicable (md5 prefix + plain bigint mod-p arithmetic), so the
+    driver oracle can check the emitted LSH pair set exactly.
+    Empty shingle sets -> all-zero signature (parity with round 1)."""
+    a_arr, b_arr = _minhash_param_arrays(num_hashes, seed)
     sh = (word_shingles(F.col(text_col), n) if shingle_unit == "word"
+          else token_set(F.col(text_col)) if shingle_unit == "token"
           else shingles(F.col(text_col), n))
-    shingled = df.select(
+    hashed = df.select(F.col(key_col), F.transform(sh, md5_hash31).alias("_h"))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.coalesce(
+            F.array_min(F.transform(
+                F.col("_h"),
+                lambda x: (x * F.element_at(a_arr, i + F.lit(1))
+                           + F.element_at(b_arr, i + F.lit(1)))
+                % F.lit(MERSENNE31))),
+            F.lit(0).cast("long")))
+    return hashed.select(key_col, sig.alias("signature"))
+
+
+def lsh_band_buckets(sigs: DataFrame, key_col: str, bands: int,
+                     rows_per_band: int) -> DataFrame:
+    """(key, band, bucket) from (key, signature): bucket = 60-bit md5 hash
+    of 'band:sig[slice] csv' - uniform join key, DuckDB-replicable
+    (signature values are non-negative longs, so the decimal csv string is
+    identical in both engines)."""
+    return sigs.select(
         F.col(key_col),
-        F.transform(sh, lambda s: F.xxhash64(s)).alias("h"))
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def sig(hashes: pd.Series) -> pd.Series:
-        out = []
-        with np.errstate(over="ignore"):
-            for hs in hashes:
-                if hs is None or len(hs) == 0:
-                    out.append([0] * num_hashes)
-                    continue
-                # |shingles| x num_hashes wrapping-uint64 matrix op
-                x = np.asarray(hs, dtype="int64").view("uint64").reshape(-1, 1)
-                prod = x * a_params + b_params  # mod 2^64 by wraparound
-                out.append(prod.min(axis=0).view("int64").tolist())
-        return pd.Series(out)
-
-    return shingled.select(key_col, sig(F.col("h")).alias("signature"))
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bi: md5_hash60(F.concat(
+                bi.cast("string"), F.lit(":"),
+                F.concat_ws(",", F.slice(F.col("signature"),
+                                         bi * rows_per_band + 1,
+                                         rows_per_band))))
+        )).alias("band", "bucket"))
 
 
 def dedup_minhash_lsh(df: DataFrame, text_col: str = "text",
@@ -198,14 +265,7 @@ def dedup_minhash_lsh(df: DataFrame, text_col: str = "text",
     sigs = minhash_signatures(df, text_col, key_col, n, num_hashes, seed,
                               shingle_unit)
     # explode into (band, band_hash, key): bucket join key is uniform
-    banded = sigs.select(
-        F.col(key_col),
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda bi: F.xxhash64(F.concat_ws(
-                ",", F.slice(F.col("signature"),
-                             bi * rows_per_band + 1, rows_per_band)), bi)
-        )).alias("band", "bucket"))
+    banded = lsh_band_buckets(sigs, key_col, bands, rows_per_band)
     # one explicit exchange on the bucket key that EVERY downstream consumer
     # (census, prune join, candidate self-join) shares via ReusedExchange --
     # without it the census's aggregate exchange differs from the join
@@ -245,9 +305,11 @@ def dedup_minhash_lsh(df: DataFrame, text_col: str = "text",
                              F.col("sh").alias("sh_a")), "id_a")
              .join(sh.select(F.col(key_col).alias("id_b"),
                              F.col("sh").alias("sh_b")), "id_b")
-             .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
-             .filter(F.col("jaccard") >= threshold))
-    pairs = cands.select("id_a", "id_b", "jaccard")
+             .withColumn("jaccard_bp", jaccard_bp(F.col("sh_a"), F.col("sh_b")))
+             # integer-exact threshold: bp >= t*10000 <=> jaccard >= t
+             .filter(F.col("jaccard_bp") >= int(round(threshold * 10000)))
+             .withColumn("jaccard", F.col("jaccard_bp") / 10000.0))
+    pairs = cands.select("id_a", "id_b", "jaccard", "jaccard_bp")
     return (pairs, dropped) if return_dropped else pairs
 
 
@@ -271,8 +333,7 @@ def simhash(df: DataFrame, text_col: str = "text", key_col: str = "doc_id",
     toks = F.split(
         F.regexp_replace(F.lower(text_col), r"^\s+|\s+$", ""), r"\s+")
     tok = df.select(F.col(key_col), F.explode(toks).alias("t"))
-    h = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
-    tok = tok.select(key_col, h.alias("h"))
+    tok = tok.select(key_col, md5_hash60(F.col("t")).alias("h"))
     votes = tok.groupBy(key_col).agg(*[
         F.sum(F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1)) * 2 - 1)
          .alias(f"v{j}")
@@ -345,9 +406,8 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
         F.regexp_replace(F.lower(text_col), r"^\s+|\s+$", ""), r"\s+")
     base = (df.select(F.col(key_col), toks.alias("t"))
             .filter(F.size("t") >= window))
-    span_h = lambda i: F.conv(
-        F.substring(F.md5(F.concat_ws(" ", F.slice("t", i + 1, window))),
-                    1, 15), 16, 10).cast("long")
+    span_h = lambda i: md5_hash60(
+        F.concat_ws(" ", F.slice("t", i + 1, window)))
     wins = base.select(
         key_col,
         F.explode(F.transform(

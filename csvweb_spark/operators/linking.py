@@ -8,9 +8,11 @@ dictionary (BASELINE.json north_star stage C).
   (documents), still broadcast: a theta-join against a broadcast dim is
   executed as BroadcastNestedLoopJoin - linear in |docs| x |aliases| with
   |aliases| tiny.
-* `link_fuzzy_minhash` - MinHashLSH (pyspark.ml) candidate join between
-  mention token sets and alias token sets for inexact surface forms
-  (typos/reordering), followed by exact Jaccard verification.
+* `link_fuzzy_minhash` - MinHash-LSH candidate join between mention token
+  sets and alias token sets for inexact surface forms (typos/reordering),
+  followed by exact Jaccard verification. Uses the deterministic md5-based
+  Carter-Wegman family from operators/dedup.py (round-1 used pyspark.ml
+  MinHashLSH, whose hash family is not reproducible in SQL -> no oracle).
 
 Skew note: hub aliases (e.g. 'usa') fan out to many mentions; the broadcast
 join keeps that fan-out partition-local (no shuffle key = no hot
@@ -63,36 +65,55 @@ def link_fuzzy_minhash(mentions: DataFrame, aliases: DataFrame,
                        mention_col: str = "mention",
                        alias_col: str = "alias",
                        mention_key: str = "mention_id",
-                       num_hash_tables: int = 8,
-                       max_distance: float = 0.5) -> DataFrame:
-    """MinHashLSH approx-similarity join on token sets (pyspark.ml),
-    returning (mention_key, alias, jaccard_distance<=max_distance).
+                       num_hash_tables: int = 16,
+                       max_distance: float = 0.5,
+                       seed: int = 42) -> DataFrame:
+    """MinHash-LSH candidate join on token SETS + exact-Jaccard verify,
+    returning (mention_key, mention, alias, jaccard_dist, jaccard_dist_bp)
+    with jaccard_dist <= max_distance.
 
-    The ml pipeline: tokenize -> HashingTF (binary) -> MinHashLSH;
-    approxSimilarityJoin does the banded bucket join distributed."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH, RegexTokenizer
+    Banding is rows-per-band = 1 (each of the `num_hash_tables` signature
+    positions is its own band): for the short token sets of surface forms
+    a candidate pair at Jaccard s survives with p = 1 - (1-s)^T (s=0.4,
+    T=16 -> 0.9997), and only pairs sharing >= 1 token can ever collide,
+    so candidate volume stays ~ |shared-token pairs|, not |m| x |a|.
+    The alias dictionary is the broadcast side throughout (north_star:
+    'batch-scored against a broadcast alias dictionary'). Deterministic
+    md5/Carter-Wegman hashing -> the DuckDB oracle replays the exact
+    candidate set; verification makes precision exact."""
+    from .dedup import (jaccard_bp, lsh_band_buckets, minhash_signatures,
+                        token_set)
 
-    def prep(df, col, out):
-        tok = RegexTokenizer(inputCol=col, outputCol="_toks",
-                             pattern=r"[^a-z0-9]+", toLowercase=True)
-        tf = HashingTF(inputCol="_toks", outputCol=out, numFeatures=1 << 18,
-                       binary=True)
-        t = tok.transform(df)
-        t = tf.transform(t)
-        # MinHashLSH requires at least one non-zero entry
-        from pyspark.ml.functions import vector_to_array
-        return t.filter(
-            F.aggregate(vector_to_array(out), F.lit(0.0),
-                        lambda a, b: a + b) > 0)
+    m = mentions.select(
+        F.col(mention_key), F.col(mention_col).alias("mention"),
+        token_set(F.col(mention_col)).alias("_mt"))
+    a = aliases.select(F.col(alias_col).alias("alias"),
+                       token_set(F.col(alias_col)).alias("_at"))
+    # empty token sets can never reach Jaccard > 0: drop before hashing
+    m = m.filter(F.size("_mt") > 0)
+    a = a.filter(F.size("_at") > 0)
 
-    m = prep(mentions.withColumnRenamed(mention_col, "_m"), "_m", "features")
-    a = prep(aliases.withColumnRenamed(alias_col, "_a"), "_a", "features")
-    lsh = MinHashLSH(inputCol="features", outputCol="_hashes",
-                     numHashTables=num_hash_tables, seed=42)
-    model = lsh.fit(m)
-    joined = model.approxSimilarityJoin(m, a, max_distance, distCol="jaccard_dist")
-    return joined.select(
-        F.col(f"datasetA.{mention_key}").alias(mention_key),
-        F.col("datasetA._m").alias("mention"),
-        F.col("datasetB._a").alias("alias"),
-        F.round(F.col("jaccard_dist"), 4).alias("jaccard_dist"))
+    mb = lsh_band_buckets(
+        minhash_signatures(m, "mention", mention_key,
+                           num_hashes=num_hash_tables, seed=seed,
+                           shingle_unit="token"),
+        mention_key, bands=num_hash_tables, rows_per_band=1)
+    ab = lsh_band_buckets(
+        minhash_signatures(a, "alias", "alias",
+                           num_hashes=num_hash_tables, seed=seed,
+                           shingle_unit="token"),
+        "alias", bands=num_hash_tables, rows_per_band=1)
+    cand = (mb.join(F.broadcast(ab), ["band", "bucket"])
+            .select(mention_key, "alias").distinct())
+    dist_bp_max = int(round(max_distance * 10000))
+    verified = (cand
+                .join(m, mention_key)
+                .join(F.broadcast(a), "alias")
+                .withColumn("jaccard_dist_bp",
+                            F.lit(10000) - jaccard_bp(F.col("_mt"),
+                                                      F.col("_at")))
+                .filter(F.col("jaccard_dist_bp") <= dist_bp_max))
+    return verified.select(
+        mention_key, "mention", "alias",
+        (F.col("jaccard_dist_bp") / 10000.0).alias("jaccard_dist"),
+        "jaccard_dist_bp")

@@ -89,22 +89,39 @@ def ann_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def hyperplane_sketch(vec: Column, planes) -> Column:
-    """Sign-bit sketch of `vec` against a list of hyperplanes (python lists,
-    constant-folded) -> long bucket id."""
+    """Sign-bit sketch of `vec` against integer hyperplanes (python lists,
+    constant-folded) -> long bucket id.
+
+    Arithmetic is EXACT: each component is quantized floor(x * 1e6) (one
+    IEEE multiply + floor - bit-identical in any engine reading the same
+    floats), then the dot product is integer. |floor(x*1e6)| <= ~2^21 for
+    unit-normed inputs x, |w| <= 1000, dim <= 4096 -> |dot| < 2^42, no
+    overflow. Sign ties (dot == 0) land on the same side everywhere, so a
+    DuckDB oracle replays bucket assignment exactly - FP summation order
+    can never flip a bucket."""
+    q = F.transform(vec, lambda x: F.floor(x * F.lit(1000000.0)).cast("long"))
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         dot = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in plane]),
+            F.zip_with(q, F.array(*[F.lit(int(w)) for w in plane]),
                        lambda a, b: a * b),
-            F.lit(0.0), lambda acc, v: acc + v)
+            F.lit(0).cast("long"), lambda acc, v: acc + v)
         bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
 
 
-def _random_planes(dim: int, bits: int, seed: int = 42):
-    import numpy as np
-    rng = np.random.RandomState(seed)
-    return rng.normal(size=(bits, dim)).tolist()
+def _det_planes(dim: int, bits: int, table: int, scale: int = 1000):
+    """Deterministic integer hyperplanes: w[table][bit][d] =
+    (60-bit md5 prefix of 'table:bit:d') % (2*scale+1) - scale, uniform in
+    [-scale, scale]. Symmetric iid components give the standard
+    sign-random-projection LSH; md5 derivation means the DuckDB oracle
+    regenerates the identical planes in SQL:
+    (('0x'||substr(md5(t||':'||b||':'||d),1,15))::bigint % 2001) - 1000."""
+    import hashlib
+    return [[int(hashlib.md5(f"{table}:{b}:{d}".encode())
+                 .hexdigest()[:15], 16) % (2 * scale + 1) - scale
+             for d in range(dim)]
+            for b in range(bits)]
 
 
 def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -118,7 +135,7 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
     tables per table instead of n * q."""
     cand_tables = []
     for t in range(tables):
-        planes = _random_planes(dim, bits, seed + t)
+        planes = _det_planes(dim, bits, seed + t)
         cb = corpus.select(
             F.col(key_col).alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("cv"),

@@ -168,3 +168,43 @@ def write_resumable(df: DataFrame, output_dir: str, url_col: str = "url",
     uncommitted buckets and commits their manifests."""
     remaining = resume_filter(df, output_dir, url_col, n_buckets)
     return write_partitioned(remaining, output_dir, url_col, n_buckets)
+
+
+def snapshots(output_dir: str) -> list[dict]:
+    """Committed manifests ordered by commit time (the snapshot log).
+    Each manifest is one atomic commit - the parquet+manifest analogue of
+    Iceberg's snapshot list (VERSION HISTORY of the table)."""
+    mdir = os.path.join(output_dir, "_manifests")
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for fn in sorted(os.listdir(mdir)):
+        if fn.endswith(".json"):
+            with open(os.path.join(mdir, fn)) as f:
+                out.append(json.load(f))
+    out.sort(key=lambda m: (m["committed_at"], m["run_id"]))
+    return out
+
+
+def read_snapshot(spark: SparkSession, output_dir: str,
+                  as_of_run: Optional[str] = None) -> DataFrame:
+    """Snapshot-isolated / time-travel read: only partitions committed by a
+    manifest are visible (uncommitted data from a crashed writer is
+    invisible - readers never see torn writes), and with `as_of_run` only
+    partitions committed up to and including that run are read (Iceberg's
+    `VERSION AS OF`). Partition pruning happens at the scan: the committed
+    part_keys become an IN filter on the partition column, so Spark lists
+    and reads ONLY those directories."""
+    snaps = snapshots(output_dir)
+    if as_of_run is not None:
+        cut = [i for i, m in enumerate(snaps) if m["run_id"] == as_of_run]
+        if not cut:
+            raise ValueError(f"unknown run_id {as_of_run!r}; have "
+                             f"{[m['run_id'] for m in snaps]}")
+        snaps = snaps[:cut[0] + 1]
+    visible = sorted({int(p["part_key"]) for m in snaps
+                      for p in m.get("partitions", [])})
+    df = spark.read.parquet(os.path.join(output_dir, "data"))
+    if not visible:
+        return df.filter(F.lit(False))
+    return df.filter(F.col("part_key").isin(visible))

@@ -331,6 +331,38 @@ def test_lineage_write_and_resume(spark, tmp_path, docs):
     assert committed_partitions(out) > done
 
 
+def test_snapshot_time_travel(spark, tmp_path, docs):
+    """Snapshot-isolated reads over the lineage manifests (the
+    parquet+manifest analogue of Iceberg VERSION AS OF): uncommitted data
+    is invisible, `as_of_run` pins an earlier snapshot, the latest
+    snapshot sees everything, and the snapshot log orders commits."""
+    from csvweb_spark.plans.lineage import (
+        read_snapshot, snapshots, with_part_key, write_partitioned)
+    out = str(tmp_path / "tt_out")
+    df = docs.limit(40).select(
+        F.concat(F.lit("http://p/"), F.col("doc_id")).alias("url"), "text")
+    keyed = with_part_key(df, n_buckets=8)
+    m1 = write_partitioned(keyed.filter(F.col("part_key") < 4), out,
+                           n_buckets=8, run_id="r1")
+    m2 = write_partitioned(keyed.filter(F.col("part_key") >= 4), out,
+                           n_buckets=8, run_id="r2")
+    log = snapshots(out)
+    assert [m["run_id"] for m in log] == ["r1", "r2"]
+    assert read_snapshot(spark, out).count() == 40
+    assert read_snapshot(spark, out, as_of_run="r1").count() == m1["total_rows"]
+    assert read_snapshot(spark, out, as_of_run="r2").count() == 40
+    assert m1["total_rows"] + m2["total_rows"] == 40
+    # crashed writer: data on disk but no manifest -> invisible to readers
+    extra = spark.createDataFrame(
+        [("http://p/extra", "t", 99)], "url string, text string, part_key int")
+    extra.write.mode("append").partitionBy("part_key").parquet(
+        os.path.join(out, "data"))
+    assert read_snapshot(spark, out).count() == 40
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, out, as_of_run="nope")
+
+
 def test_write_partitioned_single_materialization(spark, tmp_path):
     """The lineage write must compute its input exactly once: manifest
     stats come from the written parquet footers, not a second pass
