@@ -66,9 +66,15 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     pages = pages_from_documents(spark, sf_dir, docs_per_page=10)
     pages = pages.repartition(spark.sparkContext.defaultParallelism).persist()
     n_pages = pages.count()
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    # repartition to the session's parallelism before persisting: the sf0.1
+    # parquet files are single-split (<1 MB), which would serialize every
+    # narrow stage (signature UDFs, shingling, scoring) on one core - the
+    # opposite of the real corpus, where input splits >> cores
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(spark.sparkContext.defaultParallelism).persist())
     n_docs = docs.count()
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .repartition(spark.sparkContext.defaultParallelism).persist())
     emb.count()
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     hpages = html_pages_from_table(

@@ -13,9 +13,10 @@ scale/recall point:
                      candidates at O(n) via bucket-join instead of O(n^2);
                      candidates verified with exact Jaccard so precision is
                      exact, recall is the banding probability. The scale
-                     path for 10^12 docs. Signatures are pure JVM codegen
-                     over a deterministic md5/Carter-Wegman family ->
-                     DuckDB-replicable exactly (no Python on the hot path).
+                     path for 10^12 docs. Signatures come from a
+                     deterministic md5/Carter-Wegman family (JVM base
+                     hashes + one vectorized numpy matrix op per doc) ->
+                     DuckDB-replicable exactly.
 * simhash          - 60-bit simhash from md5-hashed tokens, pure JVM
                      codegen (explode -> per-bit vote sums -> sign pack);
                      hamming-band bucketing. DuckDB-replicable exactly.
@@ -31,6 +32,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -179,44 +181,46 @@ def md5_hash31(col: Column) -> Column:
         % F.lit(MERSENNE31)
 
 
-def _minhash_param_arrays(num_hashes: int, seed: int = 42):
-    """(a, b) as array-literal Columns."""
-    a_p, b_p = _minhash_params(num_hashes, seed)
-    a = F.array(*[F.lit(int(v)) for v in a_p])
-    b = F.array(*[F.lit(int(v)) for v in b_p])
-    return a, b
-
-
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        key_col: str = "doc_id", n: int = 3,
                        num_hashes: int = 64, seed: int = 42,
                        shingle_unit: str = "word") -> DataFrame:
-    """(key, signature array<long>) entirely in JVM codegen: shingle ->
-    31-bit md5-prefix base hash x, then per permutation i
+    """(key, signature array<long>): shingle -> 31-bit md5-prefix base
+    hash x (JVM side, DuckDB-replicable), then per permutation i
         h_i(x) = (a_i * x + b_i) mod (2^31 - 1)
     minimized over the doc's shingles (pairwise-independent Carter-Wegman
     family; 31-bit values are the standard minhash width).
 
-    Round-1 used xxhash64 + a numpy pandas UDF; this formulation removes
-    Python workers and Arrow transfer from the hot path entirely AND is
-    DuckDB-replicable (md5 prefix + plain bigint mod-p arithmetic), so the
-    driver oracle can check the emitted LSH pair set exactly.
-    Empty shingle sets -> all-zero signature (parity with round 1)."""
-    a_arr, b_arr = _minhash_param_arrays(num_hashes, seed)
+    The minima are computed as ONE vectorized |shingles| x num_hashes
+    int64 numpy op per doc inside an Arrow-batched pandas UDF: every value
+    stays < 2^62, so plain int64 arithmetic is exact - and bit-identical
+    to the DuckDB oracle's bigint SQL, which replays signatures from the
+    same md5 base hashes. (A pure-codegen nested-transform formulation was
+    tried and is ~100x slower: Catalyst evaluates higher-order lambdas
+    per element, allocating a num_hashes-sized array per shingle.)
+    Empty shingle sets -> all-zero signature."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
+    a_params, b_params = _minhash_params(num_hashes, seed)
     sh = (word_shingles(F.col(text_col), n) if shingle_unit == "word"
           else token_set(F.col(text_col)) if shingle_unit == "token"
           else shingles(F.col(text_col), n))
     hashed = df.select(F.col(key_col), F.transform(sh, md5_hash31).alias("_h"))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.coalesce(
-            F.array_min(F.transform(
-                F.col("_h"),
-                lambda x: (x * F.element_at(a_arr, i + F.lit(1))
-                           + F.element_at(b_arr, i + F.lit(1)))
-                % F.lit(MERSENNE31))),
-            F.lit(0).cast("long")))
-    return hashed.select(key_col, sig.alias("signature"))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(hashes: pd.Series) -> pd.Series:
+        out = []
+        for hs in hashes:
+            if hs is None or len(hs) == 0:
+                out.append([0] * num_hashes)
+                continue
+            x = np.asarray(hs, dtype="int64").reshape(-1, 1)
+            v = (x * a_params + b_params) % MERSENNE31
+            out.append(v.min(axis=0).tolist())
+        return pd.Series(out)
+
+    return hashed.select(key_col, sig(F.col("_h")).alias("signature"))
 
 
 def lsh_band_buckets(sigs: DataFrame, key_col: str, bands: int,
