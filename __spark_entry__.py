@@ -482,6 +482,38 @@ def q_revenue_by_region(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_items")))
 
 
+def q_events_interval(spark, sf_dir):
+    """Interval/containment join re-expressed as a time-bucket equi-join
+    (operators/interval.py): events vs synthesized 30-minute maintenance
+    windows per user. A BroadcastNestedLoopJoin anywhere in this plan is a
+    regression (tests/test_plans.py pins the hash-join shape)."""
+    from csvweb_spark.operators.interval import interval_join
+    ev = _load(spark, sf_dir, "events")
+    win = ev.filter(F.col("event_id") % 20 == 0).select(
+        F.col("event_id").alias("window_id"), "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"))
+    out = interval_join(ev, win, "ts", ["user_id"],
+                        "start_ts", "end_ts", bucket_minutes=60)
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("window_id").cast("long").alias("window_id"),
+        (F.floor(F.unix_timestamp("ts"))
+         - F.floor(F.unix_timestamp("start_ts"))).cast("long")
+         .alias("offset_sec"))
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals over documents (duplicate
+    word fraction + top-bigram fraction, integer basis points)."""
+    from csvweb_spark.operators.text import repetition_stats
+    docs = _load(spark, sf_dir, "documents")
+    out = repetition_stats(docs)
+    return out.select("doc_id",
+                      F.col("n_words").cast("long").alias("n_words"),
+                      "dup_word_bp", "top_bigram_bp")
+
+
 def q_revenue_rollup(spark, sf_dir):
     """Grouping-sets analytics (ROLLUP region -> nation -> grand total):
     one shuffle produces every aggregation level via Spark's Expand node
@@ -697,6 +729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rollup": q_revenue_rollup,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
+        "events_interval": q_events_interval,
+        "text_repetition": q_text_repetition,
         "multimodal_binary_stats": q_multimodal_binary_stats,
         "entity_link_fuzzy": q_entity_link_fuzzy,
         "html_table_triples": q_html_table_triples,
@@ -1376,6 +1410,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY ROLLUP (r.r_name, n.n_name)
+        """,
+        "events_interval": """
+            WITH w AS (
+                SELECT event_id AS window_id, user_id, ts AS start_ts,
+                       ts + INTERVAL 30 MINUTE AS end_ts
+                FROM events WHERE event_id % 20 = 0)
+            SELECT e.event_id::bigint AS event_id,
+                   w.window_id::bigint AS window_id,
+                   (floor(epoch(e.ts))::bigint
+                    - floor(epoch(w.start_ts))::bigint)::bigint AS offset_sec
+            FROM events e
+            JOIN w ON e.user_id = w.user_id
+                  AND e.ts >= w.start_ts AND e.ts <= w.end_ts
+        """,
+        "text_repetition": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(regexp_replace(lower(text),
+                                          '^\\s+|\\s+$', '', 'g'),
+                                          '\\s+') AS w
+                FROM documents),
+            ws AS (
+                SELECT doc_id, len(w) AS n_words,
+                       CASE WHEN len(w) > 0
+                            THEN ((len(w) - len(list_distinct(w)))::bigint
+                                  * 10000) // len(w)
+                            ELSE 0 END::bigint AS dup_word_bp,
+                       w
+                FROM t),
+            bg AS (
+                SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+                                       for i in range(1, len(w))]) AS g
+                FROM ws WHERE len(w) >= 2),
+            per_gram AS (
+                SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+            per_doc AS (
+                SELECT doc_id, max(c) AS topc, sum(c) AS tot
+                FROM per_gram GROUP BY doc_id)
+            SELECT ws.doc_id, ws.n_words::bigint AS n_words, ws.dup_word_bp,
+                   coalesce((per_doc.topc::bigint * 10000) // per_doc.tot,
+                            0)::bigint AS top_bigram_bp
+            FROM ws LEFT JOIN per_doc ON ws.doc_id = per_doc.doc_id
         """,
         "events_sessionize": """
             WITH g AS (

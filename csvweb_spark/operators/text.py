@@ -126,3 +126,54 @@ def text_profile(df: DataFrame, text_col: str = "text",
         token_count_bpe(t).alias("n_tokens_bpe"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     key_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 'Scaling Language
+    Models' quality rules, the standard web-corpus filter family):
+
+      n_words            whitespace tokens (lowercased)
+      dup_word_bp        10000 * (n_words - n_distinct_words) / n_words
+      top_bigram_bp      10000 * occurrences of the most frequent word
+                         bigram / n_bigrams (0 when < 2 words)
+
+    Shape: the per-doc mode (most frequent bigram) is NOT computable with
+    array expressions without O(len^2) per-doc work, so bigrams explode
+    into rows and aggregate twice - both groupBys key on (doc, gram) /
+    (doc), uniform and map-side combinable, the skew-free shape at corpus
+    scale. Word-level stats stay array-only (no explode). Integer basis
+    points keep the DuckDB oracle exact."""
+    toks = F.split(F.regexp_replace(F.lower(F.col(text_col)),
+                                    r"^\s+|\s+$", ""), r"\s+")
+    words = df.select(
+        F.col(key_col), toks.alias("_w"),
+        F.size(toks).alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("_nd"))
+    word_stats = words.select(
+        key_col, "n_words",
+        F.when(F.col("n_words") > 0,
+               F.floor((F.col("n_words") - F.col("_nd")) * 10000
+                       / F.col("n_words")).cast("long"))
+         .otherwise(F.lit(0).cast("long")).alias("dup_word_bp"),
+        F.col("_w"))
+    bigrams = word_stats.select(
+        key_col,
+        F.explode_outer(F.when(
+            F.size("_w") >= 2,
+            F.transform(F.sequence(F.lit(1), F.size("_w") - 1),
+                        lambda i: F.concat_ws(" ", F.slice("_w", i, 2)))
+        ).otherwise(F.array().cast("array<string>"))).alias("g"))
+    per_gram = bigrams.groupBy(key_col, "g").agg(
+        F.count("g").alias("c"))
+    per_doc = per_gram.groupBy(key_col).agg(
+        F.max("c").alias("_top"),
+        F.sum("c").alias("_tot"))
+    return (word_stats.drop("_w")
+            .join(per_doc, key_col, "left")
+            .select(key_col, "n_words", "dup_word_bp",
+                    F.when(F.col("_tot") > 0,
+                           F.floor(F.col("_top") * 10000 / F.col("_tot"))
+                            .cast("long"))
+                     .otherwise(F.lit(0).cast("long"))
+                     .alias("top_bigram_bp")))

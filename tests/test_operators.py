@@ -113,6 +113,48 @@ def test_asof_join(spark):
     assert tol[5] == 71 and tol[7] == 72 and tol[6] is None
 
 
+def test_interval_join(spark):
+    """Containment join via time-bucket equi-join: inclusive bounds,
+    intervals spanning multiple buckets lose no matches, key mismatch and
+    out-of-range events excluded, overlapping intervals each match."""
+    from csvweb_spark.operators.interval import interval_join
+    ev = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 3600), (3, 1, 7300), (4, 1, 9000),
+         (5, 2, 3600)],
+        "event_id long, user_id long, t long").selectExpr(
+        "event_id", "user_id", "timestamp_seconds(t) AS ts")
+    iv = spark.createDataFrame(
+        # w1 spans 3 hour-buckets; w2 overlaps w1; user 3 never matches
+        [(10, 1, 50, 7300), (11, 1, 3600, 4000), (12, 3, 0, 999999)],
+        "window_id long, user_id long, s long, e long").selectExpr(
+        "window_id", "user_id", "timestamp_seconds(s) AS start_ts",
+        "timestamp_seconds(e) AS end_ts")
+    got = {(r.event_id, r.window_id) for r in interval_join(
+        ev, iv, "ts", ["user_id"], bucket_minutes=60).collect()}
+    assert got == {(1, 10), (2, 10), (3, 10),   # inclusive end at 7300
+                   (2, 11)}                     # overlap: ev 2 in both
+    # plan shape: hash equi-join, never a nested loop over the corpus
+    plan = interval_join(ev, iv, "ts", ["user_id"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_repetition_stats(spark):
+    """Gopher repetition signals: duplicate-word and top-bigram fractions
+    in exact integer basis points."""
+    from csvweb_spark.operators.text import repetition_stats
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"),      # 5 words, 2 distinct; top bigram 'a b' x2 of 4
+         (2, "all words differ here"),
+         (3, "x")],             # single word: no bigrams
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.dup_word_bp, r.top_bigram_bp)
+           for r in repetition_stats(docs).collect()}
+    assert got[1] == (5, 6000, 5000)
+    assert got[2] == (4, 0, 3333)   # every bigram unique: 1 of 3 -> 3333
+    assert got[3] == (1, 0, 0)
+
+
 def test_duplicate_spans(spark):
     """Span-level exact dedup: a passage copied between two docs at
     DIFFERENT offsets (so doc-level dedup misses it and strided windows
