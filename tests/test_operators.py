@@ -113,6 +113,32 @@ def test_asof_join(spark):
     assert tol[5] == 71 and tol[7] == 72 and tol[6] is None
 
 
+def test_embedding_dedup_lsh_blocking(spark):
+    """block_col=None now means LSH-bucket blocking, not a crossJoin
+    (round-1 scale hazard): planted near-identical vectors must surface,
+    found pairs must be a subset of the exact cross-join pairs, and no
+    CartesianProduct/BroadcastNestedLoopJoin may appear in the plan."""
+    from csvweb_spark.operators.dedup import dedup_embedding_cosine
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    d = emb.unionByName(planted)
+    lsh = dedup_embedding_cosine(d, block_col=None, threshold=0.995)
+    exact = dedup_embedding_cosine(d, block_col=None, threshold=0.995,
+                                   allow_cross_join=True)
+    lsh_pairs = {(r.id_a, r.id_b) for r in lsh.collect()}
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert lsh_pairs <= exact_pairs
+    planted_pairs = {(i, i + 100000) for i in range(10)}
+    assert planted_pairs <= exact_pairs
+    # >=9 of the 10 identical planted pairs must survive LSH blocking
+    assert len(planted_pairs & lsh_pairs) >= 9
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_interval_join(spark):
     """Containment join via time-bucket equi-join: inclusive bounds,
     intervals spanning multiple buckets lose no matches, key mismatch and
