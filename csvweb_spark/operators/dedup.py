@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import normalize_for_fingerprint
+from .text import normalize_for_fingerprint, whitespace_tokens
 
 
 def md5_hash60(col: Column) -> Column:
@@ -164,7 +164,7 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-grams (the standard web-dedup shingle unit: far more
     distinctive than character n-grams, so LSH buckets don't saturate on
     small vocabularies) - pure JVM."""
-    toks = F.split(F.regexp_replace(F.lower(text), r"^\s+|\s+$", ""), r"\s+")
+    toks = whitespace_tokens(text)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
@@ -301,7 +301,10 @@ def dedup_minhash_lsh(df: DataFrame, text_col: str = "text",
              .select("id_a", "id_b").distinct())
     if not verify_exact:
         return (cands, dropped) if return_dropped else cands
+    # the SAME shingle unit as candidate generation (review fix: 'token'
+    # candidates were verified against char 3-gram Jaccard)
     sh_expr = (word_shingles(F.col(text_col), n) if shingle_unit == "word"
+               else token_set(F.col(text_col)) if shingle_unit == "token"
                else shingles(F.col(text_col), n))
     sh = df.select(F.col(key_col), sh_expr.alias("sh"))
     cands = (cands
@@ -334,8 +337,7 @@ def simhash(df: DataFrame, text_col: str = "text", key_col: str = "doc_id",
     tokens never concentrate anywhere) -> pack sign bits. bits must be
     <= 60 (the token-hash width; keeps every value in a signed long)."""
     assert bits <= 60, "token hash provides 60 bits"
-    toks = F.split(
-        F.regexp_replace(F.lower(text_col), r"^\s+|\s+$", ""), r"\s+")
+    toks = whitespace_tokens(F.col(text_col))
     tok = df.select(F.col(key_col), F.explode(toks).alias("t"))
     tok = tok.select(key_col, md5_hash60(F.col("t")).alias("h"))
     votes = tok.groupBy(key_col).agg(*[
@@ -346,7 +348,13 @@ def simhash(df: DataFrame, text_col: str = "text", key_col: str = "doc_id",
     for j in range(bits):
         sim = sim + F.when(F.col(f"v{j}") > 0,
                            F.lit(1 << j).cast("long")).otherwise(F.lit(0))
-    return votes.select(key_col, sim.alias("simhash"))
+    out = votes.select(key_col, sim.alias("simhash"))
+    # null-text docs have no tokens and would vanish in the explode; keep
+    # them with simhash 0 (review fix: parity with the round-1 UDF, and no
+    # silent row loss for downstream key joins)
+    return (df.select(key_col).join(out, key_col, "left")
+            .select(key_col, F.coalesce("simhash", F.lit(0).cast("long"))
+                    .alias("simhash")))
 
 
 def dedup_simhash(df: DataFrame, text_col: str = "text",
@@ -358,6 +366,10 @@ def dedup_simhash(df: DataFrame, text_col: str = "text",
     per block, then exact hamming verification (bit_count of xor)."""
     blocks = max_hamming + 1
     width = bits // blocks
+    assert width >= 1, (
+        f"bits={bits} cannot cover max_hamming={max_hamming}: the block "
+        f"trick needs bits >= max_hamming+1 (width 0 would bucket every "
+        f"doc together - a full O(n^2) self-join)")
     h = simhash(df, text_col, key_col, bits)
     block_exprs = [
         F.shiftrightunsigned(F.col("simhash"), bi * width)
@@ -406,8 +418,7 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
     Returns (span_hash, n_docs, n_occurrences, first_doc) for spans seen
     in >= min_docs distinct documents. Span volume is len/stride windows
     per doc -- linear in corpus size; no pairwise joins anywhere."""
-    toks = F.split(
-        F.regexp_replace(F.lower(text_col), r"^\s+|\s+$", ""), r"\s+")
+    toks = whitespace_tokens(F.col(text_col))
     base = (df.select(F.col(key_col), toks.alias("t"))
             .filter(F.size("t") >= window))
     span_h = lambda i: md5_hash60(
@@ -442,6 +453,7 @@ def dedup_embedding_cosine(df: DataFrame, vec_col: str = "embedding",
                            key_col: str = "vec_id", block_col: Optional[str] = "label",
                            threshold: float = 0.995,
                            lsh_bits: int = 12, lsh_tables: int = 4,
+                           dim: Optional[int] = None,
                            allow_cross_join: bool = False) -> DataFrame:
     """Near-dup pairs by exact cosine >= threshold within blocking groups.
 
@@ -457,10 +469,18 @@ def dedup_embedding_cosine(df: DataFrame, vec_col: str = "embedding",
       cosine verification. Like all LSH blocking, identical-vector floods
       belong in an exact pre-pass (md5 of the vector bytes).
     * allow_cross_join=True - the exact O(n^2) path, for oracle-sized
-      inputs only; at corpus scale a crossJoin is never the plan."""
-    dim = None
-    if block_col is None and not allow_cross_join:
-        dim = len(df.select(vec_col).first()[0])
+      inputs only; at corpus scale a crossJoin is never the plan.
+
+    Pass `dim` explicitly to avoid the driver-side inference job (one
+    limit(1) collect) that LSH mode otherwise runs at build time."""
+    if block_col is None and not allow_cross_join and dim is None:
+        head = df.select(vec_col).limit(1).collect()
+        dim = (len(head[0][0])
+               if head and head[0][0] is not None else 0)
+        if dim == 0:
+            # empty input / null first vector: no pairs by definition
+            return df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cos double")
     cols = [F.col(key_col), F.col(vec_col).cast("array<double>").alias("v")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))

@@ -79,6 +79,11 @@ def ann_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
         scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     # rank on the rounded score so cross-engine float noise cannot reorder
     scored = scored.withColumn("cos4", F.round(F.col("cos"), 4))
+    # zero-norm vectors score NaN; exclude them BEFORE the partial top-k -
+    # pandas sorts NaN last while Spark's desc window ranks NaN first, so
+    # letting NaN through would make the per-partition prune disagree with
+    # the global ranking (and a NaN "neighbor" is meaningless anyway)
+    scored = scored.filter(~F.isnan("cos4"))
     partial = partition_topk(scored, k)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos4").desc(), F.col("neighbor_id").asc())

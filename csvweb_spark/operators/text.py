@@ -34,6 +34,17 @@ LANG_ORDER = ["en", "de", "fr", "es"]
 BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
 
 
+def whitespace_tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens after edge-trim - the ONE tokenizer
+    shared by simhash, duplicate_spans, word_shingles and
+    repetition_stats. Its DuckDB oracle mirror is
+    string_split_regex(regexp_replace(lower(x), '^\\s+|\\s+$', '', 'g'),
+    '\\s+'); keeping a single definition is what guarantees the four
+    operators and their SQL oracles can never drift apart."""
+    return F.split(F.regexp_replace(F.lower(text), r"^\s+|\s+$", ""),
+                   r"\s+")
+
+
 def lang_score(text: Column, lang: str) -> Column:
     """Number of marker words of `lang` present (word-boundary contains)."""
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
@@ -144,8 +155,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     (doc), uniform and map-side combinable, the skew-free shape at corpus
     scale. Word-level stats stay array-only (no explode). Integer basis
     points keep the DuckDB oracle exact."""
-    toks = F.split(F.regexp_replace(F.lower(F.col(text_col)),
-                                    r"^\s+|\s+$", ""), r"\s+")
+    toks = whitespace_tokens(F.col(text_col))
     words = df.select(
         F.col(key_col), toks.alias("_w"),
         F.size(toks).alias("n_words"),

@@ -677,7 +677,8 @@ def compile_triples_with_errors(
     needs_norm = [
         (i, c) for i, c in enumerate(columns)
         if not c.virtual and c.value_url is None and (
-            (c.datatype is not None and c.datatype.format is not None)
+            (c.datatype is not None and (c.datatype.format is not None
+                                         or c.datatype.constraints))
             or c.datatype_iri in (XSD_DATE, XSD_DATETIME))
     ]
     if not needs_norm:

@@ -123,27 +123,40 @@ def write_partitioned(df: DataFrame, output_dir: str, url_col: str = "url",
     The manifest (the commit record) is written only after the data write
     succeeds, so a crashed run leaves uncommitted data that a resume
     overwrites (dynamic partition overwrite). This run's partitions are
-    identified as data-dir partitions not yet covered by a committed
-    manifest -- sound because resume reprocesses exactly the uncommitted
-    buckets of a deterministic input."""
+    identified by a FILE-SET DIFF of the partition directories around the
+    write (Spark writes fresh uuid-named files on every overwrite), so:
+    stale dirs left by a crashed earlier run are NOT adopted into this
+    run's manifest (they stay invisible until a resume rewrites them),
+    and a partition this run re-wrote IS committed here even if an older
+    manifest also covers it -- the latest manifest's stats are the
+    authoritative ones for a partition. (Data time travel is
+    commit-VISIBILITY only: overwritten partitions keep the newest files,
+    like an Iceberg table after snapshot expiration.)"""
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     run_id = run_id or f"run-{int(time.time() * 1000)}"
     keyed = df if "part_key" in df.columns else with_part_key(df, url_col, n_buckets)
 
     data_dir = os.path.join(output_dir, "data")
-    already_committed = committed_partitions(output_dir)
 
+    def _part_files() -> dict:
+        out = {}
+        if os.path.isdir(data_dir):
+            for d in os.listdir(data_dir):
+                if d.startswith("part_key="):
+                    pdir = os.path.join(data_dir, d)
+                    out[int(d.split("=", 1)[1])] = sorted(
+                        fn for fn in os.listdir(pdir)
+                        if fn.endswith(".parquet"))
+        return out
+
+    before = _part_files()
     (keyed.write.mode("overwrite")
      .partitionBy("part_key")
      .parquet(data_dir))
-
-    on_disk = {
-        int(d.split("=", 1)[1])
-        for d in os.listdir(data_dir)
-        if d.startswith("part_key=")
-    }
-    new_parts = sorted(on_disk - already_committed)
+    after = _part_files()
+    new_parts = sorted(p for p, files in after.items()
+                       if files and before.get(p) != files)
     stats = [_partition_stats_from_footers(data_dir, p, url_col)
              for p in new_parts]
     manifest = {

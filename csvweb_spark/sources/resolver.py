@@ -113,17 +113,23 @@ def locate_metadata(resolver, csv_url: str) -> Optional[tuple[str, str]]:
     link = getattr(resolver, "link_header", lambda _u: None)(csv_url)
     if link:
         m = re.search(r"<([^>]+)>", link)
-        if m and ('rel="describedby"' in link or "csvm+json" in link
-                  or "ld+json" in link):
+        # the spec (and Rdf/Converter.cs discovery) requires the
+        # describedby relation; the metadata media types select among
+        # multiple such links but never substitute for the rel itself
+        if m and 'rel="describedby"' in link:
             murl = urljoin(csv_url, m.group(1))
             text = resolver.resolve(murl)
             if text is not None:
                 return murl, text
     base = csv_url.split("?")[0]
     for tpl in _csvm_templates(resolver, csv_url):
+        # expand the {+url}/{url} variables FIRST, then resolve a
+        # relative template against the csv's base (round-2 review fix:
+        # the expansion was discarded for relative templates, probing the
+        # literal placeholder URL)
         cand = tpl.replace("{+url}", csv_url).replace("{url}", csv_url)
         if not tpl.startswith("{"):
-            cand = urljoin(base, tpl)
+            cand = urljoin(base, cand)
         text = resolver.resolve(cand)
         if text is not None:
             return cand, text

@@ -431,6 +431,40 @@ def test_snapshot_time_travel(spark, tmp_path, docs):
         read_snapshot(spark, out, as_of_run="nope")
 
 
+def test_manifest_commits_exactly_the_written_partitions(spark, tmp_path, docs):
+    """Round-2 review fix: the manifest must cover exactly what THIS run
+    wrote (file-set diff) - a torn dir from a crashed writer is not
+    adopted, and a re-written already-committed partition is re-committed
+    with fresh stats."""
+    from csvweb_spark.plans.lineage import (
+        read_snapshot, with_part_key, write_partitioned)
+    out = str(tmp_path / "mout")
+    df = docs.limit(40).select(
+        F.concat(F.lit("http://p/"), F.col("doc_id")).alias("url"), "text")
+    keyed = with_part_key(df, n_buckets=8)
+    m1 = write_partitioned(keyed.filter(F.col("part_key") < 4), out,
+                           n_buckets=8, run_id="r1")
+    p1 = {p["part_key"] for p in m1["partitions"]}
+    assert p1 == {r.part_key for r in keyed.filter(F.col("part_key") < 4)
+                  .select("part_key").distinct().collect()}
+    # crashed-writer dir (data, no manifest): the next commit of OTHER
+    # partitions must not adopt it, and readers must not see it
+    torn = spark.createDataFrame(
+        [("http://p/torn", "t", 99)], "url string, text string, part_key int")
+    torn.write.mode("append").partitionBy("part_key").parquet(
+        os.path.join(out, "data"))
+    m2 = write_partitioned(
+        keyed.filter((F.col("part_key") >= 4) & (F.col("part_key") < 6)),
+        out, n_buckets=8, run_id="r2")
+    assert 99 not in {p["part_key"] for p in m2["partitions"]}
+    assert read_snapshot(spark, out).filter("part_key = 99").count() == 0
+    # re-write of a committed partition: committed again, latest stats win
+    target = sorted(p1)[0]
+    m3 = write_partitioned(keyed.filter(F.col("part_key") == target), out,
+                           n_buckets=8, run_id="r3")
+    assert {p["part_key"] for p in m3["partitions"]} == {target}
+
+
 def test_write_partitioned_single_materialization(spark, tmp_path):
     """The lineage write must compute its input exactly once: manifest
     stats come from the written parquet footers, not a second pass

@@ -294,3 +294,44 @@ def test_compiled_lexical_fallback_matches_kernel(spark):
     assert got[("2", "f")] == ("TRUE", _X + "string")
     assert got[("2", "d")] == ("NaN", _X + "double")
     assert got[("4", "f")] == ("false", _X + "boolean")
+
+
+def test_compiled_constraint_columns_match_kernel(spark):
+    """W3C value/length facet checks on columns with CONSTRAINTS but no
+    format: round-2 regression found in review - such columns took
+    neither the JVM step-8 guard nor the normalizer path, so the compiled
+    path emitted typed literals the kernel retypes to xsd:string."""
+    from csvweb_spark.csvw.model import Column, Datatype, Table
+    from csvweb_spark.operators.triples import convert_table_group_spark
+
+    t = Table(url="http://ex.org/c.csv")
+    about = "http://ex.org/r/{k}"
+    t.columns = [
+        Column(name="k", about_url=about,
+               property_url="http://ex.org/def/k",
+               datatype=Datatype(base="integer")),
+        Column(name="m", about_url=about,
+               property_url="http://ex.org/def/m",
+               datatype=Datatype(base="integer",
+                                 constraints=[("minimum", 10)])),
+        Column(name="s", about_url=about,
+               property_url="http://ex.org/def/s",
+               datatype=Datatype(base="string",
+                                 constraints=[("maxLength", 3)])),
+    ]
+    csv_text = ("k,m,s\n"
+                "1,15,ab\n"     # all satisfied
+                "2,5,abcd\n"    # m below minimum, s over maxLength
+                "3,abc,xyz\n")  # m lexically invalid
+    pages = _pages(spark, t.url, csv_text)
+    out = convert_table_group_spark(pages, t, scope_by_url=False)
+    actual = _collect_triples(out)
+    kern = PageConverter().convert_table(t, csv_text)
+    expected = [tr.astuple() for tr in kern.triples]
+    assert graphs_isomorphic(actual, expected), diff_report(actual, expected)
+    from csvweb_spark.testing.turtle import XSD as _X
+    got = {(s.rsplit('/', 1)[-1], p.rsplit('/', 1)[-1]): (o, dt)
+           for s, p, o, kk, dt, _l in actual}
+    assert got[("1", "m")] == ("15", _X + "integer")
+    assert got[("2", "m")] == ("5", _X + "string")
+    assert got[("3", "m")] == ("abc", _X + "string")
