@@ -72,7 +72,8 @@ def synth_aliases(docs: DataFrame) -> DataFrame:
 
 
 def kg_canonical_triples(pages: DataFrame, table: Table, aliases: DataFrame,
-                         mode: str = MODE_MINIMAL):
+                         mode: str = MODE_MINIMAL,
+                         cache_registry: Optional[list] = None):
     """Stages A-D as DataFrames (no materialization): returns
     (canonical_triples, entity_map, observation, cell_errors).
 
@@ -88,7 +89,9 @@ def kg_canonical_triples(pages: DataFrame, table: Table, aliases: DataFrame,
     each consumer recomputes the whole extraction, ~3-5x the A+B cost
     (measured 40 s -> ~20 s at sf0.1). At 100 TB a spilled persist of the
     triples costs about one extra write of the stage output - far below
-    re-running extraction per consumer."""
+    re-running extraction per consumer. Pass `cache_registry` (a list) to
+    receive the persisted handles for unpersisting once every consumer
+    has materialized (build_knowledge_graph does)."""
     from pyspark.storagelevel import StorageLevel
 
     from .operators.triples import convert_table_group_spark_with_errors
@@ -121,6 +124,8 @@ def kg_canonical_triples(pages: DataFrame, table: Table, aliases: DataFrame,
     canonical_triples = canonicalize_triples(
         triples, entity_map.select("node", F.col("canonical_uri")
                                    .alias("canonical")))
+    if cache_registry is not None:
+        cache_registry.extend([triples, edges_uri])
     return canonical_triples, entity_map, obs, errors
 
 
@@ -135,8 +140,9 @@ def build_knowledge_graph(spark: SparkSession, pages: DataFrame, table: Table,
       output_dir/entities/  (node, component, canonical_uri)
       output_dir/_manifests under each table dir (commit records)
     """
+    caches: list = []
     canonical_triples, entity_map, obs, errors = kg_canonical_triples(
-        pages, table, aliases, mode=mode)
+        pages, table, aliases, mode=mode, cache_registry=caches)
 
     # E: materialize with lineage (graph tables + the cell-error table --
     # the data-quality channel, reference Rdf/Converter.cs:456-461)
@@ -149,6 +155,10 @@ def build_knowledge_graph(spark: SparkSession, pages: DataFrame, table: Table,
     err_manifest = write_resumable(
         errors, os.path.join(output_dir, "errors"),
         n_buckets=max(n_buckets // 4, 1))
+    # all sinks materialized: release the stage caches (long-running
+    # drivers would otherwise accumulate spilled blocks across jobs)
+    for cached in caches:
+        cached.unpersist()
     return {
         "triples": t_manifest,
         "entities": e_manifest,
