@@ -73,13 +73,19 @@ class ConversionResult:
 
 
 def parse_csv_rows(text: str, dialect,
-                   apply_default_comment: bool = True) -> Iterator[list]:
+                   apply_default_comment: bool = True,
+                   with_positions: bool = False) -> Iterator:
     """CSV records honoring the dialect subset the reference applies
     (Rdf/Converter.cs:491-511): comment prefix, delimiter, blank-row policy.
     Trimming is NOT done here (reference disables reader-level trimming).
     A leading UTF-8 BOM is stripped (C# StreamReader behavior).
     apply_default_comment=False suppresses the reference's implicit '#'
-    comment prefix (W3C default dialect has none)."""
+    comment prefix (W3C default dialect has none).
+
+    with_positions=True yields (source_row, record) instead, where
+    source_row is the 1-based position in the SOURCE file counting every
+    record - including comment lines and skipped blank rows - matching
+    the reference's CsvContext.Row and the W3C _sourceRow definition."""
     if text.startswith("﻿"):
         text = text[1:]
     if not apply_default_comment and not getattr(
@@ -87,33 +93,52 @@ def parse_csv_rows(text: str, dialect,
         comment = None
     else:
         comment = (dialect.comment_prefix or "#")[0]
+    quote = ((dialect.quote_char or '"')[0]
+             if dialect.quote_char is not None else '"')
     delim = dialect.delimiter or ","
+    # comment lines are stripped on the RAW text (CsvHelper AllowComments
+    # checks the raw line at a record boundary, so a QUOTED first field
+    # starting with the char is data - round-2 review fix: the old check
+    # on the parsed field dropped such rows) with quote-state tracking
+    # (parity per line - exact for doublequote escaping); their positions
+    # still count toward source_row below
+    comment_positions: set[int] = set()
+    if comment is not None:
+        kept, in_quotes, pos = [], False, 0
+        for line in text.splitlines(keepends=True):
+            if not in_quotes and line.startswith(comment):
+                pos += 1
+                comment_positions.add(pos)
+                continue
+            kept.append(line)
+            if quote and line.count(quote) % 2 == 1:
+                if not in_quotes:
+                    pos += 1  # record starts on this line
+                in_quotes = not in_quotes
+            elif not in_quotes:
+                pos += 1
+        text = "".join(kept)
     if len(delim) == 1:
-        reader = _csv.reader(
+        rows = _csv.reader(
             io.StringIO(text, newline=""),
             delimiter=delim,
-            quotechar=(dialect.quote_char or '"')[0] if dialect.quote_char else '"',
+            quotechar=quote,
             doublequote=True,
             strict=False,
         )
-        rows = reader
     else:
         # multi-character delimiter: quote-unaware line splitter fallback
         rows = (line.split(delim) for line in text.splitlines())
+    pos = 0
     for row in rows:
+        pos += 1
+        while pos in comment_positions:
+            pos += 1
         if not row:  # truly empty line - CsvHelper IgnoreBlankLines default
-            continue
-        if comment is not None and row[0].startswith(comment):
             continue
         if dialect.skip_blank_rows and all(f == "" for f in row):
             continue
-        yield row
-
-
-def _is_comment_row(row: list, comment: str) -> bool:
-    # CsvHelper treats a row as a comment when the raw line starts with the
-    # comment char; after csv-splitting that is field 0 starting with it.
-    return row[0].startswith(comment)
+        yield (pos, row) if with_positions else row
 
 
 def _compiled(template: Optional[str]) -> Optional[CompiledTemplate]:
@@ -363,15 +388,17 @@ class PageConverter:
         group_node = None
         if self.mode == MODE_STANDARD:
             group_node = group.id if group.id else self._fresh_bnode("g")
-            gkind = IRI if group.id else BNODE
             result.triples.append(Triple(group_node, RDF_TYPE,
                                          CSVW_NS + "TableGroup", IRI))
-            self._group_kind = gkind
-        if self.mode == MODE_STANDARD:
-            # common properties are standard-mode only (minimal mode emits
-            # cell triples exclusively; suite test237)
+            # common properties / notes are standard-mode only (minimal
+            # mode emits cell triples exclusively; suite test237)
             self._emit_common_properties(result, group_node,
                                          group.common_properties)
+            if getattr(group, "notes", None):
+                # W3C 4.2 step 3: group notes emit like table notes
+                # (round-2 review fix: parsed but never emitted)
+                self._emit_common_property(result, group_node,
+                                           CSVW_NS + "note", group.notes)
         for table in group.tables:
             if table.suppress_output:
                 continue
@@ -406,11 +433,17 @@ class PageConverter:
         header_rows = dialect.effective_header_row_count()
         rows = parse_csv_rows(text, dialect,
                               apply_default_comment=(self.uri_escaping
-                                                     != "w3c"))
+                                                     != "w3c"),
+                              with_positions=True)
 
+        # names come from the FIRST header row (Converter.cs:300-305 reads
+        # the header then skips the extras; round-2 review fix: the loop
+        # kept the LAST)
         header_record = None
-        for _ in range(header_rows):
-            header_record = next(rows, None)
+        for k in range(header_rows):
+            rec = next(rows, None)
+            if k == 0 and rec is not None:
+                header_record = rec[1]
 
         columns = table.columns
         if columns is None:
@@ -420,9 +453,14 @@ class PageConverter:
                 seen = set()
                 columns = []
                 for i, name in enumerate(header_record, start=1):
-                    if name in seen:
-                        continue
-                    seen.add(name)
+                    if not positional:
+                        # reference-mode duplicate-header dedup; positional
+                        # _col.N naming makes every header distinct, and
+                        # deduping on the TITLE there would misalign names
+                        # against record indexes (round-2 review fix)
+                        if name in seen:
+                            continue
+                        seen.add(name)
                     col = table.make_inferred_column(name, i)
                     if positional:
                         col.titles = [(None, name)]
@@ -438,9 +476,12 @@ class PageConverter:
         value_tpl = [_compiled(c.value_url) for c in columns]
 
         logical_row = 0
-        for record in rows:
+        for source_row, record in rows:
+            # source_row is the record's physical position in the file
+            # (comment/blank rows counted - W3C _sourceRow, CsvContext.Row;
+            # round-2 review fix: header_rows + logical_row drifted after
+            # any skipped mid-file row)
             logical_row += 1
-            source_row = header_rows + logical_row
 
             row_node = None
             if self.mode == MODE_STANDARD:
@@ -493,7 +534,10 @@ class PageConverter:
                                        s_def, row_node,
                                        about_tpl[col_ix], prop_tpl[col_ix],
                                        value_tpl[col_ix])
-                except (ConversionError, BindingError, Exception) as ex:
+                # broad catch is reference parity (Converter.cs
+                # catch(Exception) around the per-cell loop); expected
+                # types are ConversionError and BindingError
+                except Exception as ex:
                     result.errors.append(
                         f"Conversion error at row {source_row}, column "
                         f"'{c.name}'. {ex}")

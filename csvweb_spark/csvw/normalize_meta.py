@@ -246,7 +246,11 @@ class MetadataNormalizer:
                         f"Invalid keyword property '{name}' in common property value")
                 if name == "@id":
                     vid = value[name]
-                    if isinstance(vid, str) and vid.startswith("_:"):
+                    if not isinstance(vid, str):
+                        # parse error, not a TypeError crash (review fix)
+                        raise MetadataParseError(
+                            "The value of an '@id' property must be a string")
+                    if vid.startswith("_:"):
                         raise MetadataParseError(
                             "An @id property must not start with '_:'")
                     value[name] = expand_curie(vid)

@@ -69,6 +69,17 @@ def parse_normalized(root: dict, base_uri: str,
     raise MetadataParseError("Unrecognized root object type")
 
 
+def _explicit_column_names(schema) -> set:
+    """Columns of a raw tableSchema dict carrying an explicit string
+    `name` (title-derived names don't count - W3C test104). Shared by
+    parse_table and validate_foreign_keys so the two FK validation passes
+    cannot drift."""
+    if not isinstance(schema, dict):
+        return set()
+    return {c.get("name") for c in schema.get("columns", [])
+            if isinstance(c, dict) and isinstance(c.get("name"), str)}
+
+
 class _Parser:
     def __init__(self, base_uri: str, default_language: Optional[str]):
         self.base_uri = base_uri
@@ -169,12 +180,9 @@ class _Parser:
         table.notes = self.parse_notes(root)
         group.tables.append(table)
         schema_raw = root.get("tableSchema") or {}
-        explicit = {c.get("name") for c in schema_raw.get("columns", [])
-                    if isinstance(c, dict) and isinstance(c.get("name"), str)} \
-            if isinstance(schema_raw, dict) else set()
         self._fk_specs.append((table, schema_raw.get("foreignKeys")
                                if isinstance(schema_raw, dict) else None))
-        self._explicit_names[table.url] = explicit
+        self._explicit_names[table.url] = _explicit_column_names(schema_raw)
         return table
 
     def validate_foreign_keys(self, schema: dict, table: Table) -> None:
@@ -189,8 +197,7 @@ class _Parser:
             raise MetadataParseError("'foreignKeys' must be an array")
         # a column referenced by a foreign key MUST have an explicit `name`
         # property (title-derived names don't count - W3C test104)
-        names = {c.get("name") for c in schema.get("columns", [])
-                 if isinstance(c, dict) and isinstance(c.get("name"), str)}
+        names = _explicit_column_names(schema)
         for fk in fks:
             if not isinstance(fk, dict):
                 # items that are not valid objects are ignored (W3C test097)
@@ -237,6 +244,10 @@ class _Parser:
                 resource = ref.get("resource")
                 if resource is None:
                     continue
+                if not isinstance(resource, str):
+                    # parse error, not a TypeError from urljoin (review fix)
+                    raise MetadataParseError(
+                        "The value of the 'resource' property must be a string")
                 target = by_url.get(urljoin(self.base_uri, resource))
                 if target is None:
                     raise MetadataParseError(
@@ -302,8 +313,12 @@ class _Parser:
     def parse_inherited(self, root: dict, parent: dict) -> dict:
         """ParseInheritedProperties (JsonMetadataParser.cs:468-583), with the
         parent chain flattened: a property explicitly present here overrides
-        the parent's resolved value.  NB 'null' never falls back (the
-        reference initializes _null={""} at every level)."""
+        the parent's resolved value. 'null' inherits like the other
+        inherited properties (the W3C inherited-property list includes it;
+        suite-conformant). NB the reference's own getter can never fall
+        back for null (_null is initialized to {""} at every level,
+        InheritedPropertyContainer.cs:34,86), a divergence its goldens
+        never exercise - this port follows the spec."""
         out = dict(parent)
         if "datatype" in root:
             dt = root["datatype"]

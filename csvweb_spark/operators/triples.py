@@ -65,6 +65,7 @@ TRIPLE_FIELDS = ["subj", "pred", "obj", "obj_kind", "obj_datatype", "obj_lang"]
 ROWS_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("row", LongType()),
+    StructField("src_row", LongType()),
     StructField("vals", ArrayType(StringType())),
 ])
 
@@ -96,20 +97,21 @@ def extract_rows(pages_df: DataFrame, table: Table) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            urls, rows_out, vals_out = [], [], []
+            urls, rows_out, srcs_out, vals_out = [], [], [], []
             for url, text in zip(pdf["url"], pdf["text"]):
                 if text is None:
                     continue
-                it = parse_csv_rows(text, dialect)
+                it = parse_csv_rows(text, dialect, with_positions=True)
                 for _ in range(header_rows):
                     next(it, None)
-                for i, rec in enumerate(it, start=1):
+                for i, (pos, rec) in enumerate(it, start=1):
                     urls.append(url)
                     rows_out.append(i)
+                    srcs_out.append(pos)
                     vals_out.append(rec)
             if urls:  # empty frames infer wrong dtypes for Arrow
                 yield pd.DataFrame({"url": urls, "row": rows_out,
-                                    "vals": vals_out})
+                                    "src_row": srcs_out, "vals": vals_out})
 
     return pages_df.select("url", "text").mapInPandas(gen, ROWS_SCHEMA)
 
@@ -119,8 +121,10 @@ def infer_columns(table: Table, sample_text: str) -> list[Column]:
     the driver from a sample page (homogeneous corpus => one header)."""
     it = parse_csv_rows(sample_text, table.dialect)
     header = None
-    for _ in range(table.dialect.effective_header_row_count()):
-        header = next(it, None)
+    for k in range(table.dialect.effective_header_row_count()):
+        rec = next(it, None)
+        if k == 0:  # names come from the FIRST header row (kernel parity)
+            header = rec
     cols, seen = [], set()
     if header:
         for i, name in enumerate(header, start=1):
@@ -170,6 +174,8 @@ class _PlanContext:
             self.scope = F.lit("")
         self.url = F.col("url")
         self.row = F.col("row")
+        # physical source-file record position (comment/blank rows counted)
+        self.src_row = F.col("src_row")
 
     # -- raw cell access -----------------------------------------------------
 
@@ -191,7 +197,7 @@ class _PlanContext:
         if var == "_row":
             return self.row.cast("string")
         if var == "_sourceRow":
-            return (self.row + self.header_rows).cast("string")
+            return self.src_row.cast("string")
         if var == "_column":
             return F.lit(str(col_number))
         if var == "_sourceColumn":
@@ -460,7 +466,7 @@ def _row_scaffolding_exprs(ctx: _PlanContext) -> list[SparkColumn]:
                        F.lit(XSD_INTEGER), none, -1),
         _triple_struct(row_node, F.lit(CSVW_NS + "url"),
                        F.concat(ctx.url, F.lit("#row="),
-                                (ctx.row + ctx.header_rows).cast("string")),
+                                ctx.src_row.cast("string")),
                        "iri", None, None, -1),
     )
     per_table = F.when(ctx.row == 1, F.array(
@@ -613,7 +619,8 @@ def compile_triples_with_errors(
     ctx = _PlanContext(table, columns, mode, scope_by_url)
 
     # stage 1: scope column
-    df = rows_df.select("url", "row", "vals", ctx.scope.alias("_scope"))
+    df = rows_df.select("url", "row", "src_row", "vals",
+                        ctx.scope.alias("_scope"))
     ctx.scope = F.col("_scope")
 
     # stage 2: shared terms
@@ -653,7 +660,7 @@ def compile_triples_with_errors(
         prep["_tnode"] = (F.lit(table.id) if table.id
                           else F.concat(F.lit("_:"), ctx.scope, F.lit("t")))
         prep["_gnode"] = F.concat(F.lit("_:"), ctx.scope, F.lit("g"))
-    df = df.select("url", "row", "_scope",
+    df = df.select("url", "row", "src_row", "_scope",
                    *[v.alias(k) for k, v in prep.items()])
 
     # stage 3: per-cell triple arrays -> flatten -> explode
@@ -670,8 +677,9 @@ def compile_triples_with_errors(
             obj=F.col(r["obj"]) if "obj" in r else None))
     exploded = (
         df
-        .select("url", "row", F.explode(F.flatten(F.array(*arrays))).alias("t"))
-        .select("url", "row", "t.*")
+        .select("url", "row", "src_row",
+                F.explode(F.flatten(F.array(*arrays))).alias("t"))
+        .select("url", "row", "src_row", "t.*")
     )
     # post-explode format normalization (only the affected columns pay)
     needs_norm = [
@@ -683,9 +691,8 @@ def compile_triples_with_errors(
     ]
     if not needs_norm:
         empty_errors = rows_df.sparkSession.createDataFrame([], ERRORS_SCHEMA)
-        return exploded.drop("col_ix"), empty_errors
+        return exploded.drop("col_ix", "src_row"), empty_errors
 
-    header_rows = table.dialect.effective_header_row_count()
     res = F.struct(F.col("obj").alias("norm"),
                    F.lit(None).cast("string").alias("err"),
                    F.lit(False).alias("fallback"))
@@ -694,7 +701,8 @@ def compile_triples_with_errors(
         res = F.when((F.col("col_ix") == i) & (F.col("obj_kind") == "literal"),
                      udf(F.col("obj"))).otherwise(res)
     normed = exploded.withColumn("_n", res)
-    # kernel wording: csvw/convert.py:497-499 (source row = row + header rows)
+    # kernel wording: csvw/convert.py error capture (source row = the
+    # physical record position, comment/blank rows counted)
     name_expr = F.lit(None).cast("string")
     for i, c in needs_norm:
         name_expr = F.when(F.col("col_ix") == i, F.lit(c.name or "")) \
@@ -703,7 +711,7 @@ def compile_triples_with_errors(
               .select("url", "row", F.col("col_ix").cast("long").alias("col_ix"),
                       name_expr.alias("col_name"),
                       F.concat(F.lit("Conversion error at row "),
-                               (F.col("row") + F.lit(header_rows)).cast("string"),
+                               F.col("src_row").cast("string"),
                                F.lit(", column '"), name_expr, F.lit("'. "),
                                F.col("_n.err")).alias("message")))
     # W3C step-8 fallback: lexically invalid values keep the raw literal but
@@ -718,7 +726,7 @@ def compile_triples_with_errors(
                                   F.lit(None).cast("string"))
                             .otherwise(F.col("obj_lang")))
                .filter(F.col("obj").isNotNull())
-               .drop("col_ix", "_n"))
+               .drop("col_ix", "_n", "src_row"))
     return triples, errors
 
 

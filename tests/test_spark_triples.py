@@ -335,3 +335,58 @@ def test_compiled_constraint_columns_match_kernel(spark):
     assert got[("1", "m")] == ("15", _X + "integer")
     assert got[("2", "m")] == ("5", _X + "string")
     assert got[("3", "m")] == ("abc", _X + "string")
+
+
+def test_comment_semantics_and_physical_source_row(spark):
+    """CsvHelper comment semantics + W3C physical _sourceRow (round-2
+    review fixes): a QUOTED first field starting with '#' is data, a raw
+    comment line is skipped but still counts toward the source row, and
+    kernel == compiled."""
+    from csvweb_spark.csvw.model import Column, Table
+    from csvweb_spark.operators.triples import convert_table_group_spark
+
+    t = Table(url="http://ex.org/s.csv")
+    about = "http://ex.org/r/{n}"
+    t.columns = [
+        Column(name="n", about_url=about,
+               property_url="http://ex.org/def/n"),
+        Column(name="sr", about_url=about,
+               property_url="http://ex.org/def/sr",
+               value_url="http://ex.org/src/{_sourceRow}"),
+    ]
+    csv_text = ('n,sr\n'
+                '1,a\n'
+                '# a raw comment line\n'
+                '"#2",b\n'
+                '3,c\n')
+    pages = _pages(spark, t.url, csv_text)
+    out = convert_table_group_spark(pages, t, scope_by_url=False)
+    actual = _collect_triples(out)
+    kern = PageConverter().convert_table(t, csv_text)
+    expected = [tr.astuple() for tr in kern.triples]
+    assert graphs_isomorphic(actual, expected), diff_report(actual, expected)
+    subjects = {s for s, *_ in actual}
+    assert "http://ex.org/r/#2" in subjects      # quoted '#' field kept
+    src_objs = {o for _s, p, o, *_ in actual
+                if p == "http://ex.org/def/sr"}
+    # physical rows: header=1, '1'=2, comment=3 (skipped), '#2'=4, '3'=5
+    assert src_objs == {"http://ex.org/src/2", "http://ex.org/src/4",
+                        "http://ex.org/src/5"}
+
+
+def test_multi_header_names_come_from_first_row(spark):
+    """headerRowCount=2: inferred column names come from the FIRST header
+    row (Converter.cs:300-305), kernel and compiled alike."""
+    from csvweb_spark.csvw.model import Table
+    from csvweb_spark.operators.triples import infer_columns
+
+    t = Table(url="http://ex.org/h.csv")
+    t.dialect.header_row_count = 2
+    csv_text = "A,B\nunits,kg\n1,2\n"
+    cols = infer_columns(t, csv_text)
+    assert [c.name for c in cols] == ["A", "B"]
+    kern = PageConverter().convert_table(t, csv_text)
+    preds = {p for _s, p, *_ in (tr.astuple() for tr in kern.triples)}
+    assert preds == {f"{t.url}#A", f"{t.url}#B"}
+    objs = {o for _s, _p, o, *_ in (tr.astuple() for tr in kern.triples)}
+    assert objs == {"1", "2"}  # both header rows consumed, one data row
