@@ -34,40 +34,44 @@ def asof_join(left: DataFrame, right: DataFrame, time_col: str,
 
     Returns left's columns + payload_cols + `right_time_alias` (the matched
     right row's time; NULL when no prior right row exists or the match is
-    older than `tolerance_seconds`)."""
+    older than `tolerance_seconds`).
+
+    The right row's payload and time travel as ONE struct through the
+    carry-forward, so a NULL payload value in the matched right row stays
+    NULL (review fix: per-column last(ignorenulls) could stitch payload
+    and timestamp from DIFFERENT right rows when payloads contain
+    NULLs - DuckDB ASOF JOIN matches a row, not per-column values)."""
     left_cols = left.columns
+    payload_struct = F.struct(
+        F.col(time_col).alias("_rt"),
+        *[F.col(c) for c in payload_cols])
+    null_struct = F.lit(None).cast(
+        right.select(payload_struct).schema[0].dataType)
     l = left.select(*left_cols,
-                    *[F.lit(None).cast(right.schema[c].dataType).alias(c)
-                      for c in payload_cols],
-                    F.lit(None).cast(right.schema[time_col].dataType)
-                     .alias("_rt"),
+                    null_struct.alias("_pl"),
                     F.lit(1).alias("_side"))
     r = right.select(*[F.col(c) for c in by_cols],
                      F.col(time_col),
                      *[F.lit(None).cast(left.schema[c].dataType).alias(c)
                        for c in left_cols
                        if c not in by_cols and c != time_col],
-                     *[F.col(c) for c in payload_cols],
-                     F.col(time_col).alias("_rt"),
+                     payload_struct.alias("_pl"),
                      F.lit(0).alias("_side"))
     u = l.unionByName(r.select(*l.columns))
     w = (Window.partitionBy(*by_cols)
          .orderBy(F.col(time_col).asc(), F.col("_side").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = u.select(
-        *left_cols, "_side",
-        *[F.last(c, ignorenulls=True).over(w).alias(c)
-          for c in payload_cols],
-        F.last("_rt", ignorenulls=True).over(w).alias(right_time_alias))
-    out = carried.filter(F.col("_side") == 1).drop("_side")
+    carried = (u.withColumn("_m", F.last("_pl", ignorenulls=True).over(w))
+               .filter(F.col("_side") == 1))
     if tolerance_seconds is not None:
-        stale = (F.col(time_col).cast("long")
-                 - F.col(right_time_alias).cast("long")
-                 > F.lit(tolerance_seconds))
-        out = out.select(
-            *left_cols,
-            *[F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c)
-              for c in payload_cols],
-            F.when(stale, F.lit(None)).otherwise(F.col(right_time_alias))
-             .alias(right_time_alias))
-    return out
+        # microsecond-exact staleness: cast('long') floors to seconds,
+        # letting matches up to ~1s past the tolerance through (review fix)
+        stale = (F.unix_micros(F.col(time_col))
+                 - F.unix_micros(F.col("_m._rt"))
+                 > F.lit(int(tolerance_seconds) * 1_000_000))
+        carried = carried.withColumn(
+            "_m", F.when(stale, null_struct).otherwise(F.col("_m")))
+    return carried.select(
+        *left_cols,
+        *[F.col(f"_m.{c}").alias(c) for c in payload_cols],
+        F.col("_m._rt").alias(right_time_alias))

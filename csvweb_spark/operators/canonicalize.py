@@ -92,9 +92,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
                                        F.col("u").alias("b"))))
     salted, mins = _salted_min(bidir, "a", "b")
     mins = mins.select("a", F.least("_m", F.col("a")).alias("m"))
-    joined = salted.join(_replicate_per_salt(mins), ["a", "_salt"])
+    # only b > a rows survive large-star, so filter BEFORE the join-back:
+    # the min still aggregates over the full salted set (above), but the
+    # join probes half the rows per round (review fix); the filter sits
+    # downstream of the shared exchange, so the exchange reuse holds
+    joined = (salted.filter(F.col("b") > F.col("a"))
+              .join(_replicate_per_salt(mins), ["a", "_salt"]))
     return (joined
-            .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("u"), F.col("m").alias("v"))
             .distinct())
 

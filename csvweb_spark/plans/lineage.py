@@ -63,9 +63,33 @@ def committed_partitions(output_dir: str) -> set[int]:
     return done
 
 
+def _committed_bucket_counts(output_dir: str) -> set[int]:
+    mdir = os.path.join(output_dir, "_manifests")
+    out: set[int] = set()
+    if not os.path.isdir(mdir):
+        return out
+    for fn in os.listdir(mdir):
+        if fn.endswith(".json"):
+            with open(os.path.join(mdir, fn)) as f:
+                out.add(int(json.load(f).get("n_buckets", -1)))
+    return out
+
+
 def resume_filter(df: DataFrame, output_dir: str, url_col: str = "url",
                   n_buckets: int = N_BUCKETS_DEFAULT) -> DataFrame:
-    """Drop rows whose partition bucket is already committed (restart path)."""
+    """Drop rows whose partition bucket is already committed (restart path).
+
+    The bucket count is part of the table's identity: committed part_keys
+    were computed mod the ORIGINAL n_buckets, so resuming with a different
+    count would silently drop never-written rows (new bucket collides with
+    a committed id) and reprocess committed ones - the mismatch raises
+    instead (review fix)."""
+    seen = _committed_bucket_counts(output_dir)
+    if seen and seen != {n_buckets}:
+        raise ValueError(
+            f"resume with n_buckets={n_buckets} but {output_dir} was "
+            f"committed with n_buckets={sorted(seen)}; the bucket count "
+            f"cannot change across resumes of one output table")
     done = committed_partitions(output_dir)
     keyed = with_part_key(df, url_col, n_buckets)
     if not done:
@@ -133,7 +157,6 @@ def write_partitioned(df: DataFrame, output_dir: str, url_col: str = "url",
     commit-VISIBILITY only: overwritten partitions keep the newest files,
     like an Iceberg table after snapshot expiration.)"""
     spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     run_id = run_id or f"run-{int(time.time() * 1000)}"
     keyed = df if "part_key" in df.columns else with_part_key(df, url_col, n_buckets)
 
@@ -151,9 +174,21 @@ def write_partitioned(df: DataFrame, output_dir: str, url_col: str = "url",
         return out
 
     before = _part_files()
-    (keyed.write.mode("overwrite")
-     .partitionBy("part_key")
-     .parquet(data_dir))
+    # dynamic partition overwrite only for THIS write: the session conf is
+    # restored so unrelated writes keep their expected static-overwrite
+    # semantics (review fix: the setting leaked to the whole session)
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev_mode = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        (keyed.write.mode("overwrite")
+         .partitionBy("part_key")
+         .parquet(data_dir))
+    finally:
+        if prev_mode is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_mode)
     after = _part_files()
     new_parts = sorted(p for p, files in after.items()
                        if files and before.get(p) != files)
@@ -217,7 +252,15 @@ def read_snapshot(spark: SparkSession, output_dir: str,
         snaps = snaps[:cut[0] + 1]
     visible = sorted({int(p["part_key"]) for m in snaps
                       for p in m.get("partitions", [])})
-    df = spark.read.parquet(os.path.join(output_dir, "data"))
+    data_dir = os.path.join(output_dir, "data")
+    if not os.path.isdir(data_dir):
+        # nothing ever written (or the first writer died pre-write): a
+        # clear error beats parquet's AnalysisException (review fix);
+        # callers probing for existence should check snapshots() first
+        raise FileNotFoundError(
+            f"no data directory at {data_dir} (no snapshot has been "
+            f"committed for this table yet)")
+    df = spark.read.parquet(data_dir)
     if not visible:
         return df.filter(F.lit(False))
     return df.filter(F.col("part_key").isin(visible))

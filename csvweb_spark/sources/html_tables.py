@@ -154,12 +154,16 @@ def parse_html_tables(html: str) -> list[list[list[str]]]:
 
 
 def _table_to_csv(rows: list[list[str]]) -> tuple[str, int, int]:
-    """Render as RFC-4180 CSV, padding ragged rows to the header width."""
-    width = max(len(r) for r in rows)
+    """Render as RFC-4180 CSV with the HEADER row's width as the schema:
+    short body rows pad, over-wide body rows (colspan repetition etc.)
+    truncate. Review fix: padding everything to the MAX width let one
+    wide body row append unnamed empty columns to the header, which
+    downstream schema inference turned into blank column names."""
+    width = len(rows[0])
     buf = io.StringIO()
     w = _csv.writer(buf, lineterminator="\n")
     for r in rows:
-        w.writerow(r + [""] * (width - len(r)))
+        w.writerow((r + [""] * (width - len(r)))[:width])
     return buf.getvalue(), len(rows), width
 
 
@@ -183,7 +187,9 @@ def extract_html_tables(pages: DataFrame, html_col: str = "html",
                 else:
                     html = str(raw)
                 for i, rows in enumerate(parse_html_tables(html)):
-                    if len(rows) < min_rows:
+                    if len(rows) < min_rows or not rows[0]:
+                        # cell-less header (<tr></tr> noise) would emit a
+                        # zero-column CSV of bare newlines
                         continue
                     text, n_rows, n_cols = _table_to_csv(rows)
                     out["url"].append(url)

@@ -107,19 +107,55 @@ def _csvm_templates(resolver, csv_url: str) -> list[str]:
     return lines or list(DEFAULT_CSVM_TEMPLATES)
 
 
+def _describedby_targets(link_header: str) -> list[str]:
+    """URLs of the Link-header entries whose OWN parameter list carries
+    rel=describedby (quoted or bare). Parsing is per-entry, so a
+    multi-link header like '<style.css>; rel="stylesheet", <meta.json>;
+    rel="describedby"' yields only meta.json (review fix: the old code
+    took the FIRST <...> url and substring-checked the whole header)."""
+    out = []
+    for m in re.finditer(r"<([^>]+)>((?:\s*;[^,<]*)*)", link_header):
+        params = m.group(2) or ""
+        if re.search(r'rel\s*=\s*"?describedby"?', params, re.I):
+            out.append(m.group(1))
+    return out
+
+
+def _metadata_references(text: str, metadata_url: str, csv_url: str) -> bool:
+    """CSVW discovery rule: metadata located via Link header or the csvm
+    templates is only used when it actually DESCRIBES the tabular file -
+    some table's url must resolve to csv_url against the metadata's own
+    base (review fix: a stale csv-metadata.json describing other files
+    was adopted wholesale). Unparseable candidates are treated as
+    non-referencing."""
+    import json
+    try:
+        obj = json.loads(text)
+    except ValueError:
+        return False
+    if not isinstance(obj, dict):
+        return False
+    tables = obj.get("tables")
+    urls = []
+    if isinstance(tables, list):
+        urls = [t.get("url") for t in tables if isinstance(t, dict)]
+    elif "url" in obj:
+        urls = [obj.get("url")]
+    return any(isinstance(u, str)
+               and urljoin(metadata_url, u) == csv_url for u in urls)
+
+
 def locate_metadata(resolver, csv_url: str) -> Optional[tuple[str, str]]:
     """Discovery loop (Rdf/Converter.cs:141-207): returns
-    (metadata_url, metadata_text) or None."""
+    (metadata_url, metadata_text) or None. Candidates that resolve but do
+    not reference csv_url are skipped (the spec's 'ignore and continue'
+    rule), falling through to the next candidate / default conversion."""
     link = getattr(resolver, "link_header", lambda _u: None)(csv_url)
     if link:
-        m = re.search(r"<([^>]+)>", link)
-        # the spec (and Rdf/Converter.cs discovery) requires the
-        # describedby relation; the metadata media types select among
-        # multiple such links but never substitute for the rel itself
-        if m and 'rel="describedby"' in link:
-            murl = urljoin(csv_url, m.group(1))
+        for target in _describedby_targets(link):
+            murl = urljoin(csv_url, target)
             text = resolver.resolve(murl)
-            if text is not None:
+            if text is not None and _metadata_references(text, murl, csv_url):
                 return murl, text
     base = csv_url.split("?")[0]
     for tpl in _csvm_templates(resolver, csv_url):
@@ -131,7 +167,7 @@ def locate_metadata(resolver, csv_url: str) -> Optional[tuple[str, str]]:
         if not tpl.startswith("{"):
             cand = urljoin(base, cand)
         text = resolver.resolve(cand)
-        if text is not None:
+        if text is not None and _metadata_references(text, cand, csv_url):
             return cand, text
     return None
 

@@ -28,14 +28,12 @@ from pyspark.sql import functions as F
 from ..csvw.convert import MODE_MINIMAL
 from ..csvw.model import Table
 from ..operators.triples import compile_triples, extract_rows
-
-PAGES_DDL = ("url string, warc_ts timestamp, html binary, "
-             "text string, lang string")
+from ..sources.pages import PAGES_SCHEMA
 
 
 def read_pages_stream(spark: SparkSession, input_dir: str,
                       max_files_per_trigger: Optional[int] = None) -> DataFrame:
-    reader = spark.readStream.schema(PAGES_DDL)
+    reader = spark.readStream.schema(PAGES_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(input_dir)

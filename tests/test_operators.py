@@ -111,6 +111,17 @@ def test_asof_join(spark):
     tol = {r.ev: r.m for r in asof_join(
         left, right, "t", ["u"], ["m"], tolerance_seconds=60).collect()}
     assert tol[5] == 71 and tol[7] == 72 and tol[6] is None
+    # row-atomic match: a NULL payload in the MATCHED right row stays NULL
+    # (must not stitch the payload from an older row onto a newer match)
+    right_n = spark.createDataFrame(
+        [(1, 100, 71), (1, 201, None)],
+        "u long, t long, m long").selectExpr(
+        "u", "timestamp_seconds(t) AS t", "m")
+    atom = {r.ev: (r.m, r.asof_ts) for r in asof_join(
+        left, right_n, "t", ["u"], ["m"]).collect()}
+    assert atom[7][0] is None           # matched the 201 row, m is NULL
+    assert atom[7][1] is not None       # ...but the match itself exists
+    assert atom[6][0] == 71             # 200 < 201: still the 100 row
 
 
 def test_embedding_dedup_lsh_blocking(spark):

@@ -81,3 +81,32 @@ def test_file_resolver(tmp_path):
     assert r.resolve(url).startswith("a,b")
     res = convert_url(url, r)
     assert len(res.triples) == 2
+
+
+def test_multi_link_header_picks_the_describedby_entry():
+    """A Link header with several entries must resolve the URL whose OWN
+    params carry rel=describedby, not the first <...> in the header."""
+    r = DictResolver(
+        {CSV_URL: CSV_TEXT, "http://ex.org/data/meta.json": META},
+        links={CSV_URL: '<style.css>; rel="stylesheet", '
+                        '<meta.json>; rel=describedby; '
+                        'type="application/csvm+json"'})
+    found = locate_metadata(r, CSV_URL)
+    assert found is not None and found[0] == "http://ex.org/data/meta.json"
+
+
+def test_non_referencing_metadata_is_skipped():
+    """Discovery rule: metadata that does not reference the tabular file
+    is ignored - conversion falls back to the inferred default schema
+    instead of converting an unrelated table group."""
+    other_meta = META.replace("countries.csv", "other.csv")
+    r = DictResolver({
+        CSV_URL: CSV_TEXT,
+        "http://ex.org/data/other.csv": "code,name\nZZ,Nowhere\n",
+        "http://ex.org/data/csv-metadata.json": other_meta,
+    })
+    assert locate_metadata(r, CSV_URL) is None
+    res = convert_url(CSV_URL, r)
+    objs = {t.obj for t in res.triples}
+    assert "Andorra" in objs          # converted THE REQUESTED csv
+    assert "Nowhere" not in objs      # not the unrelated table group
