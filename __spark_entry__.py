@@ -322,19 +322,17 @@ def _docs_with_near_dups(spark, sf_dir, limit, offset_id, suffix):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    from csvweb_spark.operators.dedup import jaccard, shingles
+    from csvweb_spark.operators.dedup import jaccard_bp, shingles
     d = _docs_with_near_dups(spark, sf_dir, 120, 10000, " x")
     base = d.select("doc_id", "source", shingles(F.col("text"), 3).alias("sh"))
     a = base.select(F.col("doc_id").alias("id_a"), F.col("source").alias("blk"),
                     F.col("sh").alias("sh_a"))
     b = base.select(F.col("doc_id").alias("id_b"), F.col("source").alias("blk"),
                     F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("long")
-    # integer basis points: exact in both engines, no FP rounding hazard
-    jbp = F.floor(inter * 10000 / union).cast("long")
+    # integer basis points (shared operator helper): exact in both
+    # engines, no FP rounding hazard
     return (a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("jaccard_bp", jbp)
+            .withColumn("jaccard_bp", jaccard_bp(F.col("sh_a"), F.col("sh_b")))
             .filter(F.col("jaccard_bp") >= 3500)
             .select("id_a", "id_b", "jaccard_bp"))
 

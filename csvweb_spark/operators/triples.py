@@ -104,11 +104,23 @@ def extract_rows(pages_df: DataFrame, table: Table) -> DataFrame:
                 it = parse_csv_rows(text, dialect, with_positions=True)
                 for _ in range(header_rows):
                     next(it, None)
+                n_data = 0
                 for i, (pos, rec) in enumerate(it, start=1):
                     urls.append(url)
                     rows_out.append(i)
                     srcs_out.append(pos)
                     vals_out.append(rec)
+                    n_data = i
+                if n_data == 0:
+                    # sentinel for a page with ZERO data rows (header-only
+                    # / all rows skipped): row 0 carries no cells but lets
+                    # standard mode emit the Table/TableGroup scaffolding
+                    # the kernel emits before its row loop (review fix:
+                    # row==1-gated statics vanished for empty tables)
+                    urls.append(url)
+                    rows_out.append(0)
+                    srcs_out.append(0)
+                    vals_out.append([])
             if urls:  # empty frames infer wrong dtypes for Arrow
                 yield pd.DataFrame({"url": urls, "row": rows_out,
                                     "src_row": srcs_out, "vals": vals_out})
@@ -180,15 +192,18 @@ class _PlanContext:
     # -- raw cell access -----------------------------------------------------
 
     def raw_cell(self, ix: int) -> SparkColumn:
-        # record[colIx]; element_at is 1-based and returns NULL out of range
-        return F.element_at(F.col("vals"), ix + 1)
+        # record[colIx], 1-based; try_element_at returns NULL out of range
+        # (plain element_at THROWS under ANSI mode - short/ragged records
+        # and the row-0 sentinel's empty vals must read as missing cells)
+        return F.try_element_at(F.col("vals"), F.lit(ix + 1))
 
     def raw_cell_for_binding(self, name: str) -> SparkColumn:
         """Template variable -> RAW cell at skipColumns + schema index with
         the named column's null-list check (Converter.cs:611-627)."""
         for i, c in enumerate(self.columns):
             if c.name == name:
-                v = F.element_at(F.col("vals"), self.skip_columns + i + 1)
+                v = F.try_element_at(F.col("vals"),
+                                     F.lit(self.skip_columns + i + 1))
                 return _null_to_none(v, c.null_values)
         raise KeyError(f"Could not find a column named {name} in the CSV metadata.")
 
@@ -456,7 +471,7 @@ def _row_scaffolding_exprs(ctx: _PlanContext) -> list[SparkColumn]:
     group_node = F.col("_gnode")
     none = F.lit(None).cast("string")
 
-    per_row = F.array(
+    per_row = F.when(ctx.row >= 1, F.array(
         _triple_struct(table_node, F.lit(CSVW_NS + "row"), row_node,
                        "bnode", None, None, -1),
         _triple_struct(row_node, F.lit(RDF_TYPE), F.lit(CSVW_NS + "Row"),
@@ -468,8 +483,9 @@ def _row_scaffolding_exprs(ctx: _PlanContext) -> list[SparkColumn]:
                        F.concat(ctx.url, F.lit("#row="),
                                 ctx.src_row.cast("string")),
                        "iri", None, None, -1),
-    )
-    per_table = F.when(ctx.row == 1, F.array(
+    )).otherwise(_empty_arr())
+    # row 1, or the row-0 sentinel of a zero-data-row page
+    per_table = F.when(ctx.row <= 1, F.array(
         _triple_struct(group_node, F.lit(RDF_TYPE),
                        F.lit(CSVW_NS + "TableGroup"), "iri", None, None, -1),
         _triple_struct(group_node, F.lit(CSVW_NS + "table"), table_node,
@@ -493,8 +509,6 @@ def _static_metadata_triples(ctx: _PlanContext, table_node, table_kind,
     kern = PageConverter(mode=MODE_STANDARD, bnode_scope="\x00B")
     from ..csvw.convert import ConversionResult
     res = ConversionResult()
-    kern._emit_common_properties(res, sentinel_g,
-                                 ctx.table.common_properties and {} or {})
     # group-level common properties live on the TableGroup; per-page we only
     # re-emit table-level ones (group props would duplicate per page)
     kern._emit_common_properties(res, sentinel_t, ctx.table.common_properties)
@@ -519,7 +533,8 @@ def _static_metadata_triples(ctx: _PlanContext, table_node, table_kind,
             term(t.subj), F.lit(t.pred),
             term(t.obj) if t.obj_kind in ("iri", "bnode") else F.lit(t.obj),
             t.obj_kind, t.obj_datatype, t.obj_lang, -1))
-    return F.when(ctx.row == 1, F.array(*structs)).otherwise(_empty_arr())
+    # row 1, or the row-0 sentinel of a zero-data-row page
+    return F.when(ctx.row <= 1, F.array(*structs)).otherwise(_empty_arr())
 
 
 _NORM_RESULT_TYPE = StructType([
@@ -529,10 +544,9 @@ _NORM_RESULT_TYPE = StructType([
 ])
 
 
-def _format_normalizer_udf(c: Column):
-    """Arrow-vectorized lexical normalization for one format column,
-    mirroring the kernel's cell semantics EXACTLY (it calls the same
-    functions):
+def _make_norm_one(c: Column):
+    """Per-value lexical normalization for one format column, mirroring
+    the kernel's cell semantics EXACTLY (it calls the same functions):
 
     * lexically INVALID value (kernel csvw/convert.py:320, W3C cell-parsing
       step 8) -> (raw, err=None, fallback=True): the triple survives with
@@ -564,14 +578,41 @@ def _format_normalizer_udf(c: Column):
         except (FormatError, ConversionError, ValueError) as ex:
             return (None, str(ex), False)
 
+    return norm_one
+
+
+def _format_normalizer_dispatch_udf(norm_cols):
+    """ONE Arrow-vectorized normalizer for ALL format/constraint columns,
+    dispatching per col_ix inside the worker. Review fix: the round-1
+    per-column F.when chain looked conditional, but Spark extracts every
+    CaseWhen-branch UDF into its own UNCONDITIONAL ArrowEvalPython node -
+    k format columns paid k full Arrow passes over the exploded triples.
+    This single UDF is one pass regardless of k; rows of other columns
+    pass through unchanged (still vectorized per unique value)."""
+    fns = {i: _make_norm_one(c) for i, c in norm_cols}
+
     @F.pandas_udf(_NORM_RESULT_TYPE)
-    def norm(series: pd.Series) -> pd.DataFrame:
-        # vectorize via unique-value mapping (typical pages repeat lexical forms)
-        uniq = {v: norm_one(v) for v in series.dropna().unique()}
-        mapped = series.map(lambda v: uniq.get(v, (None, None, False)))
-        return pd.DataFrame({"norm": mapped.map(lambda t: t[0]),
-                             "err": mapped.map(lambda t: t[1]),
-                             "fallback": mapped.map(lambda t: t[2])})
+    def norm(obj: pd.Series, col_ix: pd.Series) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "norm": obj,
+            "err": pd.Series([None] * len(obj), index=obj.index,
+                             dtype=object),
+            "fallback": pd.Series(False, index=obj.index),
+        })
+        for i in col_ix.unique():
+            fn = fns.get(int(i))
+            if fn is None:
+                continue
+            mask = (col_ix == int(i)) & obj.notna()
+            if not mask.any():
+                continue
+            # vectorize via unique-value mapping (pages repeat lexical forms)
+            uniq = {v: fn(v) for v in obj[mask].unique()}
+            mapped = obj[mask].map(lambda v: uniq[v])
+            out.loc[mask, "norm"] = mapped.map(lambda t: t[0])
+            out.loc[mask, "err"] = mapped.map(lambda t: t[1])
+            out.loc[mask, "fallback"] = mapped.map(lambda t: t[2])
+        return out
 
     # deterministic in truth, but marked otherwise so Catalyst neither
     # duplicates the Arrow eval into the downstream null-filter nor re-runs
@@ -671,10 +712,14 @@ def compile_triples_with_errors(
         if i not in refs:
             continue
         r = refs[i]
-        arrays.append(_cell_triples_expr(
+        # row-0 sentinels (zero-data-row pages) emit NO cell triples -
+        # non-virtual cells are null anyway, but virtual/constant-template
+        # columns would otherwise fabricate a row the kernel never saw
+        arrays.append(F.when(ctx.row >= 1, _cell_triples_expr(
             ctx, c, i, F.col(r["subj"]), r["kind"], F.col(r["pred"]),
             value=F.col(r["value"]) if "value" in r else None,
             obj=F.col(r["obj"]) if "obj" in r else None))
+            .otherwise(_empty_arr()))
     exploded = (
         df
         .select("url", "row", "src_row",
@@ -693,14 +738,13 @@ def compile_triples_with_errors(
         empty_errors = rows_df.sparkSession.createDataFrame([], ERRORS_SCHEMA)
         return exploded.drop("col_ix", "src_row"), empty_errors
 
-    res = F.struct(F.col("obj").alias("norm"),
-                   F.lit(None).cast("string").alias("err"),
-                   F.lit(False).alias("fallback"))
-    for i, c in needs_norm:
-        udf = _format_normalizer_udf(c)
-        res = F.when((F.col("col_ix") == i) & (F.col("obj_kind") == "literal"),
-                     udf(F.col("obj"))).otherwise(res)
-    normed = exploded.withColumn("_n", res)
+    dispatch = _format_normalizer_dispatch_udf(needs_norm)
+    # non-literal rows (standard-mode describes/scaffolding IRIs) dispatch
+    # as col_ix -1 -> pass-through, preserving the old literal-only guard
+    normed = exploded.withColumn(
+        "_n", dispatch(F.col("obj"),
+                       F.when(F.col("obj_kind") == "literal",
+                              F.col("col_ix")).otherwise(F.lit(-1))))
     # kernel wording: csvw/convert.py error capture (source row = the
     # physical record position, comment/blank rows counted)
     name_expr = F.lit(None).cast("string")
@@ -739,14 +783,9 @@ def convert_table_group_spark(pages_df: DataFrame, table: Table,
 
     When the schema must be inferred from the header, pass `sample_text` (or
     let this read ONE page via .first() - driver-side, constant cost)."""
-    cols = columns if columns is not None else table.columns
-    if cols is None:
-        if sample_text is None:
-            first = pages_df.select("text").filter(F.col("text").isNotNull()).first()
-            sample_text = first["text"] if first else ""
-        cols = infer_columns(table, sample_text)
-    rows = extract_rows(pages_df, table)
-    return compile_triples(rows, table, cols, mode, scope_by_url)
+    triples, _errors = convert_table_group_spark_with_errors(
+        pages_df, table, mode, columns, scope_by_url, sample_text)
+    return triples
 
 
 def convert_table_group_spark_with_errors(
@@ -786,6 +825,7 @@ def convert_pages_spark(pages_df: DataFrame, mode: str = MODE_MINIMAL,
     document per executor (typical web corpora have few distinct schemas).
     Bnode labels are scoped by a url digest -> globally unique."""
     import hashlib
+    import json
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -794,7 +834,9 @@ def convert_pages_spark(pages_df: DataFrame, mode: str = MODE_MINIMAL,
                 if text is None:
                     continue
                 if meta is None:
-                    meta = '{"url": "%s"}' % url
+                    # json.dumps, not interpolation: crawled urls can
+                    # contain quotes/backslashes (review fix)
+                    meta = json.dumps({"url": url})
                 group = _parse_meta_cached(meta, url)
                 scope = "p" + hashlib.md5(url.encode()).hexdigest()[:10]
                 conv = PageConverter(mode=mode, bnode_scope=scope)

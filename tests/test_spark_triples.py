@@ -390,3 +390,39 @@ def test_multi_header_names_come_from_first_row(spark):
     assert preds == {f"{t.url}#A", f"{t.url}#B"}
     objs = {o for _s, _p, o, *_ in (tr.astuple() for tr in kern.triples)}
     assert objs == {"1", "2"}  # both header rows consumed, one data row
+
+
+def test_empty_table_standard_mode_scaffolding(spark):
+    """A header-only page (zero data rows) must still emit the standard-
+    mode Table/TableGroup scaffolding the kernel emits before its row
+    loop (round-2 review fix: row==1-gated statics vanished); minimal
+    mode must stay empty; virtual columns must not fabricate rows."""
+    from csvweb_spark.csvw.convert import MODE_STANDARD
+    from csvweb_spark.csvw.model import Column, Table
+    from csvweb_spark.operators.triples import convert_table_group_spark
+
+    t = Table(url="http://ex.org/e.csv")
+    about = "http://ex.org/r/{k}"
+    t.columns = [
+        Column(name="k", about_url=about,
+               property_url="http://ex.org/def/k"),
+        Column(name="v", virtual=True, about_url="http://ex.org/const",
+               property_url="http://ex.org/def/v",
+               value_url="http://ex.org/always"),
+    ]
+    pages = _pages(spark, t.url, "k,x\n")  # header only
+    out = convert_table_group_spark(pages, t, mode=MODE_STANDARD,
+                                    scope_by_url=False)
+    actual = _collect_triples(out)
+    from csvweb_spark.csvw.model import TableGroup
+    group = TableGroup()
+    group.tables = [t]
+    kern = PageConverter(mode=MODE_STANDARD).convert_table_group(
+        group, {t.url: "k,x\n"})
+    expected = [tr.astuple() for tr in kern.triples]
+    assert graphs_isomorphic(actual, expected), diff_report(actual, expected)
+    preds = {p for _s, p, *_ in actual}
+    assert "http://www.w3.org/ns/csvw#url" in preds  # scaffolding present
+    assert "http://ex.org/def/v" not in preds        # no fabricated rows
+    # minimal mode: an empty table emits nothing at all
+    assert convert_table_group_spark(pages, t, scope_by_url=False).count() == 0
