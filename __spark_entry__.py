@@ -767,16 +767,22 @@ def _simhash_oracle_sql(bits: int = 60, max_hamming: int = 10) -> str:
                 SELECT doc_id,
                        ('0x' || substr(md5(t), 1, 15))::bigint AS h
                 FROM (SELECT doc_id,
-                             unnest(string_split_regex(
-                                 regexp_replace(lower(text),
-                                                '^\\s+|\\s+$', '', 'g'),
-                                 '\\s+')) AS t
+                             unnest(CASE WHEN regexp_replace(lower(text),
+                                         '^\\s+|\\s+$', '', 'g') = ''
+                                    THEN []::VARCHAR[]
+                                    ELSE string_split_regex(
+                                        regexp_replace(lower(text),
+                                                       '^\\s+|\\s+$', '', 'g'),
+                                        '\\s+') END) AS t
                       FROM corpus)),
             votes AS (
                 SELECT doc_id,
                        {votes}
                 FROM tok GROUP BY doc_id),
-            sh AS (SELECT doc_id, ({pack}) AS simhash FROM votes)
+            packed AS (SELECT doc_id, ({pack}) AS simhash FROM votes),
+            -- blank docs have no tokens: simhash 0 (operator left-join)
+            sh AS (SELECT c.doc_id, coalesce(p.simhash, 0) AS simhash
+                   FROM corpus c LEFT JOIN packed p ON p.doc_id = c.doc_id)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    bit_count(xor(a.simhash, b.simhash))::bigint AS hamming
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -1345,7 +1351,7 @@ def oracle_sql() -> dict[str, str]:
                                  regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
                                  '\\s+')) END::bigint AS n_tokens_ws,
                    len(regexp_extract_all(
-                       text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))::bigint
+                       text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::bigint
                        AS n_tokens_bpe,
                    md5(regexp_replace(regexp_replace(lower(text), '\\s+', ' ',
                                                      'g'), '^ | $', '', 'g'))
@@ -1425,9 +1431,13 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": """
             WITH t AS (
                 SELECT doc_id,
-                       string_split_regex(regexp_replace(lower(text),
-                                          '^\\s+|\\s+$', '', 'g'),
-                                          '\\s+') AS w
+                       CASE WHEN regexp_replace(lower(text),
+                                 '^\\s+|\\s+$', '', 'g') = ''
+                            THEN []::VARCHAR[]
+                            ELSE string_split_regex(
+                                regexp_replace(lower(text),
+                                               '^\\s+|\\s+$', '', 'g'),
+                                '\\s+') END AS w
                 FROM documents),
             ws AS (
                 SELECT doc_id, len(w) AS n_words,

@@ -80,12 +80,18 @@ class CompiledTemplate:
 
 
 def resolve_against_base(base_url: str, iri: str) -> str:
-    """new Uri(baseUri, relative) - RFC 3986 resolution. urljoin matches the
-    C# behavior for the http(s) IRIs the test corpus uses; neither encodes
-    nor decodes any character."""
+    """new Uri(baseUri, relative) - RFC 3986 resolution. urljoin matches
+    the C# behavior for the http(s) IRIs the test corpus uses; neither
+    encodes nor decodes any character. One divergence patched (review
+    fix, same as testing/turtle.py): urllib's urljoin drops a trailing
+    EMPTY '#' fragment that new Uri(base, rel) keeps - vocabulary IRIs
+    ending in '#' must survive."""
     if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", iri):
         return iri
-    return urljoin(base_url, iri)
+    out = urljoin(base_url, iri)
+    if iri.endswith("#") and not out.endswith("#"):
+        out += "#"
+    return out
 
 
 def compile_template(template: str) -> CompiledTemplate:

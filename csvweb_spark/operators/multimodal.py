@@ -57,8 +57,12 @@ def _decode_image_stub(data: bytes) -> tuple[str, int, int]:
 
 def _extract_feature_stub(data: bytes, dim: int = 8) -> list[float]:
     """STUB for an embedding model: deterministic digest-derived vector,
-    unit-normalized (so downstream cosine ops behave like real features)."""
+    unit-normalized (so downstream cosine ops behave like real features).
+    The digest chain extends for dim > 16 (one sha256 supplies 16 int16
+    values; review fix: larger advertised dims crashed struct.unpack)."""
     d = hashlib.sha256(b"feat:" + data).digest()
+    while len(d) < 2 * dim:
+        d += hashlib.sha256(d).digest()
     vals = [struct.unpack(">h", d[2 * i:2 * i + 2])[0] / 32768.0
             for i in range(dim)]
     norm = sum(v * v for v in vals) ** 0.5 or 1.0
@@ -102,11 +106,13 @@ def repartition_for_blobs(df: DataFrame, target_rows_per_partition: int = 64,
     return df.repartition(n)
 
 
-def binary_stats(pages: DataFrame, binary_col: str = "html") -> DataFrame:
+def binary_stats(pages: DataFrame, binary_col: str = "html",
+                 url_col: str = "url") -> DataFrame:
     """JVM-only pass over binary columns (no Python): sizes + digests -
-    the cheap pre-filter before any decode stage."""
+    the cheap pre-filter before any decode stage. url_col parameterized
+    for API parity with image_metadata (review fix)."""
     return pages.select(
-        "url",
+        F.col(url_col),
         F.length(F.col(binary_col)).alias("n_bytes"),
         F.sha2(F.col(binary_col), 256).alias("sha256"),
     ).filter(F.col("n_bytes").isNotNull())

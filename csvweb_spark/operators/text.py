@@ -29,20 +29,26 @@ LANG_MARKERS = {
 LANG_ORDER = ["en", "de", "fr", "es"]
 
 # BPE-ish token pattern: letter runs, single digits, or single
-# non-alphanumeric-non-space marks (kept regex-dialect-neutral: works the
-# same in Java regex and DuckDB's RE2)
-BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+# non-alphanumeric-non-WHITESPACE marks (kept regex-dialect-neutral: \s
+# in a class works the same in Java regex and DuckDB's RE2; review fix:
+# the old literal-space class counted every tab/newline as a token)
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 
 def whitespace_tokens(text: Column) -> Column:
     """Lowercased whitespace tokens after edge-trim - the ONE tokenizer
     shared by simhash, duplicate_spans, word_shingles and
-    repetition_stats. Its DuckDB oracle mirror is
-    string_split_regex(regexp_replace(lower(x), '^\\s+|\\s+$', '', 'g'),
-    '\\s+'); keeping a single definition is what guarantees the four
-    operators and their SQL oracles can never drift apart."""
-    return F.split(F.regexp_replace(F.lower(text), r"^\s+|\s+$", ""),
-                   r"\s+")
+    repetition_stats. Empty/blank text yields [] (review fix: a bare
+    split returns [''], a phantom token that gave every empty doc a
+    shared simhash and n_words=1 while token_count_ws said 0).
+    DuckDB mirror:
+      CASE WHEN regexp_replace(lower(x),'^\\s+|\\s+$','','g') = ''
+           THEN [] ELSE string_split_regex(<same>, '\\s+') END
+    - keeping a single definition is what guarantees the operators and
+    their SQL oracles can never drift apart."""
+    trimmed = F.regexp_replace(F.lower(text), r"^\s+|\s+$", "")
+    return F.when(trimmed == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(trimmed, r"\s+"))
 
 
 def lang_score(text: Column, lang: str) -> Column:
@@ -94,24 +100,35 @@ def quality_features(df: DataFrame, text_col: str = "text",
                      key_cols: tuple = ("doc_id",)) -> DataFrame:
     """Per-document quality features + a combined [0,1] score.
 
-    score_bp = floor(10^4 * min(tokens,64) * alpha * (n-punct) / (64*n*n)) -
-    exact integer arithmetic, so Spark and the DuckDB oracle agree
-    bit-for-bit (no float-rounding tie-break hazard)."""
+    score_bp = (10^4 * min(tokens,64) * alpha * (n-punct)) div (64*n*n) -
+    EXACT integral arithmetic in decimal(38,0) (review fix: the long
+    numerator overflowed ANSI arithmetic past ~3.8M-char docs, and the
+    former double division + floor could round across the floor boundary
+    past 2^53), so Spark and the DuckDB oracle (HUGEINT //) agree
+    bit-for-bit on any realistic document size."""
     t = F.col(text_col)
     n = F.length(t).cast("long")
     tokens = token_count_ws(t).cast("long")
     alpha = alpha_chars(t).cast("long")
     punct = punct_chars(t).cast("long")
-    score_bp = F.when(n > 0, F.floor(
-        (F.lit(10000) * F.least(tokens, F.lit(64)) * alpha * (n - punct))
-        / (F.lit(64) * n * n))).otherwise(F.lit(0)).cast("long")
-    return df.select(
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    staged = df.select(
         *key_cols,
         n.alias("n_chars_text"),
         tokens.alias("n_tokens"),
         alpha.alias("n_alpha"),
         punct.alias("n_punct"),
-        score_bp.alias("quality_score_bp"),
+        (dec(F.lit(10000)) * dec(F.least(tokens, F.lit(64))) * dec(alpha)
+         * dec(n - punct)).alias("_num"),
+        (dec(F.lit(64)) * dec(n) * dec(n)).alias("_den"),
+    )
+    return staged.select(
+        *key_cols, "n_chars_text", "n_tokens", "n_alpha", "n_punct",
+        F.when(F.col("n_chars_text") > 0, F.expr("_num div _den"))
+         .otherwise(F.lit(0)).cast("long").alias("quality_score_bp"),
     )
 
 

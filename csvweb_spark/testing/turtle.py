@@ -50,7 +50,7 @@ _TOKEN = re.compile(
   | (?P<punct>[;,.\[\]()])
   | (?P<pname>[A-Za-z0-9_-]*:(?:[^\s;,.\[\]()"']|\.(?=[^\s;,.\[\]()"']))*)
   | (?P<kw>@prefix|@base|a|true|false)
-  | (?P<num>[+-]?(?:\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?))
+  | (?P<num>[+-]?(?:\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?))
   | (?P<word>[A-Za-z][A-Za-z0-9_-]*)
     """,
     re.VERBOSE,

@@ -182,9 +182,15 @@ def evaluate_entry(entry: dict, suite_dir: str = SUITE_DIR) -> TestOutcome:
         if kind == "NegativeRdfTest":
             return TestOutcome(tid, kind, "pass", "rejected (unsupported format)")
         return TestOutcome(tid, kind, "error", f"NotImplemented: {ex}")
-    except (MetadataParseError, Exception) as ex:
+    except MetadataParseError as ex:
+        # the one exception type that IS the converter's documented
+        # rejection channel; anything else is a harness/kernel crash
         if kind == "NegativeRdfTest":
             return TestOutcome(tid, kind, "pass", "rejected")
+        return TestOutcome(tid, kind, "error", f"{type(ex).__name__}: {ex}")
+    except Exception as ex:
+        # review fix: a bare crash used to count as a vacuous negative-test
+        # 'pass', hiding real regressions behind 58 green rows
         return TestOutcome(tid, kind, "error", f"{type(ex).__name__}: {ex}")
 
     if kind == "NegativeRdfTest":
@@ -203,7 +209,15 @@ def evaluate_entry(entry: dict, suite_dir: str = SUITE_DIR) -> TestOutcome:
     except TurtleParseError as ex:
         return TestOutcome(tid, kind, "skip", f"golden unparseable: {ex}")
     tp, fp, fn = _score(actual, expected)
-    status = "pass" if (fp == 0 and fn == 0 and not errors) else "fail"
+    # pass/fail is decided by EXACT bijective bnode isomorphism (review
+    # fix: the label-erased _score is an upper bound that can call two
+    # non-isomorphic bnode structures equal; it still supplies the
+    # triple-level tp/fp/fn used for the P/R metric)
+    from .turtle import _normalize_literal, graphs_isomorphic
+    na = list({_normalize_literal(tuple(t)) for t in map(tuple, actual)})
+    ne = list({_normalize_literal(tuple(t)) for t in map(tuple, expected)})
+    iso = graphs_isomorphic(na, ne)
+    status = "pass" if (iso and not errors) else "fail"
     return TestOutcome(tid, kind, status, f"tp={tp} fp={fp} fn={fn}",
                        tp=tp, fp=fp, fn=fn)
 
