@@ -426,3 +426,63 @@ def test_empty_table_standard_mode_scaffolding(spark):
     assert "http://ex.org/def/v" not in preds        # no fabricated rows
     # minimal mode: an empty table emits nothing at all
     assert convert_table_group_spark(pages, t, scope_by_url=False).count() == 0
+
+
+def test_parity_fuzz_corpus(spark):
+    """Adversarial cell-value corpus - quoted quotes, embedded commas and
+    newlines, comment-char-leading fields (quoted and raw), unicode,
+    padded/empty cells, integer edge forms, short (ragged) rows - the
+    compiled path must agree with the kernel page by page. This is the
+    cheap standing fuzz harness: extend `tricky` when a new class of
+    input shows up."""
+    import csv as _c
+    import io as _io
+
+    from csvweb_spark.csvw.model import Column, Datatype, Table
+    from csvweb_spark.operators.triples import convert_table_group_spark
+
+    tricky = ['1', 'abc', '', '  ', '"q"', 'a,b', '#lead', 'x\ny',
+              'né', '0', '-5', 'true', '99999999999999999999', '+7',
+              ' pad ', 'a;b', "quote'", 'NaN', '3.14', 'ab\t', '☃']
+    pages = []
+    for i, v in enumerate(tricky):
+        buf = _io.StringIO()
+        w = _c.writer(buf, lineterminator="\n")
+        w.writerow(["k", "v", "n"])
+        w.writerow([str(i), v, "42"])
+        w.writerow([str(i + 100), v + "2", v])
+        text = buf.getvalue()
+        if i % 3 == 0:
+            text += f"{i + 200},solo\n"          # short / ragged row
+        if i % 4 == 0:
+            text += "# raw comment line\n"       # skipped, counts position
+        pages.append((f"http://f/{i}.csv", text))
+
+    def cols():
+        about = "http://f/r/{k}"
+        return [
+            Column(name="k", about_url=about,
+                   property_url="http://f/def/k"),
+            Column(name="v", about_url=about,
+                   property_url="http://f/def/v"),
+            Column(name="n", about_url=about,
+                   property_url="http://f/def/n",
+                   datatype=Datatype(base="integer")),
+        ]
+
+    t = Table(url="http://f/0.csv")
+    t.columns = cols()
+    df = spark.createDataFrame(pages, "url string, text string")
+    out = convert_table_group_spark(df, t, scope_by_url=True)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.url, []).append(
+            (r.subj, r.pred, r.obj, r.obj_kind, r.obj_datatype, r.obj_lang))
+    for url, text in pages:
+        kt = Table(url=url)
+        kt.columns = cols()
+        kern = PageConverter().convert_table(kt, text)
+        expected = [tr.astuple() for tr in kern.triples]
+        actual = got.get(url, [])
+        assert graphs_isomorphic(actual, expected), \
+            f"{url}: " + diff_report(actual, expected)
