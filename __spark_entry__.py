@@ -501,6 +501,33 @@ def q_events_interval(spark, sf_dir):
          .alias("offset_sec"))
 
 
+def q_url_canonical_dedup(spark, sf_dir):
+    """Crawl-frontier canonical-URL dedup: three synthesized variants per
+    document (mixed-case host + default port + tracking params + fragment;
+    reordered query; clean form) must collapse to ONE canonical URL per
+    doc. Pure JVM normalization, DuckDB-oracle-exact."""
+    from csvweb_spark.operators.urls import dedup_urls
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    v1 = docs.select(
+        F.col("doc_id"),
+        F.concat(F.lit("HTTP://Example.COM:80/doc/"), F.col("doc_id"),
+                 F.lit("?utm_source=x&b=2&a=1#frag")).alias("url"))
+    v2 = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.lit("http://example.com/doc/"), F.col("doc_id"),
+                 F.lit("?a=1&b=2")).alias("url"))
+    v3 = docs.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.lit("http://example.com/doc/"), F.col("doc_id"),
+                 F.lit("?b=2&a=1&gclid=zz")).alias("url"))
+    out = dedup_urls(v1.unionByName(v2).unionByName(v3))
+    return out.select("canonical_url",
+                      F.col("keeper").cast("long").alias("keeper"),
+                      F.col("n_variants").cast("long").alias("n_variants"),
+                      F.col("n_distinct_raw").cast("long")
+                       .alias("n_distinct_raw"))
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals over documents (duplicate
     word fraction + top-bigram fraction, integer basis points)."""
@@ -729,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_interval": q_events_interval,
         "text_repetition": q_text_repetition,
+        "url_canonical_dedup": q_url_canonical_dedup,
         "multimodal_binary_stats": q_multimodal_binary_stats,
         "entity_link_fuzzy": q_entity_link_fuzzy,
         "html_table_triples": q_html_table_triples,
@@ -1427,6 +1455,58 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             JOIN w ON e.user_id = w.user_id
                   AND e.ts >= w.start_ts AND e.ts <= w.end_ts
+        """,
+        "url_canonical_dedup": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+            raw AS (
+                SELECT doc_id,
+                       'HTTP://Example.COM:80/doc/' || doc_id ||
+                       '?utm_source=x&b=2&a=1#frag' AS url
+                FROM d
+                UNION ALL
+                SELECT doc_id + 10000,
+                       'http://example.com/doc/' || doc_id || '?a=1&b=2'
+                FROM d
+                UNION ALL
+                SELECT doc_id + 20000,
+                       'http://example.com/doc/' || doc_id ||
+                       '?b=2&a=1&gclid=zz'
+                FROM d),
+            c AS (
+                SELECT doc_id, url,
+                       lower(regexp_extract(url,
+                           '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                       lower(regexp_extract(url,
+                           '^[^:]+://([^/?#]+)', 1)) AS host0,
+                       regexp_extract(url,
+                           '^[^:]+://[^/?#]*([^?#]*)', 1) AS path0,
+                       regexp_extract(url, '\\?([^#]*)', 1) AS query
+                FROM raw),
+            c2 AS (
+                SELECT doc_id, url, scheme,
+                       CASE WHEN scheme = 'http'
+                            THEN regexp_replace(host0, ':80$', '')
+                            WHEN scheme = 'https'
+                            THEN regexp_replace(host0, ':443$', '')
+                            ELSE host0 END AS host,
+                       CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+                       array_to_string(list_sort(list_filter(
+                           string_split(query, '&'),
+                           p -> p <> '' AND NOT regexp_matches(p,
+                               '^(utm_[^=]*|fbclid|gclid|msclkid)='))),
+                           '&') AS qs
+                FROM c),
+            canon AS (
+                SELECT doc_id, url,
+                       CASE WHEN scheme = '' THEN url
+                            ELSE scheme || '://' || host || path ||
+                                 CASE WHEN qs <> '' THEN '?' || qs
+                                      ELSE '' END END AS canonical_url
+                FROM c2)
+            SELECT canonical_url, min(doc_id)::bigint AS keeper,
+                   count(*)::bigint AS n_variants,
+                   count(DISTINCT url)::bigint AS n_distinct_raw
+            FROM canon GROUP BY canonical_url
         """,
         "text_repetition": """
             WITH t AS (

@@ -1,0 +1,59 @@
+"""Canonical-URL normalization + dedup - the crawl-frontier primitive of
+every web pipeline (the reference operates on already-resolved URIs; at
+10^12-page scale duplicate-URL collapse happens before any fetch/convert).
+
+All pure JVM column expressions with exact DuckDB equivalents (regexes are
+dialect-neutral), so the operator is oracle-checkable like the text suite:
+
+* scheme + host lowercase (RFC 3986 case-insensitive components);
+* default ports dropped (:80 for http, :443 for https);
+* fragment dropped (never sent to the server);
+* tracking query params dropped (utm_*, fbclid, gclid, msclkid);
+* remaining query params SORTED (order-insensitive equivalence);
+* empty path -> '/'.
+
+This is a narrow shuffle-free projection; the dedup groupBy keys on the
+canonical string (uniform, skew-free like any digest key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|msclkid)="
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL (see module docstring).
+    Non-URL strings pass through lowercased-scheme-less unchanged."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    host = F.lower(F.regexp_extract(url, r"^[^:]+://([^/?#]+)", 1))
+    # default ports: strip :80 for http, :443 for https
+    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")) \
+            .when(scheme == "https", F.regexp_replace(host, ":443$", "")) \
+            .otherwise(host)
+    path = F.regexp_extract(url, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE)))
+    qs = F.concat_ws("&", params)
+    canon = F.concat(scheme, F.lit("://"), host, path,
+                     F.when(qs != "", F.concat(F.lit("?"), qs))
+                      .otherwise(F.lit("")))
+    return F.when(scheme == "", url).otherwise(canon)
+
+
+def dedup_urls(df: DataFrame, url_col: str = "url",
+               key_col: str = "doc_id") -> DataFrame:
+    """Collapse URL variants: (canonical_url, keeper = min key, n_variants,
+    n_distinct_raw). One shuffle on the canonical string."""
+    return (df
+            .select(canonicalize_url(F.col(url_col)).alias("canonical_url"),
+                    F.col(url_col).alias("_raw"), F.col(key_col))
+            .groupBy("canonical_url")
+            .agg(F.min(key_col).alias("keeper"),
+                 F.count(F.lit(1)).alias("n_variants"),
+                 F.countDistinct("_raw").alias("n_distinct_raw")))

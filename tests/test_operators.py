@@ -150,6 +150,28 @@ def test_embedding_dedup_lsh_blocking(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_canonicalize_url(spark):
+    """Crawl canonical-URL normalization: case, default ports, fragments,
+    tracking params, query order; non-http passthrough."""
+    from csvweb_spark.operators.urls import canonicalize_url
+    cases = [
+        ("HTTP://Example.COM:80/a?utm_source=x&b=2&a=1#f",
+         "http://example.com/a?a=1&b=2"),
+        ("https://h.org:443/", "https://h.org/"),
+        ("https://h.org:8443/x", "https://h.org:8443/x"),  # non-default port
+        ("http://h.org", "http://h.org/"),                  # empty path
+        ("http://h.org/p?gclid=1&fbclid=2", "http://h.org/p"),
+        ("http://h.org/p?z=1&a=2", "http://h.org/p?a=2&z=1"),
+        ("not a url at all", "not a url at all"),           # passthrough
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i int, url string")
+    got = {r.i: r.c for r in df.select(
+        "i", canonicalize_url(F.col("url")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
 def test_interval_join(spark):
     """Containment join via time-bucket equi-join: inclusive bounds,
     intervals spanning multiple buckets lose no matches, key mismatch and
