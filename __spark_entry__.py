@@ -358,7 +358,10 @@ def q_dedup_simhash(spark, sf_dir):
     the block trick is exhaustive at hamming <= max_hamming."""
     from csvweb_spark.operators.dedup import dedup_simhash
     d = _docs_with_near_dups(spark, sf_dir, 150, 30000, " z")
-    out = dedup_simhash(d, max_hamming=10)
+    # max_hamming=10 -> 5-bit blocks: a deliberate high-recall setting for
+    # this 188-doc oracle corpus; the operator's width guard (narrow blocks
+    # are near-quadratic at scale) is opted out of explicitly
+    out = dedup_simhash(d, max_hamming=10, allow_narrow_blocks=True)
     return out.select("id_a", "id_b",
                       F.col("hamming").cast("long").alias("hamming"))
 

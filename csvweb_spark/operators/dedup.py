@@ -125,7 +125,14 @@ def dedup_ngram_jaccard(df: DataFrame, text_col: str = "text",
     """Exact shingle-Jaccard near-dup pairs within blocking groups.
 
     Blocking bounds the pair space (per-block quadratic, global linear in
-    block count); the self-join shuffles both sides once on the block key."""
+    block count); the self-join shuffles both sides once on the block key.
+
+    Native output is integer basis points (`jaccard_bp`,
+    floor(|inter|*10000/|union|)) -- exact in any engine, so the threshold
+    `t` means exactly bp >= round(t*10000) with no FP-at-boundary hazard
+    (round-2 defect: the operator default emitted F.round(double) while
+    the entry query had already moved to basis points). A derived double
+    `jaccard` (= bp/10000) is kept for convenience."""
     base = df.select(
         F.col(key_col), F.col(block_col),
         shingles(F.col(text_col), n).alias("sh"))
@@ -135,9 +142,10 @@ def dedup_ngram_jaccard(df: DataFrame, text_col: str = "text",
                     F.col("sh").alias("sh_b"))
     pairs = (a.join(b, "blk")
              .filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
-             .filter(F.col("jaccard") >= threshold))
-    return pairs.select("id_a", "id_b", "jaccard")
+             .withColumn("jaccard_bp", jaccard_bp(F.col("sh_a"), F.col("sh_b")))
+             .filter(F.col("jaccard_bp") >= int(round(threshold * 10000)))
+             .withColumn("jaccard", F.col("jaccard_bp") / 10000.0))
+    return pairs.select("id_a", "id_b", "jaccard", "jaccard_bp")
 
 
 # --------------------------------------------------------------------------
@@ -359,17 +367,43 @@ def simhash(df: DataFrame, text_col: str = "text", key_col: str = "doc_id",
 
 def dedup_simhash(df: DataFrame, text_col: str = "text",
                   key_col: str = "doc_id", max_hamming: int = 3,
-                  bits: int = 60) -> DataFrame:
+                  bits: int = 60, max_bucket_size: Optional[int] = None,
+                  min_block_width: int = 8,
+                  allow_narrow_blocks: bool = False,
+                  return_dropped: bool = False):
     """Near-dup pairs with hamming distance <= max_hamming, found by the
     standard block trick: split the hash into max_hamming+1 blocks; any
     pair within distance k shares at least one exact block -> bucket join
-    per block, then exact hamming verification (bit_count of xor)."""
+    per block, then exact hamming verification (bit_count of xor).
+
+    Scale guards (round-3 hardening; same pattern as dedup_minhash_lsh):
+
+    * Block width floor: width = bits // (max_hamming+1). A narrow block
+      (width w -> only 2^w distinct bucket values per block) degrades the
+      self-join toward O(n^2 / 2^w) on a large corpus -- at width 5 that is
+      n^2/32, NOT a scale configuration. Widths below `min_block_width`
+      raise unless `allow_narrow_blocks=True` (small-corpus / high-recall
+      runs that accept the quadratic bound may opt in deliberately).
+    * Bucket cap: with `max_bucket_size` set, a (blk, blk_val) census runs
+      before the self-join and buckets above the cap are dropped -- an
+      identical-boilerplate flood otherwise creates one runaway task.
+      Audit the cut with `return_dropped=True`, which returns
+      (pairs, dropped) where dropped lists every skipped
+      (blk, blk_val, bucket_size). No silent caps."""
     blocks = max_hamming + 1
     width = bits // blocks
     assert width >= 1, (
         f"bits={bits} cannot cover max_hamming={max_hamming}: the block "
         f"trick needs bits >= max_hamming+1 (width 0 would bucket every "
         f"doc together - a full O(n^2) self-join)")
+    if width < min_block_width and not allow_narrow_blocks:
+        raise ValueError(
+            f"dedup_simhash: block width {width} = {bits} // "
+            f"({max_hamming}+1) is below min_block_width={min_block_width}; "
+            f"only 2^{width} bucket values per block makes the self-join "
+            f"near-quadratic at corpus scale. Lower max_hamming, raise "
+            f"bits, or pass allow_narrow_blocks=True to accept the bound "
+            f"on a small corpus.")
     h = simhash(df, text_col, key_col, bits)
     block_exprs = [
         F.shiftrightunsigned(F.col("simhash"), bi * width)
@@ -379,6 +413,20 @@ def dedup_simhash(df: DataFrame, text_col: str = "text",
     parts = h.select(
         key_col, "simhash",
         F.posexplode(F.array(*block_exprs)).alias("blk", "blk_val"))
+    dropped = None
+    if max_bucket_size is not None:
+        # census + prune before the quadratic self-join; one explicit
+        # exchange on the bucket key shared by census and both join sides
+        parts = parts.filter(F.col(key_col).isNotNull())
+        parts = parts.repartition("blk", "blk_val")
+        sizes = parts.groupBy("blk", "blk_val").agg(
+            F.count(key_col).alias("bucket_size"))
+        eligible = (sizes
+                    .filter((F.col("bucket_size") >= 2)
+                            & (F.col("bucket_size") <= max_bucket_size))
+                    .select("blk", "blk_val"))
+        dropped = sizes.filter(F.col("bucket_size") > max_bucket_size)
+        parts = parts.join(eligible, ["blk", "blk_val"])
     a = parts.select(F.col(key_col).alias("id_a"), F.col("simhash").alias("h_a"),
                      "blk", "blk_val")
     b = parts.select(F.col(key_col).alias("id_b"), F.col("simhash").alias("h_b"),
@@ -389,7 +437,8 @@ def dedup_simhash(df: DataFrame, text_col: str = "text",
              .withColumn("hamming", F.bit_count(
                  F.col("h_a").bitwiseXOR(F.col("h_b"))))
              .filter(F.col("hamming") <= max_hamming))
-    return pairs.select("id_a", "id_b", "hamming")
+    pairs = pairs.select("id_a", "id_b", "hamming")
+    return (pairs, dropped) if return_dropped else pairs
 
 
 # --------------------------------------------------------------------------
@@ -478,9 +527,15 @@ def dedup_embedding_cosine(df: DataFrame, vec_col: str = "embedding",
         dim = (len(head[0][0])
                if head and head[0][0] is not None else 0)
         if dim == 0:
-            # empty input / null first vector: no pairs by definition
-            return df.sparkSession.createDataFrame(
-                [], "id_a long, id_b long, cos double")
+            # empty input / null first vector: no pairs by definition.
+            # Key type is derived from the input schema (review fix: a
+            # hardcoded long broke unions with string-keyed corpora).
+            from pyspark.sql.types import (DoubleType, StructField,
+                                           StructType)
+            kt = df.schema[key_col].dataType
+            return df.sparkSession.createDataFrame([], StructType([
+                StructField("id_a", kt), StructField("id_b", kt),
+                StructField("cos", DoubleType())]))
     cols = [F.col(key_col), F.col(vec_col).cast("array<double>").alias("v")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))

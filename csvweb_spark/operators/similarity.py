@@ -137,25 +137,35 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """Approximate top-k: `tables` independent sign-bit sketches; candidates
     are same-bucket pairs in any table; exact cosine re-rank. The bucket
     join replaces the cross join - candidate count ~ n * (n/2^bits) *
-    tables per table instead of n * q."""
-    cand_tables = []
-    for t in range(tables):
-        planes = _det_planes(dim, bits, seed + t)
-        cb = corpus.select(
+    tables per table instead of n * q.
+
+    ALL table sketches are computed in ONE corpus scan (an array of
+    per-table buckets + posexplode), mirroring dedup_embedding_cosine's
+    LSH blocking: at 100 TB the corpus scan dominates, and a per-table
+    scan loop (the round-2 shape) costs `tables`x the I/O and `tables`
+    broadcast rounds for the identical candidate set. The single join on
+    (_t, bucket) keeps per-table buckets disjoint, then candidate dedup
+    collapses pairs found by several tables."""
+    all_planes = [_det_planes(dim, bits, seed + t) for t in range(tables)]
+
+    def sketches(vec: Column) -> Column:
+        return F.array(*[hyperplane_sketch(vec, planes)
+                         for planes in all_planes])
+
+    cb = (corpus.select(
             F.col(key_col).alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("cv"),
-            hyperplane_sketch(F.col(vec_col).cast("array<double>"), planes)
-             .alias("bucket"))
-        qb = F.broadcast(queries.select(
+            sketches(F.col(vec_col).cast("array<double>")).alias("_bkts"))
+          .select("neighbor_id", "cv",
+                  F.posexplode("_bkts").alias("_t", "bucket")))
+    qb = F.broadcast(queries.select(
             F.col(query_key).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("qv"),
-            hyperplane_sketch(F.col(vec_col).cast("array<double>"), planes)
-             .alias("bucket")))
-        cand_tables.append(cb.join(qb, "bucket").drop("bucket"))
-    cands = cand_tables[0]
-    for extra in cand_tables[1:]:
-        cands = cands.unionByName(extra)
-    cands = cands.dropDuplicates(["query_id", "neighbor_id"])
+            sketches(F.col(vec_col).cast("array<double>")).alias("_bkts"))
+          .select("query_id", "qv",
+                  F.posexplode("_bkts").alias("_t", "bucket")))
+    cands = (cb.join(qb, ["_t", "bucket"]).drop("_t", "bucket")
+             .dropDuplicates(["query_id", "neighbor_id"]))
     if exclude_self:
         cands = cands.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = cands.withColumn(

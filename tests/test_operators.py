@@ -251,9 +251,38 @@ def test_simhash_hamming_pairs(spark):
     h = {r.doc_id: r.simhash for r in simhash(df).collect()}
     assert h[1] != 0 and h[1] != h[3]
     pairs = {(r.id_a, r.id_b): r.hamming
-             for r in dedup_simhash(df, max_hamming=16).collect()}
+             for r in dedup_simhash(df, max_hamming=16,
+                                    allow_narrow_blocks=True).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs
+
+
+def test_simhash_width_guard_and_bucket_cap(spark):
+    from csvweb_spark.operators.dedup import dedup_simhash
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta")],
+        "doc_id int, text string")
+    # narrow blocks (width 5 < floor 8) raise unless opted in
+    with pytest.raises(ValueError, match="min_block_width"):
+        dedup_simhash(df, max_hamming=10)
+    # 1k near-identical docs: identical text -> identical simhash -> one
+    # mega-bucket per block. The cap drops those buckets BEFORE the
+    # self-join (bounded candidates) and audits them via return_dropped.
+    big = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated on every page").alias("text"))
+    pairs, dropped = dedup_simhash(big, max_hamming=3, max_bucket_size=64,
+                                   return_dropped=True)
+    assert pairs.count() == 0  # every bucket blew the cap -> audited, not run
+    drop_rows = dropped.collect()
+    assert len(drop_rows) == 4  # one mega-bucket per block
+    assert all(r.bucket_size == 1000 for r in drop_rows)
+    # with a cap that admits the buckets, pairs flow normally
+    small = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id int, text string")
+    assert dedup_simhash(small, max_hamming=3, max_bucket_size=64).count() == 1
 
 
 def test_embedding_cosine_dedup(spark, embeddings):

@@ -156,6 +156,22 @@ def test_ann_bruteforce_prunes_before_window(spark):
         sorted(map(tuple, unpruned.collect()))
 
 
+def test_ann_lsh_single_corpus_scan(spark):
+    """All `tables` hyperplane sketches must come from ONE corpus scan
+    (array of per-table buckets + posexplode) -- the round-2 shape scanned
+    and sketched the corpus once PER table, `tables`x the I/O at 100 TB.
+    Pinned by counting parquet scans of the embeddings file in the
+    physical plan."""
+    from csvweb_spark.operators.similarity import ann_topk_lsh
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = ann_topk_lsh(emb, queries, k=5, dim=64, bits=6, tables=6)
+    plan = plan_of(out)
+    # one scan feeds the exploded corpus side, one the broadcast query side
+    assert plan.count("Scan parquet") <= 2, plan
+    assert "Generate posexplode" in plan, plan
+
+
 def test_minhash_lsh_signatures_computed_once(spark):
     """The MinHash signature UDF (the dominant cost) must appear as ONE
     Arrow eval in the physical plan: census, prune join and candidate
