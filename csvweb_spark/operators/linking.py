@@ -5,9 +5,16 @@ dictionary (BASELINE.json north_star stage C).
   the alias dictionary. The dictionary is the small side (alias tables are
   MBs-GBs vs TB-scale mentions) -> F.broadcast, no shuffle of the big side.
 * `link_contains` - substring-containment linking for free-text fields
-  (documents), still broadcast: a theta-join against a broadcast dim is
-  executed as BroadcastNestedLoopJoin - linear in |docs| x |aliases| with
-  |aliases| tiny.
+  (documents). Scale path (default): a broadcast inverted index on ONE
+  representative token per alias (its rarest, given corpus token document
+  frequencies; else the longest) turns the containment theta-join into an
+  equi-join pre-filter (BroadcastHashJoin on doc-token = alias-index-token)
+  followed by exact containment verification -- linear in |doc tokens|,
+  never |docs| x |aliases|. The pre-filter is LOSSLESS: word-bounded
+  containment of a multi-token alias requires every alias token to appear
+  as a doc token, so joining on any single alias token keeps all true
+  matches. `prefilter=False` restores the round-2 BroadcastNestedLoopJoin
+  (|docs| x |aliases| compares; only for tiny dims).
 * `link_fuzzy_minhash` - MinHash-LSH candidate join between mention token
   sets and alias token sets for inexact surface forms (typos/reordering),
   followed by exact Jaccard verification. Uses the deterministic md5-based
@@ -45,19 +52,65 @@ def link_exact(mentions: DataFrame, aliases: DataFrame,
 def link_contains(docs: DataFrame, aliases: DataFrame,
                   text_col: str = "text", doc_key: str = "doc_id",
                   alias_col: str = "alias",
-                  entity_cols: tuple = ("entity_id", "entity_uri")) -> DataFrame:
+                  entity_cols: tuple = ("entity_id", "entity_uri"),
+                  prefilter: bool = True,
+                  token_df: DataFrame | None = None) -> DataFrame:
     """Containment linking: doc mentions entity if the normalized text
-    contains the normalized alias as a word-bounded substring."""
+    contains the normalized alias as a word-bounded substring.
+
+    Default plan (prefilter=True): build a broadcast inverted index of one
+    token per alias, explode each doc's DISTINCT normalized tokens, hash-
+    join doc tokens against the index, then verify full containment on the
+    survivors. Candidate volume per alias ~ document frequency of its index
+    token, so pass `token_df` -- a (token, df) DataFrame of corpus token
+    document frequencies (one groupBy over the exploded tokens, computed
+    once and reused across alias batches) -- to pick each alias's RAREST
+    token; without it the longest token is the heuristic proxy. Either
+    choice is exact; only candidate volume differs.
+
+    Semantics note: aliases that normalize to zero tokens match nothing
+    (the round-2 nested-loop path could degenerately match an empty alias
+    against an empty doc -- two spaces containing two spaces)."""
     d = docs.select(
         F.col(doc_key),
         F.concat(F.lit(" "), normalize_surface(F.col(text_col)), F.lit(" "))
          .alias("_nt"))
-    a = F.broadcast(aliases.select(
+    a = aliases.select(
         F.col(alias_col),
         F.concat(F.lit(" "), F.trim(normalize_surface(F.col(alias_col))),
                  F.lit(" ")).alias("_na"),
-        *[F.col(c) for c in entity_cols]))
-    return (d.join(a, F.expr("contains(_nt, _na)"))
+        *[F.col(c) for c in entity_cols])
+    if not prefilter:
+        return (d.join(F.broadcast(a), F.expr("contains(_nt, _na)"))
+                .select(doc_key, alias_col, *entity_cols))
+    toks = F.filter(F.split(F.trim(F.col("_na")), " "), lambda t: t != "")
+    if token_df is not None:
+        # rarest-by-corpus-DF: explode alias tokens, look up df (tokens
+        # absent from the corpus get df 0 - they make the best index keys:
+        # the join then proves non-match for free), argmin per alias.
+        # Alias tables are MBs: this prep join is small-side work.
+        at = (a.withColumn("_t", F.explode(toks))
+              .join(F.broadcast(token_df.select(
+                  F.col("token").alias("_t"),
+                  F.col("df").cast("long").alias("_df"))), "_t", "left")
+              .withColumn("_df", F.coalesce("_df", F.lit(0).cast("long"))))
+        idx = (at.groupBy("_na", alias_col, *entity_cols)
+               .agg(F.min(F.struct(F.col("_df"), F.col("_t")))["_t"]
+                    .alias("_itok")))
+    else:
+        # longest token (ties: lexicographically greatest), constant-folded
+        idx = a.withColumn(
+            "_itok",
+            F.array_max(F.transform(
+                toks, lambda t: F.struct(F.length(t).alias("l"),
+                                         t.alias("t"))))["t"]
+        ).filter(F.col("_itok").isNotNull())
+    dtok = d.withColumn(
+        "_itok",
+        F.explode(F.array_distinct(
+            F.filter(F.split(F.trim(F.col("_nt")), " "), lambda t: t != ""))))
+    return (dtok.join(F.broadcast(idx), "_itok")
+            .filter(F.expr("contains(_nt, _na)"))
             .select(doc_key, alias_col, *entity_cols))
 
 

@@ -336,6 +336,45 @@ def test_link_exact_and_contains(spark, docs):
     assert 3 not in ids and len(ids) >= 1
 
 
+def test_link_contains_prefilter_matches_bnlj(spark, docs):
+    """The inverted-index pre-filter must be lossless vs the nested-loop
+    reference plan, including multi-token aliases and rarest-token mode."""
+    from csvweb_spark.operators.linking import link_contains
+    aliases = spark.createDataFrame(
+        [("Spark", 1, "http://e/1"), ("the spark", 2, "http://e/2"),
+         ("window", 3, "http://e/3"), ("nosuchword", 4, "http://e/4"),
+         ("", 5, "http://e/5")],  # zero-token alias: matches nothing
+        "alias string, entity_id long, entity_uri string")
+    d = docs.limit(80)
+    want = sorted(map(tuple, link_contains(
+        d, aliases.filter("alias <> ''"), prefilter=False).collect()))
+    got = sorted(map(tuple, link_contains(d, aliases).collect()))
+    assert got == want
+    # rarest-token mode with explicit corpus DFs: same result
+    toks = d.select(F.explode(F.array_distinct(F.split(
+        F.lower("text"), r"[^a-z0-9]+"))).alias("token"))
+    token_df = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    got_df = sorted(map(tuple, link_contains(
+        d, aliases, token_df=token_df).collect()))
+    assert got_df == want
+
+
+def test_link_contains_scales_to_10k_aliases(spark, docs):
+    """10^4-alias dictionary: the pre-filter keeps the plan an equi-join
+    (candidates ~ doc tokens), and planted aliases still link."""
+    from csvweb_spark.operators.linking import link_contains
+    synth = spark.range(10_000).select(
+        F.concat(F.lit("synthalias"), "id").alias("alias"),
+        F.col("id").alias("entity_id"),
+        F.concat(F.lit("http://e/"), "id").alias("entity_uri"))
+    real = spark.createDataFrame(
+        [("Spark", 20000, "http://e/s"), ("window", 20001, "http://e/w")],
+        "alias string, entity_id long, entity_uri string")
+    out = link_contains(docs.limit(50), synth.unionByName(real))
+    ids = {r.entity_id for r in out.collect()}
+    assert ids and ids <= {20000, 20001}
+
+
 def test_link_fuzzy_minhash(spark):
     from csvweb_spark.operators.linking import link_fuzzy_minhash
     aliases = spark.createDataFrame(

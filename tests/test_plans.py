@@ -76,6 +76,20 @@ def test_link_exact_uses_broadcast_join(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_link_contains_prefilter_is_hash_join(spark):
+    """Containment linking's default plan must be the inverted-index
+    equi-join (BroadcastHashJoin on the alias index token), NOT the
+    |docs| x |aliases| BroadcastNestedLoopJoin (round-2 shape)."""
+    from csvweb_spark.operators.linking import link_contains
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    aliases = spark.createDataFrame(
+        [("Spark", 1, "http://e/1"), ("the window", 2, "http://e/2")],
+        "alias string, entity_id long, entity_uri string")
+    plan = plan_of(link_contains(docs, aliases))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_text_ops_stay_jvm_side(spark):
     """Quality scoring / profiling must be pure Catalyst expressions - any
     python eval node here is a 10-100x regression at corpus scale."""
