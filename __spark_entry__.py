@@ -74,6 +74,21 @@ def q_rdf_ntriples(spark, sf_dir):
     return to_ntriples(out)
 
 
+def q_rdf_turtle(spark, sf_dir):
+    """Turtle export (the reference's primary output format, written via
+    dotNetRDF's Turtle writer at Rdf/Converter.cs:235-238): prefixed-name
+    compaction as a pure codegen'd CASE chain. Oracle rebuilds the exact
+    statements with SQL string concatenation + the same conservative
+    PN_LOCAL-safety regex, so compaction decisions themselves are
+    checked."""
+    from csvweb_spark.operators.serialize import to_turtle
+    from csvweb_spark.operators.triples import convert_table_group_spark
+    out = convert_table_group_spark(_nation_pages(spark, sf_dir),
+                                    _nation_table(), scope_by_url=False)
+    return to_turtle(out, {"xsd": "http://www.w3.org/2001/XMLSchema#",
+                           "n": "http://ex.org/nation.csv#"})
+
+
 def q_csvw_standard_rownum(spark, sf_dir):
     from csvweb_spark.csvw.convert import MODE_STANDARD
     from csvweb_spark.operators.triples import convert_table_group_spark
@@ -734,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csvw_datatype_date": q_csvw_datatype_date,
         "csvw_cell_errors": q_csvw_cell_errors,
         "rdf_ntriples": q_rdf_ntriples,
+        "rdf_turtle": q_rdf_turtle,
         "csvw_null_default_virtual": q_csvw_null_default_virtual,
         "csvw_template_specials": q_csvw_template_specials,
         "csvw_valueurl_iri": q_csvw_valueurl_iri,
@@ -1102,6 +1118,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT '<' || subj || '> <' || pred || '> "' || obj ||
                    CASE WHEN obj_datatype = '{xsd_s}' THEN '" .'
                         ELSE '"^^<' || obj_datatype || '> .' END AS line
+            FROM esc
+        """,
+        "rdf_turtle": f"""
+            WITH t AS (
+                SELECT 'http://ex.org/nation/' || n_nationkey AS subj,
+                       'n_nationkey' AS plocal,
+                       n_nationkey::varchar AS obj, 'integer' AS dtlocal
+                FROM nation
+                UNION ALL
+                SELECT 'http://ex.org/nation/' || n_nationkey,
+                       'n_name', n_name, 'string'
+                FROM nation
+                UNION ALL
+                SELECT 'http://ex.org/nation/' || n_nationkey,
+                       'n_regionkey', n_regionkey::varchar, 'integer'
+                FROM nation),
+            esc AS (
+                SELECT subj, plocal, dtlocal,
+                       replace(replace(replace(replace(replace(obj,
+                           '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'),
+                           chr(13), '\\r'), chr(9), '\\t') AS obj
+                FROM t)
+            -- subjects have no registered prefix -> always <iri>;
+            -- predicates/datatypes compact iff PN_LOCAL-safe (same regex
+            -- as the writer, checked here rather than assumed)
+            SELECT '<' || subj || '>'
+                   || ' ' ||
+                   (CASE WHEN regexp_full_match(plocal,
+                                 '[A-Za-z_][A-Za-z0-9_-]*')
+                         THEN 'n:' || plocal
+                         ELSE '<http://ex.org/nation.csv#' || plocal || '>'
+                    END)
+                   || ' "' || obj ||
+                   CASE WHEN dtlocal = 'string' THEN '" .'
+                        ELSE '"^^xsd:' || dtlocal || ' .' END AS line
             FROM esc
         """,
         "csvw_null_default_virtual": f"""

@@ -68,3 +68,80 @@ def to_ntriples(df: DataFrame) -> DataFrame:
     return df.select(ntriple_line(
         F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_kind"),
         F.col("obj_datatype"), F.col("obj_lang")).alias("line"))
+
+
+# --------------------------------------------------------------------------
+# Turtle (the reference's primary output format: Rdf/Converter.cs:235-238
+# wires conversion into dotNetRDF's CompressingTurtleWriter; golden files
+# under Tests/data are .ttl)
+# --------------------------------------------------------------------------
+
+XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+CSVW_NS = "http://www.w3.org/ns/csvw#"
+
+TURTLE_DEFAULT_PREFIXES = {"rdf": RDF_NS, "xsd": XSD_NS, "csvw": CSVW_NS}
+
+# Conservative PN_LOCAL subset: Turtle 1.1 allows far more (leading digits,
+# dots, %-escapes, \-escapes), but anything outside this set is simply left
+# as <iri> - always-valid output beats maximal compression.
+_PN_LOCAL_SAFE = "^[A-Za-z_][A-Za-z0-9_-]*$"
+
+
+def compact_iri(c: Column, prefixes: dict) -> Column:
+    """IRI column -> prefixed name where the IRI starts with a registered
+    namespace and the remainder is a conservatively-safe PN_LOCAL;
+    otherwise <iri>. Pure codegen'd CASE chain (prefix maps are a handful
+    of entries, constant-folded); earlier prefixes win on overlap."""
+    out = F.concat(F.lit("<"), c, F.lit(">"))
+    for p, ns in reversed(list(prefixes.items())):
+        local = c.substr(F.lit(len(ns) + 1), F.length(c))
+        out = F.when(c.startswith(ns) & local.rlike(_PN_LOCAL_SAFE),
+                     F.concat(F.lit(p + ":"), local)).otherwise(out)
+    return out
+
+
+def _turtle_term(c: Column, prefixes: dict) -> Column:
+    return F.when(c.startswith("_:"), c).otherwise(compact_iri(c, prefixes))
+
+
+def turtle_line(subj: Column, pred: Column, obj: Column, obj_kind: Column,
+                obj_datatype: Column, obj_lang: Column,
+                prefixes: dict) -> Column:
+    """One Turtle statement (subject-per-line; the grouped ';'/',' form is
+    a compression nicety, not a semantic one - emitting one statement per
+    triple keeps serialization an embarrassingly-parallel projection with
+    no subject-grouping shuffle). String escapes are the N-Triples set,
+    valid in Turtle quoted literals."""
+    lit = F.concat(F.lit('"'), escape_literal(obj), F.lit('"'))
+    typed = F.when(
+        obj_lang.isNotNull(),
+        F.concat(lit, F.lit("@"), obj_lang)
+    ).when(
+        obj_datatype.isNotNull() & (obj_datatype != XSD_STRING),
+        F.concat(lit, F.lit("^^"), compact_iri(obj_datatype, prefixes))
+    ).otherwise(lit)
+    o = F.when(obj_kind == F.lit("literal"), typed) \
+         .otherwise(_turtle_term(obj, prefixes))
+    p = F.when(pred == F.lit(RDF_NS + "type"), F.lit("a")) \
+         .otherwise(_turtle_term(pred, prefixes))
+    return F.concat(_turtle_term(subj, prefixes), F.lit(" "), p, F.lit(" "),
+                    o, F.lit(" ."))
+
+
+def turtle_header(prefixes: dict) -> str:
+    """The @prefix preamble - driver-side constant text, prepended to each
+    output file (or written as a sidecar part-00000)."""
+    return "".join(f"@prefix {p}: <{ns}> .\n" for p, ns in prefixes.items())
+
+
+def to_turtle(df: DataFrame, prefixes: dict | None = None) -> DataFrame:
+    """Triples DataFrame -> single-column ('line') Turtle body DataFrame
+    (statements only; prepend `turtle_header(prefixes)` when writing).
+    Like to_ntriples this is one narrow codegen'd projection - no UDF, no
+    shuffle - so a 10^12-triple Turtle export streams straight to the
+    text sink."""
+    prefixes = TURTLE_DEFAULT_PREFIXES if prefixes is None else prefixes
+    return df.select(turtle_line(
+        F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_kind"),
+        F.col("obj_datatype"), F.col("obj_lang"), prefixes).alias("line"))

@@ -126,6 +126,11 @@ def test_ntriples_serialization_jvm_only(spark):
     plan = plan_of(to_ntriples(df))
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+    # Turtle is the same narrow projection (prefix CASE chain is codegen'd)
+    from csvweb_spark.operators.serialize import to_turtle
+    tplan = plan_of(to_turtle(df))
+    assert "Exchange" not in tplan
+    assert "EvalPython" not in tplan
 
 
 def test_ann_bruteforce_prunes_before_window(spark):

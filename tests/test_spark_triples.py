@@ -247,6 +247,68 @@ def test_ntriples_of_compiled_conversion_roundtrip(spark):
     assert graphs_isomorphic(parsed, expected), diff_report(parsed, expected)
 
 
+def test_turtle_roundtrip_and_compaction(spark):
+    """to_turtle output parses back to an isomorphic graph, and prefix
+    compaction is conservative: safe locals compact to p:local (incl.
+    ^^xsd:integer datatypes and 'a' for rdf:type), unsafe locals (dots,
+    leading digits) stay <iri>."""
+    from csvweb_spark.operators.serialize import to_turtle
+    from csvweb_spark.testing.turtle import RDF_TYPE, XSD
+
+    rows = [
+        ("http://e/s1", "http://e/p", 'he said "hi"\n\tback\\slash',
+         "literal", XSD + "string", None),
+        ("http://e/s1", RDF_TYPE, "http://e/ns#Thing", "iri", None, None),
+        ("_:b0", "http://e/ns#count", "42", "literal", XSD + "integer", None),
+        ("http://e/s2", "http://e/ns#ref", "_:b0", "bnode", None, None),
+        ("http://e/s2", "http://e/ns#v1.2", "x", "literal", None, None),
+        ("http://e/s2", "http://e/ns#0bad", "y", "literal", None, "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_kind string, "
+              "obj_datatype string, obj_lang string")
+    prefixes = {"xsd": XSD, "ns": "http://e/ns#"}
+    lines = [r.line for r in to_turtle(df, prefixes).collect()]
+    body = "\n".join(lines)
+    assert any(" a ns:Thing ." in ln for ln in lines)
+    assert any('"42"^^xsd:integer' in ln for ln in lines)
+    assert any(" ns:count " in ln for ln in lines)
+    # unsafe locals ('v1.2' has a dot, '0bad' leads with a digit) stay IRIs
+    assert any("<http://e/ns#v1.2>" in ln for ln in lines)
+    assert any("<http://e/ns#0bad>" in ln for ln in lines)
+    from csvweb_spark.operators.serialize import turtle_header
+    text = turtle_header(prefixes) + body
+    parsed = parse_turtle(text)
+    assert graphs_isomorphic(parsed, rows), diff_report(parsed, rows)
+
+
+def test_turtle_matches_reference_golden(spark):
+    """The reference's primary output format: conversion -> to_turtle ->
+    parse must be isomorphic to the reference's own golden .ttl
+    (ConverterSpec.cs:22-36; dotNetRDF Turtle writer at
+    Rdf/Converter.cs:235-238)."""
+    from csvweb_spark.operators.serialize import to_turtle
+    from csvweb_spark.testing.turtle import XSD
+
+    for meta, csvf, golden in [
+            ("valid-table-1.json", "countries.csv", "valid-table-1-out.ttl"),
+            ("escaping.metadata.json", "escaping.csv", "escaping.out.ttl")]:
+        group = parse_metadata(reference_fixture(meta), BASE)
+        table = group.tables[0]
+        pages = _pages(spark, table.url, reference_fixture(csvf))
+        out = convert_table_group_spark(pages, table, mode=MODE_MINIMAL,
+                                        scope_by_url=False)
+        prefixes = {"xsd": XSD, "ex": "http://example.org/"}
+        text = ("@prefix xsd: <" + XSD + "> .\n@prefix ex: "
+                "<http://example.org/> .\n"
+                + "\n".join(r.line for r in to_turtle(out, prefixes)
+                            .collect()))
+        parsed = parse_turtle(text)
+        expected = parse_turtle(reference_fixture(golden))
+        assert graphs_isomorphic(parsed, expected), \
+            diff_report(parsed, expected)
+
+
 def test_compiled_lexical_fallback_matches_kernel(spark):
     """W3C step-8 for PLAIN typed columns (no format): invalid lexical
     forms keep the raw value retyped xsd:string; booleans get the 1/0 ->
