@@ -1530,26 +1530,32 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, url,
                        lower(regexp_extract(url,
                            '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
-                       lower(regexp_extract(url,
-                           '^[^:]+://([^/?#]+)', 1)) AS host0,
+                       regexp_extract(url,
+                           '^[^:]+://([^/?#]+)', 1) AS auth,
                        regexp_extract(url,
                            '^[^:]+://[^/?#]*([^?#]*)', 1) AS path0,
                        regexp_extract(url, '\\?([^#]*)', 1) AS query
                 FROM raw),
+            c1 AS (
+                SELECT *, regexp_extract(auth, '^(.*)@', 1) AS userinfo,
+                       lower(regexp_replace(auth, '^.*@', '')) AS hostport0
+                FROM c),
             c2 AS (
-                SELECT doc_id, url, scheme,
+                SELECT doc_id, url, scheme, path0, query,
+                       CASE WHEN userinfo <> '' THEN userinfo || '@'
+                            ELSE '' END ||
                        CASE WHEN scheme = 'http'
-                            THEN regexp_replace(host0, ':80$', '')
+                            THEN regexp_replace(hostport0, ':80$', '')
                             WHEN scheme = 'https'
-                            THEN regexp_replace(host0, ':443$', '')
-                            ELSE host0 END AS host,
+                            THEN regexp_replace(hostport0, ':443$', '')
+                            ELSE hostport0 END AS host,
                        CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
                        array_to_string(list_sort(list_filter(
                            string_split(query, '&'),
                            p -> p <> '' AND NOT regexp_matches(p,
-                               '^(utm_[^=]*|fbclid|gclid|msclkid)='))),
+                               '^(utm_[^=]*|fbclid|gclid|msclkid)(=|$)'))),
                            '&') AS qs
-                FROM c),
+                FROM c1),
             canon AS (
                 SELECT doc_id, url,
                        CASE WHEN scheme = '' THEN url

@@ -84,8 +84,14 @@ def parse_csv_rows(text: str, dialect,
 
     with_positions=True yields (source_row, record) instead, where
     source_row is the 1-based position in the SOURCE file counting every
-    record - including comment lines and skipped blank rows - matching
-    the reference's CsvContext.Row and the W3C _sourceRow definition."""
+    record - including comment lines and skipped blank rows - the W3C
+    _sourceRow definition (and the reference's csv.Context.Row, which
+    feeds #row= URLs and error messages). NOTE this DELIBERATELY diverges
+    from the reference's _sourceRow template binding: Converter.cs:323-329
+    binds context.SourceRow = headerRowCount + logical row, which drifts
+    from the physical position after any skipped mid-file comment/blank
+    row; we follow the spec, so generated IRIs differ from the reference's
+    on files with mid-file comments (none of its goldens have any)."""
     if text.startswith("﻿"):
         text = text[1:]
     if not apply_default_comment and not getattr(
@@ -478,9 +484,9 @@ class PageConverter:
         logical_row = 0
         for source_row, record in rows:
             # source_row is the record's physical position in the file
-            # (comment/blank rows counted - W3C _sourceRow, CsvContext.Row;
-            # round-2 review fix: header_rows + logical_row drifted after
-            # any skipped mid-file row)
+            # (comment/blank rows counted - W3C _sourceRow; deliberate
+            # divergence from the reference's header_rows + logical_row
+            # binding, see parse_csv_rows docstring)
             logical_row += 1
 
             row_node = None

@@ -40,7 +40,15 @@ def asof_join(left: DataFrame, right: DataFrame, time_col: str,
     carry-forward, so a NULL payload value in the matched right row stays
     NULL (review fix: per-column last(ignorenulls) could stitch payload
     and timestamp from DIFFERENT right rows when payloads contain
-    NULLs - DuckDB ASOF JOIN matches a row, not per-column values)."""
+    NULLs - DuckDB ASOF JOIN matches a row, not per-column values).
+
+    Ties among RIGHT rows sharing (by_cols, time): the window order ends
+    on the carried struct itself, so the match is deterministically the
+    greatest (time, *payload) struct - run-to-run and plan-to-plan stable
+    (review fix: the order previously ended at (time, _side), leaving the
+    picked row to partitioning luck). Payload columns must therefore be
+    orderable types (atomics/arrays/structs); pre-aggregate the right side
+    to unique (by, time) rows if a payload is a map."""
     left_cols = left.columns
     payload_struct = F.struct(
         F.col(time_col).alias("_rt"),
@@ -59,7 +67,8 @@ def asof_join(left: DataFrame, right: DataFrame, time_col: str,
                      F.lit(0).alias("_side"))
     u = l.unionByName(r.select(*l.columns))
     w = (Window.partitionBy(*by_cols)
-         .orderBy(F.col(time_col).asc(), F.col("_side").asc())
+         .orderBy(F.col(time_col).asc(), F.col("_side").asc(),
+                  F.col("_pl").asc_nulls_first())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = (u.withColumn("_m", F.last("_pl", ignorenulls=True).over(w))
                .filter(F.col("_side") == 1))

@@ -746,7 +746,9 @@ def compile_triples_with_errors(
                        F.when(F.col("obj_kind") == "literal",
                               F.col("col_ix")).otherwise(F.lit(-1))))
     # kernel wording: csvw/convert.py error capture (source row = the
-    # physical record position, comment/blank rows counted)
+    # physical record position, comment/blank rows counted - W3C spec
+    # choice, deliberately diverging from the reference's header+logical
+    # binding; see parse_csv_rows docstring)
     name_expr = F.lit(None).cast("string")
     for i, c in needs_norm:
         name_expr = F.when(F.col("col_ix") == i, F.lit(c.name or "")) \

@@ -5,10 +5,14 @@ every web pipeline (the reference operates on already-resolved URIs; at
 All pure JVM column expressions with exact DuckDB equivalents (regexes are
 dialect-neutral), so the operator is oracle-checkable like the text suite:
 
-* scheme + host lowercase (RFC 3986 case-insensitive components);
+* scheme + host lowercase (RFC 3986 case-insensitive components; userinfo
+  is user data - kept verbatim, and split off the authority BEFORE port
+  handling so 'user:80@host' can never confuse default-port stripping);
 * default ports dropped (:80 for http, :443 for https);
 * fragment dropped (never sent to the server);
-* tracking query params dropped (utm_*, fbclid, gclid, msclkid);
+* tracking query params dropped (utm_*, fbclid, gclid, msclkid) - with or
+  without a value: a bare 'fbclid' is as much tracker residue as
+  'fbclid=x';
 * remaining query params SORTED (order-insensitive equivalence);
 * empty path -> '/'.
 
@@ -21,18 +25,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|msclkid)="
+TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|msclkid)(=|$)"
 
 
 def canonicalize_url(url: Column) -> Column:
     """Canonical form of an absolute http(s) URL (see module docstring).
     Non-URL strings pass through lowercased-scheme-less unchanged."""
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
-    host = F.lower(F.regexp_extract(url, r"^[^:]+://([^/?#]+)", 1))
-    # default ports: strip :80 for http, :443 for https
-    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")) \
-            .when(scheme == "https", F.regexp_replace(host, ":443$", "")) \
-            .otherwise(host)
+    auth = F.regexp_extract(url, r"^[^:]+://([^/?#]+)", 1)
+    # userinfo (up to the last '@') is case-sensitive user data: split it
+    # off, lowercase + default-port-strip only the host[:port] remainder
+    userinfo = F.regexp_extract(auth, r"^(.*)@", 1)
+    hostport = F.lower(F.regexp_replace(auth, r"^.*@", ""))
+    hostport = F.when(scheme == "http",
+                      F.regexp_replace(hostport, ":80$", "")) \
+                .when(scheme == "https",
+                      F.regexp_replace(hostport, ":443$", "")) \
+                .otherwise(hostport)
+    host = F.when(userinfo != "",
+                  F.concat(userinfo, F.lit("@"), hostport)) \
+            .otherwise(hostport)
     path = F.regexp_extract(url, r"^[^:]+://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(url, r"\?([^#]*)", 1)

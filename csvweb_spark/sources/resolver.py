@@ -77,7 +77,13 @@ class FileResolver:
         if not url.startswith(self.base_url):
             return None
         rel = url[len(self.base_url):].split("?")[0].split("#")[0]
-        p = os.path.join(self.root, rel)
+        # containment check: a crafted '..%2F'-style relative part must not
+        # escape the resolver root (untrusted URLs reach resolvers through
+        # crawl frontiers)
+        root = os.path.realpath(self.root)
+        p = os.path.realpath(os.path.join(root, rel))
+        if p != root and not p.startswith(root + os.sep):
+            return None
         return p if os.path.isfile(p) else None
 
     def resolve(self, url: str) -> Optional[str]:

@@ -122,6 +122,16 @@ def test_asof_join(spark):
     assert atom[7][0] is None           # matched the 201 row, m is NULL
     assert atom[7][1] is not None       # ...but the match itself exists
     assert atom[6][0] == 71             # 200 < 201: still the 100 row
+    # duplicate right rows at the same (by, time): deterministic pick =
+    # greatest (time, payload) struct, across repartitionings
+    right_d = spark.createDataFrame(
+        [(1, 100, 71), (1, 100, 99), (1, 100, 12)],
+        "u long, t long, m long").selectExpr(
+        "u", "timestamp_seconds(t) AS t", "m")
+    for nparts in (1, 7):
+        got = {r.ev: r.m for r in asof_join(
+            left, right_d.repartition(nparts), "t", ["u"], ["m"]).collect()}
+        assert got[5] == 99 and got[6] == 99 and got[7] == 99
 
 
 def test_embedding_dedup_lsh_blocking(spark):
@@ -163,6 +173,14 @@ def test_canonicalize_url(spark):
         ("http://h.org/p?gclid=1&fbclid=2", "http://h.org/p"),
         ("http://h.org/p?z=1&a=2", "http://h.org/p?a=2&z=1"),
         ("not a url at all", "not a url at all"),           # passthrough
+        # valueless tracker params are still trackers
+        ("http://h.org/p?fbclid&utm_source&a=1", "http://h.org/p?a=1"),
+        # ...but non-tracker names that merely share a prefix survive
+        ("http://h.org/p?fbclid2=x", "http://h.org/p?fbclid2=x"),
+        # userinfo: kept verbatim (case-sensitive), split off before port
+        # handling so ':80'-looking userinfo can't confuse stripping
+        ("http://User:80@H.org:80/p", "http://User:80@h.org/p"),
+        ("https://U:pw@H.org:443/", "https://U:pw@h.org/"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
                                "i int, url string")
@@ -475,6 +493,53 @@ def test_multimodal_plumbing(spark):
     assert norm == pytest.approx(1.0, abs=1e-3)
     stats = {r.url: r.n_bytes for r in binary_stats(pages).collect()}
     assert stats["u1"] == 15
+
+
+def _png_bytes(w, h):
+    import struct
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00" + b"\0" * 4)
+
+
+def _jpeg_bytes(w, h):
+    import struct
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\0" * 9
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x03" + b"\0" * 9)
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _gif_bytes(w, h):
+    import struct
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
+
+
+def test_image_header_codecs_real_dims(spark):
+    """PNG/JPEG/GIF dimensions come from REAL header parsing (IHDR / SOFn /
+    logical screen descriptor), not the digest fake; unknown formats and
+    truncated headers still fall back to the declared stub."""
+    from csvweb_spark.operators.multimodal import (image_metadata,
+                                                   parse_image_header)
+    assert parse_image_header(_png_bytes(640, 480)) == ("png", 640, 480)
+    assert parse_image_header(_jpeg_bytes(800, 600)) == ("jpeg", 800, 600)
+    assert parse_image_header(_gif_bytes(320, 200)) == ("gif", 320, 200)
+    assert parse_image_header(b"plain text") is None
+    assert parse_image_header(b"\x89PNG\r\n\x1a\ntrunc") is None  # no IHDR
+    assert parse_image_header(b"\xff\xd8\xff\xda\x00\x02") is None  # no SOF
+    pages = spark.createDataFrame(
+        [("png", bytearray(_png_bytes(640, 480))),
+         ("jpg", bytearray(_jpeg_bytes(800, 600))),
+         ("gif", bytearray(_gif_bytes(320, 200))),
+         ("other", bytearray(b"not an image"))],
+        "url string, html binary")
+    meta = {r.url: r for r in image_metadata(pages).collect()}
+    assert (meta["png"].format, meta["png"].width, meta["png"].height) == \
+        ("png", 640, 480)
+    assert (meta["jpg"].format, meta["jpg"].width, meta["jpg"].height) == \
+        ("jpeg", 800, 600)
+    assert (meta["gif"].format, meta["gif"].width, meta["gif"].height) == \
+        ("gif", 320, 200)
+    assert meta["other"].format == "unknown"  # digest-fake fallback
 
 
 def test_lineage_write_and_resume(spark, tmp_path, docs):

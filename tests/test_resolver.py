@@ -83,6 +83,19 @@ def test_file_resolver(tmp_path):
     assert len(res.triples) == 2
 
 
+def test_file_resolver_blocks_path_traversal(tmp_path):
+    """A crafted '../' relative part must not escape the resolver root
+    (resolvers can be fed untrusted crawl-frontier URLs)."""
+    root = tmp_path / "root"
+    root.mkdir()
+    (root / "ok.csv").write_text("a\n1\n")
+    (tmp_path / "secret.txt").write_text("outside")
+    r = FileResolver(str(root), "http://ex.org")
+    assert r.resolve("http://ex.org/ok.csv").startswith("a")
+    assert r.resolve("http://ex.org/../secret.txt") is None
+    assert r.resolve("http://ex.org/a/../../secret.txt") is None
+
+
 def test_multi_link_header_picks_the_describedby_entry():
     """A Link header with several entries must resolve the URL whose OWN
     params carry rel=describedby, not the first <...> in the header."""
