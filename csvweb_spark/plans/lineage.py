@@ -21,17 +21,24 @@ metadata instead):
 * `observe_metrics` attaches df.observe counters (the Spark-native
   equivalent of the reference's IProgress reporting every 50 rows,
   Rdf/Converter.cs:332-335).
+
+All commit-protocol metadata I/O (manifest list/read/write, footer reads,
+partition-directory diffs) goes through plans/fs.py: plain paths use `os`
+directly, scheme'd paths (hdfs://, s3a://, file://) use the session JVM's
+Hadoop FileSystem - so the protocol runs unchanged against cluster
+storage (round-2 gap: bookkeeping was driver-local os.listdir only).
 """
 
 from __future__ import annotations
 
 import json
-import os
 import time
 from typing import Optional
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+
+from .fs import fs_for
 
 N_BUCKETS_DEFAULT = 64
 
@@ -50,28 +57,29 @@ def observe_metrics(df: DataFrame, name: str = "triples") -> tuple[DataFrame, Ob
 
 
 def committed_partitions(output_dir: str) -> set[int]:
-    mdir = os.path.join(output_dir, "_manifests")
+    fs = fs_for(output_dir)
+    mdir = fs.join(output_dir, "_manifests")
     done: set[int] = set()
-    if not os.path.isdir(mdir):
+    if not fs.isdir(mdir):
         return done
-    for fn in os.listdir(mdir):
+    for fn in fs.listdir(mdir):
         if fn.endswith(".json"):
-            with open(os.path.join(mdir, fn)) as f:
-                manifest = json.load(f)
+            manifest = fs.read_json(fs.join(mdir, fn))
             for p in manifest.get("partitions", []):
                 done.add(int(p["part_key"]))
     return done
 
 
 def _committed_bucket_counts(output_dir: str) -> set[int]:
-    mdir = os.path.join(output_dir, "_manifests")
+    fs = fs_for(output_dir)
+    mdir = fs.join(output_dir, "_manifests")
     out: set[int] = set()
-    if not os.path.isdir(mdir):
+    if not fs.isdir(mdir):
         return out
-    for fn in os.listdir(mdir):
+    for fn in fs.listdir(mdir):
         if fn.endswith(".json"):
-            with open(os.path.join(mdir, fn)) as f:
-                out.add(int(json.load(f).get("n_buckets", -1)))
+            out.add(int(fs.read_json(fs.join(mdir, fn)).get("n_buckets",
+                                                            -1)))
     return out
 
 
@@ -98,7 +106,7 @@ def resume_filter(df: DataFrame, output_dir: str, url_col: str = "url",
 
 
 def _partition_stats_from_footers(data_dir: str, part_key: int,
-                                  url_col: str) -> dict:
+                                  url_col: str, fs=None) -> dict:
     """Per-partition stats read from the parquet FILE FOOTERS of the files
     just written: row counts and per-row-group min/max column statistics
     are parquet metadata, so no data pages are read and nothing is
@@ -109,14 +117,15 @@ def _partition_stats_from_footers(data_dir: str, part_key: int,
     contract Iceberg uses."""
     import pyarrow.parquet as pq
 
-    pdir = os.path.join(data_dir, f"part_key={part_key}")
+    fs = fs or fs_for(data_dir)
+    pdir = fs.join(data_dir, f"part_key={part_key}")
     rows, n_files = 0, 0
     mins, maxs = [], []
-    for fn in sorted(os.listdir(pdir)):
+    for fn in sorted(fs.listdir(pdir)):
         if not fn.endswith(".parquet"):
             continue
         n_files += 1
-        md = pq.ParquetFile(os.path.join(pdir, fn)).metadata
+        md = pq.ParquetFile(fs.parquet_source(fs.join(pdir, fn))).metadata
         rows += md.num_rows
         try:
             col_ix = md.schema.names.index(url_col)
@@ -160,16 +169,17 @@ def write_partitioned(df: DataFrame, output_dir: str, url_col: str = "url",
     run_id = run_id or f"run-{int(time.time() * 1000)}"
     keyed = df if "part_key" in df.columns else with_part_key(df, url_col, n_buckets)
 
-    data_dir = os.path.join(output_dir, "data")
+    fs = fs_for(output_dir, spark)
+    data_dir = fs.join(output_dir, "data")
 
     def _part_files() -> dict:
         out = {}
-        if os.path.isdir(data_dir):
-            for d in os.listdir(data_dir):
+        if fs.isdir(data_dir):
+            for d in fs.listdir(data_dir):
                 if d.startswith("part_key="):
-                    pdir = os.path.join(data_dir, d)
+                    pdir = fs.join(data_dir, d)
                     out[int(d.split("=", 1)[1])] = sorted(
-                        fn for fn in os.listdir(pdir)
+                        fn for fn in fs.listdir(pdir)
                         if fn.endswith(".parquet"))
         return out
 
@@ -192,7 +202,7 @@ def write_partitioned(df: DataFrame, output_dir: str, url_col: str = "url",
     after = _part_files()
     new_parts = sorted(p for p, files in after.items()
                        if files and before.get(p) != files)
-    stats = [_partition_stats_from_footers(data_dir, p, url_col)
+    stats = [_partition_stats_from_footers(data_dir, p, url_col, fs)
              for p in new_parts]
     manifest = {
         "run_id": run_id,
@@ -201,12 +211,11 @@ def write_partitioned(df: DataFrame, output_dir: str, url_col: str = "url",
         "partitions": stats,
         "total_rows": int(sum(s["rows"] for s in stats)),
     }
-    mdir = os.path.join(output_dir, "_manifests")
-    os.makedirs(mdir, exist_ok=True)
-    tmp = os.path.join(mdir, f".{run_id}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, os.path.join(mdir, f"{run_id}.json"))
+    mdir = fs.join(output_dir, "_manifests")
+    fs.makedirs(mdir)
+    fs.write_text_atomic(fs.join(mdir, f"{run_id}.json"),
+                         json.dumps(manifest, indent=1),
+                         fs.join(mdir, f".{run_id}.json.tmp"))
     return manifest
 
 
@@ -222,14 +231,14 @@ def snapshots(output_dir: str) -> list[dict]:
     """Committed manifests ordered by commit time (the snapshot log).
     Each manifest is one atomic commit - the parquet+manifest analogue of
     Iceberg's snapshot list (VERSION HISTORY of the table)."""
-    mdir = os.path.join(output_dir, "_manifests")
-    if not os.path.isdir(mdir):
+    fs = fs_for(output_dir)
+    mdir = fs.join(output_dir, "_manifests")
+    if not fs.isdir(mdir):
         return []
     out = []
-    for fn in sorted(os.listdir(mdir)):
+    for fn in sorted(fs.listdir(mdir)):
         if fn.endswith(".json"):
-            with open(os.path.join(mdir, fn)) as f:
-                out.append(json.load(f))
+            out.append(fs.read_json(fs.join(mdir, fn)))
     out.sort(key=lambda m: (m["committed_at"], m["run_id"]))
     return out
 
@@ -252,8 +261,9 @@ def read_snapshot(spark: SparkSession, output_dir: str,
         snaps = snaps[:cut[0] + 1]
     visible = sorted({int(p["part_key"]) for m in snaps
                       for p in m.get("partitions", [])})
-    data_dir = os.path.join(output_dir, "data")
-    if not os.path.isdir(data_dir):
+    fs = fs_for(output_dir, spark)
+    data_dir = fs.join(output_dir, "data")
+    if not fs.isdir(data_dir):
         # nothing ever written (or the first writer died pre-write): a
         # clear error beats parquet's AnalysisException (review fix);
         # callers probing for existence should check snapshots() first

@@ -565,6 +565,36 @@ def test_lineage_write_and_resume(spark, tmp_path, docs):
     assert committed_partitions(out) > done
 
 
+def test_lineage_protocol_over_hadoop_fs(spark, tmp_path, docs):
+    """The SAME commit protocol through the Hadoop FileSystem adapter: a
+    file:// scheme routes every metadata op (manifest write/list/read,
+    footer stats, partition diff) through the JVM-side Hadoop FS - the
+    code path hdfs:///s3a:// tables take on a real cluster."""
+    from csvweb_spark.plans.fs import HadoopFS, fs_for
+    from csvweb_spark.plans.lineage import (
+        committed_partitions, read_snapshot, snapshots, with_part_key,
+        write_partitioned, write_resumable)
+    out = "file://" + str(tmp_path / "hfs_out")
+    assert isinstance(fs_for(out, spark), HadoopFS)
+    df = docs.limit(40).select(
+        F.concat(F.lit("http://p/"), F.col("doc_id")).alias("url"), "text")
+    keyed = with_part_key(df, n_buckets=8)
+    m1 = write_partitioned(keyed.filter(F.col("part_key") < 4), out,
+                           n_buckets=8, run_id="r1")
+    assert 0 < m1["total_rows"] < 40
+    # footer stats came through the FSDataInputStream adapter
+    assert all(p["rows"] > 0 and p["min_url"] is not None
+               for p in m1["partitions"])
+    assert committed_partitions(out) == \
+        {p["part_key"] for p in m1["partitions"]}
+    m2 = write_resumable(df, out, n_buckets=8)
+    assert m1["total_rows"] + m2["total_rows"] == 40
+    assert [m["run_id"] for m in snapshots(out)][0] == "r1"
+    assert read_snapshot(spark, out).count() == 40
+    assert read_snapshot(spark, out, as_of_run="r1").count() == \
+        m1["total_rows"]
+
+
 def test_snapshot_time_travel(spark, tmp_path, docs):
     """Snapshot-isolated reads over the lineage manifests (the
     parquet+manifest analogue of Iceberg VERSION AS OF): uncommitted data
