@@ -57,6 +57,92 @@ def stream_triples(spark: SparkSession, input_dir: str, output_dir: str,
     return writer.start()
 
 
+def stream_knowledge_graph(spark: SparkSession, input_dir: str,
+                           output_dir: str, checkpoint_dir: str,
+                           table: Table, aliases: DataFrame,
+                           mode: str = MODE_MINIMAL, n_buckets: int = 8,
+                           max_files_per_trigger: Optional[int] = None,
+                           available_now: bool = True,
+                           batch_hook=None):
+    """The FULL KG pipeline (extract -> convert -> link -> CC ->
+    materialize-with-lineage) under incremental arrival: a foreachBatch
+    composition running pipeline.kg_canonical_triples + write_resumable
+    per micro-batch.
+
+    Exactly-once layering (the point of this composition):
+    * BATCH level - the streaming checkpoint: a batch whose foreachBatch
+      completed is never re-delivered; a crashed batch is re-delivered
+      with the SAME batch_id and data (file source).
+    * PARTITION level, within a re-delivered batch - the lineage commit
+      protocol: outputs land under output_dir/batch=<id>/{triples,
+      entities,errors}, so a retry's write_resumable skips the buckets
+      the crashed attempt already committed and completes the rest - no
+      duplicate partitions, no lost ones. (Batch-scoped directories are
+      what makes lineage resume correct here: bucket keys REPEAT across
+      micro-batches, so committing them in one shared table would make
+      later batches invisible.)
+
+    `batch_hook(batch_id, point)` is called at point='start' (before any
+    write) and point='mid' (between the triples commit and the entities
+    commit) - the crash-injection seam used by the resume test; leave
+    None in production. Returns the StreamingQuery."""
+    from ..pipeline import kg_canonical_triples
+    from ..plans.fs import fs_for
+    from ..plans.lineage import write_resumable
+
+    pages = read_pages_stream(spark, input_dir, max_files_per_trigger)
+    fs = fs_for(output_dir, spark)
+
+    def process(batch_df, batch_id):
+        if batch_hook is not None:
+            batch_hook(batch_id, "start")
+        caches: list = []
+        canonical, entity_map, _obs, errors = kg_canonical_triples(
+            batch_df, table, aliases, mode=mode, cache_registry=caches)
+        bdir = fs.join(output_dir, f"batch={batch_id}")
+        write_resumable(canonical, fs.join(bdir, "triples"),
+                        n_buckets=n_buckets)
+        if batch_hook is not None:
+            batch_hook(batch_id, "mid")
+        write_resumable(entity_map.withColumn("url", F.col("uri")),
+                        fs.join(bdir, "entities"),
+                        n_buckets=max(n_buckets // 4, 1))
+        write_resumable(errors, fs.join(bdir, "errors"),
+                        n_buckets=max(n_buckets // 4, 1))
+        for cached in caches:
+            cached.unpersist()
+
+    writer = (pages.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_streamed_graph(spark: SparkSession, output_dir: str,
+                        table: str = "triples") -> Optional[DataFrame]:
+    """Union of the committed snapshots of every batch directory written
+    by stream_knowledge_graph (None when nothing is committed yet).
+    Uncommitted partitions of a crashed batch stay invisible, exactly as
+    in the batch read path."""
+    from ..plans.fs import fs_for
+    from ..plans.lineage import read_snapshot, snapshots
+
+    fs = fs_for(output_dir, spark)
+    if not fs.isdir(output_dir):
+        return None
+    out = None
+    for d in sorted(fs.listdir(output_dir)):
+        if not d.startswith("batch="):
+            continue
+        tdir = fs.join(output_dir, d, table)
+        if not any(m.get("partitions") for m in snapshots(tdir)):
+            continue
+        df = read_snapshot(spark, tdir)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
 OUTPUT_HOST_STATS = ("host string, batch_pages long, total_pages long, "
                      "batch_new_urls long, total_urls_approx long")
 _STATE_HOST_STATS = "total_pages long, total_urls long, bloom binary"

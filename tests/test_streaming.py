@@ -76,6 +76,70 @@ def test_windowed_stats_with_watermark(spark, pages_dir):
     assert len({r.win for r in rows}) == 3  # 30 pages over 3 10-min windows
 
 
+def test_streaming_kg_pipeline_crash_resume(spark, pages_dir, tmp_path):
+    """The FULL KG pipeline under incremental arrival, crashed mid-batch
+    and resumed: a foreachBatch run dies AFTER committing batch 1's
+    triples but BEFORE its entities; the restarted query must re-deliver
+    batch 1, skip its committed triple buckets (lineage resume), finish
+    entities/errors, and drain the rest -- with no duplicate and no lost
+    partitions anywhere."""
+    from csvweb_spark.operators.triples import convert_table_group_spark
+    from csvweb_spark.streaming.pipeline import (read_streamed_graph,
+                                                 stream_knowledge_graph)
+
+    aliases = spark.createDataFrame(
+        [("val1", 1, "http://kb/e1"), ("value one", 1, "http://kb/e1b"),
+         ("val2", 2, "http://kb/e2")],
+        "alias string, entity_id long, entity_uri string")
+    out = str(tmp_path / "kg_stream")
+    ckpt = str(tmp_path / "kg_ckpt")
+
+    def crash_mid_batch1(batch_id, point):
+        if batch_id == 1 and point == "mid":
+            raise RuntimeError("injected executor loss")
+
+    q = stream_knowledge_graph(spark, pages_dir, out, ckpt, _table(),
+                               aliases, max_files_per_trigger=1,
+                               batch_hook=crash_mid_batch1)
+    try:
+        q.awaitTermination(300)
+    except Exception as e:  # some versions raise, some store the exception
+        assert "injected executor loss" in str(e)
+    exc = q.exception()
+    assert exc is not None and "injected executor loss" in str(exc)
+    # crash state: batch 0 complete; batch 1 has committed triples only
+    mid_triples = read_streamed_graph(spark, out, "triples")
+    assert mid_triples is not None
+    n_mid = mid_triples.count()
+    assert 0 < n_mid  # batch 0 (+ batch 1's committed buckets) visible
+    ents_mid = read_streamed_graph(spark, out, "entities")
+    assert ents_mid is not None  # batch 0 committed its entities
+
+    # restart from the same checkpoint, no fault injection
+    q2 = stream_knowledge_graph(spark, pages_dir, out, ckpt, _table(),
+                                aliases, max_files_per_trigger=1)
+    q2.awaitTermination(300)
+
+    final = read_streamed_graph(spark, out, "triples")
+    batch = convert_table_group_spark(
+        spark.read.parquet(pages_dir), _table(), scope_by_url=True)
+    want = batch.count()
+    assert final.count() == want  # nothing lost, nothing duplicated
+    # exactly-once per page: every page contributes its 10 triples once
+    # ((subj,pred,obj) itself de-dups falsely here: canonicalization
+    # legitimately collapses subjects across rows)
+    per_url = {r.url: r.n for r in
+               final.groupBy("url").agg(F.count(F.lit(1)).alias("n"))
+               .collect()}
+    assert len(per_url) == 30 and set(per_url.values()) == {10}
+    # linking + canonicalization actually ran: both alias uris of entity 1
+    # landed in one component (same canonical uri)
+    ents = read_streamed_graph(spark, out, "entities")
+    canon = {r.uri: r.canonical_uri for r in ents.collect()}
+    assert canon.get("http://kb/e1") is not None
+    assert canon.get("http://kb/e1") == canon.get("http://kb/e1b")
+
+
 def test_stateful_host_stats_across_microbatches(spark, tmp_path):
     """applyInPandasWithState: state (page totals + url Bloom filter) must
     persist across micro-batches; re-crawled urls don't bump distinct."""
