@@ -153,6 +153,33 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     timed("text_profile", lambda: text_profile(docs).count())
     timed("text_quality", lambda: quality_features(docs).count())
 
+    # dedup: simhash block trick through the round-3 hardened path
+    # (bucket census + cap before the self-join)
+    from csvweb_spark.operators.dedup import dedup_simhash
+    timed("dedup_simhash", lambda: dedup_simhash(
+        docs, max_hamming=3, max_bucket_size=256).count())
+
+    # time-series joins over events (growth guard for the asof/interval
+    # operators)
+    from csvweb_spark.operators.asof import asof_join
+    from csvweb_spark.operators.interval import interval_join
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .repartition(spark.sparkContext.defaultParallelism).persist())
+    ev.count()
+    markers = (ev.filter(F.col("event_id") % 5 == 0)
+               .groupBy("user_id", "ts")
+               .agg(F.max("event_id").alias("marker_id")))
+    timed("events_asof", lambda: asof_join(
+        ev.select("event_id", "user_id", "ts"), markers,
+        "ts", ["user_id"], ["marker_id"]).count())
+    win = ev.filter(F.col("event_id") % 20 == 0).select(
+        F.col("event_id").alias("window_id"), "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"))
+    timed("events_interval", lambda: interval_join(
+        ev, win, "ts", ["user_id"], "start_ts", "end_ts",
+        bucket_minutes=60).count())
+
     # relational: TPC-H-ish Q1
     dec = lambda c: F.col(c).cast("decimal(18,4)")
     timed("q1_pricing_summary", lambda: (

@@ -102,6 +102,93 @@ class FileResolver:
         return None
 
 
+class HttpResolver:
+    """urllib-based live resolver - the reference's DefaultResolver
+    (DefaultResolver.cs:24-39, HttpClient GETs) for the single-URL path.
+
+    * `resolve` GETs the table URL and decodes by the response charset
+      (default utf-8; a UTF-8 BOM is stripped like the C# StreamReader);
+    * `resolve_json` sends the reference's Accept negotiation
+      (application/csvm+json;q=0.9, application/json;q=0.8,
+      DefaultResolver.cs:33-35) and parses leniently (BOM/trailing
+      commas, like the fixture loader);
+    * `link_header` surfaces the HTTP `Link:` response header for the
+      discovery loop - served from the response cache when the URL was
+      already fetched, else via a HEAD request.
+
+    404/410/... resolve to None (the discovery loop's 'not found' signal);
+    transport errors (DNS, refused, timeout) raise - callers must see the
+    difference between 'no metadata there' and 'network down'. The opener
+    is injectable; tests drive the full protocol through a fake opener
+    (no network in this sandbox)."""
+
+    ACCEPT_JSON = "application/csvm+json;q=0.9, application/json;q=0.8"
+    _NOT_FOUND = (403, 404, 405, 410, 451)
+
+    def __init__(self, opener=None, timeout: float = 30.0,
+                 user_agent: str = "csvweb-spark/1.0"):
+        import urllib.request
+        self._opener = opener or urllib.request.build_opener()
+        self._timeout = timeout
+        self._ua = user_agent
+        self._headers_cache: dict = {}
+
+    def _fetch(self, url: str, accept: Optional[str] = None,
+               method: str = "GET"):
+        """(bytes, headers) or None on a not-found-ish status."""
+        import urllib.error
+        import urllib.request
+        hdrs = {"User-Agent": self._ua}
+        if accept:
+            hdrs["Accept"] = accept
+        req = urllib.request.Request(url, headers=hdrs, method=method)
+        try:
+            with self._opener.open(req, timeout=self._timeout) as resp:
+                headers = dict(resp.headers.items()) \
+                    if hasattr(resp.headers, "items") else dict(resp.headers)
+                self._headers_cache[url] = headers
+                return (resp.read() if method != "HEAD" else b""), headers
+        except urllib.error.HTTPError as e:
+            if e.code in self._NOT_FOUND:
+                return None
+            raise
+
+    @staticmethod
+    def _decode(data: bytes, headers: dict) -> str:
+        import re as _re
+        ctype = next((v for k, v in headers.items()
+                      if k.lower() == "content-type"), "")
+        m = _re.search(r"charset=([A-Za-z0-9_.\-]+)", ctype)
+        text = data.decode(m.group(1) if m else "utf-8", errors="replace")
+        return text[1:] if text.startswith("﻿") else text
+
+    def resolve(self, url: str) -> Optional[str]:
+        got = self._fetch(url)
+        if got is None:
+            return None
+        return self._decode(*got)
+
+    def resolve_json(self, url: str) -> Optional[dict]:
+        got = self._fetch(url, accept=self.ACCEPT_JSON)
+        if got is None:
+            return None
+        from ..csvw.normalize_meta import load_metadata_json
+        try:
+            return load_metadata_json(self._decode(*got))
+        except ValueError:
+            return None
+
+    def link_header(self, url: str) -> Optional[str]:
+        headers = self._headers_cache.get(url)
+        if headers is None:
+            got = self._fetch(url, method="HEAD")
+            if got is None:
+                return None
+            headers = got[1]
+        return next((v for k, v in headers.items() if k.lower() == "link"),
+                    None)
+
+
 def _csvm_templates(resolver, csv_url: str) -> list[str]:
     """The /.well-known/csvm template list (one URI template per line),
     defaulting per spec when the document doesn't resolve."""

@@ -6,7 +6,7 @@ import pytest
 
 from csvweb_spark.csvw.parse_meta import MetadataParseError
 from csvweb_spark.sources.resolver import (
-    DictResolver, FileResolver, convert_url, locate_metadata)
+    DictResolver, FileResolver, HttpResolver, convert_url, locate_metadata)
 
 CSV_URL = "http://ex.org/data/countries.csv"
 CSV_TEXT = "code,name\nAD,Andorra\nAE,United Arab Emirates\n"
@@ -94,6 +94,82 @@ def test_file_resolver_blocks_path_traversal(tmp_path):
     assert r.resolve("http://ex.org/ok.csv").startswith("a")
     assert r.resolve("http://ex.org/../secret.txt") is None
     assert r.resolve("http://ex.org/a/../../secret.txt") is None
+
+
+class _FakeResponse:
+    def __init__(self, body: bytes, headers: dict):
+        self._body = body
+        self.headers = headers
+
+    def read(self):
+        return self._body
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+class _FakeOpener:
+    """Stands in for urllib's opener: serves {url: (bytes, headers)},
+    404s everything else, and records requests for protocol assertions."""
+
+    def __init__(self, pages: dict):
+        self.pages = pages
+        self.requests = []
+
+    def open(self, req, timeout=None):
+        import urllib.error
+        self.requests.append((req.get_method(), req.full_url,
+                              dict(req.header_items())))
+        if req.full_url not in self.pages:
+            raise urllib.error.HTTPError(req.full_url, 404, "nf", {}, None)
+        body, headers = self.pages[req.full_url]
+        return _FakeResponse(b"" if req.get_method() == "HEAD" else body,
+                             headers)
+
+
+def test_http_resolver_protocol_and_discovery():
+    """HttpResolver drives the full discovery loop (Link header ->
+    {+url}-metadata.json -> csv-metadata.json) through a mocked opener:
+    charset decode, BOM strip, Accept negotiation, 404-as-None."""
+    csv_url = "http://ex.org/d/t.csv"
+    meta_url = "http://ex.org/d/t.csv-metadata.json"
+    opener = _FakeOpener({
+        csv_url: ("﻿a,b\n1,2\n".encode("utf-8"),
+                  {"Content-Type": "text/csv; charset=utf-8",
+                   "Link": f'<{meta_url}>; rel="describedby"; '
+                           f'type="application/csvm+json"'}),
+        meta_url: ((b'{"@context": "http://www.w3.org/ns/csvw", '
+                    b'"url": "t.csv",}'),  # trailing comma: lenient parse
+                   {"Content-Type": "application/csvm+json"}),
+    })
+    r = HttpResolver(opener=opener)
+    text = r.resolve(csv_url)
+    assert text.startswith("a,b")  # BOM stripped, charset honored
+    # Link header comes from the cached GET response - no extra request
+    n_before = len(opener.requests)
+    assert 'rel="describedby"' in r.link_header(csv_url)
+    assert len(opener.requests) == n_before
+    meta = r.resolve_json(meta_url)
+    assert meta["url"] == "t.csv"
+    # the reference's Accept negotiation (DefaultResolver.cs:33-35)
+    m, u, h = opener.requests[-1]
+    assert u == meta_url and "csvm+json;q=0.9" in h.get("Accept", "")
+    assert r.resolve_json("http://ex.org/missing.json") is None
+    # end-to-end: convert_url over the live-protocol resolver
+    res = convert_url(csv_url, r)
+    assert len(res.triples) == 2
+    # transport errors are NOT swallowed into 'no metadata'
+    import urllib.error
+
+    class _DownOpener(_FakeOpener):
+        def open(self, req, timeout=None):
+            raise urllib.error.HTTPError(req.full_url, 503, "down", {}, None)
+
+    with pytest.raises(urllib.error.HTTPError):
+        HttpResolver(opener=_DownOpener({})).resolve(csv_url)
 
 
 def test_multi_link_header_picks_the_describedby_entry():
