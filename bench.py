@@ -141,6 +141,12 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     queries = emb.filter(F.col("vec_id") < 32)
     timed("ann_topk", lambda: ann_topk_bruteforce(emb, queries, k=5).count())
 
+    # similarity: LSH ANN through the round-3 single-scan sketching path
+    # (all hash tables from ONE corpus scan)
+    from csvweb_spark.operators.similarity import ann_topk_lsh
+    timed("ann_topk_lsh", lambda: ann_topk_lsh(
+        emb, queries, k=5, dim=64, bits=8, tables=6).count())
+
     # HTML <table> detection + extraction (north_star tabular-content path)
     timed("html_table_extract", lambda: extract_html_tables(hpages).count())
 
