@@ -551,12 +551,13 @@ def dedup_embedding_cosine(df: DataFrame, vec_col: str = "embedding",
         b = base.select(F.col(key_col).alias("id_b"), F.col("v").alias("v_b"))
         joined = a.crossJoin(b)
     else:
-        from .similarity import _det_planes, hyperplane_sketch
+        from .similarity import _det_planes, hyperplane_sketches
         sketched = base.select(
             key_col, "v",
-            F.array(*[hyperplane_sketch(F.col("v"),
-                                        _det_planes(dim, lsh_bits, t))
-                      for t in range(lsh_tables)]).alias("_bkts"))
+            hyperplane_sketches(
+                F.col("v"),
+                [_det_planes(dim, lsh_bits, t) for t in range(lsh_tables)]
+            ).alias("_bkts"))
         banded = sketched.select(
             key_col, "v",
             F.posexplode("_bkts").alias("_t", "_bkt"))

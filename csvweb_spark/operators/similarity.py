@@ -19,6 +19,7 @@ stays narrow and column-pruned to (key, vector).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve by name
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -115,6 +116,49 @@ def hyperplane_sketch(vec: Column, planes) -> Column:
     return bucket
 
 
+def hyperplane_sketches(vec: Column, all_planes) -> Column:
+    """ALL tables' sign-bit sketches as ONE vectorized numpy matmul per
+    Arrow batch -> array<long> of per-table buckets.
+
+    Arithmetic is bit-identical to `hyperplane_sketch` (parity-tested):
+    float64 quantization floor(x*1e6) then an int64 dot against the same
+    integer planes - every value < 2^42, exact in both engines, so the
+    DuckDB oracle replays buckets exactly. The pure-Catalyst formulation
+    is kept for reference/parity, but F.aggregate/zip_with higher-order
+    lambdas are evaluated INTERPRETED per element (the same lesson as
+    minhash): tables*bits*dim lambda calls per row made the JVM path
+    ~10x slower than this batched matmul."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    W = np.asarray(all_planes, dtype="int64")        # tables x bits x dim
+    tables, bits, dim = W.shape
+    Wf = W.reshape(tables * bits, dim).T.copy()      # dim x (tables*bits)
+    weights = (np.int64(1) << np.arange(bits, dtype="int64"))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sk(vs: pd.Series) -> pd.Series:
+        n = len(vs)
+        q = np.zeros((n, dim), dtype="int64")
+        ok = np.zeros(n, dtype=bool)
+        for i, v in enumerate(vs):
+            if v is not None and len(v) == dim:
+                q[i] = np.floor(
+                    np.asarray(v, dtype="float64") * 1e6).astype("int64")
+                ok[i] = True
+        dots = q @ Wf                                # n x (tables*bits)
+        pos = (dots > 0).astype("int64").reshape(n, tables, bits)
+        buckets = (pos * weights).sum(axis=2)        # n x tables
+        # degenerate rows (null vector / dim mismatch): the JVM expression
+        # yields bucket 0 (null dot -> no bit set) - mirror it exactly
+        zeros = [0] * tables
+        out = [buckets[i].tolist() if ok[i] else zeros for i in range(n)]
+        return pd.Series(out)
+
+    return sk(vec)
+
+
 def _det_planes(dim: int, bits: int, table: int, scale: int = 1000):
     """Deterministic integer hyperplanes: w[table][bit][d] =
     (60-bit md5 prefix of 'table:bit:d') % (2*scale+1) - scale, uniform in
@@ -149,8 +193,7 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
     all_planes = [_det_planes(dim, bits, seed + t) for t in range(tables)]
 
     def sketches(vec: Column) -> Column:
-        return F.array(*[hyperplane_sketch(vec, planes)
-                         for planes in all_planes])
+        return hyperplane_sketches(vec, all_planes)
 
     cb = (corpus.select(
             F.col(key_col).alias("neighbor_id"),

@@ -336,6 +336,30 @@ def test_ann_topk_bruteforce_and_lsh(spark, embeddings):
     assert len(top1_exact & top1_approx) >= 2  # >=2/3 recall@1
 
 
+def test_hyperplane_sketches_udf_matches_jvm(spark, embeddings):
+    """The batched numpy sketcher must be bit-identical to the pure-JVM
+    expression per table - including the degenerate rows (null vector /
+    dim mismatch -> bucket 0), which keep the DuckDB oracle replayable."""
+    from csvweb_spark.operators.similarity import (
+        _det_planes, hyperplane_sketch, hyperplane_sketches)
+    planes = [_det_planes(64, 6, t) for t in range(3)]
+    base = embeddings.limit(100).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    weird = spark.createDataFrame(
+        [(100001, None), (100002, [0.5, -0.5])],
+        "vec_id long, v array<double>")
+    d = base.unionByName(weird)
+    jvm = d.select(
+        "vec_id", *[hyperplane_sketch(F.col("v"), p).alias(f"t{t}")
+                    for t, p in enumerate(planes)])
+    udf = d.select("vec_id", hyperplane_sketches(F.col("v"), planes)
+                   .alias("bkts"))
+    jm = {r.vec_id: (r.t0, r.t1, r.t2) for r in jvm.collect()}
+    um = {r.vec_id: tuple(r.bkts) for r in udf.collect()}
+    assert jm == um
+    assert um[100001] == (0, 0, 0) and um[100002] == (0, 0, 0)
+
+
 def test_link_exact_and_contains(spark, docs):
     from csvweb_spark.operators.linking import link_contains, link_exact
     aliases = spark.createDataFrame(
