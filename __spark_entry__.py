@@ -631,6 +631,44 @@ def q_multimodal_binary_stats(spark, sf_dir):
         "url", F.col("n_bytes").cast("long").alias("n_bytes"), "sha256")
 
 
+def q_image_metadata(spark, sf_dir):
+    """Real multimodal decode: PNG/JPEG/GIF blobs are SYNTHESIZED as pure
+    JVM unhex() expressions with per-doc planted dimensions, then
+    operators/multimodal.py::image_metadata actually PARSES the bytes
+    (IHDR / SOFn-walk / logical screen descriptor - parse_image_header).
+    The oracle recomputes the planted (format, width, height, n_bytes)
+    arithmetically from doc_id, so any decode drift (endianness, offsets,
+    marker walk) hash-fails."""
+    from csvweb_spark.operators.multimodal import image_metadata
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    w = (F.lit(100) + F.col("doc_id") % 50).cast("int")
+    h = (F.lit(200) + F.col("doc_id") % 60).cast("int")
+    hex8 = lambda c: F.lpad(F.hex(c), 8, "0")
+    hex4 = lambda c: F.lpad(F.hex(c), 4, "0")
+    # little-endian uint16: swap the two bytes of the big-endian hex
+    le16 = lambda c: F.concat(F.substring(hex4(c), 3, 2),
+                              F.substring(hex4(c), 1, 2))
+    png = F.concat(F.lit("89504E470D0A1A0A0000000D49484452"),
+                   hex8(w), hex8(h), F.lit("080200000000000000"))
+    jpeg = F.concat(F.lit("FFD8FFE000104A46494600"), F.lit("00" * 9),
+                    F.lit("FFC0001108"), hex4(h), hex4(w), F.lit("03"),
+                    F.lit("00" * 9), F.lit("FFD9"))
+    gif = F.concat(F.lit("474946383961"), le16(w), le16(h), F.lit("F70000"))
+    blob = F.unhex(F.when(F.col("doc_id") % 3 == 0, png)
+                    .when(F.col("doc_id") % 3 == 1, jpeg)
+                    .otherwise(gif))
+    pages = docs.select(
+        F.concat(F.lit("http://img.example.org/"), F.col("doc_id"))
+         .alias("url"),
+        blob.alias("html"))
+    out = image_metadata(pages)
+    return out.select(
+        "url", "format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_bytes").cast("long").alias("n_bytes"))
+
+
 def q_ann_topk_ivf(spark, sf_dir):
     """IVF ANN: distributed-KMeans coarse quantizer, constant-folded
     centroid probing, exact cosine re-rank over probed inverted lists.
@@ -777,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "url_canonical_dedup": q_url_canonical_dedup,
         "multimodal_binary_stats": q_multimodal_binary_stats,
+        "image_metadata": q_image_metadata,
         "entity_link_fuzzy": q_entity_link_fuzzy,
         "html_table_triples": q_html_table_triples,
         "detect_tabular": q_detect_tabular,
@@ -1621,6 +1660,21 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text))::bigint AS n_bytes,
                    sha256(text) AS sha256
             FROM documents WHERE doc_id < 100
+        """,
+        # image decode oracle: the Spark side PARSES synthesized PNG/JPEG/
+        # GIF bytes; the oracle recomputes the PLANTED dims arithmetically
+        # (n_bytes = fixed header sizes: png 33, jpeg 41, gif 13)
+        "image_metadata": """
+            SELECT 'http://img.example.org/' || doc_id AS url,
+                   CASE doc_id % 3 WHEN 0 THEN 'png'
+                                   WHEN 1 THEN 'jpeg'
+                                   ELSE 'gif' END AS format,
+                   (100 + doc_id % 50)::bigint AS width,
+                   (200 + doc_id % 60)::bigint AS height,
+                   (CASE doc_id % 3 WHEN 0 THEN 33
+                                    WHEN 1 THEN 41
+                                    ELSE 13 END)::bigint AS n_bytes
+            FROM documents WHERE doc_id < 150
         """,
         # the HTML <table> round-trip must be lossless: same triples as the
         # embedded-CSV path, recomputed by DuckDB from the source rows
