@@ -669,6 +669,37 @@ def q_image_metadata(spark, sf_dir):
         F.col("n_bytes").cast("long").alias("n_bytes"))
 
 
+def q_sample_hash(spark, sf_dir):
+    """Deterministic hash sampling (~20% of documents): selection is a pure
+    row property (md5-derived), so the oracle replays the EXACT selected
+    set - the reproducibility contract df.sample() cannot give."""
+    from csvweb_spark.operators.sampling import hash_sample
+    docs = _load(spark, sf_dir, "documents")
+    out = hash_sample(docs, rate_bp=2000, key_col="doc_id")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Per-stratum curation rates (the up/down-sampling step of corpus
+    mixing) + exact-k uniform draw per stratum, both replayed exactly by
+    the oracle. Strata here are doc_id%3 so rates cover known values."""
+    from csvweb_spark.operators.sampling import (stratified_hash_sample,
+                                                 stratified_sample_topk)
+    docs = (_load(spark, sf_dir, "documents")
+            .withColumn("stratum", (F.col("doc_id") % 3).cast("string")))
+    rated = stratified_hash_sample(
+        docs, {"0": 1000, "1": 5000}, stratum_col="stratum",
+        key_col="doc_id", default_bp=100)
+    topk = stratified_sample_topk(docs, k=5, stratum_col="source",
+                                  key_col="doc_id")
+    a = rated.select(F.lit("rate").alias("kind"), "stratum",
+                     F.col("doc_id").cast("long").alias("doc_id"))
+    b = topk.select(F.lit("topk").alias("kind"),
+                    F.col("source").alias("stratum"),
+                    F.col("doc_id").cast("long").alias("doc_id"))
+    return a.unionByName(b)
+
+
 def q_ann_topk_ivf(spark, sf_dir):
     """IVF ANN: distributed-KMeans coarse quantizer, constant-folded
     centroid probing, exact cosine re-rank over probed inverted lists.
@@ -816,6 +847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": q_url_canonical_dedup,
         "multimodal_binary_stats": q_multimodal_binary_stats,
         "image_metadata": q_image_metadata,
+        "sample_hash": q_sample_hash,
+        "sample_stratified": q_sample_stratified,
         "entity_link_fuzzy": q_entity_link_fuzzy,
         "html_table_triples": q_html_table_triples,
         "detect_tabular": q_detect_tabular,
@@ -1675,6 +1708,34 @@ def oracle_sql() -> dict[str, str]:
                                     WHEN 1 THEN 41
                                     ELSE 13 END)::bigint AS n_bytes
             FROM documents WHERE doc_id < 150
+        """,
+        # deterministic sampling: the oracle replays the md5 selection
+        # hash, so the EXACT sampled row set is checked (cuts are
+        # (2^31-1)*bp//10^4 computed the same way as sampling.py)
+        "sample_hash": """
+            SELECT doc_id::bigint AS doc_id, source
+            FROM documents
+            WHERE ('0x' || substr(md5('42:' || doc_id), 1, 8))::bigint
+                  % 2147483647 < 429496729
+        """,
+        "sample_stratified": """
+            WITH d AS (
+                SELECT doc_id, source, (doc_id % 3)::varchar AS stratum,
+                       ('0x' || substr(md5('42:' || doc_id), 1, 8))::bigint
+                       % 2147483647 AS h
+                FROM documents)
+            SELECT 'rate' AS kind, stratum, doc_id::bigint AS doc_id
+            FROM d
+            WHERE h < CASE stratum WHEN '0' THEN 214748364
+                                   WHEN '1' THEN 1073741823
+                                   ELSE 21474836 END
+            UNION ALL
+            SELECT 'topk', source, doc_id::bigint
+            FROM (SELECT source, doc_id,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY h, doc_id) AS rk
+                  FROM d) t
+            WHERE rk <= 5
         """,
         # the HTML <table> round-trip must be lossless: same triples as the
         # embedded-CSV path, recomputed by DuckDB from the source rows

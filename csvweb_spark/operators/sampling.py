@@ -1,0 +1,94 @@
+"""Deterministic corpus sampling - the reproducibility primitive of
+training-data pipelines (the reference has no sampling surface; SURVEY.md
+§2.8 training-data family).
+
+Why not df.sample(): Bernoulli sampling is seeded per-partition, so the
+selected ROWS change with partitioning, retries, and cluster size - a
+re-run of a 100 TB job keeps different documents. Hash-based selection
+(keep iff h(key) mod 10^4 < rate_bp) is a pure row property:
+
+* reproducible across runs/partitionings/engines (md5-derived hash -> the
+  DuckDB oracle replays the exact selected set);
+* consistent across tables - sampling `documents` and a side table by the
+  same key keeps them join-aligned (the classic hash-sampling property);
+* narrow and shuffle-free: a filter in the scan stage, fully pushed
+  alongside column pruning.
+
+`stratified_sample_topk` draws EXACTLY k per stratum (rank by the same
+hash = a uniform permutation per stratum). It shuffles once on the
+stratum key; per-stratum volume is bounded by a pre-filter on the hash
+rank's upper bound when `prefilter_bp` is set (the partial-top-k trick:
+a stratum with 10^9 rows needs ~k survivors, so filter to the hash range
+that keeps >= k with overwhelming probability before the window).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import MERSENNE31, md5_hash31
+
+
+def sample_hash(col: Column, seed: int = 42) -> Column:
+    """The sampling hash: 31-bit md5-prefix of 'seed:key', uniform on
+    [0, 2^31-1). DuckDB mirror:
+    ('0x' || substr(md5(seed || ':' || key), 1, 8))::bigint % 2147483647."""
+    return md5_hash31(F.concat(F.lit(f"{seed}:"), col.cast("string")))
+
+
+def hash_sample(df: DataFrame, rate_bp: int, key_col: str = "doc_id",
+                seed: int = 42) -> DataFrame:
+    """Keep rows whose sampling hash lands in the first `rate_bp`/10^4 of
+    the hash range - a deterministic ~rate_bp/10^4 sample. Pure filter:
+    no shuffle, no state, same rows on any cluster."""
+    assert 0 <= rate_bp <= 10_000
+    cut = (MERSENNE31 * rate_bp) // 10_000
+    return df.filter(sample_hash(F.col(key_col), seed) < F.lit(cut))
+
+
+def stratified_hash_sample(df: DataFrame, rates_bp: dict,
+                           stratum_col: str = "source",
+                           key_col: str = "doc_id", seed: int = 42,
+                           default_bp: int = 0) -> DataFrame:
+    """Per-stratum rates (e.g. up-sample rare sources, down-sample crawl
+    boilerplate): `rates_bp` maps stratum value -> rate in basis points.
+    The rate map is folded into a constant CASE chain (curation configs
+    are small); rows in unlisted strata get `default_bp`. Still a pure
+    narrow filter."""
+    cut = F.lit((MERSENNE31 * default_bp) // 10_000).cast("long")
+    for value, bp in sorted(rates_bp.items()):
+        assert 0 <= bp <= 10_000
+        cut = F.when(F.col(stratum_col) == F.lit(value),
+                     F.lit((MERSENNE31 * bp) // 10_000).cast("long")) \
+               .otherwise(cut)
+    return df.filter(sample_hash(F.col(key_col), seed) < cut)
+
+
+def stratified_sample_topk(df: DataFrame, k: int,
+                           stratum_col: str = "source",
+                           key_col: str = "doc_id", seed: int = 42,
+                           prefilter_bp: Optional[int] = None) -> DataFrame:
+    """EXACTLY min(k, |stratum|) uniformly-chosen rows per stratum:
+    rank by the sampling hash (a uniform permutation; ties broken by key
+    for determinism on hash collisions) and keep rank <= k.
+
+    At scale set `prefilter_bp`: rows with hash above prefilter_bp/10^4
+    of the range cannot be in the top-k of any stratum bigger than
+    ~k*10^4/prefilter_bp, so the window input shrinks from |corpus| to
+    ~|corpus|*prefilter_bp/10^4 rows. EXACTNESS CAVEAT: a stratum whose
+    size is under ~k*10^4/prefilter_bp can lose rows to the pre-filter -
+    choose prefilter_bp >= k*10^4/min_stratum_size (the default None
+    never drops)."""
+    h = sample_hash(F.col(key_col), seed)
+    base = df.withColumn("_sh", h)
+    if prefilter_bp is not None:
+        base = base.filter(
+            F.col("_sh") < F.lit((MERSENNE31 * prefilter_bp) // 10_000))
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col("_sh").asc(), F.col(key_col).asc())
+    return (base.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_sh", "_rk"))

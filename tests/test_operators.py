@@ -336,6 +336,44 @@ def test_ann_topk_bruteforce_and_lsh(spark, embeddings):
     assert len(top1_exact & top1_approx) >= 2  # >=2/3 recall@1
 
 
+def test_deterministic_sampling(spark, docs):
+    """Hash sampling must be a pure row property: identical selection
+    across partitionings, ~rate accuracy, per-stratum rates honored,
+    exact-k uniform per stratum, and the prefilter lossless when sized."""
+    from csvweb_spark.operators.sampling import (
+        hash_sample, stratified_hash_sample, stratified_sample_topk)
+    ids = lambda df: sorted(r.doc_id for r in df.select("doc_id").collect())
+    s1 = ids(hash_sample(docs, 2000))
+    s2 = ids(hash_sample(docs.repartition(13), 2000))
+    assert s1 == s2 and s1  # partitioning-independent
+    n = docs.count()
+    assert 0.1 < len(s1) / n < 0.3  # ~20% on 500 docs
+    assert ids(hash_sample(docs, 10_000)) == ids(docs)  # rate 1.0 = all
+    assert ids(hash_sample(docs, 0)) == []
+    # different seed -> different (deterministic) subset
+    assert ids(hash_sample(docs, 2000, seed=7)) != s1
+    # stratified rates: stratum '0' ~10%, '1' ~50%, default ~1%
+    strat = docs.withColumn("stratum", (F.col("doc_id") % 3).cast("string"))
+    out = stratified_hash_sample(strat, {"0": 1000, "1": 5000},
+                                 stratum_col="stratum", default_bp=100)
+    by = {r.stratum: r.n for r in out.groupBy("stratum")
+          .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by.get("1", 0) > by.get("0", 0) >= by.get("2", 0)
+    # exact-k per stratum, uniform by hash rank
+    topk = stratified_sample_topk(docs, k=5, stratum_col="source")
+    sizes = {r.source: r.n for r in topk.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    full_sizes = {r.source: r.n for r in docs.groupBy("source")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for src, tot in full_sizes.items():
+        assert sizes.get(src, 0) == min(5, tot)
+    # prefilter keeps the result identical when sized to the strata
+    pre = stratified_sample_topk(docs, k=5, stratum_col="source",
+                                 prefilter_bp=5000)
+    assert sorted(map(tuple, pre.collect())) == \
+        sorted(map(tuple, topk.collect()))
+
+
 def test_hyperplane_sketches_udf_matches_jvm(spark, embeddings):
     """The batched numpy sketcher must be bit-identical to the pure-JVM
     expression per table - including the degenerate rows (null vector /
