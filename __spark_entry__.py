@@ -700,6 +700,51 @@ def q_sample_stratified(spark, sf_dir):
     return a.unionByName(b)
 
 
+def q_text_c4_clean(spark, sf_dir):
+    """C4-style line-level boilerplate removal with audit counters: lines
+    must end in terminal punctuation and carry >= 3 tokens. The oracle
+    replays the filter with DuckDB list_filter over the same regexes, so
+    the full cleaned TEXT (not just counts) is hash-checked."""
+    from csvweb_spark.operators.text import clean_documents_c4
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    flat = F.regexp_replace(F.col("text"), r"[\r\n]+", " ")
+    synth = F.concat_ws(
+        "\n",
+        F.concat(flat, F.lit(".")),
+        F.lit("tiny."),
+        F.lit("This line ends properly."),
+        F.lit("this line does not end"))
+    d = docs.select("doc_id", synth.alias("text"))
+    out = clean_documents_c4(d)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "clean_text", "n_lines", "n_lines_kept")
+
+
+def q_host_curation(spark, sf_dir):
+    """Domain-level curation primitives: per-host crawl profile + a
+    deterministic at-most-k-pages-per-host cap (C4/RefinedWeb-style
+    anti-mega-host rule). Hash-rank selection makes the capped row SET
+    oracle-exact, not just its size."""
+    from csvweb_spark.operators.urls import cap_per_host, host_profile
+    docs = _load(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://h"), F.col("doc_id") % 7,
+                 F.lit(".example.org/p/"), F.col("doc_id")).alias("url"))
+    prof = host_profile(pages).select(
+        F.lit("profile").alias("kind"), "host",
+        F.col("n_pages").cast("long").alias("v1"),
+        F.col("n_distinct_canonical").cast("long").alias("v2"),
+        F.col("first_key").cast("long").alias("v3"))
+    capped = cap_per_host(pages, k=10).select(
+        F.lit("cap").alias("kind"),
+        F.regexp_extract("url", r"^[^:]+://([^/?#]+)", 1).alias("host"),
+        F.col("doc_id").cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+        F.lit(0).cast("long").alias("v3"))
+    return prof.unionByName(capped)
+
+
 def q_ann_topk_ivf(spark, sf_dir):
     """IVF ANN: distributed-KMeans coarse quantizer, constant-folded
     centroid probing, exact cosine re-rank over probed inverted lists.
@@ -849,6 +894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_metadata": q_image_metadata,
         "sample_hash": q_sample_hash,
         "sample_stratified": q_sample_stratified,
+        "text_c4_clean": q_text_c4_clean,
+        "host_curation": q_host_curation,
         "entity_link_fuzzy": q_entity_link_fuzzy,
         "html_table_triples": q_html_table_triples,
         "detect_tabular": q_detect_tabular,
@@ -1736,6 +1783,60 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY h, doc_id) AS rk
                   FROM d) t
             WHERE rk <= 5
+        """,
+        # C4 line cleaning: DuckDB list_filter replays the exact kept-line
+        # predicate (terminal punctuation + >= 3 whitespace tokens)
+        "text_c4_clean": """
+            WITH d AS (
+                SELECT doc_id,
+                       [regexp_replace(text, '[\\r\\n]+', ' ', 'g') || '.',
+                        'tiny.',
+                        'This line ends properly.',
+                        'this line does not end'] AS lines
+                FROM documents WHERE doc_id < 300),
+            f AS (
+                SELECT doc_id, lines,
+                       list_filter(lines, l ->
+                           regexp_matches(
+                               regexp_replace(l, '\\s+$', '', 'g'),
+                               '[.!?"]$')
+                           AND CASE WHEN regexp_replace(lower(l),
+                                        '^\\s+|\\s+$', '', 'g') = ''
+                                    THEN 0
+                                    ELSE len(string_split_regex(
+                                        regexp_replace(lower(l),
+                                            '^\\s+|\\s+$', '', 'g'),
+                                        '\\s+')) END >= 3) AS kept
+                FROM d)
+            SELECT doc_id::bigint AS doc_id,
+                   array_to_string(kept, chr(10)) AS clean_text,
+                   len(lines)::bigint AS n_lines,
+                   len(kept)::bigint AS n_lines_kept
+            FROM f
+        """,
+        # host curation: profile aggregate + hash-rank per-host cap, both
+        # replayed on the same synthesized urls
+        "host_curation": """
+            WITH p AS (
+                SELECT doc_id,
+                       'h' || (doc_id % 7) || '.example.org' AS host,
+                       'http://h' || (doc_id % 7) || '.example.org/p/'
+                           || doc_id AS url,
+                       ('0x' || substr(md5('42:' || doc_id), 1, 8))::bigint
+                       % 2147483647 AS h
+                FROM documents)
+            SELECT 'profile' AS kind, host,
+                   count(*)::bigint AS v1,
+                   count(DISTINCT url)::bigint AS v2,
+                   min(doc_id)::bigint AS v3
+            FROM p GROUP BY host
+            UNION ALL
+            SELECT 'cap', host, doc_id::bigint, 0::bigint, 0::bigint
+            FROM (SELECT host, doc_id,
+                         row_number() OVER (PARTITION BY host
+                                            ORDER BY h, doc_id) AS rk
+                  FROM p) t
+            WHERE rk <= 10
         """,
         # the HTML <table> round-trip must be lossless: same triples as the
         # embedded-CSV path, recomputed by DuckDB from the source rows

@@ -51,6 +51,39 @@ def whitespace_tokens(text: Column) -> Column:
             .otherwise(F.split(trimmed, r"\s+"))
 
 
+def c4_clean_lines(text: Column, min_words: int = 3) -> Column:
+    """C4-style line-level boilerplate removal (Raffel et al. 2020, the
+    standard web-corpus cleaning rule): keep only lines that end in
+    terminal punctuation ('.', '!', '?', '\"') and carry at least
+    `min_words` whitespace tokens; rejoin the survivors with newlines.
+    Pure JVM higher-order filter over split lines - one narrow projection,
+    no Python. DuckDB mirror: list_filter over string_split(text, chr(10))
+    with the same regexes (the driver oracle replays it)."""
+    lines = F.split(text, "\n")
+    keep = F.filter(
+        lines,
+        lambda l: F.regexp_replace(l, r"\s+$", "").rlike('[.!?"]$')
+        & (F.size(whitespace_tokens(l)) >= F.lit(min_words)))
+    return F.concat_ws("\n", keep)
+
+
+def clean_documents_c4(df: DataFrame, text_col: str = "text",
+                       key_col: str = "doc_id",
+                       min_words: int = 3) -> DataFrame:
+    """(key, clean_text, n_lines, n_lines_kept): the line filter plus its
+    audit counters - downstream quality gates want the kept-fraction, and
+    silent cleaning is how corpora rot."""
+    lines = F.split(F.col(text_col), "\n")
+    clean = c4_clean_lines(F.col(text_col), min_words)
+    return df.select(
+        F.col(key_col),
+        clean.alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(F.split(clean, "\n"))
+         - F.when(clean == "", 1).otherwise(0)).cast("long")
+         .alias("n_lines_kept"))
+
+
 def lang_score(text: Column, lang: str) -> Column:
     """Number of marker words of `lang` present (word-boundary contains)."""
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))

@@ -58,6 +58,46 @@ def canonicalize_url(url: Column) -> Column:
     return F.when(scheme == "", url).otherwise(canon)
 
 
+def host_of(url: Column) -> Column:
+    """Lowercased host[:port] of an absolute URL (userinfo stripped) -
+    the crawl-curation grouping key. Mirrors canonicalize_url's authority
+    handling; '' for non-URLs."""
+    auth = F.regexp_extract(url, r"^[^:]+://([^/?#]+)", 1)
+    return F.lower(F.regexp_replace(auth, r"^.*@", ""))
+
+
+def host_profile(df: DataFrame, url_col: str = "url",
+                 key_col: str = "doc_id") -> DataFrame:
+    """Per-host crawl statistics: (host, n_pages, n_distinct_canonical,
+    first_key). One uniform groupBy on the host string - the input to
+    domain-level curation decisions (blocklists, per-domain caps, spam
+    domains dominating the crawl)."""
+    return (df.select(
+                host_of(F.col(url_col)).alias("host"),
+                canonicalize_url(F.col(url_col)).alias("_c"),
+                F.col(key_col))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_pages"),
+                 F.countDistinct("_c").alias("n_distinct_canonical"),
+                 F.min(key_col).alias("first_key")))
+
+
+def cap_per_host(df: DataFrame, k: int, url_col: str = "url",
+                 key_col: str = "doc_id", seed: int = 42,
+                 prefilter_bp=None) -> DataFrame:
+    """At most k pages per host, chosen uniformly and DETERMINISTICALLY
+    (hash-rank per host) - the per-domain cap of C4/RefinedWeb-style
+    curation, where a handful of mega-hosts would otherwise dominate the
+    corpus. Delegates to sampling.stratified_sample_topk on the host
+    stratum (see its prefilter_bp note for the mega-corpus shape)."""
+    from .sampling import stratified_sample_topk
+    with_host = df.withColumn("_host", host_of(F.col(url_col)))
+    return (stratified_sample_topk(with_host, k, stratum_col="_host",
+                                   key_col=key_col, seed=seed,
+                                   prefilter_bp=prefilter_bp)
+            .drop("_host"))
+
+
 def dedup_urls(df: DataFrame, url_col: str = "url",
                key_col: str = "doc_id") -> DataFrame:
     """Collapse URL variants: (canonical_url, keeper = min key, n_variants,

@@ -336,6 +336,45 @@ def test_ann_topk_bruteforce_and_lsh(spark, embeddings):
     assert len(top1_exact & top1_approx) >= 2  # >=2/3 recall@1
 
 
+def test_c4_line_cleaning(spark):
+    from csvweb_spark.operators.text import clean_documents_c4
+    df = spark.createDataFrame(
+        [(1, "A proper first sentence.\ntiny.\nno terminal punct here\n"
+             "Does this survive?\nYes it does!\n\nshort one."),
+         (2, ""), (3, "nothing ends right\nno\n")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in clean_documents_c4(df).collect()}
+    assert out[1].clean_text == \
+        "A proper first sentence.\nDoes this survive?\nYes it does!"
+    assert out[1].n_lines == 7 and out[1].n_lines_kept == 3
+    assert out[2].clean_text == "" and out[2].n_lines_kept == 0
+    assert out[3].clean_text == "" and out[3].n_lines_kept == 0
+    # trailing whitespace before the terminal punct check is tolerated
+    ws = spark.createDataFrame([(4, "ends with punct then spaces.   ")],
+                               "doc_id long, text string")
+    assert clean_documents_c4(ws).collect()[0].n_lines_kept == 1
+
+
+def test_host_profile_and_cap(spark, docs):
+    from csvweb_spark.operators.urls import cap_per_host, host_profile
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://User@H"), F.col("doc_id") % 3,
+                 F.lit(".Example.org/p/"), F.col("doc_id")).alias("url"))
+    prof = {r.host: r for r in host_profile(pages).collect()}
+    assert set(prof) == {f"h{i}.example.org" for i in range(3)}  # userinfo
+    assert sum(r.n_pages for r in prof.values()) == docs.count()
+    capped = cap_per_host(pages, k=7)
+    by_host = {}
+    for r in capped.collect():
+        by_host.setdefault(r.doc_id % 3, set()).add(r.doc_id)
+    assert all(len(v) == 7 for v in by_host.values())
+    # deterministic across partitionings
+    again = {r.doc_id for r in cap_per_host(pages.repartition(11), k=7)
+             .collect()}
+    assert again == {r.doc_id for r in capped.collect()}
+
+
 def test_deterministic_sampling(spark, docs):
     """Hash sampling must be a pure row property: identical selection
     across partitionings, ~rate accuracy, per-stratum rates honored,
