@@ -745,6 +745,21 @@ def q_host_curation(spark, sf_dir):
     return prof.unionByName(capped)
 
 
+def q_token_stats(spark, sf_dir):
+    """Corpus vocabulary statistics: top-100 tokens by document frequency
+    (ties by token) with total term frequency - the IDF table of the
+    linking/dedup family, computed in one explode+groupBy pass. The
+    oracle replays the same tokenizer (the shared whitespace_tokens SQL
+    mirror)."""
+    from csvweb_spark.operators.text import token_document_frequencies
+    docs = _load(spark, sf_dir, "documents")
+    out = token_document_frequencies(docs)
+    return (out.orderBy(F.col("df").desc(), F.col("token").asc())
+            .limit(100)
+            .select("token", F.col("df").cast("long").alias("df"),
+                    F.col("tf").cast("long").alias("tf")))
+
+
 def q_ann_topk_ivf(spark, sf_dir):
     """IVF ANN: distributed-KMeans coarse quantizer, constant-folded
     centroid probing, exact cosine re-rank over probed inverted lists.
@@ -896,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "text_c4_clean": q_text_c4_clean,
         "host_curation": q_host_curation,
+        "token_stats": q_token_stats,
         "entity_link_fuzzy": q_entity_link_fuzzy,
         "html_table_triples": q_html_table_triples,
         "detect_tabular": q_detect_tabular,
@@ -1783,6 +1799,26 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY h, doc_id) AS rk
                   FROM d) t
             WHERE rk <= 5
+        """,
+        "token_stats": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN regexp_replace(lower(text),
+                                       '^\\s+|\\s+$', '', 'g') = ''
+                              THEN []::VARCHAR[]
+                              ELSE string_split_regex(
+                                  regexp_replace(lower(text),
+                                      '^\\s+|\\s+$', '', 'g'),
+                                  '\\s+') END) AS token
+                FROM documents),
+            tf AS (SELECT token, count(*)::bigint AS tf
+                   FROM tok GROUP BY token),
+            dfq AS (SELECT token, count(DISTINCT doc_id)::bigint AS df
+                    FROM tok GROUP BY token)
+            SELECT d.token, d.df, t.tf
+            FROM dfq d JOIN tf t USING (token)
+            ORDER BY d.df DESC, d.token ASC
+            LIMIT 100
         """,
         # C4 line cleaning: DuckDB list_filter replays the exact kept-line
         # predicate (terminal punctuation + >= 3 whitespace tokens)

@@ -84,7 +84,25 @@ def clean_documents_c4(df: DataFrame, text_col: str = "text",
          .alias("n_lines_kept"))
 
 
-def lang_score(text: Column, lang: str) -> Column:
+def token_document_frequencies(df: DataFrame, text_col: str = "text",
+                               min_df: int = 1) -> DataFrame:
+    """(token, df, tf) over the corpus: document frequency (docs
+    containing the token) and total term frequency. One explode + one
+    groupBy on the token string (uniform key, map-side combinable) - the
+    vocabulary/IDF primitive, and the input `linking.link_contains`
+    accepts as `token_df` for rarest-token candidate pruning. df counts
+    DISTINCT tokens per doc (array_distinct before the explode keeps the
+    exchange at distinct-tokens-per-doc volume); tf counts every
+    occurrence, aggregated in the same pass."""
+    toks = whitespace_tokens(F.col(text_col))
+    per_doc = df.select(F.explode(toks).alias("token"))
+    tf = per_doc.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    per_doc_distinct = df.select(
+        F.explode(F.array_distinct(toks)).alias("token"))
+    dfreq = per_doc_distinct.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"))
+    out = dfreq.join(tf, "token")
+    return out.filter(F.col("df") >= min_df) if min_df > 1 else out
     """Number of marker words of `lang` present (word-boundary contains)."""
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     score = F.lit(0)

@@ -336,6 +336,19 @@ def test_ann_topk_bruteforce_and_lsh(spark, embeddings):
     assert len(top1_exact & top1_approx) >= 2  # >=2/3 recall@1
 
 
+def test_token_document_frequencies(spark):
+    from csvweb_spark.operators.text import token_document_frequencies
+    df = spark.createDataFrame(
+        [(1, "the cat the cat runs"), (2, "the dog"), (3, "")],
+        "doc_id long, text string")
+    rows = {r.token: (r.df, r.tf)
+            for r in token_document_frequencies(df).collect()}
+    assert rows["the"] == (2, 3)   # in 2 docs, 3 occurrences
+    assert rows["cat"] == (1, 2)
+    assert rows["dog"] == (1, 1)
+    assert "" not in rows          # blank doc contributes nothing
+
+
 def test_c4_line_cleaning(spark):
     from csvweb_spark.operators.text import clean_documents_c4
     df = spark.createDataFrame(
