@@ -190,6 +190,24 @@ def test_canonicalize_url(spark):
         assert got[i] == want, (i, got[i], want)
 
 
+def test_canonicalize_url_idempotent(spark):
+    """canonicalize_url is a canonical form: applying it twice equals
+    applying it once (catches any normalization that re-perturbs its own
+    output - a frontier that re-canonicalizes on every hop must not
+    drift)."""
+    from csvweb_spark.operators.urls import canonicalize_url
+    urls = [
+        "HTTP://Example.COM:80/a?utm_source=x&b=2&a=1#f",
+        "https://U:pw@H.org:443/p?z=1&fbclid&a=2",
+        "http://h.org", "http://h.org/p?b&a&c=", "ftp://x/y",
+        "not a url", "http://user:80@Host.org:8080/x?gclid=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonicalize_url(F.col("url")).alias("c"))
+    twice = once.select(canonicalize_url(F.col("c")).alias("c"))
+    assert [r.c for r in once.collect()] == [r.c for r in twice.collect()]
+
+
 def test_interval_join(spark):
     """Containment join via time-bucket equi-join: inclusive bounds,
     intervals spanning multiple buckets lose no matches, key mismatch and

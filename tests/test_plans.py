@@ -90,6 +90,23 @@ def test_link_contains_prefilter_is_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_sampling_and_cleaning_stay_narrow(spark):
+    """Hash sampling and C4 line cleaning must be pure narrow stages: no
+    Exchange, no Python eval - they run inside the scan stage at corpus
+    scale."""
+    from csvweb_spark.operators.sampling import (hash_sample,
+                                                 stratified_hash_sample)
+    from csvweb_spark.operators.text import clean_documents_c4
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    strat = docs.withColumn("stratum", (F.col("doc_id") % 3).cast("string"))
+    for q in (hash_sample(docs, 2000),
+              stratified_hash_sample(strat, {"0": 100}, "stratum"),
+              clean_documents_c4(docs)):
+        plan = plan_of(q)
+        assert "Exchange" not in plan, plan
+        assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_text_ops_stay_jvm_side(spark):
     """Quality scoring / profiling must be pure Catalyst expressions - any
     python eval node here is a 10-100x regression at corpus scale."""
