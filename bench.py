@@ -159,6 +159,12 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     timed("text_profile", lambda: text_profile(docs).count())
     timed("text_quality", lambda: quality_features(docs).count())
 
+    # corpus curation: C4 line cleaning + full vocabulary statistics
+    from csvweb_spark.operators.text import (clean_documents_c4,
+                                             token_document_frequencies)
+    timed("text_c4_clean", lambda: clean_documents_c4(docs).count())
+    timed("token_stats", lambda: token_document_frequencies(docs).count())
+
     # dedup: simhash block trick through the round-3 hardened path
     # (bucket census + cap before the self-join)
     from csvweb_spark.operators.dedup import dedup_simhash

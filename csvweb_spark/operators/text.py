@@ -103,6 +103,9 @@ def token_document_frequencies(df: DataFrame, text_col: str = "text",
         F.count(F.lit(1)).alias("df"))
     out = dfreq.join(tf, "token")
     return out.filter(F.col("df") >= min_df) if min_df > 1 else out
+
+
+def lang_score(text: Column, lang: str) -> Column:
     """Number of marker words of `lang` present (word-boundary contains)."""
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     score = F.lit(0)
