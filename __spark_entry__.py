@@ -760,6 +760,43 @@ def q_token_stats(spark, sf_dir):
                     F.col("tf").cast("long").alias("tf")))
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing a >= 12-token span
+    with any probe (eval-set) text. Planted copies (probe text appended to
+    other docs) MUST surface; the probe side is broadcast; md5 span
+    hashes make the hit set DuckDB-oracle-exact."""
+    from csvweb_spark.operators.dedup import contamination
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    probes = (docs.filter(F.col("doc_id") < 10)
+              .select(F.col("doc_id").alias("probe_id"), "text"))
+    planted = probes.select(
+        (F.col("probe_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("prefix words here "), F.col("text")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    out = contamination(corpus, probes, window=12, stride=1)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("probe_id").cast("long").alias("probe_id"),
+                      F.col("n_spans").cast("long").alias("n_spans"))
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing with audit counts: planted emails/IPv4s/phone-ish
+    runs are replaced by typed placeholders; the oracle replays the exact
+    regex chain (counts AND the full cleaned text are hash-checked)."""
+    from csvweb_spark.operators.text import redact_pii
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    synth = F.concat(
+        F.regexp_replace(F.col("text"), r"[\r\n]+", " "),
+        F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@example.com or 10.0.0."), (F.col("doc_id") % 250),
+        F.lit(" tel +1 555 123 45"), (F.col("doc_id") % 90) + 10)
+    d = docs.select("doc_id", synth.alias("text"))
+    out = redact_pii(d)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "clean_text", "n_email", "n_ipv4", "n_phone")
+
+
 def q_ann_topk_ivf(spark, sf_dir):
     """IVF ANN: distributed-KMeans coarse quantizer, constant-folded
     centroid probing, exact cosine re-rank over probed inverted lists.
@@ -912,6 +949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4_clean": q_text_c4_clean,
         "host_curation": q_host_curation,
         "token_stats": q_token_stats,
+        "contamination": q_contamination,
+        "pii_redact": q_pii_redact,
         "entity_link_fuzzy": q_entity_link_fuzzy,
         "html_table_triples": q_html_table_triples,
         "detect_tabular": q_detect_tabular,
@@ -1819,6 +1858,83 @@ def oracle_sql() -> dict[str, str]:
             FROM dfq d JOIN tf t USING (token)
             ORDER BY d.df DESC, d.token ASC
             LIMIT 100
+        """,
+        # decontamination: corpus/probe span-hash join replayed with the
+        # same md5 60-bit span hashes and token windows
+        "contamination": r"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 200
+                UNION ALL
+                SELECT doc_id + 100000, 'prefix words here ' || text
+                FROM documents WHERE doc_id < 10),
+            probes AS (SELECT doc_id AS probe_id, text
+                       FROM documents WHERE doc_id < 10),
+            ctok AS (
+                SELECT doc_id,
+                       string_split_regex(regexp_replace(lower(text),
+                           '^\s+|\s+$', '', 'g'), '\s+') AS t
+                FROM corpus),
+            cw AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(array_to_string(t[i+1:i+12],
+                           ' ')), 1, 15))::bigint AS span_hash
+                FROM ctok, unnest(range(0, len(t) - 12 + 1, 1)) AS u(i)
+                WHERE len(t) >= 12),
+            ptok AS (
+                SELECT probe_id,
+                       string_split_regex(regexp_replace(lower(text),
+                           '^\s+|\s+$', '', 'g'), '\s+') AS t
+                FROM probes),
+            pw AS (
+                SELECT DISTINCT probe_id,
+                       ('0x' || substr(md5(array_to_string(t[i+1:i+12],
+                           ' ')), 1, 15))::bigint AS span_hash
+                FROM ptok, unnest(range(0, len(t) - 12 + 1, 1)) AS u(i)
+                WHERE len(t) >= 12)
+            SELECT cw.doc_id::bigint AS doc_id,
+                   pw.probe_id::bigint AS probe_id,
+                   count(*)::bigint AS n_spans
+            FROM cw JOIN pw USING (span_hash)
+            GROUP BY 1, 2
+        """,
+        # PII scrub: the exact regex chain, staged (each count runs on the
+        # previous stage's output, like the operator)
+        "pii_redact": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_replace(text, '[\r\n]+', ' ', 'g')
+                       || ' contact user' || doc_id || '@example.com or 10.0.0.'
+                       || (doc_id % 250) || ' tel +1 555 123 45'
+                       || ((doc_id % 90) + 10) AS t0
+                FROM documents WHERE doc_id < 300),
+            s1 AS (
+                SELECT doc_id,
+                       (len(string_split_regex(t0,
+                           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+                        - 1)::bigint AS n_email,
+                       regexp_replace(t0,
+                           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                           '[PII:email]', 'g') AS t1
+                FROM d),
+            s2 AS (
+                SELECT doc_id, n_email,
+                       (len(string_split_regex(t1,
+                           '([0-9]{1,3}\.){3}[0-9]{1,3}')) - 1)::bigint
+                           AS n_ipv4,
+                       regexp_replace(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}',
+                           '[PII:ipv4]', 'g') AS t2
+                FROM s1),
+            s3 AS (
+                SELECT doc_id, n_email, n_ipv4,
+                       (len(string_split_regex(t2,
+                           '\+?[0-9][0-9()\-\. ]{7,}[0-9]')) - 1)::bigint
+                           AS n_phone,
+                       regexp_replace(t2, '\+?[0-9][0-9()\-\. ]{7,}[0-9]',
+                           '[PII:phone]', 'g') AS t3
+                FROM s2)
+            SELECT doc_id::bigint AS doc_id, t3 AS clean_text,
+                   n_email, n_ipv4, n_phone
+            FROM s3
         """,
         # C4 line cleaning: DuckDB list_filter replays the exact kept-line
         # predicate (terminal punctuation + >= 3 whitespace tokens)

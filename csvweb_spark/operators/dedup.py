@@ -467,21 +467,57 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
     Returns (span_hash, n_docs, n_occurrences, first_doc) for spans seen
     in >= min_docs distinct documents. Span volume is len/stride windows
     per doc -- linear in corpus size; no pairwise joins anywhere."""
-    toks = whitespace_tokens(F.col(text_col))
-    base = (df.select(F.col(key_col), toks.alias("t"))
-            .filter(F.size("t") >= window))
-    span_h = lambda i: md5_hash60(
-        F.concat_ws(" ", F.slice("t", i + 1, window)))
-    wins = base.select(
-        key_col,
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.size("t") - window, F.lit(stride)),
-            span_h)).alias("span_hash"))
+    wins = span_hashes(df, text_col, key_col, window, stride)
     return (wins.groupBy("span_hash")
             .agg(F.countDistinct(key_col).alias("n_docs"),
                  F.count(F.lit(1)).alias("n_occurrences"),
                  F.min(key_col).alias("first_doc"))
             .filter(F.col("n_docs") >= min_docs))
+
+
+def span_hashes(df: DataFrame, text_col: str, key_col: str,
+                window: int, stride: int) -> DataFrame:
+    """(key, span_hash) strided token-window hashes - the shared unit of
+    duplicate_spans and cross-corpus contamination."""
+    toks = whitespace_tokens(F.col(text_col))
+    base = (df.select(F.col(key_col), toks.alias("t"))
+            .filter(F.size("t") >= window))
+    span_h = lambda i: md5_hash60(
+        F.concat_ws(" ", F.slice("t", i + 1, window)))
+    return base.select(
+        key_col,
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("t") - window, F.lit(stride)),
+            span_h)).alias("span_hash"))
+
+
+def contamination(docs: DataFrame, probes: DataFrame,
+                  text_col: str = "text", key_col: str = "doc_id",
+                  probe_text_col: str = "text",
+                  probe_key_col: str = "probe_id",
+                  window: int = 16, stride: int = 1,
+                  broadcast_probes: bool = True) -> DataFrame:
+    """Benchmark decontamination: which corpus documents contain a >=
+    `window`-token span of any probe (eval-set) text?
+
+    The training-data hygiene step (cf. GPT-3/PaLM appendix
+    decontamination): probe texts are windowed at stride 1 (every probe
+    span is represented); corpus docs are windowed at `stride` (the
+    duplicate_spans recall/cost tradeoff - stride 1 guarantees any
+    shared >= window-token passage is found, stride s costs 1/s and
+    guarantees passages aligned mod s). Matching is an equi-join on the
+    60-bit md5 span hash - with `broadcast_probes` (eval sets are
+    MBs) the corpus never shuffles; otherwise it is one uniform-key
+    hash join. Returns (key, probe_key, n_spans) per contaminated pair;
+    md5 span hashes make it DuckDB-oracle-exact."""
+    d = span_hashes(docs, text_col, key_col, window, stride)
+    p = (span_hashes(probes, probe_text_col, probe_key_col, window, 1)
+         .dropDuplicates([probe_key_col, "span_hash"]))
+    if broadcast_probes:
+        p = F.broadcast(p)
+    return (d.join(p, "span_hash")
+            .groupBy(key_col, probe_key_col)
+            .agg(F.count(F.lit(1)).alias("n_spans")))
 
 
 # --------------------------------------------------------------------------

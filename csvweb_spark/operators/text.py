@@ -105,6 +105,37 @@ def token_document_frequencies(df: DataFrame, text_col: str = "text",
     return out.filter(F.col("df") >= min_df) if min_df > 1 else out
 
 
+# PII patterns: deliberately dialect-neutral regexes (no lookarounds, no
+# \b differences) so the DuckDB oracle applies the IDENTICAL strings.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}"),
+    ("phone", r"\+?[0-9][0-9()\-\. ]{7,}[0-9]"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               key_col: str = "doc_id",
+               replacement: str = "[PII:{kind}]") -> DataFrame:
+    """PII scrubbing - the release-hygiene pass of web-corpus pipelines
+    (emails, IPv4s, phone-ish digit runs replaced by typed placeholders),
+    with per-kind match counts for auditing. Pure JVM regexp chain
+    (order matters: emails first so their digits never half-match as
+    phones), one narrow projection. Patterns are heuristic by design -
+    high recall on the obvious formats, no attempt at NER."""
+    out_text = F.col(text_col)
+    counts = []
+    for kind, pat in PII_PATTERNS:
+        token = replacement.format(kind=kind)
+        # match count at THIS stage of the chain (split-minus-one, the
+        # same arithmetic the DuckDB oracle uses); placeholders contain
+        # no pattern characters, so stages never re-match earlier output
+        n = (F.size(F.split(out_text, pat)) - 1).cast("long")
+        counts.append(n.alias(f"n_{kind}"))
+        out_text = F.regexp_replace(out_text, pat, token)
+    return df.select(F.col(key_col), out_text.alias("clean_text"), *counts)
+
+
 def lang_score(text: Column, lang: str) -> Column:
     """Number of marker words of `lang` present (word-boundary contains)."""
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))

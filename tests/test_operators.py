@@ -354,6 +354,46 @@ def test_ann_topk_bruteforce_and_lsh(spark, embeddings):
     assert len(top1_exact & top1_approx) >= 2  # >=2/3 recall@1
 
 
+def test_contamination_cross_corpus(spark):
+    from csvweb_spark.operators.dedup import contamination
+    passage = " ".join(f"tok{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, "lead in words " + passage + " trailing text"),
+         (2, "completely unrelated material with many distinct words"),
+         (3, passage)],
+        "doc_id long, text string")
+    probes = spark.createDataFrame(
+        [(100, passage), (200, "never appearing eval question here ok")],
+        "probe_id long, text string")
+    hits = {(r.doc_id, r.probe_id): r.n_spans
+            for r in contamination(docs, probes, window=16).collect()}
+    assert (1, 100) in hits and (3, 100) in hits
+    assert all(p != 200 for _, p in hits)  # clean probe never matches
+    assert (2, 100) not in hits
+    # stride > 1 on the corpus still catches prefix-aligned copies
+    strided = {(r.doc_id, r.probe_id) for r in
+               contamination(docs, probes, window=16, stride=4).collect()}
+    assert (3, 100) in strided
+
+
+def test_pii_redaction(spark):
+    from csvweb_spark.operators.text import redact_pii
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-1.org and 192.168.0.1 or call +1 (555) 123-4567"),
+         (2, "no pii in this one"),
+         (3, "two mails x@y.io z@w.co")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert "[PII:email]" in out[1].clean_text
+    assert "[PII:ipv4]" in out[1].clean_text
+    assert "[PII:phone]" in out[1].clean_text
+    assert "a.b+c@ex-1.org" not in out[1].clean_text
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (1, 1, 1)
+    assert (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 0, 0)
+    assert out[2].clean_text == "no pii in this one"
+    assert out[3].n_email == 2
+
+
 def test_token_document_frequencies(spark):
     from csvweb_spark.operators.text import token_document_frequencies
     df = spark.createDataFrame(
