@@ -797,6 +797,39 @@ def q_pii_redact(spark, sf_dir):
                       "clean_text", "n_email", "n_ipv4", "n_phone")
 
 
+def q_infer_schema(spark, sf_dir):
+    """tableSchema datatype inference over schema-less CSV pages (north
+    star: 'tableSchema inference'): most-specific-XSD-type election per
+    column as one aggregation over exploded cells. Pages synthesized from
+    orders with known planted types (int / date / decimal-lexical /
+    boolean / free string); the oracle replays the election regexes over
+    the same rendered values."""
+    from csvweb_spark.csvw.model import Column, Table
+    from csvweb_spark.operators.infer import (cells_from_rows,
+                                              infer_column_types)
+    from csvweb_spark.operators.triples import extract_rows
+    from csvweb_spark.sources.pages import pages_from_table
+    orders = _load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    src = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderdate").cast("string").alias("odate"),
+        F.concat(((F.col("o_orderkey") % 900) + 1).cast("string"),
+                 F.lit("."),
+                 F.lpad((F.col("o_orderkey") % 100).cast("string"), 2, "0"))
+         .alias("price"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("true"))
+         .otherwise(F.lit("false")).alias("flag"),
+        F.col("o_orderpriority").alias("prio"))
+    names = ["okey", "odate", "price", "flag", "prio"]
+    pages = pages_from_table(src, (F.col("okey") / 100).cast("long"),
+                             "http://ex.org/infer/{key}.csv", names, "okey")
+    t = Table(url="http://ex.org/infer.csv")
+    t.columns = [Column(name=n) for n in names]
+    out = infer_column_types(cells_from_rows(extract_rows(pages, t), names))
+    return out.select("col_name", "inferred",
+                      F.col("n_values").cast("long").alias("n_values"))
+
+
 def q_ann_topk_ivf(spark, sf_dir):
     """IVF ANN: distributed-KMeans coarse quantizer, constant-folded
     centroid probing, exact cosine re-rank over probed inverted lists.
@@ -951,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
+        "infer_schema": q_infer_schema,
         "entity_link_fuzzy": q_entity_link_fuzzy,
         "html_table_triples": q_html_table_triples,
         "detect_tabular": q_detect_tabular,
@@ -1858,6 +1892,61 @@ def oracle_sql() -> dict[str, str]:
             FROM dfq d JOIN tf t USING (token)
             ORDER BY d.df DESC, d.token ASC
             LIMIT 100
+        """,
+        # schema inference: the per-type all-match election replayed over
+        # the same rendered cell values (election precedence mirrored in
+        # the CASE order)
+        "infer_schema": r"""
+            WITH src AS (
+                SELECT o_orderkey AS okey, o_orderdate::varchar AS odate,
+                       ((o_orderkey % 900) + 1)::varchar || '.' ||
+                           lpad((o_orderkey % 100)::varchar, 2, '0')
+                           AS price,
+                       CASE WHEN o_orderkey % 2 = 0 THEN 'true'
+                            ELSE 'false' END AS flag,
+                       o_orderpriority AS prio
+                FROM orders WHERE o_orderkey < 2000),
+            v AS (
+                SELECT 'okey' AS col_name, okey::varchar AS value FROM src
+                UNION ALL SELECT 'odate', odate FROM src
+                UNION ALL SELECT 'price', price FROM src
+                UNION ALL SELECT 'flag', flag FROM src
+                UNION ALL SELECT 'prio', prio FROM src),
+            m AS (
+                SELECT col_name,
+                       sum(CASE WHEN value IS NULL OR value = '' THEN 0
+                                ELSE 1 END)::bigint AS n_values,
+                       min(CASE WHEN value IS NULL OR value = ''
+                                  OR regexp_matches(value,
+                                      '^(true|false)$')
+                                THEN 1 ELSE 0 END) AS ab,
+                       min(CASE WHEN value IS NULL OR value = ''
+                                  OR regexp_matches(value,
+                                      '^[+-]?[0-9]+$')
+                                THEN 1 ELSE 0 END) AS ai,
+                       min(CASE WHEN value IS NULL OR value = ''
+                                  OR regexp_matches(value,
+                                      '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$')
+                                THEN 1 ELSE 0 END) AS ad,
+                       min(CASE WHEN value IS NULL OR value = ''
+                                  OR regexp_matches(value,
+                                      '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+                                THEN 1 ELSE 0 END) AS adt,
+                       min(CASE WHEN value IS NULL OR value = ''
+                                  OR regexp_matches(value,
+                                      '^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}(\.[0-9]+)?(Z|[+-][0-9]{2}:[0-9]{2})?$')
+                                THEN 1 ELSE 0 END) AS adtt
+                FROM v GROUP BY col_name)
+            SELECT col_name,
+                   CASE WHEN n_values = 0 THEN 'string'
+                        WHEN ab = 1 THEN 'boolean'
+                        WHEN ai = 1 THEN 'integer'
+                        WHEN ad = 1 THEN 'decimal'
+                        WHEN adt = 1 THEN 'date'
+                        WHEN adtt = 1 THEN 'dateTime'
+                        ELSE 'string' END AS inferred,
+                   n_values
+            FROM m
         """,
         # decontamination: corpus/probe span-hash join replayed with the
         # same md5 60-bit span hashes and token windows

@@ -1,0 +1,104 @@
+"""tableSchema datatype inference for schema-less pages (north_star:
+'apply tableSchema inference plus RFC-6570 ... and XSD datatype
+coercion').
+
+The reference's bare-CSV fallback is an all-string default schema
+(metadata discovery miss -> header names, string columns); real web
+tables carry obvious types. This module elects, per column, the most
+specific XSD base type that EVERY non-empty cell matches - computed as
+ONE aggregation over the exploded cells (per-type match flags reduced
+with min, map-side combinable; no driver-side sampling loop), so
+inference over 10^12 pages is a single skew-free groupBy on
+(url-scope, column).
+
+`infer_table` turns the election into a csvw.model.Table whose typed
+columns drive the SAME compiled conversion path as user metadata - so
+inferred schemas produce typed literals end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..csvw.model import Column as CsvwColumn
+from ..csvw.model import Datatype, Table
+
+# Election precedence: FIRST type every non-empty value matches wins.
+# Patterns are dialect-neutral (Java regex == RE2) and mirror the XSD
+# lexical subsets the conversion path accepts (csvw/model.py registry).
+TYPE_PATTERNS = [
+    ("boolean", r"^(true|false)$"),
+    ("integer", r"^[+-]?[0-9]+$"),
+    ("decimal", r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$"),
+    ("date", r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+    ("dateTime", r"^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}"
+                 r":[0-9]{2}(\.[0-9]+)?(Z|[+-][0-9]{2}:[0-9]{2})?$"),
+]
+
+
+def cells_from_rows(rows: DataFrame, column_names: list[str]) -> DataFrame:
+    """(url, row, col_name, value) from extract_rows output - names
+    resolved from the schema position (skipped/ragged cells -> NULL
+    value, sentinel row 0 dropped)."""
+    names = F.array(*[F.lit(n) for n in column_names])
+    return (rows.filter(F.col("row") > 0)
+            .select("url", "row", "vals",
+                    F.posexplode(names).alias("_ix", "col_name"))
+            .withColumn("value", F.expr("try_element_at(vals, _ix + 1)"))
+            .drop("_ix", "vals"))
+
+
+def infer_column_types(cells: DataFrame, value_col: str = "value",
+                       group_cols: tuple = ("col_name",)) -> DataFrame:
+    """Per group: (group_cols..., inferred, n_values). Empty/NULL cells
+    are type-neutral (they match everything - CSVW nulls carry no type
+    evidence); a group with zero non-empty cells infers 'string'."""
+    v = F.col(value_col)
+    neutral = v.isNull() | (v == "")
+    aggs = [F.sum(F.when(neutral, 0).otherwise(1)).cast("long")
+             .alias("n_values")]
+    for name, pat in TYPE_PATTERNS:
+        aggs.append(F.min(F.when(neutral | v.rlike(pat), 1).otherwise(0))
+                    .alias(f"_all_{name}"))
+    agg = cells.groupBy(*group_cols).agg(*aggs)
+    elected = F.lit("string")
+    for name, _ in reversed(TYPE_PATTERNS):
+        elected = F.when((F.col("n_values") > 0)
+                         & (F.col(f"_all_{name}") == 1),
+                         F.lit(name)).otherwise(elected)
+    return agg.select(*group_cols, elected.alias("inferred"), "n_values")
+
+
+def infer_table(pages: DataFrame, table_url: str,
+                sample_pages: int = 64) -> Table:
+    """Build a typed Table spec for a homogeneous pages group: column
+    NAMES from the header of one sampled page (they are identical across
+    the group by definition of 'homogeneous'), column TYPES elected over
+    the cells of up to `sample_pages` pages (a driver-side constant-size
+    job; pass the full pages DataFrame for exact whole-corpus election).
+    The result drives convert_table_group_spark like user metadata."""
+    from ..csvw.convert import parse_csv_rows
+    from .triples import extract_rows
+
+    shell = Table(url=table_url)
+    head = pages.select("text").filter(F.col("text").isNotNull()) \
+        .limit(1).collect()
+    if not head:
+        raise ValueError("infer_table: pages group has no text payloads")
+    first = next(iter(parse_csv_rows(head[0][0], shell.dialect)), None)
+    if not first:
+        raise ValueError("infer_table: sampled page has no header row")
+    names = [n if n else f"col{i+1}" for i, n in enumerate(first)]
+    shell.columns = [CsvwColumn(name=n) for n in names]
+    sampled = pages.limit(sample_pages)
+    cells = cells_from_rows(extract_rows(sampled, shell), names)
+    types = {r.col_name: r.inferred
+             for r in infer_column_types(cells).collect()}
+
+    out = Table(url=table_url)
+    out.columns = [
+        CsvwColumn(name=n, datatype=Datatype(base=types.get(n, "string")))
+        for n in names
+    ]
+    return out

@@ -354,6 +354,46 @@ def test_ann_topk_bruteforce_and_lsh(spark, embeddings):
     assert len(top1_exact & top1_approx) >= 2  # >=2/3 recall@1
 
 
+def test_schema_inference_end_to_end(spark):
+    """infer_table elects column types from the cells and the resulting
+    Table spec drives the SAME compiled conversion - typed literals come
+    out of a schema-less pages group."""
+    from csvweb_spark.operators.infer import (cells_from_rows,
+                                              infer_column_types,
+                                              infer_table)
+    from csvweb_spark.operators.triples import (convert_table_group_spark,
+                                                extract_rows)
+    text1 = ("id,when,score,ok,note\n"
+             "1,2024-01-02,3.5,true,hello there\n"
+             "2,2024-02-03,4,false,2nd row\n")
+    text2 = ("id,when,score,ok,note\n"
+             "3,2024-03-04,.5,true,\n")  # empty note: type-neutral
+    pages = spark.createDataFrame(
+        [("http://p/1.csv", text1), ("http://p/2.csv", text2)],
+        "url string, text string")
+    t = infer_table(pages, "http://ex.org/t.csv")
+    types = {c.name: c.datatype.base for c in t.columns}
+    assert types == {"id": "integer", "when": "date", "score": "decimal",
+                     "ok": "boolean", "note": "string"}
+    out = convert_table_group_spark(pages, t, scope_by_url=False)
+    dts = {r.pred.rsplit("#", 1)[1]: r.obj_datatype
+           for r in out.collect()}
+    assert dts["id"].endswith("#integer") and dts["when"].endswith("#date")
+    assert dts["score"].endswith("#decimal") and dts["ok"].endswith("#boolean")
+    assert dts["note"].endswith("#string")
+    # a mixed column degrades to string; an all-empty column is string
+    mixed = spark.createDataFrame(
+        [("http://p/3.csv", "a,b\n1,\nx,\n")], "url string, text string")
+    tm = infer_table(mixed, "http://ex.org/m.csv")
+    ttypes = {c.name: c.datatype.base for c in tm.columns}
+    assert ttypes == {"a": "string", "b": "string"}
+    cells = cells_from_rows(
+        extract_rows(mixed, tm), ["a", "b"])
+    inf = {r.col_name: (r.inferred, r.n_values)
+           for r in infer_column_types(cells).collect()}
+    assert inf["b"] == ("string", 0)
+
+
 def test_contamination_cross_corpus(spark):
     from csvweb_spark.operators.dedup import contamination
     passage = " ".join(f"tok{i}" for i in range(20))
