@@ -165,6 +165,13 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     timed("text_c4_clean", lambda: clean_documents_c4(docs).count())
     timed("token_stats", lambda: token_document_frequencies(docs).count())
 
+    # decontamination: stride-1 doc spans vs 20 broadcast probe texts
+    from csvweb_spark.operators.dedup import contamination
+    probes = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("probe_id"), "text")
+    timed("contamination", lambda: contamination(
+        docs, probes, window=16, stride=1).count())
+
     # dedup: simhash block trick through the round-3 hardened path
     # (bucket census + cap before the self-join)
     from csvweb_spark.operators.dedup import dedup_simhash

@@ -74,6 +74,30 @@ def dedup_exact_keep_first(df: DataFrame, text_col: str = "text",
     return df.join(F.broadcast(keepers), key_col, "left_semi")
 
 
+def dedup_exact_incremental(new_docs: DataFrame, seen_digests: DataFrame,
+                            text_col: str = "text",
+                            key_col: str = "doc_id",
+                            canonicalize: bool = False) -> DataFrame:
+    """Incremental arrival: rows of `new_docs` NOT already in the
+    committed corpus (`seen_digests`: a 1-column 'digest' table, e.g.
+    `dedup_exact(corpus).select('digest')` materialized once), deduped
+    within the batch too (keeper per new digest). The anti-join keys on
+    the uniform digest - at 100 TB the seen-digest table shuffles once
+    per batch (or becomes a bucketed/Bloom pre-filter), never the text.
+    This is the batch analogue of the streaming Bloom state in
+    streaming/pipeline.py."""
+    t = F.col(text_col)
+    digest = (F.md5(normalize_for_fingerprint(t)) if canonicalize
+              else F.md5(t))
+    batch = new_docs.withColumn("_dg", digest)
+    fresh = batch.join(
+        seen_digests.select(F.col("digest").alias("_dg")),
+        "_dg", "left_anti")
+    keep = (fresh.groupBy("_dg").agg(F.min(key_col).alias(key_col))
+            .select(key_col))
+    return fresh.join(keep, key_col, "left_semi").drop("_dg")
+
+
 # --------------------------------------------------------------------------
 # character n-gram shingles + exact Jaccard
 # --------------------------------------------------------------------------

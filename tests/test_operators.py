@@ -394,6 +394,24 @@ def test_schema_inference_end_to_end(spark):
     assert inf["b"] == ("string", 0)
 
 
+def test_dedup_exact_incremental(spark):
+    from csvweb_spark.operators.dedup import (dedup_exact,
+                                              dedup_exact_incremental)
+    corpus = spark.createDataFrame(
+        [(1, "already seen text"), (2, "other committed text")],
+        "doc_id long, text string")
+    seen = dedup_exact(corpus).select("digest")
+    batch = spark.createDataFrame(
+        [(10, "already seen text"),      # dup of committed corpus
+         (11, "brand new text"),
+         (12, "brand new text"),         # in-batch dup: keeper only
+         (13, "another new one")],
+        "doc_id long, text string")
+    out = sorted(r.doc_id for r in
+                 dedup_exact_incremental(batch, seen).collect())
+    assert out == [11, 13]
+
+
 def test_contamination_cross_corpus(spark):
     from csvweb_spark.operators.dedup import contamination
     passage = " ".join(f"tok{i}" for i in range(20))
