@@ -89,6 +89,17 @@ def q_rdf_turtle(spark, sf_dir):
                            "n": "http://ex.org/nation.csv#"})
 
 
+def q_rdf_nquads(spark, sf_dir):
+    """N-Quads export with the source page URL as the named graph -
+    provenance-tagged triples, the graph partitioning a web-scale KG
+    ships with. Oracle appends the graph term to the N-Triples lines."""
+    from csvweb_spark.operators.serialize import to_nquads
+    from csvweb_spark.operators.triples import convert_table_group_spark
+    out = convert_table_group_spark(_nation_pages(spark, sf_dir),
+                                    _nation_table(), scope_by_url=False)
+    return to_nquads(out)
+
+
 def q_csvw_standard_rownum(spark, sf_dir):
     from csvweb_spark.csvw.convert import MODE_STANDARD
     from csvweb_spark.operators.triples import convert_table_group_spark
@@ -949,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csvw_cell_errors": q_csvw_cell_errors,
         "rdf_ntriples": q_rdf_ntriples,
         "rdf_turtle": q_rdf_turtle,
+        "rdf_nquads": q_rdf_nquads,
         "csvw_null_default_virtual": q_csvw_null_default_virtual,
         "csvw_template_specials": q_csvw_template_specials,
         "csvw_valueurl_iri": q_csvw_valueurl_iri,
@@ -1326,6 +1338,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT '<' || subj || '> <' || pred || '> "' || obj ||
                    CASE WHEN obj_datatype = '{xsd_s}' THEN '" .'
                         ELSE '"^^<' || obj_datatype || '> .' END AS line
+            FROM esc
+        """,
+        "rdf_nquads": f"""
+            WITH t AS (
+                SELECT 'http://ex.org/nation/' || n_nationkey AS subj,
+                       'http://ex.org/nation.csv#n_nationkey' AS pred,
+                       n_nationkey::varchar AS obj, '{xsd_i}' AS obj_datatype
+                FROM nation
+                UNION ALL
+                SELECT 'http://ex.org/nation/' || n_nationkey,
+                       'http://ex.org/nation.csv#n_name', n_name, '{xsd_s}'
+                FROM nation
+                UNION ALL
+                SELECT 'http://ex.org/nation/' || n_nationkey,
+                       'http://ex.org/nation.csv#n_regionkey',
+                       n_regionkey::varchar, '{xsd_i}'
+                FROM nation),
+            esc AS (
+                SELECT subj, pred, obj_datatype,
+                       replace(replace(replace(replace(replace(obj,
+                           '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'),
+                           chr(13), '\\r'), chr(9), '\\t') AS obj
+                FROM t)
+            SELECT '<' || subj || '> <' || pred || '> "' || obj ||
+                   CASE WHEN obj_datatype = '{xsd_s}' THEN '"'
+                        ELSE '"^^<' || obj_datatype || '>' END
+                   || ' <http://ex.org/nation.csv> .' AS line
             FROM esc
         """,
         "rdf_turtle": f"""

@@ -70,6 +70,32 @@ def to_ntriples(df: DataFrame) -> DataFrame:
         F.col("obj_datatype"), F.col("obj_lang")).alias("line"))
 
 
+def to_nquads(df: DataFrame, graph_col: str = "url") -> DataFrame:
+    """Triples DataFrame -> N-Quads lines with `graph_col` as the named
+    graph - provenance-preserving export (every triple tagged with the
+    page it came from, the natural graph partitioning of a web-scale KG).
+    Rows with a NULL graph serialize as plain triples (default graph),
+    which is valid N-Quads. Same narrow pure-column projection as
+    to_ntriples."""
+    lit = F.concat(F.lit('"'), escape_literal(F.col("obj")), F.lit('"'))
+    typed = F.when(
+        F.col("obj_lang").isNotNull(),
+        F.concat(lit, F.lit("@"), F.col("obj_lang"))
+    ).when(
+        F.col("obj_datatype").isNotNull()
+        & (F.col("obj_datatype") != XSD_STRING),
+        F.concat(lit, F.lit("^^<"), F.col("obj_datatype"), F.lit(">"))
+    ).otherwise(lit)
+    o = F.when(F.col("obj_kind") == F.lit("literal"), typed) \
+         .otherwise(_term(F.col("obj")))
+    g = F.when(F.col(graph_col).isNotNull(),
+               F.concat(F.lit(" "), _term(F.col(graph_col)))) \
+         .otherwise(F.lit(""))
+    return df.select(F.concat(
+        _term(F.col("subj")), F.lit(" "), _term(F.col("pred")), F.lit(" "),
+        o, g, F.lit(" .")).alias("line"))
+
+
 # --------------------------------------------------------------------------
 # Turtle (the reference's primary output format: Rdf/Converter.cs:235-238
 # wires conversion into dotNetRDF's CompressingTurtleWriter; golden files
