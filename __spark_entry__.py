@@ -100,6 +100,19 @@ def q_rdf_nquads(spark, sf_dir):
     return to_nquads(out)
 
 
+def q_rdf_turtle_grouped(spark, sf_dir):
+    """Subject-grouped Turtle (';' predicate lists - the reference's
+    CompressingTurtleWriter shape). Oracle rebuilds each block with
+    ordered string_agg over the same compacted terms."""
+    from csvweb_spark.operators.serialize import to_turtle_grouped
+    from csvweb_spark.operators.triples import convert_table_group_spark
+    out = convert_table_group_spark(_nation_pages(spark, sf_dir),
+                                    _nation_table(), scope_by_url=False)
+    return to_turtle_grouped(
+        out, {"xsd": "http://www.w3.org/2001/XMLSchema#",
+              "n": "http://ex.org/nation.csv#"})
+
+
 def q_csvw_standard_rownum(spark, sf_dir):
     from csvweb_spark.csvw.convert import MODE_STANDARD
     from csvweb_spark.operators.triples import convert_table_group_spark
@@ -960,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csvw_cell_errors": q_csvw_cell_errors,
         "rdf_ntriples": q_rdf_ntriples,
         "rdf_turtle": q_rdf_turtle,
+        "rdf_turtle_grouped": q_rdf_turtle_grouped,
         "rdf_nquads": q_rdf_nquads,
         "csvw_null_default_virtual": q_csvw_null_default_virtual,
         "csvw_template_specials": q_csvw_template_specials,
@@ -1401,6 +1415,42 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN dtlocal = 'string' THEN '" .'
                         ELSE '"^^xsd:' || dtlocal || ' .' END AS line
             FROM esc
+        """,
+        "rdf_turtle_grouped": f"""
+            WITH t AS (
+                SELECT 'http://ex.org/nation/' || n_nationkey AS subj,
+                       'n_nationkey' AS plocal,
+                       n_nationkey::varchar AS obj, 'integer' AS dtlocal
+                FROM nation
+                UNION ALL
+                SELECT 'http://ex.org/nation/' || n_nationkey,
+                       'n_name', n_name, 'string'
+                FROM nation
+                UNION ALL
+                SELECT 'http://ex.org/nation/' || n_nationkey,
+                       'n_regionkey', n_regionkey::varchar, 'integer'
+                FROM nation),
+            esc AS (
+                SELECT subj, plocal, dtlocal,
+                       replace(replace(replace(replace(replace(obj,
+                           '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'),
+                           chr(13), '\\r'), chr(9), '\\t') AS obj
+                FROM t),
+            po AS (
+                SELECT '<' || subj || '>' AS s,
+                       (CASE WHEN regexp_full_match(plocal,
+                                 '[A-Za-z_][A-Za-z0-9_-]*')
+                             THEN 'n:' || plocal
+                             ELSE '<http://ex.org/nation.csv#' || plocal
+                                  || '>' END)
+                       || ' "' || obj ||
+                       CASE WHEN dtlocal = 'string' THEN '"'
+                            ELSE '"^^xsd:' || dtlocal END AS po
+                FROM esc)
+            SELECT s || ' ' ||
+                   string_agg(po, ' ;' || chr(10) || '    ' ORDER BY po)
+                   || ' .' AS block
+            FROM po GROUP BY s
         """,
         "csvw_null_default_virtual": f"""
             WITH c AS (SELECT * FROM customer WHERE c_custkey < 600)

@@ -155,6 +155,48 @@ def turtle_line(subj: Column, pred: Column, obj: Column, obj_kind: Column,
                     o, F.lit(" ."))
 
 
+def _turtle_po(prefixes: dict) -> tuple[Column, Column]:
+    """(predicate term, object term) columns shared by the flat and the
+    grouped Turtle writers."""
+    lit = F.concat(F.lit('"'), escape_literal(F.col("obj")), F.lit('"'))
+    typed = F.when(
+        F.col("obj_lang").isNotNull(),
+        F.concat(lit, F.lit("@"), F.col("obj_lang"))
+    ).when(
+        F.col("obj_datatype").isNotNull()
+        & (F.col("obj_datatype") != XSD_STRING),
+        F.concat(lit, F.lit("^^"), compact_iri(F.col("obj_datatype"),
+                                               prefixes))
+    ).otherwise(lit)
+    o = F.when(F.col("obj_kind") == F.lit("literal"), typed) \
+         .otherwise(_turtle_term(F.col("obj"), prefixes))
+    p = F.when(F.col("pred") == F.lit(RDF_NS + "type"), F.lit("a")) \
+         .otherwise(_turtle_term(F.col("pred"), prefixes))
+    return p, o
+
+
+def to_turtle_grouped(df: DataFrame,
+                      prefixes: dict | None = None) -> DataFrame:
+    """Subject-grouped Turtle (the ';' predicate-list shape of the
+    reference's CompressingTurtleWriter): one text block per subject,
+    predicates/objects sorted for determinism. One shuffle on the subject
+    term - the grouping a compacting writer fundamentally needs; use
+    `to_turtle` when a shuffle-free export matters more than compactness.
+    Returns a single-column ('block') DataFrame; prepend
+    `turtle_header(prefixes)` when writing."""
+    prefixes = TURTLE_DEFAULT_PREFIXES if prefixes is None else prefixes
+    p, o = _turtle_po(prefixes)
+    s = _turtle_term(F.col("subj"), prefixes)
+    rows = df.select(s.alias("_s"),
+                     F.concat(p, F.lit(" "), o).alias("_po"))
+    return (rows.groupBy("_s")
+            .agg(F.array_sort(F.collect_set("_po")).alias("_pos"))
+            .select(F.concat(
+                F.col("_s"), F.lit(" "),
+                F.concat_ws(" ;\n    ", F.col("_pos")),
+                F.lit(" .")).alias("block")))
+
+
 def turtle_header(prefixes: dict) -> str:
     """The @prefix preamble - driver-side constant text, prepended to each
     output file (or written as a sidecar part-00000)."""

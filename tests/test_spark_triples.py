@@ -282,6 +282,30 @@ def test_turtle_roundtrip_and_compaction(spark):
     assert graphs_isomorphic(parsed, rows), diff_report(parsed, rows)
 
 
+def test_turtle_grouped_roundtrip(spark):
+    """The ';'-grouped writer parses back to the same graph as the flat
+    writer (grouping is pure syntax), including the golden conversion."""
+    from csvweb_spark.operators.serialize import (to_turtle,
+                                                  to_turtle_grouped,
+                                                  turtle_header)
+    from csvweb_spark.testing.turtle import XSD
+
+    group = parse_metadata(reference_fixture("valid-table-1.json"), BASE)
+    table = group.tables[0]
+    pages = _pages(spark, table.url, reference_fixture("countries.csv"))
+    out = convert_table_group_spark(pages, table, mode=MODE_MINIMAL,
+                                    scope_by_url=False)
+    prefixes = {"xsd": XSD, "ex": "http://example.org/"}
+    flat = parse_turtle(turtle_header(prefixes) + "\n".join(
+        r.line for r in to_turtle(out, prefixes).collect()))
+    grouped = parse_turtle(turtle_header(prefixes) + "\n".join(
+        r.block for r in to_turtle_grouped(out, prefixes).collect()))
+    assert graphs_isomorphic(grouped, flat), diff_report(grouped, flat)
+    expected = parse_turtle(reference_fixture("valid-table-1-out.ttl"))
+    assert graphs_isomorphic(grouped, expected), \
+        diff_report(grouped, expected)
+
+
 def test_turtle_matches_reference_golden(spark):
     """The reference's primary output format: conversion -> to_turtle ->
     parse must be isomorphic to the reference's own golden .ttl
