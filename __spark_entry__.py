@@ -854,6 +854,23 @@ def q_infer_schema(spark, sf_dir):
                       F.col("n_values").cast("long").alias("n_values"))
 
 
+def q_corpus_blend(spark, sf_dir):
+    """Data-mixture assembly: per-stratum token budgets -> deterministic
+    hash-down-sampling at rate budget/total_tokens (integer basis
+    points). Oracle recomputes totals, rates, and the exact kept set."""
+    from csvweb_spark.operators.sampling import blend_by_token_budget
+    from csvweb_spark.operators.text import whitespace_tokens
+    docs = (_load(spark, sf_dir, "documents")
+            .withColumn("stratum", (F.col("doc_id") % 4).cast("string"))
+            .withColumn("n_tokens",
+                        F.size(whitespace_tokens(F.col("text")))
+                        .cast("long")))
+    out = blend_by_token_budget(docs, {"0": 5000, "1": 20000},
+                                stratum_col="stratum")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "stratum", "n_tokens")
+
+
 def q_ann_topk_ivf(spark, sf_dir):
     """IVF ANN: distributed-KMeans coarse quantizer, constant-folded
     centroid probing, exact cosine re-rank over probed inverted lists.
@@ -1011,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pii_redact": q_pii_redact,
         "infer_schema": q_infer_schema,
+        "corpus_blend": q_corpus_blend,
         "entity_link_fuzzy": q_entity_link_fuzzy,
         "html_table_triples": q_html_table_triples,
         "detect_tabular": q_detect_tabular,
@@ -1981,6 +1999,34 @@ def oracle_sql() -> dict[str, str]:
             FROM dfq d JOIN tf t USING (token)
             ORDER BY d.df DESC, d.token ASC
             LIMIT 100
+        """,
+        # corpus mixing: token totals -> integer rate_bp -> hash cut, all
+        # replayed (the kept SET is exact, not just its expected size)
+        "corpus_blend": r"""
+            WITH d AS (
+                SELECT doc_id, (doc_id % 4)::varchar AS stratum,
+                       (CASE WHEN regexp_replace(lower(text),
+                                 '^\s+|\s+$', '', 'g') = '' THEN 0
+                             ELSE len(string_split_regex(
+                                 regexp_replace(lower(text),
+                                     '^\s+|\s+$', '', 'g'),
+                                 '\s+')) END)::bigint AS n_tokens,
+                       ('0x' || substr(md5('42:' || doc_id), 1, 8))::bigint
+                       % 2147483647 AS h
+                FROM documents),
+            t AS (SELECT stratum, sum(n_tokens)::bigint AS total
+                  FROM d GROUP BY stratum),
+            r AS (SELECT stratum,
+                         CASE WHEN total = 0 THEN 10000
+                              ELSE least(10000,
+                                  (CASE stratum WHEN '0' THEN 5000
+                                                WHEN '1' THEN 20000
+                                                ELSE 0 END) * 10000
+                                  // total) END AS rate_bp
+                  FROM t)
+            SELECT d.doc_id::bigint AS doc_id, d.stratum, d.n_tokens
+            FROM d JOIN r USING (stratum)
+            WHERE d.h < (2147483647 * r.rate_bp) // 10000
         """,
         # schema inference: the per-type all-match election replayed over
         # the same rendered cell values (election precedence mirrored in

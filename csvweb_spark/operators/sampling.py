@@ -67,6 +67,36 @@ def stratified_hash_sample(df: DataFrame, rates_bp: dict,
     return df.filter(sample_hash(F.col(key_col), seed) < cut)
 
 
+def blend_by_token_budget(df: DataFrame, budgets: dict,
+                          stratum_col: str = "source",
+                          key_col: str = "doc_id",
+                          token_count_col: str = "n_tokens",
+                          seed: int = 42,
+                          default_budget: int = 0) -> DataFrame:
+    """Corpus mixing to per-source token budgets (the 'data mixture' step
+    of training-corpus assembly): each stratum is hash-down-sampled at
+    rate ~ budget / total_tokens(stratum), so the EXPECTED kept tokens
+    match the budget while selection stays deterministic/reproducible.
+
+    rate_bp = min(10^4, floor(budget * 10^4 / total_tokens)) - integer
+    arithmetic, so an oracle recomputes the exact kept set. Two passes:
+    one aggregation for per-stratum token totals (driver-side dict - the
+    mixture config and stratum count are small by construction), then the
+    pure narrow hash filter. Strata not in `budgets` get
+    `default_budget`."""
+    totals = {r[0]: r[1] for r in
+              df.groupBy(stratum_col)
+                .agg(F.sum(token_count_col).alias("_t")).collect()}
+    rates = {}
+    for stratum, total in totals.items():
+        budget = budgets.get(stratum, default_budget)
+        total = int(total or 0)
+        rates[stratum] = (10_000 if total == 0
+                          else min(10_000, (budget * 10_000) // total))
+    return stratified_hash_sample(df, rates, stratum_col, key_col, seed,
+                                  default_bp=0)
+
+
 def stratified_sample_topk(df: DataFrame, k: int,
                            stratum_col: str = "source",
                            key_col: str = "doc_id", seed: int = 42,

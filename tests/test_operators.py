@@ -394,6 +394,25 @@ def test_schema_inference_end_to_end(spark):
     assert inf["b"] == ("string", 0)
 
 
+def test_blend_by_token_budget(spark, docs):
+    from csvweb_spark.operators.sampling import blend_by_token_budget
+    d = (docs.withColumn("stratum", (F.col("doc_id") % 2).cast("string"))
+         .withColumn("n_tokens", F.size(F.split("text", " ")).cast("long")))
+    total1 = d.filter("stratum = '1'").agg(
+        F.sum("n_tokens")).collect()[0][0]
+    budget = int(total1) // 3
+    out = blend_by_token_budget(d, {"1": budget}, stratum_col="stratum")
+    rows = out.collect()
+    assert all(r.stratum == "1" for r in rows)  # stratum '0': budget 0
+    kept = sum(r.n_tokens for r in rows)
+    assert 0 < kept < total1  # down-sampled toward the budget
+    assert abs(kept - budget) / total1 < 0.15  # ~1/3 of tokens kept
+    # a budget above the total keeps the whole stratum
+    full = blend_by_token_budget(d, {"1": int(total1) * 2},
+                                 stratum_col="stratum")
+    assert full.count() == d.filter("stratum = '1'").count()
+
+
 def test_dedup_exact_incremental(spark):
     from csvweb_spark.operators.dedup import (dedup_exact,
                                               dedup_exact_incremental)
