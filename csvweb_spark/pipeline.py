@@ -129,6 +129,64 @@ def kg_canonical_triples(pages: DataFrame, table: Table, aliases: DataFrame,
     return canonical_triples, entity_map, obs, errors
 
 
+def curate_documents(docs: DataFrame, text_col: str = "text",
+                     key_col: str = "doc_id",
+                     min_words_per_line: int = 3,
+                     dedup_threshold: float = 0.8,
+                     block_col: str | None = None,
+                     with_metrics: bool = True):
+    """The standard training-corpus curation flow as ONE composition of
+    the (individually oracle-verified) operators:
+
+      1. C4 line cleaning  (text.clean_documents_c4); docs cleaned to
+                            empty are dropped
+      2. PII scrubbing     (text.redact_pii, audit counts carried along)
+      3. exact dedup       (dedup.dedup_exact_keep_first on clean text)
+      4. near-dup removal  (dedup.dedup_minhash_lsh pairs -> drop the
+                            larger key of each pair, keeping one witness)
+
+    Returns (curated_df, metrics) where curated_df carries (key, text)
+    with text fully cleaned, and metrics counts rows surviving each
+    stage (with_metrics=False skips the counting jobs - at 100 TB run
+    them as df.observe or accept the five count() actions as the audit
+    cost). Every stage is the operator's scale path: narrow cleaning,
+    digest groupBy, bucketed LSH - composing them adds no new shuffle
+    shapes."""
+    from .operators.dedup import dedup_exact_keep_first, dedup_minhash_lsh
+    from .operators.text import clean_documents_c4, redact_pii
+
+    metrics: dict = {}
+    if with_metrics:
+        metrics["input"] = docs.count()
+
+    cleaned = clean_documents_c4(docs, text_col, key_col,
+                                 min_words=min_words_per_line)
+    scrubbed = (redact_pii(cleaned, "clean_text", key_col)
+                .withColumnRenamed("clean_text", text_col)
+                .filter(F.length(text_col) > 0))
+    if with_metrics:
+        metrics["after_clean"] = scrubbed.count()
+
+    exact = dedup_exact_keep_first(scrubbed, text_col, key_col)
+    if with_metrics:
+        metrics["after_exact_dedup"] = exact.count()
+
+    pairs = dedup_minhash_lsh(exact, text_col, key_col,
+                              threshold=dedup_threshold)
+    losers = pairs.select(F.greatest("id_a", "id_b").alias(key_col)) \
+                  .distinct()
+    near = exact.join(losers, key_col, "left_anti")
+    if with_metrics:
+        metrics["after_near_dedup"] = near.count()
+
+    curated = near.select(key_col, text_col,
+                          *[c for c in near.columns
+                            if c not in (key_col, text_col)])
+    if with_metrics:
+        metrics["output"] = metrics["after_near_dedup"]
+    return curated, metrics
+
+
 def build_knowledge_graph(spark: SparkSession, pages: DataFrame, table: Table,
                           aliases: DataFrame, output_dir: str,
                           mode: str = MODE_MINIMAL,

@@ -4,6 +4,39 @@ canonicalized -> materialized with lineage, plus resume."""
 import os
 
 import pytest
+from pyspark.sql import functions as _F
+
+
+def test_curate_documents_e2e(spark):
+    from csvweb_spark.pipeline import curate_documents
+    base = ("This is a proper sentence that should definitely survive "
+            "the cleaning stage today.")
+    rows = [
+        (1, base + "\nshort.\nno punct line here"),
+        (2, base),                     # exact dup of doc 1's kept line
+        (3, base + " Slightly longer variant sentence appended here, "
+                   "close but not equal version two."),
+        (4, "mail me at a@b.co\n" + base.replace("proper", "different")
+            + "\nAnother good line survives cleaning here too."),
+        (5, "no terminal punctuation anywhere"),   # cleaned to empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    curated, metrics = curate_documents(docs, dedup_threshold=0.8)
+    out = {r.doc_id: r for r in curated.collect()}
+    assert metrics["input"] == 5
+    assert 5 not in out                       # cleaned-to-empty dropped
+    assert metrics["after_clean"] == 4
+    assert metrics["after_exact_dedup"] == 3  # 2 collapsed into 1
+    assert 1 in out and 2 not in out
+    assert 4 in out
+    assert "[PII:email]" not in out[4].text   # pii line was dropped by C4
+    assert out[4].n_email == 0
+    # near-dup stage keeps the smaller key of close pairs
+    if 3 not in out:
+        assert metrics["after_near_dedup"] == 2
+    # all surviving text is clean: every line ends with terminal punct
+    for r in out.values():
+        assert all(ln.rstrip()[-1] in '.!?"' for ln in r.text.split("\n"))
 from pyspark.sql import functions as F
 
 from csvweb_spark.csvw.model import Column, Table
