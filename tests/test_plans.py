@@ -107,6 +107,19 @@ def test_sampling_and_cleaning_stay_narrow(spark):
         assert "EvalPython" not in plan and "MapInPandas" not in plan
 
 
+def test_contamination_broadcasts_probes(spark):
+    """Decontamination joins corpus span hashes against BROADCAST probe
+    hashes - the corpus side must never shuffle for an MB-sized eval
+    set."""
+    from csvweb_spark.operators.dedup import contamination
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    probes = docs.limit(5).select(F.col("doc_id").alias("probe_id"),
+                                  "text")
+    plan = plan_of(contamination(docs, probes, window=12))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_text_ops_stay_jvm_side(spark):
     """Quality scoring / profiling must be pure Catalyst expressions - any
     python eval node here is a 10-100x regression at corpus scale."""
