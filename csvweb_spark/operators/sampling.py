@@ -59,7 +59,12 @@ def stratified_hash_sample(df: DataFrame, rates_bp: dict,
     are small); rows in unlisted strata get `default_bp`. Still a pure
     narrow filter."""
     cut = F.lit((MERSENNE31 * default_bp) // 10_000).cast("long")
-    for value, bp in sorted(rates_bp.items()):
+    # sort by repr so mixed/None keys can't crash the chain build; a NULL
+    # stratum never equals any literal (SQL null comparison), so NULL-
+    # stratum rows take default_bp like any unlisted stratum
+    for value, bp in sorted(rates_bp.items(), key=lambda kv: repr(kv[0])):
+        if value is None:
+            continue
         assert 0 <= bp <= 10_000
         cut = F.when(F.col(stratum_col) == F.lit(value),
                      F.lit((MERSENNE31 * bp) // 10_000).cast("long")) \

@@ -42,10 +42,11 @@ def _term(c: Column) -> Column:
             .otherwise(F.concat(F.lit("<"), c, F.lit(">")))
 
 
-def ntriple_line(subj: Column, pred: Column, obj: Column, obj_kind: Column,
-                 obj_datatype: Column, obj_lang: Column) -> Column:
-    """One N-Triples line (without trailing newline) as a pure column
-    expression."""
+def _nt_object(obj: Column, obj_kind: Column, obj_datatype: Column,
+               obj_lang: Column) -> Column:
+    """The object term in N-Triples/N-Quads form - ONE definition shared
+    by ntriple_line and to_nquads (escaping, @lang, ^^<dt>, the
+    xsd:string-as-plain-literal rule)."""
     lit = F.concat(F.lit('"'), escape_literal(obj), F.lit('"'))
     typed = F.when(
         obj_lang.isNotNull(),
@@ -54,7 +55,14 @@ def ntriple_line(subj: Column, pred: Column, obj: Column, obj_kind: Column,
         obj_datatype.isNotNull() & (obj_datatype != XSD_STRING),
         F.concat(lit, F.lit("^^<"), obj_datatype, F.lit(">"))
     ).otherwise(lit)
-    o = F.when(obj_kind == F.lit("literal"), typed).otherwise(_term(obj))
+    return F.when(obj_kind == F.lit("literal"), typed).otherwise(_term(obj))
+
+
+def ntriple_line(subj: Column, pred: Column, obj: Column, obj_kind: Column,
+                 obj_datatype: Column, obj_lang: Column) -> Column:
+    """One N-Triples line (without trailing newline) as a pure column
+    expression."""
+    o = _nt_object(obj, obj_kind, obj_datatype, obj_lang)
     return F.concat(_term(subj), F.lit(" "), _term(pred), F.lit(" "),
                     o, F.lit(" ."))
 
@@ -77,17 +85,8 @@ def to_nquads(df: DataFrame, graph_col: str = "url") -> DataFrame:
     Rows with a NULL graph serialize as plain triples (default graph),
     which is valid N-Quads. Same narrow pure-column projection as
     to_ntriples."""
-    lit = F.concat(F.lit('"'), escape_literal(F.col("obj")), F.lit('"'))
-    typed = F.when(
-        F.col("obj_lang").isNotNull(),
-        F.concat(lit, F.lit("@"), F.col("obj_lang"))
-    ).when(
-        F.col("obj_datatype").isNotNull()
-        & (F.col("obj_datatype") != XSD_STRING),
-        F.concat(lit, F.lit("^^<"), F.col("obj_datatype"), F.lit(">"))
-    ).otherwise(lit)
-    o = F.when(F.col("obj_kind") == F.lit("literal"), typed) \
-         .otherwise(_term(F.col("obj")))
+    o = _nt_object(F.col("obj"), F.col("obj_kind"), F.col("obj_datatype"),
+                   F.col("obj_lang"))
     g = F.when(F.col(graph_col).isNotNull(),
                F.concat(F.lit(" "), _term(F.col(graph_col)))) \
          .otherwise(F.lit(""))
@@ -131,14 +130,10 @@ def _turtle_term(c: Column, prefixes: dict) -> Column:
     return F.when(c.startswith("_:"), c).otherwise(compact_iri(c, prefixes))
 
 
-def turtle_line(subj: Column, pred: Column, obj: Column, obj_kind: Column,
-                obj_datatype: Column, obj_lang: Column,
-                prefixes: dict) -> Column:
-    """One Turtle statement (subject-per-line; the grouped ';'/',' form is
-    a compression nicety, not a semantic one - emitting one statement per
-    triple keeps serialization an embarrassingly-parallel projection with
-    no subject-grouping shuffle). String escapes are the N-Triples set,
-    valid in Turtle quoted literals."""
+def _ttl_object(obj: Column, obj_kind: Column, obj_datatype: Column,
+                obj_lang: Column, prefixes: dict) -> Column:
+    """The object term in Turtle form (datatype IRIs compacted) - ONE
+    definition shared by the flat and grouped writers."""
     lit = F.concat(F.lit('"'), escape_literal(obj), F.lit('"'))
     typed = F.when(
         obj_lang.isNotNull(),
@@ -147,32 +142,35 @@ def turtle_line(subj: Column, pred: Column, obj: Column, obj_kind: Column,
         obj_datatype.isNotNull() & (obj_datatype != XSD_STRING),
         F.concat(lit, F.lit("^^"), compact_iri(obj_datatype, prefixes))
     ).otherwise(lit)
-    o = F.when(obj_kind == F.lit("literal"), typed) \
-         .otherwise(_turtle_term(obj, prefixes))
-    p = F.when(pred == F.lit(RDF_NS + "type"), F.lit("a")) \
-         .otherwise(_turtle_term(pred, prefixes))
+    return F.when(obj_kind == F.lit("literal"), typed) \
+            .otherwise(_turtle_term(obj, prefixes))
+
+
+def _ttl_pred(pred: Column, prefixes: dict) -> Column:
+    return F.when(pred == F.lit(RDF_NS + "type"), F.lit("a")) \
+            .otherwise(_turtle_term(pred, prefixes))
+
+
+def turtle_line(subj: Column, pred: Column, obj: Column, obj_kind: Column,
+                obj_datatype: Column, obj_lang: Column,
+                prefixes: dict) -> Column:
+    """One Turtle statement (subject-per-line; the grouped ';'/',' form is
+    a compression nicety, not a semantic one - emitting one statement per
+    triple keeps serialization an embarrassingly-parallel projection with
+    no subject-grouping shuffle). String escapes are the N-Triples set,
+    valid in Turtle quoted literals."""
+    o = _ttl_object(obj, obj_kind, obj_datatype, obj_lang, prefixes)
+    p = _ttl_pred(pred, prefixes)
     return F.concat(_turtle_term(subj, prefixes), F.lit(" "), p, F.lit(" "),
                     o, F.lit(" ."))
 
 
 def _turtle_po(prefixes: dict) -> tuple[Column, Column]:
-    """(predicate term, object term) columns shared by the flat and the
-    grouped Turtle writers."""
-    lit = F.concat(F.lit('"'), escape_literal(F.col("obj")), F.lit('"'))
-    typed = F.when(
-        F.col("obj_lang").isNotNull(),
-        F.concat(lit, F.lit("@"), F.col("obj_lang"))
-    ).when(
-        F.col("obj_datatype").isNotNull()
-        & (F.col("obj_datatype") != XSD_STRING),
-        F.concat(lit, F.lit("^^"), compact_iri(F.col("obj_datatype"),
-                                               prefixes))
-    ).otherwise(lit)
-    o = F.when(F.col("obj_kind") == F.lit("literal"), typed) \
-         .otherwise(_turtle_term(F.col("obj"), prefixes))
-    p = F.when(F.col("pred") == F.lit(RDF_NS + "type"), F.lit("a")) \
-         .otherwise(_turtle_term(F.col("pred"), prefixes))
-    return p, o
+    """(predicate term, object term) columns over the standard triple
+    column names - the grouped writer's view onto the shared renderers."""
+    o = _ttl_object(F.col("obj"), F.col("obj_kind"), F.col("obj_datatype"),
+                    F.col("obj_lang"), prefixes)
+    return _ttl_pred(F.col("pred"), prefixes), o
 
 
 def to_turtle_grouped(df: DataFrame,

@@ -144,9 +144,13 @@ def hyperplane_sketches(vec: Column, all_planes) -> Column:
         ok = np.zeros(n, dtype=bool)
         for i, v in enumerate(vs):
             if v is not None and len(v) == dim:
-                q[i] = np.floor(
-                    np.asarray(v, dtype="float64") * 1e6).astype("int64")
-                ok[i] = True
+                arr = np.asarray(v, dtype="float64")
+                # non-finite components would make floor().astype(int64)
+                # undefined garbage; the JVM expression yields no set bit
+                # for such rows (null propagation) - mirror bucket 0
+                if np.isfinite(arr).all():
+                    q[i] = np.floor(arr * 1e6).astype("int64")
+                    ok[i] = True
         dots = q @ Wf                                # n x (tables*bits)
         pos = (dots > 0).astype("int64").reshape(n, tables, bits)
         buckets = (pos * weights).sum(axis=2)        # n x tables

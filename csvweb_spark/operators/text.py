@@ -85,23 +85,27 @@ def clean_documents_c4(df: DataFrame, text_col: str = "text",
 
 
 def token_document_frequencies(df: DataFrame, text_col: str = "text",
+                               key_col: str = "doc_id",
                                min_df: int = 1) -> DataFrame:
     """(token, df, tf) over the corpus: document frequency (docs
-    containing the token) and total term frequency. One explode + one
-    groupBy on the token string (uniform key, map-side combinable) - the
-    vocabulary/IDF primitive, and the input `linking.link_contains`
-    accepts as `token_df` for rarest-token candidate pruning. df counts
-    DISTINCT tokens per doc (array_distinct before the explode keeps the
-    exchange at distinct-tokens-per-doc volume); tf counts every
-    occurrence, aggregated in the same pass."""
+    containing the token) and total term frequency - the vocabulary/IDF
+    primitive, and the input `linking.link_contains` accepts as
+    `token_df` for rarest-token candidate pruning.
+
+    ONE corpus scan: explode tokens once, partial-aggregate per
+    (token, doc) - map-side combinable, so the big shuffle carries
+    distinct-tokens-per-doc rows - then a second (tiny, uniform-key)
+    aggregation folds per-doc counts into df + tf. (The round-3 review
+    killed a two-scan df/tf formulation with a join; a nested
+    higher-order-function form was rejected too - Catalyst evaluates
+    HOF lambdas interpreted per element.)"""
     toks = whitespace_tokens(F.col(text_col))
-    per_doc = df.select(F.explode(toks).alias("token"))
-    tf = per_doc.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
-    per_doc_distinct = df.select(
-        F.explode(F.array_distinct(toks)).alias("token"))
-    dfreq = per_doc_distinct.groupBy("token").agg(
-        F.count(F.lit(1)).alias("df"))
-    out = dfreq.join(tf, "token")
+    per_doc = (df.select(F.col(key_col), F.explode(toks).alias("token"))
+               .groupBy("token", key_col)
+               .agg(F.count(F.lit(1)).alias("cnt")))
+    out = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("cnt").alias("tf"))
     return out.filter(F.col("df") >= min_df) if min_df > 1 else out
 
 

@@ -59,11 +59,19 @@ def canonicalize_url(url: Column) -> Column:
 
 
 def host_of(url: Column) -> Column:
-    """Lowercased host[:port] of an absolute URL (userinfo stripped) -
-    the crawl-curation grouping key. Mirrors canonicalize_url's authority
-    handling; '' for non-URLs."""
+    """Lowercased host[:port] of an absolute URL - the crawl-curation
+    grouping key: userinfo stripped, DEFAULT ports stripped (mirroring
+    canonicalize_url, so 'http://h/a' and 'http://h:80/b' group as one
+    host and per-host caps cannot be dodged with port variants); '' for
+    non-URLs."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     auth = F.regexp_extract(url, r"^[^:]+://([^/?#]+)", 1)
-    return F.lower(F.regexp_replace(auth, r"^.*@", ""))
+    hostport = F.lower(F.regexp_replace(auth, r"^.*@", ""))
+    return F.when(scheme == "http",
+                  F.regexp_replace(hostport, ":80$", "")) \
+            .when(scheme == "https",
+                  F.regexp_replace(hostport, ":443$", "")) \
+            .otherwise(hostport)
 
 
 def host_profile(df: DataFrame, url_col: str = "url",

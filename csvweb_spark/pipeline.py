@@ -171,20 +171,23 @@ def curate_documents(docs: DataFrame, text_col: str = "text",
     if with_metrics:
         metrics["after_exact_dedup"] = exact.count()
 
-    pairs = dedup_minhash_lsh(exact, text_col, key_col,
-                              threshold=dedup_threshold)
+    pairs, dropped_buckets = dedup_minhash_lsh(
+        exact, text_col, key_col, threshold=dedup_threshold,
+        return_dropped=True)
     losers = pairs.select(F.greatest("id_a", "id_b").alias(key_col)) \
                   .distinct()
     near = exact.join(losers, key_col, "left_anti")
     if with_metrics:
         metrics["after_near_dedup"] = near.count()
+        # the LSH skew cap drops oversized buckets BEFORE pair generation
+        # - surface it (repo rule: no silent caps); >0 here means some
+        # boilerplate flood was not near-deduped and an exact pre-pass /
+        # higher max_bucket_size is called for
+        metrics["lsh_buckets_dropped"] = dropped_buckets.count()
 
-    curated = near.select(key_col, text_col,
-                          *[c for c in near.columns
-                            if c not in (key_col, text_col)])
     if with_metrics:
         metrics["output"] = metrics["after_near_dedup"]
-    return curated, metrics
+    return near, metrics
 
 
 def build_knowledge_graph(spark: SparkSession, pages: DataFrame, table: Table,

@@ -168,11 +168,16 @@ class HadoopFS:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
-        # HDFS rename does not overwrite: clear the target first (the
-        # manifest file name embeds run_id, so collisions are re-commits
-        # of the same run - last write wins either way)
+        # HDFS rename does not overwrite, and delete-then-rename would
+        # open a crash window with NO committed manifest on disk (a death
+        # between the two calls un-commits partitions -> a later resume
+        # re-writes them -> duplicated rows). Manifest names embed run_id,
+        # so an existing target means the SAME run already committed:
+        # keep the committed file (first-commit-wins is idempotent) and
+        # drop the temp - the target is never uncovered.
         if self._fs.exists(self._p(p)):
-            self._fs.delete(self._p(p), False)
+            self._fs.delete(self._p(tmp), False)
+            return
         self._fs.rename(self._p(tmp), self._p(p))
 
     def parquet_source(self, p: str):

@@ -521,6 +521,16 @@ def test_host_profile_and_cap(spark, docs):
     again = {r.doc_id for r in cap_per_host(pages.repartition(11), k=7)
              .collect()}
     assert again == {r.doc_id for r in capped.collect()}
+    # explicit default ports cannot dodge the cap: :80 variants group
+    # with the bare host (review fix)
+    from csvweb_spark.operators.urls import host_of
+    pv = spark.createDataFrame(
+        [("http://h.org/a",), ("http://h.org:80/b",),
+         ("https://h.org:443/c",), ("https://h.org:8443/d",)],
+        "url string")
+    hosts = [r.h for r in pv.select(host_of(F.col("url")).alias("h"))
+             .collect()]
+    assert hosts == ["h.org", "h.org", "h.org", "h.org:8443"]
 
 
 def test_deterministic_sampling(spark, docs):
