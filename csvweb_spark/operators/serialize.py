@@ -201,6 +201,31 @@ def turtle_header(prefixes: dict) -> str:
     return "".join(f"@prefix {p}: <{ns}> .\n" for p, ns in prefixes.items())
 
 
+def write_turtle(df: DataFrame, path: str, prefixes: dict | None = None,
+                 grouped: bool = False) -> None:
+    """Materialize a Turtle export: body part-files via the distributed
+    text sink + a `_prefixes.ttl` sidecar holding the @prefix header
+    (written through the plans/fs adapter, so hdfs://s3a:// targets work).
+    Concatenating sidecar + parts yields one valid Turtle document;
+    parts are also individually parseable against the sidecar."""
+    from ..plans.fs import fs_for
+
+    prefixes = TURTLE_DEFAULT_PREFIXES if prefixes is None else prefixes
+    body = (to_turtle_grouped(df, prefixes) if grouped
+            else to_turtle(df, prefixes))
+    body.write.mode("overwrite").text(path)
+    fs = fs_for(path, df.sparkSession)
+    fs.write_text_atomic(fs.join(path, "_prefixes.ttl"),
+                         turtle_header(prefixes),
+                         fs.join(path, "._prefixes.ttl.tmp"))
+
+
+def write_ntriples(df: DataFrame, path: str) -> None:
+    """Materialize an N-Triples export (no header needed - pure
+    distributed text write)."""
+    to_ntriples(df).write.mode("overwrite").text(path)
+
+
 def to_turtle(df: DataFrame, prefixes: dict | None = None) -> DataFrame:
     """Triples DataFrame -> single-column ('line') Turtle body DataFrame
     (statements only; prepend `turtle_header(prefixes)` when writing).

@@ -773,6 +773,28 @@ def _gif_bytes(w, h):
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
 
 
+def test_image_header_parser_never_crashes_fuzz():
+    """Pure-python fuzz: arbitrary byte soup must never raise - a crawl's
+    binary column is adversarial by definition."""
+    import random
+
+    from csvweb_spark.operators.multimodal import (_decode_image_stub,
+                                                   parse_image_header)
+    rng = random.Random(42)
+    seeds = [b"", b"\xff", b"\xff\xd8\xff", b"\x89PNG\r\n\x1a\n",
+             b"GIF89a", _png_bytes(1, 1)[:-5], _jpeg_bytes(9, 9)[:-3],
+             _gif_bytes(2, 2)[:7]]
+    for i in range(300):
+        base = seeds[i % len(seeds)]
+        blob = base + bytes(rng.randrange(256)
+                            for _ in range(rng.randrange(0, 64)))
+        got = parse_image_header(blob)
+        assert got is None or (len(got) == 3 and got[1] >= 0 and
+                               got[2] >= 0)
+        fmt, w, h = _decode_image_stub(blob)
+        assert isinstance(fmt, str) and w > 0 and h > 0
+
+
 def test_image_header_codecs_real_dims(spark):
     """PNG/JPEG/GIF dimensions come from REAL header parsing (IHDR / SOFn /
     logical screen descriptor), not the digest fake; unknown formats and

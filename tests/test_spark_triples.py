@@ -306,6 +306,35 @@ def test_turtle_grouped_roundtrip(spark):
         diff_report(grouped, expected)
 
 
+def test_write_turtle_sink_with_prefix_sidecar(spark, tmp_path):
+    """write_turtle materializes body parts + a _prefixes.ttl sidecar;
+    sidecar + parts concatenate to a parseable, isomorphic document -
+    through BOTH the local and the Hadoop (file://) fs adapters."""
+    import glob
+
+    from csvweb_spark.operators.serialize import write_turtle
+    from csvweb_spark.testing.turtle import XSD
+
+    rows = [("http://e/s1", "http://e/ns#p", "42", "literal",
+             XSD + "integer", None),
+            ("http://e/s1", "http://e/ns#q", "http://e/o", "iri",
+             None, None)]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_kind string, "
+              "obj_datatype string, obj_lang string")
+    prefixes = {"xsd": XSD, "ns": "http://e/ns#"}
+    for scheme, grouped in (("", False), ("file://", True)):
+        out = str(tmp_path / f"ttl{'_h' if scheme else ''}")
+        write_turtle(df, scheme + out, prefixes, grouped=grouped)
+        with open(f"{out}/_prefixes.ttl") as f:
+            text = f.read()
+        for part in sorted(glob.glob(f"{out}/part-*")):
+            with open(part) as f:
+                text += f.read()
+        parsed = parse_turtle(text)
+        assert graphs_isomorphic(parsed, rows), diff_report(parsed, rows)
+
+
 def test_turtle_matches_reference_golden(spark):
     """The reference's primary output format: conversion -> to_turtle ->
     parse must be isomorphic to the reference's own golden .ttl
