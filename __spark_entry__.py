@@ -341,6 +341,29 @@ def q_canonicalize_cc(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+def q_kg_khop(spark, sf_dir):
+    """k-hop neighborhood retrieval over the KG edge shape (chains +
+    a hub star, the canonicalize_cc graph): BFS min-hop distances from
+    two seeds within 3 hops, frontier broadcast per round. Oracle is a
+    DuckDB recursive CTE computing the same min distances."""
+    from csvweb_spark.operators.graph import khop_neighbors
+    cust = (_load(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") < 400).select("c_custkey"))
+    nxt = cust.select(F.col("c_custkey").alias("dst"))
+    chains = (cust.filter(F.col("c_custkey") % 100 != 99)
+              .select(F.col("c_custkey").alias("src"),
+                      (F.col("c_custkey") + 1).alias("dst"))
+              .join(nxt, "dst", "left_semi"))
+    star = (cust.filter((F.col("c_custkey") > 0) & (F.col("c_custkey") < 100))
+            .select(F.lit(0).cast("long").alias("src"),
+                    F.col("c_custkey").alias("dst")))
+    edges = chains.unionByName(star)
+    seeds = spark.createDataFrame([(0,), (250,)], "node long")
+    out = khop_neighbors(edges, seeds, k=3)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.col("hops").cast("long").alias("hops"))
+
+
 def q_dedup_exact(spark, sf_dir):
     from csvweb_spark.operators.dedup import dedup_exact
     docs = _load(spark, sf_dir, "documents")
@@ -999,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link_exact": q_entity_link_exact,
         "entity_link_contains": q_entity_link_contains,
         "canonicalize_cc": q_canonicalize_cc,
+        "kg_khop": q_kg_khop,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1547,6 +1571,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey::bigint AS node,
                    ((c_custkey // 100) * 100)::bigint AS component
             FROM customer
+        """,
+        "kg_khop": """
+            WITH RECURSIVE
+            c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 400),
+            dir AS (
+                SELECT a.k AS a, a.k + 1 AS b
+                FROM c a JOIN c n ON n.k = a.k + 1
+                WHERE a.k % 100 <> 99
+                UNION ALL
+                SELECT 0, k FROM c WHERE k > 0 AND k < 100),
+            e AS (SELECT a, b FROM dir WHERE a <> b
+                  UNION ALL
+                  SELECT b, a FROM dir WHERE a <> b),
+            bfs(node, hops) AS (
+                SELECT * FROM (VALUES (0, 0), (250, 0)) s(node, hops)
+                UNION ALL
+                SELECT e.b, bfs.hops + 1
+                FROM bfs JOIN e ON e.a = bfs.node
+                WHERE bfs.hops < 3)
+            SELECT node::bigint AS node, min(hops)::bigint AS hops
+            FROM bfs GROUP BY node
         """,
         "dedup_exact": """
             WITH d AS (

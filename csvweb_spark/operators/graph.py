@@ -1,0 +1,70 @@
+"""Graph queries over the materialized KG edges (consumers of the
+north_star's node/edge tables: neighborhood retrieval, degree audits).
+
+* `khop_neighbors` - breadth-first expansion to hop distance k via
+  iterative hash joins: per round, join the frontier against the edge
+  list, anti-join out visited nodes, checkpoint. k is small (2-4 in
+  retrieval use), so rounds are bounded and each is shuffle-on-node-id
+  (uniform for hashed ids). The frontier is usually tiny vs the edge
+  table -> broadcast it per round.
+* `degree_stats` - per-node degree over undirected edges: one map-side-
+  combinable groupBy; the input to hub detection (the north_star's skew
+  mitigation needs to KNOW its hubs) and to degree-capped sampling.
+
+Both are DuckDB-oracle-checkable (BFS min-hop via recursive CTE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degree_stats(edges: DataFrame, src: str = "src",
+                 dst: str = "dst") -> DataFrame:
+    """(node, degree) over the undirected view (self-loops dropped,
+    parallel edges deduplicated)."""
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .filter(F.col("u") != F.col("v"))
+           .select(F.greatest("u", "v").alias("a"),
+                   F.least("u", "v").alias("b"))
+           .distinct())
+    both = (und.select(F.col("a").alias("node"))
+            .unionByName(und.select(F.col("b").alias("node"))))
+    return both.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def khop_neighbors(edges: DataFrame, seeds: DataFrame, k: int,
+                   src: str = "src", dst: str = "dst",
+                   seed_col: str = "node",
+                   broadcast_frontier: bool = True) -> DataFrame:
+    """(node, hops) for every node within hop distance <= k of any seed
+    (hops = minimum distance; seeds themselves at 0), over the
+    UNDIRECTED edge view.
+
+    Iterative BFS: each round joins the current frontier to the edge
+    list, removes already-visited nodes, and checkpoints the (small)
+    visited/frontier sets to cut lineage. With `broadcast_frontier`
+    (retrieval-sized seed sets) the edge table never shuffles - k
+    broadcast joins total; disable for massive seed sets and the joins
+    become node-id hash joins."""
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .filter(F.col("a") != F.col("b")))
+    bidir = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    visited = (seeds.select(F.col(seed_col).alias("node")).distinct()
+               .withColumn("hops", F.lit(0)))
+    frontier = visited.select("node")
+    for hop in range(1, k + 1):
+        f = F.broadcast(frontier) if broadcast_frontier else frontier
+        reached = (bidir.join(f, bidir["a"] == f["node"])
+                   .select(F.col("b").alias("node")).distinct())
+        frontier = (reached.join(visited.select("node"), "node",
+                                 "left_anti")
+                    .localCheckpoint(eager=True))
+        if not frontier.take(1):
+            break
+        visited = visited.unionByName(
+            frontier.withColumn("hops", F.lit(hop))) \
+            .localCheckpoint(eager=True)
+    return visited

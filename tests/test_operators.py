@@ -394,6 +394,34 @@ def test_schema_inference_end_to_end(spark):
     assert inf["b"] == ("string", 0)
 
 
+def test_khop_and_degree(spark):
+    from csvweb_spark.operators.graph import degree_stats, khop_neighbors
+    # path 1-2-3-4-5 plus hub 10 connected to 1,2,3 (and a self loop)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 1), (10, 2), (10, 3),
+         (7, 7)],
+        "src long, dst long")
+    deg = {r.node: r.degree for r in degree_stats(edges).collect()}
+    assert deg[10] == 3 and deg[2] == 3 and deg[5] == 1
+    assert 7 not in deg  # self loop dropped
+    seeds = spark.createDataFrame([(5,)], "node long")
+    got = {r.node: r.hops for r in
+           khop_neighbors(edges, seeds, k=2).collect()}
+    assert got == {5: 0, 4: 1, 3: 2}
+    # undirected: hops follow min distance even against edge direction,
+    # and the hub shortcut wins over the long path
+    got3 = {r.node: r.hops for r in
+            khop_neighbors(edges, spark.createDataFrame(
+                [(10,)], "node long"), k=2).collect()}
+    assert got3[1] == 1 and got3[2] == 1 and got3[3] == 1
+    assert got3[4] == 2 and 5 not in got3
+    # non-broadcast path agrees
+    nb = {r.node: r.hops for r in
+          khop_neighbors(edges, seeds, k=2,
+                         broadcast_frontier=False).collect()}
+    assert nb == got
+
+
 def test_blend_by_token_budget(spark, docs):
     from csvweb_spark.operators.sampling import blend_by_token_budget
     d = (docs.withColumn("stratum", (F.col("doc_id") % 2).cast("string"))
