@@ -89,6 +89,39 @@ RETAINS_LEADING_TRAILING_WS = {
 RETAINS_LEADING_TRAILING_WS_IN_LIST = {"string", "any", "anyAtomicType"}
 
 
+def register_annotation(name: str, iri: str, *,
+                        retains_line_endings: bool = False,
+                        retains_leading_trailing_ws: bool = False,
+                        retains_ws_in_list: bool = False) -> None:
+    """Public datatype-extension point - the named counterpart of the
+    reference's DatatypeAnnotation.RegisterAnnotation
+    (Metadata/DatatypeAnnotation.cs:111-118), which lets users map a new
+    datatype annotation to its IRI before parsing metadata that uses it.
+
+    Registration mutates the module-level registry IN PLACE, so every
+    consumer sees it immediately: metadata parsing accepts the annotation
+    (parse_meta), Datatype.iri resolves it, and BOTH conversion paths -
+    the pure-Python kernel (cells.py) and the compiled Spark expressions
+    (operators/triples.py) - type literals with the registered IRI. The
+    whitespace flags slot the annotation into the reference's CellParser
+    whitespace classes (Rdf/CellParser.cs:36-51); the default (all False)
+    is full trimming + line-ending collapse, matching every non-string
+    built-in. Re-registering a name overwrites it, like the reference's
+    dictionary setter. Unregistered annotations keep raising
+    MetadataParseError/ConversionError - parity with the reference's
+    KeyNotFound behavior."""
+    DATATYPE_ANNOTATIONS[name] = iri
+    for flag, group in ((retains_line_endings, RETAINS_LINE_ENDINGS),
+                        (retains_leading_trailing_ws,
+                         RETAINS_LEADING_TRAILING_WS),
+                        (retains_ws_in_list,
+                         RETAINS_LEADING_TRAILING_WS_IN_LIST)):
+        if flag:
+            group.add(name)
+        else:
+            group.discard(name)
+
+
 class MetadataParseError(Exception):
     """Mirror of DataDock.CsvWeb.Parsing.MetadataParseException."""
 

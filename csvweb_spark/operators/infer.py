@@ -82,8 +82,13 @@ def infer_table(pages: DataFrame, table_url: str,
     from .triples import extract_rows
 
     shell = Table(url=table_url)
-    head = pages.select("text").filter(F.col("text").isNotNull()) \
-        .limit(1).collect()
+    # deterministic sampling (round-3 ADVICE: bare limit() is
+    # partitioning-dependent, so the inferred schema could change between
+    # runs): both the header page and the election sample are the first
+    # pages in url order - TakeOrderedAndProject (per-partition top-k +
+    # merge), not a full sort, and the same pages on any cluster
+    head = (pages.filter(F.col("text").isNotNull())
+            .orderBy("url").select("text").limit(1).collect())
     if not head:
         raise ValueError("infer_table: pages group has no text payloads")
     first = next(iter(parse_csv_rows(head[0][0], shell.dialect)), None)
@@ -91,7 +96,7 @@ def infer_table(pages: DataFrame, table_url: str,
         raise ValueError("infer_table: sampled page has no header row")
     names = [n if n else f"col{i+1}" for i, n in enumerate(first)]
     shell.columns = [CsvwColumn(name=n) for n in names]
-    sampled = pages.limit(sample_pages)
+    sampled = pages.orderBy("url").limit(sample_pages)
     cells = cells_from_rows(extract_rows(sampled, shell), names)
     types = {r.col_name: r.inferred
              for r in infer_column_types(cells).collect()}

@@ -50,6 +50,13 @@ class LocalFS:
             return json.load(f)
 
     def write_text_atomic(self, p: str, text: str, tmp: str) -> None:
+        # NOTE divergent overwrite semantics (documented, round-3 ADVICE):
+        # LocalFS is last-write-wins (os.replace overwrites - which the
+        # turtle/ntriples prefix sidecars rely on when a sink is
+        # re-written), while HadoopFS is first-commit-wins (rename never
+        # overwrites; see below). Manifest commits are safe under EITHER
+        # because lineage run_ids are unique (timestamp + uuid suffix), so
+        # the same target name implies the same content.
         with open(tmp, "w") as f:
             f.write(text)
         os.replace(tmp, p)

@@ -166,7 +166,13 @@ def write_partitioned(df: DataFrame, output_dir: str, url_col: str = "url",
     commit-VISIBILITY only: overwritten partitions keep the newest files,
     like an Iceberg table after snapshot expiration.)"""
     spark = df.sparkSession
-    run_id = run_id or f"run-{int(time.time() * 1000)}"
+    # uuid suffix (round-3 ADVICE): manifest commits are first-commit-wins
+    # on Hadoop filesystems, so the default run_id must be unique even for
+    # two writers starting in the same millisecond - a timestamp alone
+    # could silently drop the second writer's manifest
+    import uuid
+    run_id = run_id or (f"run-{int(time.time() * 1000)}-"
+                        f"{uuid.uuid4().hex[:8]}")
     keyed = df if "part_key" in df.columns else with_part_key(df, url_col, n_buckets)
 
     fs = fs_for(output_dir, spark)

@@ -150,3 +150,56 @@ def test_common_property_detection():
     assert is_common_property("dc:title")
     assert not is_common_property("http://example.org/x")
     assert not is_common_property("url")
+
+
+def test_register_annotation_flows_through_both_paths(spark):
+    """register_annotation (the DatatypeAnnotation.RegisterAnnotation
+    counterpart, Metadata/DatatypeAnnotation.cs:111-118): a user-registered
+    datatype must resolve in metadata parsing, the Python kernel AND the
+    compiled Spark path - and disappear again when unregistered."""
+    import json
+
+    from csvweb_spark.csvw.convert import MODE_MINIMAL, PageConverter
+    from csvweb_spark.csvw.model import (
+        DATATYPE_ANNOTATIONS, ConversionError, Datatype, register_annotation)
+    from csvweb_spark.operators.triples import convert_table_group_spark
+
+    name, iri = "temperature", "http://example.org/dt/temperature"
+    assert name not in DATATYPE_ANNOTATIONS
+    with pytest.raises(ConversionError):
+        Datatype(base=name).iri
+
+    meta = json.dumps({
+        "@context": "http://www.w3.org/ns/csvw",
+        "url": "http://t.example.org/t.csv",
+        "tableSchema": {"columns": [
+            {"name": "city"},
+            {"name": "temp", "datatype": name},
+        ]},
+    })
+    csv_text = "city,temp\nOslo,  -4.5  \n"
+    try:
+        register_annotation(name, iri)
+        assert Datatype(base=name).iri == iri
+        group = parse_metadata(meta, "http://t.example.org/meta.json")
+        table = group.tables[0]
+        assert table.columns[1].datatype.iri == iri
+
+        kern = PageConverter(mode=MODE_MINIMAL).convert_table(table, csv_text)
+        k_typed = [t for t in kern.triples if t.obj_datatype == iri]
+        assert len(k_typed) == 1
+        # non-string annotation: whitespace-trimmed like the reference's
+        # default CellParser class (value not in any RETAINS set)
+        assert k_typed[0].obj == "-4.5"
+
+        pages = spark.createDataFrame([(table.url, csv_text)],
+                                      "url string, text string")
+        out = convert_table_group_spark(pages, table, mode=MODE_MINIMAL,
+                                        scope_by_url=False)
+        s_typed = [r for r in out.collect() if r.obj_datatype == iri]
+        assert len(s_typed) == 1
+        assert s_typed[0].obj == "-4.5"
+    finally:
+        del DATATYPE_ANNOTATIONS[name]
+    with pytest.raises(ConversionError):
+        Datatype(base=name).iri
