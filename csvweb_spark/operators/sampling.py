@@ -110,43 +110,36 @@ def blend_by_token_budget(df: DataFrame, budgets: dict,
 def stratified_sample_topk(df: DataFrame, k: int,
                            stratum_col: str = "source",
                            key_col: str = "doc_id", seed: int = 42,
-                           prefilter_bp: Optional[int] = None,
-                           partition_prune: bool = True) -> DataFrame:
+                           prefilter_bp: Optional[int] = None) -> DataFrame:
     """EXACTLY min(k, |stratum|) uniformly-chosen rows per stratum:
     rank by the sampling hash (a uniform permutation; ties broken by key
     for determinism on hash collisions) and keep rank <= k.
 
-    Skew guard ON BY DEFAULT (round-3 VERDICT minor: the default used to
-    feed whole strata to single window reducers - a 10^9-row stratum was
-    one straggler task): `partition_prune` first takes the top-k per
-    (stratum, INPUT PARTITION) - the window keys include
-    spark_partition_id, so every group is bounded by the partition size
-    regardless of stratum skew - then the global per-stratum window runs
-    over <= k * n_partitions rows per stratum. Top-k of a union is the
-    top-k of per-part top-ks, so the result is EXACTLY the unpruned
-    result (deterministic, partitioning-invariant), unlike the
-    probabilistic `prefilter_bp` bound. Cost: one extra bounded shuffle -
-    set partition_prune=False for tiny inputs where the second exchange
-    costs more than it saves.
+    Mega-stratum skew (round-3 VERDICT minor - 'a 10^9-row stratum sorts
+    on one reducer'): Catalyst's InferWindowGroupLimit already solves
+    this for exactly this plan shape. row_number() + filter(rank <= k)
+    compiles to a PARTIAL WindowGroupLimit per map partition BEFORE the
+    stratum exchange - each map task forwards at most k rows per stratum,
+    so the reducer sorts <= k * n_map_partitions rows however big the
+    stratum is, and the result is exactly the global top-k (top-k of
+    per-partition top-ks). The plan shape is pinned by a regression test
+    (test_stratified_topk_window_group_limit): if a future edit breaks
+    the pushdown (e.g. a rank expression Catalyst cannot infer a group
+    limit for), the test fails rather than the cluster.
 
     `prefilter_bp` remains as a further scale lever: rows with hash above
     prefilter_bp/10^4 of the range cannot be in the top-k of any stratum
     bigger than ~k*10^4/prefilter_bp, so the window input shrinks to
-    ~|corpus|*prefilter_bp/10^4 rows. EXACTNESS CAVEAT: a stratum whose
-    size is under ~k*10^4/prefilter_bp can lose rows to the pre-filter -
-    choose prefilter_bp >= k*10^4/min_stratum_size (None never drops)."""
+    ~|corpus|*prefilter_bp/10^4 rows before the window stage even sees
+    it. EXACTNESS CAVEAT: a stratum whose size is under
+    ~k*10^4/prefilter_bp can lose rows to the pre-filter - choose
+    prefilter_bp >= k*10^4/min_stratum_size (the default None never
+    drops)."""
     h = sample_hash(F.col(key_col), seed)
     base = df.withColumn("_sh", h)
     if prefilter_bp is not None:
         base = base.filter(
             F.col("_sh") < F.lit((MERSENNE31 * prefilter_bp) // 10_000))
-    if partition_prune:
-        wp = Window.partitionBy(stratum_col, "_pt").orderBy(
-            F.col("_sh").asc(), F.col(key_col).asc())
-        base = (base.withColumn("_pt", F.spark_partition_id())
-                .withColumn("_prk", F.row_number().over(wp))
-                .filter(F.col("_prk") <= k)
-                .drop("_pt", "_prk"))
     w = Window.partitionBy(stratum_col).orderBy(
         F.col("_sh").asc(), F.col(key_col).asc())
     return (base.withColumn("_rk", F.row_number().over(w))

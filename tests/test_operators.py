@@ -158,6 +158,16 @@ def test_embedding_dedup_lsh_blocking(spark):
     plan = lsh._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the candidate-pair dedup exchange carries BARE ids (round-3 VERDICT
+    # minor: it used to ship both full vectors, ~12 KB/pair at 768-dim):
+    # the dropDuplicates aggregate must group and output (id_a, id_b)
+    # only, vectors re-joined after
+    opt = lsh._jdf.queryExecution().optimizedPlan().toString()
+    dedup_aggs = [ln for ln in opt.splitlines()
+                  if "Aggregate [id_a" in ln]
+    assert dedup_aggs, opt
+    assert all("v_a" not in ln and "v_b" not in ln for ln in dedup_aggs), \
+        dedup_aggs
 
 
 def test_canonicalize_url(spark):
@@ -441,6 +451,30 @@ def test_blend_by_token_budget(spark, docs):
     assert full.count() == d.filter("stratum = '1'").count()
 
 
+def test_blend_null_stratum_honored(spark, docs):
+    """A NULL stratum's computed rate must be applied, not silently
+    dropped (round-3 ADVICE: rates[None] was ignored because the CASE
+    chain skipped None keys)."""
+    from csvweb_spark.operators.sampling import (blend_by_token_budget,
+                                                 stratified_hash_sample)
+    d = (docs.withColumn(
+            "stratum",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("even")))  # odd -> NULL
+         .withColumn("n_tokens", F.size(F.split("text", " ")).cast("long")))
+    total_null = int(d.filter("stratum IS NULL")
+                     .agg(F.sum("n_tokens")).collect()[0][0])
+    # give the NULL stratum its full total: every NULL row must survive
+    out = blend_by_token_budget(d, {None: total_null * 2, "even": 0},
+                                stratum_col="stratum")
+    assert out.count() == d.filter("stratum IS NULL").count()
+    assert all(r.stratum is None for r in out.collect())
+    # and an explicit None rate in stratified_hash_sample behaves the same
+    half = stratified_hash_sample(d, {None: 5000}, stratum_col="stratum",
+                                  default_bp=0)
+    n_null = d.filter("stratum IS NULL").count()
+    assert 0 < half.count() < n_null
+
+
 def test_dedup_exact_incremental(spark):
     from csvweb_spark.operators.dedup import (dedup_exact,
                                               dedup_exact_incremental)
@@ -599,6 +633,51 @@ def test_deterministic_sampling(spark, docs):
         sorted(map(tuple, topk.collect()))
 
 
+def test_stratified_topk_window_group_limit(spark):
+    """Mega-stratum scale shape (round-3 VERDICT minor): the top-k window
+    must compile with Catalyst's PARTIAL WindowGroupLimit below the
+    stratum exchange, so each map task forwards <= k rows per stratum
+    instead of shipping the whole stratum to one reducer - and the pruned
+    result must still be the exact global top-k by hash."""
+    import hashlib
+
+    from csvweb_spark.operators.sampling import (MERSENNE31,
+                                                 stratified_sample_topk)
+
+    # one mega stratum + one tiny one (a constant-literal stratum would
+    # let Catalyst collapse the window to TakeOrderedAndProject entirely)
+    df = (spark.range(100_000)
+          .select(F.col("id").alias("doc_id"),
+                  F.when(F.col("id") < 10, F.lit("tiny"))
+                   .otherwise(F.lit("mega")).alias("source"))
+          .repartition(8))
+    out = stratified_sample_topk(df, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    partials = [ln for ln in lines
+                if "WindowGroupLimit" in ln and "Partial" in ln]
+    finals = [ln for ln in lines
+              if "WindowGroupLimit" in ln and "Final" in ln]
+    assert partials, f"map-side window prune missing:\n{plan}"
+    assert finals
+    # the Partial prune sits BELOW the exchange (map side): in the
+    # top-down plan text it must appear after the Exchange line
+    exch_ix = next(i for i, ln in enumerate(lines) if "Exchange" in ln)
+    part_ix = next(i for i, ln in enumerate(lines) if ln in partials)
+    assert part_ix > exch_ix, plan
+
+    # exactness: the kept rows are the 5 smallest sampling hashes
+    def h(key):
+        return int(hashlib.md5(f"42:{key}".encode()).hexdigest()[:8],
+                   16) % MERSENNE31
+
+    mega = sorted((i for i in range(100_000) if i >= 10),
+                  key=lambda i: (h(i), i))[:5]
+    tiny = sorted(range(10), key=lambda i: (h(i), i))[:5]
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == sorted(mega + tiny)
+
+
 def test_hyperplane_sketches_udf_matches_jvm(spark, embeddings):
     """The batched numpy sketcher must be bit-identical to the pure-JVM
     expression per table - including the degenerate rows (null vector /
@@ -733,6 +812,41 @@ def test_connected_components_megahub(spark):
         F.countDistinct("component").alias("c"),
         F.min("component").alias("m")).collect()[0]
     assert (agg.n, agg.c, agg.m) == (100_001, 1, 500_000)
+
+
+def test_choose_n_salts_adaptive(spark):
+    """Skew-adaptive salting: a uniform graph picks 1 salt (zero salting
+    overhead), a hub star picks enough salts that no (key, salt) partial
+    group exceeds ~2x the target bucket, and adaptive CC labeling stays
+    exact."""
+    from csvweb_spark.operators.canonicalize import (
+        _salted_min, choose_n_salts, connected_components)
+
+    # uniform: a 500-edge path - max degree 2, far under any bucket
+    path = spark.createDataFrame([(i, i + 1) for i in range(500)],
+                                 "src long, dst long")
+    assert choose_n_salts(path, target_bucket=256) == 1
+
+    # star: hub 0 with degree 4000 -> ceil(4000/256) = 16 salts
+    star = spark.range(1, 4001).select(
+        F.lit(0).cast("long").alias("src"), F.col("id").alias("dst"))
+    n = choose_n_salts(star, target_bucket=256)
+    assert n == 16
+
+    # the salted partial-min groups are bounded: the hub's 4000 edges
+    # spread over 16 salts, so no (key, salt) group should exceed ~2x
+    # the uniform share (vs 4000 in one group unsalted)
+    bidir = star.selectExpr("src a", "dst b").unionByName(
+        star.selectExpr("dst a", "src b"))
+    salted, _ = _salted_min(bidir, "a", "b", n_salts=n)
+    biggest = (salted.groupBy("a", "_salt").count()
+               .agg(F.max("count")).collect()[0][0])
+    assert biggest <= 2 * (4000 // n)
+
+    # adaptive end-to-end: same labels as the static default
+    lab = {r.node: r.component
+           for r in connected_components(star, n_salts=None).collect()}
+    assert set(lab.values()) == {0} and len(lab) == 4001
 
 
 def test_connected_components_long_chain_converges(spark):

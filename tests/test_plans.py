@@ -235,3 +235,55 @@ def test_minhash_lsh_signatures_computed_once(spark):
     final = plan.split("+- == Initial Plan ==")[0]
     assert final.count("ArrowEvalPython") == 1, final
     assert "ReusedExchange" in final, final
+
+
+def test_write_resumable_iceberg_shape(spark):
+    """The catalog commit path (no Iceberg runtime in-sandbox, so the
+    protocol is driven through an injected executor - the HttpResolver
+    pattern): DDL shape, metadata-table resume query, committed buckets
+    excluded from the append, and a clear refusal without a catalog."""
+    from csvweb_spark.plans.lineage import (iceberg_ddl,
+                                            iceberg_snapshots_sql,
+                                            write_resumable_iceberg)
+
+    df = spark.createDataFrame(
+        [(f"http://p/{i}.csv", f"t{i}") for i in range(64)],
+        "url string, text string")
+    committed = spark.createDataFrame([(0,), (3,)], "part_key bigint")
+    calls = {"sql": [], "append": []}
+
+    def fake_sql(s):
+        calls["sql"].append(s)
+        return committed if ".partitions" in s else None
+
+    def fake_append(d, ident):
+        calls["append"].append((d, ident))
+
+    res = write_resumable_iceberg(
+        df, "lake.db.triples", n_buckets=8,
+        executor={"sql": fake_sql, "append": fake_append})
+
+    ddl = calls["sql"][0]
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS lake.db.triples")
+    assert "USING iceberg" in ddl
+    assert "PARTITIONED BY (part_key)" in ddl
+    assert "url string" in ddl and "text string" in ddl
+    assert "part_key bigint" in ddl
+    assert calls["sql"][1] == ("SELECT DISTINCT partition.part_key AS "
+                               "part_key FROM lake.db.triples.partitions")
+    assert res["resumed_past"] == [0, 3]
+    assert res["snapshots_sql"] == iceberg_snapshots_sql("lake.db.triples")
+
+    (appended, ident), = calls["append"]
+    assert ident == "lake.db.triples"
+    assert "part_key" in appended.columns
+    keys = {r.part_key for r in appended.select("part_key")
+            .distinct().collect()}
+    assert keys and not keys & {0, 3}  # committed buckets filtered out
+
+    # without an executor and without a configured catalog: refuse with
+    # guidance, for qualified and unqualified identifiers alike
+    with pytest.raises(ValueError, match="no catalog configured"):
+        write_resumable_iceberg(df, "lake.db.triples")
+    with pytest.raises(ValueError, match="no catalog configured"):
+        write_resumable_iceberg(df, "triples")
