@@ -199,6 +199,49 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
         ev, win, "ts", ["user_id"], "start_ts", "end_ts",
         bucket_minutes=60).count())
 
+    # round-3 operator surface (r3 VERDICT item 8: bench the new ops so
+    # round-4+ regressions are visible)
+    # graph retrieval: 3-hop BFS over a chain + hub-star edge table
+    from csvweb_spark.operators.graph import khop_neighbors
+    ids = docs.select(F.col("doc_id").alias("n"))
+    chains = (ids.filter((F.col("n") % 100) != 99)
+              .select(F.col("n").alias("src"), (F.col("n") + 1).alias("dst"))
+              .join(ids.select(F.col("n").alias("dst")), "dst", "left_semi"))
+    star = (ids.filter((F.col("n") > 0) & (F.col("n") < 2000))
+            .select(F.lit(0).cast("long").alias("src"),
+                    F.col("n").alias("dst")))
+    edges_khop = chains.unionByName(star).persist()
+    edges_khop.count()  # synthesis excluded from timing
+    seeds = spark.createDataFrame([(0,), (2500,)], "node long")
+    timed("kg_khop", lambda: khop_neighbors(edges_khop, seeds, k=3).count())
+
+    # deterministic exact-k stratified draw (WindowGroupLimit prune path)
+    from csvweb_spark.operators.sampling import stratified_sample_topk
+    timed("sample_stratified", lambda: stratified_sample_topk(
+        docs, k=100, stratum_col="source").count())
+
+    # domain curation: per-host profile + at-most-k cap
+    from csvweb_spark.operators.urls import cap_per_host, host_profile
+    upages = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://h"), F.col("doc_id") % 997,
+                 F.lit(".example.org/p/"), F.col("doc_id")).alias("url"))
+    timed("host_curation", lambda: cap_per_host(upages, 3).count()
+          + host_profile(upages).count())
+
+    # one-call curation composition (single-pass audit metrics path)
+    from csvweb_spark.pipeline import curate_documents
+
+    def _curate():
+        reg: list = []
+        _, m = curate_documents(docs, dedup_threshold=0.6,
+                                cache_registry=reg)
+        for c in reg:
+            c.unpersist()
+        return m["output"]
+
+    timed("curate_documents", _curate, retry_under=0.0)
+
     # relational: TPC-H-ish Q1
     dec = lambda c: F.col(c).cast("decimal(18,4)")
     timed("q1_pricing_summary", lambda: (

@@ -368,6 +368,88 @@ def dedup_minhash_lsh(df: DataFrame, text_col: str = "text",
     return (pairs, dropped) if return_dropped else pairs
 
 
+def sig_agreement_at_least(a: Column, b: Column, min_equal: int) -> Column:
+    """True when >= min_equal minhash components agree - the standard
+    signature estimator of Jaccard (E[fraction equal] = J), thresholded
+    as an INTEGER count so verdicts are exact/deterministic in any engine
+    (DuckDB counts equal positions with a plain join on the permutation
+    index)."""
+    eq = F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y),
+                         lambda z: z))
+    return eq >= F.lit(min_equal)
+
+
+def dedup_minhash_incremental(new_docs: DataFrame, seen_sigs: DataFrame,
+                              text_col: str = "text",
+                              key_col: str = "doc_id", n: int = 3,
+                              num_hashes: int = 64, bands: int = 16,
+                              threshold: float = 0.8, seed: int = 42,
+                              shingle_unit: str = "word",
+                              dedup_within: bool = True) -> DataFrame:
+    """Incremental NEAR-dedup: rows of `new_docs` that survive against a
+    committed corpus represented ONLY by its minhash signatures
+    (`seen_sigs`: (key, signature) from minhash_signatures - materialize
+    once, append survivors per batch). The batch twin of
+    streaming/pipeline.stream_deduped_documents' state join, and the
+    near-dup sibling of dedup_exact_incremental.
+
+    Two stages, identical criteria (candidate = shared LSH band bucket;
+    verified = signature agreement >= ceil(threshold * num_hashes),
+    sig_agreement_at_least):
+      1. within the batch (dedup_within=True): the larger key of each
+         verified pair is dropped;
+      2. cross-batch: survivors whose buckets collide with the committed
+         band table and whose signatures agree are dropped.
+
+    At 100 TB the committed corpus costs (bands + num_hashes) longs per
+    doc - no text retained or re-read; the band join keys are uniform
+    60-bit hashes. The whole operator is deterministic bigint arithmetic,
+    so a DuckDB oracle replays the surviving SET exactly (the
+    dedup_incremental_near driver query). NB: docs with empty/null text
+    share the all-zero signature and dedup against each other - run the
+    cheap exact pre-pass first, as with every LSH operator here."""
+    import math
+
+    min_equal = int(math.ceil(threshold * num_hashes))
+    rpb = num_hashes // bands
+    sigs = minhash_signatures(new_docs, text_col, key_col, n, num_hashes,
+                              seed, shingle_unit)
+    new_bands = lsh_band_buckets(sigs, key_col, bands, rpb)
+
+    alive = new_docs
+    if dedup_within:
+        a = new_bands.select(F.col(key_col).alias("id_a"), "band", "bucket")
+        b = new_bands.select(F.col(key_col).alias("id_b"), "band", "bucket")
+        pairs = (a.join(b, ["band", "bucket"])
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b").distinct())
+        dup_in = (pairs
+                  .join(sigs.select(F.col(key_col).alias("id_a"),
+                                    F.col("signature").alias("_sa")), "id_a")
+                  .join(sigs.select(F.col(key_col).alias("id_b"),
+                                    F.col("signature").alias("_sb")), "id_b")
+                  .filter(sig_agreement_at_least(F.col("_sa"), F.col("_sb"),
+                                                 min_equal))
+                  .select(F.col("id_b").alias(key_col)).distinct())
+        alive = alive.join(dup_in, key_col, "left_anti")
+
+    seen_bands = lsh_band_buckets(seen_sigs, key_col, bands, rpb)
+    cand = (new_bands.join(alive.select(key_col), key_col, "left_semi")
+            .join(seen_bands.select(F.col(key_col).alias("_old"),
+                                    "band", "bucket"),
+                  ["band", "bucket"])
+            .select(key_col, "_old").distinct())
+    dup_cross = (cand
+                 .join(sigs, key_col)
+                 .join(seen_sigs.select(F.col(key_col).alias("_old"),
+                                        F.col("signature").alias("_olds")),
+                       "_old")
+                 .filter(sig_agreement_at_least(F.col("signature"),
+                                                F.col("_olds"), min_equal))
+                 .select(key_col).distinct())
+    return alive.join(dup_cross, key_col, "left_anti")
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

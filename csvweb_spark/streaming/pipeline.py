@@ -119,6 +119,160 @@ def stream_knowledge_graph(spark: SparkSession, input_dir: str,
     return writer.start()
 
 
+def stream_deduped_documents(spark: SparkSession, input_dir: str,
+                             output_dir: str, checkpoint_dir: str,
+                             schema: str = "doc_id long, text string",
+                             text_col: str = "text",
+                             key_col: str = "doc_id",
+                             threshold: float = 0.8,
+                             num_hashes: int = 64, bands: int = 16,
+                             seed: int = 42,
+                             max_files_per_trigger: Optional[int] = None,
+                             available_now: bool = True,
+                             batch_hook=None):
+    """Incremental near-duplicate removal across micro-batches (round-3
+    VERDICT item: dedup_exact_incremental existed; this is its MinHash
+    sibling) - the streaming counterpart of dedup_minhash_lsh, with the
+    committed corpus represented by a persistent BAND-BUCKET + SIGNATURE
+    state table instead of the corpus text:
+
+      per batch (foreachBatch):
+      1. in-batch near-dedup: band-bucket candidate pairs among the
+         batch's docs, verified by minhash-signature agreement
+         (sig_agreement_at_least: >= ceil(threshold * num_hashes) equal
+         components - the unbiased Jaccard estimator, integer-thresholded); the larger key of each
+         verified pair is dropped;
+      2. cross-batch: the survivors' band buckets are joined against the
+         COMMITTED band table (all prior batches); candidates are
+         verified against the committed signatures the same way; a doc
+         near-duplicating anything already committed is dropped. State is
+         ~(bands + num_hashes) longs per committed doc - no text is ever
+         retained or re-read, which is what makes the state viable at
+         10^12 docs;
+      3. survivors land in docs/batch=<id>/, their bands + signatures in
+         _state/{bands,sigs}/batch=<id>/.
+
+    Exactly-once on redelivery: every write is a deterministic
+    mode('overwrite') of THIS batch's own directory, and the state read
+    excludes the current batch id - so a crashed attempt's partial output
+    is simply rewritten byte-identically (batch content and prior state
+    are fixed), never double-counted and never self-matched. The
+    streaming checkpoint guarantees completed batches are not
+    re-delivered.
+
+    `batch_hook(batch_id, point)` fires at 'start' and at 'mid' (between
+    the docs commit and the state commit) - the crash-injection seam for
+    the resume test. Returns the StreamingQuery."""
+    import math
+
+    from ..operators.dedup import (lsh_band_buckets, minhash_signatures,
+                                   sig_agreement_at_least)
+    from ..plans.fs import fs_for
+
+    min_equal = int(math.ceil(threshold * num_hashes))
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    fs = fs_for(output_dir, spark)
+
+    def _state_dirs(sub: str, batch_id: int) -> list[str]:
+        root = fs.join(output_dir, "_state", sub)
+        if not fs.isdir(root):
+            return []
+        return [fs.join(root, d) for d in sorted(fs.listdir(root))
+                if d.startswith("batch=")
+                and int(d.split("=", 1)[1]) != batch_id]
+
+    def process(batch_df, batch_id):
+        if batch_hook is not None:
+            batch_hook(batch_id, "start")
+        docs = batch_df.select(key_col, text_col).persist()
+        if docs.count() == 0:
+            docs.unpersist()
+            return
+        sigs = minhash_signatures(docs, text_col, key_col,
+                                  num_hashes=num_hashes,
+                                  seed=seed).persist()
+        bandt = lsh_band_buckets(sigs, key_col, bands,
+                                 num_hashes // bands).persist()
+
+        # 1. in-batch: bucket-join candidates, signature-verified
+        a = bandt.select(F.col(key_col).alias("id_a"), "band", "bucket")
+        b = bandt.select(F.col(key_col).alias("id_b"), "band", "bucket")
+        pairs = (a.join(b, ["band", "bucket"])
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b").distinct())
+        sa = sigs.select(F.col(key_col).alias("id_a"),
+                         F.col("signature").alias("_sa"))
+        sb = sigs.select(F.col(key_col).alias("id_b"),
+                         F.col("signature").alias("_sb"))
+        dup_in = (pairs.join(sa, "id_a").join(sb, "id_b")
+                  .filter(sig_agreement_at_least(F.col("_sa"), F.col("_sb"),
+                                              min_equal))
+                  .select(F.col("id_b").alias(key_col)).distinct())
+        alive = docs.join(dup_in, key_col, "left_anti")
+
+        # 2. cross-batch: candidates against the committed band table,
+        # verified against the committed signatures
+        band_dirs = _state_dirs("bands", batch_id)
+        if band_dirs:
+            prev_bands = spark.read.parquet(*band_dirs)
+            prev_sigs = spark.read.parquet(*_state_dirs("sigs", batch_id))
+            cand = (bandt.join(alive.select(key_col), key_col, "left_semi")
+                    .join(prev_bands.select(
+                        F.col(key_col).alias("_old"), "band", "bucket"),
+                        ["band", "bucket"])
+                    .select(key_col, "_old").distinct())
+            dup_cross = (cand
+                         .join(sigs, key_col)
+                         .join(prev_sigs.select(
+                             F.col(key_col).alias("_old"),
+                             F.col("signature").alias("_olds")), "_old")
+                         .filter(sig_agreement_at_least(
+                             F.col("signature"), F.col("_olds"), min_equal))
+                         .select(key_col).distinct())
+            alive = alive.join(dup_cross, key_col, "left_anti")
+        alive = alive.persist()
+
+        # 3. commit survivors, then their state (crash between the two ->
+        # redelivery rewrites both deterministically)
+        alive.write.mode("overwrite").parquet(
+            fs.join(output_dir, f"docs/batch={batch_id}"))
+        if batch_hook is not None:
+            batch_hook(batch_id, "mid")
+        keys = alive.select(key_col)
+        bandt.join(keys, key_col, "left_semi").write.mode("overwrite") \
+            .parquet(fs.join(output_dir, f"_state/bands/batch={batch_id}"))
+        sigs.join(keys, key_col, "left_semi").write.mode("overwrite") \
+            .parquet(fs.join(output_dir, f"_state/sigs/batch={batch_id}"))
+        for c in (docs, sigs, bandt, alive):
+            c.unpersist()
+
+    writer = (stream.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_streamed_documents(spark: SparkSession,
+                            output_dir: str) -> Optional[DataFrame]:
+    """Union of every committed batch's surviving documents (None when
+    nothing is committed yet)."""
+    from ..plans.fs import fs_for
+
+    fs = fs_for(output_dir, spark)
+    root = fs.join(output_dir, "docs")
+    if not fs.isdir(root):
+        return None
+    dirs = [fs.join(root, d) for d in sorted(fs.listdir(root))
+            if d.startswith("batch=")]
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
 def read_streamed_graph(spark: SparkSession, output_dir: str,
                         table: str = "triples") -> Optional[DataFrame]:
     """Union of the committed snapshots of every batch directory written
