@@ -229,12 +229,17 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     timed("host_curation", lambda: cap_per_host(upages, 3).count()
           + host_profile(upages).count())
 
-    # one-call curation composition (single-pass audit metrics path)
+    # one-call curation composition (single-pass audit metrics path).
+    # The synthetic corpus has no terminal punctuation, which the C4
+    # filter would clean to nothing - append a period per line so every
+    # stage (clean, PII, exact dedup, LSH) processes the full corpus
     from csvweb_spark.pipeline import curate_documents
+    cdocs = docs.withColumn(
+        "text", F.concat(F.regexp_replace("text", "\n", ".\n"), F.lit(".")))
 
     def _curate():
         reg: list = []
-        _, m = curate_documents(docs, dedup_threshold=0.6,
+        _, m = curate_documents(cdocs, dedup_threshold=0.6,
                                 cache_registry=reg)
         for c in reg:
             c.unpersist()

@@ -157,24 +157,28 @@ def curate_documents(docs: DataFrame, text_col: str = "text",
     dedup chain from the source - a ~5x multiplier on the most expensive
     stages at 100 TB). Now:
 
-    * the input/after-clean counts ride as df.observe aggregates (the
-      pattern already used by plans/lineage.observe_metrics) - zero
-      dedicated jobs; the LSH bucket-drop audit reads the bucket census
-      that dedup_minhash_lsh persists for us (an Observation there is
-      unreliable - see its docstring), so it costs one cache-read job;
+    * the input count rides as a df.observe aggregate (the pattern
+      already used by plans/lineage.observe_metrics) on the linear
+      cleaning query - zero dedicated jobs; deeper observations proved
+      unreliable (metrics under broadcast build sides / AQE-stacked
+      exchanges never reach the root query - see dedup_minhash_lsh's
+      docstring), so the remaining audit numbers are the stage actions'
+      own results plus one cache-read of the persisted LSH bucket
+      census;
     * the two frames the flow reuses are persisted: `scrubbed` (scanned
       twice by exact dedup: digest build + semi-join probe) and `exact`
       (scanned by signatures, verification and the anti-join). The
       persists double as the observation guard: an observed subplan must
       execute exactly once per action or the counters double-fire - the
       cache guarantees that;
-    * with_metrics=True triggers exactly three chain actions, each
-      executing its stage once: a count up to `exact` (populates
-      input/after_clean and caches the chain), a count of the LSH
-      loser-key set (runs LSH once off the cached `exact`, caching the
-      census), and a cache-to-cache count of the result (caches the
-      output so the caller's consumption recomputes nothing) - plus the
-      census cache-read for the drop audit.
+    * with_metrics=True triggers exactly four chain actions, each
+      executing its stage once: a count of the cleaning output (fires
+      the input observation, caches `scrubbed`), a count of the exact-
+      dedup survivors off that cache, a count of the LSH loser-key set
+      (runs LSH once off the cached `exact`, caching the census), and a
+      cache-to-cache count of the result (caches the output so the
+      caller's consumption recomputes nothing) - plus the census
+      cache-read for the drop audit.
 
     with_metrics=False runs ZERO jobs here; the same persists are set up
     lazily so the caller's first action executes each stage once. Pass
@@ -187,21 +191,18 @@ def curate_documents(docs: DataFrame, text_col: str = "text",
     from .operators.dedup import dedup_exact_keep_first, dedup_minhash_lsh
     from .operators.text import clean_documents_c4, redact_pii
 
-    obs_in = obs_clean = None
+    obs_in = None
     src = docs
     if with_metrics:
-        obs_in, obs_clean = Observation(), Observation()
+        obs_in = Observation()
         src = src.observe(obs_in, F.count(F.lit(1)).alias("n"))
 
     cleaned = clean_documents_c4(src, text_col, key_col,
                                  min_words=min_words_per_line)
     scrubbed = (redact_pii(cleaned, "clean_text", key_col)
                 .withColumnRenamed("clean_text", text_col)
-                .filter(F.length(text_col) > 0))
-    if with_metrics:
-        scrubbed = scrubbed.observe(obs_clean,
-                                    F.count(F.lit(1)).alias("n"))
-    scrubbed = scrubbed.persist(StorageLevel.MEMORY_AND_DISK)
+                .filter(F.length(text_col) > 0)
+                .persist(StorageLevel.MEMORY_AND_DISK))
 
     exact = dedup_exact_keep_first(scrubbed, text_col, key_col) \
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -224,11 +225,16 @@ def curate_documents(docs: DataFrame, text_col: str = "text",
 
     metrics: dict = {}
     if with_metrics:
-        # action 1: executes source -> clean -> PII -> exact dedup ONCE
-        # (caching scrubbed + exact on the way) and fires obs_in/obs_clean
-        metrics["after_exact_dedup"] = exact.count()
+        # action 1: executes source -> clean -> PII ONCE, rooted at the
+        # LINEAR cleaning plan (an observation only reports reliably when
+        # its node is not buried under a broadcast build side or AQE-
+        # stacked exchanges - see dedup_minhash_lsh's docstring), caching
+        # `scrubbed` and firing the input counter
+        metrics["after_clean"] = scrubbed.count()
         metrics["input"] = int(obs_in.get["n"])
-        metrics["after_clean"] = int(obs_clean.get["n"])
+        # action 2: digest build + semi-join off the cached `scrubbed`,
+        # caching `exact`
+        metrics["after_exact_dedup"] = exact.count()
         # action 2: executes LSH ONCE off the cached `exact`, caching the
         # loser-key set and the bucket census on the way
         metrics["near_dup_losers"] = losers.count()
