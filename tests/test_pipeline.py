@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import functions as _F
 
 
-def test_curate_documents_e2e(spark):
+def test_curate_documents_e2e(spark, monkeypatch):
     from csvweb_spark.pipeline import curate_documents
     base = ("This is a proper sentence that should definitely survive "
             "the cleaning stage today.")
@@ -34,11 +34,38 @@ def test_curate_documents_e2e(spark):
             yield pdf
 
     docs = docs.repartition(2).mapInPandas(tap, docs.schema)
+
+    # and bound LSH signature executions: tap the minhash_signatures
+    # output. CAVEAT: the tap itself (a Python mapInPandas node) defeats
+    # the operator's exchange reuse, so ONE logical LSH pass reads the
+    # tapped stage up to 3x (census + both self-join sides - the untapped
+    # plan shares one exchange, pinned by test_plans.py::
+    # test_minhash_lsh_signatures_computed_once). The bound still fails
+    # if any LATER action re-executes LSH (loser-cache regression would
+    # read it 6-9x more)
+    import csvweb_spark.operators.dedup as dd
+    orig_sigs = dd.minhash_signatures
+    sig_rows = spark.sparkContext.accumulator(0)
+
+    def counting_sigs(*a, **k):
+        df = orig_sigs(*a, **k)
+
+        def tap_sigs(it):
+            for pdf in it:
+                sig_rows.add(len(pdf))
+                yield pdf
+
+        return df.mapInPandas(tap_sigs, df.schema)
+
+    monkeypatch.setattr(dd, "minhash_signatures", counting_sigs)
     caches: list = []
     curated, metrics = curate_documents(docs, dedup_threshold=0.8,
                                         cache_registry=caches)
     out = {r.doc_id: r for r in curated.collect()}
     assert seen.value == 5  # the source was scanned exactly once
+    # one logical signature pass (<= 3 tap-broken branch reads); a
+    # cross-action LSH re-execution would exceed this
+    assert sig_rows.value <= 3 * metrics["after_exact_dedup"]
     assert metrics["lsh_buckets_dropped"] == 0
     assert metrics["lsh_rows_dropped"] == 0
     assert caches and all(c.is_cached for c in caches)
