@@ -1236,7 +1236,7 @@ def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16,
 
 
 def _minhash_sig_ctes(tag: str, src: str, num_hashes: int,
-                      bands: int) -> str:
+                      bands: int, max_bucket: int = 64) -> str:
     """The signature CTE chain (tokens -> word 3-gram shingles -> md5
     base hashes -> Carter-Wegman minima -> band buckets) for one doc set,
     suffixed with `tag` - shared by the incremental-dedup oracle's two
@@ -1275,7 +1275,13 @@ def _minhash_sig_ctes(tag: str, src: str, num_hashes: int,
                        ('0x' || substr(md5(r.bi::varchar || ':' ||
                            array_to_string(sig[r.bi*{rpb}+1 : r.bi*{rpb}+{rpb}],
                                            ',')), 1, 15))::bigint AS bucket
-                FROM siglist_{tag}, range({bands}) r(bi))"""
+                FROM siglist_{tag}, range({bands}) r(bi)),
+            capped_{tag} AS (
+                SELECT b.* FROM banded_{tag} b
+                JOIN (SELECT bi, bucket FROM banded_{tag}
+                      GROUP BY bi, bucket
+                      HAVING count(*) <= {max_bucket}) ok
+                  ON b.bi = ok.bi AND b.bucket = ok.bucket)"""
 
 
 def _minhash_incremental_oracle_sql(num_hashes: int = 64, bands: int = 16,
@@ -1284,7 +1290,9 @@ def _minhash_incremental_oracle_sql(num_hashes: int = 64, bands: int = 16,
     q_dedup_incremental_near corpus: both sides' signatures replayed,
     in-batch pairs verified by the integer agreement count (>= min_equal
     equal permutation values), then survivors checked against the
-    committed side's band buckets + signatures. min_equal = 39 =
+    committed side's band buckets + signatures, with each side's
+    over-cap (> 64 entries) buckets excluded from candidate generation
+    exactly as the operator's skew guard does. min_equal = 39 =
     ceil(0.6 * 64), the query's threshold."""
     return f"""
             WITH newdocs AS (
@@ -1304,7 +1312,7 @@ def _minhash_incremental_oracle_sql(num_hashes: int = 64, bands: int = 16,
             {_minhash_sig_ctes('o', 'olddocs', num_hashes, bands)},
             pairs AS (
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM banded_n a JOIN banded_n b
+                FROM capped_n a JOIN capped_n b
                   ON a.bi = b.bi AND a.bucket = b.bucket
                  AND a.doc_id < b.doc_id),
             agree_in AS (
@@ -1320,8 +1328,8 @@ def _minhash_incremental_oracle_sql(num_hashes: int = 64, bands: int = 16,
                        WHERE doc_id NOT IN (SELECT doc_id FROM dup_in)),
             cand AS (
                 SELECT DISTINCT n.doc_id, o.doc_id AS old_id
-                FROM banded_n n
-                JOIN banded_o o ON n.bi = o.bi AND n.bucket = o.bucket
+                FROM capped_n n
+                JOIN capped_o o ON n.bi = o.bi AND n.bucket = o.bucket
                 WHERE n.doc_id IN (SELECT doc_id FROM alive1)),
             agree_x AS (
                 SELECT c.doc_id, c.old_id,

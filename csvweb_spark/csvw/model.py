@@ -90,9 +90,9 @@ RETAINS_LEADING_TRAILING_WS_IN_LIST = {"string", "any", "anyAtomicType"}
 
 
 def register_annotation(name: str, iri: str, *,
-                        retains_line_endings: bool = False,
-                        retains_leading_trailing_ws: bool = False,
-                        retains_ws_in_list: bool = False) -> None:
+                        retains_line_endings: Optional[bool] = None,
+                        retains_leading_trailing_ws: Optional[bool] = None,
+                        retains_ws_in_list: Optional[bool] = None) -> None:
     """Public datatype-extension point - the named counterpart of the
     reference's DatatypeAnnotation.RegisterAnnotation
     (Metadata/DatatypeAnnotation.cs:111-118), which lets users map a new
@@ -104,9 +104,14 @@ def register_annotation(name: str, iri: str, *,
     the pure-Python kernel (cells.py) and the compiled Spark expressions
     (operators/triples.py) - type literals with the registered IRI. The
     whitespace flags slot the annotation into the reference's CellParser
-    whitespace classes (Rdf/CellParser.cs:36-51); the default (all False)
-    is full trimming + line-ending collapse, matching every non-string
-    built-in. Re-registering a name overwrites it, like the reference's
+    whitespace classes (Rdf/CellParser.cs:36-51); each flag defaults to
+    None = LEAVE MEMBERSHIP UNCHANGED (review fix: an unconditional
+    discard meant re-registering a built-in like 'string' just to remap
+    its IRI silently stripped its whitespace semantics process-wide - the
+    reference's RegisterAnnotation only sets the dictionary entry). For a
+    brand-new name, unchanged membership means full trimming +
+    line-ending collapse, matching every non-string built-in.
+    Re-registering a name overwrites its IRI, like the reference's
     dictionary setter. Unregistered annotations keep raising
     MetadataParseError/ConversionError - parity with the reference's
     KeyNotFound behavior."""
@@ -116,6 +121,8 @@ def register_annotation(name: str, iri: str, *,
                          RETAINS_LEADING_TRAILING_WS),
                         (retains_ws_in_list,
                          RETAINS_LEADING_TRAILING_WS_IN_LIST)):
+        if flag is None:
+            continue
         if flag:
             group.add(name)
         else:

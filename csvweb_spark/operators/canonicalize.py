@@ -63,8 +63,11 @@ def choose_n_salts(edges: DataFrame, src: str = "src", dst: str = "dst",
     a uniform graph pays ZERO salting overhead (n_salts=1 - no replicated
     min map, no extra rows), while a 10^8-degree wikipedia.org-style hub
     gets its edges spread so no (key, salt) group exceeds ~target_bucket
-    rows. One small driver-side job; the choice is made once on the input
-    graph - star rounds only shrink components, so it stays sufficient."""
+    rows. One small driver-side job per call. NB the choice is only valid
+    for the graph it measured: star rounds CONTRACT components, growing a
+    root's degree toward the component size even when the input had no
+    hubs (review fix) - connected_components therefore re-measures every
+    round in adaptive mode rather than trusting the input profile."""
     deg = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .filter(F.col("a") != F.col("b")))
     bidir = deg.unionByName(deg.select(F.col("b").alias("a"),
@@ -151,21 +154,27 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     """-> (node, component) for every node appearing in `edges`;
     component = min node id reachable.
 
-    `n_salts=None` picks the salt count adaptively from the measured max
-    degree (choose_n_salts): uniform graphs skip the salting overhead,
-    hub-heavy graphs get exactly enough spread. The default stays the
-    static N_SALTS (no extra job; always hub-safe for degrees up to
-    ~N_SALTS * task budget)."""
+    `n_salts=None` picks the salt count adaptively: re-measured from the
+    CURRENT edge set's max degree at the start of every round
+    (choose_n_salts on the checkpointed frame - one cheap
+    map-side-combinable agg per round, the same order as the convergence
+    signature the loop already pays), because star rounds contract
+    components and grow root degrees toward the component size - an
+    input-only measurement would under-salt late rounds of a hub-free
+    mesh (review fix). Uniform early rounds still skip the salting
+    overhead. The default stays the static N_SALTS (no extra jobs;
+    always hub-safe for degrees up to ~N_SALTS * task budget)."""
     nodes = (edges.select(F.col(src).alias("node"))
              .unionByName(edges.select(F.col(dst).alias("node")))
              .distinct())
-    if n_salts is None:
-        n_salts = choose_n_salts(edges, src, dst)
+    adaptive = n_salts is None
     e = _canonical(edges.select(F.col(src).alias("src"),
                                 F.col(dst).alias("dst")))
     e = e.localCheckpoint(eager=True)
     prev_sig = None
     for _ in range(max_iter):
+        if adaptive:
+            n_salts = choose_n_salts(e, "u", "v")
         e = _small_star(_large_star(e, n_salts), n_salts)
         e = e.localCheckpoint(eager=True)
         sig = e.agg(

@@ -385,7 +385,9 @@ def dedup_minhash_incremental(new_docs: DataFrame, seen_sigs: DataFrame,
                               num_hashes: int = 64, bands: int = 16,
                               threshold: float = 0.8, seed: int = 42,
                               shingle_unit: str = "word",
-                              dedup_within: bool = True) -> DataFrame:
+                              dedup_within: bool = True,
+                              max_bucket_size: Optional[int] = 64
+                              ) -> DataFrame:
     """Incremental NEAR-dedup: rows of `new_docs` that survive against a
     committed corpus represented ONLY by its minhash signatures
     (`seen_sigs`: (key, signature) from minhash_signatures - materialize
@@ -407,14 +409,31 @@ def dedup_minhash_incremental(new_docs: DataFrame, seen_sigs: DataFrame,
     so a DuckDB oracle replays the surviving SET exactly (the
     dedup_incremental_near driver query). NB: docs with empty/null text
     share the all-zero signature and dedup against each other - run the
-    cheap exact pre-pass first, as with every LSH operator here."""
+    cheap exact pre-pass first, as with every LSH operator here.
+
+    Skew guard (same contract as dedup_minhash_lsh): the bucket joins
+    are quadratic inside a bucket, so band entries in buckets larger
+    than `max_bucket_size` - on EITHER side - are excluded from
+    candidate generation (boilerplate floods belong to the exact
+    pre-pass; oversized buckets mean the doc is not near-deduped, never
+    a runaway task)."""
     import math
 
     min_equal = int(math.ceil(threshold * num_hashes))
     rpb = num_hashes // bands
+
+    def _capped(bandt: DataFrame) -> DataFrame:
+        if max_bucket_size is None:
+            return bandt
+        sizes = bandt.groupBy("band", "bucket").agg(
+            F.count(key_col).alias("_n"))
+        ok = sizes.filter(F.col("_n") <= max_bucket_size) \
+                  .select("band", "bucket")
+        return bandt.join(ok, ["band", "bucket"])
+
     sigs = minhash_signatures(new_docs, text_col, key_col, n, num_hashes,
                               seed, shingle_unit)
-    new_bands = lsh_band_buckets(sigs, key_col, bands, rpb)
+    new_bands = _capped(lsh_band_buckets(sigs, key_col, bands, rpb))
 
     alive = new_docs
     if dedup_within:
@@ -433,7 +452,7 @@ def dedup_minhash_incremental(new_docs: DataFrame, seen_sigs: DataFrame,
                   .select(F.col("id_b").alias(key_col)).distinct())
         alive = alive.join(dup_in, key_col, "left_anti")
 
-    seen_bands = lsh_band_buckets(seen_sigs, key_col, bands, rpb)
+    seen_bands = _capped(lsh_band_buckets(seen_sigs, key_col, bands, rpb))
     cand = (new_bands.join(alive.select(key_col), key_col, "left_semi")
             .join(seen_bands.select(F.col(key_col).alias("_old"),
                                     "band", "bucket"),

@@ -182,9 +182,13 @@ def curate_documents(docs: DataFrame, text_col: str = "text",
 
     with_metrics=False runs ZERO jobs here; the same persists are set up
     lazily so the caller's first action executes each stage once. Pass
-    `cache_registry` (a list) to receive every persisted handle for
-    unpersisting when done (same contract as kg_canonical_triples);
-    internally-released caches are unpersisted here either way."""
+    `cache_registry` (a list) to receive every still-persisted handle
+    for unpersisting when done (same contract as kg_canonical_triples);
+    intermediates are always released here. Cache policy (review fix -
+    plain calls must not leak): with neither metrics nor a registry,
+    NOTHING is persisted (the pre-round-4 behavior); with metrics but no
+    registry, only the returned result stays cached - call
+    `.unpersist()` on the returned DataFrame when done with it."""
     from pyspark.sql import Observation
     from pyspark.storagelevel import StorageLevel
 
@@ -197,15 +201,23 @@ def curate_documents(docs: DataFrame, text_col: str = "text",
         obs_in = Observation()
         src = src.observe(obs_in, F.count(F.lit(1)).alias("n"))
 
+    # persist ONLY when something will release the handles (the metrics
+    # actions do, or the caller via cache_registry) - review fix: an
+    # unconditional persist leaked fully-materialized caches for callers
+    # using the plain pre-round-4 signature
+    want_cache = with_metrics or cache_registry is not None
+
+    def _cached(df: DataFrame) -> DataFrame:
+        return df.persist(StorageLevel.MEMORY_AND_DISK) if want_cache \
+            else df
+
     cleaned = clean_documents_c4(src, text_col, key_col,
                                  min_words=min_words_per_line)
-    scrubbed = (redact_pii(cleaned, "clean_text", key_col)
-                .withColumnRenamed("clean_text", text_col)
-                .filter(F.length(text_col) > 0)
-                .persist(StorageLevel.MEMORY_AND_DISK))
+    scrubbed = _cached(redact_pii(cleaned, "clean_text", key_col)
+                       .withColumnRenamed("clean_text", text_col)
+                       .filter(F.length(text_col) > 0))
 
-    exact = dedup_exact_keep_first(scrubbed, text_col, key_col) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    exact = _cached(dedup_exact_keep_first(scrubbed, text_col, key_col))
 
     lsh_caches: list = []
     pairs, dropped = dedup_minhash_lsh(
@@ -220,8 +232,7 @@ def curate_documents(docs: DataFrame, text_col: str = "text",
         # LSH - and materializing the persisted bucket census on the way,
         # which makes the drop audit a cache read
         losers = losers.persist(StorageLevel.MEMORY_AND_DISK)
-    near = exact.join(losers, key_col, "left_anti") \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    near = _cached(exact.join(losers, key_col, "left_anti"))
 
     metrics: dict = {}
     if with_metrics:
@@ -242,13 +253,16 @@ def curate_documents(docs: DataFrame, text_col: str = "text",
         # not a signature-stage re-run). >0 means the LSH skew cap cut
         # some boilerplate flood before pair generation (repo rule: no
         # silent caps) - an exact pre-pass or a higher max_bucket_size is
-        # called for
+        # called for. lsh_band_rows_dropped counts (doc, band) ENTRIES,
+        # not distinct docs - a doc over-cap in every band contributes
+        # `bands` times (review fix: the old name 'rows_dropped' invited
+        # comparison against the row counts next to it)
         drop_row = dropped.agg(
             F.count(F.lit(1)).alias("b"),
             F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("r")
         ).collect()[0]
         metrics["lsh_buckets_dropped"] = int(drop_row["b"])
-        metrics["lsh_rows_dropped"] = int(drop_row["r"])
+        metrics["lsh_band_rows_dropped"] = int(drop_row["r"])
         # action 3: cache-to-cache anti-join, caching the curated output
         # so the caller's consumption recomputes nothing
         metrics["after_near_dedup"] = near.count()

@@ -127,6 +127,7 @@ def stream_deduped_documents(spark: SparkSession, input_dir: str,
                              threshold: float = 0.8,
                              num_hashes: int = 64, bands: int = 16,
                              seed: int = 42,
+                             max_bucket_size: Optional[int] = 64,
                              max_files_per_trigger: Optional[int] = None,
                              available_now: bool = True,
                              batch_hook=None):
@@ -184,70 +185,104 @@ def stream_deduped_documents(spark: SparkSession, input_dir: str,
                 if d.startswith("batch=")
                 and int(d.split("=", 1)[1]) != batch_id]
 
+    def _capped(bandt):
+        """Drop band entries in over-cap buckets (the dedup_minhash_lsh
+        skew guard: the bucket joins are quadratic INSIDE a bucket, so a
+        boilerplate flood must not become one runaway task - review fix:
+        the caps were missing here)."""
+        if max_bucket_size is None:
+            return bandt
+        sizes = bandt.groupBy("band", "bucket").agg(
+            F.count(key_col).alias("_n"))
+        ok = sizes.filter(F.col("_n") <= max_bucket_size) \
+                  .select("band", "bucket")
+        return bandt.join(ok, ["band", "bucket"])
+
     def process(batch_df, batch_id):
         if batch_hook is not None:
             batch_hook(batch_id, "start")
-        docs = batch_df.select(key_col, text_col).persist()
-        if docs.count() == 0:
-            docs.unpersist()
-            return
-        sigs = minhash_signatures(docs, text_col, key_col,
-                                  num_hashes=num_hashes,
-                                  seed=seed).persist()
-        bandt = lsh_band_buckets(sigs, key_col, bands,
-                                 num_hashes // bands).persist()
+        caches = []
 
-        # 1. in-batch: bucket-join candidates, signature-verified
-        a = bandt.select(F.col(key_col).alias("id_a"), "band", "bucket")
-        b = bandt.select(F.col(key_col).alias("id_b"), "band", "bucket")
-        pairs = (a.join(b, ["band", "bucket"])
-                 .filter(F.col("id_a") < F.col("id_b"))
-                 .select("id_a", "id_b").distinct())
-        sa = sigs.select(F.col(key_col).alias("id_a"),
-                         F.col("signature").alias("_sa"))
-        sb = sigs.select(F.col(key_col).alias("id_b"),
-                         F.col("signature").alias("_sb"))
-        dup_in = (pairs.join(sa, "id_a").join(sb, "id_b")
-                  .filter(sig_agreement_at_least(F.col("_sa"), F.col("_sb"),
-                                              min_equal))
-                  .select(F.col("id_b").alias(key_col)).distinct())
-        alive = docs.join(dup_in, key_col, "left_anti")
+        def _cached(df):
+            out = df.persist()
+            caches.append(out)
+            return out
 
-        # 2. cross-batch: candidates against the committed band table,
-        # verified against the committed signatures
-        band_dirs = _state_dirs("bands", batch_id)
-        if band_dirs:
-            prev_bands = spark.read.parquet(*band_dirs)
-            prev_sigs = spark.read.parquet(*_state_dirs("sigs", batch_id))
-            cand = (bandt.join(alive.select(key_col), key_col, "left_semi")
-                    .join(prev_bands.select(
-                        F.col(key_col).alias("_old"), "band", "bucket"),
-                        ["band", "bucket"])
-                    .select(key_col, "_old").distinct())
-            dup_cross = (cand
-                         .join(sigs, key_col)
-                         .join(prev_sigs.select(
-                             F.col(key_col).alias("_old"),
-                             F.col("signature").alias("_olds")), "_old")
-                         .filter(sig_agreement_at_least(
-                             F.col("signature"), F.col("_olds"), min_equal))
-                         .select(key_col).distinct())
-            alive = alive.join(dup_cross, key_col, "left_anti")
-        alive = alive.persist()
+        # try/finally: a crashed batch (including the injected test
+        # crash) must not leak persisted frames across redeliveries
+        # (review fix)
+        try:
+            docs = _cached(batch_df.select(key_col, text_col))
+            if docs.count() == 0:
+                return
+            sigs = _cached(minhash_signatures(docs, text_col, key_col,
+                                              num_hashes=num_hashes,
+                                              seed=seed))
+            bandt = _cached(lsh_band_buckets(sigs, key_col, bands,
+                                             num_hashes // bands))
+            joinable = _capped(bandt)
 
-        # 3. commit survivors, then their state (crash between the two ->
-        # redelivery rewrites both deterministically)
-        alive.write.mode("overwrite").parquet(
-            fs.join(output_dir, f"docs/batch={batch_id}"))
-        if batch_hook is not None:
-            batch_hook(batch_id, "mid")
-        keys = alive.select(key_col)
-        bandt.join(keys, key_col, "left_semi").write.mode("overwrite") \
-            .parquet(fs.join(output_dir, f"_state/bands/batch={batch_id}"))
-        sigs.join(keys, key_col, "left_semi").write.mode("overwrite") \
-            .parquet(fs.join(output_dir, f"_state/sigs/batch={batch_id}"))
-        for c in (docs, sigs, bandt, alive):
-            c.unpersist()
+            # 1. in-batch: bucket-join candidates, signature-verified
+            a = joinable.select(F.col(key_col).alias("id_a"),
+                                "band", "bucket")
+            b = joinable.select(F.col(key_col).alias("id_b"),
+                                "band", "bucket")
+            pairs = (a.join(b, ["band", "bucket"])
+                     .filter(F.col("id_a") < F.col("id_b"))
+                     .select("id_a", "id_b").distinct())
+            sa = sigs.select(F.col(key_col).alias("id_a"),
+                             F.col("signature").alias("_sa"))
+            sb = sigs.select(F.col(key_col).alias("id_b"),
+                             F.col("signature").alias("_sb"))
+            dup_in = (pairs.join(sa, "id_a").join(sb, "id_b")
+                      .filter(sig_agreement_at_least(
+                          F.col("_sa"), F.col("_sb"), min_equal))
+                      .select(F.col("id_b").alias(key_col)).distinct())
+            alive = docs.join(dup_in, key_col, "left_anti")
+
+            # 2. cross-batch: candidates against the committed band
+            # table, verified against the committed signatures; both
+            # sides' over-cap buckets are excluded from candidate
+            # generation (boilerplate belongs to the exact pre-pass)
+            band_dirs = _state_dirs("bands", batch_id)
+            if band_dirs:
+                prev_bands = _capped(spark.read.parquet(*band_dirs))
+                prev_sigs = spark.read.parquet(
+                    *_state_dirs("sigs", batch_id))
+                cand = (joinable
+                        .join(alive.select(key_col), key_col, "left_semi")
+                        .join(prev_bands.select(
+                            F.col(key_col).alias("_old"), "band", "bucket"),
+                            ["band", "bucket"])
+                        .select(key_col, "_old").distinct())
+                dup_cross = (cand
+                             .join(sigs, key_col)
+                             .join(prev_sigs.select(
+                                 F.col(key_col).alias("_old"),
+                                 F.col("signature").alias("_olds")), "_old")
+                             .filter(sig_agreement_at_least(
+                                 F.col("signature"), F.col("_olds"),
+                                 min_equal))
+                             .select(key_col).distinct())
+                alive = alive.join(dup_cross, key_col, "left_anti")
+            alive = _cached(alive)
+
+            # 3. commit survivors, then their state (crash between the
+            # two -> redelivery rewrites both deterministically)
+            alive.write.mode("overwrite").parquet(
+                fs.join(output_dir, f"docs/batch={batch_id}"))
+            if batch_hook is not None:
+                batch_hook(batch_id, "mid")
+            keys = alive.select(key_col)
+            bandt.join(keys, key_col, "left_semi").write.mode("overwrite") \
+                .parquet(fs.join(output_dir,
+                                 f"_state/bands/batch={batch_id}"))
+            sigs.join(keys, key_col, "left_semi").write.mode("overwrite") \
+                .parquet(fs.join(output_dir,
+                                 f"_state/sigs/batch={batch_id}"))
+        finally:
+            for c in caches:
+                c.unpersist()
 
     writer = (stream.writeStream.foreachBatch(process)
               .option("checkpointLocation", checkpoint_dir))

@@ -203,3 +203,17 @@ def test_register_annotation_flows_through_both_paths(spark):
         del DATATYPE_ANNOTATIONS[name]
     with pytest.raises(ConversionError):
         Datatype(base=name).iri
+
+    # re-registering a built-in to remap its IRI must NOT strip its
+    # whitespace-class membership (review fix: flags default to
+    # leave-unchanged, like the reference's dictionary-only setter)
+    from csvweb_spark.csvw.model import (RETAINS_LEADING_TRAILING_WS,
+                                         RETAINS_LINE_ENDINGS)
+    orig_iri = DATATYPE_ANNOTATIONS["string"]
+    try:
+        register_annotation("string", "http://example.org/dt/mystr")
+        assert "string" in RETAINS_LINE_ENDINGS
+        assert "string" in RETAINS_LEADING_TRAILING_WS
+        assert DATATYPE_ANNOTATIONS["string"] == "http://example.org/dt/mystr"
+    finally:
+        DATATYPE_ANNOTATIONS["string"] = orig_iri

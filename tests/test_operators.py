@@ -848,6 +848,13 @@ def test_choose_n_salts_adaptive(spark):
            for r in connected_components(star, n_salts=None).collect()}
     assert set(lab.values()) == {0} and len(lab) == 4001
 
+    # adaptive on a hub-FREE input whose star rounds grow a root degree
+    # (review fix: salts are re-measured per round, not once on input)
+    lab2 = {r.node: r.component
+            for r in connected_components(path.filter("src < 300"),
+                                          n_salts=None).collect()}
+    assert set(lab2.values()) == {0} and len(lab2) == 301
+
 
 def test_connected_components_long_chain_converges(spark):
     """O(log n) convergence: a 200-node chain must finish within max_iter."""

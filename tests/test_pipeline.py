@@ -67,7 +67,7 @@ def test_curate_documents_e2e(spark, monkeypatch):
     # cross-action LSH re-execution would exceed this
     assert sig_rows.value <= 3 * metrics["after_exact_dedup"]
     assert metrics["lsh_buckets_dropped"] == 0
-    assert metrics["lsh_rows_dropped"] == 0
+    assert metrics["lsh_band_rows_dropped"] == 0
     assert caches and all(c.is_cached for c in caches)
     for c in caches:
         c.unpersist()
