@@ -148,6 +148,135 @@ def image_metadata(pages: DataFrame, binary_col: str = "html",
     return pages.select(url_col, binary_col).mapInPandas(gen, IMAGE_META_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("format", StringType()),
+    StructField("src_width", IntegerType()),
+    StructField("src_height", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("resized", BinaryType()),
+])
+
+
+def _resize_stub(data: bytes, width: int, height: int) -> bytes:
+    """STUB for a pixel resampler. Real path (PIL) is import-gated - the
+    library is absent in this container, so the fake produces a
+    deterministic digest-derived payload of the REAL output size
+    (width * height * 3 RGB bytes), keeping downstream batch shapes,
+    memory math and Arrow transfer honest."""
+    try:  # pragma: no cover - PIL not installed in-sandbox
+        import io
+
+        from PIL import Image
+        img = Image.open(io.BytesIO(data)).convert("RGB")
+        return img.resize((width, height)).tobytes()
+    except ImportError:
+        seed = hashlib.sha256(b"resize:%d:%d:" % (width, height) + data)
+        out, chunk = bytearray(), seed.digest()
+        need = width * height * 3
+        while len(out) < need:
+            out.extend(chunk)
+            chunk = hashlib.sha256(chunk).digest()
+        return bytes(out[:need])
+
+
+def resize_images(pages: DataFrame, width: int, height: int,
+                  binary_col: str = "html",
+                  url_col: str = "url") -> DataFrame:
+    """Resize plumbing over a binary image column (the decode -> resample
+    -> re-encode stage of a multimodal training pipeline): mapInPandas
+    over Arrow batches of blobs, one output row per decodable input,
+    dimensions from the REAL header parse, pixels from the import-gated
+    resampler (`_resize_stub` - PIL when present, deterministic fake
+    here). Rows whose header cannot be parsed are dropped (they belong to
+    the binary_stats quarantine path). Output rows are width*height*3
+    bytes each - size the input with repartition_for_blobs so a task
+    holds at most target_rows_per_partition resized blobs."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in RESIZED_SCHEMA.fields}
+            for url, blob in zip(pdf[url_col], pdf[binary_col]):
+                if blob is None:
+                    continue
+                data = bytes(blob)
+                hdr = parse_image_header(data)
+                if hdr is None:
+                    continue
+                fmt, sw, sh = hdr
+                out["url"].append(url)
+                out["format"].append(fmt)
+                out["src_width"].append(sw)
+                out["src_height"].append(sh)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["resized"].append(_resize_stub(data, width, height))
+            if out["url"]:  # empty frames infer wrong dtypes for Arrow
+                yield pd.DataFrame(out)
+
+    return pages.select(url_col, binary_col).mapInPandas(gen, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("frame_ix", IntegerType()),
+    StructField("frame", BinaryType()),
+])
+
+
+def _frame_count_stub(data: bytes) -> int:
+    """STUB for container demuxing (pyav): deterministic digest-derived
+    frame count in [8, 256)."""
+    try:  # pragma: no cover - pyav not installed in-sandbox
+        import io
+
+        import av
+        with av.open(io.BytesIO(data)) as c:
+            return c.streams.video[0].frames
+    except ImportError:
+        d = hashlib.sha256(b"frames:" + data).digest()
+        return 8 + (struct.unpack(">H", d[0:2])[0] % 248)
+
+
+def sample_media_frames(pages: DataFrame, every_n: int = 10,
+                        binary_col: str = "html",
+                        url_col: str = "url",
+                        max_frames: int = 32) -> DataFrame:
+    """Frame-sampling plumbing for video/audio blobs: one output row per
+    sampled frame (frame_ix = 0, every_n, 2*every_n, ... capped at
+    max_frames rows per blob - the cap bounds the fan-out so one long
+    video cannot blow up a task's output). Demux/decode is import-gated
+    (`_frame_count_stub`; pyav when present, deterministic fake frame
+    payloads here - 64 digest bytes standing in for an encoded frame).
+    The row-per-frame shape is what downstream per-frame feature
+    extraction joins against."""
+    assert every_n >= 1 and max_frames >= 1
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in FRAME_SCHEMA.fields}
+            for url, blob in zip(pdf[url_col], pdf[binary_col]):
+                if blob is None:
+                    continue
+                data = bytes(blob)
+                n_frames = _frame_count_stub(data)
+                taken = 0
+                for ix in range(0, n_frames, every_n):
+                    if taken >= max_frames:
+                        break
+                    payload = hashlib.sha256(
+                        b"frame:%d:" % ix + data).digest()
+                    out["url"].append(url)
+                    out["frame_ix"].append(ix)
+                    out["frame"].append(payload + payload)
+                    taken += 1
+            if out["url"]:  # empty frames infer wrong dtypes for Arrow
+                yield pd.DataFrame(out)
+
+    return pages.select(url_col, binary_col).mapInPandas(gen, FRAME_SCHEMA)
+
+
 def repartition_for_blobs(df: DataFrame, target_rows_per_partition: int = 64,
                           approx_total: int | None = None) -> DataFrame:
     """Cap blobs per task so executor memory is bounded by

@@ -922,6 +922,44 @@ def _gif_bytes(w, h):
     return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
 
 
+def test_resize_and_frame_sample_plumbing(spark):
+    """Resize + frame-sample mapInPandas plumbing: real header dims,
+    exact output payload sizes (w*h*3 RGB bytes from the import-gated
+    resampler fake), deterministic across runs, fan-out capped, and
+    undecodable/None blobs dropped without breaking Arrow batches."""
+    from csvweb_spark.operators.multimodal import (resize_images,
+                                                   sample_media_frames)
+    pages = spark.createDataFrame(
+        [("p1", bytearray(_png_bytes(640, 480))),
+         ("p2", bytearray(_jpeg_bytes(100, 200))),
+         ("p3", bytearray(b"not an image at all")),
+         ("p4", None)],
+        "url string, html binary")
+
+    rs = {r.url: r for r in resize_images(pages, 32, 24).collect()}
+    assert set(rs) == {"p1", "p2"}  # p3 undecodable, p4 null -> dropped
+    assert (rs["p1"].src_width, rs["p1"].src_height) == (640, 480)
+    assert (rs["p2"].format, rs["p2"].src_height) == ("jpeg", 200)
+    for r in rs.values():
+        assert (r.width, r.height) == (32, 24)
+        assert len(bytes(r.resized)) == 32 * 24 * 3
+    rs2 = {r.url: bytes(r.resized)
+           for r in resize_images(pages, 32, 24).collect()}
+    assert {u: bytes(r.resized) for u, r in rs.items()} == rs2  # determinism
+
+    frames = sample_media_frames(pages, every_n=10, max_frames=4).collect()
+    by_url: dict = {}
+    for r in frames:
+        by_url.setdefault(r.url, []).append(r)
+    # every non-null blob yields frames (the fake demuxer sniffs nothing)
+    assert set(by_url) == {"p1", "p2", "p3"}
+    for url, rows in by_url.items():
+        assert 1 <= len(rows) <= 4  # fan-out capped at max_frames
+        assert sorted(r.frame_ix for r in rows) == \
+            [10 * i for i in range(len(rows))]
+        assert all(len(bytes(r.frame)) == 64 for r in rows)
+
+
 def test_image_header_parser_never_crashes_fuzz():
     """Pure-python fuzz: arbitrary byte soup must never raise - a crawl's
     binary column is adversarial by definition."""
