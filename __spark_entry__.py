@@ -364,6 +364,29 @@ def q_kg_khop(spark, sf_dir):
                       F.col("hops").cast("long").alias("hops"))
 
 
+def q_pagerank(spark, sf_dir):
+    """Integer-scaled PageRank over the kg_khop chain+star graph (5
+    rounds, damping 0.85 as basis points, all-bigint arithmetic). The
+    oracle replays the EXACT ranks with an unrolled CTE chain - integer
+    sums are order-independent, so there is no FP accumulation hazard and
+    the hub (node 0) provably outranks the chain nodes in both engines."""
+    from csvweb_spark.operators.graph import pagerank
+    cust = (_load(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") < 400).select("c_custkey"))
+    nxt = cust.select(F.col("c_custkey").alias("dst"))
+    chains = (cust.filter(F.col("c_custkey") % 100 != 99)
+              .select(F.col("c_custkey").alias("src"),
+                      (F.col("c_custkey") + 1).alias("dst"))
+              .join(nxt, "dst", "left_semi"))
+    star = (cust.filter((F.col("c_custkey") > 0) & (F.col("c_custkey") < 100))
+            .select(F.lit(0).cast("long").alias("src"),
+                    F.col("c_custkey").alias("dst")))
+    edges = chains.unionByName(star)
+    out = pagerank(edges, iterations=5)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def q_dedup_exact(spark, sf_dir):
     from csvweb_spark.operators.dedup import dedup_exact
     docs = _load(spark, sf_dir, "documents")
@@ -1055,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link_contains": q_entity_link_contains,
         "canonicalize_cc": q_canonicalize_cc,
         "kg_khop": q_kg_khop,
+        "pagerank": q_pagerank,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1342,6 +1366,51 @@ def _minhash_incremental_oracle_sql(num_hashes: int = 64, bands: int = 16,
                       WHERE ec >= {min_equal})
             SELECT doc_id::bigint AS doc_id FROM alive1
             WHERE doc_id NOT IN (SELECT doc_id FROM dup_x)
+        """
+
+
+def _pagerank_oracle_sql(iterations: int = 5, damping_bp: int = 8500,
+                         scale: int = 1_000_000) -> str:
+    """DuckDB replica of graph.py::pagerank over the q_pagerank graph:
+    the per-round aggregation cannot live inside a recursive CTE
+    (aggregates are barred from recursive terms), so the fixed iteration
+    count is UNROLLED into a pr0 -> pr{n} CTE chain - each step one
+    contribution groupBy + left join, all bigint (// is DuckDB's integer
+    division, matching Spark's `div`)."""
+    base = (scale * (10_000 - damping_bp)) // 10_000
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+            pr{i} AS (
+                SELECT n.node,
+                       ({base} + ({damping_bp} * coalesce(cs.in_sum, 0))
+                        // 10000)::BIGINT AS rank
+                FROM nodes n LEFT JOIN (
+                    SELECT e.d AS node, sum(p.rank // o.odeg) AS in_sum
+                    FROM edges e
+                    JOIN pr{i - 1} p ON p.node = e.s
+                    JOIN odeg o ON o.s = e.s
+                    GROUP BY e.d) cs ON cs.node = n.node)""")
+    return f"""
+            WITH keys AS (
+                SELECT c_custkey AS k FROM customer WHERE c_custkey < 400),
+            edges_raw AS (
+                SELECT c_custkey AS s, c_custkey + 1 AS d FROM customer
+                WHERE c_custkey < 400 AND c_custkey % 100 != 99
+                  AND (c_custkey + 1) IN (SELECT k FROM keys)
+                UNION ALL
+                SELECT 0, c_custkey FROM customer
+                WHERE c_custkey > 0 AND c_custkey < 100),
+            edges AS (SELECT DISTINCT s, d FROM edges_raw),
+            nodes AS (
+                SELECT DISTINCT x AS node FROM (
+                    SELECT s AS x FROM edges
+                    UNION ALL SELECT d FROM edges)),
+            odeg AS (SELECT s, count(*) AS odeg FROM edges GROUP BY s),
+            pr0 AS (SELECT node, {scale}::BIGINT AS rank FROM nodes),
+            {",".join(steps)}
+            SELECT node::BIGINT AS node, rank::BIGINT AS rank
+            FROM pr{iterations}
         """
 
 
@@ -1819,6 +1888,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle_sql(),
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_incremental_near": _minhash_incremental_oracle_sql(),
+        "pagerank": _pagerank_oracle_sql(),
         "entity_link_fuzzy": _fuzzy_link_oracle_sql(),
         "ann_topk_lsh": _ann_lsh_oracle_sql(),
         "events_asof": """

@@ -34,6 +34,56 @@ def degree_stats(edges: DataFrame, src: str = "src",
     return both.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
 
 
+def pagerank(edges: DataFrame, iterations: int = 5,
+             damping_bp: int = 8500, scale: int = 1_000_000,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """Integer-scaled PageRank over the DIRECTED edge set - the KG hub/
+    importance score feeding retrieval ranking and curation (which
+    entities deserve canonical-page status).
+
+    Determinism/oracle design: every quantity is a bigint. rank_0 = scale
+    for all nodes; per round
+        contrib(u) = rank(u) div out_degree(u)        (integer div)
+        rank'(v)   = base + (damping_bp * sum_in(v)) div 10^4
+    with base = (scale * (10^4 - damping_bp)) div 10^4. Integer sums are
+    order-independent, so DuckDB replays the EXACT ranks with an unrolled
+    CTE chain (the pagerank driver query) - no FP accumulation-order
+    hazard, the same trick as the minhash/simhash families. Semantics
+    notes: parallel edges are deduplicated; dangling-node mass is dropped
+    (not redistributed), the common simplification - document, don't
+    hide. Fixed iteration count (no convergence test) keeps the oracle
+    replayable; 5-10 rounds ranks hubs correctly long before full
+    convergence.
+
+    Scale shape: each round is one bounded join of edges against the
+    (node, rank) table - both keyed on node id, AQE-skew-splittable - and
+    one map-side-combinable integer sum groupBy(dst); a 10^8-in-degree
+    hub's contributions pre-aggregate per map partition, never
+    concentrating rows. localCheckpoint per round truncates the growing
+    lineage exactly as connected_components does."""
+    assert iterations >= 0 and 0 <= damping_bp <= 10_000
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    nodes = (e.select(F.col("s").alias("node"))
+             .unionByName(e.select(F.col("d").alias("node")))
+             .distinct())
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("odeg"))
+    base = (scale * (10_000 - damping_bp)) // 10_000
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contrib = (e.join(ranks.withColumnRenamed("node", "s"), "s")
+                   .join(outdeg, "s")
+                   .select(F.col("d").alias("node"),
+                           F.expr("rank div odeg").alias("c"))
+                   .groupBy("node").agg(F.sum("c").alias("in_sum")))
+        ranks = (nodes.join(contrib, "node", "left")
+                 .select("node",
+                         (F.lit(base) + F.expr(
+                             f"({damping_bp} * coalesce(in_sum, 0L)) "
+                             f"div 10000")).cast("long").alias("rank")))
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 def khop_neighbors(edges: DataFrame, seeds: DataFrame, k: int,
                    src: str = "src", dst: str = "dst",
                    seed_col: str = "node",

@@ -774,6 +774,26 @@ def test_link_fuzzy_minhash(spark):
     assert all(m != 3 for m, _ in pairs)
 
 
+def test_pagerank_integer_semantics(spark):
+    """Integer-scaled PageRank: hub of a star outranks leaves, ranks are
+    exact bigints (partitioning-invariant), iterations=0 returns the
+    uniform init, and dangling mass is dropped as documented."""
+    from csvweb_spark.operators.graph import pagerank
+    star = spark.createDataFrame([(i, 0) for i in range(1, 21)],
+                                 "src long, dst long")
+    r = {x.node: x.rank for x in pagerank(star, iterations=3).collect()}
+    assert len(r) == 21
+    assert r[0] > r[1] and len({r[i] for i in range(1, 21)}) == 1
+    # leaves have no in-edges: rank = base = 150000 every round
+    assert r[1] == 150_000
+    # exactness/invariance: same bigints under a different partitioning
+    r2 = {x.node: x.rank
+          for x in pagerank(star.repartition(7), iterations=3).collect()}
+    assert r == r2
+    r0 = {x.node: x.rank for x in pagerank(star, iterations=0).collect()}
+    assert set(r0.values()) == {1_000_000}
+
+
 def test_connected_components_chain_hub_and_isolated(spark):
     from csvweb_spark.operators.canonicalize import (
         component_stats, connected_components)
