@@ -341,12 +341,12 @@ def q_canonicalize_cc(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-def q_kg_khop(spark, sf_dir):
-    """k-hop neighborhood retrieval over the KG edge shape (chains +
-    a hub star, the canonicalize_cc graph): BFS min-hop distances from
-    two seeds within 3 hops, frontier broadcast per round. Oracle is a
-    DuckDB recursive CTE computing the same min distances."""
-    from csvweb_spark.operators.graph import khop_neighbors
+def _chain_star_edges(spark, sf_dir):
+    """The shared KG test graph (kg_khop / pagerank / kg_triangles):
+    customers < 400 as chain edges i -> i+1 (broken every 100) plus a
+    hub star 0 -> 1..99. The star+chain overlap closes triangles
+    (0, i, i+1) for i in 1..98, giving every graph consumer hub skew,
+    paths AND closed wedges to chew on."""
     cust = (_load(spark, sf_dir, "customer")
             .filter(F.col("c_custkey") < 400).select("c_custkey"))
     nxt = cust.select(F.col("c_custkey").alias("dst"))
@@ -357,7 +357,16 @@ def q_kg_khop(spark, sf_dir):
     star = (cust.filter((F.col("c_custkey") > 0) & (F.col("c_custkey") < 100))
             .select(F.lit(0).cast("long").alias("src"),
                     F.col("c_custkey").alias("dst")))
-    edges = chains.unionByName(star)
+    return chains.unionByName(star)
+
+
+def q_kg_khop(spark, sf_dir):
+    """k-hop neighborhood retrieval over the KG edge shape (chains +
+    a hub star, the canonicalize_cc graph): BFS min-hop distances from
+    two seeds within 3 hops, frontier broadcast per round. Oracle is a
+    DuckDB recursive CTE computing the same min distances."""
+    from csvweb_spark.operators.graph import khop_neighbors
+    edges = _chain_star_edges(spark, sf_dir)
     seeds = spark.createDataFrame([(0,), (250,)], "node long")
     out = khop_neighbors(edges, seeds, k=3)
     return out.select(F.col("node").cast("long").alias("node"),
@@ -371,18 +380,7 @@ def q_pagerank(spark, sf_dir):
     sums are order-independent, so there is no FP accumulation hazard and
     the hub (node 0) provably outranks the chain nodes in both engines."""
     from csvweb_spark.operators.graph import pagerank
-    cust = (_load(spark, sf_dir, "customer")
-            .filter(F.col("c_custkey") < 400).select("c_custkey"))
-    nxt = cust.select(F.col("c_custkey").alias("dst"))
-    chains = (cust.filter(F.col("c_custkey") % 100 != 99)
-              .select(F.col("c_custkey").alias("src"),
-                      (F.col("c_custkey") + 1).alias("dst"))
-              .join(nxt, "dst", "left_semi"))
-    star = (cust.filter((F.col("c_custkey") > 0) & (F.col("c_custkey") < 100))
-            .select(F.lit(0).cast("long").alias("src"),
-                    F.col("c_custkey").alias("dst")))
-    edges = chains.unionByName(star)
-    out = pagerank(edges, iterations=5)
+    out = pagerank(_chain_star_edges(spark, sf_dir), iterations=5)
     return out.select(F.col("node").cast("long").alias("node"),
                       F.col("rank").cast("long").alias("rank"))
 
@@ -1045,6 +1043,114 @@ def q_kg_pipeline(spark, sf_dir):
     return canonical.select("subj", "pred", "obj")
 
 
+def q_kg_triangles(spark, sf_dir):
+    """Per-node triangle participation over the chain+star KG graph
+    (hub 0 + chain edges close triangles (0, i, i+1) for i in 1..98):
+    id-oriented wedge join + closing-edge semi-join counts each triangle
+    exactly once, so a DuckDB three-way self-join under the same lo<hi
+    orientation replays the counts row-for-row."""
+    from csvweb_spark.operators.graph import triangle_count
+    out = triangle_count(_chain_star_edges(spark, sf_dir))
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.col("triangles").cast("long").alias("triangles"))
+
+
+def q_rdfs_entail(spark, sf_dir):
+    """RDFS entailment (rules rdfs2/3/5/7/9/11) materialized over a
+    schema synthesized from nation/region plus customer instances:
+    nation classes subClassOf region classes subClassOf ex:Place,
+    ex:Customer subClassOf ex:Agent, ex:inNation subPropertyOf
+    ex:locatedIn with domain ex:Customer and range ex:Place; customers
+    < 200 assert (cust, ex:inNation, nation). The closure derives the
+    inherited ex:locatedIn links (rdfs7), the Customer/Place typings
+    (rdfs2/3 - range fires on the DERIVED locatedIn triples, proving
+    the stratification), the Agent lift (rdfs9) and both transitive
+    schema closures. Oracle: recursive-CTE closures + rule joins."""
+    from csvweb_spark.operators.entail import (
+        RDFS_DOMAIN, RDFS_RANGE, RDFS_SUBCLASS, RDFS_SUBPROP, rdfs_closure)
+    nation = _load(spark, sf_dir, "nation")
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    n_cls = nation.select(
+        F.concat(F.lit("ex:N"), F.col("n_nationkey")).alias("subj"),
+        F.lit(RDFS_SUBCLASS).alias("pred"),
+        F.concat(F.lit("ex:R"), F.col("n_regionkey")).alias("obj"))
+    r_cls = (nation.select("n_regionkey").distinct().select(
+        F.concat(F.lit("ex:R"), F.col("n_regionkey")).alias("subj"),
+        F.lit(RDFS_SUBCLASS).alias("pred"), F.lit("ex:Place").alias("obj")))
+    schema = spark.createDataFrame(
+        [("ex:inNation", RDFS_SUBPROP, "ex:locatedIn"),
+         ("ex:inNation", RDFS_DOMAIN, "ex:Customer"),
+         ("ex:locatedIn", RDFS_RANGE, "ex:Place"),
+         ("ex:Customer", RDFS_SUBCLASS, "ex:Agent")],
+        "subj string, pred string, obj string")
+    inst = cust.select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit("ex:inNation").alias("pred"),
+        F.concat(F.lit("ex:N"), F.col("c_nationkey")).alias("obj"))
+    triples = n_cls.unionByName(r_cls).unionByName(schema).unionByName(inst)
+    return rdfs_closure(triples)
+
+
+def q_bgp_match(spark, sf_dir):
+    """Conjunctive basic-graph-pattern matching compiled to a Catalyst
+    join tree: the two-hop pattern ?c -ex:in-> ?n -ex:of-> ?r over a
+    customer/nation/region triple encoding. Constant predicates reach
+    the scan as pushed filters; the join runs on the shared ?n
+    variable. Oracle: the same pattern as a triples self-join."""
+    from csvweb_spark.operators.bgp import match_bgp
+    nation = _load(spark, sf_dir, "nation")
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    t_in = cust.select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit("ex:in").alias("pred"),
+        F.concat(F.lit("ex:N"), F.col("c_nationkey")).alias("obj"))
+    t_of = nation.select(
+        F.concat(F.lit("ex:N"), F.col("n_nationkey")).alias("subj"),
+        F.lit("ex:of").alias("pred"),
+        F.concat(F.lit("ex:R"), F.col("n_regionkey")).alias("obj"))
+    out = match_bgp(t_in.unionByName(t_of),
+                    [("?c", "ex:in", "?n"), ("?n", "ex:of", "?r")])
+    return out.select("c", "n", "r")
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Cross-document line-level dedup (the RefinedWeb boilerplate
+    rule): every doc gets the same planted cookie banner + footer, and
+    only the corpus-first occurrence of each line survives; documents
+    are rebuilt in original line order with removal counts for the
+    audit. Oracle replays the first-occurrence window + positional
+    string_agg in DuckDB."""
+    from csvweb_spark.operators.dedup import dedup_lines_global
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("COOKIE BANNER accept all\n"), F.col("text"),
+                 F.lit("\nsite footer (c) example")).alias("text"))
+    out = dedup_lines_global(pages)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "text",
+                      F.col("n_lines").cast("long").alias("n_lines"),
+                      F.col("n_lines_removed").cast("long")
+                      .alias("n_lines_removed"))
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """Per-language distinct-token cardinality via the deterministic
+    KMV bottom-k sketch (k=128): exact below k, bottom-k estimator in
+    decimal(38,0) integer arithmetic above it, partition-invariant by
+    construction. Oracle replays the 60-bit md5 hash family and the
+    same estimator in HUGEINT."""
+    from csvweb_spark.operators.sketches import kmv_distinct
+    from csvweb_spark.operators.text import whitespace_tokens
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(whitespace_tokens(F.col("text"))).alias("token"))
+    out = kmv_distinct(toks, "token", ["lang"], k=128)
+    return out.select("lang", F.col("n_kept").cast("long").alias("n_kept"),
+                      F.col("kth_min").cast("long").alias("kth_min"),
+                      F.col("distinct_est").cast("long")
+                      .alias("distinct_est"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1113,6 +1219,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link_fuzzy": q_entity_link_fuzzy,
         "html_table_triples": q_html_table_triples,
         "detect_tabular": q_detect_tabular,
+        "kg_triangles": q_kg_triangles,
+        "rdfs_entail": q_rdfs_entail,
+        "bgp_match": q_bgp_match,
+        "dedup_lines": q_dedup_lines,
+        "kmv_distinct": q_kmv_distinct,
         # deliberately LAST: if the driver harness caps the recorded
         # queries (round 3 recorded exactly 50), the entries that fall
         # off should be the two whose semantics are already quadruple-
@@ -1531,6 +1642,70 @@ def _ann_lsh_oracle_sql(dim: int = 64, bits: int = 6, tables: int = 6,
         """
 
 
+def _rdfs_oracle_sql() -> str:
+    """DuckDB replica of operators/entail.py::rdfs_closure over the
+    q_rdfs_entail input: recursive-CTE subclass/subproperty closures,
+    rule joins for rdfs7 (property inheritance), rdfs2/3 (domain/range
+    typing - range fires on the rdfs7-derived triples too) and rdfs9
+    (type lifting through the closed hierarchy), all UNION-deduplicated
+    exactly like the operator's final distinct."""
+    from csvweb_spark.operators.entail import (
+        RDF_TYPE, RDFS_DOMAIN, RDFS_RANGE, RDFS_SUBCLASS, RDFS_SUBPROP)
+    return f"""
+        WITH RECURSIVE
+        base AS (
+            SELECT 'ex:N' || n_nationkey AS subj,
+                   '{RDFS_SUBCLASS}' AS pred,
+                   'ex:R' || n_regionkey AS obj FROM nation
+            UNION ALL
+            SELECT DISTINCT 'ex:R' || n_regionkey, '{RDFS_SUBCLASS}',
+                   'ex:Place' FROM nation
+            UNION ALL
+            SELECT * FROM (VALUES
+                ('ex:inNation', '{RDFS_SUBPROP}', 'ex:locatedIn'),
+                ('ex:inNation', '{RDFS_DOMAIN}', 'ex:Customer'),
+                ('ex:locatedIn', '{RDFS_RANGE}', 'ex:Place'),
+                ('ex:Customer', '{RDFS_SUBCLASS}', 'ex:Agent')) v
+            UNION ALL
+            SELECT 'ex:C' || c_custkey, 'ex:inNation',
+                   'ex:N' || c_nationkey
+            FROM customer WHERE c_custkey < 200),
+        sc(src, dst) AS (
+            SELECT subj, obj FROM base WHERE pred = '{RDFS_SUBCLASS}'
+            UNION
+            SELECT sc.src, b.obj FROM sc
+            JOIN base b ON b.pred = '{RDFS_SUBCLASS}' AND b.subj = sc.dst),
+        sp(src, dst) AS (
+            SELECT subj, obj FROM base WHERE pred = '{RDFS_SUBPROP}'
+            UNION
+            SELECT sp.src, b.obj FROM sp
+            JOIN base b ON b.pred = '{RDFS_SUBPROP}' AND b.subj = sp.dst),
+        r7 AS (SELECT t.subj, sp.dst AS pred, t.obj
+               FROM base t JOIN sp ON t.pred = sp.src),
+        props AS (SELECT subj, pred, obj FROM base
+                  UNION ALL SELECT * FROM r7),
+        r2 AS (SELECT p.subj, '{RDF_TYPE}' AS pred, d.obj
+               FROM props p
+               JOIN base d ON d.pred = '{RDFS_DOMAIN}' AND d.subj = p.pred),
+        r3 AS (SELECT p.obj AS subj, '{RDF_TYPE}' AS pred, rg.obj
+               FROM props p
+               JOIN base rg ON rg.pred = '{RDFS_RANGE}'
+                           AND rg.subj = p.pred),
+        typ AS (SELECT subj, pred, obj FROM base
+                WHERE pred = '{RDF_TYPE}'
+                UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3),
+        r9 AS (SELECT t.subj, '{RDF_TYPE}' AS pred, sc.dst AS obj
+               FROM typ t JOIN sc ON t.obj = sc.src)
+        SELECT subj, pred, obj FROM base
+        UNION SELECT src, '{RDFS_SUBCLASS}', dst FROM sc
+        UNION SELECT src, '{RDFS_SUBPROP}', dst FROM sp
+        UNION SELECT * FROM r7
+        UNION SELECT * FROM r2
+        UNION SELECT * FROM r3
+        UNION SELECT * FROM r9
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     xsd_s = XSD + "string"
     xsd_i = XSD + "integer"
@@ -1889,6 +2064,98 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_incremental_near": _minhash_incremental_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
+        "kg_triangles": """
+            WITH
+            c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 400),
+            dir AS (
+                SELECT a.k AS a, a.k + 1 AS b
+                FROM c a JOIN c n ON n.k = a.k + 1
+                WHERE a.k % 100 <> 99
+                UNION ALL
+                SELECT 0, k FROM c WHERE k > 0 AND k < 100),
+            und AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+                    FROM dir WHERE a <> b),
+            tri AS (SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+                    FROM und ab
+                    JOIN und bc ON bc.lo = ab.hi
+                    JOIN und ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+            n AS (SELECT unnest([a, b, c]) AS node FROM tri)
+            SELECT node::bigint AS node, count(*)::bigint AS triangles
+            FROM n GROUP BY node
+        """,
+        "rdfs_entail": _rdfs_oracle_sql(),
+        "bgp_match": """
+            WITH t AS (
+                SELECT 'ex:C' || c_custkey AS subj, 'ex:in' AS pred,
+                       'ex:N' || c_nationkey AS obj
+                FROM customer WHERE c_custkey < 300
+                UNION ALL
+                SELECT 'ex:N' || n_nationkey, 'ex:of',
+                       'ex:R' || n_regionkey
+                FROM nation)
+            SELECT a.subj AS c, a.obj AS n, b.obj AS r
+            FROM t a JOIN t b ON a.obj = b.subj
+            WHERE a.pred = 'ex:in' AND b.pred = 'ex:of'
+        """,
+        "dedup_lines": """
+            WITH d AS (
+                SELECT doc_id,
+                       'COOKIE BANNER accept all' || chr(10) || text
+                       || chr(10) || 'site footer (c) example' AS text
+                FROM documents WHERE doc_id < 300),
+            l AS (SELECT doc_id,
+                         unnest(string_split(text, chr(10))) AS line,
+                         generate_subscripts(string_split(text, chr(10)),
+                                             1) AS pos
+                  FROM d),
+            w AS (SELECT doc_id, pos, line,
+                         row_number() OVER (PARTITION BY line
+                                            ORDER BY doc_id, pos) AS rn
+                  FROM l WHERE len(line) >= 1),
+            kept AS (SELECT doc_id, pos, line FROM w WHERE rn = 1
+                     UNION ALL
+                     SELECT doc_id, pos, line FROM l WHERE len(line) < 1),
+            reb AS (SELECT doc_id,
+                           string_agg(line, chr(10) ORDER BY pos) AS text,
+                           count(*) AS kept_n
+                    FROM kept GROUP BY doc_id)
+            SELECT d.doc_id::bigint AS doc_id,
+                   coalesce(reb.text, '') AS text,
+                   len(string_split(d.text, chr(10)))::bigint AS n_lines,
+                   (len(string_split(d.text, chr(10)))
+                    - coalesce(reb.kept_n, 0))::bigint AS n_lines_removed
+            FROM d LEFT JOIN reb USING (doc_id)
+        """,
+        "kmv_distinct": """
+            WITH tok AS (
+                SELECT lang,
+                       unnest(CASE WHEN regexp_replace(lower(text),
+                                       '^\\s+|\\s+$', '', 'g') = ''
+                              THEN []::VARCHAR[]
+                              ELSE string_split_regex(
+                                  regexp_replace(lower(text),
+                                      '^\\s+|\\s+$', '', 'g'),
+                                  '\\s+') END) AS token
+                FROM documents),
+            h AS (SELECT DISTINCT lang,
+                         ('0x' || substr(md5(token), 1, 15))::bigint AS h
+                  FROM tok),
+            rk AS (SELECT lang, h,
+                          row_number() OVER (PARTITION BY lang
+                                             ORDER BY h) AS rn
+                   FROM h),
+            sk AS (SELECT lang, count(*)::bigint AS n_kept,
+                          max(CASE WHEN rn = 128 THEN h END) AS kth
+                   FROM rk WHERE rn <= 128 GROUP BY lang)
+            SELECT lang, n_kept,
+                   CASE WHEN n_kept >= 128 THEN kth END AS kth_min,
+                   CASE WHEN n_kept < 128 THEN n_kept
+                        ELSE ((127::HUGEINT
+                               * 1152921504606846976::HUGEINT)
+                              // greatest(kth, 1)::HUGEINT)::bigint
+                   END AS distinct_est
+            FROM sk
+        """,
         "entity_link_fuzzy": _fuzzy_link_oracle_sql(),
         "ann_topk_lsh": _ann_lsh_oracle_sql(),
         "events_asof": """

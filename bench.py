@@ -215,6 +215,28 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     seeds = spark.createDataFrame([(0,), (2500,)], "node long")
     timed("kg_khop", lambda: khop_neighbors(edges_khop, seeds, k=3).count())
 
+    # triangle counting over the same persisted edge table (round-4
+    # oriented wedge join + closing-edge semi-join; the hub star makes
+    # the wedge set genuinely quadratic in hub degree)
+    from csvweb_spark.operators.graph import triangle_count
+    timed("kg_triangles", lambda: triangle_count(edges_khop).count())
+
+    # cross-corpus line-level dedup (round 4): every doc shares a
+    # planted banner line, winner-per-line groupBy + rebuild
+    from csvweb_spark.operators.dedup import dedup_lines_global
+    bdocs = docs.select(
+        "doc_id", F.concat(F.lit("COOKIE BANNER accept all\n"),
+                           F.col("text")).alias("text"))
+    timed("dedup_lines", lambda: dedup_lines_global(bdocs).count())
+
+    # KMV distinct-token cardinality sketches per language (round 4)
+    from csvweb_spark.operators.sketches import kmv_distinct
+    from csvweb_spark.operators.text import whitespace_tokens
+    toks = docs.select(
+        "lang", F.explode(whitespace_tokens(F.col("text"))).alias("token"))
+    timed("kmv_distinct", lambda: kmv_distinct(
+        toks, "token", ["lang"], k=256).count())
+
     # deterministic exact-k stratified draw (WindowGroupLimit prune path)
     from csvweb_spark.operators.sampling import stratified_sample_topk
     timed("sample_stratified", lambda: stratified_sample_topk(

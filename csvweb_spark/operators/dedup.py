@@ -98,6 +98,61 @@ def dedup_exact_incremental(new_docs: DataFrame, seen_digests: DataFrame,
     return fresh.join(keep, key_col, "left_semi").drop("_dg")
 
 
+def dedup_lines_global(df: DataFrame, text_col: str = "text",
+                       key_col: str = "doc_id",
+                       min_line_chars: int = 1) -> DataFrame:
+    """Cross-document LINE-level dedup (the RefinedWeb / Gopher curation
+    rule): a line survives only in its first corpus occurrence - ordered
+    by (doc key, line position) - and every later copy is stripped;
+    documents are reassembled from their surviving lines. Catches
+    boilerplate (nav bars, cookie banners, footers) that exact/near
+    whole-doc dedup never sees because the surrounding text differs.
+
+    Lines shorter than `min_line_chars` are exempt (kept verbatim,
+    duplicates and all): deduplicating ''/single-char lines would eat
+    paragraph breaks corpus-wide. Set 0 to dedup everything.
+
+    Returns (key_col, text, n_lines, n_lines_removed) - one row per input
+    document, text rebuilt in original line order ('' when nothing
+    survives), counts for the curation audit (repo rule: no silent cuts).
+
+    Scale shape: posexplode -> groupBy(md5(line)) with a map-side-
+    combinable min(struct(key,pos)) - the winner table carries 16-byte
+    digests, never line text - then one digest-keyed join back and a
+    per-document collect/sort whose width is bounded by document size.
+    All JVM codegen; DuckDB oracle replays it with a positional
+    list_transform + window."""
+    key, pos, line = F.col(key_col), F.col("pos"), F.col("line")
+    lines = df.select(
+        key_col, F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("pos", "line"))
+    eligible = F.length(line) >= min_line_chars
+    big = lines.filter(eligible).withColumn("dg", F.md5(line))
+    winners = (big.groupBy("dg")
+               .agg(F.min(F.struct(key, pos)).alias("w")))
+    keep_big = (big.join(winners, "dg")
+                .filter((key == F.col(f"w.{key_col}"))
+                        & (pos == F.col("w.pos")))
+                .select(key_col, "pos", "line"))
+    kept = lines.filter(~eligible).unionByName(keep_big)
+    rebuilt = (kept.groupBy(key_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct(pos, line))),
+                       lambda s: s["line"]), "\n").alias("text"),
+                   F.count(F.lit(1)).alias("_kept")))
+    orig = df.select(key_col,
+                     F.size(F.split(F.col(text_col), "\n"))
+                     .cast("long").alias("n_lines"))
+    return (orig.join(rebuilt, key_col, "left")
+            .select(key_col,
+                    F.coalesce(F.col("text"), F.lit("")).alias("text"),
+                    F.col("n_lines"),
+                    (F.col("n_lines") - F.coalesce(F.col("_kept"),
+                                                   F.lit(0)))
+                    .cast("long").alias("n_lines_removed")))
+
+
 # --------------------------------------------------------------------------
 # character n-gram shingles + exact Jaccard
 # --------------------------------------------------------------------------

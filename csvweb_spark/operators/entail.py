@@ -1,0 +1,128 @@
+"""RDFS entailment over the materialized (subj, pred, obj) triple table.
+
+The reference emits the raw CSVW conversion graph and leaves reasoning to
+the consuming store (DataDock loads into dotNetRDF, whose stores apply
+RDFS closure on demand); at web scale the closure has to be materialized
+by the engine itself, so this module implements the finite RDFS rule
+subset that covers schema inheritance:
+
+* rdfs11  subClassOf transitivity
+* rdfs5   subPropertyOf transitivity
+* rdfs7   property inheritance      (x p y), (p subPropertyOf q) => (x q y)
+* rdfs2   domain typing             (p domain c), (x p y) => (x type c)
+* rdfs3   range typing              (p range c),  (x p y) => (y type c)
+* rdfs9   type inheritance          (x type a), (a subClassOf b) => (x type b)
+
+Stratification note: with this rule set the fixpoint is reached in ONE
+pass once the two schema closures exist - subPropertyOf inheritance can
+create triples that fire domain/range, domain/range create rdf:type
+triples, and type triples only feed rdfs9 - so the evaluation below
+(sp-closure -> rdfs7 -> rdfs2/3 -> sc-closure -> rdfs9) is complete, not
+an approximation. No instance-sized iteration ever runs.
+
+Scale shape: ontologies are tiny (10^3-10^5 schema triples) while the
+instance set is the 10^12-row KG - so both closures iterate over
+broadcast-sized frames on the driver-visible schema subset only, and
+every rule application is a BROADCAST hash join against the instance
+scan; the single shuffle in the whole plan is the final distinct (and
+`dedupe=False` removes even that when the consumer dedups downstream).
+
+DuckDB-oracle-checkable: the closures are recursive CTEs, the rules are
+plain joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+RDFS_SUBCLASS = RDFS + "subClassOf"
+RDFS_SUBPROP = RDFS + "subPropertyOf"
+RDFS_DOMAIN = RDFS + "domain"
+RDFS_RANGE = RDFS + "range"
+
+
+def transitive_closure(pairs: DataFrame, src: str = "src",
+                       dst: str = "dst", max_rounds: int = 32) -> DataFrame:
+    """All (src, dst) pairs reachable through the input relation
+    (irreflexive paths included as given; no self-pairs are invented).
+
+    Iterative doubling: closure(2^k) = closure(2^(k-1)) JOIN itself, so a
+    depth-d hierarchy closes in ceil(log2(d)) rounds, each a hash join +
+    distinct on the (small, schema-sized) closure frame with a
+    localCheckpoint to truncate lineage. Deterministic set semantics."""
+    closure = pairs.select(F.col(src).alias("src"),
+                           F.col(dst).alias("dst")).distinct() \
+        .localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        hop = closure.select(F.col("src").alias("mid"),
+                             F.col("dst").alias("dst2"))
+        new = (closure.join(hop, closure["dst"] == hop["mid"])
+               .select("src", F.col("dst2").alias("dst"))
+               .join(closure, ["src", "dst"], "left_anti")
+               .distinct())
+        if not new.take(1):
+            break
+        closure = closure.unionByName(new).localCheckpoint(eager=True)
+    return closure
+
+
+def rdfs_closure(triples: DataFrame, derived_only: bool = False,
+                 dedupe: bool = True) -> DataFrame:
+    """Materialize the RDFS entailment of a (subj, pred, obj) triple set
+    under rules rdfs2/3/5/7/9/11 (module docstring). Returns the same
+    three columns; `derived_only` drops the input triples from the
+    output, `dedupe=False` skips the final distinct (the one shuffle)."""
+    t = triples.select("subj", "pred", "obj")
+
+    sub_prop = transitive_closure(
+        t.filter(F.col("pred") == RDFS_SUBPROP)
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst")))
+    sub_class = transitive_closure(
+        t.filter(F.col("pred") == RDFS_SUBCLASS)
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst")))
+    domains = t.filter(F.col("pred") == RDFS_DOMAIN).select(
+        F.col("subj").alias("p"), F.col("obj").alias("cls"))
+    ranges = t.filter(F.col("pred") == RDFS_RANGE).select(
+        F.col("subj").alias("p"), F.col("obj").alias("cls"))
+
+    # rdfs5/11: the closures themselves are entailed schema triples
+    d_subprop = sub_prop.select(F.col("src").alias("subj"),
+                                F.lit(RDFS_SUBPROP).alias("pred"),
+                                F.col("dst").alias("obj"))
+    d_subclass = sub_class.select(F.col("src").alias("subj"),
+                                  F.lit(RDFS_SUBCLASS).alias("pred"),
+                                  F.col("dst").alias("obj"))
+
+    # rdfs7 over the instance scan (schema side broadcast)
+    d_rdfs7 = (t.join(F.broadcast(sub_prop), t["pred"] == sub_prop["src"])
+               .select("subj", F.col("dst").alias("pred"), "obj"))
+
+    # rdfs2/3 fire on asserted AND rdfs7-derived property triples
+    props = t.unionByName(d_rdfs7)
+    d_rdfs2 = (props.join(F.broadcast(domains), props["pred"] == domains["p"])
+               .select("subj", F.lit(RDF_TYPE).alias("pred"),
+                       F.col("cls").alias("obj")))
+    d_rdfs3 = (props.join(F.broadcast(ranges), props["pred"] == ranges["p"])
+               .select(F.col("obj").alias("subj"),
+                       F.lit(RDF_TYPE).alias("pred"),
+                       F.col("cls").alias("obj")))
+
+    # rdfs9 on all type triples (asserted + rdfs2/3-derived)
+    types = (t.filter(F.col("pred") == RDF_TYPE)
+             .unionByName(d_rdfs2).unionByName(d_rdfs3))
+    d_rdfs9 = (types.join(F.broadcast(sub_class),
+                          types["obj"] == sub_class["src"])
+               .select("subj", F.lit(RDF_TYPE).alias("pred"),
+                       F.col("dst").alias("obj")))
+
+    derived = (d_subprop.unionByName(d_subclass).unionByName(d_rdfs7)
+               .unionByName(d_rdfs2).unionByName(d_rdfs3)
+               .unionByName(d_rdfs9))
+    if derived_only:
+        out = derived.join(t, ["subj", "pred", "obj"], "left_anti")
+    else:
+        out = t.unionByName(derived)
+    return out.distinct() if dedupe else out

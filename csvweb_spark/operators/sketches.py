@@ -1,0 +1,98 @@
+"""K-minimum-values (KMV) distinct-count sketches.
+
+The cardinality primitive a 100 TB curation pipeline needs everywhere
+(distinct tokens per language, distinct hosts per shard, vocabulary
+growth curves) without a full distinct: keep the k smallest 60-bit
+hashes of the values per group; the k-th smallest estimates the
+cardinality as (k-1) * HASH_SPACE / kth (Bar-Yossef et al. 2002, the
+KMV/bottom-k estimator HyperLogLog descends from).
+
+Why KMV and not HLL here: the sketch is a plain sorted array<long>, so
+it is (a) DETERMINISTIC - same input set, same sketch, regardless of
+partitioning or merge order, (b) exactly mergeable (union, re-take k
+smallest), and (c) replayable by a DuckDB window query, which makes it
+the one cardinality sketch this repo can put behind its value-hash
+oracle gate (`approx_count_distinct`'s HLL++ has neither property).
+
+Estimates are integer-exact on both engines: hashes are the md5-prefix
+60-bit family shared with simhash/duplicate_spans, the estimator is
+(k-1)*2^60 div kth in decimal(38,0)/HUGEINT arithmetic, and groups with
+fewer than k distinct hashes report their EXACT count.
+
+Scale shape: one distinct on (group, hash) - map-side-combinable, the
+only full shuffle - then a row_number top-k window that Catalyst's
+InferWindowGroupLimit prunes map-side (partial WindowGroupLimit below
+the exchange), so no group ever concentrates more than k rows past the
+exchange. Sketch width is k longs (~512 B at k=64): millions of groups
+fit in a broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from csvweb_spark.operators.dedup import md5_hash60
+
+HASH_SPACE = 1 << 60
+
+
+def _topk_hashes(df: DataFrame, value_col: str, group_cols: list[str],
+                 k: int) -> DataFrame:
+    """(group..., h) - the k smallest distinct 60-bit value hashes per
+    group (all of them when a group has < k)."""
+    hashed = (df.select(*group_cols,
+                        md5_hash60(F.col(value_col)).alias("h"))
+              .distinct())
+    win = Window.partitionBy(*group_cols).orderBy("h")
+    return (hashed.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def kmv_sketch(df: DataFrame, value_col: str, group_cols: list[str],
+               k: int = 64) -> DataFrame:
+    """(group..., sketch: sorted array<long>) - the mergeable sketch."""
+    return (_topk_hashes(df, value_col, group_cols, k)
+            .groupBy(*group_cols)
+            .agg(F.array_sort(F.collect_list("h")).alias("sketch")))
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, group_cols: list[str],
+              k: int = 64) -> DataFrame:
+    """Union two sketch tables: per group, union the hash sets and
+    re-take the k smallest - exactly the sketch of the combined input
+    (the property that lets shards/micro-batches sketch independently)."""
+    merged = (a.unionByName(b)
+              .select(*group_cols, F.explode("sketch").alias("h"))
+              .distinct())
+    win = Window.partitionBy(*group_cols).orderBy("h")
+    return (merged.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") <= k).drop("_rn")
+            .groupBy(*group_cols)
+            .agg(F.array_sort(F.collect_list("h")).alias("sketch")))
+
+
+def kmv_estimate(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Add (n_kept, kth_min, distinct_est) to a sketch table. Exact when
+    the group kept fewer than k hashes; otherwise the bottom-k estimator
+    in exact integer arithmetic (decimal(38,0) div)."""
+    n = F.size("sketch").cast("long")
+    kth = F.element_at("sketch", k).cast("long")
+    est = F.expr(
+        f"CAST((CAST({k - 1} AS DECIMAL(38,0)) "
+        f"* CAST({HASH_SPACE} AS DECIMAL(38,0))) "
+        f"DIV CAST(greatest(element_at(sketch, {k}), 1L) AS DECIMAL(38,0)) "
+        f"AS BIGINT)")
+    return sketches.select(
+        *[c for c in sketches.columns if c != "sketch"],
+        n.alias("n_kept"),
+        F.when(n >= k, kth).alias("kth_min"),
+        F.when(n < k, n).otherwise(est).alias("distinct_est"))
+
+
+def kmv_distinct(df: DataFrame, value_col: str, group_cols: list[str],
+                 k: int = 64) -> DataFrame:
+    """One-call per-group distinct estimate:
+    (group..., n_kept, kth_min, distinct_est)."""
+    return kmv_estimate(kmv_sketch(df, value_col, group_cols, k), k)

@@ -1,0 +1,215 @@
+"""Round-4 KG consumer/reasoning operators: triangle counting, RDFS
+entailment, BGP matching, cross-corpus line dedup, KMV sketches."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from csvweb_spark.operators.bgp import match_bgp
+from csvweb_spark.operators.dedup import dedup_lines_global
+from csvweb_spark.operators.entail import (
+    RDF_TYPE, RDFS_DOMAIN, RDFS_RANGE, RDFS_SUBCLASS, RDFS_SUBPROP,
+    rdfs_closure, transitive_closure)
+from csvweb_spark.operators.graph import triangle_count
+from csvweb_spark.operators.sketches import (
+    kmv_distinct, kmv_estimate, kmv_merge, kmv_sketch)
+
+
+# ----------------------------------------------------------------- triangles
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_triangle_count_basic(spark):
+    # K4 on {1..4}: every node is in C(3,2)=3 triangles
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    out = {r.node: r.triangles
+           for r in triangle_count(_edges(spark, k4)).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_ignores_loops_parallel_direction(spark):
+    # one triangle asserted with reversed/duplicate/self edges
+    e = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
+    out = {r.node: r.triangles
+           for r in triangle_count(_edges(spark, e)).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+    # a path has no triangles -> empty result
+    assert triangle_count(_edges(spark, [(1, 2), (2, 3)])).count() == 0
+
+
+def test_triangle_count_degree_orientation_same_result(spark):
+    # star hub 0 + one rim edge: exactly one triangle (0,1,2); degree
+    # orientation must agree with id orientation
+    e = [(0, i) for i in range(1, 8)] + [(1, 2)]
+    a = {r.node: r.triangles
+         for r in triangle_count(_edges(spark, e)).collect()}
+    b = {r.node: r.triangles
+         for r in triangle_count(_edges(spark, e),
+                                 orient_by_degree=True).collect()}
+    assert a == b == {0: 1, 1: 1, 2: 1}
+
+
+# ---------------------------------------------------------------- entailment
+
+
+def test_transitive_closure_chain_and_diamond(spark):
+    pairs = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 5), (5, 4)])
+    got = {(r.src, r.dst) for r in transitive_closure(pairs).collect()}
+    assert got == {(1, 2), (2, 3), (3, 4), (1, 5), (5, 4),
+                   (1, 3), (1, 4), (2, 4)}
+
+
+def _t(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_rdfs_closure_rules(spark):
+    EX = "http://ex.org/"
+    triples = _t(spark, [
+        (EX + "Dog", RDFS_SUBCLASS, EX + "Mammal"),
+        (EX + "Mammal", RDFS_SUBCLASS, EX + "Animal"),
+        (EX + "hasPet", RDFS_SUBPROP, EX + "knows"),
+        (EX + "hasPet", RDFS_DOMAIN, EX + "Person"),
+        (EX + "knows", RDFS_RANGE, EX + "Agent"),
+        (EX + "alice", EX + "hasPet", EX + "rex"),
+        (EX + "rex", RDF_TYPE, EX + "Dog"),
+    ])
+    got = {(r.subj, r.pred, r.obj)
+           for r in rdfs_closure(triples, derived_only=True).collect()}
+    assert (EX + "Dog", RDFS_SUBCLASS, EX + "Animal") in got      # rdfs11
+    assert (EX + "alice", EX + "knows", EX + "rex") in got        # rdfs7
+    assert (EX + "alice", RDF_TYPE, EX + "Person") in got         # rdfs2
+    # rdfs3 fires on the DERIVED knows triple too (stratification)
+    assert (EX + "rex", RDF_TYPE, EX + "Agent") in got
+    # rdfs9 through the closed subclass chain
+    assert (EX + "rex", RDF_TYPE, EX + "Mammal") in got
+    assert (EX + "rex", RDF_TYPE, EX + "Animal") in got
+    # derived_only excludes every asserted triple
+    asserted = {tuple(r) for r in triples.collect()}
+    assert not (got & asserted)
+    # full closure = asserted + derived, deduplicated
+    full = rdfs_closure(triples)
+    assert full.count() == full.distinct().count() == len(got | asserted)
+
+
+# ----------------------------------------------------------------------- bgp
+
+
+def _kg(spark):
+    EX = "http://ex.org/"
+    return _t(spark, [
+        (EX + "alice", EX + "in", EX + "paris"),
+        (EX + "bob", EX + "in", EX + "paris"),
+        (EX + "carol", EX + "in", EX + "lyon"),
+        (EX + "paris", EX + "country", EX + "fr"),
+        (EX + "lyon", EX + "country", EX + "fr"),
+        (EX + "alice", EX + "knows", EX + "bob"),
+    ]), EX
+
+
+def test_bgp_two_hop_join(spark):
+    kg, EX = _kg(spark)
+    out = match_bgp(kg, [("?p", EX + "in", "?city"),
+                         ("?city", EX + "country", EX + "fr")])
+    got = {(r.p, r.city) for r in out.collect()}
+    assert got == {(EX + "alice", EX + "paris"), (EX + "bob", EX + "paris"),
+                   (EX + "carol", EX + "lyon")}
+    assert sorted(out.columns) == ["city", "p"]
+
+
+def test_bgp_shared_subject_and_repeated_var(spark):
+    kg, EX = _kg(spark)
+    out = match_bgp(kg, [("?a", EX + "knows", "?b"),
+                         ("?a", EX + "in", "?c"),
+                         ("?b", EX + "in", "?c")])
+    assert {(r.a, r.b) for r in out.collect()} == {(EX + "alice",
+                                                    EX + "bob")}
+    # repeated variable inside one pattern = equality filter
+    loop = match_bgp(kg, [("?x", EX + "knows", "?x")])
+    assert loop.count() == 0
+
+
+def test_bgp_existence_probe_and_cartesian_guard(spark):
+    kg, EX = _kg(spark)
+    # all-constant probe contributes one empty mapping
+    out = match_bgp(kg, [(EX + "alice", EX + "knows", EX + "bob"),
+                         ("?c", EX + "country", EX + "fr")])
+    assert out.count() == 2
+    absent = match_bgp(kg, [(EX + "bob", EX + "knows", EX + "alice"),
+                            ("?c", EX + "country", EX + "fr")])
+    assert absent.count() == 0
+    with pytest.raises(ValueError, match="cartesian"):
+        match_bgp(kg, [("?a", EX + "in", "?x"), ("?b", EX + "country", "?y")])
+    assert match_bgp(kg, [("?a", EX + "in", "?x"),
+                          ("?b", EX + "country", "?y")],
+                     allow_cartesian=True).count() == 3 * 2
+
+
+# ---------------------------------------------------------------- line dedup
+
+
+def test_dedup_lines_global(spark):
+    docs = spark.createDataFrame(
+        [(1, "the same banner\nalpha body text\n"),
+         (2, "the same banner\nbeta body text"),
+         (3, "the same banner")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dedup_lines_global(docs).collect()}
+    # doc 1 keeps everything (first occurrence), incl. exempt blank line
+    assert out[1].text == "the same banner\nalpha body text\n"
+    assert out[1].n_lines_removed == 0 and out[1].n_lines == 3
+    # later copies lose the banner but keep their own body
+    assert out[2].text == "beta body text"
+    assert out[2].n_lines_removed == 1
+    # doc 3 loses its only line
+    assert out[3].text == "" and out[3].n_lines_removed == 1
+
+
+def test_dedup_lines_exemption_and_order(spark):
+    docs = spark.createDataFrame(
+        [(1, "a\n\nxy\n\na"), (2, "xy")], "doc_id long, text string")
+    out = {r.doc_id: r.text
+           for r in dedup_lines_global(docs, min_line_chars=2).collect()}
+    # min_line_chars=2 exempts 'a'/'' (kept verbatim, duplicates and
+    # all) -> only 'xy' is dedup-eligible; within-doc order is
+    # preserved exactly
+    assert out[1] == "a\n\nxy\n\na"
+    assert out[2] == ""
+
+
+# ------------------------------------------------------------------ sketches
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame([("g", f"v{i}") for i in range(10)],
+                               "g string, v string")
+    row = kmv_distinct(df, "v", ["g"], k=64).collect()[0]
+    assert row.distinct_est == 10 and row.n_kept == 10
+    assert row.kth_min is None
+
+
+def test_kmv_estimate_accuracy_and_determinism(spark):
+    n = 5000
+    df = spark.createDataFrame([(f"v{i % n}",) for i in range(2 * n)],
+                               "v string").withColumn("g", F.lit("g"))
+    est1 = kmv_distinct(df, "v", ["g"], k=256).collect()[0].distinct_est
+    est2 = kmv_distinct(df.repartition(13), "v", ["g"],
+                        k=256).collect()[0].distinct_est
+    assert est1 == est2                       # partition-invariant
+    assert abs(est1 - n) / n < 0.15           # within ~1/sqrt(k) * 2
+
+
+def test_kmv_merge_equals_union_sketch(spark):
+    a = spark.createDataFrame([(f"v{i}",) for i in range(400)], "v string") \
+        .withColumn("g", F.lit("g"))
+    b = spark.createDataFrame([(f"v{i}",) for i in range(200, 600)],
+                              "v string").withColumn("g", F.lit("g"))
+    merged = kmv_merge(kmv_sketch(a, "v", ["g"], k=64),
+                       kmv_sketch(b, "v", ["g"], k=64), ["g"], k=64)
+    direct = kmv_sketch(a.unionByName(b), "v", ["g"], k=64)
+    assert merged.collect()[0].sketch == direct.collect()[0].sketch
+    est = kmv_estimate(merged, k=64).collect()[0]
+    assert est.n_kept == 64 and est.distinct_est > 0
