@@ -1133,6 +1133,31 @@ def q_dedup_lines(spark, sf_dir):
                       .alias("n_lines_removed"))
 
 
+def q_dedup_lines_incr(spark, sf_dir):
+    """Incremental line dedup against a committed digest state: docs
+    < 100 (banner-planted) are the committed corpus whose line digests
+    form the state table; docs 100..299 arrive as the new batch.
+    Committed lines (banner included) strip from EVERY new doc, and the
+    batch-first occurrence wins among the rest. Oracle replays the
+    digest anti-join + first-occurrence window in SQL."""
+    from csvweb_spark.operators.dedup import dedup_lines_incremental
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    banner = docs.select(
+        "doc_id", F.concat(F.lit("COOKIE BANNER accept all\n"),
+                           F.col("text")).alias("text"))
+    committed = banner.filter(F.col("doc_id") < 100)
+    seen = (committed
+            .select(F.explode(F.split(F.col("text"), "\n")).alias("line"))
+            .filter(F.length("line") >= 1)
+            .select(F.md5(F.col("line")).alias("line_dg")).distinct())
+    out, _ = dedup_lines_incremental(banner.filter(F.col("doc_id") >= 100),
+                                     seen)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "text",
+                      F.col("n_lines").cast("long").alias("n_lines"),
+                      F.col("n_lines_removed").cast("long")
+                      .alias("n_lines_removed"))
+
+
 def q_kmv_distinct(spark, sf_dir):
     """Per-language distinct-token cardinality via the deterministic
     KMV bottom-k sketch (k=128): exact below k, bottom-k estimator in
@@ -1149,6 +1174,44 @@ def q_kmv_distinct(spark, sf_dir):
                       F.col("kth_min").cast("long").alias("kth_min"),
                       F.col("distinct_est").cast("long")
                       .alias("distinct_est"))
+
+
+def q_bgp_optional(spark, sf_dir):
+    """SPARQL OPTIONAL compiled to a left join: every customer < 300
+    binds its nation; only customers < 50 carry a planted ex:vip triple,
+    so the optional ?v column is NULL for the rest - the oracle is the
+    same LEFT JOIN in SQL."""
+    from csvweb_spark.operators.bgp import match_bgp
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    t_in = cust.select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit("ex:in").alias("pred"),
+        F.concat(F.lit("ex:N"), F.col("c_nationkey")).alias("obj"))
+    t_vip = (cust.filter(F.col("c_custkey") < 50).select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit("ex:vip").alias("pred"), F.lit("ex:gold").alias("obj")))
+    out = match_bgp(t_in.unionByName(t_vip),
+                    [("?c", "ex:in", "?n")],
+                    optional=[[("?c", "ex:vip", "?v")]])
+    return out.select("c", "n", "v")
+
+
+def q_kg_path(spark, sf_dir):
+    """SPARQL property path pred+ (hierarchy walk): the transitive
+    closure of an ex:next chain over customers < 60, closed by
+    iterative doubling in ceil(log2(depth)) self-join rounds. Oracle:
+    recursive CTE over the same chain."""
+    from csvweb_spark.operators.bgp import match_path
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 60)
+    nxt = cust.select(F.col("c_custkey").alias("k2"))
+    chain = (cust.select(F.col("c_custkey").alias("k"),
+                         (F.col("c_custkey") + 1).alias("k2"))
+             .join(nxt, "k2", "left_semi"))
+    triples = chain.select(
+        F.concat(F.lit("ex:C"), F.col("k")).alias("subj"),
+        F.lit("ex:next").alias("pred"),
+        F.concat(F.lit("ex:C"), F.col("k2")).alias("obj"))
+    return match_path(triples, "ex:next", "?src", "?dst").select("src", "dst")
 
 
 # --------------------------------------------------------------------------
@@ -1222,7 +1285,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": q_kg_triangles,
         "rdfs_entail": q_rdfs_entail,
         "bgp_match": q_bgp_match,
+        "bgp_optional": q_bgp_optional,
+        "kg_path": q_kg_path,
         "dedup_lines": q_dedup_lines,
+        "dedup_lines_incr": q_dedup_lines_incr,
         "kmv_distinct": q_kmv_distinct,
         # deliberately LAST: if the driver harness caps the recorded
         # queries (round 3 recorded exactly 50), the entries that fall
@@ -2097,6 +2163,26 @@ def oracle_sql() -> dict[str, str]:
             FROM t a JOIN t b ON a.obj = b.subj
             WHERE a.pred = 'ex:in' AND b.pred = 'ex:of'
         """,
+        "bgp_optional": """
+            WITH t_in AS (
+                SELECT 'ex:C' || c_custkey AS c, 'ex:N' || c_nationkey AS n
+                FROM customer WHERE c_custkey < 300),
+            v AS (SELECT 'ex:C' || c_custkey AS c, 'ex:gold' AS v
+                  FROM customer WHERE c_custkey < 50)
+            SELECT t_in.c, t_in.n, v.v
+            FROM t_in LEFT JOIN v USING (c)
+        """,
+        "kg_path": """
+            WITH RECURSIVE
+            c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 60),
+            e AS (SELECT a.k AS s, a.k + 1 AS d
+                  FROM c a JOIN c b ON b.k = a.k + 1),
+            cl(s, d) AS (
+                SELECT s, d FROM e
+                UNION
+                SELECT cl.s, e.d FROM cl JOIN e ON e.s = cl.d)
+            SELECT 'ex:C' || s AS src, 'ex:C' || d AS dst FROM cl
+        """,
         "dedup_lines": """
             WITH d AS (
                 SELECT doc_id,
@@ -2125,6 +2211,43 @@ def oracle_sql() -> dict[str, str]:
                    (len(string_split(d.text, chr(10)))
                     - coalesce(reb.kept_n, 0))::bigint AS n_lines_removed
             FROM d LEFT JOIN reb USING (doc_id)
+        """,
+        "dedup_lines_incr": """
+            WITH b AS (
+                SELECT doc_id,
+                       'COOKIE BANNER accept all' || chr(10) || text AS text
+                FROM documents WHERE doc_id < 300),
+            seen AS (
+                SELECT DISTINCT md5(line) AS dg
+                FROM (SELECT unnest(string_split(text, chr(10))) AS line
+                      FROM b WHERE doc_id < 100) q
+                WHERE len(line) >= 1),
+            n AS (SELECT doc_id, text FROM b WHERE doc_id >= 100),
+            l AS (SELECT doc_id,
+                         unnest(string_split(text, chr(10))) AS line,
+                         generate_subscripts(string_split(text, chr(10)),
+                                             1) AS pos
+                  FROM n),
+            f AS (SELECT doc_id, pos, line FROM l
+                  WHERE len(line) >= 1
+                    AND md5(line) NOT IN (SELECT dg FROM seen)),
+            w AS (SELECT doc_id, pos, line,
+                         row_number() OVER (PARTITION BY line
+                                            ORDER BY doc_id, pos) AS rn
+                  FROM f),
+            kept AS (SELECT doc_id, pos, line FROM w WHERE rn = 1
+                     UNION ALL
+                     SELECT doc_id, pos, line FROM l WHERE len(line) < 1),
+            reb AS (SELECT doc_id,
+                           string_agg(line, chr(10) ORDER BY pos) AS text,
+                           count(*) AS kept_n
+                    FROM kept GROUP BY doc_id)
+            SELECT n.doc_id::bigint AS doc_id,
+                   coalesce(reb.text, '') AS text,
+                   len(string_split(n.text, chr(10)))::bigint AS n_lines,
+                   (len(string_split(n.text, chr(10)))
+                    - coalesce(reb.kept_n, 0))::bigint AS n_lines_removed
+            FROM n LEFT JOIN reb USING (doc_id)
         """,
         "kmv_distinct": """
             WITH tok AS (

@@ -69,11 +69,21 @@ def _pattern_df(triples: DataFrame, pat: Pattern, idx: int) -> DataFrame:
 
 
 def match_bgp(triples: DataFrame, patterns: list[Pattern],
-              allow_cartesian: bool = False) -> DataFrame:
+              allow_cartesian: bool = False,
+              optional: list[list[Pattern]] | None = None) -> DataFrame:
     """Match a conjunctive BGP; returns one row per solution mapping with
     one column per distinct variable (module docstring for semantics).
     Duplicate solutions are preserved (SPARQL bag semantics); apply
-    .distinct() for set semantics."""
+    .distinct() for set semantics.
+
+    `optional` is a list of OPTIONAL groups (each itself a pattern
+    list): every group is matched as its own BGP and LEFT-joined onto
+    the solution so far on their shared variables (SPARQL OPTIONAL
+    left-to-right evaluation) - unmatched solutions keep NULL in the
+    group's private variables. A group sharing no variable with the
+    solution raises (it would silently cross-join every solution).
+    FILTER needs no operator support: apply `.filter()` to the result,
+    it collapses into the same Catalyst plan."""
     if not patterns:
         raise ValueError("empty pattern list")
     scans = [(_pattern_df(triples, p, i),
@@ -103,4 +113,36 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern],
     if not var_cols:
         # variable-free BGP: true/false as a 0- or 1-row marker frame
         return out.select(F.lit(1).alias("matched")).limit(1)
-    return out.select(*var_cols)
+    out = out.select(*var_cols)
+    for i, group in enumerate(optional or []):
+        sub = match_bgp(triples, group, allow_cartesian=allow_cartesian)
+        shared = sorted(set(sub.columns) & set(out.columns))
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL group {i} shares no variable with the "
+                "required pattern (would cross-join every solution)")
+        out = out.join(sub, shared, "left")
+    return out
+
+
+def match_path(triples: DataFrame, pred: str, src_var: str = "?s",
+               dst_var: str = "?o", max_rounds: int = 32) -> DataFrame:
+    """SPARQL property path `pred+`: all (src, dst) pairs connected by
+    ONE OR MORE edges of a single predicate - the closure query behind
+    skos:broader+ / rdfs:subClassOf+ hierarchy walks. One column per
+    end variable, so the result composes with `match_bgp` output by
+    joining on shared variable names.
+
+    Scale shape: the predicate constant prunes the scan to one stripe
+    of a predicate-partitioned store, then iterative doubling closes a
+    depth-d relation in ceil(log2(d)) self-joins (entail.py's
+    transitive_closure, localCheckpoint per round). Path predicates are
+    overwhelmingly schema-sized relations (hierarchies, not the
+    instance bulk); for an instance-scale relation prefer
+    graph.khop_neighbors with an explicit hop bound."""
+    from csvweb_spark.operators.entail import transitive_closure
+    edges = (triples.filter(F.col("pred") == pred)
+             .select(F.col("subj").alias("src"), F.col("obj").alias("dst")))
+    closure = transitive_closure(edges, max_rounds=max_rounds)
+    return closure.select(F.col("src").alias(src_var.lstrip("?")),
+                          F.col("dst").alias(dst_var.lstrip("?")))

@@ -122,23 +122,41 @@ def dedup_lines_global(df: DataFrame, text_col: str = "text",
     per-document collect/sort whose width is bounded by document size.
     All JVM codegen; DuckDB oracle replays it with a positional
     list_transform + window."""
-    key, pos, line = F.col(key_col), F.col("pos"), F.col("line")
-    lines = df.select(
+    lines = _split_lines(df, text_col, key_col)
+    big = (lines.filter(F.length("line") >= min_line_chars)
+           .withColumn("dg", F.md5(F.col("line"))))
+    kept = (lines.filter(F.length("line") < min_line_chars)
+            .unionByName(_first_occurrence(big, key_col)))
+    return _reassemble_lines(df, kept, text_col, key_col)
+
+
+def _split_lines(df: DataFrame, text_col: str, key_col: str) -> DataFrame:
+    """(key, pos, line) - one row per physical line."""
+    return df.select(
         key_col, F.posexplode(F.split(F.col(text_col), "\n"))
         .alias("pos", "line"))
-    eligible = F.length(line) >= min_line_chars
-    big = lines.filter(eligible).withColumn("dg", F.md5(line))
-    winners = (big.groupBy("dg")
-               .agg(F.min(F.struct(key, pos)).alias("w")))
-    keep_big = (big.join(winners, "dg")
-                .filter((key == F.col(f"w.{key_col}"))
-                        & (pos == F.col("w.pos")))
-                .select(key_col, "pos", "line"))
-    kept = lines.filter(~eligible).unionByName(keep_big)
+
+
+def _first_occurrence(big: DataFrame, key_col: str) -> DataFrame:
+    """Corpus-first copy of each digested line: min(struct(key, pos))
+    per digest - map-side-combinable, the winner table carries 16-byte
+    digests only - then one digest-keyed join back."""
+    key, pos = F.col(key_col), F.col("pos")
+    winners = big.groupBy("dg").agg(F.min(F.struct(key, pos)).alias("w"))
+    return (big.join(winners, "dg")
+            .filter((key == F.col(f"w.{key_col}")) & (pos == F.col("w.pos")))
+            .select(key_col, "pos", "line"))
+
+
+def _reassemble_lines(df: DataFrame, kept: DataFrame, text_col: str,
+                      key_col: str) -> DataFrame:
+    """Rebuild documents from surviving (key, pos, line) rows in
+    original order, with removal counts ('' when nothing survives)."""
     rebuilt = (kept.groupBy(key_col)
                .agg(F.array_join(
                    F.transform(
-                       F.array_sort(F.collect_list(F.struct(pos, line))),
+                       F.array_sort(F.collect_list(
+                           F.struct(F.col("pos"), F.col("line")))),
                        lambda s: s["line"]), "\n").alias("text"),
                    F.count(F.lit(1)).alias("_kept")))
     orig = df.select(key_col,
@@ -151,6 +169,37 @@ def dedup_lines_global(df: DataFrame, text_col: str = "text",
                     (F.col("n_lines") - F.coalesce(F.col("_kept"),
                                                    F.lit(0)))
                     .cast("long").alias("n_lines_removed")))
+
+
+def dedup_lines_incremental(new_docs: DataFrame,
+                            seen_line_digests: DataFrame,
+                            text_col: str = "text",
+                            key_col: str = "doc_id",
+                            min_line_chars: int = 1):
+    """Batch-incremental cross-document line dedup: every line whose
+    md5 digest already exists in the committed corpus state
+    (`seen_line_digests`: a 1-column 'line_dg' table) is stripped from
+    every new document, and within the batch the corpus-first
+    occurrence wins exactly as in `dedup_lines_global`. Returns
+    (docs, new_digests): the rebuilt documents (same schema as the
+    global variant) plus the digests this batch introduces - append
+    them to the state table to commit the batch. The line-level
+    sibling of `dedup_exact_incremental` / the MinHash band state:
+    only 16-byte digests ever join or persist, committed text is never
+    re-read, so the state is viable at 10^12 docs and composes with
+    foreachBatch streaming the same way (idempotent on redelivery:
+    same batch + same prior state => byte-identical output)."""
+    lines = _split_lines(new_docs, text_col, key_col)
+    big = (lines.filter(F.length("line") >= min_line_chars)
+           .withColumn("dg", F.md5(F.col("line"))))
+    fresh = big.join(
+        seen_line_digests.select(F.col("line_dg").alias("dg")),
+        "dg", "left_anti")
+    kept = (lines.filter(F.length("line") < min_line_chars)
+            .unionByName(_first_occurrence(fresh, key_col)))
+    out = _reassemble_lines(new_docs, kept, text_col, key_col)
+    new_digests = fresh.select(F.col("dg").alias("line_dg")).distinct()
+    return out, new_digests
 
 
 # --------------------------------------------------------------------------

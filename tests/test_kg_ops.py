@@ -4,8 +4,9 @@ entailment, BGP matching, cross-corpus line dedup, KMV sketches."""
 import pytest
 from pyspark.sql import functions as F
 
-from csvweb_spark.operators.bgp import match_bgp
-from csvweb_spark.operators.dedup import dedup_lines_global
+from csvweb_spark.operators.bgp import match_bgp, match_path
+from csvweb_spark.operators.dedup import (dedup_lines_global,
+                                          dedup_lines_incremental)
 from csvweb_spark.operators.entail import (
     RDF_TYPE, RDFS_DOMAIN, RDFS_RANGE, RDFS_SUBCLASS, RDFS_SUBPROP,
     rdfs_closure, transitive_closure)
@@ -147,6 +148,44 @@ def test_bgp_existence_probe_and_cartesian_guard(spark):
                      allow_cartesian=True).count() == 3 * 2
 
 
+def test_bgp_optional_left_join(spark):
+    kg, EX = _kg(spark)
+    out = match_bgp(kg, [("?p", EX + "in", "?city")],
+                    optional=[[("?p", EX + "knows", "?f")]])
+    got = {(r.p, r.city, r.f) for r in out.collect()}
+    # alice binds the optional friend; bob/carol keep NULL
+    assert got == {(EX + "alice", EX + "paris", EX + "bob"),
+                   (EX + "bob", EX + "paris", None),
+                   (EX + "carol", EX + "lyon", None)}
+    # second optional chains on a variable the FIRST optional bound
+    out2 = match_bgp(kg, [("?p", EX + "in", "?city")],
+                     optional=[[("?p", EX + "knows", "?f")],
+                               [("?f", EX + "in", "?fcity")]])
+    rows = {r.p: (r.f, r.fcity) for r in out2.collect()}
+    assert rows[EX + "alice"] == (EX + "bob", EX + "paris")
+    assert rows[EX + "carol"] == (None, None)
+    with pytest.raises(ValueError, match="OPTIONAL"):
+        match_bgp(kg, [("?p", EX + "in", "?city")],
+                  optional=[[("?x", EX + "country", "?y")]])
+
+
+def test_match_path_plus_closure(spark):
+    EX = "http://ex.org/"
+    kg = _t(spark, [
+        (EX + "a", EX + "broader", EX + "b"),
+        (EX + "b", EX + "broader", EX + "c"),
+        (EX + "c", EX + "broader", EX + "d"),
+        (EX + "x", EX + "other", EX + "y"),
+    ])
+    got = {(r.s, r.o) for r in match_path(kg, EX + "broader").collect()}
+    assert got == {(EX + "a", EX + "b"), (EX + "b", EX + "c"),
+                   (EX + "c", EX + "d"), (EX + "a", EX + "c"),
+                   (EX + "b", EX + "d"), (EX + "a", EX + "d")}
+    # custom variable names compose with match_bgp results by join
+    named = match_path(kg, EX + "broader", "?narrow", "?broad")
+    assert sorted(named.columns) == ["broad", "narrow"]
+
+
 # ---------------------------------------------------------------- line dedup
 
 
@@ -178,6 +217,32 @@ def test_dedup_lines_exemption_and_order(spark):
     # preserved exactly
     assert out[1] == "a\n\nxy\n\na"
     assert out[2] == ""
+
+
+def test_dedup_lines_incremental(spark):
+    import hashlib
+    committed = spark.createDataFrame(
+        [(1, "banner\nold body")], "doc_id long, text string")
+    seen = (committed
+            .select(F.explode(F.split(F.col("text"), "\n")).alias("line"))
+            .select(F.md5(F.col("line")).alias("line_dg")).distinct())
+    new = spark.createDataFrame(
+        [(10, "banner\nnew body"), (11, "new body\nunique")],
+        "doc_id long, text string")
+    out, fresh = dedup_lines_incremental(new, seen)
+    rows = {r.doc_id: r for r in out.collect()}
+    # committed banner strips even from its batch-first occurrence
+    assert rows[10].text == "new body" and rows[10].n_lines_removed == 1
+    # 'new body' won inside the batch in doc 10
+    assert rows[11].text == "unique" and rows[11].n_lines_removed == 1
+    exp = {hashlib.md5(s.encode()).hexdigest()
+           for s in ("new body", "unique")}
+    assert {r.line_dg for r in fresh.collect()} == exp
+    # committing `fresh` and replaying the same batch strips everything:
+    # the idempotence that makes the op foreachBatch-safe
+    out2, fresh2 = dedup_lines_incremental(new, seen.unionByName(fresh))
+    assert {r.text for r in out2.collect()} == {""}
+    assert fresh2.count() == 0
 
 
 # ------------------------------------------------------------------ sketches
