@@ -70,7 +70,9 @@ def _pattern_df(triples: DataFrame, pat: Pattern, idx: int) -> DataFrame:
 
 def match_bgp(triples: DataFrame, patterns: list[Pattern],
               allow_cartesian: bool = False,
-              optional: list[list[Pattern]] | None = None) -> DataFrame:
+              optional: list[list[Pattern]] | None = None,
+              values: tuple[list[str], list[tuple]] | None = None
+              ) -> DataFrame:
     """Match a conjunctive BGP; returns one row per solution mapping with
     one column per distinct variable (module docstring for semantics).
     Duplicate solutions are preserved (SPARQL bag semantics); apply
@@ -83,7 +85,15 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern],
     group's private variables. A group sharing no variable with the
     solution raises (it would silently cross-join every solution).
     FILTER needs no operator support: apply `.filter()` to the result,
-    it collapses into the same Catalyst plan."""
+    it collapses into the same Catalyst plan.
+
+    `values` is a SPARQL VALUES block as (['?x', '?y'], [(c1, c2), ...]):
+    the inline binding table is inner-joined onto the solution on its
+    shared variables BEFORE the OPTIONAL groups (SPARQL joins VALUES
+    into the group it appears in), constraining them; variables the
+    pattern does not bind extend each solution instead. The table is
+    literal data, so it broadcasts by construction. UNDEF rows (None
+    cells) are not supported - they would need a per-row wildcard join."""
     if not patterns:
         raise ValueError("empty pattern list")
     scans = [(_pattern_df(triples, p, i),
@@ -114,6 +124,17 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern],
         # variable-free BGP: true/false as a 0- or 1-row marker frame
         return out.select(F.lit(1).alias("matched")).limit(1)
     out = out.select(*var_cols)
+    if values is not None:
+        vvars, rows = values
+        names = [v.lstrip("?") for v in vvars]
+        if any(cell is None for row in rows for cell in row):
+            raise ValueError("UNDEF (None) in VALUES is not supported")
+        vdf = (triples.sparkSession.createDataFrame(
+            [tuple(row) for row in rows],
+            ", ".join(f"`{n}` string" for n in names)).distinct())
+        shared = sorted(set(names) & set(out.columns))
+        out = (out.join(F.broadcast(vdf), shared) if shared
+               else out.crossJoin(F.broadcast(vdf)))
     for i, group in enumerate(optional or []):
         sub = match_bgp(triples, group, allow_cartesian=allow_cartesian)
         shared = sorted(set(sub.columns) & set(out.columns))
@@ -146,3 +167,73 @@ def match_path(triples: DataFrame, pred: str, src_var: str = "?s",
     closure = transitive_closure(edges, max_rounds=max_rounds)
     return closure.select(F.col("src").alias(src_var.lstrip("?")),
                           F.col("dst").alias(dst_var.lstrip("?")))
+
+
+def match_union(triples: DataFrame, groups: list[list[Pattern]],
+                allow_cartesian: bool = False) -> DataFrame:
+    """SPARQL UNION: each group is matched as its own BGP and the
+    solution multisets are concatenated (bag semantics, like the UNION
+    operator in the algebra - apply .distinct() for set semantics).
+    The result schema is the sorted union of every group's variables;
+    a group that does not bind a variable contributes NULL there, the
+    same shape OPTIONAL produces for unmatched groups.
+
+    Plan shape: one independent join tree per group under a Catalyst
+    Union - branches share the triple scan via normal plan reuse and
+    parallelize independently; no shuffle is added by the union itself."""
+    if not groups:
+        raise ValueError("empty UNION group list")
+    sols = [match_bgp(triples, g, allow_cartesian=allow_cartesian)
+            for g in groups]
+    all_vars = sorted({c for s in sols for c in s.columns})
+    branches = [
+        s.select(*[(F.col(v) if v in s.columns
+                    else F.lit(None).cast("string")).alias(v)
+                   for v in all_vars])
+        for s in sols]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def construct(triples: DataFrame, patterns: list[Pattern],
+              template: list[Pattern],
+              allow_cartesian: bool = False,
+              optional: list[list[Pattern]] | None = None,
+              values: tuple[list[str], list[tuple]] | None = None
+              ) -> DataFrame:
+    """SPARQL CONSTRUCT: match the WHERE block (patterns / optional /
+    values, exactly as `match_bgp`) and instantiate each template
+    triple once per solution. Returns a (subj, pred, obj) DataFrame -
+    the derived-graph primitive behind KG enrichment rules ("every
+    ?c -in-> ?n -of-> ?r pair also asserts ?c inRegion ?r").
+
+    Per the spec, a template triple whose terms include an unbound
+    variable (NULL from an OPTIONAL miss) is skipped for that solution,
+    and the result is a GRAPH, i.e. a set: one distinct at the end
+    (the single shuffle this adds over the match itself)."""
+    if not template:
+        raise ValueError("empty CONSTRUCT template")
+    sol = match_bgp(triples, patterns, allow_cartesian=allow_cartesian,
+                    optional=optional, values=values)
+    bound = set(sol.columns)
+    for i, pat in enumerate(template):
+        for term in pat:
+            if _is_var(term) and term.lstrip("?") not in bound:
+                raise ValueError(
+                    f"template triple {i}: variable {term} is not bound "
+                    "by the WHERE block")
+    outs = []
+    for pat in template:
+        cols = [(F.col(term[1:]) if _is_var(term)
+                 else F.lit(term)).alias(pos)
+                for pos, term in zip(_POS, pat)]
+        t = sol.select(*cols).filter(
+            F.col("subj").isNotNull() & F.col("pred").isNotNull()
+            & F.col("obj").isNotNull())
+        outs.append(t)
+    out = outs[0]
+    for t in outs[1:]:
+        out = out.unionByName(t)
+    return out.distinct()

@@ -126,3 +126,108 @@ def rdfs_closure(triples: DataFrame, derived_only: bool = False,
     else:
         out = t.unionByName(derived)
     return out.distinct() if dedupe else out
+
+
+def owl_property_closure(triples: DataFrame,
+                         symmetric: tuple | list = (),
+                         inverse: dict | None = None,
+                         transitive: tuple | list = (),
+                         derived_only: bool = False,
+                         dedupe: bool = True,
+                         max_rounds: int = 32) -> DataFrame:
+    """Materialize the OWL property-characteristic entailments for the
+    EXPLICITLY listed predicates (the practical "RDFS-Plus" subset on
+    top of `rdfs_closure`):
+
+    * symmetric   p in `symmetric`:    (x p y) => (y p x)
+    * inverseOf   p -> q in `inverse`: (x p y) => (y q x), both ways
+                                       (owl:inverseOf is itself symmetric)
+    * transitive  p in `transitive`:   (x p y), (y p z) => (x p z)
+
+    Rule interaction is closed EXACTLY for symmetric/inverse by a
+    driver-side fixpoint over (predicate, flipped?) states - predicate
+    rules are schema-sized, so chains like p inverseOf q, q symmetric,
+    q inverseOf r cost nothing to pre-resolve - and the instance data
+    is then scanned ONCE, each p-edge emitting every state its
+    predicate reaches. Transitive predicates are closed afterwards by
+    per-predicate iterative doubling (`transitive_closure`,
+    ceil(log2(depth)) rounds). Completeness of that ordering requires
+    the OWL-mandated shape: the inverse of a transitive property is
+    transitive, and closure of an (already emitted) symmetric edge set
+    is symmetric - both hold because closure commutes with edge
+    reversal, so re-feeding closure output through the emission map
+    yields nothing new. A transitive predicate whose inverse partner
+    is NOT listed transitive violates that assumption and raises.
+
+    Scale shape: the emission pass is a narrow per-edge flatMap
+    (predicate-dispatched selects under one union - no shuffle, no
+    Python); each transitive closure shuffles only its predicate's
+    stripe. Beware instance-scale transitive predicates: closure size
+    is worst-case quadratic (the khop/path caveat)."""
+    inverse = dict(inverse or {})
+    sym = set(symmetric)
+    trans = set(transitive)
+    # owl:inverseOf is symmetric at the schema level
+    inv_pairs = set(inverse.items()) | {(q, p) for p, q in inverse.items()}
+    for p, q in inv_pairs:
+        if p in trans and q not in trans:
+            raise ValueError(
+                f"inverse partner {q!r} of transitive {p!r} must be "
+                "transitive too (OWL: inverse of transitive is transitive)")
+
+    # driver-side state closure: from (p, False) reach every
+    # (pred, flipped) the rules derive
+    emission: dict[str, set] = {}
+    preds = sym | trans | {p for pq in inv_pairs for p in pq}
+    for p in preds:
+        seen = {(p, False)}
+        stack = [(p, False)]
+        while stack:
+            cur, flip = stack.pop()
+            nxt = []
+            if cur in sym:
+                nxt.append((cur, not flip))
+            for a, b in inv_pairs:
+                if a == cur:
+                    nxt.append((b, not flip))
+            for st in nxt:
+                if st not in seen:
+                    seen.add(st)
+                    stack.append(st)
+        targets = seen - {(p, False)}
+        if targets:
+            emission[p] = targets
+
+    t = triples.select("subj", "pred", "obj")
+    derived = []
+    for p, targets in sorted(emission.items()):
+        base = t.filter(F.col("pred") == p)
+        for q, flip in sorted(targets):
+            if flip:
+                derived.append(base.select(
+                    F.col("obj").alias("subj"), F.lit(q).alias("pred"),
+                    F.col("subj").alias("obj")))
+            else:
+                derived.append(base.select(
+                    "subj", F.lit(q).alias("pred"), "obj"))
+
+    pre = t
+    for d in derived:
+        pre = pre.unionByName(d)
+
+    closed = []
+    for p in sorted(trans):
+        edges = (pre.filter(F.col("pred") == p)
+                 .select(F.col("subj").alias("src"),
+                         F.col("obj").alias("dst")))
+        closure = transitive_closure(edges, max_rounds=max_rounds)
+        closed.append(closure.select(
+            F.col("src").alias("subj"), F.lit(p).alias("pred"),
+            F.col("dst").alias("obj")))
+
+    out = pre
+    for c in closed:
+        out = out.unionByName(c)
+    if derived_only:
+        out = out.join(t, ["subj", "pred", "obj"], "left_anti")
+    return out.distinct() if dedupe else out

@@ -175,3 +175,62 @@ def khop_neighbors(edges: DataFrame, seeds: DataFrame, k: int,
             frontier.withColumn("hops", F.lit(hop))) \
             .localCheckpoint(eager=True)
     return visited
+
+
+def node_similarity(edges: DataFrame, src: str = "src", dst: str = "dst",
+                    min_common: int = 1,
+                    max_center_degree: int | None = None) -> DataFrame:
+    """Neighborhood similarity for node pairs sharing at least
+    `min_common` neighbors over the undirected simple graph:
+    (node_a, node_b, common, degree_a, degree_b, jaccard_bp) with
+    node_a < node_b and jaccard_bp = floor(10^4 * |N(a) n N(b)| /
+    |N(a) u N(b)|) in exact integer arithmetic (no float drift vs the
+    SQL oracle). The KG link-prediction / alias-suggestion signal:
+    entities whose neighborhoods overlap strongly but that carry no
+    sameAs edge are merge candidates for review.
+
+    Algorithm: wedge enumeration, like `triangle_count` - both
+    directions of each deduplicated edge, self-joined on the shared
+    neighbor (the wedge center), pairs oriented a < b, counted per
+    pair, then degree-joined. Shuffles on node id only.
+
+    Scale shape: a center of degree d contributes d*(d-1)/2 candidate
+    pairs, so hubs dominate cost quadratically (the north_star's
+    wikipedia.org shape). `max_center_degree` excludes wedge CENTERS
+    above the cap - similarity via mega-hubs is noise anyway (sharing
+    wikipedia.org as a neighbor is no evidence of likeness), which is
+    why capped centers are dropped rather than sampled; the pair's OWN
+    degrees still count every edge, keeping jaccard_bp honest as a
+    lower bound. Default None = exact (the oracle config)."""
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .filter(F.col("u") != F.col("v"))
+           .select(F.greatest("u", "v").alias("hi"),
+                   F.least("u", "v").alias("lo"))
+           .distinct())
+    bidir = (und.select(F.col("lo").alias("node"), F.col("hi").alias("nbr"))
+             .unionByName(und.select(F.col("hi").alias("node"),
+                                     F.col("lo").alias("nbr"))))
+    deg = bidir.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    centers = bidir
+    if max_center_degree is not None:
+        ok = (deg.filter(F.col("degree") <= max_center_degree)
+              .select(F.col("node").alias("nbr")))
+        centers = centers.join(F.broadcast(ok), "nbr", "left_semi")
+    left = centers.select(F.col("nbr").alias("c"), F.col("node").alias("a"))
+    right = centers.select(F.col("nbr").alias("c"), F.col("node").alias("b"))
+    pairs = (left.join(right, "c")
+             .filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b")
+             .agg(F.count(F.lit(1)).alias("common"))
+             .filter(F.col("common") >= min_common))
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("degree_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("degree_b"))
+    out = (pairs.join(da, "a").join(db, "b")
+           .select(F.col("a").alias("node_a"), F.col("b").alias("node_b"),
+                   "common", "degree_a", "degree_b"))
+    # exact integral floor division (`div` on longs), same as the
+    # DuckDB oracle's `//`; union size >= 1 whenever a pair exists
+    return out.withColumn(
+        "jaccard_bp",
+        F.expr("CAST(10000 AS BIGINT) * CAST(common AS BIGINT) div "
+               "CAST(degree_a + degree_b - common AS BIGINT)"))

@@ -278,3 +278,141 @@ def test_kmv_merge_equals_union_sketch(spark):
     assert merged.collect()[0].sketch == direct.collect()[0].sketch
     est = kmv_estimate(merged, k=64).collect()[0]
     assert est.n_kept == 64 and est.distinct_est > 0
+
+
+# -------------------------------------------------- node similarity (round 4)
+
+
+def test_node_similarity_shared_neighbors(spark):
+    from csvweb_spark.operators.graph import node_similarity
+    # 1 and 2 share neighbors {3, 4}; 1 also has private neighbor 5
+    e = [(1, 3), (1, 4), (1, 5), (2, 3), (2, 4)]
+    rows = {(r.node_a, r.node_b): r
+            for r in node_similarity(_edges(spark, e)).collect()}
+    r12 = rows[(1, 2)]
+    assert (r12.common, r12.degree_a, r12.degree_b) == (2, 3, 2)
+    # jaccard = 2 / (3 + 2 - 2) = 2/3 -> 6666 bp
+    assert r12.jaccard_bp == 6666
+    # 3 and 4 share neighbors {1, 2} and both have degree 2 -> 10000 bp
+    assert rows[(3, 4)].jaccard_bp == 10000
+    # every reported pair shares at least one neighbor
+    assert all(r.common >= 1 for r in rows.values())
+
+
+def test_node_similarity_center_cap(spark):
+    from csvweb_spark.operators.graph import node_similarity
+    # hub 0 connects 1..9 (degree 9); rim edge (1,2) gives 1-2 a second
+    # shared path only through the hub
+    e = [(0, i) for i in range(1, 10)] + [(1, 2)]
+    full = {(r.node_a, r.node_b): r.common
+            for r in node_similarity(_edges(spark, e)).collect()}
+    assert full[(1, 2)] == 1  # via hub 0
+    capped = node_similarity(_edges(spark, e), max_center_degree=5)
+    got = {(r.node_a, r.node_b) for r in capped.collect()}
+    # hub-mediated pairs vanish; no center of degree <= 5 joins 1 and 2
+    assert (1, 2) not in got
+    # degrees in surviving rows still count every edge (cap only prunes
+    # wedge centers)
+    rows = node_similarity(_edges(spark, e + [(1, 9), (2, 9)]),
+                           max_center_degree=5).collect()
+    for r in rows:
+        if (r.node_a, r.node_b) == (1, 2):
+            assert r.degree_a == 3 and r.degree_b == 3
+
+
+# --------------------------------------------- SPARQL UNION/VALUES/CONSTRUCT
+
+
+def test_bgp_union_pads_private_vars(spark):
+    from csvweb_spark.operators.bgp import match_union
+    t = _t(spark, [("a", "p", "b"), ("c", "q", "d")])
+    out = match_union(t, [[("?x", "p", "?y")], [("?x", "q", "?z")]])
+    assert sorted(out.columns) == ["x", "y", "z"]
+    rows = {(r.x, r.y, r.z) for r in out.collect()}
+    assert rows == {("a", "b", None), ("c", None, "d")}
+
+
+def test_bgp_values_constrains_and_extends(spark):
+    from csvweb_spark.operators.bgp import match_bgp
+    t = _t(spark, [("a", "p", "b"), ("c", "p", "d"), ("e", "p", "f")])
+    # constrain: only listed ?x rows survive
+    out = match_bgp(t, [("?x", "p", "?y")],
+                    values=(["?x"], [("a",), ("e",)]))
+    assert {(r.x, r.y) for r in out.collect()} == {("a", "b"), ("e", "f")}
+    # extend: an unbound VALUES var multiplies solutions
+    out2 = match_bgp(t, [("?x", "p", "?y")],
+                     values=(["?x", "?tag"], [("a", "t1"), ("a", "t2")]))
+    assert {(r.x, r.y, r.tag) for r in out2.collect()} == {
+        ("a", "b", "t1"), ("a", "b", "t2")}
+    with pytest.raises(ValueError, match="UNDEF"):
+        match_bgp(t, [("?x", "p", "?y")], values=(["?x"], [(None,)]))
+
+
+def test_sparql_construct(spark):
+    from csvweb_spark.operators.bgp import construct
+    t = _t(spark, [("c1", "in", "n1"), ("c2", "in", "n1"),
+                   ("n1", "of", "r1")])
+    out = construct(t, [("?c", "in", "?n"), ("?n", "of", "?r")],
+                    [("?c", "inRegion", "?r"), ("?r", "hasMember", "?c")])
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert rows == {("c1", "inRegion", "r1"), ("c2", "inRegion", "r1"),
+                    ("r1", "hasMember", "c1"), ("r1", "hasMember", "c2")}
+    # unbound OPTIONAL var -> that template triple is skipped per solution
+    t2 = _t(spark, [("c1", "in", "n1"), ("c1", "vip", "gold"),
+                    ("c2", "in", "n1")])
+    out2 = construct(t2, [("?c", "in", "?n")],
+                     [("?c", "status", "?v"), ("?c", "seen", "yes")],
+                     optional=[[("?c", "vip", "?v")]])
+    rows2 = {(r.subj, r.pred, r.obj) for r in out2.collect()}
+    assert rows2 == {("c1", "status", "gold"), ("c1", "seen", "yes"),
+                     ("c2", "seen", "yes")}
+    with pytest.raises(ValueError, match="not bound"):
+        construct(t, [("?c", "in", "?n")], [("?c", "x", "?zzz")])
+
+
+# ------------------------------------------------------- OWL property rules
+
+
+def test_owl_symmetric_and_inverse(spark):
+    from csvweb_spark.operators.entail import owl_property_closure
+    t = _t(spark, [("a", "adj", "b"), ("x", "contains", "y")])
+    out = owl_property_closure(t, symmetric=["adj"],
+                               inverse={"contains": "within"},
+                               derived_only=True)
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert rows == {("b", "adj", "a"), ("y", "within", "x")}
+    # inverseOf applies in both directions
+    t2 = _t(spark, [("y", "within", "x")])
+    out2 = owl_property_closure(t2, inverse={"contains": "within"},
+                                derived_only=True)
+    assert {(r.subj, r.pred, r.obj) for r in out2.collect()} == {
+        ("x", "contains", "y")}
+
+
+def test_owl_rule_chaining_through_states(spark):
+    from csvweb_spark.operators.entail import owl_property_closure
+    # p inverseOf q, q symmetric: (a p b) must entail q both ways AND
+    # the symmetric flip back through inverse onto p itself
+    t = _t(spark, [("a", "p", "b")])
+    out = owl_property_closure(t, symmetric=["q"], inverse={"p": "q"})
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert rows == {("a", "p", "b"), ("b", "p", "a"),
+                    ("b", "q", "a"), ("a", "q", "b")}
+
+
+def test_owl_transitive_after_inverse(spark):
+    from csvweb_spark.operators.entail import owl_property_closure
+    t = _t(spark, [("a", "part", "b"), ("b", "part", "c"),
+                   ("d", "whole", "c")])  # whole is inverse: c part d? no -
+    # (d whole c) => (c part d), then closure chains a->b->c->d
+    out = owl_property_closure(
+        t, inverse={"part": "whole"}, transitive=["part", "whole"])
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert ("a", "part", "c") in rows
+    assert ("c", "part", "d") in rows
+    assert ("a", "part", "d") in rows
+    # the whole-side closure mirrors it exactly
+    assert ("d", "whole", "a") in rows
+    with pytest.raises(ValueError, match="transitive"):
+        owl_property_closure(t, inverse={"part": "whole"},
+                             transitive=["part"])
