@@ -1368,6 +1368,62 @@ def q_doc_fingerprint(spark, sf_dir):
                     F.col("dup_count").cast("long").alias("dup_count")))
 
 
+def q_kg_path_expr(spark, sf_dir):
+    """SPARQL 1.1 property-path EXPRESSION (within | ^contains) /
+    partOf* : customers assert location two ways (c within n for
+    custkey < 80; n contains c for 80 <= custkey < 160), then climb
+    the nation -> region -> ex:World hierarchy zero or more steps, so
+    every located customer reaches its nation, region AND the root.
+    Exercises alt, inverse, sequence and the zero-length star arm in
+    one compiled plan. Oracle: recursive-CTE partOf closure + the
+    union-join replay."""
+    from csvweb_spark.operators.bgp import match_path_expr
+    nation = _load(spark, sf_dir, "nation")
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 160)
+    within = cust.filter(F.col("c_custkey") < 80).select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit("ex:within").alias("pred"),
+        F.concat(F.lit("ex:N"), F.col("c_nationkey")).alias("obj"))
+    contains = cust.filter(F.col("c_custkey") >= 80).select(
+        F.concat(F.lit("ex:N"), F.col("c_nationkey")).alias("subj"),
+        F.lit("ex:contains").alias("pred"),
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("obj"))
+    part_n = nation.select(
+        F.concat(F.lit("ex:N"), F.col("n_nationkey")).alias("subj"),
+        F.lit("ex:partOf").alias("pred"),
+        F.concat(F.lit("ex:R"), F.col("n_regionkey")).alias("obj"))
+    part_r = (nation.select("n_regionkey").distinct().select(
+        F.concat(F.lit("ex:R"), F.col("n_regionkey")).alias("subj"),
+        F.lit("ex:partOf").alias("pred"), F.lit("ex:World").alias("obj")))
+    t = within.unionByName(contains).unionByName(part_n).unionByName(part_r)
+    path = ("seq", ("alt", "ex:within", ("inv", "ex:contains")),
+            ("star", "ex:partOf"))
+    return match_path_expr(t, path, "?c", "?place").select("c", "place")
+
+
+def q_bgp_aggregate(spark, sf_dir):
+    """SPARQL aggregation (SELECT ?r (COUNT(?c) AS ?n_customers)
+    WHERE { ?c ex:in ?n . ?n ex:of ?r } GROUP BY ?r): solution
+    aggregation is plain DataFrame groupBy over the match_bgp result -
+    the algebra composes with Catalyst's partial/final aggregation for
+    free. Oracle: the same join + GROUP BY."""
+    from csvweb_spark.operators.bgp import match_bgp
+    nation = _load(spark, sf_dir, "nation")
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 600)
+    t_in = cust.select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit("ex:in").alias("pred"),
+        F.concat(F.lit("ex:N"), F.col("c_nationkey")).alias("obj"))
+    t_of = nation.select(
+        F.concat(F.lit("ex:N"), F.col("n_nationkey")).alias("subj"),
+        F.lit("ex:of").alias("pred"),
+        F.concat(F.lit("ex:R"), F.col("n_regionkey")).alias("obj"))
+    sol = match_bgp(t_in.unionByName(t_of),
+                    [("?c", "ex:in", "?n"), ("?n", "ex:of", "?r")])
+    return (sol.groupBy("r")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_customers")))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1399,6 +1455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "owl_entail": q_owl_entail,
         "lang_detect": q_lang_detect,
         "doc_fingerprint": q_doc_fingerprint,
+        "kg_path_expr": q_kg_path_expr,
+        "bgp_aggregate": q_bgp_aggregate,
         "kg_triangles": q_kg_triangles,
         "rdfs_entail": q_rdfs_entail,
         "bgp_match": q_bgp_match,
@@ -2591,6 +2649,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::bigint AS doc_id, fp,
                    count(*) OVER (PARTITION BY fp)::bigint AS dup_count
             FROM fp
+        """,
+        "kg_path_expr": """
+            WITH RECURSIVE
+            n AS (SELECT n_nationkey AS k, n_regionkey AS r FROM nation),
+            w AS (SELECT 'ex:C' || c_custkey AS s,
+                         'ex:N' || c_nationkey AS d
+                  FROM customer WHERE c_custkey < 80),
+            cz AS (SELECT 'ex:C' || c_custkey AS s,
+                          'ex:N' || c_nationkey AS d
+                   FROM customer
+                   WHERE c_custkey >= 80 AND c_custkey < 160),
+            step1 AS (SELECT s, d FROM w UNION SELECT s, d FROM cz),
+            part AS (SELECT 'ex:N' || k AS s, 'ex:R' || r AS d FROM n
+                     UNION
+                     SELECT DISTINCT 'ex:R' || r, 'ex:World' FROM n),
+            cl(s, d) AS (
+                SELECT s, d FROM part
+                UNION
+                SELECT cl.s, part.d FROM cl JOIN part ON part.s = cl.d)
+            SELECT DISTINCT s AS c, d AS place FROM (
+                SELECT s, d FROM step1
+                UNION
+                SELECT step1.s, cl.d FROM step1 JOIN cl ON cl.s = step1.d
+            ) q
+        """,
+        "bgp_aggregate": """
+            SELECT 'ex:R' || n.n_regionkey AS r,
+                   count(*)::bigint AS n_customers
+            FROM customer c
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE c.c_custkey < 600
+            GROUP BY 1
         """,
         "entity_link_fuzzy": _fuzzy_link_oracle_sql(),
         "ann_topk_lsh": _ann_lsh_oracle_sql(),

@@ -221,6 +221,42 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     from csvweb_spark.operators.graph import triangle_count
     timed("kg_triangles", lambda: triangle_count(edges_khop).count())
 
+    # integer PageRank + neighborhood Jaccard over the same graph
+    # (round 4): the hub star makes both genuinely skew-stressed
+    from csvweb_spark.operators.graph import node_similarity, pagerank
+    timed("pagerank", lambda: pagerank(edges_khop, iterations=5).count())
+    timed("kg_node_sim", lambda: node_similarity(edges_khop).count())
+
+    # RDFS closure at corpus scale (round 4): every doc asserts
+    # (doc, ex:from, source); a 4-triple schema drives subPropertyOf
+    # inheritance, domain/range typing and the subclass lift, so the
+    # broadcast rule joins scan the full instance set
+    from csvweb_spark.operators.entail import (
+        RDFS_DOMAIN, RDFS_RANGE, RDFS_SUBCLASS, RDFS_SUBPROP, rdfs_closure)
+    inst = docs.select(
+        F.concat(F.lit("d:"), F.col("doc_id")).alias("subj"),
+        F.lit("ex:from").alias("pred"),
+        F.concat(F.lit("s:"), F.col("source")).alias("obj"))
+    schema = spark.createDataFrame(
+        [("ex:from", RDFS_SUBPROP, "ex:origin"),
+         ("ex:from", RDFS_DOMAIN, "ex:Doc"),
+         ("ex:origin", RDFS_RANGE, "ex:Source"),
+         ("ex:Doc", RDFS_SUBCLASS, "ex:Thing")],
+        "subj string, pred string, obj string")
+    kg_triples = inst.unionByName(schema).persist()
+    kg_triples.count()
+    timed("rdfs_entail", lambda: rdfs_closure(kg_triples).count())
+
+    # two-pattern BGP join over the corpus-scale triple table (shared
+    # ?d variable -> node-id hash join)
+    from csvweb_spark.operators.bgp import match_bgp
+    langs = docs.select(
+        F.concat(F.lit("d:"), F.col("doc_id")).alias("subj"),
+        F.lit("ex:lang").alias("pred"), F.col("lang").alias("obj"))
+    bgp_t = kg_triples.unionByName(langs)
+    timed("bgp_match", lambda: match_bgp(
+        bgp_t, [("?d", "ex:from", "?s"), ("?d", "ex:lang", "?l")]).count())
+
     # cross-corpus line-level dedup (round 4): every doc shares a
     # planted banner line, winner-per-line groupBy + rebuild
     from csvweb_spark.operators.dedup import dedup_lines_global

@@ -237,3 +237,95 @@ def construct(triples: DataFrame, patterns: list[Pattern],
     for t in outs[1:]:
         out = out.unionByName(t)
     return out.distinct()
+
+
+def _graph_nodes(triples: DataFrame) -> DataFrame:
+    """All RDF terms appearing as subject or object - the domain of the
+    zero-length path per SPARQL 1.1 (18.4 ZeroLengthPath)."""
+    return (triples.select(F.col("subj").alias("node"))
+            .unionByName(triples.select(F.col("obj").alias("node")))
+            .distinct())
+
+
+def path_pairs(triples: DataFrame, expr, max_rounds: int = 32) -> DataFrame:
+    """Compile a SPARQL 1.1 property-path expression to the (src, dst)
+    pair set it denotes. Expression AST (nested tuples, strings are
+    predicate IRIs):
+
+      "p"                 a single predicate edge
+      ("inv", e)          ^e       - inverse path (swap ends)
+      ("seq", e1, e2...)  e1/e2    - sequence (joins, left to right)
+      ("alt", e1, e2...)  e1|e2    - alternative (union)
+      ("plus", e)         e+       - one or more (iterative doubling)
+      ("star", e)         e*       - zero or more (identity over ALL
+                                     graph terms union e+)
+      ("opt", e)          e?       - zero or one
+      ("nps", [p1, ...])  !(p1|..) - negated property set
+
+    SET semantics throughout (every combinator dedups), which is what
+    SPARQL mandates whenever a closure operator appears; a pure
+    predicate sequence under bag semantics is `match_bgp`'s job.
+
+    Scale shape: predicate atoms are pushed scan filters; seq is a hash
+    join per step; plus/star close via `transitive_closure`
+    (ceil(log2(depth)) rounds on the predicate's stripe). The
+    zero-length arm of star/opt is the full term set - instance-scale
+    by definition - so prefer plus when the query doesn't need the
+    reflexive pairs."""
+    if isinstance(expr, str):
+        return (triples.filter(F.col("pred") == expr)
+                .select(F.col("subj").alias("src"),
+                        F.col("obj").alias("dst")).distinct())
+    op, *args = expr
+    if op == "inv":
+        inner = path_pairs(triples, args[0], max_rounds)
+        return inner.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst"))
+    if op == "seq":
+        if len(args) < 2:
+            raise ValueError("seq needs at least two sub-paths")
+        out = path_pairs(triples, args[0], max_rounds)
+        for part in args[1:]:
+            nxt = path_pairs(triples, part, max_rounds)
+            step = nxt.select(F.col("src").alias("dst"),
+                              F.col("dst").alias("_d2"))
+            out = (out.join(step, "dst")
+                   .select("src", F.col("_d2").alias("dst")).distinct())
+        return out
+    if op == "alt":
+        if len(args) < 2:
+            raise ValueError("alt needs at least two sub-paths")
+        out = path_pairs(triples, args[0], max_rounds)
+        for part in args[1:]:
+            out = out.unionByName(path_pairs(triples, part, max_rounds))
+        return out.distinct()
+    if op == "plus":
+        from csvweb_spark.operators.entail import transitive_closure
+        return transitive_closure(path_pairs(triples, args[0], max_rounds),
+                                  max_rounds=max_rounds)
+    if op in ("star", "opt"):
+        ident = _graph_nodes(triples).select(F.col("node").alias("src"),
+                                             F.col("node").alias("dst"))
+        arm = (path_pairs(triples, ("plus", args[0]), max_rounds)
+               if op == "star"
+               else path_pairs(triples, args[0], max_rounds))
+        return ident.unionByName(arm).distinct()
+    if op == "nps":
+        preds = list(args[0])
+        if not preds:
+            raise ValueError("empty negated property set")
+        return (triples.filter(~F.col("pred").isin(preds))
+                .select(F.col("subj").alias("src"),
+                        F.col("obj").alias("dst")).distinct())
+    raise ValueError(f"unknown path operator {op!r}")
+
+
+def match_path_expr(triples: DataFrame, expr, src_var: str = "?s",
+                    dst_var: str = "?o", max_rounds: int = 32) -> DataFrame:
+    """`path_pairs` with the ends renamed to SPARQL variables, so the
+    result joins with `match_bgp` solutions on shared variable names
+    (same contract as `match_path`, which remains the pred+ fast
+    path)."""
+    return path_pairs(triples, expr, max_rounds).select(
+        F.col("src").alias(src_var.lstrip("?")),
+        F.col("dst").alias(dst_var.lstrip("?")))

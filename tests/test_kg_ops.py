@@ -416,3 +416,57 @@ def test_owl_transitive_after_inverse(spark):
     with pytest.raises(ValueError, match="transitive"):
         owl_property_closure(t, inverse={"part": "whole"},
                              transitive=["part"])
+
+
+# ------------------------------------------------ SPARQL 1.1 path algebra
+
+
+def test_path_expr_atoms_and_inverse(spark):
+    from csvweb_spark.operators.bgp import path_pairs
+    t = _t(spark, [("a", "p", "b"), ("b", "q", "c"), ("a", "r", "d")])
+    assert {(r.src, r.dst) for r in path_pairs(t, "p").collect()} == {
+        ("a", "b")}
+    assert {(r.src, r.dst)
+            for r in path_pairs(t, ("inv", "p")).collect()} == {("b", "a")}
+    # negated property set: every edge NOT labelled p
+    assert {(r.src, r.dst)
+            for r in path_pairs(t, ("nps", ["p"])).collect()} == {
+        ("b", "c"), ("a", "d")}
+
+
+def test_path_expr_seq_alt(spark):
+    from csvweb_spark.operators.bgp import path_pairs
+    t = _t(spark, [("a", "p", "b"), ("b", "q", "c"), ("x", "p", "b")])
+    # p/q: a -p-> b -q-> c and x -p-> b -q-> c
+    assert {(r.src, r.dst)
+            for r in path_pairs(t, ("seq", "p", "q")).collect()} == {
+        ("a", "c"), ("x", "c")}
+    # p|q is the distinct edge union
+    assert {(r.src, r.dst)
+            for r in path_pairs(t, ("alt", "p", "q")).collect()} == {
+        ("a", "b"), ("x", "b"), ("b", "c")}
+
+
+def test_path_expr_closures(spark):
+    from csvweb_spark.operators.bgp import path_pairs
+    t = _t(spark, [("a", "p", "b"), ("b", "p", "c"), ("c", "q", "d")])
+    plus = {(r.src, r.dst)
+            for r in path_pairs(t, ("plus", "p")).collect()}
+    assert plus == {("a", "b"), ("b", "c"), ("a", "c")}
+    # star adds the identity over EVERY graph term (d included)
+    star = {(r.src, r.dst) for r in path_pairs(t, ("star", "p")).collect()}
+    assert star == plus | {(x, x) for x in "abcd"}
+    # opt = identity union single step
+    opt = {(r.src, r.dst) for r in path_pairs(t, ("opt", "q")).collect()}
+    assert opt == {("c", "d")} | {(x, x) for x in "abcd"}
+
+
+def test_path_expr_composed(spark):
+    from csvweb_spark.operators.bgp import match_path_expr
+    # within / partOf* : c reaches its nation, region and the root
+    t = _t(spark, [("c1", "within", "n1"), ("n1", "partOf", "r1"),
+                   ("r1", "partOf", "world")])
+    out = match_path_expr(
+        t, ("seq", "within", ("star", "partOf")), "?c", "?place")
+    got = {(r.c, r.place) for r in out.collect()}
+    assert got == {("c1", "n1"), ("c1", "r1"), ("c1", "world")}
