@@ -1424,6 +1424,22 @@ def q_bgp_aggregate(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("long").alias("n_customers")))
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Exact per-language doc-length order statistics (type-1/discrete
+    quantiles - values FROM the data, so integer-exact in both
+    engines; interpolating percentile_cont would float-drift). The
+    profile table curation thresholds come from. Oracle replays the
+    row_number window + integer ceil positions."""
+    from csvweb_spark.operators.sketches import exact_quantiles
+    docs = _load(spark, sf_dir, "documents")
+    d = docs.select("lang", F.length("text").alias("text_len"))
+    out = exact_quantiles(d, "text_len", ["lang"], (5000, 9000, 9900))
+    return out.select("lang", F.col("n_rows").cast("long").alias("n_rows"),
+                      F.col("q5000").cast("long").alias("q5000"),
+                      F.col("q9000").cast("long").alias("q9000"),
+                      F.col("q9900").cast("long").alias("q9900"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1457,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "kg_path_expr": q_kg_path_expr,
         "bgp_aggregate": q_bgp_aggregate,
+        "length_quantiles": q_length_quantiles,
         "kg_triangles": q_kg_triangles,
         "rdfs_entail": q_rdfs_entail,
         "bgp_match": q_bgp_match,
@@ -2681,6 +2698,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON n.n_nationkey = c.c_nationkey
             WHERE c.c_custkey < 600
             GROUP BY 1
+        """,
+        "length_quantiles": """
+            WITH d AS (SELECT lang, len(text)::bigint AS v
+                       FROM documents),
+            r AS (SELECT lang, v,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY v) AS rn,
+                         count(*) OVER (PARTITION BY lang) AS cnt
+                  FROM d)
+            SELECT lang, max(cnt)::bigint AS n_rows,
+                   max(CASE WHEN rn = (cnt * 5000 + 9999) // 10000
+                       THEN v END)::bigint AS q5000,
+                   max(CASE WHEN rn = (cnt * 9000 + 9999) // 10000
+                       THEN v END)::bigint AS q9000,
+                   max(CASE WHEN rn = (cnt * 9900 + 9999) // 10000
+                       THEN v END)::bigint AS q9900
+            FROM r GROUP BY lang
         """,
         "entity_link_fuzzy": _fuzzy_link_oracle_sql(),
         "ann_topk_lsh": _ann_lsh_oracle_sql(),

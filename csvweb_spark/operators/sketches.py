@@ -96,3 +96,81 @@ def kmv_distinct(df: DataFrame, value_col: str, group_cols: list[str],
     """One-call per-group distinct estimate:
     (group..., n_kept, kth_min, distinct_est)."""
     return kmv_estimate(kmv_sketch(df, value_col, group_cols, k), k)
+
+
+def exact_quantiles(df: DataFrame, value_col: str,
+                    group_cols: list[str],
+                    quantile_bps: tuple = (5000, 9000, 9900)) -> DataFrame:
+    """Exact per-group order statistics for integer-valued metrics:
+    one row per group with the count and, per requested quantile q (in
+    basis points), the value at sorted position ceil(q/10^4 * n) - the
+    discrete (type-1) quantile, which is a VALUE FROM THE DATA, so the
+    result is integer-exact and engine-independent (no interpolation,
+    no float drift - `percentile_cont`-style interpolation would break
+    the oracle gate). Output columns: group_cols, n_rows, q<bps> per
+    quantile (e.g. q5000 = the median).
+
+    The profile-table counterpart of `kmv_distinct`: doc-length / token
+    -count / score distributions per language or host feed curation
+    thresholds, and thresholds derived from EXACT quantiles are
+    reproducible across cluster sizes by construction.
+
+    Scale shape: ONE shuffle on the group key, then a full per-group
+    sort window (row_number + count) - correct and fine for profile
+    strata (languages, hosts, shards), but a mega-stratum sorts on one
+    reducer, the same caveat as `stratified_sample_topk`; for
+    billion-row single strata use a pre-aggregated (group, value,
+    freq) input - value cardinality, not row count, then bounds the
+    window (`pre_aggregate=True` does exactly that reduction first and
+    walks the cumulative frequencies, changing nothing in the
+    output)."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    for q in quantile_bps:
+        if not 0 < q <= 10000:
+            raise ValueError(f"quantile {q} not in (0, 10000]")
+    v = F.col(value_col).cast("long")
+    w = Window.partitionBy(*group_cols).orderBy("_v")
+    cw = Window.partitionBy(*group_cols)
+    staged = (df.select(*group_cols, v.alias("_v"))
+              .withColumn("_rn", F.row_number().over(w))
+              .withColumn("_n", F.count(F.lit(1)).over(cw)))
+    aggs = [F.max("_n").alias("n_rows")]
+    for q in quantile_bps:
+        # ceil(q/10^4 * n) in pure integer arithmetic
+        pos = F.expr(f"CAST((_n * {q} + 9999) div 10000 AS BIGINT)")
+        aggs.append(F.max(F.when(F.col("_rn") == pos, F.col("_v")))
+                    .alias(f"q{q}"))
+    return staged.groupBy(*group_cols).agg(*aggs)
+
+
+def exact_quantiles_preagg(df: DataFrame, value_col: str,
+                           group_cols: list[str],
+                           quantile_bps: tuple = (5000, 9000, 9900)
+                           ) -> DataFrame:
+    """`exact_quantiles` through a (group, value) -> frequency
+    reduction first: the window then ranks DISTINCT values with their
+    cumulative counts, so a billion-row stratum whose metric has (say)
+    10^5 distinct values windows 10^5 rows, not 10^9. Identical output
+    (the type-1 quantile is the smallest value whose cumulative
+    frequency reaches the position)."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    v = F.col(value_col).cast("long")
+    freq = (df.select(*group_cols, v.alias("_v"))
+            .groupBy(*group_cols, "_v")
+            .agg(F.count(F.lit(1)).alias("_f")))
+    w = Window.partitionBy(*group_cols).orderBy("_v")
+    cw = Window.partitionBy(*group_cols)
+    staged = (freq
+              .withColumn("_cum", F.sum("_f").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0)))
+              .withColumn("_n", F.sum("_f").over(cw)))
+    aggs = [F.max("_n").alias("n_rows")]
+    for q in quantile_bps:
+        pos = F.expr(f"CAST((_n * {q} + 9999) div 10000 AS BIGINT)")
+        # smallest value whose cumulative frequency covers the position
+        aggs.append(F.min(F.when(
+            (F.col("_cum") >= pos) & (F.col("_cum") - F.col("_f") < pos),
+            F.col("_v"))).alias(f"q{q}"))
+    return staged.groupBy(*group_cols).agg(*aggs)

@@ -470,3 +470,32 @@ def test_path_expr_composed(spark):
         t, ("seq", "within", ("star", "partOf")), "?c", "?place")
     got = {(r.c, r.place) for r in out.collect()}
     assert got == {("c1", "n1"), ("c1", "r1"), ("c1", "world")}
+
+
+# ------------------------------------------------------- exact quantiles
+
+
+def test_exact_quantiles_known_values(spark):
+    from csvweb_spark.operators.sketches import (exact_quantiles,
+                                                 exact_quantiles_preagg)
+    rows = [("a", v) for v in range(1, 101)] + [("b", 7), ("b", 9)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.g: r for r in exact_quantiles(
+        df, "v", ["g"], (5000, 9000, 9900, 10000)).collect()}
+    # group a = 1..100: type-1 quantiles are exact positions
+    assert (out["a"].n_rows, out["a"].q5000, out["a"].q9000,
+            out["a"].q9900, out["a"].q10000) == (100, 50, 90, 99, 100)
+    # group b = {7, 9}: median position ceil(0.5*2)=1 -> 7, p99 -> 9
+    assert (out["b"].n_rows, out["b"].q5000, out["b"].q9900) == (2, 7, 9)
+    # the pre-aggregated variant is value-identical (duplicates force
+    # the cumulative-frequency walk to matter)
+    dup = spark.createDataFrame(
+        [("a", v // 10) for v in range(100)], "g string, v long")
+    a = exact_quantiles(dup, "v", ["g"]).collect()[0]
+    b = exact_quantiles_preagg(dup, "v", ["g"]).collect()[0]
+    assert (a.n_rows, a.q5000, a.q9000, a.q9900) == \
+        (b.n_rows, b.q5000, b.q9000, b.q9900)
+    with pytest.raises(ValueError, match="group_cols"):
+        exact_quantiles(df, "v", [])
+    with pytest.raises(ValueError, match="quantile"):
+        exact_quantiles(df, "v", ["g"], (0,))
