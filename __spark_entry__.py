@@ -1440,6 +1440,52 @@ def q_length_quantiles(spark, sf_dir):
                       F.col("q9900").cast("long").alias("q9900"))
 
 
+def q_bgp_path_join(spark, sf_dir):
+    """A BGP whose second pattern's PREDICATE is a property-path
+    expression (ex:partOf+): the path's pair set joins on the shared
+    ?n variable like any pattern, so customers reach their region and
+    ex:World through the hierarchy in one compiled plan. Oracle:
+    equi-join + recursive-CTE closure."""
+    from csvweb_spark.operators.bgp import match_bgp
+    nation = _load(spark, sf_dir, "nation")
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    t_in = cust.select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit("ex:in").alias("pred"),
+        F.concat(F.lit("ex:N"), F.col("c_nationkey")).alias("obj"))
+    part_n = nation.select(
+        F.concat(F.lit("ex:N"), F.col("n_nationkey")).alias("subj"),
+        F.lit("ex:partOf").alias("pred"),
+        F.concat(F.lit("ex:R"), F.col("n_regionkey")).alias("obj"))
+    part_r = (nation.select("n_regionkey").distinct().select(
+        F.concat(F.lit("ex:R"), F.col("n_regionkey")).alias("subj"),
+        F.lit("ex:partOf").alias("pred"), F.lit("ex:World").alias("obj")))
+    t = t_in.unionByName(part_n).unionByName(part_r)
+    out = match_bgp(t, [("?c", "ex:in", "?n"),
+                        ("?n", ("plus", "ex:partOf"), "?p")])
+    return out.select("c", "n", "p")
+
+
+def q_bgp_not_exists(spark, sf_dir):
+    """SPARQL FILTER NOT EXISTS compiled to a LEFT ANTI join: customers
+    in a nation WITHOUT a planted ex:vip triple (custkey >= 50). The
+    EXISTS side filters the solution multiset, never multiplies it.
+    Oracle: the same anti-join."""
+    from csvweb_spark.operators.bgp import filter_exists, match_bgp
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    t_in = cust.select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit("ex:in").alias("pred"),
+        F.concat(F.lit("ex:N"), F.col("c_nationkey")).alias("obj"))
+    t_vip = (cust.filter(F.col("c_custkey") < 50).select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit("ex:vip").alias("pred"), F.lit("ex:gold").alias("obj")))
+    t = t_in.unionByName(t_vip)
+    sol = match_bgp(t, [("?c", "ex:in", "?n")])
+    return filter_exists(t, sol, [("?c", "ex:vip", "?g")],
+                         negate=True).select("c", "n")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1474,6 +1520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_expr": q_kg_path_expr,
         "bgp_aggregate": q_bgp_aggregate,
         "length_quantiles": q_length_quantiles,
+        "bgp_path_join": q_bgp_path_join,
+        "bgp_not_exists": q_bgp_not_exists,
         "kg_triangles": q_kg_triangles,
         "rdfs_entail": q_rdfs_entail,
         "bgp_match": q_bgp_match,
@@ -2715,6 +2763,31 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN rn = (cnt * 9900 + 9999) // 10000
                        THEN v END)::bigint AS q9900
             FROM r GROUP BY lang
+        """,
+        "bgp_path_join": """
+            WITH RECURSIVE
+            n AS (SELECT n_nationkey AS k, n_regionkey AS r FROM nation),
+            cin AS (SELECT 'ex:C' || c_custkey AS c,
+                           'ex:N' || c_nationkey AS nn
+                    FROM customer WHERE c_custkey < 300),
+            part AS (SELECT 'ex:N' || k AS s, 'ex:R' || r AS d FROM n
+                     UNION
+                     SELECT DISTINCT 'ex:R' || r, 'ex:World' FROM n),
+            cl(s, d) AS (
+                SELECT s, d FROM part
+                UNION
+                SELECT cl.s, part.d FROM cl JOIN part ON part.s = cl.d)
+            SELECT cin.c, cin.nn AS n, cl.d AS p
+            FROM cin JOIN cl ON cl.s = cin.nn
+        """,
+        "bgp_not_exists": """
+            WITH t_in AS (SELECT 'ex:C' || c_custkey AS c,
+                                 'ex:N' || c_nationkey AS n
+                          FROM customer WHERE c_custkey < 200),
+            v AS (SELECT 'ex:C' || c_custkey AS c
+                  FROM customer WHERE c_custkey < 50)
+            SELECT t_in.c, t_in.n FROM t_in
+            WHERE t_in.c NOT IN (SELECT c FROM v)
         """,
         "entity_link_fuzzy": _fuzzy_link_oracle_sql(),
         "ann_topk_lsh": _ann_lsh_oracle_sql(),

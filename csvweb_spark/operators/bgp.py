@@ -42,9 +42,36 @@ def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
+def _path_pattern_df(triples: DataFrame, pat, idx: int) -> DataFrame:
+    """A pattern whose predicate position is a path EXPRESSION (tuple
+    AST, see `path_pairs`): the pair set replaces the scan, then the
+    subject/object terms bind or filter exactly like a plain pattern."""
+    s, path, o = pat
+    df = path_pairs(triples, path)
+    cols = []
+    for pos, term in (("src", s), ("dst", o)):
+        if _is_var(term):
+            name = term[1:]
+            if not name:
+                raise ValueError(f"pattern {idx}: bare '?' is not a variable")
+            cols.append((pos, name))
+        else:
+            df = df.filter(F.col(pos) == F.lit(term))
+    if len(cols) == 2 and cols[0][1] == cols[1][1]:
+        # same variable at both ends: cycle filter
+        df = df.filter(F.col("src") == F.col("dst"))
+        cols = cols[:1]
+    if not cols:
+        return df.select(F.lit(1).alias(f"_exists_{idx}")).limit(1)
+    return df.select(*[F.col(pos).alias(name) for pos, name in cols])
+
+
 def _pattern_df(triples: DataFrame, pat: Pattern, idx: int) -> DataFrame:
     """One filtered scan; variable columns renamed to the variable name,
-    constant columns filtered then dropped."""
+    constant columns filtered then dropped. A tuple in the PREDICATE
+    position is a property-path expression (`_path_pattern_df`)."""
+    if isinstance(pat[1], tuple):
+        return _path_pattern_df(triples, pat, idx)
     df = triples
     cols = []
     seen: dict[str, str] = {}
@@ -87,6 +114,11 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern],
     FILTER needs no operator support: apply `.filter()` to the result,
     it collapses into the same Catalyst plan.
 
+    A pattern's PREDICATE position may be a property-path expression
+    tuple (`path_pairs` AST) instead of a constant: the pattern then
+    matches the path's (src, dst) pair set - so
+    `(?n, ("plus", "ex:partOf"), ?p)` joins like any other pattern.
+
     `values` is a SPARQL VALUES block as (['?x', '?y'], [(c1, c2), ...]):
     the inline binding table is inner-joined onto the solution on its
     shared variables BEFORE the OPTIONAL groups (SPARQL joins VALUES
@@ -97,7 +129,8 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern],
     if not patterns:
         raise ValueError("empty pattern list")
     scans = [(_pattern_df(triples, p, i),
-              {t[1:] for t in p if _is_var(t) and len(t) > 1})
+              {t[1:] for t in p
+               if isinstance(t, str) and _is_var(t) and len(t) > 1})
              for i, p in enumerate(patterns)]
     # most-constant first (fewest variables = most selective scan)
     order = sorted(range(len(scans)), key=lambda i: (len(scans[i][1]), i))
@@ -329,3 +362,25 @@ def match_path_expr(triples: DataFrame, expr, src_var: str = "?s",
     return path_pairs(triples, expr, max_rounds).select(
         F.col("src").alias(src_var.lstrip("?")),
         F.col("dst").alias(dst_var.lstrip("?")))
+
+
+def filter_exists(triples: DataFrame, solutions: DataFrame,
+                  patterns: list[Pattern], negate: bool = False,
+                  allow_cartesian: bool = False) -> DataFrame:
+    """SPARQL FILTER EXISTS { ... } / FILTER NOT EXISTS { ... }:
+    keep the solutions for which the sub-BGP has at least one match
+    (or none, with `negate`) under the current bindings. Compiled to
+    a LEFT SEMI (resp. LEFT ANTI) join on the shared variables - the
+    solution multiset is filtered, never multiplied, which is exactly
+    the spec's semantics and why this is NOT the same as adding the
+    patterns to the group. The sub-BGP must share at least one
+    variable with the solutions (a binding-independent EXISTS is a
+    constant - evaluate it separately)."""
+    sub = match_bgp(triples, patterns, allow_cartesian=allow_cartesian)
+    shared = sorted(set(sub.columns) & set(solutions.columns))
+    if not shared:
+        raise ValueError(
+            "EXISTS group shares no variable with the solutions; its "
+            "truth is binding-independent - evaluate it separately")
+    how = "left_anti" if negate else "left_semi"
+    return solutions.join(sub.select(*shared).distinct(), shared, how)

@@ -499,3 +499,38 @@ def test_exact_quantiles_known_values(spark):
         exact_quantiles(df, "v", [])
     with pytest.raises(ValueError, match="quantile"):
         exact_quantiles(df, "v", ["g"], (0,))
+
+
+def test_bgp_path_pattern_predicate(spark):
+    from csvweb_spark.operators.bgp import match_bgp
+    t = _t(spark, [("c1", "in", "n1"), ("c2", "in", "n2"),
+                   ("n1", "partOf", "r1"), ("r1", "partOf", "world"),
+                   ("n2", "partOf", "r2")])
+    # second pattern's predicate is a path expression (partOf+)
+    out = match_bgp(t, [("?c", "in", "?n"),
+                        ("?n", ("plus", "partOf"), "?p")])
+    got = {(r.c, r.n, r.p) for r in out.collect()}
+    assert got == {("c1", "n1", "r1"), ("c1", "n1", "world"),
+                   ("c2", "n2", "r2")}
+    # constant object end filters the pair set
+    out2 = match_bgp(t, [("?c", "in", "?n"),
+                         ("?n", ("plus", "partOf"), "world")])
+    assert {(r.c, r.n) for r in out2.collect()} == {("c1", "n1")}
+
+
+def test_filter_exists_and_not_exists(spark):
+    from csvweb_spark.operators.bgp import filter_exists, match_bgp
+    t = _t(spark, [("c1", "in", "n1"), ("c2", "in", "n1"),
+                   ("c1", "vip", "gold")])
+    sol = match_bgp(t, [("?c", "in", "?n")])
+    kept = filter_exists(t, sol, [("?c", "vip", "?g")])
+    assert {(r.c, r.n) for r in kept.collect()} == {("c1", "n1")}
+    dropped = filter_exists(t, sol, [("?c", "vip", "?g")], negate=True)
+    assert {(r.c, r.n) for r in dropped.collect()} == {("c2", "n1")}
+    # EXISTS filters, never multiplies: two vip triples, still one row
+    t2 = _t(spark, [("c1", "in", "n1"), ("c1", "vip", "gold"),
+                    ("c1", "vip", "silver")])
+    sol2 = match_bgp(t2, [("?c", "in", "?n")])
+    assert filter_exists(t2, sol2, [("?c", "vip", "?g")]).count() == 1
+    with pytest.raises(ValueError, match="shares no variable"):
+        filter_exists(t, sol, [("?x", "vip", "?g")])
