@@ -1486,6 +1486,109 @@ def q_bgp_not_exists(spark, sf_dir):
                          negate=True).select("c", "n")
 
 
+def q_owl_sameas(spark, sf_dir):
+    """owl:sameAs identity smushing (operators/entail.py::smush_sameas):
+    customers carry zero-padded alias IRIs chained by sameAs inside
+    5-member groups; every alias asserts a literal key, a nation IRI and
+    a cross-group ex:knows link. After smushing, every subject AND every
+    IRI object collapses to its group's lexicographic-min member while
+    literals pass through. Oracle computes the group representative
+    analytically ((k//5)*5, zero-padded so string-min == numeric-min)
+    and applies the same rewrite + DISTINCT."""
+    from csvweb_spark.operators.entail import OWL_SAMEAS, smush_sameas
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    iri = lambda c: F.concat(F.lit("ex:C"), F.format_string("%05d", c))
+    keys = cust.select(
+        iri(F.col("c_custkey")).alias("subj"),
+        F.lit("ex:key").alias("pred"),
+        F.col("c_custkey").cast("string").alias("obj"),
+        F.lit("literal").alias("obj_kind"))
+    nations = cust.select(
+        iri(F.col("c_custkey")).alias("subj"),
+        F.lit("ex:in").alias("pred"),
+        F.concat(F.lit("ex:N"), F.col("c_nationkey")).alias("obj"),
+        F.lit("iri").alias("obj_kind"))
+    k7 = cust.select(F.col("c_custkey").alias("k7"))
+    knows = (cust.select(F.col("c_custkey").alias("k"),
+                         (F.col("c_custkey") + 7).alias("k7"))
+             .join(k7, "k7", "left_semi")
+             .select(iri(F.col("k")).alias("subj"),
+                     F.lit("ex:knows").alias("pred"),
+                     iri(F.col("k7")).alias("obj"),
+                     F.lit("iri").alias("obj_kind")))
+    sameas = (cust.filter(F.col("c_custkey") % 5 != 4).select(
+        iri(F.col("c_custkey")).alias("subj"),
+        F.lit(OWL_SAMEAS).alias("pred"),
+        iri(F.col("c_custkey") + 1).alias("obj"),
+        F.lit("iri").alias("obj_kind")))
+    t = keys.unionByName(nations).unionByName(knows).unionByName(sameas)
+    return smush_sameas(t).select("subj", "pred", "obj", "obj_kind")
+
+
+def q_bgp_minus(spark, sf_dir):
+    """SPARQL MINUS (operators/bgp.py::match_minus): customers-in-nation
+    solutions minus the VIP group - compatible-on-?c solutions removed,
+    spec's disjoint-domain identity exercised in tests. Oracle is the
+    equivalent anti-join."""
+    from csvweb_spark.operators.bgp import match_bgp, match_minus
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    t_in = cust.select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit("ex:in").alias("pred"),
+        F.concat(F.lit("ex:N"), F.col("c_nationkey")).alias("obj"))
+    t_vip = (cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit("ex:vip").alias("pred"), F.lit("ex:gold").alias("obj")))
+    t = t_in.unionByName(t_vip)
+    sol = match_bgp(t, [("?c", "ex:in", "?n")])
+    return match_minus(t, sol, [("?c", "ex:vip", "?v")]).select("c", "n")
+
+
+def q_kg_shortest_path(spark, sf_dir):
+    """Weighted single-source shortest paths (operators/graph.py::
+    shortest_paths, frontier Bellman-Ford with integer-exact distances):
+    a customer-key chain (weight 1) with weight-5 ten-key shortcuts, so
+    the optimum mixes both edge kinds. Oracle: recursive CTE with UNION
+    dedup on (node, dist) states, min per node."""
+    from csvweb_spark.operators.graph import shortest_paths
+    cust = _load(spark, sf_dir, "customer") \
+        .filter((F.col("c_custkey") >= 1) & (F.col("c_custkey") <= 100))
+    nxt = cust.select(F.col("c_custkey").alias("dst"))
+    chain = (cust.select(F.col("c_custkey").alias("src"),
+                         (F.col("c_custkey") + 1).alias("dst"),
+                         F.lit(1).alias("w"))
+             .join(nxt, "dst", "left_semi"))
+    hops = (cust.filter(F.col("c_custkey") % 10 == 1)
+            .select(F.col("c_custkey").alias("src"),
+                    (F.col("c_custkey") + 10).alias("dst"),
+                    F.lit(5).alias("w"))
+            .join(nxt, "dst", "left_semi"))
+    # materialize the (tiny, planted) edge frame once: the BF loop joins
+    # it every round, and re-deriving it from the parquet scan per round
+    # would dominate the wall clock (at scale the caller persists or the
+    # edge table is already a materialized KG table)
+    edges = chain.unionByName(hops).localCheckpoint(eager=True)
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = shortest_paths(edges, seeds, weight="w", validate_weights=False)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.col("dist").cast("long").alias("dist"))
+
+
+def q_rdf_ntriples_parse(spark, sf_dir):
+    """RDF ingest round-trip (operators/serialize.py::parse_ntriples):
+    the nation conversion serialized to canonical N-Triples, then parsed
+    back to the engine's triple schema with pure JVM regex + the
+    split/transform/rejoin unescape - no UDF, no shuffle. Oracle emits
+    the pre-serialization triples directly (datatype NULLed for
+    xsd:string per the plain-literal identification)."""
+    from csvweb_spark.operators.serialize import parse_ntriples, to_ntriples
+    from csvweb_spark.operators.triples import convert_table_group_spark
+    out = convert_table_group_spark(_nation_pages(spark, sf_dir),
+                                    _nation_table(), scope_by_url=False)
+    return parse_ntriples(to_ntriples(out)).select(
+        "subj", "pred", "obj", "obj_kind", "obj_datatype", "obj_lang")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1510,6 +1613,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_pipeline": q_kg_pipeline,
         # -- never recorded before round 4 --
+        "owl_sameas": q_owl_sameas,
+        "bgp_minus": q_bgp_minus,
+        "kg_shortest_path": q_kg_shortest_path,
+        "rdf_ntriples_parse": q_rdf_ntriples_parse,
         "kg_node_sim": q_kg_node_sim,
         "bgp_union": q_bgp_union,
         "bgp_values": q_bgp_values,
@@ -2065,6 +2172,68 @@ def oracle_sql() -> dict[str, str]:
     xsd_i = XSD + "integer"
     xsd_d = XSD + "date"
     return {
+        "owl_sameas": """
+            WITH c AS (SELECT c_custkey AS k, c_nationkey AS n
+                       FROM customer WHERE c_custkey < 300),
+            r AS (SELECT k, n,
+                         'ex:C' || lpad(((k // 5) * 5)::varchar, 5, '0')
+                             AS rep
+                  FROM c)
+            SELECT DISTINCT subj, pred, obj, obj_kind FROM (
+                SELECT rep AS subj, 'ex:key' AS pred, k::varchar AS obj,
+                       'literal' AS obj_kind FROM r
+                UNION ALL
+                SELECT rep, 'ex:in', 'ex:N' || n, 'iri' FROM r
+                UNION ALL
+                SELECT a.rep, 'ex:knows', b.rep, 'iri'
+                FROM r a JOIN r b ON b.k = a.k + 7)
+        """,
+        "bgp_minus": """
+            WITH c AS (SELECT c_custkey AS k, c_nationkey AS n
+                       FROM customer WHERE c_custkey < 200)
+            SELECT 'ex:C' || k AS c, 'ex:N' || n AS n
+            FROM c WHERE k % 3 <> 0
+        """,
+        "kg_shortest_path": """
+            WITH RECURSIVE
+            c AS (SELECT c_custkey AS k FROM customer
+                  WHERE c_custkey BETWEEN 1 AND 100),
+            e AS (
+                SELECT a.k AS src, a.k + 1 AS dst, 1 AS w
+                FROM c a JOIN c t ON t.k = a.k + 1
+                UNION ALL
+                SELECT a.k, a.k + 10, 5
+                FROM c a JOIN c t ON t.k = a.k + 10
+                WHERE a.k % 10 = 1),
+            sp(node, dist) AS (
+                SELECT 1, 0
+                UNION
+                SELECT e.dst, sp.dist + e.w
+                FROM sp JOIN e ON e.src = sp.node)
+            SELECT node::bigint AS node, min(dist)::bigint AS dist
+            FROM sp GROUP BY node
+        """,
+        "rdf_ntriples_parse": f"""
+            WITH t AS (
+                SELECT 'http://ex.org/nation/' || n_nationkey AS subj,
+                       'http://ex.org/nation.csv#n_nationkey' AS pred,
+                       n_nationkey::varchar AS obj, '{xsd_i}' AS obj_datatype
+                FROM nation
+                UNION ALL
+                SELECT 'http://ex.org/nation/' || n_nationkey,
+                       'http://ex.org/nation.csv#n_name', n_name, '{xsd_s}'
+                FROM nation
+                UNION ALL
+                SELECT 'http://ex.org/nation/' || n_nationkey,
+                       'http://ex.org/nation.csv#n_regionkey',
+                       n_regionkey::varchar, '{xsd_i}'
+                FROM nation)
+            SELECT subj, pred, obj, 'literal' AS obj_kind,
+                   CASE WHEN obj_datatype = '{xsd_s}' THEN NULL
+                        ELSE obj_datatype END AS obj_datatype,
+                   NULL::VARCHAR AS obj_lang
+            FROM t
+        """,
         "csvw_minimal_triples": f"""
             SELECT 'http://ex.org/nation/' || n_nationkey AS subj,
                    'http://ex.org/nation.csv#n_nationkey' AS pred,

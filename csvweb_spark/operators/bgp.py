@@ -384,3 +384,46 @@ def filter_exists(triples: DataFrame, solutions: DataFrame,
             "truth is binding-independent - evaluate it separately")
     how = "left_anti" if negate else "left_semi"
     return solutions.join(sub.select(*shared).distinct(), shared, how)
+
+
+def match_minus(triples: DataFrame, solutions: DataFrame,
+                patterns: list[Pattern], allow_cartesian: bool = False,
+                unbound_possible: bool = False) -> DataFrame:
+    """SPARQL MINUS { ... }: remove each solution that is COMPATIBLE
+    with some solution of the sub-group AND shares at least one bound
+    variable with it (SPARQL 1.1 §8.3.3). Differs from FILTER NOT
+    EXISTS in exactly the corners the spec separates them on:
+
+    * disjoint domains (no shared variable at all): MINUS removes
+      NOTHING - returned unchanged here, where `filter_exists(...,
+      negate=True)` would raise;
+    * a variable unbound (NULL, e.g. from OPTIONAL) on the left is
+      simply absent from the compatibility check, not an inequality.
+
+    Fast path (default): solutions from plain BGP/VALUES groups never
+    carry NULLs in pattern variables, so compatibility is plain
+    equality - one hash LEFT ANTI join on the shared columns, same
+    scale shape as `filter_exists`. With `unbound_possible=True` the
+    join condition becomes per-variable (NULL-or-equal) conjunctions
+    plus an at-least-one-bound guard - exact spec semantics, but a
+    non-equi join (broadcast nested loop against the DISTINCT
+    projection of the sub-solutions; fine for KB-sized right sides,
+    not for corpus-sized ones - restructure the query instead)."""
+    sub = match_bgp(triples, patterns, allow_cartesian=allow_cartesian)
+    shared = sorted(set(sub.columns) & set(solutions.columns))
+    if not shared:
+        return solutions
+    right = sub.select(*shared).distinct()
+    if not unbound_possible:
+        return solutions.join(right, shared, "left_anti")
+    r = right
+    for c in shared:
+        r = r.withColumnRenamed(c, f"_m_{c}")
+    compat = F.lit(True)
+    for c in shared:
+        compat = compat & (F.col(c).isNull() |
+                           (F.col(c) == F.col(f"_m_{c}")))
+    some_bound = F.lit(False)
+    for c in shared:
+        some_bound = some_bound | F.col(c).isNotNull()
+    return solutions.join(F.broadcast(r), compat & some_bound, "left_anti")

@@ -231,3 +231,77 @@ def owl_property_closure(triples: DataFrame,
     if derived_only:
         out = out.join(t, ["subj", "pred", "obj"], "left_anti")
     return out.distinct() if dedupe else out
+
+
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+
+def sameas_labels(triples: DataFrame,
+                  sameas_pred: str = OWL_SAMEAS) -> DataFrame:
+    """(iri, canonical) for every IRI touched by a `sameas_pred`
+    assertion: connected components over the sameAs graph (owl:sameAs is
+    symmetric/transitive, so identity groups ARE the components), with
+    the LEXICOGRAPHICALLY SMALLEST member IRI as the group's canonical
+    representative - a deterministic, engine-independent choice that a
+    SQL oracle can reproduce (min over the component), unlike the
+    hash-min label CC converges on internally.
+
+    Scale shape: the sameAs stripe is the linking layer's output
+    (KB-sized, not corpus-sized); CC runs on xxhash64 node ids through
+    the salted large/small-star loop (`canonicalize.connected_components`,
+    hub-safe), and the label -> min-IRI election is one
+    map-side-combinable agg."""
+    from .canonicalize import connected_components
+    pairs = (triples.filter(F.col("pred") == sameas_pred)
+             .select(F.col("subj").alias("a"), F.col("obj").alias("b")))
+    iris = (pairs.select(F.col("a").alias("iri"))
+            .unionByName(pairs.select(F.col("b").alias("iri")))
+            .distinct())
+    labels = connected_components(
+        pairs.select(F.xxhash64("a").alias("src"),
+                     F.xxhash64("b").alias("dst")))
+    labeled = iris.join(labels,
+                        F.xxhash64("iri") == F.col("node")) \
+                  .select("iri", "component")
+    reps = (labeled.groupBy("component")
+            .agg(F.min("iri").alias("canonical")))
+    return labeled.join(reps, "component").select("iri", "canonical")
+
+
+def smush_sameas(triples: DataFrame, sameas_pred: str = OWL_SAMEAS,
+                 keep_sameas: bool = False, dedupe: bool = True) -> DataFrame:
+    """owl:sameAs identity smushing - the canonicalization step that
+    turns linked mentions into ONE node per real-world entity: every
+    IRI in a sameAs component is rewritten (subject position always;
+    object position only for obj_kind='iri' rows, literals/bnodes pass
+    through) to the component's canonical representative
+    (`sameas_labels`). The reference leaves identity to the consuming
+    store (dotNetRDF applies sameAs at query time); a 10^12-triple KG
+    must materialize it once instead.
+
+    sameAs assertions themselves are dropped by default (they are
+    exhausted by the rewrite; `keep_sameas=True` retains them rewritten,
+    where surviving non-reflexive edges indicate cross-component links
+    worth auditing). Rewriting can collapse distinct triples into
+    duplicates, so the result is `distinct()`ed unless `dedupe=False`.
+
+    Scale shape: the (iri -> canonical) map is KB-sized and broadcast;
+    the corpus-scale triple scan never shuffles except the final
+    distinct (drop it when the downstream sink dedups)."""
+    canon = sameas_labels(triples, sameas_pred)
+    rest = (triples if keep_sameas
+            else triples.filter(F.col("pred") != sameas_pred))
+    smap = F.broadcast(canon.select(F.col("iri").alias("_si"),
+                                    F.col("canonical").alias("_sc")))
+    omap = F.broadcast(canon.select(F.col("iri").alias("_oi"),
+                                    F.col("canonical").alias("_oc")))
+    t = (rest.join(smap, rest["subj"] == F.col("_si"), "left").drop("_si")
+             .join(omap, rest["obj"] == F.col("_oi"), "left").drop("_oi"))
+    obj_is_iri = (F.col("obj_kind") == "iri") if "obj_kind" in rest.columns \
+        else F.lit(True)
+    out = (t.withColumn("subj", F.coalesce("_sc", "subj"))
+            .withColumn("obj", F.when(obj_is_iri,
+                                      F.coalesce("_oc", "obj"))
+                                .otherwise(F.col("obj")))
+            .drop("_sc", "_oc"))
+    return out.distinct() if dedupe else out

@@ -234,3 +234,68 @@ def node_similarity(edges: DataFrame, src: str = "src", dst: str = "dst",
         "jaccard_bp",
         F.expr("CAST(10000 AS BIGINT) * CAST(common AS BIGINT) div "
                "CAST(degree_a + degree_b - common AS BIGINT)"))
+
+
+def shortest_paths(edges: DataFrame, seeds: DataFrame,
+                   src: str = "src", dst: str = "dst",
+                   weight: str | None = None, seed_col: str = "node",
+                   max_iter: int = 64, broadcast_frontier: bool = True,
+                   validate_weights: bool = True) -> DataFrame:
+    """(node, dist) = minimum total edge weight from any seed over the
+    DIRECTED edge set (use an explicit bidirectional union for the
+    undirected view); `weight=None` counts hops (weight 1). Weights are
+    cast to LONG - integer-exact accumulation, so the result
+    hash-compares against a SQL oracle with no float drift. Negative
+    weights raise (Bellman-Ford would need |V| full rounds to be safe;
+    this loop exits on frontier exhaustion, which is only correct for
+    non-negative weights). The guard costs one early-exit scan of the
+    edge table; pass `validate_weights=False` when the weight column
+    is non-negative by construction (it is skipped automatically for
+    hop counting).
+
+    Frontier Bellman-Ford: each round joins only the IMPROVED nodes to
+    the edge list, min-aggregates candidate distances per destination,
+    keeps the strictly-better ones, and merges. With non-negative
+    weights every node's distance improves at most O(diameter in
+    shortcut-steps) times, and the frontier empties exactly at the
+    fixpoint. `khop_neighbors` stays the unweighted-k fast path (no
+    per-round aggregate).
+
+    Scale shape: with `broadcast_frontier` (retrieval-sized seed sets)
+    the corpus-scale edge table NEVER shuffles - each round is one
+    broadcast hash join + a node-keyed partial agg; disable for massive
+    frontiers and the joins become node-id hash joins. Per-round
+    localCheckpoint truncates the iterative plan (same discipline as
+    connected_components)."""
+    w = (F.col(weight).cast("long") if weight is not None
+         else F.lit(1).cast("long"))
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"),
+                     w.alias("w"))
+    if weight is not None and validate_weights \
+            and e.filter(F.col("w") < 0).take(1):
+        raise ValueError("negative edge weights are not supported")
+    dist = (seeds.select(F.col(seed_col).alias("node")).distinct()
+            .withColumn("dist", F.lit(0).cast("long"))
+            .localCheckpoint(eager=True))
+    frontier = dist
+    for _ in range(max_iter):
+        f = F.broadcast(frontier) if broadcast_frontier else frontier
+        cand = (e.join(f, e["a"] == f["node"])
+                .select(F.col("b").alias("node"),
+                        (F.col("dist") + F.col("w")).alias("d"))
+                .groupBy("node").agg(F.min("d").alias("d")))
+        old = dist.select("node", F.col("dist").alias("_old"))
+        # lazy checkpoint: the take(1) below materializes it, so each
+        # round costs two jobs (probe + dist merge), not three
+        improved = (cand.join(old, "node", "left")
+                    .filter(F.col("_old").isNull() |
+                            (F.col("d") < F.col("_old")))
+                    .select("node", F.col("d").alias("dist"))
+                    .localCheckpoint(eager=False))
+        if not improved.take(1):
+            break
+        dist = (dist.join(improved.select("node"), "node", "left_anti")
+                .unionByName(improved)
+                .localCheckpoint(eager=True))
+        frontier = improved
+    return dist

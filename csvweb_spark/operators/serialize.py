@@ -236,3 +236,113 @@ def to_turtle(df: DataFrame, prefixes: dict | None = None) -> DataFrame:
     return df.select(turtle_line(
         F.col("subj"), F.col("pred"), F.col("obj"), F.col("obj_kind"),
         F.col("obj_datatype"), F.col("obj_lang"), prefixes).alias("line"))
+
+
+# --------------------------------------------------------------------------
+# N-Triples / N-Quads PARSING (RDF ingest) - the inverse of to_ntriples /
+# to_nquads, so an exported KG (or any external canonical N-Triples dump)
+# loads back into the engine's triple schema. The reference consumes RDF
+# through dotNetRDF's parsers (DataDock loads emitted graphs back into a
+# store); here ingest is a pure JVM projection: structure via
+# regexp_extract, literal unescaping via a split/transform/rejoin trick -
+# no UDF, no shuffle, one narrow codegen'd pass over the text scan.
+# --------------------------------------------------------------------------
+
+# one N-Triples statement: subject (IRI or bnode), predicate (IRI),
+# object term (everything up to the closing " ."). The quad grammar
+# additionally requires a fourth <graph> IRI term; it is tried FIRST so
+# the graph term can never be confused with the object (a triple line
+# `<s> <p> <o> .` cannot match the quad grammar - its object group
+# would have to be empty - while a quad line always does). Whitespace
+# per canonical N-Triples/N-Quads (single spaces).
+_NT_LINE = r'^(<[^>]*>|_:\S+) (<[^>]*>) (.+) \.$'
+_NQ_LINE = r'^(<[^>]*>|_:\S+) (<[^>]*>) (.+) (<[^>]*>) \.$'
+# literal object: quoted body with escapes, then @lang or ^^<dtype>
+_NT_LITERAL = r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?$'
+
+
+def _strip_angles(c: Column) -> Column:
+    return F.regexp_replace(c, r"^<|>$", "")
+
+
+def unescape_literal(c: Column) -> Column:
+    """Single-pass-correct N-Triples literal unescaping in pure JVM
+    expressions: split on the two-character sequence \\\\ (escaped
+    backslash) first - inside each segment every remaining backslash
+    begins exactly one of \\n \\r \\t \\" (valid canonical N-Triples has
+    no other sequences), so the per-segment replace chain is
+    unambiguous - then rejoin the segments with a literal backslash.
+    This is the exact inverse of escape_literal for all inputs (no
+    sentinel character, no double-unescape hazard)."""
+    seg = F.split(c, r"\\\\", -1)
+    fixed = F.transform(seg, lambda s: F.replace(
+        F.replace(F.replace(F.replace(s, F.lit('\\"'), F.lit('"')),
+                            F.lit("\\n"), F.lit("\n")),
+                  F.lit("\\r"), F.lit("\r")),
+        F.lit("\\t"), F.lit("\t")))
+    return F.array_join(fixed, "\\")
+
+
+def parse_ntriples(lines: DataFrame, col: str = "line",
+                   keep_graph: bool = False) -> DataFrame:
+    """N-Triples (or N-Quads, with `keep_graph=True`) lines -> the
+    engine's triple schema (subj, pred, obj, obj_kind, obj_datatype,
+    obj_lang[, graph]).
+
+    Inverse conventions of to_ntriples: plain literals load with a NULL
+    datatype (the xsd:string == plain-literal identification), "_:"
+    terms keep their label as-is with obj_kind='bnode' for objects
+    (subjects stay bare labels, exactly what _term() re-serializes),
+    malformed lines (no grammar match) are DROPPED - filter them out of
+    `lines` first via `invalid_ntriples` if an ingest audit is needed.
+
+    Scale shape: regexp_extract + the unescape expressions are all
+    narrow JVM codegen over the text scan - a 10^12-line load never
+    shuffles and never leaves the JVM."""
+    line = F.col(col)
+    is_quad = line.rlike(_NQ_LINE)
+
+    def grp(n, quad_n=None):
+        return F.when(is_quad, F.regexp_extract(line, _NQ_LINE,
+                                                quad_n or n)) \
+                .otherwise(F.regexp_extract(line, _NT_LINE, n))
+
+    subj_t = grp(1)
+    pred_t = grp(2)
+    obj_t = grp(3)
+    graph_t = F.when(is_quad, F.regexp_extract(line, _NQ_LINE, 4)) \
+               .otherwise(F.lit(""))
+    is_lit = obj_t.startswith('"')
+    is_bnode = obj_t.startswith("_:")
+    lit_body = F.regexp_extract(obj_t, _NT_LITERAL, 1)
+    lit_lang = F.regexp_extract(obj_t, _NT_LITERAL, 2)
+    lit_dtype = F.regexp_extract(obj_t, _NT_LITERAL, 3)
+    out = (lines
+           .filter(line.rlike(_NT_LINE))
+           .select(
+               F.when(subj_t.startswith("_:"), subj_t)
+                .otherwise(_strip_angles(subj_t)).alias("subj"),
+               _strip_angles(pred_t).alias("pred"),
+               F.when(is_lit, unescape_literal(lit_body))
+                .when(is_bnode, obj_t)
+                .otherwise(_strip_angles(obj_t)).alias("obj"),
+               F.when(is_lit, F.lit("literal"))
+                .when(is_bnode, F.lit("bnode"))
+                .otherwise(F.lit("iri")).alias("obj_kind"),
+               F.when(is_lit & (lit_dtype != ""), lit_dtype)
+                .otherwise(F.lit(None).cast("string")).alias("obj_datatype"),
+               F.when(is_lit & (lit_lang != ""), lit_lang)
+                .otherwise(F.lit(None).cast("string")).alias("obj_lang"),
+               F.when(graph_t != "", _strip_angles(graph_t))
+                .otherwise(F.lit(None).cast("string")).alias("graph")))
+    return out if keep_graph else out.drop("graph")
+
+
+def invalid_ntriples(lines: DataFrame, col: str = "line") -> DataFrame:
+    """Ingest audit: the lines parse_ntriples would drop (no grammar
+    match), excluding blank lines and comments. No silent caps: run this
+    alongside a load and alert on count() > 0."""
+    line = F.col(col)
+    return lines.filter(~line.rlike(_NT_LINE)
+                        & (F.trim(line) != "")
+                        & ~F.trim(line).startswith("#"))

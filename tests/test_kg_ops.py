@@ -534,3 +534,111 @@ def test_filter_exists_and_not_exists(spark):
     assert filter_exists(t2, sol2, [("?c", "vip", "?g")]).count() == 1
     with pytest.raises(ValueError, match="shares no variable"):
         filter_exists(t, sol, [("?x", "vip", "?g")])
+
+
+# ------------------------------------------------------- round-4 additions
+
+
+def test_match_minus_removes_compatible(spark):
+    from csvweb_spark.operators.bgp import match_bgp, match_minus
+    t = _t(spark, [("c1", "in", "n1"), ("c2", "in", "n1"),
+                   ("c3", "in", "n2"), ("c1", "vip", "gold"),
+                   ("x", "other", "y")])
+    sol = match_bgp(t, [("?c", "in", "?n")])
+    out = match_minus(t, sol, [("?c", "vip", "?v")])
+    assert {(r.c, r.n) for r in out.collect()} == {("c2", "n1"),
+                                                   ("c3", "n2")}
+    # spec corner: disjoint domains remove NOTHING (unlike NOT EXISTS)
+    out2 = match_minus(t, sol, [("?a", "other", "?b")])
+    assert out2.count() == sol.count()
+    # the exact (unbound-aware) path agrees on NULL-free solutions
+    out3 = match_minus(t, sol, [("?c", "vip", "?v")],
+                       unbound_possible=True)
+    assert {(r.c, r.n) for r in out3.collect()} == {("c2", "n1"),
+                                                    ("c3", "n2")}
+
+
+def test_match_minus_unbound_left(spark):
+    # after OPTIONAL, a shared var can be NULL on the left: SPARQL drops
+    # it from the compatibility domain, so a row with ?v unbound but ?c
+    # matching IS removed by MINUS {?c vip ?v} - the equality fast path
+    # would keep it (NULL != anything), hence unbound_possible=True
+    from csvweb_spark.operators.bgp import match_bgp, match_minus
+    t = _t(spark, [("c1", "in", "n1"), ("c2", "in", "n2"),
+                   ("c1", "vip", "gold")])
+    sol = match_bgp(t, [("?c", "in", "?n")],
+                    optional=[[("?c", "vip", "?v")]])
+    out = match_minus(t, sol, [("?c", "vip", "?v")],
+                      unbound_possible=True)
+    cs = {r.c for r in out.collect()}
+    assert cs == {"c2"}
+
+
+def test_smush_sameas_rewrites_and_drops(spark):
+    from csvweb_spark.operators.entail import OWL_SAMEAS, smush_sameas
+    rows = [
+        ("e:a", OWL_SAMEAS, "e:b", "iri"),
+        ("e:b", OWL_SAMEAS, "e:c", "iri"),
+        ("e:c", "p:name", "alpha", "literal"),
+        ("e:b", "p:knows", "e:z", "iri"),
+        ("e:z", "p:knows", "e:a", "iri"),
+        ("e:z", "p:label", "e:a-looking literal", "literal"),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_kind string")
+    got = {tuple(r) for r in smush_sameas(t).collect()}
+    assert got == {
+        ("e:a", "p:name", "alpha", "literal"),       # subj c -> min(a,b,c)
+        ("e:a", "p:knows", "e:z", "iri"),            # subj b -> a
+        ("e:z", "p:knows", "e:a", "iri"),            # obj a -> a (already)
+        ("e:z", "p:label", "e:a-looking literal", "literal"),  # literal kept
+    }
+    # keep_sameas retains rewritten assertions; dedupe collapses them
+    kept = smush_sameas(t, keep_sameas=True)
+    sameas = {tuple(r) for r in
+              kept.filter(F.col("pred") == OWL_SAMEAS).collect()}
+    assert sameas == {("e:a", OWL_SAMEAS, "e:a", "iri")}
+
+
+def test_smush_sameas_merges_duplicate_facts(spark):
+    from csvweb_spark.operators.entail import OWL_SAMEAS, smush_sameas
+    rows = [("e:a", OWL_SAMEAS, "e:b", "iri"),
+            ("e:a", "p:t", "v", "literal"),
+            ("e:b", "p:t", "v", "literal")]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_kind string")
+    assert smush_sameas(t).count() == 1
+    assert smush_sameas(t, dedupe=False).count() == 2
+
+
+def test_shortest_paths_weighted_and_hops(spark):
+    from csvweb_spark.operators.graph import shortest_paths
+    er = [(k, k + 1, 1) for k in range(1, 30)] + \
+         [(k, k + 10, 5) for k in (1, 11, 21)]
+    e = spark.createDataFrame(er, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    d = {r.node: r.dist
+         for r in shortest_paths(e, seeds, weight="w").collect()}
+    # chain nodes 1..30 plus node 31 (tip of the 21->31 shortcut)
+    assert len(d) == 31
+    for n in range(1, 32):
+        assert d[n] == 5 * ((n - 1) // 10) + ((n - 1) % 10), n
+    # hop counting (weight=None): shortcuts 1->11->21 (2 hops) then the
+    # chain 21..30 (9 hops)
+    d2 = {r.node: r.dist for r in shortest_paths(e, seeds).collect()}
+    assert d2[30] == 11
+
+
+def test_shortest_paths_multi_seed_and_unreachable(spark):
+    from csvweb_spark.operators.graph import shortest_paths
+    e = spark.createDataFrame([(1, 2, 7), (2, 3, 7), (10, 11, 1)],
+                              "src long, dst long, w long")
+    seeds = spark.createDataFrame([(1,), (10,)], "node long")
+    d = {r.node: r.dist
+         for r in shortest_paths(e, seeds, weight="w").collect()}
+    # directed: node 3 via 1, node 11 via 10; unreachable nodes absent
+    assert d == {1: 0, 2: 7, 3: 14, 10: 0, 11: 1}
+    # negative weights rejected when validation is on
+    bad = spark.createDataFrame([(1, 2, -1)], "src long, dst long, w long")
+    with pytest.raises(ValueError, match="negative"):
+        shortest_paths(bad, seeds, weight="w")

@@ -601,3 +601,73 @@ def test_parity_fuzz_corpus(spark):
         actual = got.get(url, [])
         assert graphs_isomorphic(actual, expected), \
             f"{url}: " + diff_report(actual, expected)
+
+
+def test_parse_ntriples_engine_roundtrip(spark):
+    """parse_ntriples is the exact inverse of to_ntriples on the
+    engine's own serializations: escape-heavy literals (incl. literal
+    backslash-n, trailing backslash, IRI-lookalike text inside quotes),
+    lang tags, typed literals, bnodes both positions, IRI objects. The
+    xsd:string datatype loads back as NULL (plain-literal rule)."""
+    from csvweb_spark.operators.serialize import parse_ntriples, to_ntriples
+    from csvweb_spark.testing.turtle import XSD
+
+    rows = [
+        ("http://e/s1", "http://e/p", 'he said "hi"\n\tback\\slash',
+         "literal", XSD + "string", None),
+        ("http://e/s1", "http://e/p2", "bonjour", "literal", None, "fr"),
+        ("_:b0", "http://e/p3", "42", "literal", XSD + "integer", None),
+        ("http://e/s2", "http://e/p4", "_:b0", "bnode", None, None),
+        ("http://e/s2", "http://e/p5", "http://e/o", "iri", None, None),
+        ("http://e/s3", "http://e/p6", "\\n not a newline", "literal",
+         None, None),
+        ("http://e/s3", "http://e/p7", "ends with \\", "literal",
+         None, None),
+        ("http://e/s3", "http://e/p8", 'fake " <http://e/g> " quad',
+         "literal", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_kind string, "
+              "obj_datatype string, obj_lang string")
+    back = parse_ntriples(to_ntriples(df))
+    got = sorted(tuple(r) for r in back.collect())
+    exp = sorted((s, p, o, k, None if dt == XSD + "string" else dt, lg)
+                 for s, p, o, k, dt, lg in rows)
+    assert got == exp
+
+
+def test_parse_nquads_roundtrip_and_audit(spark):
+    """Quad grammar takes precedence (the graph term is never confused
+    with an IRI object); NULL graphs round-trip as default-graph lines;
+    invalid_ntriples flags only genuinely malformed non-comment lines."""
+    from csvweb_spark.operators.serialize import (invalid_ntriples,
+                                                  parse_ntriples, to_nquads)
+
+    rows = [
+        ("http://e/s1", "http://e/p", "http://e/o", "iri", None, None,
+         "http://e/g1"),
+        ("http://e/s2", "http://e/p", "plain", "literal", None, None,
+         None),
+        ("http://e/s3", "http://e/p", "tagged", "literal", None, "en",
+         "http://e/g2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_kind string, "
+              "obj_datatype string, obj_lang string, url string")
+    back = parse_ntriples(to_nquads(df), keep_graph=True)
+    got = sorted(tuple(r) for r in back.collect())
+    exp = sorted((s, p, o, k, dt, lg, g)
+                 for s, p, o, k, dt, lg, g in rows)
+    assert got == exp
+    # graph column dropped by default; triple fields intact
+    assert parse_ntriples(to_nquads(df)).columns == \
+        ["subj", "pred", "obj", "obj_kind", "obj_datatype", "obj_lang"]
+
+    lines = spark.createDataFrame(
+        [("<a> <b> .",),            # missing object -> malformed
+         ("# comment",), ("",), ("   ",),
+         ("<s> <p> <o> .",), ("<s> <p> <o> <g> .",)], "line string")
+    bad = [r.line for r in invalid_ntriples(lines).collect()]
+    assert bad == ["<a> <b> ."]
+    # malformed lines are dropped, valid ones parse
+    assert parse_ntriples(lines).count() == 2
