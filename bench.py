@@ -257,6 +257,45 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     timed("bgp_match", lambda: match_bgp(
         bgp_t, [("?d", "ex:from", "?s"), ("?d", "ex:lang", "?l")]).count())
 
+    # owl:sameAs smushing at corpus scale (round 4): 5-member alias
+    # chain groups over every doc id (12k components at sf0.1), CC over
+    # the ~48k-edge sameAs graph + broadcast rewrite of the 120k-row
+    # instance set; wall clock is CC star-round overhead (path length
+    # sets the round count, so group size 5 matches the oracle query)
+    from csvweb_spark.operators.entail import OWL_SAMEAS, smush_sameas
+    sameas = (docs.filter(F.col("doc_id") % 5 != 4)
+              .select(F.concat(F.lit("d:"), F.col("doc_id")).alias("subj"),
+                      F.lit(OWL_SAMEAS).alias("pred"),
+                      F.concat(F.lit("d:"),
+                               F.col("doc_id") + 1).alias("obj")))
+    smush_in = (kg_triples.unionByName(langs).unionByName(sameas)
+                .withColumn("obj_kind",
+                            F.when(F.col("pred") == "ex:lang",
+                                   F.lit("literal")).otherwise(F.lit("iri"))))
+    timed("owl_sameas_smush", lambda: smush_sameas(smush_in).count(),
+          retry_under=0.0)
+
+    # weighted shortest paths (round 4): dense seed set (every 10th doc)
+    # over the chain+star graph so the frontier loop converges in ~10
+    # rounds of broadcast joins - measures per-round cost, not diameter
+    from csvweb_spark.operators.graph import shortest_paths
+    wedges = edges_khop.withColumn(
+        "w", (F.lit(1) + F.pmod(F.col("src"), F.lit(3))).cast("long"))
+    sp_seeds = docs.filter(F.col("doc_id") % 10 == 0) \
+        .select(F.col("doc_id").alias("node"))
+    timed("kg_shortest_paths", lambda: shortest_paths(
+        wedges, sp_seeds, weight="w", validate_weights=False,
+        broadcast_frontier=False).count(), retry_under=0.0)
+
+    # N-Triples ingest: parse the flagship conversion's own export back
+    # (lines persisted untimed; the timed pass is the pure-JVM parse)
+    from csvweb_spark.operators.serialize import parse_ntriples, to_ntriples
+    nt_lines = to_ntriples(convert_table_group_spark(
+        pages, table, scope_by_url=True)).persist()
+    nt_lines.count()
+    timed("rdf_ntriples_parse", lambda: parse_ntriples(nt_lines).count())
+    nt_lines.unpersist()
+
     # cross-corpus line-level dedup (round 4): every doc shares a
     # planted banner line, winner-per-line groupBy + rebuild
     from csvweb_spark.operators.dedup import dedup_lines_global

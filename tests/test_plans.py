@@ -287,3 +287,41 @@ def test_write_resumable_iceberg_shape(spark):
         write_resumable_iceberg(df, "lake.db.triples")
     with pytest.raises(ValueError, match="no catalog configured"):
         write_resumable_iceberg(df, "triples")
+
+
+def test_parse_ntriples_jvm_narrow(spark, tmp_path):
+    """Ingest is the inverse narrow projection: over a real text scan the
+    plan is Scan -> Filter -> Project with no Exchange and no Python (the
+    unescape HOFs evaluate JVM-side outside codegen)."""
+    from csvweb_spark.operators.serialize import parse_ntriples
+
+    path = str(tmp_path / "nt")
+    spark.createDataFrame(
+        [('<http://s/1> <http://p> "v" .',)], "line string") \
+        .write.mode("overwrite").text(path)
+    lines = spark.read.text(path).withColumnRenamed("value", "line")
+    plan = plan_of(parse_ntriples(lines))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "InPandas" not in plan
+
+
+def test_smush_sameas_broadcasts_rewrite_map(spark):
+    """The corpus-side triple scan must reach the output through
+    broadcast joins only - both rewrite joins build on the KB-sized
+    canon map, never a sort-merge join on the triple side."""
+    from csvweb_spark.operators.entail import OWL_SAMEAS, smush_sameas
+    t = spark.createDataFrame(
+        [("e:a", OWL_SAMEAS, "e:b", "iri"),
+         ("e:b", "p:x", "v", "literal")],
+        "subj string, pred string, obj string, obj_kind string")
+    plan = plan_of(smush_sameas(t, dedupe=False))
+    # two LeftOuter rewrite joins, both broadcast builds on subj/obj keys
+    assert len(re.findall(r"BroadcastHashJoin \[(?:subj|obj)#\d+\].*LeftOuter",
+                          plan)) == 2, plan
+    assert not re.search(r"SortMergeJoin \[(?:subj|obj)#\d+\]", plan), plan
+    # without the final distinct the only exchanges allowed are on the
+    # KB-sized label/election side, i.e. below a broadcast build
+    from csvweb_spark.operators.entail import sameas_labels
+    lplan = plan_of(sameas_labels(t))
+    assert "CartesianProduct" not in lplan

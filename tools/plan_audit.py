@@ -79,6 +79,21 @@ AUDITS = [
      "(row_number over the sort, count over the unordered frame - "
      "they share the sorted partition, no re-shuffle between them); "
      "the quantile extraction is a conditional aggregate above."),
+    ("owl:sameAs identity smushing", "owl_sameas",
+     "Both rewrite joins (subject and object position) are LeftOuter "
+     "BroadcastHashJoins with the (iri, canonical) map on the build "
+     "side, so the corpus-scale triple side reaches the output "
+     "without shuffling until the final distinct; every other "
+     "Exchange in the plan sits under a BroadcastExchange - i.e. on "
+     "the KB-sized label/representative-election side (bounded by "
+     "linked entities, not by the corpus). The CC labeling itself is "
+     "the already-audited salted star loop."),
+    ("Weighted shortest paths (frontier Bellman-Ford)", "kg_shortest_path",
+     "Per round: the edge table joins the broadcast frontier "
+     "(BroadcastHashJoin, edge side streamed) and the candidate "
+     "min-distance aggregate is map-side combinable (partial_min "
+     "below the exchange); localCheckpoint truncates lineage, so the "
+     "shown plan is the final round only."),
 ]
 
 
@@ -133,6 +148,29 @@ def main():
         "codegen'd Generate/Project - NO Exchange: the pages->triples "
         "path is narrow, so cluster scaling is purely input-split "
         "parallelism.",
+        "", "```", buf.getvalue().rstrip(), "```", ""]
+
+    # N-Triples ingest over a MATERIALIZED lines file (the production
+    # input shape) - the driver query re-serializes from the conversion
+    # pipeline, which would put synthesis-only operators in front of the
+    # parse plan being audited.
+    from csvweb_spark.operators.serialize import parse_ntriples, to_ntriples
+
+    nt_path = os.path.join(tempfile.mkdtemp(prefix="plan_audit_"), "nt")
+    to_ntriples(flagship).write.mode("overwrite").text(nt_path)
+    parsed = parse_ntriples(spark.read.text(nt_path).withColumnRenamed(
+        "value", "line"))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        parsed.explain("formatted")
+    out += [
+        "## N-Triples ingest (lines text scan -> triples) "
+        "(`rdf_ntriples_parse` kernel)", "",
+        "**Must show:** pure narrow projection over the text scan "
+        "(the grammar filter is codegen'd; the unescape's higher-order "
+        "functions evaluate outside codegen but still JVM-side) - "
+        "NO Exchange, NO Python; a 10^12-line load parallelizes "
+        "purely by input splits.",
         "", "```", buf.getvalue().rstrip(), "```", ""]
 
     for title, key, intent in AUDITS:
