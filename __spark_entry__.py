@@ -1589,6 +1589,48 @@ def q_rdf_ntriples_parse(spark, sf_dir):
         "subj", "pred", "obj", "obj_kind", "obj_datatype", "obj_lang")
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-token-window chunking with overlap (operators/text.py::
+    chunk_documents): 64-token windows every 48 tokens over the
+    documents corpus - the training-example / retrieval-passage
+    builder, one narrow JVM pass. Oracle replays the integer chunk
+    arithmetic with DuckDB list slicing."""
+    from csvweb_spark.operators.text import chunk_documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_documents(docs, window=64, stride=48)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "chunk_ix", "n_tokens", "chunk_text")
+
+
+def q_sparql_describe(spark, sf_dir):
+    """SPARQL DESCRIBE (operators/bgp.py::describe_nodes): the entity
+    pages for every 50th customer node - outbound triples plus inbound
+    IRI references, literals that merely equal a node IRI excluded.
+    Oracle is the same two semi-joins + DISTINCT."""
+    from csvweb_spark.operators.bgp import describe_nodes
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    ciri = lambda c: F.concat(F.lit("ex:C"), c)
+    t = (cust.select(ciri(F.col("c_custkey")).alias("subj"),
+                     F.lit("ex:in").alias("pred"),
+                     F.concat(F.lit("ex:N"),
+                              F.col("c_nationkey")).alias("obj"),
+                     F.lit("iri").alias("obj_kind"))
+         .unionByName(cust.select(
+             ciri(F.col("c_custkey")).alias("subj"),
+             F.lit("ex:label").alias("pred"),
+             ciri(F.col("c_custkey")).alias("obj"),
+             F.lit("literal").alias("obj_kind")))
+         .unionByName(cust.filter(F.col("c_custkey") >= 7).select(
+             ciri(F.col("c_custkey")).alias("subj"),
+             F.lit("ex:knows").alias("pred"),
+             ciri(F.col("c_custkey") - 7).alias("obj"),
+             F.lit("iri").alias("obj_kind"))))
+    nodes = (cust.filter(F.col("c_custkey") % 50 == 0)
+             .select(ciri(F.col("c_custkey")).alias("node")))
+    return describe_nodes(t, nodes).select("subj", "pred", "obj",
+                                           "obj_kind")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1617,6 +1659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_minus": q_bgp_minus,
         "kg_shortest_path": q_kg_shortest_path,
         "rdf_ntriples_parse": q_rdf_ntriples_parse,
+        "doc_chunks": q_doc_chunks,
+        "sparql_describe": q_sparql_describe,
         "kg_node_sim": q_kg_node_sim,
         "bgp_union": q_bgp_union,
         "bgp_values": q_bgp_values,
@@ -2172,6 +2216,47 @@ def oracle_sql() -> dict[str, str]:
     xsd_i = XSD + "integer"
     xsd_d = XSD + "date"
     return {
+        "doc_chunks": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       string_split_regex(
+                           regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                           '\s+') AS toks
+                FROM documents
+                WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g'))
+                      > 0),
+            n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+            c AS (SELECT doc_id, toks, n,
+                         unnest(generate_series(0,
+                             CASE WHEN n > 64
+                                  THEN (n - 64 + 48 - 1) // 48
+                                  ELSE 0 END)) AS chunk_ix
+                  FROM n)
+            SELECT doc_id::bigint AS doc_id,
+                   chunk_ix::bigint AS chunk_ix,
+                   least(64, n - chunk_ix * 48)::bigint AS n_tokens,
+                   array_to_string(
+                       toks[chunk_ix * 48 + 1 : chunk_ix * 48 + 64],
+                       ' ') AS chunk_text
+            FROM c
+        """,
+        "sparql_describe": """
+            WITH c AS (SELECT c_custkey AS k, c_nationkey AS n
+                       FROM customer WHERE c_custkey < 500),
+            t AS (
+                SELECT 'ex:C' || k AS subj, 'ex:in' AS pred,
+                       'ex:N' || n AS obj, 'iri' AS obj_kind FROM c
+                UNION ALL
+                SELECT 'ex:C' || k, 'ex:label', 'ex:C' || k, 'literal'
+                FROM c
+                UNION ALL
+                SELECT 'ex:C' || k, 'ex:knows', 'ex:C' || (k - 7), 'iri'
+                FROM c WHERE k >= 7),
+            nodes AS (SELECT 'ex:C' || k AS nd FROM c WHERE k % 50 = 0)
+            SELECT DISTINCT subj, pred, obj, obj_kind FROM t
+            WHERE subj IN (SELECT nd FROM nodes)
+               OR (obj_kind = 'iri' AND obj IN (SELECT nd FROM nodes))
+        """,
         "owl_sameas": """
             WITH c AS (SELECT c_custkey AS k, c_nationkey AS n
                        FROM customer WHERE c_custkey < 300),

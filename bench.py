@@ -287,6 +287,12 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
         wedges, sp_seeds, weight="w", validate_weights=False,
         broadcast_frontier=False).count(), retry_under=0.0)
 
+    # passage chunking (round 4): 64-token windows every 48 tokens over
+    # the full corpus - one narrow JVM pass, fan-out ~n_tokens/48 rows
+    from csvweb_spark.operators.text import chunk_documents
+    timed("doc_chunks", lambda: chunk_documents(
+        docs, window=64, stride=48).count())
+
     # N-Triples ingest: parse the flagship conversion's own export back
     # (lines persisted untimed; the timed pass is the pure-JVM parse)
     from csvweb_spark.operators.serialize import parse_ntriples, to_ntriples

@@ -427,3 +427,28 @@ def match_minus(triples: DataFrame, solutions: DataFrame,
     for c in shared:
         some_bound = some_bound | F.col(c).isNotNull()
     return solutions.join(F.broadcast(r), compat & some_bound, "left_anti")
+
+
+def describe_nodes(triples: DataFrame, nodes: DataFrame,
+                   node_col: str = "node",
+                   include_inbound: bool = True) -> DataFrame:
+    """SPARQL DESCRIBE for a resource set: every triple whose SUBJECT is
+    a described node, plus (by default) the inbound triples whose IRI
+    OBJECT is one - the symmetric concise-bounded description a KG API
+    returns for an entity page. Non-IRI objects never match inbound
+    (literals that happen to equal a node IRI are data, not links; the
+    obj_kind column gates this when present).
+
+    Scale shape: the node set is the retrieval request (tiny) - two
+    broadcast LEFT SEMI probes of the corpus-scale triple table, one
+    union, no other shuffle. Duplicates (a triple matched both ways)
+    are removed by the final distinct."""
+    n = F.broadcast(nodes.select(F.col(node_col).alias("_n")).distinct())
+    out_edges = triples.join(n, triples["subj"] == F.col("_n"), "left_semi")
+    if not include_inbound:
+        return out_edges
+    obj_is_iri = (F.col("obj_kind") == "iri") if "obj_kind" in triples.columns \
+        else F.lit(True)
+    in_edges = (triples.filter(obj_is_iri)
+                .join(n, triples["obj"] == F.col("_n"), "left_semi"))
+    return out_edges.unionByName(in_edges).distinct()

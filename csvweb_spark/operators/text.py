@@ -293,3 +293,48 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                             .cast("long"))
                      .otherwise(F.lit(0).cast("long"))
                      .alias("top_bigram_bp")))
+
+
+def chunk_documents(df: DataFrame, window: int, stride: int | None = None,
+                    text_col: str = "text",
+                    key_col: str = "doc_id") -> DataFrame:
+    """Fixed-token-window chunking with overlap - the training-example /
+    retrieval-passage builder: (key, chunk_ix, n_tokens, chunk_text),
+    one row per window of `window` whitespace tokens starting every
+    `stride` tokens (default: stride = window, no overlap). The last
+    window is the final `ceil`-aligned start, so every token lands in
+    at least one chunk and no start begins past the text. Chunk text is
+    rebuilt with single spaces (original whitespace is NOT preserved -
+    the standard LM-pipeline contract; use span dedup offsets when byte
+    fidelity matters). Documents with no tokens produce no chunks.
+
+    Integer-exact and engine-independent: chunk count is
+    1 + max(0, ceil((n - window) / stride)) in pure integer arithmetic,
+    so a DuckDB oracle replays it bit-for-bit.
+
+    Scale shape: one narrow pass - split, sequence+posexplode, slice,
+    array_join are all JVM expressions; no shuffle, no Python. Output
+    fan-out is ~n/stride rows per doc; chunk rows carry only the slice,
+    never the whole document."""
+    if stride is None:
+        stride = window
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    toks = F.split(
+        F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+")
+    n = F.size(toks)
+    last_ix = F.when(
+        n > window,
+        F.floor((n - F.lit(window) + F.lit(stride) - 1) / F.lit(stride)))\
+        .otherwise(F.lit(0))
+    base = (df.filter(F.length(
+                F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")) > 0)
+            .select(F.col(key_col), toks.alias("_toks"),
+                    F.posexplode(F.sequence(F.lit(0), last_ix))
+                     .alias("chunk_ix", "_i")))
+    piece = F.slice(F.col("_toks"), F.col("chunk_ix") * stride + 1, window)
+    return (base.select(
+        key_col,
+        F.col("chunk_ix").cast("long").alias("chunk_ix"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text")))

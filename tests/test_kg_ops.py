@@ -642,3 +642,38 @@ def test_shortest_paths_multi_seed_and_unreachable(spark):
     bad = spark.createDataFrame([(1, 2, -1)], "src long, dst long, w long")
     with pytest.raises(ValueError, match="negative"):
         shortest_paths(bad, seeds, weight="w")
+
+
+def test_chunk_documents_windows(spark):
+    from csvweb_spark.operators.text import chunk_documents
+    rows = [(1, "a b c d e f g"),     # 7 tokens, window 3 stride 2
+            (2, "  x   y\n z  "),     # messy whitespace -> 3 tokens
+            (3, ""), (4, "   "),      # no tokens -> no chunks
+            (5, "t1 t2 t3")]          # exactly one window
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in
+                 chunk_documents(df, window=3, stride=2).collect())
+    assert got == sorted([
+        (1, 0, 3, "a b c"), (1, 1, 3, "c d e"), (1, 2, 3, "e f g"),
+        (2, 0, 3, "x y z"), (5, 0, 3, "t1 t2 t3")])
+    # default stride = window (no overlap), short tail window kept
+    got2 = sorted(tuple(r) for r in chunk_documents(
+        df.filter(F.col("doc_id") == 1), window=4).collect())
+    assert got2 == [(1, 0, 4, "a b c d"), (1, 1, 3, "e f g")]
+    with pytest.raises(ValueError, match=">= 1"):
+        chunk_documents(df, window=0)
+
+
+def test_describe_nodes_bounded(spark):
+    from csvweb_spark.operators.bgp import describe_nodes
+    t = spark.createDataFrame(
+        [("e:a", "p:x", "e:b", "iri"),
+         ("e:b", "p:y", "lit e:a", "literal"),  # literal mention: no link
+         ("e:c", "p:z", "e:a", "iri"),
+         ("e:d", "p:w", "e:e", "iri")],
+        "subj string, pred string, obj string, obj_kind string")
+    nodes = spark.createDataFrame([("e:a",)], "node string")
+    got = sorted(tuple(r) for r in describe_nodes(t, nodes).collect())
+    assert got == sorted([("e:a", "p:x", "e:b", "iri"),
+                          ("e:c", "p:z", "e:a", "iri")])
+    assert describe_nodes(t, nodes, include_inbound=False).count() == 1
