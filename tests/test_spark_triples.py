@@ -671,3 +671,68 @@ def test_parse_nquads_roundtrip_and_audit(spark):
     assert bad == ["<a> <b> ."]
     # malformed lines are dropped, valid ones parse
     assert parse_ntriples(lines).count() == 2
+
+
+def test_parse_ntriples_adversarial_literal_roundtrip(spark):
+    """Deterministic adversarial corpus over the escape-relevant
+    alphabet (backslash runs, quotes, control whitespace, IRI-lookalike
+    text, unicode): serialize -> parse must be the identity on every
+    literal. One Spark job for the whole corpus."""
+    import random
+
+    from csvweb_spark.operators.serialize import parse_ntriples, to_ntriples
+
+    rng = random.Random(42)
+    alphabet = list('\\"\n\r\t <>._:@^|ab0é中') + ["\\\\", '\\"', "\\n"]
+    corpus = ["".join(rng.choice(alphabet)
+                      for _ in range(rng.randrange(0, 40)))
+              for _ in range(500)]
+    rows = [(f"http://s/{i}", "http://p", lit, "literal", None, None)
+            for i, lit in enumerate(corpus)]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_kind string, "
+              "obj_datatype string, obj_lang string")
+    back = {r.subj: r.obj for r in parse_ntriples(to_ntriples(df)).collect()}
+    assert len(back) == len(rows)
+    for i, lit in enumerate(corpus):
+        assert back[f"http://s/{i}"] == lit, (i, repr(lit))
+
+
+def test_chunk_documents_token_coverage_property(spark):
+    """Chunking invariants over a deterministic random corpus, checked
+    against an independent Python reference: every token is covered,
+    chunk starts are exactly the stride grid clipped to the text, and
+    reconstruction matches slice-by-slice."""
+    import random
+
+    from csvweb_spark.operators.text import chunk_documents
+
+    rng = random.Random(7)
+    docs, expected = [], {}
+    for doc_id in range(120):
+        n = rng.randrange(0, 50)
+        toks = [f"t{doc_id}_{j}" for j in range(n)]
+        docs.append((doc_id, " ".join(toks)))
+        w, s = 7, 4
+        if n == 0:
+            continue
+        last = max(0, -(-(n - w) // s)) if n > w else 0
+        expected[doc_id] = [
+            (ix, toks[ix * s: ix * s + w]) for ix in range(last + 1)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in chunk_documents(df, window=7, stride=4).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_ix, r.n_tokens, r.chunk_text))
+    assert set(got) == set(expected)
+    for doc_id, exp_chunks in expected.items():
+        actual = sorted(got[doc_id])
+        assert len(actual) == len(exp_chunks), doc_id
+        covered = set()
+        for (ix, toks_exp), (aix, ntok, text) in zip(exp_chunks, actual):
+            assert aix == ix and ntok == len(toks_exp)
+            assert text == " ".join(toks_exp), (doc_id, ix)
+            covered.update(toks_exp)
+        # every token of the document appears in at least one chunk
+        n = len([t for t in docs[doc_id][1].split(" ") if t])
+        assert covered == {f"t{doc_id}_{j}" for j in range(n)}
