@@ -1631,6 +1631,33 @@ def q_sparql_describe(spark, sf_dir):
                                            "obj_kind")
 
 
+def q_canonicalize_cc_incr(spark, sf_dir):
+    """Cross-batch canonicalization (operators/canonicalize.py::
+    incremental_components): wave 1 commits CC over the even chain
+    edges of the within-block graph (pair components), wave 2 merges
+    the odd edges through contract-and-expand - CC cost bounded by the
+    batch, never history. The materialized state (committed untouched
+    + delta) must equal full-graph CC: block-start components, the
+    same analytic oracle as `canonicalize_cc`."""
+    from csvweb_spark.operators.canonicalize import (
+        connected_components, incremental_components)
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    nxt = cust.select(F.col("c_custkey").alias("dst"))
+    chains = (cust.filter(F.col("c_custkey") % 100 != 99)
+              .select(F.col("c_custkey").alias("src"),
+                      (F.col("c_custkey") + 1).alias("dst"))
+              .join(nxt, "dst", "left_semi"))
+    wave1 = chains.filter(F.col("src") % 2 == 0)
+    wave2 = chains.filter(F.col("src") % 2 == 1)
+    committed = connected_components(wave1).localCheckpoint(eager=True)
+    delta = incremental_components(wave2, committed)
+    touched = delta.select("node").distinct()
+    state = (committed.join(touched, "node", "left_anti")
+             .unionByName(delta))
+    return state.select(F.col("node").cast("long").alias("node"),
+                        F.col("component").cast("long").alias("component"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1661,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_ntriples_parse": q_rdf_ntriples_parse,
         "doc_chunks": q_doc_chunks,
         "sparql_describe": q_sparql_describe,
+        "canonicalize_cc_incr": q_canonicalize_cc_incr,
         "kg_node_sim": q_kg_node_sim,
         "bgp_union": q_bgp_union,
         "bgp_values": q_bgp_values,
@@ -2216,6 +2244,11 @@ def oracle_sql() -> dict[str, str]:
     xsd_i = XSD + "integer"
     xsd_d = XSD + "date"
     return {
+        "canonicalize_cc_incr": """
+            SELECT c_custkey::bigint AS node,
+                   ((c_custkey // 100) * 100)::bigint AS component
+            FROM customer WHERE c_custkey < 300
+        """,
         "doc_chunks": r"""
             WITH d AS (
                 SELECT doc_id,

@@ -241,3 +241,66 @@ def canonicalize_triples(triples: DataFrame, labels: DataFrame,
                                        F.coalesce("_oc", "obj"))
                                  .otherwise(F.col("obj")))
              .drop("_sh", "_oh", "_sc", "_oc"))
+
+
+def incremental_components(new_edges: DataFrame, labels: DataFrame,
+                           src: str = "src", dst: str = "dst",
+                           max_iter: int = 30,
+                           n_salts: int | None = N_SALTS) -> DataFrame:
+    """Merge a NEW batch of identity edges into a committed (node,
+    component) labeling without re-running CC over history - the
+    cross-batch canonicalization step for the streaming KG path
+    (foreachBatch: commit the returned labels, re-feed them as `labels`
+    next batch).
+
+    Contract-and-expand: new-edge endpoints are first CONTRACTED
+    through the committed labels (a node already labeled is replaced by
+    its component id - which, by the CC convention, is the component's
+    min member id), CC runs on the contracted batch graph only - cost
+    bounded by the BATCH size, never by history - and the result is
+    expanded back over the full membership of every touched committed
+    component (if components A and B merge, every member of A u B
+    relabels to min(A, B)). Untouched components are not returned;
+    union with the committed table minus the touched components to
+    materialize the full new state.
+
+    Returns (node, component) for every node in a touched or new
+    component. Relabeled OLD components (their id changed by a merge)
+    are exactly the rows where a returned node's component differs from
+    the committed table - downstream consumers that materialized
+    canonical IRIs must reconcile those (the same compensation exact
+    incremental dedup needs); `left_anti` the return against `labels`
+    to audit them.
+
+    Scale shape: two hash semi-joins against the committed table (node
+    -> label pull, component -> membership pull), CC on the contracted
+    batch graph (salted, hub-safe), one expansion join. The committed
+    table is never scanned iteratively."""
+    e = new_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    touched_nodes = (e.select(F.col("src").alias("node"))
+                     .unionByName(e.select(F.col("dst").alias("node")))
+                     .distinct())
+    old = labels.join(touched_nodes, "node", "left_semi") \
+                .select("node", "component")
+    # contract: endpoint -> committed component id where one exists
+    smap = old.select(F.col("node").alias("src"),
+                      F.col("component").alias("_sc"))
+    dmap = old.select(F.col("node").alias("dst"),
+                      F.col("component").alias("_dc"))
+    contracted = (e.join(smap, "src", "left").join(dmap, "dst", "left")
+                  .select(F.coalesce("_sc", "src").alias("src"),
+                          F.coalesce("_dc", "dst").alias("dst")))
+    cc = connected_components(contracted, max_iter=max_iter,
+                              n_salts=n_salts) \
+        .withColumnRenamed("component", "new_component")
+    # expand: every member of a touched committed component follows its
+    # old component id's new label; genuinely new nodes are in cc already
+    touched_comps = old.select(F.col("component")).distinct()
+    members = (labels.join(touched_comps, "component", "left_semi")
+               .select("node", F.col("component").alias("_oc")))
+    expanded = (members.join(cc.select(F.col("node").alias("_oc"),
+                                       "new_component"), "_oc")
+                .select("node", F.col("new_component").alias("component")))
+    fresh = (cc.join(members.select("node"), "node", "left_anti")
+             .select("node", F.col("new_component").alias("component")))
+    return expanded.unionByName(fresh)

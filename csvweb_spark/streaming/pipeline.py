@@ -405,3 +405,100 @@ def stream_page_stats(spark: SparkSession, input_dir: str,
             .groupBy(w.alias("win"), "lang")
             .agg(F.count(F.lit(1)).alias("n_pages"),
                  F.sum(F.length("text")).alias("n_chars")))
+
+
+LABEL_STATE_SUBDIR = "_state/labels"
+
+
+def read_entity_components(spark: SparkSession, output_dir: str,
+                           exclude_batch: Optional[int] = None) -> DataFrame:
+    """The committed (node, component) state of a stream_entity_components
+    run: per-batch label DELTAS live under partition dirs
+    `_state/labels/batch=<id>/`, and a node's current label is its row
+    from the HIGHEST batch that touched it (incremental_components
+    relabels whole touched components, so latest-batch-wins per node is
+    exact). Consumers call this too - it is the canonical read path.
+
+    Read cost grows with relabel churn, not history size (each batch
+    stores only its touched components); compact by rewriting the
+    argmax result as a fresh batch dir and deleting its inputs when the
+    delta count overtakes the live node count."""
+    from ..plans.fs import fs_for
+    fs = fs_for(output_dir, spark)
+    root = fs.join(output_dir, LABEL_STATE_SUBDIR)
+    if not fs.isdir(root):
+        return spark.createDataFrame([], "node long, component long")
+    dirs = [d for d in sorted(fs.listdir(root)) if d.startswith("batch=")]
+    if exclude_batch is not None:
+        dirs = [d for d in dirs
+                if int(d.split("=", 1)[1]) != exclude_batch]
+    if not dirs:
+        return spark.createDataFrame([], "node long, component long")
+    df = (spark.read.option("basePath", root)
+          .parquet(*[fs.join(root, d) for d in dirs]))
+    return (df.groupBy("node")
+            .agg(F.max_by("component", "batch").alias("component")))
+
+
+def stream_entity_components(spark: SparkSession, input_dir: str,
+                             output_dir: str, checkpoint_dir: str,
+                             schema: str = "src long, dst long",
+                             max_files_per_trigger: Optional[int] = None,
+                             available_now: bool = True,
+                             batch_hook=None):
+    """Cross-batch entity canonicalization state: identity edges (sameAs
+    assertions / accepted link candidates) arrive incrementally, and the
+    committed (node, component) labeling is maintained by
+    `incremental_components` - per-batch CC cost is bounded by the BATCH
+    graph (old components enter contracted to one node), never by
+    history, which is what makes continuous canonicalization viable on
+    a 10^12-page crawl.
+
+    Per batch (foreachBatch):
+    1. read the committed labels (latest-batch-wins over prior deltas,
+       `read_entity_components`; the current batch id is excluded so a
+       redelivered batch never reads its own crashed attempt);
+    2. delta = incremental_components(batch_edges, committed) - every
+       member of a touched component, relabeled where merges happened;
+    3. overwrite the delta to `_state/labels/batch=<id>/`.
+
+    Exactly-once on redelivery: the write is a deterministic overwrite
+    of THIS batch's own partition dir, and both inputs (batch content,
+    prior state) are fixed - a retry rewrites byte-identical state.
+    `batch_hook(batch_id, point)` fires at 'start' and 'done' (after
+    the commit) - the crash-injection seam. Returns the
+    StreamingQuery."""
+    from ..plans.fs import fs_for
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    fs = fs_for(output_dir, spark)
+
+    def process(batch_df, batch_id):
+        from ..operators.canonicalize import incremental_components
+        if batch_hook is not None:
+            batch_hook(batch_id, "start")
+        edges = batch_df.persist()
+        try:
+            if edges.count() == 0:
+                return
+            committed = read_entity_components(
+                spark, output_dir, exclude_batch=batch_id)
+            delta = incremental_components(edges, committed) \
+                .select(F.col("node").cast("long").alias("node"),
+                        F.col("component").cast("long").alias("component"))
+            bdir = fs.join(fs.join(output_dir, LABEL_STATE_SUBDIR),
+                           f"batch={batch_id}")
+            delta.write.mode("overwrite").parquet(bdir)
+        finally:
+            edges.unpersist()
+        if batch_hook is not None:
+            batch_hook(batch_id, "done")
+
+    writer = (stream.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

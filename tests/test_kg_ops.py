@@ -677,3 +677,42 @@ def test_describe_nodes_bounded(spark):
     assert got == sorted([("e:a", "p:x", "e:b", "iri"),
                           ("e:c", "p:z", "e:a", "iri")])
     assert describe_nodes(t, nodes, include_inbound=False).count() == 1
+
+
+def test_incremental_components_merges_and_relabels(spark):
+    from csvweb_spark.operators.canonicalize import (
+        connected_components, incremental_components)
+    batch1 = _edges(spark, [(1, 2), (5, 6), (10, 11)])
+    labels1 = connected_components(batch1)
+    got1 = {r.node: r.component for r in labels1.collect()}
+    assert got1 == {1: 1, 2: 1, 5: 5, 6: 5, 10: 10, 11: 10}
+    # batch 2: merge {1,2} with {5,6} via 2-5; fresh pair {8,9};
+    # component {10,11} untouched -> absent from the delta
+    batch2 = _edges(spark, [(2, 5), (8, 9)])
+    delta = incremental_components(batch2, labels1)
+    got2 = {r.node: r.component for r in delta.collect()}
+    assert got2 == {1: 1, 2: 1, 5: 1, 6: 1, 8: 8, 9: 8}
+    # relabeled audit: rows whose label changed vs the committed table
+    relabeled = {r.node for r in
+                 delta.join(labels1, ["node", "component"],
+                            "left_anti").collect()}
+    assert relabeled == {5, 6, 8, 9}
+    # equivalence: committed-minus-touched + delta == full-graph CC
+    full = {r.node: r.component for r in connected_components(
+        batch1.unionByName(batch2)).collect()}
+    merged = dict(got1)
+    merged.update(got2)
+    assert merged == full
+
+
+def test_incremental_components_new_smaller_id_wins(spark):
+    from csvweb_spark.operators.canonicalize import (
+        connected_components, incremental_components)
+    labels1 = connected_components(_edges(spark, [(7, 8)]))
+    # a NEW node with a smaller id joins: the whole component relabels
+    delta = incremental_components(_edges(spark, [(3, 8)]), labels1)
+    assert {r.node: r.component for r in delta.collect()} == \
+        {3: 3, 7: 3, 8: 3}
+    # an intra-component edge is a no-op relabel (delta keeps the label)
+    delta2 = incremental_components(_edges(spark, [(7, 8)]), labels1)
+    assert {r.node: r.component for r in delta2.collect()} == {7: 7, 8: 7}

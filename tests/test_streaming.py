@@ -234,3 +234,83 @@ def test_stream_near_dedup_across_batches(spark, tmp_path):
     # 3 (exact cross-batch dup), 4 (near cross-batch dup) and 6 (in-batch
     # dup of 5) dropped; nothing duplicated by the crash/redelivery
     assert got == [1, 2, 5]
+
+
+def test_stream_entity_components_merges_across_batches(spark, tmp_path):
+    """Identity edges arriving over three micro-batches: per-batch
+    incremental CC state must converge to full-graph CC, including a
+    cross-batch merge that relabels an old component, with untouched
+    components left alone (their delta rows stay in the old batch)."""
+    from csvweb_spark.operators.canonicalize import connected_components
+    from csvweb_spark.streaming.pipeline import (
+        read_entity_components, stream_entity_components)
+
+    import os
+
+    edges_dir = str(tmp_path / "edges")
+    out = str(tmp_path / "labels")
+    ckpt = str(tmp_path / "ckpt")
+    batches = [
+        [(1, 2), (5, 6), (10, 11)],        # three pair components
+        [(2, 5), (20, 21)],                # merge {1,2}+{5,6}; new pair
+        [(21, 22)],                        # extend {20,21}
+    ]
+    all_edges = [e for b in batches for e in b]
+    # one file per micro-batch, ONE query + checkpoint lineage (the
+    # operator's contract: batch ids must not restart over live state)
+    os.makedirs(edges_dir)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "src long, dst long") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(f"{edges_dir}/_stage{i}")
+        part = [f for f in os.listdir(f"{edges_dir}/_stage{i}")
+                if f.endswith(".parquet")][0]
+        os.rename(f"{edges_dir}/_stage{i}/{part}",
+                  f"{edges_dir}/batch{i}.parquet")
+    q = stream_entity_components(spark, edges_dir, out, ckpt,
+                                 max_files_per_trigger=1)
+    q.awaitTermination(180)
+    got = {r.node: r.component for r in
+           read_entity_components(spark, out).collect()}
+    full = {r.node: r.component for r in connected_components(
+        spark.createDataFrame(all_edges, "src long, dst long")).collect()}
+    assert got == full
+    assert got[6] == 1 and got[22] == 20 and got[10] == 10
+
+
+def test_stream_entity_components_crash_resume(spark, tmp_path):
+    """A crash after the state commit but before the checkpoint advances
+    redelivers the batch: the overwrite of its own partition dir is
+    byte-identical (batch content and prior state are fixed), so the
+    final labeling is unaffected."""
+    from csvweb_spark.streaming.pipeline import (
+        read_entity_components, stream_entity_components)
+
+    edges_dir = str(tmp_path / "edges")
+    out = str(tmp_path / "labels")
+    spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long") \
+        .coalesce(1).write.parquet(edges_dir)
+
+    class Crash(Exception):
+        pass
+
+    def crash_after_commit(batch_id, point):
+        if point == "done":
+            raise Crash("injected")
+
+    q = stream_entity_components(spark, edges_dir, out,
+                                 str(tmp_path / "ckpt1"),
+                                 batch_hook=crash_after_commit)
+    try:
+        q.awaitTermination(180)
+    except Exception:
+        pass
+    assert not q.isActive or q.exception() is not None
+    # resume with a FRESH checkpoint redelivers everything; state must
+    # end up identical, not doubled
+    q2 = stream_entity_components(spark, edges_dir, out,
+                                  str(tmp_path / "ckpt2"))
+    q2.awaitTermination(180)
+    got = {r.node: r.component for r in
+           read_entity_components(spark, out).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
