@@ -65,6 +65,12 @@ class LocalFS:
         """Something pyarrow.parquet.ParquetFile accepts."""
         return p
 
+    def rmtree(self, p: str) -> None:
+        """Recursive delete; missing paths are a no-op (idempotent
+        cleanup - compaction may retry after a crash)."""
+        import shutil
+        shutil.rmtree(p, ignore_errors=True)
+
 
 class _HadoopFooterFile:
     """Minimal Python file object over FSDataInputStream - seek/tell/read
@@ -159,6 +165,13 @@ class HadoopFS:
 
     def makedirs(self, p: str) -> None:
         self._fs.mkdirs(self._p(p))
+
+    def rmtree(self, p: str) -> None:
+        """Recursive delete via FileSystem.delete(path, recursive=True);
+        missing paths are a no-op (idempotent cleanup)."""
+        jp = self._p(p)
+        if self._fs.exists(jp):
+            self._fs.delete(jp, True)
 
     def read_json(self, p: str) -> dict:
         stream = self._fs.open(self._p(p))

@@ -502,3 +502,40 @@ def stream_entity_components(spark: SparkSession, input_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_entity_components(spark: SparkSession, output_dir: str,
+                              batch_id: Optional[int] = None) -> int:
+    """Fold every label delta into one consolidated partition and drop
+    the inputs - run when the delta row count overtakes the live node
+    count (read cost is delta-bound, see read_entity_components).
+
+    The consolidated argmax is written FIRST as a regular batch
+    partition (id = max existing + 1, or `batch_id`), so a crash
+    between write and cleanup leaves a correct, merely-uncompacted
+    state: latest-batch-wins over (old deltas + consolidated) equals
+    the consolidated rows. Old dirs are removed only after the write
+    succeeds. Returns the consolidated partition's batch id. Must not
+    run concurrently with the owning stream (stop the query or run it
+    from the stream's own foreachBatch cadence)."""
+    from ..plans.fs import fs_for
+    fs = fs_for(output_dir, spark)
+    root = fs.join(output_dir, LABEL_STATE_SUBDIR)
+    if not fs.isdir(root):
+        return -1
+    dirs = sorted(d for d in fs.listdir(root) if d.startswith("batch="))
+    if len(dirs) <= 1:
+        return int(dirs[0].split("=", 1)[1]) if dirs else -1
+    new_id = (max(int(d.split("=", 1)[1]) for d in dirs) + 1
+              if batch_id is None else batch_id)
+    state = read_entity_components(spark, output_dir).persist()
+    state.count()
+    try:
+        state.write.mode("overwrite").parquet(
+            fs.join(root, f"batch={new_id}"))
+    finally:
+        state.unpersist()
+    for d in dirs:
+        if int(d.split("=", 1)[1]) != new_id:
+            fs.rmtree(fs.join(root, d))
+    return new_id

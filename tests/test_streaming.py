@@ -314,3 +314,40 @@ def test_stream_entity_components_crash_resume(spark, tmp_path):
     got = {r.node: r.component for r in
            read_entity_components(spark, out).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_compact_entity_components(spark, tmp_path):
+    """Compaction folds the deltas into one partition with identical
+    latest-batch-wins reads, and is a no-op at one partition."""
+    import os
+
+    from csvweb_spark.streaming.pipeline import (
+        compact_entity_components, read_entity_components,
+        stream_entity_components)
+
+    edges_dir = str(tmp_path / "edges")
+    out = str(tmp_path / "labels")
+    os.makedirs(edges_dir)
+    for i, rows in enumerate([[(1, 2), (5, 6)], [(2, 5)]]):
+        spark.createDataFrame(rows, "src long, dst long") \
+            .coalesce(1).write.parquet(f"{tmp_path}/_s{i}")
+        part = [f for f in os.listdir(f"{tmp_path}/_s{i}")
+                if f.endswith(".parquet")][0]
+        os.rename(f"{tmp_path}/_s{i}/{part}", f"{edges_dir}/b{i}.parquet")
+    q = stream_entity_components(spark, edges_dir, out,
+                                 str(tmp_path / "ckpt"),
+                                 max_files_per_trigger=1)
+    q.awaitTermination(180)
+    before = {r.node: r.component for r in
+              read_entity_components(spark, out).collect()}
+    assert before == {1: 1, 2: 1, 5: 1, 6: 1}
+    state_root = os.path.join(out, "_state", "labels")
+    assert len(os.listdir(state_root)) == 2
+    new_id = compact_entity_components(spark, out)
+    assert new_id == 2
+    assert os.listdir(state_root) == ["batch=2"]
+    after = {r.node: r.component for r in
+             read_entity_components(spark, out).collect()}
+    assert after == before
+    # second compaction is a no-op returning the live partition id
+    assert compact_entity_components(spark, out) == 2
