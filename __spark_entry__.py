@@ -1658,6 +1658,33 @@ def q_canonicalize_cc_incr(spark, sf_dir):
                         F.col("component").cast("long").alias("component"))
 
 
+def q_sparql_text(spark, sf_dir):
+    """SPARQL TEXT front-end (operators/sparql.py::sparql_select): a
+    query string with prologue, OPTIONAL, STRSTARTS filter and a
+    deterministic ORDER BY DESC + LIMIT (zero-padded subject IRIs make
+    the lexical order total) compiled onto the algebra operators.
+    Oracle replays the same pattern/left-join/filter/order in SQL."""
+    from csvweb_spark.operators.sparql import sparql_select
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    iri = lambda c: F.concat(F.lit("ex:C"), F.format_string("%05d", c))
+    t = (cust.select(iri(F.col("c_custkey")).alias("subj"),
+                     F.lit("ex:in").alias("pred"),
+                     F.concat(F.lit("ex:N"),
+                              F.col("c_nationkey")).alias("obj"))
+         .unionByName(cust.filter(F.col("c_custkey") % 7 == 0).select(
+             iri(F.col("c_custkey")).alias("subj"),
+             F.lit("ex:vip").alias("pred"), F.lit("gold").alias("obj"))))
+    out = sparql_select(t, """
+      PREFIX e: <ex:>
+      SELECT ?c ?n ?v WHERE {
+        ?c e:in ?n .
+        OPTIONAL { ?c e:vip ?v }
+        FILTER STRSTARTS(?n, "ex:N1")
+      } ORDER BY DESC(?c) LIMIT 50
+    """)
+    return out.select("c", "n", "v")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1689,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "sparql_describe": q_sparql_describe,
         "canonicalize_cc_incr": q_canonicalize_cc_incr,
+        "sparql_text": q_sparql_text,
         "kg_node_sim": q_kg_node_sim,
         "bgp_union": q_bgp_union,
         "bgp_values": q_bgp_values,
@@ -2244,6 +2272,17 @@ def oracle_sql() -> dict[str, str]:
     xsd_i = XSD + "integer"
     xsd_d = XSD + "date"
     return {
+        "sparql_text": """
+            WITH c AS (SELECT c_custkey AS k, c_nationkey AS n
+                       FROM customer WHERE c_custkey < 400),
+            t AS (SELECT 'ex:C' || lpad(k::varchar, 5, '0') AS c,
+                         'ex:N' || n AS n,
+                         CASE WHEN k % 7 = 0 THEN 'gold' END AS v
+                  FROM c)
+            SELECT c, n, v FROM t
+            WHERE n LIKE 'ex:N1%'
+            ORDER BY c DESC LIMIT 50
+        """,
         "canonicalize_cc_incr": """
             SELECT c_custkey::bigint AS node,
                    ((c_custkey // 100) * 100)::bigint AS component

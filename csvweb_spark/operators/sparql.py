@@ -1,0 +1,556 @@
+"""SPARQL text front-end: parse a practical SPARQL 1.1 SELECT subset and
+compile it onto the algebra operators this engine already implements
+(`match_bgp` / `match_union` / `match_minus` / `filter_exists` /
+property-path ASTs / groupBy aggregation) - so the KG can be queried
+with the same query text a user would send the reference's downstream
+store (DataDock loads conversion output into dotNetRDF and queries it
+with SPARQL; here the store IS the engine, `Rdf/Converter.cs:235-238`
+is the hand-off point being replaced).
+
+Supported subset (raise on anything else - no silent misparse):
+
+* prologue:     PREFIX p: <iri>  (any number; 'a' = rdf:type)
+* projection:   SELECT [DISTINCT] (*| ?v... | (AGG(?v) AS ?alias)...)
+                aggregates COUNT(*) COUNT(?v) SUM MIN MAX AVG
+* group:        triple blocks with ';' predicate lists and ',' object
+                lists; predicates may be full SPARQL 1.1 property-path
+                expressions (^ / | + * ? !(...) and grouping parens);
+                OPTIONAL { ...triples... } (chained, left-to-right);
+                FILTER (expr) / FILTER [NOT] EXISTS { ...triples... };
+                MINUS { ...triples... };
+                VALUES ?v { ... } / VALUES (?a ?b) { (..) (..) };
+                { A } UNION { B } [UNION { C }...] as the WHOLE group.
+* FILTER exprs: && || ! comparisons (= != < <= > >=; numeric when either
+                side is a number literal, else string), REGEX(?v,"re"),
+                BOUND(?v), CONTAINS/STRSTARTS/STRENDS(?v,"s"),
+                STRLEN(?v), parenthesized subexpressions.
+* modifiers:    GROUP BY ?v..., ORDER BY [ASC|DESC](?v)..., LIMIT n.
+                ORDER BY compares the STORED LEXICAL FORM (strings) -
+                zero-pad numeric identifiers at triple-construction
+                time when numeric ordering matters, as every driver
+                query in this repo does.
+
+Semantics notes: literal terms match the OBJ column's lexical form
+(datatype/lang columns are not consulted - the conversion stores plain
+lexical forms; extend the pattern with explicit obj_datatype filters
+when that distinction matters). Numeric comparison casts the variable
+side to double, mirroring SPARQL's numeric coercion for the typed
+cases this engine stores.
+
+Scale shape: this module is a pure driver-side compiler - the plan it
+emits is exactly what hand-written operator calls produce (pushed scan
+filters per pattern, hash joins on shared variables, broadcast VALUES,
+semi/anti joins for EXISTS/MINUS), so text queries pay zero overhead
+over the programmatic API.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+|\#[^\n]*)
+  | (?P<iri><[^<>"{}|^`\\\s]*>)
+  | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<string>"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9\-]+|\^\^<[^>]*>)?)
+  | (?P<number>[+-]?\d+(?:\.\d+)?)
+  | (?P<pname>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-.]*|:[A-Za-z0-9_\-.]+)
+  | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op>&&|\|\||!=|<=|>=|[{}().;,^/|+*?!=<>])
+""", re.X)
+
+_KEYWORDS = {"PREFIX", "SELECT", "DISTINCT", "WHERE", "OPTIONAL", "FILTER",
+             "EXISTS", "NOT", "MINUS", "UNION", "VALUES", "GROUP", "BY",
+             "ORDER", "ASC", "DESC", "LIMIT", "AS", "COUNT", "SUM", "MIN",
+             "MAX", "AVG", "REGEX", "BOUND", "CONTAINS", "STRSTARTS",
+             "STRENDS", "STRLEN", "TRUE", "FALSE"}
+
+_AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
+
+
+class SparqlSyntaxError(ValueError):
+    pass
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise SparqlSyntaxError(
+                f"cannot tokenize at offset {pos}: {text[pos:pos + 20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        val = m.group()
+        if kind == "name" and val.upper() in _KEYWORDS:
+            out.append(("kw", val.upper()))
+        else:
+            out.append((kind, val))
+    out.append(("eof", ""))
+    return out
+
+
+def _unescape(body: str) -> str:
+    return (body.replace("\\\\", "\x00").replace('\\"', '"')
+            .replace("\\n", "\n").replace("\\r", "\r")
+            .replace("\\t", "\t").replace("\x00", "\\"))
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    # ---- token helpers ----
+    def peek(self, k: int = 0):
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, val: str | None = None):
+        k, v = self.next()
+        if k != kind or (val is not None and v != val):
+            raise SparqlSyntaxError(
+                f"expected {val or kind}, got {v!r} (token {self.i - 1})")
+        return v
+
+    def at(self, kind: str, val: str | None = None) -> bool:
+        k, v = self.peek()
+        return k == kind and (val is None or v == val)
+
+    def eat(self, kind: str, val: str | None = None) -> bool:
+        if self.at(kind, val):
+            self.next()
+            return True
+        return False
+
+    # ---- terms ----
+    def _expand_pname(self, pn: str) -> str:
+        pre, local = pn.split(":", 1)
+        if pre not in self.prefixes:
+            raise SparqlSyntaxError(f"undeclared prefix {pre!r}:")
+        return self.prefixes[pre] + local
+
+    def term(self) -> str:
+        """Subject/object position: var, IRI, pname, literal, number."""
+        k, v = self.next()
+        if k == "var":
+            return v
+        if k == "iri":
+            return v[1:-1]
+        if k == "pname":
+            return self._expand_pname(v)
+        if k == "string":
+            m = re.match(r'"((?:[^"\\]|\\.)*)"', v)
+            return _unescape(m.group(1))
+        if k == "number":
+            return v
+        if k == "kw" and v in ("TRUE", "FALSE"):
+            return v.lower()
+        raise SparqlSyntaxError(f"unexpected term {v!r}")
+
+    def iri_term(self) -> str:
+        k, v = self.next()
+        if k == "iri":
+            return v[1:-1]
+        if k == "pname":
+            return self._expand_pname(v)
+        if k == "name" and v == "a":
+            return RDF_TYPE
+        raise SparqlSyntaxError(f"expected IRI, got {v!r}")
+
+    # ---- property paths (predicate position) ----
+    def path(self):
+        return self._path_alt()
+
+    def _path_alt(self):
+        parts = [self._path_seq()]
+        while self.eat("op", "|"):
+            parts.append(self._path_seq())
+        return parts[0] if len(parts) == 1 else ("alt", *parts)
+
+    def _path_seq(self):
+        parts = [self._path_elt_or_inv()]
+        while self.eat("op", "/"):
+            parts.append(self._path_elt_or_inv())
+        return parts[0] if len(parts) == 1 else ("seq", *parts)
+
+    def _path_elt_or_inv(self):
+        if self.eat("op", "^"):
+            return ("inv", self._path_elt())
+        return self._path_elt()
+
+    def _path_elt(self):
+        prim = self._path_primary()
+        if self.eat("op", "+"):
+            return ("plus", prim)
+        if self.eat("op", "*"):
+            return ("star", prim)
+        if self.eat("op", "?"):
+            return ("opt", prim)
+        return prim
+
+    def _path_primary(self):
+        if self.eat("op", "!"):
+            if self.eat("op", "("):
+                preds = [self.iri_term()]
+                while self.eat("op", "|"):
+                    preds.append(self.iri_term())
+                self.expect("op", ")")
+                return ("nps", preds)
+            return ("nps", [self.iri_term()])
+        if self.eat("op", "("):
+            inner = self._path_alt()
+            self.expect("op", ")")
+            return inner
+        if self.at("var"):
+            return self.next()[1]  # a ?var predicate is a plain pattern term
+        return self.iri_term()
+
+    # ---- triples block (with ; and , lists) ----
+    def triples_block(self, patterns: list):
+        subj = self.term()
+        while True:
+            pred = self.path()
+            while True:
+                obj = self.term()
+                patterns.append((subj, pred, obj))
+                if not self.eat("op", ","):
+                    break
+            if not self.eat("op", ";"):
+                break
+            if self.at("op", ".") or self.at("op", "}"):
+                break  # trailing ';'
+        self.eat("op", ".")
+
+    def bare_bgp(self) -> list:
+        """'{ triples... }' with no sub-structures (OPTIONAL/MINUS/EXISTS
+        bodies and UNION arms)."""
+        self.expect("op", "{")
+        patterns: list = []
+        while not self.at("op", "}"):
+            self.triples_block(patterns)
+        self.expect("op", "}")
+        if not patterns:
+            raise SparqlSyntaxError("empty group")
+        return patterns
+
+    # ---- FILTER expressions -> a closure over the solutions DataFrame ----
+    def expr(self):
+        left = self._expr_and()
+        while self.eat("op", "||"):
+            right = self._expr_and()
+            left = (lambda a, b: lambda: a() | b())(left, right)
+        return left
+
+    def _expr_and(self):
+        left = self._expr_unary()
+        while self.eat("op", "&&"):
+            right = self._expr_unary()
+            left = (lambda a, b: lambda: a() & b())(left, right)
+        return left
+
+    def _expr_unary(self):
+        if self.eat("op", "!"):
+            inner = self._expr_unary()
+            return lambda: ~inner()
+        return self._expr_comparison()
+
+    def _expr_comparison(self):
+        left_kind, left = self._expr_primary()
+        k, v = self.peek()
+        if k == "op" and v in ("=", "!=", "<", "<=", ">", ">="):
+            self.next()
+            right_kind, right = self._expr_primary()
+            numeric = "number" in (left_kind, right_kind)
+
+            def side(kind, val):
+                if kind == "var":
+                    c = F.col(val[1:])
+                    return c.cast("double") if numeric else c
+                if kind == "number":
+                    return F.lit(float(val) if "." in val else int(val))
+                if kind == "col":
+                    return val.cast("double") if numeric else val
+                return F.lit(val)
+
+            lc, rc = side(left_kind, left), side(right_kind, right)
+            ops = {"=": lambda a, b: a == b, "!=": lambda a, b: a != b,
+                   "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+                   ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}
+            op = ops[v]
+            return lambda: op(lc, rc)
+        if left_kind == "col":
+            return lambda: left
+        if left_kind == "var":
+            raise SparqlSyntaxError(
+                f"bare variable {left!r} is not a boolean expression")
+        raise SparqlSyntaxError(f"dangling literal {left!r} in FILTER")
+
+    def _expr_primary(self):
+        if self.eat("op", "("):
+            # could be a grouped boolean OR a grouped comparison operand;
+            # parse as full expr and wrap
+            inner = self.expr()
+            self.expect("op", ")")
+            return ("col", inner())
+        k, v = self.peek()
+        if k == "var":
+            self.next()
+            return ("var", v)
+        if k == "string":
+            self.next()
+            m = re.match(r'"((?:[^"\\]|\\.)*)"', v)
+            return ("string", _unescape(m.group(1)))
+        if k == "number":
+            self.next()
+            return ("number", v)
+        if k == "iri":
+            self.next()
+            return ("string", v[1:-1])
+        if k == "pname":
+            self.next()
+            return ("string", self._expand_pname(v))
+        if k == "kw" and v in ("REGEX", "BOUND", "CONTAINS", "STRSTARTS",
+                               "STRENDS", "STRLEN"):
+            self.next()
+            self.expect("op", "(")
+            var = self.expect("var")
+            col = F.col(var[1:])
+            if v == "BOUND":
+                self.expect("op", ")")
+                return ("col", col.isNotNull())
+            if v == "STRLEN":
+                self.expect("op", ")")
+                return ("col", F.length(col))
+            self.expect("op", ",")
+            sk, sv = self.next()
+            if sk != "string":
+                raise SparqlSyntaxError(f"{v} needs a string, got {sv!r}")
+            arg = _unescape(re.match(r'"((?:[^"\\]|\\.)*)"', sv).group(1))
+            self.expect("op", ")")
+            fn = {"REGEX": lambda c: c.rlike(arg),
+                  "CONTAINS": lambda c: c.contains(arg),
+                  "STRSTARTS": lambda c: c.startswith(arg),
+                  "STRENDS": lambda c: c.endswith(arg)}[v]
+            return ("col", fn(col))
+        raise SparqlSyntaxError(f"unexpected token {v!r} in expression")
+
+
+def _parse_query(text: str) -> dict:
+    p = _Parser(text)
+    while p.eat("kw", "PREFIX"):
+        k, v = p.next()
+        if k != "pname" or not v.endswith(":"):
+            raise SparqlSyntaxError(f"bad PREFIX name {v!r}")
+        p.prefixes[v[:-1]] = p.expect("iri")[1:-1]
+
+    p.expect("kw", "SELECT")
+    distinct = p.eat("kw", "DISTINCT")
+    projection: list = []  # ("var", name) | ("agg", fn, arg|None, alias)
+    if p.eat("op", "*"):
+        projection = [("star",)]
+    else:
+        while True:
+            if p.at("var"):
+                projection.append(("var", p.next()[1][1:]))
+            elif p.at("op", "("):
+                p.next()
+                fn = p.next()
+                if fn[0] != "kw" or fn[1] not in _AGGS:
+                    raise SparqlSyntaxError(f"expected aggregate, got {fn}")
+                p.expect("op", "(")
+                if p.eat("op", "*"):
+                    arg = None
+                    if fn[1] != "COUNT":
+                        raise SparqlSyntaxError("* only valid in COUNT")
+                else:
+                    arg = p.expect("var")[1:]
+                p.expect("op", ")")
+                p.expect("kw", "AS")
+                alias = p.expect("var")[1:]
+                p.expect("op", ")")
+                projection.append(("agg", fn[1], arg, alias))
+            else:
+                break
+        if not projection:
+            raise SparqlSyntaxError("empty SELECT projection")
+
+    p.eat("kw", "WHERE")
+    p.expect("op", "{")
+    patterns: list = []
+    optionals: list = []
+    filters: list = []       # expression closures
+    exists: list = []        # (negate, patterns)
+    minuses: list = []
+    values = None
+    union_groups = None
+    while not p.at("op", "}"):
+        if p.eat("kw", "OPTIONAL"):
+            optionals.append(p.bare_bgp())
+        elif p.eat("kw", "FILTER"):
+            if p.eat("kw", "EXISTS"):
+                exists.append((False, p.bare_bgp()))
+            elif p.at("kw", "NOT"):
+                p.next()
+                p.expect("kw", "EXISTS")
+                exists.append((True, p.bare_bgp()))
+            elif p.at("op", "("):
+                p.expect("op", "(")
+                filters.append(p.expr())
+                p.expect("op", ")")
+            else:
+                # bare builtin call: FILTER REGEX(?x, "..") etc.
+                filters.append(p.expr())
+        elif p.eat("kw", "MINUS"):
+            minuses.append(p.bare_bgp())
+        elif p.eat("kw", "VALUES"):
+            if values is not None:
+                raise SparqlSyntaxError("multiple VALUES blocks")
+            if p.at("var"):
+                vars_ = [p.next()[1]]
+                p.expect("op", "{")
+                rows = []
+                while not p.at("op", "}"):
+                    rows.append((p.term(),))
+                p.expect("op", "}")
+            else:
+                p.expect("op", "(")
+                vars_ = []
+                while p.at("var"):
+                    vars_.append(p.next()[1])
+                p.expect("op", ")")
+                p.expect("op", "{")
+                rows = []
+                while p.eat("op", "("):
+                    row = tuple(p.term() for _ in vars_)
+                    p.expect("op", ")")
+                    rows.append(row)
+                p.expect("op", "}")
+            values = (vars_, rows)
+        elif p.at("op", "{"):
+            arms = [p.bare_bgp()]
+            while p.eat("kw", "UNION"):
+                arms.append(p.bare_bgp())
+            if len(arms) < 2:
+                raise SparqlSyntaxError(
+                    "nested group without UNION - flatten it")
+            if patterns or union_groups:
+                raise SparqlSyntaxError(
+                    "UNION must be the whole group in this subset")
+            union_groups = arms
+        else:
+            p.triples_block(patterns)
+    p.expect("op", "}")
+    if union_groups and (patterns or optionals or minuses or values):
+        raise SparqlSyntaxError(
+            "UNION cannot mix with other group elements in this subset")
+
+    group_by: list = []
+    order_by: list = []
+    limit = None
+    while not p.at("eof"):
+        if p.eat("kw", "GROUP"):
+            p.expect("kw", "BY")
+            while p.at("var"):
+                group_by.append(p.next()[1][1:])
+        elif p.eat("kw", "ORDER"):
+            p.expect("kw", "BY")
+            while p.at("var") or p.at("kw", "ASC") or p.at("kw", "DESC"):
+                if p.at("var"):
+                    order_by.append((p.next()[1][1:], True))
+                    continue
+                asc = p.next()[1] == "ASC"
+                p.expect("op", "(")
+                order_by.append((p.expect("var")[1:], asc))
+                p.expect("op", ")")
+        elif p.eat("kw", "LIMIT"):
+            limit = int(p.expect("number"))
+        else:
+            raise SparqlSyntaxError(f"unexpected trailing {p.peek()!r}")
+
+    if not patterns and union_groups is None:
+        raise SparqlSyntaxError("empty group")
+    if group_by or any(item[0] == "agg" for item in projection):
+        for item in projection:
+            if item[0] == "star":
+                raise SparqlSyntaxError("SELECT * with GROUP BY")
+            if item[0] == "var" and item[1] not in group_by:
+                raise SparqlSyntaxError(
+                    f"projected ?{item[1]} is not in GROUP BY")
+        if not any(item[0] == "agg" for item in projection):
+            raise SparqlSyntaxError("GROUP BY without aggregates")
+    return {"distinct": distinct, "projection": projection,
+            "patterns": patterns, "optionals": optionals,
+            "filters": filters, "exists": exists, "minuses": minuses,
+            "values": values, "union": union_groups, "group_by": group_by,
+            "order_by": order_by, "limit": limit}
+
+
+def sparql_select(triples: DataFrame, query: str) -> DataFrame:
+    """Parse `query` (the SELECT subset in the module docstring) and
+    compile it against the (subj, pred, obj[, ...]) triples DataFrame.
+    Returns one column per projected variable/alias."""
+    from .bgp import filter_exists, match_bgp, match_minus, match_union
+
+    q = _parse_query(query)
+    if q["union"] is not None:
+        sol = match_union(triples, q["union"])
+    else:
+        sol = match_bgp(triples, q["patterns"],
+                        optional=q["optionals"] or None,
+                        values=q["values"])
+    for negate_flag, pats in q["exists"]:
+        sol = filter_exists(triples, sol, pats, negate=negate_flag)
+    for pats in q["minuses"]:
+        sol = match_minus(triples, sol, pats)
+    for make in q["filters"]:
+        sol = sol.filter(make())
+
+    proj = q["projection"]
+    if q["group_by"] or any(item[0] == "agg" for item in proj):
+        aggs, names = [], []
+        for item in proj:
+            if item[0] == "var":
+                if item[1] not in q["group_by"]:
+                    raise SparqlSyntaxError(
+                        f"projected ?{item[1]} is not in GROUP BY")
+                continue
+            if item[0] != "agg":
+                raise SparqlSyntaxError("SELECT * with GROUP BY")
+            _, fn, arg, alias = item
+            col = F.lit(1) if arg is None else F.col(arg)
+            agg = {"COUNT": F.count,
+                   "SUM": lambda c: F.sum(c.cast("double")),
+                   "MIN": F.min, "MAX": F.max,
+                   "AVG": lambda c: F.avg(c.cast("double"))}[fn](col)
+            aggs.append(agg.alias(alias))
+            names.append(alias)
+        if not aggs:
+            raise SparqlSyntaxError("GROUP BY without aggregates")
+        sol = (sol.groupBy(*q["group_by"]).agg(*aggs)
+               if q["group_by"] else sol.agg(*aggs))
+        order = [i[1] for i in proj if i[0] == "var"] + names
+        sol = sol.select(*order)
+    else:
+        if proj != [("star",)]:
+            sol = sol.select(*[item[1] for item in proj])
+    if q["distinct"]:
+        sol = sol.distinct()
+    if q["order_by"]:
+        sol = sol.orderBy(*[F.col(n).asc() if asc else F.col(n).desc()
+                            for n, asc in q["order_by"]])
+    if q["limit"] is not None:
+        sol = sol.limit(q["limit"])
+    return sol

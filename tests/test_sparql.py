@@ -1,0 +1,157 @@
+"""SPARQL text front-end (operators/sparql.py): the parser/compiler must
+produce exactly what hand-written operator calls produce, reject what it
+cannot faithfully run, and round every supported construct through a
+real Spark plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from csvweb_spark.operators.sparql import (SparqlSyntaxError, _parse_query,
+                                           sparql_select)
+
+EX = "http://ex.org/"
+
+
+@pytest.fixture()
+def kg(spark):
+    rows = []
+    for k in range(20):
+        rows.append((f"{EX}C{k}", f"{EX}in", f"{EX}N{k % 3}"))
+        rows.append((f"{EX}C{k}", f"{EX}age", str(k)))
+        if k % 4 == 0:
+            rows.append((f"{EX}C{k}", f"{EX}vip", "gold"))
+        if k >= 1:
+            rows.append((f"{EX}C{k}", f"{EX}next", f"{EX}C{k - 1}"))
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string")
+
+
+def test_bgp_filter_order_limit(kg):
+    out = sparql_select(kg, """
+      PREFIX ex: <http://ex.org/>
+      SELECT ?c ?a WHERE {
+        ?c ex:in ex:N0 ; ex:age ?a .
+        FILTER (?a >= 6 && ?a < 18)
+      } ORDER BY DESC(?a) LIMIT 3
+    """)
+    # numeric FILTER, lexical ORDER (documented): "9" > "6" > "15"
+    assert [(r.c, r.a) for r in out.collect()] == [
+        (f"{EX}C9", "9"), (f"{EX}C6", "6"), (f"{EX}C15", "15")]
+
+
+def test_optional_bound_not_exists(kg):
+    out = sparql_select(kg, """
+      PREFIX ex: <http://ex.org/>
+      SELECT ?c WHERE {
+        ?c ex:in ?n .
+        OPTIONAL { ?c ex:vip ?v }
+        FILTER (!BOUND(?v))
+        FILTER NOT EXISTS { ?c ex:next ex:C0 }
+      }
+    """)
+    got = sorted(int(r.c.rsplit("C", 1)[1]) for r in out.collect())
+    assert got == sorted(k for k in range(20) if k % 4 != 0 and k != 1)
+
+
+def test_group_by_aggregates(kg):
+    out = sparql_select(kg, """
+      PREFIX ex: <http://ex.org/>
+      SELECT ?n (COUNT(?c) AS ?cnt) (MAX(?a) AS ?mx) (SUM(?a) AS ?s)
+      WHERE { ?c ex:in ?n ; ex:age ?a . }
+      GROUP BY ?n ORDER BY ?n
+    """)
+    rows = [(r.n, r.cnt, r.mx, r.s) for r in out.collect()]
+    assert rows[0] == (f"{EX}N0", 7, "9", float(sum(range(0, 20, 3))))
+    assert rows[1][1] == 7 and rows[2][1] == 6
+
+
+def test_union_values_regex(kg):
+    out = sparql_select(kg, """
+      PREFIX ex: <http://ex.org/>
+      SELECT ?c ?v WHERE {
+        { ?c ex:vip ?v } UNION { ?c ex:in ex:N2 . ?c ex:age ?v }
+      }
+    """)
+    assert out.count() == 5 + 6
+    out2 = sparql_select(kg, """
+      PREFIX ex: <http://ex.org/>
+      SELECT ?c ?grp WHERE {
+        ?c ex:in ?n .
+        VALUES (?n ?grp) { (ex:N0 "zero") (ex:N1 "one") }
+        FILTER REGEX(?c, "C1[0-9]$")
+      }
+    """)
+    got = sorted((r.c, r.grp) for r in out2.collect())
+    assert got == sorted((f"{EX}C{k}", "zero" if k % 3 == 0 else "one")
+                         for k in range(10, 20) if k % 3 in (0, 1))
+
+
+def test_property_path_minus_distinct(kg):
+    out = sparql_select(kg, """
+      PREFIX ex: <http://ex.org/>
+      SELECT DISTINCT ?c WHERE {
+        ?c ex:next+ ex:C17 .
+        MINUS { ?c ex:vip ?v }
+      }
+    """)
+    assert sorted(int(r.c.rsplit("C", 1)[1]) for r in out.collect()) == \
+        [18, 19]
+    # inverse + sequence path and the 'a' keyword
+    out2 = sparql_select(kg.unionByName(kg.sparkSession.createDataFrame(
+        [(f"{EX}C1",
+          "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+          f"{EX}Person")], "subj string, pred string, obj string")), """
+      PREFIX ex: <http://ex.org/>
+      SELECT (COUNT(*) AS ?n) WHERE { ?x a ex:Person . ?y ex:next ?x }
+    """)
+    assert out2.collect()[0].n == 1
+
+
+def test_matches_programmatic_algebra(kg):
+    """The compiled plan's RESULT equals the hand-written operator
+    composition - the front-end adds nothing and loses nothing."""
+    from csvweb_spark.operators.bgp import filter_exists, match_bgp
+    text = sparql_select(kg, """
+      PREFIX ex: <http://ex.org/>
+      SELECT ?c ?n WHERE {
+        ?c ex:in ?n .
+        FILTER EXISTS { ?c ex:vip ?v }
+      }
+    """)
+    prog = filter_exists(
+        kg, match_bgp(kg, [("?c", EX + "in", "?n")]),
+        [("?c", EX + "vip", "?v")]).select("c", "n")
+    assert {tuple(r) for r in text.collect()} == \
+        {tuple(r) for r in prog.collect()}
+
+
+def test_parser_rejections():
+    for bad, msg in [
+        ("SELECT ?x WHERE { ?x foo:bar ?y }", "undeclared prefix"),
+        ("SELECT WHERE { ?x ?p ?y }", "empty SELECT"),
+        ("SELECT ?x WHERE { }", "empty group"),
+        ("SELECT ?x WHERE { ?a ?p ?b . { ?a ?q ?c } UNION { ?a ?r ?d } }",
+         "UNION must be the whole group"),
+        ("SELECT ?x WHERE { ?x ?p ?y } FROB", "unexpected trailing"),
+        ("SELECT (SUM(*) AS ?s) WHERE { ?x ?p ?y }", "only valid in COUNT"),
+        ("SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x ?p ?y } GROUP BY ?z",
+         "not in GROUP BY"),
+        ('SELECT ?x WHERE { ?x ?p ?y . FILTER ("lonely") }', "dangling"),
+    ]:
+        with pytest.raises(SparqlSyntaxError, match=msg):
+            _parse_query(bad)
+
+
+def test_parse_shapes():
+    q = _parse_query("""
+      PREFIX ex: <http://ex.org/>
+      SELECT DISTINCT ?s WHERE {
+        ?s (ex:a|^ex:b)/ex:c* ?o ; ex:d "x\\"y" , 42 .
+      } LIMIT 7
+    """)
+    assert q["distinct"] and q["limit"] == 7
+    pats = q["patterns"]
+    assert pats[0] == ("?s", ("seq", ("alt", EX + "a", ("inv", EX + "b")),
+                              ("star", EX + "c")), "?o")
+    assert pats[1] == ("?s", EX + "d", 'x"y')
+    assert pats[2] == ("?s", EX + "d", "42")
