@@ -1685,6 +1685,57 @@ def q_sparql_text(spark, sf_dir):
     return out.select("c", "n", "v")
 
 
+def q_sparql_analytics(spark, sf_dir):
+    """SPARQL analytics constructs (operators/sparql.py): BIND +
+    value-expression arithmetic in FILTER, GROUP BY with
+    GROUP_CONCAT(DISTINCT; SEPARATOR)/SAMPLE/COUNT aggregates, a HAVING
+    clause compiled to a hidden agg column, and ORDER BY + OFFSET +
+    LIMIT paging. GROUP_CONCAT sorts its elements (documented contract)
+    so the DuckDB string_agg(... ORDER BY ...) oracle replays the exact
+    strings; SAMPLE is the deterministic MIN."""
+    from csvweb_spark.operators.sparql import sparql_select
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 600)
+    iri = F.concat(F.lit("ex:C"), F.format_string("%05d", F.col("c_custkey")))
+    t = (cust.select(iri.alias("subj"), F.lit("ex:in").alias("pred"),
+                     F.concat(F.lit("ex:N"),
+                              F.col("c_nationkey")).alias("obj"))
+         .unionByName(cust.select(
+             iri.alias("subj"), F.lit("ex:seg").alias("pred"),
+             F.col("c_mktsegment").alias("obj"))))
+    out = sparql_select(t, """
+      PREFIX e: <ex:>
+      SELECT ?n (COUNT(?c) AS ?members)
+             (GROUP_CONCAT(DISTINCT ?s; SEPARATOR="|") AS ?segs)
+             (SAMPLE(?c) AS ?first)
+      WHERE {
+        ?c e:in ?n ; e:seg ?s .
+        BIND (STRLEN(?s) AS ?sl)
+        FILTER (?sl * 2 >= 18)
+      }
+      GROUP BY ?n
+      HAVING (COUNT(?c) >= 5)
+      ORDER BY ?n
+      OFFSET 1 LIMIT 20
+    """)
+    return out.select("n", "members", "segs", "first")
+
+
+def q_sparql_ask(spark, sf_dir):
+    """SPARQL ASK query form: a limit-1 existence probe compiled to a
+    one-row boolean, one positive and one negative probe unioned."""
+    from csvweb_spark.operators.sparql import sparql_select
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    t = (cust.select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit("ex:vip").alias("pred"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("gold"))
+         .otherwise(F.lit("none")).alias("obj")))
+    yes = sparql_select(t, 'PREFIX e: <ex:> ASK { ?c e:vip "gold" }')
+    no = sparql_select(t, 'PREFIX e: <ex:> ASK WHERE { ?c e:vip "platinum" }')
+    return (yes.select(F.lit("gold").alias("probe"), "ask")
+            .unionByName(no.select(F.lit("platinum").alias("probe"), "ask")))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1717,6 +1768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_describe": q_sparql_describe,
         "canonicalize_cc_incr": q_canonicalize_cc_incr,
         "sparql_text": q_sparql_text,
+        "sparql_analytics": q_sparql_analytics,
+        "sparql_ask": q_sparql_ask,
         "kg_node_sim": q_kg_node_sim,
         "bgp_union": q_bgp_union,
         "bgp_values": q_bgp_values,
@@ -2282,6 +2335,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT c, n, v FROM t
             WHERE n LIKE 'ex:N1%'
             ORDER BY c DESC LIMIT 50
+        """,
+        "sparql_analytics": """
+            WITH t AS (SELECT 'ex:C' || lpad(c_custkey::varchar, 5, '0')
+                                  AS c,
+                              'ex:N' || c_nationkey AS n,
+                              c_mktsegment AS s
+                       FROM customer WHERE c_custkey < 600),
+            f AS (SELECT * FROM t WHERE length(s) * 2 >= 18),
+            g AS (SELECT n, count(*)::bigint AS members,
+                         string_agg(DISTINCT s, '|' ORDER BY s) AS segs,
+                         min(c) AS first
+                  FROM f GROUP BY n HAVING count(*) >= 5)
+            SELECT n, members, segs, first FROM g
+            ORDER BY n OFFSET 1 LIMIT 20
+        """,
+        "sparql_ask": """
+            WITH t AS (SELECT 'ex:C' || c_custkey AS subj,
+                              CASE WHEN c_custkey % 7 = 0 THEN 'gold'
+                                   ELSE 'none' END AS obj
+                       FROM customer WHERE c_custkey < 400)
+            SELECT 'gold' AS probe,
+                   EXISTS(SELECT 1 FROM t WHERE obj = 'gold') AS ask
+            UNION ALL
+            SELECT 'platinum' AS probe,
+                   EXISTS(SELECT 1 FROM t WHERE obj = 'platinum') AS ask
         """,
         "canonicalize_cc_incr": """
             SELECT c_custkey::bigint AS node,

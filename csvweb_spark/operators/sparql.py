@@ -9,22 +9,44 @@ is the hand-off point being replaced).
 
 Supported subset (raise on anything else - no silent misparse):
 
+* query forms:  SELECT ... WHERE {...} modifiers; ASK [WHERE] {...}
+                (compiles to a one-row boolean `ask` column - a
+                limit-1 existence probe, not a full count).
 * prologue:     PREFIX p: <iri>  (any number; 'a' = rdf:type)
-* projection:   SELECT [DISTINCT] (*| ?v... | (AGG(?v) AS ?alias)...)
-                aggregates COUNT(*) COUNT(?v) SUM MIN MAX AVG
+* projection:   SELECT [DISTINCT] (*| ?v... | (AGG(...) AS ?alias)...
+                | (value-expr AS ?alias)...)
+                aggregates COUNT(*) COUNT([DISTINCT] ?v),
+                SUM/MIN/MAX/AVG([DISTINCT] ?v), SAMPLE(?v),
+                GROUP_CONCAT([DISTINCT] ?v [; SEPARATOR="s"]).
+                SAMPLE is deterministic (MIN - any-value semantics
+                allow it); GROUP_CONCAT sorts elements (the spec
+                leaves order undefined; sorting makes runs and the
+                DuckDB oracle `string_agg(... ORDER BY ...)` agree).
 * group:        triple blocks with ';' predicate lists and ',' object
                 lists; predicates may be full SPARQL 1.1 property-path
                 expressions (^ / | + * ? !(...) and grouping parens);
                 OPTIONAL { ...triples... } (chained, left-to-right);
                 FILTER (expr) / FILTER [NOT] EXISTS { ...triples... };
                 MINUS { ...triples... };
+                BIND (value-expr AS ?v)  (binds are applied after the
+                whole BGP and before all FILTERs, in textual order -
+                a FILTER may reference any BIND of its group);
                 VALUES ?v { ... } / VALUES (?a ?b) { (..) (..) };
                 { A } UNION { B } [UNION { C }...] as the WHOLE group.
-* FILTER exprs: && || ! comparisons (= != < <= > >=; numeric when either
-                side is a number literal, else string), REGEX(?v,"re"),
-                BOUND(?v), CONTAINS/STRSTARTS/STRENDS(?v,"s"),
-                STRLEN(?v), parenthesized subexpressions.
-* modifiers:    GROUP BY ?v..., ORDER BY [ASC|DESC](?v)..., LIMIT n.
+* FILTER exprs: && || ! comparisons (= != < <= > >=; numeric when
+                either side is a number literal or an arithmetic
+                result, else string), arithmetic + - * / (double),
+                REGEX(?v,"re"), BOUND(?v), STRLEN(?v),
+                CONTAINS/STRSTARTS/STRENDS(?v,"s"),
+                value builtins (below), parenthesized subexpressions.
+* value exprs:  vars, literals, arithmetic + - * /, CONCAT(e...),
+                STR(e), UCASE(e), LCASE(e), SUBSTR(e, start[, len] -
+                1-based, literal ints), REPLACE(e, "re", "repl" -
+                regex, like the spec), COALESCE(e...), STRLEN(e).
+* modifiers:    GROUP BY ?v..., HAVING (expr - aggregate calls
+                allowed as comparison operands), ORDER BY
+                [ASC|DESC](?v)..., LIMIT n, OFFSET n (applied after
+                ORDER BY; pair it with ORDER BY for stable pages).
                 ORDER BY compares the STORED LEXICAL FORM (strings) -
                 zero-pad numeric identifiers at triple-construction
                 time when numeric ordering matters, as every driver
@@ -64,13 +86,18 @@ _TOKEN_RE = re.compile(r"""
   | (?P<op>&&|\|\||!=|<=|>=|[{}().;,^/|+*?!=<>])
 """, re.X)
 
-_KEYWORDS = {"PREFIX", "SELECT", "DISTINCT", "WHERE", "OPTIONAL", "FILTER",
-             "EXISTS", "NOT", "MINUS", "UNION", "VALUES", "GROUP", "BY",
-             "ORDER", "ASC", "DESC", "LIMIT", "AS", "COUNT", "SUM", "MIN",
-             "MAX", "AVG", "REGEX", "BOUND", "CONTAINS", "STRSTARTS",
-             "STRENDS", "STRLEN", "TRUE", "FALSE"}
+_KEYWORDS = {"PREFIX", "SELECT", "ASK", "DISTINCT", "WHERE", "OPTIONAL",
+             "FILTER", "EXISTS", "NOT", "MINUS", "UNION", "VALUES", "BIND",
+             "GROUP", "BY", "HAVING", "ORDER", "ASC", "DESC", "LIMIT",
+             "OFFSET", "AS", "COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
+             "GROUP_CONCAT", "SEPARATOR", "REGEX", "BOUND", "CONTAINS",
+             "STRSTARTS", "STRENDS", "STRLEN", "CONCAT", "STR", "UCASE",
+             "LCASE", "SUBSTR", "REPLACE", "COALESCE", "TRUE", "FALSE"}
 
-_AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
+_AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT"}
+
+_VALUE_FNS = {"CONCAT", "STR", "UCASE", "LCASE", "SUBSTR", "REPLACE",
+              "COALESCE", "STRLEN"}
 
 
 class SparqlSyntaxError(ValueError):
@@ -108,6 +135,11 @@ class _Parser:
         self.toks = _tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        # HAVING context: when a list, _expr_primary accepts aggregate
+        # calls and registers them here as hidden agg columns `_hv{i}`
+        # (Spark needs aggregates named in .agg() before a post-group
+        # filter can reference them)
+        self.having_aggs: list | None = None
 
     # ---- token helpers ----
     def peek(self, k: int = 0):
@@ -268,12 +300,13 @@ class _Parser:
         return self._expr_comparison()
 
     def _expr_comparison(self):
-        left_kind, left = self._expr_primary()
+        left_kind, left = self._expr_additive()
         k, v = self.peek()
         if k == "op" and v in ("=", "!=", "<", "<=", ">", ">="):
             self.next()
-            right_kind, right = self._expr_primary()
-            numeric = "number" in (left_kind, right_kind)
+            right_kind, right = self._expr_additive()
+            numeric = ("number" in (left_kind, right_kind)
+                       or "number_col" in (left_kind, right_kind))
 
             def side(kind, val):
                 if kind == "var":
@@ -281,7 +314,7 @@ class _Parser:
                     return c.cast("double") if numeric else c
                 if kind == "number":
                     return F.lit(float(val) if "." in val else int(val))
-                if kind == "col":
+                if kind in ("col", "number_col"):
                     return val.cast("double") if numeric else val
                 return F.lit(val)
 
@@ -291,12 +324,149 @@ class _Parser:
                    ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}
             op = ops[v]
             return lambda: op(lc, rc)
-        if left_kind == "col":
+        if left_kind in ("col", "number_col"):
             return lambda: left
         if left_kind == "var":
             raise SparqlSyntaxError(
                 f"bare variable {left!r} is not a boolean expression")
         raise SparqlSyntaxError(f"dangling literal {left!r} in FILTER")
+
+    # ---- value (arithmetic/string) expressions ----
+    @staticmethod
+    def _as_num(kind, val) -> Column:
+        if kind == "var":
+            return F.col(val[1:]).cast("double")
+        if kind == "number":
+            return F.lit(float(val) if "." in val else int(val))
+        if kind in ("col", "number_col"):
+            return val.cast("double")
+        raise SparqlSyntaxError(f"string {val!r} in arithmetic")
+
+    @staticmethod
+    def _as_str(kind, val) -> Column:
+        if kind == "var":
+            return F.col(val[1:])
+        if kind in ("col", "number_col"):
+            return val.cast("string")
+        return F.lit(val)  # string/number literal kept lexical
+
+    def _expr_additive(self):
+        kind, val = self._expr_mul()
+        while True:
+            if self.at("op", "+") or self.at("op", "-"):
+                op = self.next()[1]
+                rk, rv = self._expr_mul()
+            elif self.at("number") and self.peek()[1][0] in "+-":
+                # '?x -3' tokenizes the 3 as a signed literal: treat it
+                # as the binary op + its magnitude
+                num = self.next()[1]
+                op, (rk, rv) = num[0], ("number", num[1:])
+            else:
+                return kind, val
+            left, right = self._as_num(kind, val), self._as_num(rk, rv)
+            kind, val = "number_col", (left + right if op == "+"
+                                       else left - right)
+
+    def _expr_mul(self):
+        kind, val = self._expr_primary()
+        while self.at("op", "*") or self.at("op", "/"):
+            op = self.next()[1]
+            rk, rv = self._expr_primary()
+            left, right = self._as_num(kind, val), self._as_num(rk, rv)
+            kind, val = "number_col", (left * right if op == "*"
+                                       else left / right)
+        return kind, val
+
+    def value_expr(self) -> Column:
+        """A value expression as a Column (BIND / SELECT-expression /
+        builtin arguments)."""
+        return self._as_str(*self._expr_additive())
+
+    def _value_fn(self, name: str):
+        """Value builtin call, 'NAME' already consumed, at '('."""
+        self.expect("op", "(")
+        args: list = []
+        if not self.at("op", ")"):
+            args.append(self._expr_additive())
+            while self.eat("op", ","):
+                args.append(self._expr_additive())
+        self.expect("op", ")")
+
+        def arity(n, also=None):
+            if len(args) != n and len(args) != (also or n):
+                raise SparqlSyntaxError(
+                    f"{name} takes {n}{f' or {also}' if also else ''} "
+                    f"arguments, got {len(args)}")
+
+        if name == "CONCAT":
+            if not args:
+                raise SparqlSyntaxError("CONCAT needs arguments")
+            return ("col", F.concat(*[self._as_str(*a) for a in args]))
+        if name == "COALESCE":
+            if not args:
+                raise SparqlSyntaxError("COALESCE needs arguments")
+            return ("col", F.coalesce(*[self._as_str(*a) for a in args]))
+        if name == "STR":
+            arity(1)
+            return ("col", self._as_str(*args[0]))
+        if name == "UCASE":
+            arity(1)
+            return ("col", F.upper(self._as_str(*args[0])))
+        if name == "LCASE":
+            arity(1)
+            return ("col", F.lower(self._as_str(*args[0])))
+        if name == "STRLEN":
+            arity(1)
+            return ("number_col", F.length(self._as_str(*args[0])))
+        if name == "SUBSTR":
+            arity(2, also=3)
+            bounds = []
+            for k, v in args[1:]:
+                if k != "number" or "." in v:
+                    raise SparqlSyntaxError(
+                        "SUBSTR start/len must be integer literals")
+                bounds.append(int(v))
+            start = bounds[0]
+            length = bounds[1] if len(bounds) == 2 else 2147483647
+            return ("col",
+                    self._as_str(*args[0]).substr(start, length))
+        if name == "REPLACE":
+            arity(3)
+            for k, _ in args[1:]:
+                if k != "string":
+                    raise SparqlSyntaxError(
+                        "REPLACE pattern/replacement must be string "
+                        "literals")
+            return ("col", F.regexp_replace(self._as_str(*args[0]),
+                                            args[1][1], args[2][1]))
+        raise SparqlSyntaxError(f"unknown value function {name}")
+
+    # ---- aggregates (projection + HAVING) ----
+    def aggregate(self, fn: str):
+        """'fn' keyword already consumed, at '('. Returns the spec tuple
+        (fn, distinct, arg_var_or_None, separator)."""
+        self.expect("op", "(")
+        distinct = self.eat("kw", "DISTINCT")
+        if self.eat("op", "*"):
+            if fn != "COUNT":
+                raise SparqlSyntaxError("* only valid in COUNT")
+            arg = None
+        else:
+            arg = self.expect("var")[1:]
+        sep = " "
+        if self.eat("op", ";"):
+            if fn != "GROUP_CONCAT":
+                raise SparqlSyntaxError("; SEPARATOR only in GROUP_CONCAT")
+            self.expect("kw", "SEPARATOR")
+            self.expect("op", "=")
+            sk, sv = self.next()
+            if sk != "string":
+                raise SparqlSyntaxError("SEPARATOR needs a string literal")
+            sep = _unescape(re.match(r'"((?:[^"\\]|\\.)*)"', sv).group(1))
+        self.expect("op", ")")
+        if distinct and arg is None:
+            raise SparqlSyntaxError("COUNT(DISTINCT *) is not supported")
+        return (fn, distinct, arg, sep)
 
     def _expr_primary(self):
         if self.eat("op", "("):
@@ -322,8 +492,18 @@ class _Parser:
         if k == "pname":
             self.next()
             return ("string", self._expand_pname(v))
+        if k == "kw" and v in _VALUE_FNS:
+            self.next()
+            return self._value_fn(v)
+        if k == "kw" and v in _AGGS and self.having_aggs is not None:
+            # aggregate call inside HAVING: register a hidden agg column
+            self.next()
+            spec = self.aggregate(v)
+            alias = f"_hv{len(self.having_aggs)}"
+            self.having_aggs.append((spec, alias))
+            return ("col", F.col(alias))
         if k == "kw" and v in ("REGEX", "BOUND", "CONTAINS", "STRSTARTS",
-                               "STRENDS", "STRLEN"):
+                               "STRENDS"):
             self.next()
             self.expect("op", "(")
             var = self.expect("var")
@@ -331,9 +511,6 @@ class _Parser:
             if v == "BOUND":
                 self.expect("op", ")")
                 return ("col", col.isNotNull())
-            if v == "STRLEN":
-                self.expect("op", ")")
-                return ("col", F.length(col))
             self.expect("op", ",")
             sk, sv = self.next()
             if sk != "string":
@@ -356,36 +533,39 @@ def _parse_query(text: str) -> dict:
             raise SparqlSyntaxError(f"bad PREFIX name {v!r}")
         p.prefixes[v[:-1]] = p.expect("iri")[1:-1]
 
-    p.expect("kw", "SELECT")
-    distinct = p.eat("kw", "DISTINCT")
-    projection: list = []  # ("var", name) | ("agg", fn, arg|None, alias)
-    if p.eat("op", "*"):
-        projection = [("star",)]
-    else:
-        while True:
-            if p.at("var"):
-                projection.append(("var", p.next()[1][1:]))
-            elif p.at("op", "("):
-                p.next()
-                fn = p.next()
-                if fn[0] != "kw" or fn[1] not in _AGGS:
-                    raise SparqlSyntaxError(f"expected aggregate, got {fn}")
-                p.expect("op", "(")
-                if p.eat("op", "*"):
-                    arg = None
-                    if fn[1] != "COUNT":
-                        raise SparqlSyntaxError("* only valid in COUNT")
+    form = "ask" if p.eat("kw", "ASK") else "select"
+    distinct = False
+    projection: list = []  # ("var", name) | ("agg", spec, alias)
+    #                        | ("vexpr", Column, alias) | ("star",)
+    if form == "select":
+        p.expect("kw", "SELECT")
+        distinct = p.eat("kw", "DISTINCT")
+        if p.eat("op", "*"):
+            projection = [("star",)]
+        else:
+            while True:
+                if p.at("var"):
+                    projection.append(("var", p.next()[1][1:]))
+                elif p.at("op", "("):
+                    p.next()
+                    k, v = p.peek()
+                    if k == "kw" and v in _AGGS:
+                        p.next()
+                        spec = p.aggregate(v)
+                        p.expect("kw", "AS")
+                        alias = p.expect("var")[1:]
+                        p.expect("op", ")")
+                        projection.append(("agg", spec, alias))
+                    else:
+                        col = p.value_expr()
+                        p.expect("kw", "AS")
+                        alias = p.expect("var")[1:]
+                        p.expect("op", ")")
+                        projection.append(("vexpr", col, alias))
                 else:
-                    arg = p.expect("var")[1:]
-                p.expect("op", ")")
-                p.expect("kw", "AS")
-                alias = p.expect("var")[1:]
-                p.expect("op", ")")
-                projection.append(("agg", fn[1], arg, alias))
-            else:
-                break
-        if not projection:
-            raise SparqlSyntaxError("empty SELECT projection")
+                    break
+            if not projection:
+                raise SparqlSyntaxError("empty SELECT projection")
 
     p.eat("kw", "WHERE")
     p.expect("op", "{")
@@ -394,11 +574,19 @@ def _parse_query(text: str) -> dict:
     filters: list = []       # expression closures
     exists: list = []        # (negate, patterns)
     minuses: list = []
+    binds: list = []         # (name, Column) in textual order
     values = None
     union_groups = None
     while not p.at("op", "}"):
         if p.eat("kw", "OPTIONAL"):
             optionals.append(p.bare_bgp())
+        elif p.eat("kw", "BIND"):
+            p.expect("op", "(")
+            col = p.value_expr()
+            p.expect("kw", "AS")
+            name = p.expect("var")[1:]
+            p.expect("op", ")")
+            binds.append((name, col))
         elif p.eat("kw", "FILTER"):
             if p.eat("kw", "EXISTS"):
                 exists.append((False, p.bare_bgp()))
@@ -459,12 +647,23 @@ def _parse_query(text: str) -> dict:
 
     group_by: list = []
     order_by: list = []
+    having: list = []        # expression closures over the agg output
+    having_aggs: list = []   # ((fn, distinct, arg, sep), hidden_alias)
     limit = None
+    offset = None
     while not p.at("eof"):
         if p.eat("kw", "GROUP"):
             p.expect("kw", "BY")
             while p.at("var"):
                 group_by.append(p.next()[1][1:])
+        elif p.eat("kw", "HAVING"):
+            if form == "ask":
+                raise SparqlSyntaxError("HAVING in ASK")
+            p.expect("op", "(")
+            p.having_aggs = having_aggs
+            having.append(p.expr())
+            p.having_aggs = None
+            p.expect("op", ")")
         elif p.eat("kw", "ORDER"):
             p.expect("kw", "BY")
             while p.at("var") or p.at("kw", "ASC") or p.at("kw", "DESC"):
@@ -477,31 +676,68 @@ def _parse_query(text: str) -> dict:
                 p.expect("op", ")")
         elif p.eat("kw", "LIMIT"):
             limit = int(p.expect("number"))
+        elif p.eat("kw", "OFFSET"):
+            offset = int(p.expect("number"))
         else:
             raise SparqlSyntaxError(f"unexpected trailing {p.peek()!r}")
 
     if not patterns and union_groups is None:
         raise SparqlSyntaxError("empty group")
-    if group_by or any(item[0] == "agg" for item in projection):
+    grouped = (group_by or having
+               or any(item[0] == "agg" for item in projection))
+    if form == "select" and grouped:
         for item in projection:
             if item[0] == "star":
                 raise SparqlSyntaxError("SELECT * with GROUP BY")
+            if item[0] == "vexpr":
+                raise SparqlSyntaxError(
+                    "SELECT expressions cannot mix with GROUP BY in this "
+                    "subset - BIND the expression in the group instead")
             if item[0] == "var" and item[1] not in group_by:
                 raise SparqlSyntaxError(
                     f"projected ?{item[1]} is not in GROUP BY")
-        if not any(item[0] == "agg" for item in projection):
-            raise SparqlSyntaxError("GROUP BY without aggregates")
-    return {"distinct": distinct, "projection": projection,
+        if not any(item[0] == "agg" for item in projection) \
+                and not having_aggs:
+            raise SparqlSyntaxError(
+                "GROUP BY/HAVING without any aggregate")
+    return {"form": form, "distinct": distinct, "projection": projection,
             "patterns": patterns, "optionals": optionals,
             "filters": filters, "exists": exists, "minuses": minuses,
-            "values": values, "union": union_groups, "group_by": group_by,
-            "order_by": order_by, "limit": limit}
+            "binds": binds, "values": values, "union": union_groups,
+            "group_by": group_by, "having": having,
+            "having_aggs": having_aggs, "order_by": order_by,
+            "limit": limit, "offset": offset}
+
+
+def _agg_column(spec) -> Column:
+    """Aggregate spec (fn, distinct, arg, sep) -> unaliased Column.
+    SAMPLE -> MIN (any-value semantics allow a deterministic pick);
+    GROUP_CONCAT sorts elements so the result is partitioning-invariant
+    (the DuckDB mirror is string_agg(v, sep ORDER BY v))."""
+    fn, distinct, arg, sep = spec
+    col = F.lit(1) if arg is None else F.col(arg)
+    if fn == "COUNT":
+        return F.count_distinct(col) if distinct else F.count(col)
+    if fn == "GROUP_CONCAT":
+        lst = F.collect_set(col) if distinct else F.collect_list(col)
+        return F.concat_ws(sep, F.sort_array(lst))
+    if fn == "SAMPLE":
+        return F.min(col)  # DISTINCT is a no-op for an any-value pick
+    num = col.cast("double")
+    if distinct:
+        return {"SUM": F.sum_distinct(num),
+                # no avg_distinct builtin: exact as sum/count of distinct
+                "AVG": F.sum_distinct(num) / F.count_distinct(num),
+                "MIN": F.min(col), "MAX": F.max(col)}[fn]
+    return {"SUM": F.sum(num), "AVG": F.avg(num),
+            "MIN": F.min(col), "MAX": F.max(col)}[fn]
 
 
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:
-    """Parse `query` (the SELECT subset in the module docstring) and
-    compile it against the (subj, pred, obj[, ...]) triples DataFrame.
-    Returns one column per projected variable/alias."""
+    """Parse `query` (the subset in the module docstring) and compile it
+    against the (subj, pred, obj[, ...]) triples DataFrame. SELECT
+    returns one column per projected variable/alias; ASK returns one row
+    with a boolean `ask` column."""
     from .bgp import filter_exists, match_bgp, match_minus, match_union
 
     q = _parse_query(query)
@@ -511,6 +747,8 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         sol = match_bgp(triples, q["patterns"],
                         optional=q["optionals"] or None,
                         values=q["values"])
+    for name, col in q["binds"]:
+        sol = sol.withColumn(name, col)
     for negate_flag, pats in q["exists"]:
         sol = filter_exists(triples, sol, pats, negate=negate_flag)
     for pats in q["minuses"]:
@@ -518,39 +756,47 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     for make in q["filters"]:
         sol = sol.filter(make())
 
+    if q["form"] == "ask":
+        # existence probe: limit(1) stops every scan at first match
+        return (sol.select(F.lit(1).alias("_one")).limit(1)
+                .agg((F.count("_one") > 0).alias("ask")))
+
     proj = q["projection"]
-    if q["group_by"] or any(item[0] == "agg" for item in proj):
+    if q["group_by"] or q["having"] \
+            or any(item[0] == "agg" for item in proj):
         aggs, names = [], []
         for item in proj:
             if item[0] == "var":
-                if item[1] not in q["group_by"]:
-                    raise SparqlSyntaxError(
-                        f"projected ?{item[1]} is not in GROUP BY")
                 continue
-            if item[0] != "agg":
-                raise SparqlSyntaxError("SELECT * with GROUP BY")
-            _, fn, arg, alias = item
-            col = F.lit(1) if arg is None else F.col(arg)
-            agg = {"COUNT": F.count,
-                   "SUM": lambda c: F.sum(c.cast("double")),
-                   "MIN": F.min, "MAX": F.max,
-                   "AVG": lambda c: F.avg(c.cast("double"))}[fn](col)
-            aggs.append(agg.alias(alias))
+            _, spec, alias = item
+            aggs.append(_agg_column(spec).alias(alias))
             names.append(alias)
+        hidden = []
+        for spec, alias in q["having_aggs"]:
+            aggs.append(_agg_column(spec).alias(alias))
+            hidden.append(alias)
         if not aggs:
             raise SparqlSyntaxError("GROUP BY without aggregates")
         sol = (sol.groupBy(*q["group_by"]).agg(*aggs)
                if q["group_by"] else sol.agg(*aggs))
+        for make in q["having"]:
+            sol = sol.filter(make())
         order = [i[1] for i in proj if i[0] == "var"] + names
         sol = sol.select(*order)
     else:
+        for item in proj:
+            if item[0] == "vexpr":
+                sol = sol.withColumn(item[2], item[1])
         if proj != [("star",)]:
-            sol = sol.select(*[item[1] for item in proj])
+            sol = sol.select(*[item[1] if item[0] == "var" else item[2]
+                               for item in proj])
     if q["distinct"]:
         sol = sol.distinct()
     if q["order_by"]:
         sol = sol.orderBy(*[F.col(n).asc() if asc else F.col(n).desc()
                             for n, asc in q["order_by"]])
+    if q["offset"] is not None:
+        sol = sol.offset(q["offset"])
     if q["limit"] is not None:
         sol = sol.limit(q["limit"])
     return sol

@@ -155,3 +155,92 @@ def test_parse_shapes():
                               ("star", EX + "c")), "?o")
     assert pats[1] == ("?s", EX + "d", 'x"y')
     assert pats[2] == ("?s", EX + "d", "42")
+
+
+def test_bind_value_exprs(kg):
+    out = sparql_select(kg, """
+      PREFIX ex: <http://ex.org/>
+      SELECT ?c ?tag ?score WHERE {
+        ?c ex:age ?a .
+        BIND (CONCAT("age-", ?a) AS ?tag)
+        BIND (?a * 10 + 5 AS ?score)
+        FILTER (?score <= 45)
+      }
+    """)
+    assert {(r.c, r.tag, r.score) for r in out.collect()} == {
+        (f"{EX}C{k}", f"age-{k}", f"{k * 10 + 5}.0") for k in range(5)}
+
+
+def test_select_expression_offset(kg):
+    out = sparql_select(kg, """
+      PREFIX ex: <http://ex.org/>
+      SELECT (UCASE(SUBSTR(?v, 1, 2)) AS ?u) ?c WHERE {
+        ?c ex:vip ?v .
+      } ORDER BY ?c LIMIT 2 OFFSET 1
+    """)
+    # vip holders sorted lexically: C0, C12, C16, C4, C8 -> page [1:3]
+    assert [(r.u, r.c) for r in out.collect()] == [
+        ("GO", f"{EX}C12"), ("GO", f"{EX}C16")]
+
+
+def test_having_group_concat_sample(kg):
+    out = sparql_select(kg, """
+      PREFIX ex: <http://ex.org/>
+      SELECT ?n (GROUP_CONCAT(?a; SEPARATOR=",") AS ?ages)
+             (SAMPLE(?c) AS ?one)
+      WHERE { ?c ex:in ?n ; ex:age ?a . }
+      GROUP BY ?n
+      HAVING (COUNT(?c) >= 7)
+      ORDER BY ?n
+    """)
+    rows = [(r.n, r.ages, r.one) for r in out.collect()]
+    # N2 has 6 members -> cut by HAVING; GROUP_CONCAT sorts lexically;
+    # SAMPLE is the deterministic MIN
+    assert rows == [
+        (f"{EX}N0", "0,12,15,18,3,6,9", f"{EX}C0"),
+        (f"{EX}N1", "1,10,13,16,19,4,7", f"{EX}C1")]
+
+
+def test_ask_form(kg):
+    yes = sparql_select(kg, """
+      PREFIX ex: <http://ex.org/>
+      ASK { ?c ex:vip "gold" }
+    """).collect()
+    no = sparql_select(kg, """
+      PREFIX ex: <http://ex.org/>
+      ASK WHERE { ?c ex:vip "platinum" }
+    """).collect()
+    assert len(yes) == 1 and yes[0].ask is True
+    assert len(no) == 1 and no[0].ask is False
+
+
+def test_count_distinct_and_replace(kg):
+    out = sparql_select(kg, """
+      PREFIX ex: <http://ex.org/>
+      SELECT (COUNT(DISTINCT ?n) AS ?nn) (COUNT(?n) AS ?all)
+      WHERE { ?c ex:in ?n . }
+    """)
+    row = out.collect()[0]
+    assert (row.nn, row.all) == (3, 20)
+    rep = sparql_select(kg, """
+      PREFIX ex: <http://ex.org/>
+      SELECT DISTINCT (REPLACE(?v, "o+", "0") AS ?r)
+      WHERE { ?c ex:vip ?v . }
+    """).collect()
+    assert [r.r for r in rep] == ["g0ld"]
+
+
+def test_new_construct_rejections():
+    for bad, msg in [
+        ("SELECT ?x WHERE { ?x ?p ?y . BIND (SUBSTR(?y, ?x) AS ?z) }",
+         "integer literals"),
+        ("ASK { ?x ?p ?y } HAVING (COUNT(?x) > 1)", "HAVING in ASK"),
+        ("SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?x ?p ?y }",
+         "COUNT.DISTINCT"),
+        ('SELECT ?x WHERE { ?x ?p ?y . BIND (REPLACE(?y, ?x, "z") AS ?r) }',
+         "string literals"),
+        ("SELECT (GROUP_CONCAT(?y) AS ?g) (?x AS ?e) WHERE { ?x ?p ?y } "
+         "GROUP BY ?x", "cannot mix with GROUP BY"),
+    ]:
+        with pytest.raises(SparqlSyntaxError, match=msg):
+            _parse_query(bad)
