@@ -366,7 +366,8 @@ def match_path_expr(triples: DataFrame, expr, src_var: str = "?s",
 
 def filter_exists(triples: DataFrame, solutions: DataFrame,
                   patterns: list[Pattern], negate: bool = False,
-                  allow_cartesian: bool = False) -> DataFrame:
+                  allow_cartesian: bool = False,
+                  unbound_possible: bool = False) -> DataFrame:
     """SPARQL FILTER EXISTS { ... } / FILTER NOT EXISTS { ... }:
     keep the solutions for which the sub-BGP has at least one match
     (or none, with `negate`) under the current bindings. Compiled to
@@ -375,7 +376,17 @@ def filter_exists(triples: DataFrame, solutions: DataFrame,
     the spec's semantics and why this is NOT the same as adding the
     patterns to the group. The sub-BGP must share at least one
     variable with the solutions (a binding-independent EXISTS is a
-    constant - evaluate it separately)."""
+    constant - evaluate it separately).
+
+    Fast path (default): solutions from plain BGP/VALUES groups never
+    carry NULLs in pattern variables, so the shared-variable equality
+    join is exact. With `unbound_possible=True` (solutions that went
+    through OPTIONAL or variable-padded UNION), the spec's
+    substitution semantics leave an UNBOUND variable free in the
+    sub-pattern rather than requiring equality - the join condition
+    becomes per-variable (NULL-or-equal) conjunctions, a non-equi
+    join against the broadcast DISTINCT sub-projection (KB-sized
+    right sides only, like match_minus's exact path)."""
     sub = match_bgp(triples, patterns, allow_cartesian=allow_cartesian)
     shared = sorted(set(sub.columns) & set(solutions.columns))
     if not shared:
@@ -383,7 +394,17 @@ def filter_exists(triples: DataFrame, solutions: DataFrame,
             "EXISTS group shares no variable with the solutions; its "
             "truth is binding-independent - evaluate it separately")
     how = "left_anti" if negate else "left_semi"
-    return solutions.join(sub.select(*shared).distinct(), shared, how)
+    right = sub.select(*shared).distinct()
+    if not unbound_possible:
+        return solutions.join(right, shared, how)
+    r = right
+    for c in shared:
+        r = r.withColumnRenamed(c, f"_e_{c}")
+    compat = F.lit(True)
+    for c in shared:
+        compat = compat & (F.col(c).isNull() |
+                           (F.col(c) == F.col(f"_e_{c}")))
+    return solutions.join(F.broadcast(r), compat, how)
 
 
 def match_minus(triples: DataFrame, solutions: DataFrame,

@@ -81,7 +81,8 @@ _TOKEN_RE = re.compile(r"""
   | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
   | (?P<string>"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9\-]+|\^\^<[^>]*>)?)
   | (?P<number>[+-]?\d+(?:\.\d+)?)
-  | (?P<pname>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-.]*|:[A-Za-z0-9_\-.]+)
+  | (?P<pname>[A-Za-z_][A-Za-z0-9_\-]*:(?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?
+              |:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<op>&&|\|\||!=|<=|>=|[{}().;,^/|+*?!=<>])
 """, re.X)
@@ -749,10 +750,15 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
                         values=q["values"])
     for name, col in q["binds"]:
         sol = sol.withColumn(name, col)
+    # OPTIONAL and variable-padded UNION arms introduce NULLs; EXISTS/
+    # MINUS must then use the spec's unbound-is-free compatibility
+    # semantics (null-safe non-equi path) instead of plain equality
+    unbound = bool(q["optionals"]) or q["union"] is not None
     for negate_flag, pats in q["exists"]:
-        sol = filter_exists(triples, sol, pats, negate=negate_flag)
+        sol = filter_exists(triples, sol, pats, negate=negate_flag,
+                            unbound_possible=unbound)
     for pats in q["minuses"]:
-        sol = match_minus(triples, sol, pats)
+        sol = match_minus(triples, sol, pats, unbound_possible=unbound)
     for make in q["filters"]:
         sol = sol.filter(make())
 
@@ -781,7 +787,9 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
                if q["group_by"] else sol.agg(*aggs))
         for make in q["having"]:
             sol = sol.filter(make())
-        order = [i[1] for i in proj if i[0] == "var"] + names
+        # project in the SELECT clause's textual order (group keys and
+        # aggregate aliases interleave exactly as written)
+        order = [i[1] if i[0] == "var" else i[2] for i in proj]
         sol = sol.select(*order)
     else:
         for item in proj:

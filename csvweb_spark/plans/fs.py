@@ -67,9 +67,14 @@ class LocalFS:
 
     def rmtree(self, p: str) -> None:
         """Recursive delete; missing paths are a no-op (idempotent
-        cleanup - compaction may retry after a crash)."""
+        cleanup - compaction may retry after a crash). Real deletion
+        failures (permissions, open handles) RAISE - swallowing them
+        would let stale delta dirs shadow compacted state forever."""
         import shutil
-        shutil.rmtree(p, ignore_errors=True)
+        try:
+            shutil.rmtree(p)
+        except FileNotFoundError:
+            pass
 
 
 class _HadoopFooterFile:
@@ -168,7 +173,10 @@ class HadoopFS:
 
     def rmtree(self, p: str) -> None:
         """Recursive delete via FileSystem.delete(path, recursive=True);
-        missing paths are a no-op (idempotent cleanup)."""
+        missing paths are a no-op (idempotent cleanup). delete() returns
+        False for a path that vanished between the exists probe and the
+        call (concurrent cleanup) - also a no-op; other failures raise
+        from the JVM side."""
         jp = self._p(p)
         if self._fs.exists(jp):
             self._fs.delete(jp, True)

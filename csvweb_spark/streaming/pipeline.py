@@ -408,6 +408,46 @@ def stream_page_stats(spark: SparkSession, input_dir: str,
 
 
 LABEL_STATE_SUBDIR = "_state/labels"
+LABEL_EPOCH_FILE = "_compact_epoch"
+
+
+def _batch_dirs(fs, root: str, committed_only: bool = True):
+    """(batch_id, absolute_path) for every `batch=<id>` partition dir
+    under `root`, ascending by id - the ONE place the partition layout
+    is parsed. With `committed_only` (the default read path), dirs
+    without Spark's _SUCCESS marker are skipped: a crashed batch's torn
+    part-files must never reach a consumer - the owning stream's retry
+    overwrites the dir, and until then the visible state is simply 'as
+    of the previous batch', which is consistent."""
+    if not fs.isdir(root):
+        return []
+    out = []
+    for d in fs.listdir(root):
+        if not d.startswith("batch="):
+            continue
+        path = fs.join(root, d)
+        if committed_only and not fs.exists(fs.join(path, "_SUCCESS")):
+            continue
+        out.append((int(d.split("=", 1)[1]), path))
+    return sorted(out)
+
+
+def _compact_offset(fs, root: str) -> int:
+    """Stream-batch-id -> dir-id offset. Spark's checkpoint numbers
+    micro-batches monotonically with no knowledge of compaction, so a
+    consolidated dir written at `max+1` would collide with the NEXT
+    micro-batch's id after a stream restart - the batch would exclude
+    the consolidated dir as 'its own crashed attempt' and then
+    overwrite it, destroying the committed labels. Each compaction
+    therefore bumps this offset (committed atomically BEFORE the old
+    deltas are removed), and the stream maps batch_id -> dir id
+    batch_id + offset. Retries are still exactly-once: compaction must
+    not run concurrently with the stream, so the offset a retry reads
+    is the offset its first attempt read."""
+    path = fs.join(root, LABEL_EPOCH_FILE)
+    if not fs.exists(path):
+        return 0
+    return int(fs.read_json(path)["offset"])
 
 
 def read_entity_components(spark: SparkSession, output_dir: str,
@@ -426,16 +466,12 @@ def read_entity_components(spark: SparkSession, output_dir: str,
     from ..plans.fs import fs_for
     fs = fs_for(output_dir, spark)
     root = fs.join(output_dir, LABEL_STATE_SUBDIR)
-    if not fs.isdir(root):
-        return spark.createDataFrame([], "node long, component long")
-    dirs = [d for d in sorted(fs.listdir(root)) if d.startswith("batch=")]
-    if exclude_batch is not None:
-        dirs = [d for d in dirs
-                if int(d.split("=", 1)[1]) != exclude_batch]
+    dirs = [(b, p) for b, p in _batch_dirs(fs, root)
+            if exclude_batch is None or b != exclude_batch]
     if not dirs:
         return spark.createDataFrame([], "node long, component long")
     df = (spark.read.option("basePath", root)
-          .parquet(*[fs.join(root, d) for d in dirs]))
+          .parquet(*[p for _, p in dirs]))
     return (df.groupBy("node")
             .agg(F.max_by("component", "batch").alias("component")))
 
@@ -484,13 +520,16 @@ def stream_entity_components(spark: SparkSession, input_dir: str,
         try:
             if edges.count() == 0:
                 return
+            root = fs.join(output_dir, LABEL_STATE_SUBDIR)
+            # dir id = batch id + compaction offset (see _compact_offset:
+            # keeps consolidated snapshots out of the stream's id space)
+            dir_id = batch_id + _compact_offset(fs, root)
             committed = read_entity_components(
-                spark, output_dir, exclude_batch=batch_id)
+                spark, output_dir, exclude_batch=dir_id)
             delta = incremental_components(edges, committed) \
                 .select(F.col("node").cast("long").alias("node"),
                         F.col("component").cast("long").alias("component"))
-            bdir = fs.join(fs.join(output_dir, LABEL_STATE_SUBDIR),
-                           f"batch={batch_id}")
+            bdir = fs.join(root, f"batch={dir_id}")
             delta.write.mode("overwrite").parquet(bdir)
         finally:
             edges.unpersist()
@@ -510,23 +549,34 @@ def compact_entity_components(spark: SparkSession, output_dir: str,
     the inputs - run when the delta row count overtakes the live node
     count (read cost is delta-bound, see read_entity_components).
 
-    The consolidated argmax is written FIRST as a regular batch
-    partition (id = max existing + 1, or `batch_id`), so a crash
-    between write and cleanup leaves a correct, merely-uncompacted
-    state: latest-batch-wins over (old deltas + consolidated) equals
-    the consolidated rows. Old dirs are removed only after the write
-    succeeds. Returns the consolidated partition's batch id. Must not
-    run concurrently with the owning stream (stop the query or run it
-    from the stream's own foreachBatch cadence)."""
+    Crash-safe ordering (each step leaves a correct visible state):
+    1. the consolidated argmax is written as a regular batch partition
+       at id = max existing + 1 (or `batch_id` - the caller then owns
+       collision avoidance). A crash here: old deltas still present,
+       latest-batch-wins over (old + consolidated) = consolidated; and
+       if the resumed stream's next micro-batch lands on the same id,
+       it overwrites only the (redundant) snapshot and reads the still-
+       present old deltas - correct either way.
+    2. the batch-id offset file is bumped atomically (_compact_offset),
+       moving every FUTURE micro-batch's dir id past the consolidated
+       snapshot so the stream can never exclude-and-overwrite it.
+    3. only then are the old delta dirs removed (including torn dirs
+       from crashed batches - their ids stay burned via the max scan
+       in step 1, which counts uncommitted dirs too).
+
+    Returns the consolidated partition's batch id. Must not run
+    concurrently with the owning stream (stop the query or run it from
+    the stream's own foreachBatch cadence) - retry exactly-once-ness
+    relies on the offset being stable within a batch attempt."""
+    import json
+
     from ..plans.fs import fs_for
     fs = fs_for(output_dir, spark)
     root = fs.join(output_dir, LABEL_STATE_SUBDIR)
-    if not fs.isdir(root):
-        return -1
-    dirs = sorted(d for d in fs.listdir(root) if d.startswith("batch="))
-    if len(dirs) <= 1:
-        return int(dirs[0].split("=", 1)[1]) if dirs else -1
-    new_id = (max(int(d.split("=", 1)[1]) for d in dirs) + 1
+    all_dirs = _batch_dirs(fs, root, committed_only=False)
+    if len(all_dirs) <= 1:
+        return all_dirs[0][0] if all_dirs else -1
+    new_id = (max(b for b, _ in all_dirs) + 1
               if batch_id is None else batch_id)
     state = read_entity_components(spark, output_dir).persist()
     state.count()
@@ -535,7 +585,11 @@ def compact_entity_components(spark: SparkSession, output_dir: str,
             fs.join(root, f"batch={new_id}"))
     finally:
         state.unpersist()
-    for d in dirs:
-        if int(d.split("=", 1)[1]) != new_id:
-            fs.rmtree(fs.join(root, d))
+    offset = _compact_offset(fs, root)
+    fs.write_text_atomic(fs.join(root, LABEL_EPOCH_FILE),
+                         json.dumps({"offset": offset + 1}),
+                         fs.join(root, f"._tmp_{LABEL_EPOCH_FILE}"))
+    for b, path in all_dirs:
+        if b != new_id:
+            fs.rmtree(path)
     return new_id

@@ -244,3 +244,60 @@ def test_new_construct_rejections():
     ]:
         with pytest.raises(SparqlSyntaxError, match=msg):
             _parse_query(bad)
+
+
+def test_minus_exists_with_unbound_optional(kg):
+    """REGRESSION (round-4 review): OPTIONAL-produced NULLs in shared
+    variables must use the spec's unbound-is-free compatibility, not
+    plain (null-rejecting) equality joins."""
+    # MINUS: every ?c has an ex:age triple; for non-vip rows ?v is
+    # unbound, so the MINUS group { ?c ex:age ?v } is compatible per
+    # SPARQL 1.1 8.3.3 (unbound vars are ignored) and removes the row.
+    out = sparql_select(kg, """
+      PREFIX ex: <http://ex.org/>
+      SELECT ?c WHERE {
+        ?c ex:in ?n .
+        OPTIONAL { ?c ex:vip ?v }
+        MINUS { ?c ex:age ?v }
+      }
+    """)
+    got = sorted(int(r.c.rsplit("C", 1)[1]) for r in out.collect())
+    # vip rows bind ?v="gold" which matches no age literal -> kept;
+    # non-vip rows have unbound ?v -> removed
+    assert got == [0, 4, 8, 12, 16]
+    # EXISTS: unbound ?v leaves the sub-pattern variable free, so
+    # { ?c ex:age ?v } matches for the 15 non-vip rows; the 5 vip rows
+    # substitute ?v="gold", which matches no age literal -> dropped.
+    # (The pre-fix equality semi-join returned 0 rows: NULL never
+    # equality-matches, so even the unbound rows were dropped.)
+    out2 = sparql_select(kg, """
+      PREFIX ex: <http://ex.org/>
+      SELECT ?c WHERE {
+        ?c ex:in ?n .
+        OPTIONAL { ?c ex:vip ?v }
+        FILTER EXISTS { ?c ex:age ?v }
+      }
+    """)
+    got2 = sorted(int(r.c.rsplit("C", 1)[1]) for r in out2.collect())
+    assert got2 == sorted(k for k in range(20) if k % 4 != 0)
+
+
+def test_pname_flush_terminator(kg):
+    """REGRESSION (round-4 review): an object pname flush against '.'
+    must not absorb the terminator into the local name (PN_LOCAL
+    cannot end with '.')."""
+    out = sparql_select(kg, """
+      PREFIX ex: <http://ex.org/>
+      SELECT ?c WHERE { ?c ex:next ex:C0. }
+    """)
+    assert [r.c for r in out.collect()] == [f"{EX}C1"]
+
+
+def test_grouped_projection_order(kg):
+    """REGRESSION (round-4 review): grouped SELECT must keep the
+    textual projection order, not group-keys-first."""
+    out = sparql_select(kg, """
+      PREFIX ex: <http://ex.org/>
+      SELECT (COUNT(?c) AS ?m) ?n WHERE { ?c ex:in ?n } GROUP BY ?n
+    """)
+    assert out.columns == ["m", "n"]

@@ -345,9 +345,89 @@ def test_compact_entity_components(spark, tmp_path):
     assert len(os.listdir(state_root)) == 2
     new_id = compact_entity_components(spark, out)
     assert new_id == 2
-    assert os.listdir(state_root) == ["batch=2"]
+    # one consolidated partition + the batch-id offset marker
+    assert sorted(os.listdir(state_root)) == ["_compact_epoch", "batch=2"]
     after = {r.node: r.component for r in
              read_entity_components(spark, out).collect()}
     assert after == before
     # second compaction is a no-op returning the live partition id
     assert compact_entity_components(spark, out) == 2
+
+
+def test_compact_then_stream_resume_preserves_state(spark, tmp_path):
+    """REGRESSION (round-4 review): the consolidated partition id
+    (max+1) is exactly the id Spark's checkpoint hands the NEXT
+    micro-batch after a resume - without the offset file the resumed
+    batch would exclude the consolidated dir as 'its own crashed
+    attempt', read empty committed state and then overwrite it,
+    silently destroying every committed label."""
+    import os
+
+    from csvweb_spark.streaming.pipeline import (
+        compact_entity_components, read_entity_components,
+        stream_entity_components)
+
+    edges_dir = str(tmp_path / "edges")
+    out = str(tmp_path / "labels")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(edges_dir)
+
+    def add_batch_file(name, rows):
+        stage = f"{tmp_path}/_stage_{name}"
+        spark.createDataFrame(rows, "src long, dst long") \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage)
+                if f.endswith(".parquet")][0]
+        os.rename(f"{stage}/{part}", f"{edges_dir}/{name}.parquet")
+
+    add_batch_file("b0", [(1, 2), (5, 6)])
+    add_batch_file("b1", [(2, 5)])
+    q = stream_entity_components(spark, edges_dir, out, ckpt,
+                                 max_files_per_trigger=1)
+    q.awaitTermination(180)
+    assert compact_entity_components(spark, out) == 2
+
+    # new edges arrive; the stream resumes from the SAME checkpoint -
+    # its next micro-batch id (2) collides with the consolidated dir id
+    add_batch_file("b2", [(10, 11)])
+    q2 = stream_entity_components(spark, edges_dir, out, ckpt,
+                                  max_files_per_trigger=1)
+    q2.awaitTermination(180)
+    got = {r.node: r.component for r in
+           read_entity_components(spark, out).collect()}
+    assert got == {1: 1, 2: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+    state_root = os.path.join(out, "_state", "labels")
+    dirs = sorted(d for d in os.listdir(state_root)
+                  if d.startswith("batch="))
+    # consolidated snapshot intact; new batch landed at 2+offset(1)=3
+    assert dirs == ["batch=2", "batch=3"]
+
+
+def test_read_entity_components_skips_torn_batch_dir(spark, tmp_path):
+    """A crashed batch's partial dir (no _SUCCESS marker) must be
+    invisible to consumers - the visible state stays 'as of the
+    previous batch' instead of serving torn, half-relabeled rows."""
+    import os
+    import shutil
+
+    from csvweb_spark.streaming.pipeline import (
+        read_entity_components, stream_entity_components)
+
+    edges_dir = str(tmp_path / "edges")
+    out = str(tmp_path / "labels")
+    spark.createDataFrame([(1, 2)], "src long, dst long") \
+        .coalesce(1).write.parquet(edges_dir)
+    q = stream_entity_components(spark, edges_dir, out,
+                                 str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    state_root = os.path.join(out, "_state", "labels")
+    # forge a torn higher batch: part-files copied, _SUCCESS removed
+    src = os.path.join(state_root, "batch=0")
+    torn = os.path.join(state_root, "batch=7")
+    shutil.copytree(src, torn)
+    os.remove(os.path.join(torn, "_SUCCESS"))
+    got = {r.node: r.component for r in
+           read_entity_components(spark, out).collect()}
+    assert got == {1: 1, 2: 1}
+    input_files = read_entity_components(spark, out).inputFiles()
+    assert all("batch=7" not in f for f in input_files)
