@@ -385,6 +385,55 @@ def q_pagerank(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+def q_kg_communities(spark, sf_dir):
+    """Deterministic label propagation (graph.py::label_propagation,
+    2 rounds) over the chain+star graph: most-frequent neighbor label,
+    ties to the smallest - every step an order-independent aggregate,
+    so the unrolled SQL window oracle replays the exact labels."""
+    from csvweb_spark.operators.graph import label_propagation
+    out = label_propagation(_chain_star_edges(spark, sf_dir), rounds=2)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.col("label").cast("long").alias("label"))
+
+
+def q_kg_cooccurrence(spark, sf_dir):
+    """Bipartite co-occurrence projection (graph.py::
+    cooccurrence_projection): parts sharing an order become affinity
+    edges (the market-basket shape of entity-per-page containment).
+    Orders with more than 5 distinct parts are census-capped out (the
+    hub guard; the audit side is exercised in unit tests) - oracle is
+    the same degree-filtered self-join."""
+    from csvweb_spark.operators.graph import cooccurrence_projection
+    li = (_load(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < 500))
+    pairs = cooccurrence_projection(
+        li.select(F.col("l_partkey").alias("src"),
+                  F.col("l_orderkey").alias("dst")),
+        max_fanout=5)
+    return pairs.select(F.col("node_a").cast("long").alias("node_a"),
+                        F.col("node_b").cast("long").alias("node_b"),
+                        F.col("n_shared").cast("long").alias("n_shared"))
+
+
+def q_kg_snapshot_asof(spark, sf_dir):
+    """Temporal-KG point-in-time read (asof.py::snapshot_asof): events
+    become re-asserted (subj, pred, obj) versions along ts (the
+    warc_ts axis of the north-star input), and the snapshot keeps the
+    latest object per key as of Jan 15 via a map-side-combinable
+    struct-max, NOT a window sort. Oracle is the row_number window
+    (ORDER BY ts DESC, obj DESC) - same rows, different plan."""
+    from csvweb_spark.operators.asof import snapshot_asof
+    ev = _load(spark, sf_dir, "events")
+    t = ev.select(
+        F.concat(F.lit("ex:U"), F.col("user_id")).alias("subj"),
+        F.concat(F.lit("ex:"), F.col("event_type")).alias("pred"),
+        F.floor(F.col("value") * 100).cast("long").alias("obj"),
+        F.col("ts"))
+    out = snapshot_asof(t, "2024-01-15 00:00:00", ts_col="ts")
+    return out.select("subj", "pred", "obj",
+                      F.col("ts").alias("asof_ts"))
+
+
 def q_dedup_exact(spark, sf_dir):
     from csvweb_spark.operators.dedup import dedup_exact
     docs = _load(spark, sf_dir, "documents")
@@ -1798,6 +1847,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link_fuzzy": q_entity_link_fuzzy,
         "canonicalize_cc": q_canonicalize_cc,
         "kg_khop": q_kg_khop,
+        "kg_communities": q_kg_communities,
+        "kg_cooccurrence": q_kg_cooccurrence,
+        "kg_snapshot_asof": q_kg_snapshot_asof,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2742,6 +2794,63 @@ def oracle_sql() -> dict[str, str]:
                 WHERE bfs.hops < 3)
             SELECT node::bigint AS node, min(hops)::bigint AS hops
             FROM bfs GROUP BY node
+        """,
+        "kg_communities": """
+            WITH c AS (SELECT c_custkey AS k FROM customer
+                       WHERE c_custkey < 400),
+            dir AS (
+                SELECT a.k AS a, a.k + 1 AS b
+                FROM c a JOIN c n ON n.k = a.k + 1
+                WHERE a.k % 100 <> 99
+                UNION ALL
+                SELECT 0, k FROM c WHERE k > 0 AND k < 100),
+            und AS (SELECT DISTINCT u, v FROM (
+                      SELECT a AS u, b AS v FROM dir WHERE a <> b
+                      UNION ALL
+                      SELECT b AS u, a AS v FROM dir WHERE a <> b)),
+            l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
+            c1 AS (SELECT und.u AS node, l0.label, count(*) AS c
+                   FROM und JOIN l0 ON l0.node = und.v
+                   GROUP BY und.u, l0.label),
+            l1 AS (SELECT node, label FROM (
+                     SELECT node, label,
+                            row_number() OVER (
+                                PARTITION BY node
+                                ORDER BY c DESC, label ASC) AS rn
+                     FROM c1) WHERE rn = 1),
+            c2 AS (SELECT und.u AS node, l1.label, count(*) AS c
+                   FROM und JOIN l1 ON l1.node = und.v
+                   GROUP BY und.u, l1.label),
+            l2 AS (SELECT node, label FROM (
+                     SELECT node, label,
+                            row_number() OVER (
+                                PARTITION BY node
+                                ORDER BY c DESC, label ASC) AS rn
+                     FROM c2) WHERE rn = 1)
+            SELECT node::bigint AS node, label::bigint AS label FROM l2
+        """,
+        "kg_cooccurrence": """
+            WITH e AS (SELECT DISTINCT l_partkey AS s, l_orderkey AS d
+                       FROM lineitem WHERE l_orderkey < 500),
+            keep AS (SELECT d FROM e GROUP BY d HAVING count(*) <= 5),
+            e2 AS (SELECT e.s, e.d FROM e JOIN keep USING (d))
+            SELECT a.s::bigint AS node_a, b.s::bigint AS node_b,
+                   count(*)::bigint AS n_shared
+            FROM e2 a JOIN e2 b ON a.d = b.d AND a.s < b.s
+            GROUP BY a.s, b.s
+        """,
+        "kg_snapshot_asof": """
+            WITH t AS (SELECT 'ex:U' || user_id AS subj,
+                              'ex:' || event_type AS pred,
+                              floor(value * 100)::bigint AS obj, ts
+                       FROM events
+                       WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'),
+            r AS (SELECT subj, pred, obj, ts,
+                         row_number() OVER (
+                             PARTITION BY subj, pred
+                             ORDER BY ts DESC, obj DESC) AS rn
+                  FROM t)
+            SELECT subj, pred, obj, ts AS asof_ts FROM r WHERE rn = 1
         """,
         "dedup_exact": """
             WITH d AS (

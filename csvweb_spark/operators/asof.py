@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -84,3 +84,36 @@ def asof_join(left: DataFrame, right: DataFrame, time_col: str,
         *left_cols,
         *[F.col(f"_m.{c}").alias(c) for c in payload_cols],
         F.col("_m._rt").alias(right_time_alias))
+
+
+def snapshot_asof(df: DataFrame, at, ts_col: str = "warc_ts",
+                  key_cols: tuple = ("subj", "pred"),
+                  val_cols: tuple = ("obj",)) -> DataFrame:
+    """Point-in-time snapshot of a versioned assertion table: for every
+    key, the `val_cols` of the LATEST row with ts <= `at`. This is the
+    temporal-KG read - a crawl re-asserts (subj, pred) with changing
+    objects over time (the input table's warc_ts is exactly this
+    version axis), and a consumer wants the graph as of a date, not
+    the union of all versions.
+
+    Spark-first shape: a struct-max aggregate, NOT a row_number window.
+    max(struct(ts, vals...)) partial-aggregates map-side (each map task
+    forwards ONE candidate row per key it sees), so a key re-asserted
+    on 10^6 pages shuffles 10^6-fold less than a window sort; the
+    window plan would sort whole partitions on the reducer. Ties on
+    the timestamp break by the greatest value tuple (struct comparison
+    is lexicographic) - deterministic, and a SQL row_number oracle
+    (ORDER BY ts DESC, vals DESC) replays it exactly.
+
+    `at` is anything Spark casts to timestamp (ISO string / datetime /
+    Column)."""
+    at_ts = at if isinstance(at, Column) else F.lit(at).cast("timestamp")
+    fields = [F.col(ts_col).alias("_ts")] + \
+        [F.col(c).alias(f"_v{i}") for i, c in enumerate(val_cols)]
+    m = (df.filter(F.col(ts_col) <= at_ts)
+         .groupBy(*key_cols)
+         .agg(F.max(F.struct(*fields)).alias("_m")))
+    return m.select(*key_cols,
+                    *[F.col(f"_m._v{i}").alias(c)
+                      for i, c in enumerate(val_cols)],
+                    F.col("_m._ts").alias(ts_col))

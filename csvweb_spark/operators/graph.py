@@ -16,6 +16,8 @@ Both are DuckDB-oracle-checkable (BFS min-hop via recursive CTE).
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -299,3 +301,98 @@ def shortest_paths(edges: DataFrame, seeds: DataFrame,
                 .localCheckpoint(eager=True))
         frontier = improved
     return dist
+
+
+def cooccurrence_projection(edges: DataFrame, src: str = "src",
+                            dst: str = "dst",
+                            max_fanout: Optional[int] = None,
+                            min_shared: int = 1,
+                            return_dropped: bool = False):
+    """Bipartite co-occurrence projection (the market-basket / related-
+    entity graph): for every pair of `src` nodes sharing at least
+    `min_shared` distinct `dst` values, emit (node_a, node_b, n_shared)
+    with node_a < node_b. This is how a KG derives an entity-affinity
+    edge set from containment edges (entities per page, parts per
+    order, tokens per doc).
+
+    Scale shape: the projection is per-dst quadratic BY CONSTRUCTION -
+    a dst with fanout f yields f*(f-1)/2 pairs, so one 10^6-fanout hub
+    (a boilerplate page every entity links to) emits 5*10^11 rows.
+    `max_fanout` census-caps that: dsts above the cap are REMOVED and
+    returned as an audit DataFrame (d, fanout) when `return_dropped`
+    (repo rule: no silent caps; high-fanout dsts carry near-zero
+    affinity signal anyway, the same argument as stop-word removal).
+    The self-join shuffles both sides on `dst` once - same-key sort-
+    merge with exchange reuse, AQE-skew-splittable - and the pair
+    count is a map-side-combinable groupBy.
+
+    Deterministic (set semantics on edges, ordered pair output), so a
+    SQL self-join oracle replays it exactly."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")) \
+        .distinct()
+    dropped = None
+    if max_fanout is not None:
+        census = e.groupBy("d").agg(F.count(F.lit(1)).alias("fanout"))
+        dropped = census.filter(F.col("fanout") > max_fanout)
+        e = e.join(dropped.select("d"), "d", "left_anti")
+    a = e.select(F.col("s").alias("node_a"), "d")
+    b = e.select(F.col("s").alias("node_b"), "d")
+    pairs = (a.join(b, "d")
+             .filter(F.col("node_a") < F.col("node_b"))
+             .groupBy("node_a", "node_b")
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .filter(F.col("n_shared") >= min_shared))
+    if return_dropped:
+        if dropped is None:
+            # always a DataFrame, never None (round-3 ADVICE on the
+            # dedup_simhash audit contract)
+            dropped = (e.groupBy("d")
+                       .agg(F.count(F.lit(1)).alias("fanout"))
+                       .filter(F.lit(False)))
+        return pairs, dropped
+    return pairs
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """Synchronous label propagation over the undirected view - the
+    standard cheap community-detection pass for KG neighborhoods
+    (denser-than-component clusters: CC merges everything reachable,
+    LPA keeps chain-distant regions apart).
+
+    Deterministic variant (plain LPA is notoriously order-dependent):
+    labels start as the node id; each round EVERY node takes the most
+    frequent label among its neighbors, ties broken by the SMALLEST
+    label; a fixed `rounds` count, no convergence test. Every step is
+    an order-independent aggregate (count, then min over a (-count,
+    label) struct), so the result is invariant to partitioning and an
+    unrolled SQL window oracle replays it exactly.
+
+    Scale shape per round: one hash join of the undirected edge list
+    against the (node, label) table (both keyed on node id), one
+    map-side-combinable (node, label) count, one struct-min groupBy.
+    A 10^8-degree hub pre-aggregates its neighbor-label counts per map
+    partition - no single-reducer concentration. localCheckpoint per
+    round truncates the iterative lineage (pagerank discipline).
+    Self-loops are dropped; isolated nodes do not appear (no edges, no
+    community membership)."""
+    assert rounds >= 0
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .filter(F.col("u") != F.col("v")))
+    und = (und.unionByName(und.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+           .distinct())
+    labels = (und.select(F.col("u").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(rounds):
+        nbr = (und.join(labels.withColumnRenamed("node", "v"), "v")
+               .select(F.col("u").alias("node"), "label"))
+        cnt = (nbr.groupBy("node", "label")
+               .agg(F.count(F.lit(1)).alias("c")))
+        labels = (cnt.groupBy("node")
+                  .agg(F.min(F.struct((-F.col("c")).alias("negc"),
+                                      F.col("label").alias("label")))
+                       .alias("m"))
+                  .select("node", F.col("m.label").alias("label"))
+                  .localCheckpoint(eager=True))
+    return labels

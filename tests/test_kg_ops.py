@@ -716,3 +716,64 @@ def test_incremental_components_new_smaller_id_wins(spark):
     # an intra-component edge is a no-op relabel (delta keeps the label)
     delta2 = incremental_components(_edges(spark, [(7, 8)]), labels1)
     assert {r.node: r.component for r in delta2.collect()} == {7: 7, 8: 7}
+
+
+def test_label_propagation_two_triangles(spark):
+    """Two triangles bridged by one edge: LPA (deterministic variant -
+    mode with min-label ties) separates them into two communities by
+    round 2, hand-traced: l2 = {1,2,3 -> 1; 10 -> 10; 11,12 -> 3}."""
+    from csvweb_spark.operators.graph import label_propagation
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "src long, dst long")
+    got = {r.node: r.label
+           for r in label_propagation(edges, rounds=2).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 3, 12: 3}
+    # rounds=0 is the identity labeling over the node set
+    got0 = {r.node: r.label
+            for r in label_propagation(edges, rounds=0).collect()}
+    assert got0 == {n: n for n in (1, 2, 3, 10, 11, 12)}
+
+
+def test_cooccurrence_projection_cap_and_audit(spark):
+    from csvweb_spark.operators.graph import cooccurrence_projection
+    edges = spark.createDataFrame(
+        [(1, "o1"), (2, "o1"), (3, "o1"), (1, "o2"), (2, "o2"),
+         (2, "o2")]  # duplicate edge: set semantics
+        + [(k, "hub") for k in range(1, 11)],
+        "src long, dst string")
+    pairs, dropped = cooccurrence_projection(
+        edges, max_fanout=5, return_dropped=True)
+    got = {(r.node_a, r.node_b): r.n_shared for r in pairs.collect()}
+    # hub (fanout 10) is census-capped out; o1/o2 pairs survive
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+    assert [(r.d, r.fanout) for r in dropped.collect()] == [("hub", 10)]
+    # min_shared prunes the weak pairs
+    strong = cooccurrence_projection(edges, max_fanout=5, min_shared=2)
+    assert [(r.node_a, r.node_b, r.n_shared)
+            for r in strong.collect()] == [(1, 2, 2)]
+    # no cap: audit side is an EMPTY DataFrame, never None (the
+    # dedup_simhash ADVICE contract)
+    _, nodrop = cooccurrence_projection(edges, return_dropped=True)
+    assert nodrop.count() == 0 and "fanout" in nodrop.columns
+
+
+def test_snapshot_asof_latest_per_key(spark):
+    from datetime import datetime
+
+    from csvweb_spark.operators.asof import snapshot_asof
+    rows = [
+        ("s1", "p", 10, datetime(2024, 1, 1)),
+        ("s1", "p", 20, datetime(2024, 1, 10)),
+        ("s1", "p", 99, datetime(2024, 2, 1)),   # after the cutoff
+        ("s2", "p", 1, datetime(2024, 1, 5)),
+        ("s2", "p", 7, datetime(2024, 1, 5)),    # ts tie -> max obj
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj long, warc_ts timestamp")
+    got = {(r.subj, r.pred): (r.obj, r.warc_ts)
+           for r in snapshot_asof(df, "2024-01-15 00:00:00").collect()}
+    assert got == {
+        ("s1", "p"): (20, datetime(2024, 1, 10)),
+        ("s2", "p"): (7, datetime(2024, 1, 5)),
+    }
