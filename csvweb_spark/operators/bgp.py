@@ -250,7 +250,17 @@ def construct(triples: DataFrame, patterns: list[Pattern],
         raise ValueError("empty CONSTRUCT template")
     sol = match_bgp(triples, patterns, allow_cartesian=allow_cartesian,
                     optional=optional, values=values)
-    bound = set(sol.columns)
+    return instantiate_template(sol, template)
+
+
+def instantiate_template(solutions: DataFrame,
+                         template: list[Pattern]) -> DataFrame:
+    """The CONSTRUCT tail: instantiate each template triple once per
+    solution row; unbound-variable instances are skipped per spec and
+    the result is a set (one distinct)."""
+    if not template:
+        raise ValueError("empty CONSTRUCT template")
+    bound = set(solutions.columns)
     for i, pat in enumerate(template):
         for term in pat:
             if _is_var(term) and term.lstrip("?") not in bound:
@@ -262,7 +272,7 @@ def construct(triples: DataFrame, patterns: list[Pattern],
         cols = [(F.col(term[1:]) if _is_var(term)
                  else F.lit(term)).alias(pos)
                 for pos, term in zip(_POS, pat)]
-        t = sol.select(*cols).filter(
+        t = solutions.select(*cols).filter(
             F.col("subj").isNotNull() & F.col("pred").isNotNull()
             & F.col("obj").isNotNull())
         outs.append(t)

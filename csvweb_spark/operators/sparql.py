@@ -11,7 +11,14 @@ Supported subset (raise on anything else - no silent misparse):
 
 * query forms:  SELECT ... WHERE {...} modifiers; ASK [WHERE] {...}
                 (compiles to a one-row boolean `ask` column - a
-                limit-1 existence probe, not a full count).
+                limit-1 existence probe, not a full count);
+                CONSTRUCT { template } WHERE {...} (instantiates the
+                template per solution, skips unbound instances,
+                returns the distinct (subj, pred, obj) graph);
+                DESCRIBE <iri>... | ?v... WHERE {...} (symmetric
+                concise description via two broadcast semi-joins,
+                `describe_nodes`). CONSTRUCT/DESCRIBE take no
+                solution modifiers in this subset.
 * prologue:     PREFIX p: <iri>  (any number; 'a' = rdf:type)
 * projection:   SELECT [DISTINCT] (*| ?v... | (AGG(...) AS ?alias)...
                 | (value-expr AS ?alias)...)
@@ -87,7 +94,8 @@ _TOKEN_RE = re.compile(r"""
   | (?P<op>&&|\|\||!=|<=|>=|[{}().;,^/|+*?!=<>])
 """, re.X)
 
-_KEYWORDS = {"PREFIX", "SELECT", "ASK", "DISTINCT", "WHERE", "OPTIONAL",
+_KEYWORDS = {"PREFIX", "SELECT", "ASK", "CONSTRUCT", "DESCRIBE",
+             "DISTINCT", "WHERE", "OPTIONAL",
              "FILTER", "EXISTS", "NOT", "MINUS", "UNION", "VALUES", "BIND",
              "GROUP", "BY", "HAVING", "ORDER", "ASC", "DESC", "LIMIT",
              "OFFSET", "AS", "COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
@@ -534,10 +542,45 @@ def _parse_query(text: str) -> dict:
             raise SparqlSyntaxError(f"bad PREFIX name {v!r}")
         p.prefixes[v[:-1]] = p.expect("iri")[1:-1]
 
-    form = "ask" if p.eat("kw", "ASK") else "select"
+    form = "select"
+    template = None        # CONSTRUCT template triples
+    describe_terms = None  # [("var", name) | ("iri", value)]
+    has_group = True
     distinct = False
     projection: list = []  # ("var", name) | ("agg", spec, alias)
     #                        | ("vexpr", Column, alias) | ("star",)
+    if p.eat("kw", "ASK"):
+        form = "ask"
+    elif p.eat("kw", "CONSTRUCT"):
+        form = "construct"
+        p.expect("op", "{")
+        template = []
+        while not p.at("op", "}"):
+            p.triples_block(template)
+        p.expect("op", "}")
+        if not template:
+            raise SparqlSyntaxError("empty CONSTRUCT template")
+        for pat in template:
+            if isinstance(pat[1], tuple):
+                raise SparqlSyntaxError(
+                    "property path in CONSTRUCT template")
+    elif p.eat("kw", "DESCRIBE"):
+        form = "describe"
+        describe_terms = []
+        while True:
+            if p.at("var"):
+                describe_terms.append(("var", p.next()[1][1:]))
+            elif p.at("iri") or p.at("pname"):
+                describe_terms.append(("iri", p.iri_term()))
+            else:
+                break
+        if not describe_terms:
+            raise SparqlSyntaxError("DESCRIBE needs terms")
+        if not (p.at("kw", "WHERE") or p.at("op", "{")):
+            has_group = False
+            if any(k == "var" for k, _ in describe_terms):
+                raise SparqlSyntaxError(
+                    "DESCRIBE ?var needs a WHERE group to bind it")
     if form == "select":
         p.expect("kw", "SELECT")
         distinct = p.eat("kw", "DISTINCT")
@@ -568,8 +611,6 @@ def _parse_query(text: str) -> dict:
             if not projection:
                 raise SparqlSyntaxError("empty SELECT projection")
 
-    p.eat("kw", "WHERE")
-    p.expect("op", "{")
     patterns: list = []
     optionals: list = []
     filters: list = []       # expression closures
@@ -578,7 +619,10 @@ def _parse_query(text: str) -> dict:
     binds: list = []         # (name, Column) in textual order
     values = None
     union_groups = None
-    while not p.at("op", "}"):
+    if has_group:
+        p.eat("kw", "WHERE")
+        p.expect("op", "{")
+    while has_group and not p.at("op", "}"):
         if p.eat("kw", "OPTIONAL"):
             optionals.append(p.bare_bgp())
         elif p.eat("kw", "BIND"):
@@ -641,7 +685,8 @@ def _parse_query(text: str) -> dict:
             union_groups = arms
         else:
             p.triples_block(patterns)
-    p.expect("op", "}")
+    if has_group:
+        p.expect("op", "}")
     if union_groups and (patterns or optionals or minuses or values):
         raise SparqlSyntaxError(
             "UNION cannot mix with other group elements in this subset")
@@ -652,6 +697,10 @@ def _parse_query(text: str) -> dict:
     having_aggs: list = []   # ((fn, distinct, arg, sep), hidden_alias)
     limit = None
     offset = None
+    if form in ("construct", "describe") and not p.at("eof"):
+        raise SparqlSyntaxError(
+            f"solution modifiers are not supported for {form.upper()} "
+            "in this subset")
     while not p.at("eof"):
         if p.eat("kw", "GROUP"):
             p.expect("kw", "BY")
@@ -682,8 +731,10 @@ def _parse_query(text: str) -> dict:
         else:
             raise SparqlSyntaxError(f"unexpected trailing {p.peek()!r}")
 
-    if not patterns and union_groups is None:
+    if has_group and not patterns and union_groups is None:
         raise SparqlSyntaxError("empty group")
+    # (CONSTRUCT template variables are validated against the actual
+    # solution columns at compile time - instantiate_template raises)
     grouped = (group_by or having
                or any(item[0] == "agg" for item in projection))
     if form == "select" and grouped:
@@ -702,6 +753,7 @@ def _parse_query(text: str) -> dict:
             raise SparqlSyntaxError(
                 "GROUP BY/HAVING without any aggregate")
     return {"form": form, "distinct": distinct, "projection": projection,
+            "template": template, "describe": describe_terms,
             "patterns": patterns, "optionals": optionals,
             "filters": filters, "exists": exists, "minuses": minuses,
             "binds": binds, "values": values, "union": union_groups,
@@ -734,14 +786,12 @@ def _agg_column(spec) -> Column:
             "MIN": F.min(col), "MAX": F.max(col)}[fn]
 
 
-def sparql_select(triples: DataFrame, query: str) -> DataFrame:
-    """Parse `query` (the subset in the module docstring) and compile it
-    against the (subj, pred, obj[, ...]) triples DataFrame. SELECT
-    returns one column per projected variable/alias; ASK returns one row
-    with a boolean `ask` column."""
+def _solutions(triples: DataFrame, q: dict) -> DataFrame:
+    """The WHERE-group pipeline shared by every query form: BGP/UNION
+    match, BINDs, EXISTS/MINUS (null-aware when OPTIONAL/UNION can
+    leave variables unbound), FILTERs."""
     from .bgp import filter_exists, match_bgp, match_minus, match_union
 
-    q = _parse_query(query)
     if q["union"] is not None:
         sol = match_union(triples, q["union"])
     else:
@@ -761,7 +811,35 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         sol = match_minus(triples, sol, pats, unbound_possible=unbound)
     for make in q["filters"]:
         sol = sol.filter(make())
+    return sol
 
+
+def sparql_select(triples: DataFrame, query: str) -> DataFrame:
+    """Parse `query` (the subset in the module docstring) and compile it
+    against the (subj, pred, obj[, ...]) triples DataFrame. SELECT
+    returns one column per projected variable/alias; ASK returns one
+    row with a boolean `ask` column; CONSTRUCT returns the instantiated
+    (subj, pred, obj) graph; DESCRIBE returns every triple touching the
+    described nodes (symmetric concise description, `describe_nodes`).
+    `sparql_query` is the same callable under the form-neutral name."""
+    q = _parse_query(query)
+    if q["form"] == "construct":
+        from .bgp import instantiate_template
+        return instantiate_template(_solutions(triples, q), q["template"])
+    if q["form"] == "describe":
+        from .bgp import describe_nodes
+        consts = [v for k, v in q["describe"] if k == "iri"]
+        nodes = (triples.sparkSession.createDataFrame(
+            [(c,) for c in consts], "node string") if consts else None)
+        var_names = [v for k, v in q["describe"] if k == "var"]
+        if var_names:
+            sol = _solutions(triples, q)
+            for v in var_names:
+                nd = sol.select(F.col(v).alias("node"))
+                nodes = nd if nodes is None else nodes.unionByName(nd)
+        return describe_nodes(triples, nodes.distinct())
+
+    sol = _solutions(triples, q)
     if q["form"] == "ask":
         # existence probe: limit(1) stops every scan at first match
         return (sol.select(F.lit(1).alias("_one")).limit(1)
@@ -808,3 +886,7 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     if q["limit"] is not None:
         sol = sol.limit(q["limit"])
     return sol
+
+
+# form-neutral name: the dispatcher handles SELECT/ASK/CONSTRUCT/DESCRIBE
+sparql_query = sparql_select

@@ -301,3 +301,53 @@ def test_grouped_projection_order(kg):
       SELECT (COUNT(?c) AS ?m) ?n WHERE { ?c ex:in ?n } GROUP BY ?n
     """)
     assert out.columns == ["m", "n"]
+
+
+def test_construct_text_form(kg):
+    out = sparql_select(kg, """
+      PREFIX ex: <http://ex.org/>
+      CONSTRUCT { ?c ex:tier "vip" . ?c ex:member ?n }
+      WHERE { ?c ex:in ?n . ?c ex:vip ?v }
+    """)
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert out.columns == ["subj", "pred", "obj"]
+    assert len(rows) == 10  # 5 vip customers x 2 template triples
+    assert (f"{EX}C0", f"{EX}tier", "vip") in rows
+    assert (f"{EX}C4", f"{EX}member", f"{EX}N1") in rows
+
+
+def test_describe_text_forms(kg):
+    # constant-IRI form, no WHERE group
+    out = sparql_select(kg, """
+      PREFIX ex: <http://ex.org/>
+      DESCRIBE ex:C1
+    """)
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert rows == {
+        (f"{EX}C1", f"{EX}in", f"{EX}N1"),
+        (f"{EX}C1", f"{EX}age", "1"),
+        (f"{EX}C1", f"{EX}next", f"{EX}C0"),
+        (f"{EX}C2", f"{EX}next", f"{EX}C1")}
+    # variable form bound by a group: vip holder pointing at C3 -> C4
+    out2 = sparql_select(kg, """
+      PREFIX ex: <http://ex.org/>
+      DESCRIBE ?c WHERE { ?c ex:vip "gold" . ?c ex:next ex:C3 }
+    """)
+    subjects = {r.subj for r in out2.collect()}
+    assert subjects == {f"{EX}C4", f"{EX}C5"}  # C5 -next-> C4 inbound
+    assert out2.count() == 5
+
+
+def test_construct_describe_rejections():
+    for bad, msg in [
+        ("PREFIX e: <ex:> CONSTRUCT { ?a e:p+ ?b } WHERE { ?a e:q ?b }",
+         "property path in CONSTRUCT"),
+        ("PREFIX e: <ex:> DESCRIBE ?v", "needs a WHERE group"),
+        ("PREFIX e: <ex:> CONSTRUCT { ?a e:p ?b } WHERE { ?a e:q ?b } "
+         "LIMIT 5", "modifiers are not supported"),
+        ("PREFIX e: <ex:> CONSTRUCT { } WHERE { ?a e:q ?b }",
+         "empty CONSTRUCT"),
+        ("DESCRIBE", "DESCRIBE needs terms"),
+    ]:
+        with pytest.raises(SparqlSyntaxError, match=msg):
+            _parse_query(bad)

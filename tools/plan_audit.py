@@ -94,6 +94,22 @@ AUDITS = [
      "min-distance aggregate is map-side combinable (partial_min "
      "below the exchange); localCheckpoint truncates lineage, so the "
      "shown plan is the final round only."),
+    ("Label-propagation communities", "kg_communities",
+     "Per round: one hash join of the undirected edge list against "
+     "(node, label), then TWO map-side-combinable aggregates "
+     "(partial_count of (node,label), partial_min of the "
+     "(-count,label) struct) - hub neighbor-label multisets "
+     "pre-aggregate per map task; localCheckpoint truncates rounds, "
+     "the shown plan is the final round."),
+    ("Bipartite co-occurrence projection", "kg_cooccurrence",
+     "The census cap filters mega-fanout dsts BEFORE the quadratic "
+     "self-join; both join sides shuffle once on dst (exchange "
+     "reuse), and the pair count is a partial_count below the final "
+     "exchange - only ids ever shuffle."),
+    ("Temporal KG snapshot (as-of)", "kg_snapshot_asof",
+     "The latest-version election is ONE hash aggregate with "
+     "partial_max(struct(ts, vals)) below the exchange - NO Window/"
+     "Sort node anywhere; the cutoff filter is pushed into the scan."),
 ]
 
 
