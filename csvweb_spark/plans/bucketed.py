@@ -1,0 +1,67 @@
+"""Bucketed triple store: the zero-exchange join layout for the
+corpus-scale tables.
+
+The lineage layer (plans/lineage.py) hash-partitions output into
+DIRECTORIES - that gives resumability and partition pruning, but a join
+still shuffles both sides. Spark SQL *bucketing* goes further: a table
+written with `bucketBy(n, key)` records the bucket spec in the catalog,
+and a join (or groupBy) on the bucket key between two tables with the
+SAME bucket count compiles WITHOUT any Exchange - each task reads bucket
+i of both sides, which were co-hashed at write time.
+
+Why this matters at 100 TB: the dominant cost of every KG consumer that
+self-joins the triple table - BGP pattern joins on shared subjects,
+owl:sameAs rewrites, entity-map joins in canonicalization - is the
+exchange of the corpus-scale side. Bucketing the materialized store by
+`subj` (and the entity map by `node`) pays ONE write-time shuffle and
+amortizes it over every subsequent join: a nightly BGP workload over an
+append-only store re-shuffles nothing. `sortBy` within buckets
+additionally lets the sort-merge join skip its per-task sort when each
+bucket holds one file.
+
+Caveats (documented, not hidden):
+* bucketing is a catalog feature - tables must be read back via
+  `spark.table(name)`, not `spark.read.parquet(path)` (a path read
+  forgets the bucket spec and re-shuffles);
+* both join sides need the same bucket count (Spark can also coalesce
+  compatible multiples when `spark.sql.bucketing.coalesceBucketsInJoin`
+  is on);
+* one file per bucket per writing task - repartition by the bucket
+  column first (done here) so a 1000-task write does not create 1000
+  small files per bucket.
+
+The reference has no storage layer at all (it streams triples to an
+IRdfHandler, `Rdf/Converter.cs:235-238`); this module is the Spark-first
+answer to "where do the triples live so queries stay fast".
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(df: DataFrame, table: str, n_buckets: int,
+                   bucket_col: str = "subj",
+                   path: Optional[str] = None,
+                   sort_in_bucket: bool = True,
+                   mode: str = "overwrite") -> None:
+    """Materialize `df` as a bucketed catalog table. One write-time
+    shuffle (repartition on the bucket column) buys zero-exchange joins
+    on `bucket_col` for every reader; `path` pins the parquet location
+    (external table) - without it the warehouse dir is used."""
+    out = df.repartition(n_buckets, bucket_col)
+    w = (out.write.format("parquet").mode(mode)
+         .bucketBy(n_buckets, bucket_col))
+    if sort_in_bucket:
+        w = w.sortBy(bucket_col)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read - REQUIRED for the bucket spec to reach the planner
+    (a direct path read silently loses it and joins re-shuffle)."""
+    return spark.table(table)

@@ -325,3 +325,37 @@ def test_smush_sameas_broadcasts_rewrite_map(spark):
     from csvweb_spark.operators.entail import sameas_labels
     lplan = plan_of(sameas_labels(t))
     assert "CartesianProduct" not in lplan
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """The bucketed store contract (plans/bucketed.py): two tables
+    bucketed on the same key/count join with ZERO Exchange - the
+    write-time shuffle is amortized over every subsequent join. The
+    path-read of the same files re-shuffles (the documented caveat:
+    bucket specs live in the catalog)."""
+    from csvweb_spark.plans.bucketed import read_bucketed, write_bucketed
+    t = spark.range(0, 200).select(
+        F.concat(F.lit("s"), F.col("id")).alias("subj"),
+        F.lit("p").alias("pred"), F.col("id").cast("string").alias("obj"))
+    e = spark.range(0, 200, 2).select(
+        F.concat(F.lit("s"), F.col("id")).alias("subj"),
+        (F.col("id") * 10).alias("canon"))
+    write_bucketed(t, "t_bucketed_test", 4, path=str(tmp_path / "t"))
+    write_bucketed(e, "e_bucketed_test", 4, path=str(tmp_path / "e"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_bucketed(spark, "t_bucketed_test").join(
+            read_bucketed(spark, "e_bucketed_test"), "subj")
+        plan = plan_of(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 100
+        # negative control: a bare path read loses the bucket spec and
+        # the same join shuffles both sides
+        path_join = spark.read.parquet(str(tmp_path / "t")).join(
+            spark.read.parquet(str(tmp_path / "e")), "subj")
+        assert "Exchange" in plan_of(path_join)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_test")
+        spark.sql("DROP TABLE IF EXISTS e_bucketed_test")

@@ -107,9 +107,10 @@ AUDITS = [
      "reuse), and the pair count is a partial_count below the final "
      "exchange - only ids ever shuffle."),
     ("Temporal KG snapshot (as-of)", "kg_snapshot_asof",
-     "The latest-version election is ONE hash aggregate with "
-     "partial_max(struct(ts, vals)) below the exchange - NO Window/"
-     "Sort node anywhere; the cutoff filter is pushed into the scan."),
+     "The latest-version election is ONE partial-final aggregate with "
+     "partial_max(struct(ts, vals)) below the exchange - no Window "
+     "node (SortAggregate's in-partition sorts are map-local, not a "
+     "shuffle sort); the cutoff filter is pushed into the scan."),
 ]
 
 
