@@ -178,12 +178,10 @@ def stream_deduped_documents(spark: SparkSession, input_dir: str,
     fs = fs_for(output_dir, spark)
 
     def _state_dirs(sub: str, batch_id: int) -> list[str]:
+        # committed (_SUCCESS-marked) dirs only, own batch id excluded -
+        # the retry-safety invariant _batch_dirs documents
         root = fs.join(output_dir, "_state", sub)
-        if not fs.isdir(root):
-            return []
-        return [fs.join(root, d) for d in sorted(fs.listdir(root))
-                if d.startswith("batch=")
-                and int(d.split("=", 1)[1]) != batch_id]
+        return [p for b, p in _batch_dirs(fs, root) if b != batch_id]
 
     def _capped(bandt):
         """Drop band entries in over-cap buckets (the dedup_minhash_lsh
@@ -294,15 +292,13 @@ def stream_deduped_documents(spark: SparkSession, input_dir: str,
 def read_streamed_documents(spark: SparkSession,
                             output_dir: str) -> Optional[DataFrame]:
     """Union of every committed batch's surviving documents (None when
-    nothing is committed yet)."""
+    nothing is committed yet). Torn dirs from a crashed batch (no
+    _SUCCESS marker) are invisible until the stream's retry rewrites
+    them - same contract as read_entity_components."""
     from ..plans.fs import fs_for
 
     fs = fs_for(output_dir, spark)
-    root = fs.join(output_dir, "docs")
-    if not fs.isdir(root):
-        return None
-    dirs = [fs.join(root, d) for d in sorted(fs.listdir(root))
-            if d.startswith("batch=")]
+    dirs = [p for _, p in _batch_dirs(fs, fs.join(output_dir, "docs"))]
     if not dirs:
         return None
     return spark.read.parquet(*dirs)
