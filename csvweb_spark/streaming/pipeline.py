@@ -564,17 +564,28 @@ def compact_entity_components(spark: SparkSession, output_dir: str,
     concurrently with the owning stream (stop the query or run it from
     the stream's own foreachBatch cadence) - retry exactly-once-ness
     relies on the offset being stable within a batch attempt."""
+    return _compact_state(spark, output_dir, LABEL_STATE_SUBDIR,
+                          read_entity_components, batch_id)
+
+
+def _compact_state(spark: SparkSession, output_dir: str, subdir: str,
+                   read_fn, batch_id: Optional[int] = None) -> int:
+    """The generic crash-safe fold shared by every batch-dir state
+    family: write `read_fn(spark, output_dir)` as a fresh partition,
+    bump the id offset atomically, only then remove the inputs (the
+    step-by-step safety argument is in compact_entity_components'
+    docstring)."""
     import json
 
     from ..plans.fs import fs_for
     fs = fs_for(output_dir, spark)
-    root = fs.join(output_dir, LABEL_STATE_SUBDIR)
+    root = fs.join(output_dir, subdir)
     all_dirs = _batch_dirs(fs, root, committed_only=False)
     if len(all_dirs) <= 1:
         return all_dirs[0][0] if all_dirs else -1
     new_id = (max(b for b, _ in all_dirs) + 1
               if batch_id is None else batch_id)
-    state = read_entity_components(spark, output_dir).persist()
+    state = read_fn(spark, output_dir).persist()
     state.count()
     try:
         state.write.mode("overwrite").parquet(
@@ -584,8 +595,113 @@ def compact_entity_components(spark: SparkSession, output_dir: str,
     offset = _compact_offset(fs, root)
     fs.write_text_atomic(fs.join(root, LABEL_EPOCH_FILE),
                          json.dumps({"offset": offset + 1}),
-                         fs.join(root, f"._tmp_{LABEL_EPOCH_FILE}"))
+                         fs.join(root, f"._tmp_epoch"))
     for b, path in all_dirs:
         if b != new_id:
             fs.rmtree(path)
     return new_id
+
+
+LATEST_STATE_SUBDIR = "_state/latest"
+
+
+def read_latest_assertions(spark: SparkSession, output_dir: str,
+                           key_cols: tuple = ("subj", "pred"),
+                           val_cols: tuple = ("obj",),
+                           ts_col: str = "ts") -> Optional[DataFrame]:
+    """The CURRENT graph maintained by stream_latest_assertions: per
+    key, the values of the globally latest-timestamped assertion across
+    every committed batch delta. Unlike the CC label state this is a
+    TS-argmax, not latest-batch-wins - per-key max(struct(ts, vals)) is
+    associative and commutative, so batch order, redelivery order and
+    late data cannot change the result. None before the first commit."""
+    from ..operators.asof import snapshot_asof
+    from ..plans.fs import fs_for
+
+    fs = fs_for(output_dir, spark)
+    dirs = [p for _, p in
+            _batch_dirs(fs, fs.join(output_dir, LATEST_STATE_SUBDIR))]
+    if not dirs:
+        return None
+    df = spark.read.parquet(*dirs)
+    # cutoff = +inf: reuse the batch operator's struct-max election
+    return snapshot_asof(df, "9999-12-31 23:59:59",
+                         ts_col=ts_col, key_cols=key_cols,
+                         val_cols=val_cols)
+
+
+def stream_latest_assertions(spark: SparkSession, input_dir: str,
+                             output_dir: str, checkpoint_dir: str,
+                             schema: str = ("subj string, pred string, "
+                                            "obj string, ts timestamp"),
+                             key_cols: tuple = ("subj", "pred"),
+                             val_cols: tuple = ("obj",),
+                             ts_col: str = "ts",
+                             max_files_per_trigger: Optional[int] = None,
+                             available_now: bool = True,
+                             batch_hook=None):
+    """Continuously-maintained temporal-KG head state: assertions
+    (subj, pred, obj, ts) arrive as a stream (the crawl re-asserting
+    keys along warc_ts), and `read_latest_assertions` serves the
+    current graph at any time.
+
+    STATELESS per batch - the simplest member of the batch-dir state
+    family: each micro-batch writes only ITS OWN per-key struct-max
+    delta (a map-side-combinable aggregate over the batch, bounded by
+    batch size); no committed-state read, no join. The read side
+    argmax-merges the deltas, and because ts-argmax is associative the
+    merge is exact under any batch ordering, late data included. Crash
+    safety is inherited wholesale: a torn delta dir (no _SUCCESS) is
+    invisible to readers, the retry's overwrite of its own dir is
+    byte-identical, and compact_latest_assertions folds deltas behind
+    the same offset protocol as the CC labels. Dir ids are offset by
+    _compact_offset so a consolidated snapshot can never be overwritten
+    by a post-resume micro-batch.
+
+    Scale: state is one row per key ASSERTED IN THE WINDOW per delta,
+    and compaction bounds the read fan-in; the 10^12-key full graph
+    only ever materializes at read time, distributed."""
+    from ..operators.asof import snapshot_asof
+    from ..plans.fs import fs_for
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    fs = fs_for(output_dir, spark)
+
+    def process(batch_df, batch_id):
+        if batch_hook is not None:
+            batch_hook(batch_id, "start")
+        root = fs.join(output_dir, LATEST_STATE_SUBDIR)
+        delta = snapshot_asof(batch_df, "9999-12-31 23:59:59",
+                              ts_col=ts_col, key_cols=key_cols,
+                              val_cols=val_cols)
+        if not delta.take(1):
+            return
+        dir_id = batch_id + _compact_offset(fs, root)
+        delta.write.mode("overwrite").parquet(
+            fs.join(root, f"batch={dir_id}"))
+        if batch_hook is not None:
+            batch_hook(batch_id, "done")
+
+    writer = (stream.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_latest_assertions(spark: SparkSession, output_dir: str,
+                              key_cols: tuple = ("subj", "pred"),
+                              val_cols: tuple = ("obj",),
+                              ts_col: str = "ts",
+                              batch_id: Optional[int] = None) -> int:
+    """Fold the latest-assertion deltas into one partition (crash-safe
+    protocol of _compact_state; run when delta count overtakes the live
+    key count)."""
+    def read_fn(s, out):
+        return read_latest_assertions(s, out, key_cols=key_cols,
+                                      val_cols=val_cols, ts_col=ts_col)
+    return _compact_state(spark, output_dir, LATEST_STATE_SUBDIR,
+                          read_fn, batch_id)

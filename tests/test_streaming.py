@@ -431,3 +431,60 @@ def test_read_entity_components_skips_torn_batch_dir(spark, tmp_path):
     assert got == {1: 1, 2: 1}
     input_files = read_entity_components(spark, out).inputFiles()
     assert all("batch=7" not in f for f in input_files)
+
+
+def test_stream_latest_assertions_merges_late_data(spark, tmp_path):
+    """The temporal-KG head state: per-key TS-argmax across micro-batch
+    deltas. Late data (batch 2 carries an OLDER ts for a key updated in
+    batch 1) must lose to the newer assertion - the merge is ts-argmax,
+    not latest-batch-wins - and compaction + stream resume must
+    preserve the state (shared offset protocol)."""
+    import os
+    from datetime import datetime
+
+    from csvweb_spark.streaming.pipeline import (
+        compact_latest_assertions, read_latest_assertions,
+        stream_latest_assertions)
+
+    edges_dir = str(tmp_path / "in")
+    out = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(edges_dir)
+    schema = "subj string, pred string, obj string, ts timestamp"
+
+    def add_batch_file(name, rows):
+        stage = f"{tmp_path}/_stage_{name}"
+        spark.createDataFrame(rows, schema) \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage)
+                if f.endswith(".parquet")][0]
+        os.rename(f"{stage}/{part}", f"{edges_dir}/{name}.parquet")
+
+    t = lambda d: datetime(2024, 1, d)
+    add_batch_file("b0", [("s1", "p", "v1", t(1)), ("s2", "p", "w1", t(2)),
+                          ("s1", "p", "v2", t(5))])  # in-batch supersede
+    add_batch_file("b1", [("s1", "p", "OLD", t(3)),   # late: loses to v2
+                          ("s2", "p", "w2", t(9))])   # newer: wins
+    q = stream_latest_assertions(spark, edges_dir, out, ckpt,
+                                 max_files_per_trigger=1)
+    q.awaitTermination(180)
+    got = {(r.subj, r.pred): (r.obj, r.ts) for r in
+           read_latest_assertions(spark, out).collect()}
+    assert got == {("s1", "p"): ("v2", t(5)), ("s2", "p"): ("w2", t(9))}
+
+    # compact, then resume with new data from the SAME checkpoint: the
+    # consolidated dir must survive the next micro-batch (offset file)
+    cid = compact_latest_assertions(spark, out)
+    add_batch_file("b2", [("s3", "p", "x1", t(4)),
+                          ("s1", "p", "v3", t(20))])
+    q2 = stream_latest_assertions(spark, edges_dir, out, ckpt,
+                                  max_files_per_trigger=1)
+    q2.awaitTermination(180)
+    got2 = {(r.subj, r.pred): r.obj for r in
+            read_latest_assertions(spark, out).collect()}
+    assert got2 == {("s1", "p"): "v3", ("s2", "p"): "w2",
+                    ("s3", "p"): "x1"}
+    state_root = os.path.join(out, "_state", "latest")
+    dirs = sorted(d for d in os.listdir(state_root)
+                  if d.startswith("batch="))
+    assert f"batch={cid}" in dirs and len(dirs) == 2
