@@ -350,6 +350,28 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
 
     timed("curate_documents", _curate, retry_under=0.0)
 
+    # late round-4 graph/temporal surface: LPA communities and the
+    # co-occurrence projection on the same skew-stressed graph (hub
+    # degree ~2000 -> the census cap and the label-count combine are
+    # what is being measured), plus the struct-max snapshot election
+    # over the full docs table keyed per source
+    from csvweb_spark.operators.asof import snapshot_asof
+    from csvweb_spark.operators.graph import (cooccurrence_projection,
+                                              label_propagation)
+    timed("kg_communities", lambda: label_propagation(
+        edges_khop, rounds=2).count(), retry_under=0.0)
+    basket = li.select(F.col("l_partkey").alias("src"),
+                       F.col("l_orderkey").alias("dst"))
+    timed("kg_cooccurrence", lambda: cooccurrence_projection(
+        basket, max_fanout=8).count())
+    versioned = docs.select(
+        F.concat(F.lit("d:"), F.col("doc_id") % 1000).alias("subj"),
+        F.lit("ex:text").alias("pred"),
+        F.col("n_chars").alias("obj"),
+        F.timestamp_seconds(1700000000 + F.col("doc_id")).alias("ts"))
+    timed("kg_snapshot_asof", lambda: snapshot_asof(
+        versioned, "2023-11-15 00:00:00", ts_col="ts").count())
+
     # relational: TPC-H-ish Q1
     dec = lambda c: F.col(c).cast("decimal(18,4)")
     timed("q1_pricing_summary", lambda: (
