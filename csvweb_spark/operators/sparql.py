@@ -39,6 +39,9 @@ Supported subset (raise on anything else - no silent misparse):
                 whole BGP and before all FILTERs, in textual order -
                 a FILTER may reference any BIND of its group);
                 VALUES ?v { ... } / VALUES (?a ?b) { (..) (..) };
+                { SELECT ... } sub-selects (evaluated first, joined on
+                their shared variables; must share >=1 variable with
+                the rest of the group - no silent cartesians);
                 { A } UNION { B } [UNION { C }...] as the WHOLE group.
 * FILTER exprs: && || ! comparisons (= != < <= > >=; numeric when
                 either side is a number literal or an arithmetic
@@ -541,7 +544,13 @@ def _parse_query(text: str) -> dict:
         if k != "pname" or not v.endswith(":"):
             raise SparqlSyntaxError(f"bad PREFIX name {v!r}")
         p.prefixes[v[:-1]] = p.expect("iri")[1:-1]
+    return _query_body(p, sub=False)
 
+
+def _query_body(p: "_Parser", sub: bool) -> dict:
+    """One query after the prologue. With `sub` (a `{ SELECT ... }`
+    sub-select inside a group), the form is SELECT-only and parsing
+    stops at the group's closing '}' instead of eof."""
     form = "select"
     template = None        # CONSTRUCT template triples
     describe_terms = None  # [("var", name) | ("iri", value)]
@@ -549,9 +558,9 @@ def _parse_query(text: str) -> dict:
     distinct = False
     projection: list = []  # ("var", name) | ("agg", spec, alias)
     #                        | ("vexpr", Column, alias) | ("star",)
-    if p.eat("kw", "ASK"):
+    if not sub and p.eat("kw", "ASK"):
         form = "ask"
-    elif p.eat("kw", "CONSTRUCT"):
+    elif not sub and p.eat("kw", "CONSTRUCT"):
         form = "construct"
         p.expect("op", "{")
         template = []
@@ -564,7 +573,7 @@ def _parse_query(text: str) -> dict:
             if isinstance(pat[1], tuple):
                 raise SparqlSyntaxError(
                     "property path in CONSTRUCT template")
-    elif p.eat("kw", "DESCRIBE"):
+    elif not sub and p.eat("kw", "DESCRIBE"):
         form = "describe"
         describe_terms = []
         while True:
@@ -617,12 +626,18 @@ def _parse_query(text: str) -> dict:
     exists: list = []        # (negate, patterns)
     minuses: list = []
     binds: list = []         # (name, Column) in textual order
+    subqueries: list = []    # parsed sub-SELECT dicts
     values = None
     union_groups = None
     if has_group:
         p.eat("kw", "WHERE")
         p.expect("op", "{")
     while has_group and not p.at("op", "}"):
+        if p.at("op", "{") and p.peek(1) == ("kw", "SELECT"):
+            p.next()
+            subqueries.append(_query_body(p, sub=True))
+            p.expect("op", "}")
+            continue
         if p.eat("kw", "OPTIONAL"):
             optionals.append(p.bare_bgp())
         elif p.eat("kw", "BIND"):
@@ -701,7 +716,7 @@ def _parse_query(text: str) -> dict:
         raise SparqlSyntaxError(
             f"solution modifiers are not supported for {form.upper()} "
             "in this subset")
-    while not p.at("eof"):
+    while not p.at("eof") and not (sub and p.at("op", "}")):
         if p.eat("kw", "GROUP"):
             p.expect("kw", "BY")
             while p.at("var"):
@@ -731,8 +746,14 @@ def _parse_query(text: str) -> dict:
         else:
             raise SparqlSyntaxError(f"unexpected trailing {p.peek()!r}")
 
-    if has_group and not patterns and union_groups is None:
+    if has_group and not patterns and union_groups is None \
+            and not subqueries:
         raise SparqlSyntaxError("empty group")
+    if subqueries and not patterns and union_groups is None \
+            and (optionals or values):
+        raise SparqlSyntaxError(
+            "OPTIONAL/VALUES need triple patterns alongside a subquery "
+            "in this subset")
     # (CONSTRUCT template variables are validated against the actual
     # solution columns at compile time - instantiate_template raises)
     grouped = (group_by or having
@@ -756,7 +777,8 @@ def _parse_query(text: str) -> dict:
             "template": template, "describe": describe_terms,
             "patterns": patterns, "optionals": optionals,
             "filters": filters, "exists": exists, "minuses": minuses,
-            "binds": binds, "values": values, "union": union_groups,
+            "binds": binds, "subqueries": subqueries,
+            "values": values, "union": union_groups,
             "group_by": group_by, "having": having,
             "having_aggs": having_aggs, "order_by": order_by,
             "limit": limit, "offset": offset}
@@ -787,17 +809,31 @@ def _agg_column(spec) -> Column:
 
 
 def _solutions(triples: DataFrame, q: dict) -> DataFrame:
-    """The WHERE-group pipeline shared by every query form: BGP/UNION
-    match, BINDs, EXISTS/MINUS (null-aware when OPTIONAL/UNION can
-    leave variables unbound), FILTERs."""
+    """The WHERE-group pipeline shared by every query form: sub-SELECTs
+    (evaluated first, bottom-up per the spec, each joined on its shared
+    variables), BGP/UNION match, BINDs, EXISTS/MINUS (null-aware when
+    OPTIONAL/UNION can leave variables unbound), FILTERs."""
     from .bgp import filter_exists, match_bgp, match_minus, match_union
 
     if q["union"] is not None:
         sol = match_union(triples, q["union"])
-    else:
+    elif q["patterns"]:
         sol = match_bgp(triples, q["patterns"],
                         optional=q["optionals"] or None,
                         values=q["values"])
+    else:
+        sol = None  # subquery-only group (validated at parse time)
+    for subq in q.get("subqueries", ()):
+        sub_df = _select_df(triples, subq)
+        if sol is None:
+            sol = sub_df
+            continue
+        shared = sorted(set(sub_df.columns) & set(sol.columns))
+        if not shared:
+            raise SparqlSyntaxError(
+                "subquery shares no variable with the rest of the group "
+                "- a cartesian product (unsupported; correlate it)")
+        sol = sol.join(sub_df, shared)
     for name, col in q["binds"]:
         sol = sol.withColumn(name, col)
     # OPTIONAL and variable-padded UNION arms introduce NULLs; EXISTS/
@@ -839,12 +875,18 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
                 nodes = nd if nodes is None else nodes.unionByName(nd)
         return describe_nodes(triples, nodes.distinct())
 
-    sol = _solutions(triples, q)
     if q["form"] == "ask":
         # existence probe: limit(1) stops every scan at first match
+        sol = _solutions(triples, q)
         return (sol.select(F.lit(1).alias("_one")).limit(1)
                 .agg((F.count("_one") > 0).alias("ask")))
+    return _select_df(triples, q)
 
+
+def _select_df(triples: DataFrame, q: dict) -> DataFrame:
+    """The SELECT tail (projection/aggregation/modifiers) - also the
+    compile target of `{ SELECT ... }` subqueries."""
+    sol = _solutions(triples, q)
     proj = q["projection"]
     if q["group_by"] or q["having"] \
             or any(item[0] == "agg" for item in proj):

@@ -351,3 +351,48 @@ def test_construct_describe_rejections():
     ]:
         with pytest.raises(SparqlSyntaxError, match=msg):
             _parse_query(bad)
+
+
+def test_subquery_join_and_only_group(kg):
+    # per-nation LEXICAL max age via a sub-SELECT, joined back to the
+    # members carrying that age (the classic argmax-by-group shape)
+    out = sparql_select(kg, """
+      PREFIX ex: <http://ex.org/>
+      SELECT ?c ?n ?mx WHERE {
+        ?c ex:in ?n ; ex:age ?mx .
+        { SELECT ?n (MAX(?a) AS ?mx)
+          WHERE { ?x ex:in ?n ; ex:age ?a } GROUP BY ?n }
+      }
+    """)
+    got = {(r.c, r.n, r.mx) for r in out.collect()}
+    assert got == {(f"{EX}C9", f"{EX}N0", "9"),
+                   (f"{EX}C7", f"{EX}N1", "7"),
+                   (f"{EX}C8", f"{EX}N2", "8")}
+    # subquery as the WHOLE group, outer modifiers apply on top
+    out2 = sparql_select(kg, """
+      PREFIX ex: <http://ex.org/>
+      SELECT ?n ?cnt WHERE {
+        { SELECT ?n (COUNT(?c) AS ?cnt)
+          WHERE { ?c ex:in ?n } GROUP BY ?n }
+      } ORDER BY ?n LIMIT 2
+    """)
+    assert [(r.n, r.cnt) for r in out2.collect()] == [
+        (f"{EX}N0", 7), (f"{EX}N1", 7)]
+
+
+def test_subquery_rejections(kg):
+    with pytest.raises(SparqlSyntaxError, match="cartesian"):
+        sparql_select(kg, """
+          PREFIX ex: <http://ex.org/>
+          SELECT ?c WHERE {
+            ?c ex:vip ?v .
+            { SELECT (COUNT(?x) AS ?t) WHERE { ?x ex:in ?n } }
+          }
+        """)
+    with pytest.raises(SparqlSyntaxError, match="OPTIONAL/VALUES"):
+        _parse_query("""
+          SELECT ?n WHERE {
+            { SELECT ?n WHERE { ?c <ex:in> ?n } }
+            OPTIONAL { ?n <ex:x> ?y }
+          }
+        """)
