@@ -1769,6 +1769,30 @@ def q_sparql_analytics(spark, sf_dir):
     return out.select("n", "members", "segs", "first")
 
 
+def q_sparql_subquery(spark, sf_dir):
+    """SPARQL sub-SELECT (operators/sparql.py): the argmax-per-group
+    shape - a nested { SELECT ?n (MAX(?c) AS ?mx) GROUP BY ?n } joined
+    back on (n, mx) to recover each nation's lexically-last customer.
+    Zero-padded subject IRIs make the lexical MAX the numeric max, so
+    the oracle is a plain GROUP BY + join."""
+    from csvweb_spark.operators.sparql import sparql_select
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 700)
+    t = cust.select(
+        F.concat(F.lit("ex:C"),
+                 F.format_string("%05d", F.col("c_custkey"))).alias("subj"),
+        F.lit("ex:in").alias("pred"),
+        F.concat(F.lit("ex:N"), F.col("c_nationkey")).alias("obj"))
+    out = sparql_select(t, """
+      PREFIX e: <ex:>
+      SELECT ?n ?mx WHERE {
+        ?mx e:in ?n .
+        { SELECT ?n (MAX(?c) AS ?mx)
+          WHERE { ?c e:in ?n } GROUP BY ?n }
+      } ORDER BY ?n
+    """)
+    return out.select("n", "mx")
+
+
 def q_sparql_ask(spark, sf_dir):
     """SPARQL ASK query form: a limit-1 existence probe compiled to a
     one-row boolean, one positive and one negative probe unioned."""
@@ -1819,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_text": q_sparql_text,
         "sparql_analytics": q_sparql_analytics,
         "sparql_ask": q_sparql_ask,
+        "sparql_subquery": q_sparql_subquery,
         "kg_node_sim": q_kg_node_sim,
         "bgp_union": q_bgp_union,
         "bgp_values": q_bgp_values,
@@ -2401,6 +2426,13 @@ def oracle_sql() -> dict[str, str]:
                   FROM f GROUP BY n HAVING count(*) >= 5)
             SELECT n, members, segs, first FROM g
             ORDER BY n OFFSET 1 LIMIT 20
+        """,
+        "sparql_subquery": """
+            WITH t AS (SELECT 'ex:C' || lpad(c_custkey::varchar, 5, '0')
+                                  AS c,
+                              'ex:N' || c_nationkey AS n
+                       FROM customer WHERE c_custkey < 700)
+            SELECT n, max(c) AS mx FROM t GROUP BY n ORDER BY n
         """,
         "sparql_ask": """
             WITH t AS (SELECT 'ex:C' || c_custkey AS subj,
