@@ -1140,6 +1140,44 @@ def q_rdfs_entail(spark, sf_dir):
     return rdfs_closure(triples)
 
 
+def q_rdfs_entail_incr(spark, sf_dir):
+    """INCREMENTAL RDFS entailment (entail.py::rdfs_closure_incremental):
+    the q_rdfs_entail store is closed over customers < 200, then the
+    batch [200, 300) arrives; the instance rules are linear (one
+    instance premise each), so the increment is one closure over the
+    small batch + an anti-join - never a re-closure of the history.
+    Oracle: closure(<300) EXCEPT closure(<200), the set-difference
+    definition the linearity theorem reduces to."""
+    from csvweb_spark.operators.entail import (
+        RDFS_DOMAIN, RDFS_RANGE, RDFS_SUBCLASS, RDFS_SUBPROP,
+        rdfs_closure, rdfs_closure_incremental)
+    nation = _load(spark, sf_dir, "nation")
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    n_cls = nation.select(
+        F.concat(F.lit("ex:N"), F.col("n_nationkey")).alias("subj"),
+        F.lit(RDFS_SUBCLASS).alias("pred"),
+        F.concat(F.lit("ex:R"), F.col("n_regionkey")).alias("obj"))
+    r_cls = (nation.select("n_regionkey").distinct().select(
+        F.concat(F.lit("ex:R"), F.col("n_regionkey")).alias("subj"),
+        F.lit(RDFS_SUBCLASS).alias("pred"), F.lit("ex:Place").alias("obj")))
+    axioms = spark.createDataFrame(
+        [("ex:inNation", RDFS_SUBPROP, "ex:locatedIn"),
+         ("ex:inNation", RDFS_DOMAIN, "ex:Customer"),
+         ("ex:locatedIn", RDFS_RANGE, "ex:Place"),
+         ("ex:Customer", RDFS_SUBCLASS, "ex:Agent")],
+        "subj string, pred string, obj string")
+    schema = n_cls.unionByName(r_cls).unionByName(axioms)
+    inst = lambda lo, hi: (cust
+                           .filter((F.col("c_custkey") >= lo)
+                                   & (F.col("c_custkey") < hi))
+                           .select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit("ex:inNation").alias("pred"),
+        F.concat(F.lit("ex:N"), F.col("c_nationkey")).alias("obj")))
+    committed = rdfs_closure(schema.unionByName(inst(0, 200)))
+    return rdfs_closure_incremental(inst(200, 300), committed, schema)
+
+
 def q_bgp_match(spark, sf_dir):
     """Conjunctive basic-graph-pattern matching compiled to a Catalyst
     join tree: the two-hop pattern ?c -ex:in-> ?n -ex:of-> ?r over a
@@ -1858,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_not_exists": q_bgp_not_exists,
         "kg_triangles": q_kg_triangles,
         "rdfs_entail": q_rdfs_entail,
+        "rdfs_entail_incr": q_rdfs_entail_incr,
         "bgp_match": q_bgp_match,
         "bgp_optional": q_bgp_optional,
         "kg_path": q_kg_path,
@@ -2333,7 +2372,7 @@ def _ann_lsh_oracle_sql(dim: int = 64, bits: int = 6, tables: int = 6,
         """
 
 
-def _rdfs_oracle_sql() -> str:
+def _rdfs_oracle_sql(cust_max: int = 200) -> str:
     """DuckDB replica of operators/entail.py::rdfs_closure over the
     q_rdfs_entail input: recursive-CTE subclass/subproperty closures,
     rule joins for rdfs7 (property inheritance), rdfs2/3 (domain/range
@@ -2360,7 +2399,7 @@ def _rdfs_oracle_sql() -> str:
             UNION ALL
             SELECT 'ex:C' || c_custkey, 'ex:inNation',
                    'ex:N' || c_nationkey
-            FROM customer WHERE c_custkey < 200),
+            FROM customer WHERE c_custkey < {cust_max}),
         sc(src, dst) AS (
             SELECT subj, obj FROM base WHERE pred = '{RDFS_SUBCLASS}'
             UNION
@@ -2983,6 +3022,9 @@ def oracle_sql() -> dict[str, str]:
             FROM n GROUP BY node
         """,
         "rdfs_entail": _rdfs_oracle_sql(),
+        "rdfs_entail_incr": (
+            f"SELECT * FROM ({_rdfs_oracle_sql(300)})\n"
+            f"EXCEPT\nSELECT * FROM ({_rdfs_oracle_sql(200)})"),
         "bgp_match": """
             WITH t AS (
                 SELECT 'ex:C' || c_custkey AS subj, 'ex:in' AS pred,

@@ -128,6 +128,42 @@ def rdfs_closure(triples: DataFrame, derived_only: bool = False,
     return out.distinct() if dedupe else out
 
 
+def rdfs_closure_incremental(delta: DataFrame, committed: DataFrame,
+                             schema: DataFrame) -> DataFrame:
+    """Entail ONLY what a new instance batch adds to an already-closed
+    store: the instance-side RDFS rules (rdfs2/3/7/9) are LINEAR - each
+    has exactly one instance premise, and their cascades (rdfs7-derived
+    property triples feeding rdfs2/3, whose type triples feed rdfs9)
+    never join two instance triples - so
+
+        closure(S u delta) = closure(S) u closure(schema u delta)
+
+    and the incremental step is one closure over the (small) batch plus
+    an anti-join against the committed store. This is what makes
+    continuous entailment viable on a stream: per-batch cost is bounded
+    by the batch, never by the 10^12-triple history (the same argument
+    as incremental_components, but with no iteration at all).
+
+    `delta` must be INSTANCE triples only - a new schema axiom
+    (subClassOf/subPropertyOf/domain/range) re-fires rules over the
+    whole committed store, which is a batch re-closure, not an
+    increment; such deltas raise. Returns the NEW triples only (the
+    batch's assertions and their entailments, minus anything already
+    committed) - append it to the store. Composes with the batch-dir
+    state family: set union is associative, so per-batch derived dirs
+    merge by plain distinct at read time."""
+    schema_preds = (RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE)
+    bad = delta.filter(F.col("pred").isin(*schema_preds)).take(1)
+    if bad:
+        raise ValueError(
+            f"schema triple in incremental delta (pred={bad[0].pred}): "
+            "new axioms require a batch re-closure, not an increment")
+    full = rdfs_closure(schema.select("subj", "pred", "obj")
+                        .unionByName(delta.select("subj", "pred", "obj")))
+    return full.join(committed.select("subj", "pred", "obj"),
+                     ["subj", "pred", "obj"], "left_anti")
+
+
 def owl_property_closure(triples: DataFrame,
                          symmetric: tuple | list = (),
                          inverse: dict | None = None,

@@ -777,3 +777,47 @@ def test_snapshot_asof_latest_per_key(spark):
         ("s1", "p"): (20, datetime(2024, 1, 10)),
         ("s2", "p"): (7, datetime(2024, 1, 5)),
     }
+
+
+def test_rdfs_closure_incremental_equals_batch(spark):
+    """Linearity of the instance rules: per-batch incremental closure
+    plus anti-join reproduces the batch closure of the full store, and
+    schema axioms in a delta are rejected."""
+    from csvweb_spark.operators.entail import (
+        RDF_TYPE, RDFS_DOMAIN, RDFS_SUBCLASS, RDFS_SUBPROP,
+        rdfs_closure, rdfs_closure_incremental)
+    EX = "http://ex.org/"
+    schema = spark.createDataFrame([
+        (EX + "hasPet", RDFS_SUBPROP, EX + "keeps"),
+        (EX + "keeps", RDFS_DOMAIN, EX + "Keeper"),
+        (EX + "Keeper", RDFS_SUBCLASS, EX + "Agent"),
+    ], "subj string, pred string, obj string")
+    b1 = spark.createDataFrame([
+        (EX + "a", EX + "hasPet", EX + "cat"),
+    ], "subj string, pred string, obj string")
+    b2 = spark.createDataFrame([
+        (EX + "b", EX + "keeps", EX + "dog"),
+        (EX + "a", EX + "hasPet", EX + "cat"),   # redelivered duplicate
+    ], "subj string, pred string, obj string")
+
+    state = rdfs_closure(schema.unionByName(b1))
+    inc = rdfs_closure_incremental(b2, state, schema)
+    merged = {tuple(r) for r in state.collect()} | \
+        {tuple(r) for r in inc.collect()}
+    batch = {tuple(r) for r in
+             rdfs_closure(schema.unionByName(b1).unionByName(b2))
+             .collect()}
+    assert merged == batch
+    # the duplicate contributed nothing; b's facts did
+    assert (EX + "b", RDF_TYPE, EX + "Agent") in {
+        tuple(r) for r in inc.collect()}
+    got = {tuple(r) for r in inc.collect()}
+    assert (EX + "a", EX + "hasPet", EX + "cat") not in got
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="schema triple"):
+        rdfs_closure_incremental(
+            spark.createDataFrame(
+                [(EX + "X", RDFS_SUBCLASS, EX + "Y")],
+                "subj string, pred string, obj string"),
+            state, schema)
