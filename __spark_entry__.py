@@ -1178,6 +1178,28 @@ def q_rdfs_entail_incr(spark, sf_dir):
     return rdfs_closure_incremental(inst(200, 300), committed, schema)
 
 
+def q_owl_trans_incr(spark, sf_dir):
+    """Incremental TRANSITIVE-property closure (entail.py::
+    transitive_closure_incremental, the semi-naive non-linear step):
+    chain edges inside 50-customer blocks are split even/odd between
+    history and batch, so every multi-hop path alternates old and new
+    edges - the case a plain batch-closure of the delta gets wrong.
+    Oracle: recursive-CTE closure(all) EXCEPT closure(old)."""
+    from csvweb_spark.operators.entail import (
+        transitive_closure, transitive_closure_incremental)
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 250)
+    nxt = cust.select(F.col("c_custkey").alias("dst"))
+    edges = (cust.filter(F.col("c_custkey") % 50 != 49)
+             .select(F.col("c_custkey").alias("src"),
+                     (F.col("c_custkey") + 1).alias("dst"))
+             .join(nxt, "dst", "left_semi"))
+    closed = transitive_closure(edges.filter(F.col("src") % 2 == 0))
+    inc = transitive_closure_incremental(
+        edges.filter(F.col("src") % 2 == 1), closed)
+    return inc.select(F.col("src").cast("long").alias("src"),
+                      F.col("dst").cast("long").alias("dst"))
+
+
 def q_bgp_match(spark, sf_dir):
     """Conjunctive basic-graph-pattern matching compiled to a Catalyst
     join tree: the two-hop pattern ?c -ex:in-> ?n -ex:of-> ?r over a
@@ -1897,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": q_kg_triangles,
         "rdfs_entail": q_rdfs_entail,
         "rdfs_entail_incr": q_rdfs_entail_incr,
+        "owl_trans_incr": q_owl_trans_incr,
         "bgp_match": q_bgp_match,
         "bgp_optional": q_bgp_optional,
         "kg_path": q_kg_path,
@@ -3025,6 +3048,26 @@ def oracle_sql() -> dict[str, str]:
         "rdfs_entail_incr": (
             f"SELECT * FROM ({_rdfs_oracle_sql(300)})\n"
             f"EXCEPT\nSELECT * FROM ({_rdfs_oracle_sql(200)})"),
+        "owl_trans_incr": """
+            WITH RECURSIVE
+            c AS (SELECT c_custkey AS k FROM customer
+                  WHERE c_custkey < 250),
+            e AS (SELECT a.k AS a, a.k + 1 AS b
+                  FROM c a JOIN c n ON n.k = a.k + 1
+                  WHERE a.k % 50 <> 49),
+            full_c(a, b) AS (
+                SELECT a, b FROM e
+                UNION
+                SELECT f.a, e.b FROM full_c f JOIN e ON e.a = f.b),
+            old_c(a, b) AS (
+                SELECT a, b FROM e WHERE a % 2 = 0
+                UNION
+                SELECT f.a, e.b FROM old_c f
+                JOIN e ON e.a = f.b AND e.a % 2 = 0)
+            SELECT a::bigint AS src, b::bigint AS dst FROM full_c
+            EXCEPT
+            SELECT a::bigint, b::bigint FROM old_c
+        """,
         "bgp_match": """
             WITH t AS (
                 SELECT 'ex:C' || c_custkey AS subj, 'ex:in' AS pred,

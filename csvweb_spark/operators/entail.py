@@ -69,6 +69,50 @@ def transitive_closure(pairs: DataFrame, src: str = "src",
     return closure
 
 
+def transitive_closure_incremental(new_pairs: DataFrame, closed: DataFrame,
+                                   max_rounds: int = 32) -> DataFrame:
+    """The reachability a batch of new edges ADDS to an already-
+    transitively-closed relation, without re-closing the history - the
+    semi-naive step transitive properties need under incremental
+    arrival (the non-linear counterpart of rdfs_closure_incremental:
+    paths can alternate old and new edges, so this is NOT a plain
+    closure of the batch).
+
+    Seed = every path using exactly ONE new edge, built by bridging
+    each new edge with an optional closed-prefix and closed-suffix
+    (A.dst = d.src hash joins - the big `closed` side is only ever
+    probed, never re-closed). Multi-new-edge paths then close by
+    iterative doubling over the seed alone: a seed pair already carries
+    its A-extensions at both ends, so composing seeds at their meeting
+    node covers every old/new alternation (induction over the number
+    of new edges on the path). Cost per batch is bounded by the NEW
+    reachability, never by |closed|. Returns only pairs absent from
+    `closed`."""
+    a = closed.select("src", "dst").distinct()
+    d = new_pairs.select("src", "dst").distinct()
+    pre = a.select(F.col("src").alias("_ps"), F.col("dst").alias("_pd"))
+    suf = a.select(F.col("src").alias("_ss"), F.col("dst").alias("_sd"))
+    with_pre = d.unionByName(
+        pre.join(d, pre["_pd"] == d["src"])
+        .select(F.col("_ps").alias("src"), F.col("dst")))
+    seed = with_pre.unionByName(
+        with_pre.join(suf, with_pre["dst"] == suf["_ss"])
+        .select(F.col("src"), F.col("_sd").alias("dst"))) \
+        .distinct().localCheckpoint(eager=True)
+    closure = seed
+    for _ in range(max_rounds):
+        hop = closure.select(F.col("src").alias("_mid"),
+                             F.col("dst").alias("_d2"))
+        new = (closure.join(hop, closure["dst"] == hop["_mid"])
+               .select("src", F.col("_d2").alias("dst"))
+               .join(closure, ["src", "dst"], "left_anti")
+               .distinct())
+        if not new.take(1):
+            break
+        closure = closure.unionByName(new).localCheckpoint(eager=True)
+    return closure.join(a, ["src", "dst"], "left_anti")
+
+
 def rdfs_closure(triples: DataFrame, derived_only: bool = False,
                  dedupe: bool = True) -> DataFrame:
     """Materialize the RDFS entailment of a (subj, pred, obj) triple set

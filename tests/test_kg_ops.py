@@ -821,3 +821,42 @@ def test_rdfs_closure_incremental_equals_batch(spark):
                 [(EX + "X", RDFS_SUBCLASS, EX + "Y")],
                 "subj string, pred string, obj string"),
             state, schema)
+
+
+def test_transitive_closure_incremental(spark):
+    """Semi-naive incremental reachability: new edges must compose with
+    the CLOSED history on both sides and with each other (a path
+    alternating old and new edges), and the result must equal
+    closure(all) minus closure(old)."""
+    from csvweb_spark.operators.entail import (
+        transitive_closure, transitive_closure_incremental)
+
+    def pairs(rows):
+        return spark.createDataFrame(rows, "src long, dst long")
+
+    # history: chain 1 -> 2 (closed); batch: 0 -> 1 and 2 -> 3, so the
+    # path 0 -> 3 uses new, old, new edges in alternation
+    closed = transitive_closure(pairs([(1, 2)]))
+    delta = pairs([(0, 1), (2, 3)])
+    inc = {(r.src, r.dst) for r in
+           transitive_closure_incremental(delta, closed).collect()}
+    full = {(r.src, r.dst) for r in
+            transitive_closure(pairs([(1, 2), (0, 1), (2, 3)])).collect()}
+    old = {(r.src, r.dst) for r in closed.collect()}
+    assert inc == full - old
+    assert (0, 3) in inc and (0, 2) in inc and (1, 3) in inc
+    # empty delta adds nothing
+    assert transitive_closure_incremental(
+        pairs([]), closed).count() == 0
+    # randomized cross-check: split a small random edge set in two
+    import random
+    rnd = random.Random(7)
+    edges = list({(rnd.randrange(8), rnd.randrange(8)) for _ in range(14)})
+    half = len(edges) // 2
+    closed2 = transitive_closure(pairs(edges[:half]))
+    inc2 = {(r.src, r.dst) for r in transitive_closure_incremental(
+        pairs(edges[half:]), closed2).collect()}
+    full2 = {(r.src, r.dst) for r in
+             transitive_closure(pairs(edges)).collect()}
+    old2 = {(r.src, r.dst) for r in closed2.collect()}
+    assert inc2 == full2 - old2
