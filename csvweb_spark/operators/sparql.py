@@ -547,6 +547,17 @@ def _parse_query(text: str) -> dict:
     return _query_body(p, sub=False)
 
 
+def _pattern_vars(patterns) -> set:
+    """Variable NAMES (no '?') appearing in a triple-pattern list
+    (path-expression predicates carry no variables)."""
+    out = set()
+    for pat in patterns:
+        for term in pat:
+            if isinstance(term, str) and term.startswith("?"):
+                out.add(term[1:])
+    return out
+
+
 def _query_body(p: "_Parser", sub: bool) -> dict:
     """One query after the prologue. With `sub` (a `{ SELECT ... }`
     sub-select inside a group), the form is SELECT-only and parsing
@@ -756,6 +767,39 @@ def _query_body(p: "_Parser", sub: bool) -> dict:
             "in this subset")
     # (CONSTRUCT template variables are validated against the actual
     # solution columns at compile time - instantiate_template raises)
+
+    # Which solution variables can be UNBOUND (NULL)? Drives the
+    # EXISTS/MINUS join-strategy choice (null-aware non-equi path ONLY
+    # when a possibly-null variable is actually shared - the blanket
+    # any-OPTIONAL flag forced a broadcast NLJ on queries whose shared
+    # variables were all required; round-4 review) and the subquery
+    # compatibility guard. Conservative where expressions are opaque.
+    if union_groups:
+        arm_vars = [_pattern_vars(g) for g in union_groups]
+        required = set.intersection(*arm_vars)
+        nullable = set.union(*arm_vars) - required
+    else:
+        required = _pattern_vars(patterns)
+        nullable = set()
+    for g in optionals:
+        nullable |= _pattern_vars(g) - required
+    for subq in subqueries:
+        for item in subq["projection"]:
+            if item[0] == "var" and item[1] in subq["nullable"]:
+                nullable.add(item[1])
+            elif item[0] == "agg":
+                arg = item[1][2]
+                if arg is not None and arg in subq["nullable"]:
+                    nullable.add(item[2])
+            elif item[0] == "vexpr" and subq["nullable"]:
+                nullable.add(item[2])  # opaque expression: conservative
+            elif item[0] == "star":
+                nullable |= subq["nullable"]
+    if binds and nullable:
+        # BIND expressions are compiled Columns here (no var list to
+        # inspect); if anything nullable is in scope, assume the bind
+        # may inherit it
+        nullable |= {n for n, _ in binds}
     grouped = (group_by or having
                or any(item[0] == "agg" for item in projection))
     if form == "select" and grouped:
@@ -778,6 +822,7 @@ def _query_body(p: "_Parser", sub: bool) -> dict:
             "patterns": patterns, "optionals": optionals,
             "filters": filters, "exists": exists, "minuses": minuses,
             "binds": binds, "subqueries": subqueries,
+            "nullable": nullable,
             "values": values, "union": union_groups,
             "group_by": group_by, "having": having,
             "having_aggs": having_aggs, "order_by": order_by,
@@ -833,18 +878,29 @@ def _solutions(triples: DataFrame, q: dict) -> DataFrame:
             raise SparqlSyntaxError(
                 "subquery shares no variable with the rest of the group "
                 "- a cartesian product (unsupported; correlate it)")
+        if set(shared) & q["nullable"]:
+            # SPARQL join compatibility keeps a row whose shared var is
+            # unbound; a plain equi-join silently drops it - refuse
+            # rather than mis-evaluate (round-4 review)
+            raise SparqlSyntaxError(
+                f"subquery joins on possibly-unbound variable(s) "
+                f"{sorted(set(shared) & q['nullable'])} - unsupported "
+                "(bind them in both scopes or restructure)")
         sol = sol.join(sub_df, shared)
     for name, col in q["binds"]:
         sol = sol.withColumn(name, col)
-    # OPTIONAL and variable-padded UNION arms introduce NULLs; EXISTS/
-    # MINUS must then use the spec's unbound-is-free compatibility
-    # semantics (null-safe non-equi path) instead of plain equality
-    unbound = bool(q["optionals"]) or q["union"] is not None
+    # a possibly-NULL variable shared with an EXISTS/MINUS group needs
+    # the spec's unbound-is-free compatibility semantics (null-safe
+    # non-equi path); groups sharing only required variables keep the
+    # scalable equality hash semi/anti join
     for negate_flag, pats in q["exists"]:
-        sol = filter_exists(triples, sol, pats, negate=negate_flag,
-                            unbound_possible=unbound)
+        sol = filter_exists(
+            triples, sol, pats, negate=negate_flag,
+            unbound_possible=bool(_pattern_vars(pats) & q["nullable"]))
     for pats in q["minuses"]:
-        sol = match_minus(triples, sol, pats, unbound_possible=unbound)
+        sol = match_minus(
+            triples, sol, pats,
+            unbound_possible=bool(_pattern_vars(pats) & q["nullable"]))
     for make in q["filters"]:
         sol = sol.filter(make())
     return sol

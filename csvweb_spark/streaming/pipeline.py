@@ -404,17 +404,24 @@ def stream_page_stats(spark: SparkSession, input_dir: str,
 
 
 LABEL_STATE_SUBDIR = "_state/labels"
-LABEL_EPOCH_FILE = "_compact_epoch"
+
+# Torn-read protection requires Spark's _SUCCESS job-commit marker. On
+# committers configured with mapreduce.fileoutputcommitter.
+# marksuccessfuljobs=false (common advice for S3A), set this to False:
+# reads then trust every batch= dir and torn-dir protection degrades to
+# the stream's own exclude-own-id retry discipline (round-4 review).
+REQUIRE_COMMIT_MARKER = True
 
 
 def _batch_dirs(fs, root: str, committed_only: bool = True):
     """(batch_id, absolute_path) for every `batch=<id>` partition dir
     under `root`, ascending by id - the ONE place the partition layout
     is parsed. With `committed_only` (the default read path), dirs
-    without Spark's _SUCCESS marker are skipped: a crashed batch's torn
-    part-files must never reach a consumer - the owning stream's retry
-    overwrites the dir, and until then the visible state is simply 'as
-    of the previous batch', which is consistent."""
+    without Spark's _SUCCESS marker are skipped (unless
+    REQUIRE_COMMIT_MARKER is off): a crashed batch's torn part-files
+    must never reach a consumer - the owning stream's retry overwrites
+    the dir, and until then the visible state is simply 'as of the
+    previous batch', which is consistent."""
     if not fs.isdir(root):
         return []
     out = []
@@ -422,7 +429,8 @@ def _batch_dirs(fs, root: str, committed_only: bool = True):
         if not d.startswith("batch="):
             continue
         path = fs.join(root, d)
-        if committed_only and not fs.exists(fs.join(path, "_SUCCESS")):
+        if committed_only and REQUIRE_COMMIT_MARKER \
+                and not fs.exists(fs.join(path, "_SUCCESS")):
             continue
         out.append((int(d.split("=", 1)[1]), path))
     return sorted(out)
@@ -431,19 +439,27 @@ def _batch_dirs(fs, root: str, committed_only: bool = True):
 def _compact_offset(fs, root: str) -> int:
     """Stream-batch-id -> dir-id offset. Spark's checkpoint numbers
     micro-batches monotonically with no knowledge of compaction, so a
-    consolidated dir written at `max+1` would collide with the NEXT
-    micro-batch's id after a stream restart - the batch would exclude
-    the consolidated dir as 'its own crashed attempt' and then
-    overwrite it, destroying the committed labels. Each compaction
-    therefore bumps this offset (committed atomically BEFORE the old
-    deltas are removed), and the stream maps batch_id -> dir id
-    batch_id + offset. Retries are still exactly-once: compaction must
-    not run concurrently with the stream, so the offset a retry reads
-    is the offset its first attempt read."""
-    path = fs.join(root, LABEL_EPOCH_FILE)
-    if not fs.exists(path):
+    consolidated dir written at `max+1` would collide with a
+    post-restart micro-batch's dir id - the batch would exclude the
+    consolidated dir as 'its own crashed attempt' and then overwrite
+    it, destroying the committed state. Each compaction therefore
+    advances this offset BEFORE the old deltas are removed, and the
+    stream maps batch_id -> dir id batch_id + offset.
+
+    The offset is the MAX over `_epoch_<n>` marker files - a new
+    compaction creates a NEW marker instead of rewriting one file,
+    because HadoopFS.write_text_atomic is first-commit-wins (an
+    in-place rewrite would silently keep the old offset on hdfs/s3a
+    and re-open the collision; round-4 review). Markers are a few
+    bytes each, one per compaction, and are never read by Spark
+    (underscore-prefixed). Retries are still exactly-once: compaction
+    must not run concurrently with the stream, so the offset a retry
+    reads is the offset its first attempt read."""
+    if not fs.isdir(root):
         return 0
-    return int(fs.read_json(path)["offset"])
+    offs = [int(f.rsplit("_", 1)[1]) for f in fs.listdir(root)
+            if f.startswith("_epoch_")]
+    return max(offs, default=0)
 
 
 def read_entity_components(spark: SparkSession, output_dir: str,
@@ -515,6 +531,10 @@ def stream_entity_components(spark: SparkSession, input_dir: str,
         edges = batch_df.persist()
         try:
             if edges.count() == 0:
+                # an empty batch commits nothing but COMPLETES: fire
+                # 'done' so hook-coordinated operators never hang
+                if batch_hook is not None:
+                    batch_hook(batch_id, "done")
                 return
             root = fs.join(output_dir, LABEL_STATE_SUBDIR)
             # dir id = batch id + compaction offset (see _compact_offset:
@@ -572,31 +592,47 @@ def _compact_state(spark: SparkSession, output_dir: str, subdir: str,
                    read_fn, batch_id: Optional[int] = None) -> int:
     """The generic crash-safe fold shared by every batch-dir state
     family: write `read_fn(spark, output_dir)` as a fresh partition,
-    bump the id offset atomically, only then remove the inputs (the
-    step-by-step safety argument is in compact_entity_components'
-    docstring)."""
+    advance the id offset (a NEW `_epoch_<n>` marker, see
+    _compact_offset), only then remove the inputs (the step-by-step
+    safety argument is in compact_entity_components' docstring).
+
+    The offset advances by TWO, not one: a micro-batch that crashed
+    after its state write but before the checkpoint commit will be
+    RETRIED after this compaction, at dir id batch_id + new_offset. If
+    its (possibly max-id) dir is M = batch_id + old_offset, a +1 bump
+    would land the retry exactly on the consolidated id M + 1 and the
+    retry would exclude-and-overwrite the snapshot; +2 puts the retry
+    at M + 2, strictly after the snapshot, so latest-wins reads stay
+    correct (round-4 review). Only COMMITTED dirs are folded and
+    removed - torn dirs from a crashed batch are left for that batch's
+    retry to overwrite; their ids stay burned via the max scan."""
     import json
 
     from ..plans.fs import fs_for
     fs = fs_for(output_dir, spark)
     root = fs.join(output_dir, subdir)
     all_dirs = _batch_dirs(fs, root, committed_only=False)
-    if len(all_dirs) <= 1:
-        return all_dirs[0][0] if all_dirs else -1
+    committed = _batch_dirs(fs, root, committed_only=True)
+    if len(committed) <= 1:
+        return committed[0][0] if committed else -1
     new_id = (max(b for b, _ in all_dirs) + 1
               if batch_id is None else batch_id)
-    state = read_fn(spark, output_dir).persist()
+    state = read_fn(spark, output_dir)
+    if state is None:  # defensive: committed>=2 implies readable state
+        return -1
+    state = state.persist()
     state.count()
     try:
         state.write.mode("overwrite").parquet(
             fs.join(root, f"batch={new_id}"))
     finally:
         state.unpersist()
-    offset = _compact_offset(fs, root)
-    fs.write_text_atomic(fs.join(root, LABEL_EPOCH_FILE),
-                         json.dumps({"offset": offset + 1}),
-                         fs.join(root, f"._tmp_epoch"))
-    for b, path in all_dirs:
+    new_offset = _compact_offset(fs, root) + 2
+    marker = fs.join(root, f"_epoch_{new_offset}")
+    if not fs.exists(marker):  # crash-retry of compaction: content-free
+        fs.write_text_atomic(marker, json.dumps({"offset": new_offset}),
+                             fs.join(root, "._tmp_epoch"))
+    for b, path in committed:
         if b != new_id:
             fs.rmtree(path)
     return new_id
@@ -678,6 +714,8 @@ def stream_latest_assertions(spark: SparkSession, input_dir: str,
                               ts_col=ts_col, key_cols=key_cols,
                               val_cols=val_cols)
         if not delta.take(1):
+            if batch_hook is not None:  # empty batch still completes
+                batch_hook(batch_id, "done")
             return
         dir_id = batch_id + _compact_offset(fs, root)
         delta.write.mode("overwrite").parquet(

@@ -396,3 +396,47 @@ def test_subquery_rejections(kg):
             OPTIONAL { ?n <ex:x> ?y }
           }
         """)
+
+
+def test_nullable_tracking_precise(kg):
+    """REGRESSION (round-4 review): (a) EXISTS sharing only REQUIRED
+    variables with an OPTIONAL-bearing query keeps the scalable hash
+    semi-join (no broadcast nested loop); (b) NULLs minted by a
+    subquery's OPTIONAL still get the null-aware path; (c) a subquery
+    joining the outer group on a possibly-unbound variable is refused,
+    not silently null-dropped."""
+    # (a) shared var ?c is always bound -> fast path
+    fast = sparql_select(kg, """
+      PREFIX ex: <http://ex.org/>
+      SELECT ?c WHERE {
+        ?c ex:in ?n .
+        OPTIONAL { ?c ex:vip ?v }
+        FILTER EXISTS { ?c ex:age ?a }
+      }
+    """)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert fast.count() == 20
+    # (b) ?v is nullable THROUGH the subquery projection: vip rows bind
+    # "gold" (matches no age literal -> dropped), unbound rows survive
+    out = sparql_select(kg, """
+      PREFIX ex: <http://ex.org/>
+      SELECT ?c WHERE {
+        ?c ex:in ?n .
+        { SELECT ?c ?v WHERE { ?c ex:in ?x OPTIONAL { ?c ex:vip ?v } } }
+        FILTER EXISTS { ?c ex:age ?v }
+      }
+    """)
+    got = sorted(int(r.c.rsplit("C", 1)[1]) for r in out.collect())
+    assert got == sorted(k for k in range(20) if k % 4 != 0)
+    # (c) outer OPTIONAL var shared with the subquery -> refuse
+    with pytest.raises(SparqlSyntaxError, match="possibly-unbound"):
+        sparql_select(kg, """
+          PREFIX ex: <http://ex.org/>
+          SELECT ?c WHERE {
+            ?c ex:in ?n .
+            OPTIONAL { ?c ex:vip ?v }
+            { SELECT ?v (COUNT(?y) AS ?t)
+              WHERE { ?y ex:vip ?v } GROUP BY ?v }
+          }
+        """)

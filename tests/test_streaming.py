@@ -345,8 +345,9 @@ def test_compact_entity_components(spark, tmp_path):
     assert len(os.listdir(state_root)) == 2
     new_id = compact_entity_components(spark, out)
     assert new_id == 2
-    # one consolidated partition + the batch-id offset marker
-    assert sorted(os.listdir(state_root)) == ["_compact_epoch", "batch=2"]
+    # one consolidated partition + the batch-id offset marker (+2 per
+    # compaction: the retry-collision guard, see _compact_state)
+    assert sorted(os.listdir(state_root)) == ["_epoch_2", "batch=2"]
     after = {r.node: r.component for r in
              read_entity_components(spark, out).collect()}
     assert after == before
@@ -399,8 +400,8 @@ def test_compact_then_stream_resume_preserves_state(spark, tmp_path):
     state_root = os.path.join(out, "_state", "labels")
     dirs = sorted(d for d in os.listdir(state_root)
                   if d.startswith("batch="))
-    # consolidated snapshot intact; new batch landed at 2+offset(1)=3
-    assert dirs == ["batch=2", "batch=3"]
+    # consolidated snapshot intact; new batch landed at 2+offset(2)=4
+    assert dirs == ["batch=2", "batch=4"]
 
 
 def test_read_entity_components_skips_torn_batch_dir(spark, tmp_path):
@@ -488,3 +489,110 @@ def test_stream_latest_assertions_merges_late_data(spark, tmp_path):
     dirs = sorted(d for d in os.listdir(state_root)
                   if d.startswith("batch="))
     assert f"batch={cid}" in dirs and len(dirs) == 2
+
+
+def test_retry_after_compaction_preserves_snapshot(spark, tmp_path):
+    """REGRESSION (round-4 review): a micro-batch that crashed AFTER
+    its state write but BEFORE the checkpoint commit is retried after
+    compaction. With a +1 offset bump the retry's dir id would land
+    exactly on the consolidated snapshot and exclude-and-overwrite it;
+    the +2 bump puts the retry strictly after the snapshot."""
+    import os
+
+    from csvweb_spark.streaming.pipeline import (
+        compact_entity_components, read_entity_components,
+        stream_entity_components)
+
+    edges_dir = str(tmp_path / "edges")
+    out = str(tmp_path / "labels")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(edges_dir)
+
+    def add_batch_file(name, rows):
+        stage = f"{tmp_path}/_stage_{name}"
+        spark.createDataFrame(rows, "src long, dst long") \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage)
+                if f.endswith(".parquet")][0]
+        os.rename(f"{stage}/{part}", f"{edges_dir}/{name}.parquet")
+
+    add_batch_file("b0", [(1, 2)])
+    add_batch_file("b1", [(5, 6)])
+
+    class Crash(Exception):
+        pass
+
+    def crash_after_batch1_commit(batch_id, point):
+        if batch_id == 1 and point == "done":
+            raise Crash("injected")
+
+    q = stream_entity_components(spark, edges_dir, out, ckpt,
+                                 max_files_per_trigger=1,
+                                 batch_hook=crash_after_batch1_commit)
+    try:
+        q.awaitTermination(180)
+    except Exception:
+        pass
+    # batch 1's dir is written but its checkpoint offset is not
+    # committed; compact NOW (stream stopped)
+    cid = compact_entity_components(spark, out)
+    assert cid == 2
+    # resume: Spark retries batch 1 -> dir 1 + offset(2) = 3, NOT the
+    # snapshot's id; the snapshot must survive with full state
+    q2 = stream_entity_components(spark, edges_dir, out, ckpt,
+                                  max_files_per_trigger=1)
+    q2.awaitTermination(180)
+    got = {r.node: r.component for r in
+           read_entity_components(spark, out).collect()}
+    assert got == {1: 1, 2: 1, 5: 5, 6: 5}
+    state_root = os.path.join(out, "_state", "labels")
+    dirs = sorted(d for d in os.listdir(state_root)
+                  if d.startswith("batch="))
+    assert dirs == ["batch=2", "batch=3"]
+
+
+def test_double_compaction_offset_monotonic(spark, tmp_path):
+    """REGRESSION (round-4 review): each compaction must ADVANCE the
+    offset (a new _epoch_<n> marker, never an in-place rewrite - the
+    Hadoop adapter's atomic write is first-commit-wins, so a rewritten
+    single file would silently keep the old offset on hdfs/s3a)."""
+    import os
+
+    from csvweb_spark.plans.fs import fs_for
+    from csvweb_spark.streaming.pipeline import (
+        _compact_offset, compact_entity_components,
+        read_entity_components, stream_entity_components)
+
+    edges_dir = str(tmp_path / "edges")
+    out = str(tmp_path / "labels")
+    os.makedirs(edges_dir)
+
+    def add_batch_file(name, rows):
+        stage = f"{tmp_path}/_stage_{name}"
+        spark.createDataFrame(rows, "src long, dst long") \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage)
+                if f.endswith(".parquet")][0]
+        os.rename(f"{stage}/{part}", f"{edges_dir}/{name}.parquet")
+
+    add_batch_file("b0", [(1, 2)])
+    add_batch_file("b1", [(5, 6)])
+    q = stream_entity_components(spark, edges_dir, out,
+                                 str(tmp_path / "ckpt"),
+                                 max_files_per_trigger=1)
+    q.awaitTermination(180)
+    assert compact_entity_components(spark, out) == 2
+    fs = fs_for(out, spark)
+    root = os.path.join(out, "_state", "labels")
+    assert _compact_offset(fs, root) == 2
+    # more deltas arrive (fresh checkpoint = full redelivery into new
+    # dirs at the offset), then compact AGAIN: offset must reach 4
+    q2 = stream_entity_components(spark, edges_dir, out,
+                                  str(tmp_path / "ckpt2"),
+                                  max_files_per_trigger=1)
+    q2.awaitTermination(180)
+    assert compact_entity_components(spark, out) > 2
+    assert _compact_offset(fs, root) == 4
+    got = {r.node: r.component for r in
+           read_entity_components(spark, out).collect()}
+    assert got == {1: 1, 2: 1, 5: 5, 6: 5}
