@@ -208,6 +208,102 @@ def rdfs_closure_incremental(delta: DataFrame, committed: DataFrame,
                      ["subj", "pred", "obj"], "left_anti")
 
 
+def _owl_emission(symmetric, inverse, transitive):
+    """Driver-side (predicate, flipped?) state closure shared by the
+    batch and incremental OWL property closures: from (p, False) reach
+    every state the symmetric/inverseOf rules derive. Returns
+    (emission map, transitive predicate set); raises when a transitive
+    predicate's inverse partner is not transitive (OWL requires it, and
+    the closure-after-emission ordering relies on it)."""
+    inverse = dict(inverse or {})
+    sym = set(symmetric)
+    trans = set(transitive)
+    # owl:inverseOf is symmetric at the schema level
+    inv_pairs = set(inverse.items()) | {(q, p) for p, q in inverse.items()}
+    for p, q in inv_pairs:
+        if p in trans and q not in trans:
+            raise ValueError(
+                f"inverse partner {q!r} of transitive {p!r} must be "
+                "transitive too (OWL: inverse of transitive is transitive)")
+    emission: dict[str, set] = {}
+    preds = sym | trans | {p for pq in inv_pairs for p in pq}
+    for p in preds:
+        seen = {(p, False)}
+        stack = [(p, False)]
+        while stack:
+            cur, flip = stack.pop()
+            nxt = []
+            if cur in sym:
+                nxt.append((cur, not flip))
+            for a, b in inv_pairs:
+                if a == cur:
+                    nxt.append((b, not flip))
+            for st in nxt:
+                if st not in seen:
+                    seen.add(st)
+                    stack.append(st)
+        targets = seen - {(p, False)}
+        if targets:
+            emission[p] = targets
+    return emission, trans
+
+
+def _owl_emit(t: DataFrame, emission: dict) -> DataFrame:
+    """One narrow pass: each edge unions in every (pred, flipped) state
+    its predicate reaches - the linear (delta-local) rule half."""
+    pre = t
+    for p, targets in sorted(emission.items()):
+        base = t.filter(F.col("pred") == p)
+        for q, flip in sorted(targets):
+            if flip:
+                pre = pre.unionByName(base.select(
+                    F.col("obj").alias("subj"), F.lit(q).alias("pred"),
+                    F.col("subj").alias("obj")))
+            else:
+                pre = pre.unionByName(base.select(
+                    "subj", F.lit(q).alias("pred"), "obj"))
+    return pre
+
+
+def owl_property_closure_incremental(delta: DataFrame,
+                                     committed: DataFrame,
+                                     symmetric: tuple | list = (),
+                                     inverse: dict | None = None,
+                                     transitive: tuple | list = (),
+                                     max_rounds: int = 32) -> DataFrame:
+    """What a new batch of assertions ADDS to a store already closed by
+    `owl_property_closure` under the SAME rule configuration. The
+    symmetric/inverseOf half is linear (delta-local, one emission pass
+    over the batch); each transitive predicate then takes the
+    semi-naive `transitive_closure_incremental` against its committed
+    (already-closed) stripe, so old/new edge alternations close at
+    batch-bounded cost. Completeness across rules reuses the batch
+    operator's argument: closure commutes with edge reversal and the
+    history's stripes are mutually flip-consistent (inverse partners
+    both transitive, enforced), so each predicate's own incremental
+    closure already contains every cross-rule re-emission. Returns only
+    triples absent from `committed`."""
+    emission, trans = _owl_emission(symmetric, inverse, transitive)
+    d = delta.select("subj", "pred", "obj")
+    pre = _owl_emit(d, emission)
+    out = pre
+    for p in sorted(trans):
+        new_edges = (pre.filter(F.col("pred") == p)
+                     .select(F.col("subj").alias("src"),
+                             F.col("obj").alias("dst")))
+        stripe = (committed.filter(F.col("pred") == p)
+                  .select(F.col("subj").alias("src"),
+                          F.col("obj").alias("dst")))
+        inc = transitive_closure_incremental(new_edges, stripe,
+                                             max_rounds=max_rounds)
+        out = out.unionByName(inc.select(
+            F.col("src").alias("subj"), F.lit(p).alias("pred"),
+            F.col("dst").alias("obj")))
+    return (out.distinct()
+            .join(committed.select("subj", "pred", "obj"),
+                  ["subj", "pred", "obj"], "left_anti"))
+
+
 def owl_property_closure(triples: DataFrame,
                          symmetric: tuple | list = (),
                          inverse: dict | None = None,
@@ -244,56 +340,9 @@ def owl_property_closure(triples: DataFrame,
     Python); each transitive closure shuffles only its predicate's
     stripe. Beware instance-scale transitive predicates: closure size
     is worst-case quadratic (the khop/path caveat)."""
-    inverse = dict(inverse or {})
-    sym = set(symmetric)
-    trans = set(transitive)
-    # owl:inverseOf is symmetric at the schema level
-    inv_pairs = set(inverse.items()) | {(q, p) for p, q in inverse.items()}
-    for p, q in inv_pairs:
-        if p in trans and q not in trans:
-            raise ValueError(
-                f"inverse partner {q!r} of transitive {p!r} must be "
-                "transitive too (OWL: inverse of transitive is transitive)")
-
-    # driver-side state closure: from (p, False) reach every
-    # (pred, flipped) the rules derive
-    emission: dict[str, set] = {}
-    preds = sym | trans | {p for pq in inv_pairs for p in pq}
-    for p in preds:
-        seen = {(p, False)}
-        stack = [(p, False)]
-        while stack:
-            cur, flip = stack.pop()
-            nxt = []
-            if cur in sym:
-                nxt.append((cur, not flip))
-            for a, b in inv_pairs:
-                if a == cur:
-                    nxt.append((b, not flip))
-            for st in nxt:
-                if st not in seen:
-                    seen.add(st)
-                    stack.append(st)
-        targets = seen - {(p, False)}
-        if targets:
-            emission[p] = targets
-
+    emission, trans = _owl_emission(symmetric, inverse, transitive)
     t = triples.select("subj", "pred", "obj")
-    derived = []
-    for p, targets in sorted(emission.items()):
-        base = t.filter(F.col("pred") == p)
-        for q, flip in sorted(targets):
-            if flip:
-                derived.append(base.select(
-                    F.col("obj").alias("subj"), F.lit(q).alias("pred"),
-                    F.col("subj").alias("obj")))
-            else:
-                derived.append(base.select(
-                    "subj", F.lit(q).alias("pred"), "obj"))
-
-    pre = t
-    for d in derived:
-        pre = pre.unionByName(d)
+    pre = _owl_emit(t, emission)
 
     closed = []
     for p in sorted(trans):

@@ -860,3 +860,39 @@ def test_transitive_closure_incremental(spark):
              transitive_closure(pairs(edges)).collect()}
     old2 = {(r.src, r.dst) for r in closed2.collect()}
     assert inc2 == full2 - old2
+
+
+def test_owl_property_closure_incremental(spark):
+    """Incremental OWL property closure == batch closure difference,
+    across symmetric + inverse + transitive interaction and old/new
+    edge alternation in the transitive chain."""
+    from csvweb_spark.operators.entail import (
+        owl_property_closure, owl_property_closure_incremental)
+    EX = "http://ex.org/"
+    anc, desc, knows = EX + "anc", EX + "desc", EX + "knows"
+    cfg = dict(symmetric=(knows,), inverse={anc: desc},
+               transitive=(anc, desc))
+
+    def t(rows):
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj string")
+
+    b1 = t([("a", anc, "b"), ("x", knows, "y")])
+    b2 = t([("b", anc, "c"),           # extends the committed chain
+            ("p", desc, "a"),          # inverse: a anc p, alternates
+            ("y", knows, "z")])
+    committed = owl_property_closure(b1, **cfg)
+    inc = owl_property_closure_incremental(b2, committed, **cfg)
+    merged = {tuple(r) for r in committed.collect()} | \
+        {tuple(r) for r in inc.collect()}
+    full = {tuple(r) for r in
+            owl_property_closure(b1.unionByName(b2), **cfg).collect()}
+    assert merged == full
+    got = {tuple(r) for r in inc.collect()}
+    # the alternating path a->b (old) ->c (new) and its inverse
+    assert ("a", anc, "c") in got and ("c", desc, "a") in got
+    # inverse emission: the new (p desc a) asserts (a anc p) both ways
+    assert ("a", anc, "p") in got and ("p", desc, "a") in got
+    assert ("z", knows, "y") in got
+    # nothing already committed reappears
+    assert not (got & {tuple(r) for r in committed.collect()})
