@@ -1436,6 +1436,54 @@ def q_owl_entail(spark, sf_dir):
         transitive=["ex:partOf"]).select("subj", "pred", "obj")
 
 
+def q_owl_entail_incr(spark, sf_dir):
+    """Incremental OWL property closure (entail.py::
+    owl_property_closure_incremental): the q_owl_entail store (closed
+    over customers < 150) receives a batch with new within-assertions
+    [150, 250) AND a brand-new top of the partOf hierarchy
+    (ex:World partOf ex:Universe) - the transitive stripe must bridge
+    every committed chain through the single new edge (semi-naive,
+    old/new alternation), while the inverse/symmetric half stays
+    delta-local. Oracle: full-closure EXCEPT old-closure, both from the
+    parametrized q_owl_entail SQL builder."""
+    from csvweb_spark.operators.entail import (
+        owl_property_closure, owl_property_closure_incremental)
+    nation = _load(spark, sf_dir, "nation")
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 250)
+    nxt = nation.select(F.col("n_nationkey").alias("k2"))
+    adj = (nation.select(F.col("n_nationkey").alias("k"),
+                         (F.col("n_nationkey") + 1).alias("k2"))
+           .join(nxt, "k2", "left_semi")
+           .select(F.concat(F.lit("ex:N"), F.col("k")).alias("subj"),
+                   F.lit("ex:adjacentTo").alias("pred"),
+                   F.concat(F.lit("ex:N"), F.col("k2")).alias("obj")))
+    within = lambda lo, hi: (cust
+                             .filter((F.col("c_custkey") >= lo)
+                                     & (F.col("c_custkey") < hi))
+                             .select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit("ex:within").alias("pred"),
+        F.concat(F.lit("ex:N"), F.col("c_nationkey")).alias("obj")))
+    part_n = nation.select(
+        F.concat(F.lit("ex:N"), F.col("n_nationkey")).alias("subj"),
+        F.lit("ex:partOf").alias("pred"),
+        F.concat(F.lit("ex:R"), F.col("n_regionkey")).alias("obj"))
+    part_r = (nation.select("n_regionkey").distinct().select(
+        F.concat(F.lit("ex:R"), F.col("n_regionkey")).alias("subj"),
+        F.lit("ex:partOf").alias("pred"), F.lit("ex:World").alias("obj")))
+    cfg = dict(symmetric=["ex:adjacentTo"],
+               inverse={"ex:contains": "ex:within"},
+               transitive=["ex:partOf"])
+    committed = owl_property_closure(
+        adj.unionByName(within(0, 150)).unionByName(part_n)
+        .unionByName(part_r), **cfg)
+    delta = within(150, 250).unionByName(spark.createDataFrame(
+        [("ex:World", "ex:partOf", "ex:Universe")],
+        "subj string, pred string, obj string"))
+    return owl_property_closure_incremental(
+        delta, committed, **cfg).select("subj", "pred", "obj")
+
+
 def q_lang_detect(spark, sf_dir):
     """N-gram-heuristic language ID (marker-word scoring, argmax with
     deterministic tie order en > de > fr > es, all-zero -> 'und') plus
@@ -1920,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfs_entail": q_rdfs_entail,
         "rdfs_entail_incr": q_rdfs_entail_incr,
         "owl_trans_incr": q_owl_trans_incr,
+        "owl_entail_incr": q_owl_entail_incr,
         "bgp_match": q_bgp_match,
         "bgp_optional": q_bgp_optional,
         "kg_path": q_kg_path,
@@ -2456,6 +2505,51 @@ def _rdfs_oracle_sql(cust_max: int = 200) -> str:
         UNION SELECT * FROM r2
         UNION SELECT * FROM r3
         UNION SELECT * FROM r9
+    """
+
+
+def _owl_oracle_sql(cust_max: int = 150, universe: bool = False) -> str:
+    """DuckDB replica of operators/entail.py::owl_property_closure over
+    the q_owl_entail input, parametrized for the incremental query:
+    `cust_max` bounds the within-assertions, `universe` adds the
+    (World partOf Universe) top level - with it, the partOf closure
+    gains the depth-2 and depth-3 compositions through the new edge."""
+    u_base = ("""
+                 UNION ALL
+                 SELECT DISTINCT 'ex:World', 'ex:partOf', 'ex:Universe'
+                 FROM n""" if universe else "")
+    u_der = ("""
+                UNION ALL
+                SELECT DISTINCT 'ex:R' || r, 'ex:partOf', 'ex:Universe'
+                FROM n
+                UNION ALL
+                SELECT 'ex:N' || k, 'ex:partOf', 'ex:Universe' FROM n"""
+             if universe else "")
+    return f"""
+            WITH n AS (SELECT n_nationkey AS k, n_regionkey AS r
+                       FROM nation),
+            adj AS (SELECT 'ex:N' || a.k AS s, 'ex:adjacentTo' AS p,
+                           'ex:N' || b.k AS o
+                    FROM n a JOIN n b ON b.k = a.k + 1),
+            w AS (SELECT 'ex:C' || c_custkey AS s, 'ex:within' AS p,
+                         'ex:N' || c_nationkey AS o
+                  FROM customer WHERE c_custkey < {cust_max}),
+            pn AS (SELECT 'ex:N' || k AS s, 'ex:partOf' AS p,
+                          'ex:R' || r AS o FROM n),
+            pr AS (SELECT DISTINCT 'ex:R' || r AS s, 'ex:partOf' AS p,
+                          'ex:World' AS o FROM n),
+            base AS (SELECT * FROM adj UNION ALL SELECT * FROM w
+                     UNION ALL SELECT * FROM pn
+                     UNION ALL SELECT * FROM pr{u_base}),
+            der AS (
+                SELECT o AS s, p AS p, s AS o FROM adj
+                UNION ALL
+                SELECT o, 'ex:contains', s FROM w
+                UNION ALL
+                SELECT a.s, 'ex:partOf', b.o
+                FROM pn a JOIN pr b ON a.o = b.s{u_der})
+            SELECT DISTINCT s AS subj, p AS pred, o AS obj
+            FROM (SELECT * FROM base UNION ALL SELECT * FROM der) q
     """
 
 
@@ -3258,32 +3352,10 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT n, 'ex:memberOf', r FROM j) q
         """,
-        "owl_entail": """
-            WITH n AS (SELECT n_nationkey AS k, n_regionkey AS r
-                       FROM nation),
-            adj AS (SELECT 'ex:N' || a.k AS s, 'ex:adjacentTo' AS p,
-                           'ex:N' || b.k AS o
-                    FROM n a JOIN n b ON b.k = a.k + 1),
-            w AS (SELECT 'ex:C' || c_custkey AS s, 'ex:within' AS p,
-                         'ex:N' || c_nationkey AS o
-                  FROM customer WHERE c_custkey < 150),
-            pn AS (SELECT 'ex:N' || k AS s, 'ex:partOf' AS p,
-                          'ex:R' || r AS o FROM n),
-            pr AS (SELECT DISTINCT 'ex:R' || r AS s, 'ex:partOf' AS p,
-                          'ex:World' AS o FROM n),
-            base AS (SELECT * FROM adj UNION ALL SELECT * FROM w
-                     UNION ALL SELECT * FROM pn
-                     UNION ALL SELECT * FROM pr),
-            der AS (
-                SELECT o AS s, p AS p, s AS o FROM adj
-                UNION ALL
-                SELECT o, 'ex:contains', s FROM w
-                UNION ALL
-                SELECT a.s, 'ex:partOf', b.o
-                FROM pn a JOIN pr b ON a.o = b.s)
-            SELECT DISTINCT s AS subj, p AS pred, o AS obj
-            FROM (SELECT * FROM base UNION ALL SELECT * FROM der) q
-        """,
+        "owl_entail": _owl_oracle_sql(),
+        "owl_entail_incr": (
+            f"SELECT * FROM ({_owl_oracle_sql(250, True)})\n"
+            f"EXCEPT\nSELECT * FROM ({_owl_oracle_sql(150, False)})"),
         "lang_detect": """
             WITH s AS (
                 SELECT doc_id, lang, ' ' || lower(text) || ' ' AS pad
