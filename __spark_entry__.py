@@ -1436,6 +1436,31 @@ def q_owl_entail(spark, sf_dir):
         transitive=["ex:partOf"]).select("subj", "pred", "obj")
 
 
+def q_kg_graph_bgp(spark, sf_dir):
+    """GRAPH-scoped BGP matching (bgp.py::match_bgp_graph) over the
+    named-graph quad shape to_nquads exports: both patterns must match
+    in the SAME graph and ?g binds it (provenance-scoped matching).
+    The two predicates deliberately live in graphs derived from
+    DIFFERENT keys (custkey%3 vs nationkey%3), so only customers whose
+    keys agree mod 3 produce solutions - a per-graph join the plain
+    triple view would get wrong. Oracle joins on (graph, subject)."""
+    from csvweb_spark.operators.bgp import match_bgp_graph
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    q_in = cust.select(
+        F.concat(F.lit("g:"), F.col("c_custkey") % 3).alias("graph"),
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit("ex:in").alias("pred"),
+        F.concat(F.lit("ex:N"), F.col("c_nationkey")).alias("obj"))
+    q_seg = cust.select(
+        F.concat(F.lit("g:"), F.col("c_nationkey") % 3).alias("graph"),
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit("ex:seg").alias("pred"),
+        F.col("c_mktsegment").alias("obj"))
+    out = match_bgp_graph(q_in.unionByName(q_seg), "?g",
+                          [("?c", "ex:in", "?n"), ("?c", "ex:seg", "?s")])
+    return out.select("g", "c", "n", "s")
+
+
 def q_owl_entail_incr(spark, sf_dir):
     """Incremental OWL property closure (entail.py::
     owl_property_closure_incremental): the q_owl_entail store (closed
@@ -1969,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfs_entail_incr": q_rdfs_entail_incr,
         "owl_trans_incr": q_owl_trans_incr,
         "owl_entail_incr": q_owl_entail_incr,
+        "kg_graph_bgp": q_kg_graph_bgp,
         "bgp_match": q_bgp_match,
         "bgp_optional": q_bgp_optional,
         "kg_path": q_kg_path,
@@ -3142,6 +3168,18 @@ def oracle_sql() -> dict[str, str]:
         "rdfs_entail_incr": (
             f"SELECT * FROM ({_rdfs_oracle_sql(300)})\n"
             f"EXCEPT\nSELECT * FROM ({_rdfs_oracle_sql(200)})"),
+        "kg_graph_bgp": """
+            WITH a AS (SELECT 'g:' || (c_custkey % 3) AS g,
+                              'ex:C' || c_custkey AS c,
+                              'ex:N' || c_nationkey AS n
+                       FROM customer WHERE c_custkey < 400),
+            b AS (SELECT 'g:' || (c_nationkey % 3) AS g,
+                         'ex:C' || c_custkey AS c,
+                         c_mktsegment AS s
+                  FROM customer WHERE c_custkey < 400)
+            SELECT a.g, a.c, a.n, b.s
+            FROM a JOIN b ON a.g = b.g AND a.c = b.c
+        """,
         "owl_trans_incr": """
             WITH RECURSIVE
             c AS (SELECT c_custkey AS k FROM customer

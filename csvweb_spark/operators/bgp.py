@@ -483,3 +483,59 @@ def describe_nodes(triples: DataFrame, nodes: DataFrame,
     in_edges = (triples.filter(obj_is_iri)
                 .join(n, triples["obj"] == F.col("_n"), "left_semi"))
     return out_edges.unionByName(in_edges).distinct()
+
+
+def match_bgp_graph(quads: DataFrame, graph: str,
+                    patterns: list[Pattern]) -> DataFrame:
+    """SPARQL GRAPH g { BGP } over a (graph, subj, pred, obj) quad
+    table (the shape to_nquads exports: page-URL named graphs).
+
+    Constant graph: one pushed filter, then the ordinary match_bgp.
+    Variable graph (?g): every pattern's scan carries the graph column
+    bound to the variable, so the greedy shared-variable joins
+    automatically co-scope all patterns to ONE graph per solution and
+    the result binds ?g - provenance-scoped matching ("which PAGE
+    asserts this whole pattern"), the KG audit query. Every scan shares
+    the graph variable, so the join tree is always connected (no
+    cartesian risk by construction). Property-path predicates are not
+    supported under a variable graph (paths would need per-graph
+    closures - filter to a constant graph first)."""
+    if not _is_var(graph):
+        t = (quads.filter(F.col("graph") == F.lit(graph))
+             .select("subj", "pred", "obj"))
+        return match_bgp(t, patterns)
+    gname = graph[1:]
+    if not gname:
+        raise ValueError("bare '?' is not a variable")
+    if not patterns:
+        raise ValueError("empty pattern list")
+    scans = []
+    for i, pat in enumerate(patterns):
+        if isinstance(pat[1], tuple):
+            raise ValueError(
+                f"pattern {i}: property paths inside GRAPH {graph} are "
+                "not supported - scope to a constant graph first")
+        df = quads
+        cols = [F.col("graph").alias(gname)]
+        seen = {gname: "graph"}
+        for pos, term in zip(_POS, pat):
+            if _is_var(term):
+                name = term[1:]
+                if not name:
+                    raise ValueError(
+                        f"pattern {i}: bare '?' is not a variable")
+                if name in seen:
+                    df = df.filter(F.col(seen[name]) == F.col(pos))
+                else:
+                    seen[name] = pos
+                    cols.append(F.col(pos).alias(name))
+            else:
+                df = df.filter(F.col(pos) == F.lit(term))
+        scans.append((df.select(*cols), set(seen)))
+    # most-constant first; every scan shares the graph variable
+    scans.sort(key=lambda s: len(s[1]))
+    out, bound = scans[0]
+    for df, vs in scans[1:]:
+        out = out.join(df, sorted(vs & bound))
+        bound |= vs
+    return out

@@ -896,3 +896,24 @@ def test_owl_property_closure_incremental(spark):
     assert ("z", knows, "y") in got
     # nothing already committed reappears
     assert not (got & {tuple(r) for r in committed.collect()})
+
+
+def test_match_bgp_graph_scoping(spark):
+    from csvweb_spark.operators.bgp import match_bgp_graph
+    quads = spark.createDataFrame([
+        ("g1", "a", "p", "x"), ("g1", "a", "q", "y"),
+        ("g2", "a", "p", "x2"), ("g2", "b", "q", "y2"),
+        ("g2", "b", "p", "x3"),
+    ], "graph string, subj string, pred string, obj string")
+    pats = [("?s", "p", "?v"), ("?s", "q", "?w")]
+    # variable graph: both patterns co-scope per graph and ?g binds
+    got = {(r.g, r.s, r.v, r.w)
+           for r in match_bgp_graph(quads, "?g", pats).collect()}
+    assert got == {("g1", "a", "x", "y"), ("g2", "b", "x3", "y2")}
+    # constant graph: plain scoped BGP, no graph column
+    got1 = {(r.s, r.v, r.w)
+            for r in match_bgp_graph(quads, "g1", pats).collect()}
+    assert got1 == {("a", "x", "y")}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="property paths"):
+        match_bgp_graph(quads, "?g", [("?s", ("plus", "p"), "?v")])
