@@ -106,6 +106,11 @@ AUDITS = [
      "self-join; both join sides shuffle once on dst (exchange "
      "reuse), and the pair count is a partial_count below the final "
      "exchange - only ids ever shuffle."),
+    ("Named-graph (GRAPH-scoped) BGP", "kg_graph_bgp",
+     "Every pattern scan carries the graph column, so the shared-"
+     "variable hash joins co-scope all patterns to one graph per "
+     "solution - no extra operator, no nested loop; constant terms "
+     "are pushed scan filters."),
     ("Temporal KG snapshot (as-of)", "kg_snapshot_asof",
      "The latest-version election is ONE partial-final aggregate with "
      "partial_max(struct(ts, vals)) below the exchange - no Window "
