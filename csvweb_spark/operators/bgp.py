@@ -162,12 +162,22 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern],
         names = [v.lstrip("?") for v in vvars]
         if any(cell is None for row in rows for cell in row):
             raise ValueError("UNDEF (None) in VALUES is not supported")
-        vdf = (triples.sparkSession.createDataFrame(
+        # NO distinct: SPARQL bag semantics - duplicate VALUES rows
+        # multiply solutions (round-4 review)
+        vdf = triples.sparkSession.createDataFrame(
             [tuple(row) for row in rows],
-            ", ".join(f"`{n}` string" for n in names)).distinct())
+            ", ".join(f"`{n}` string" for n in names))
         shared = sorted(set(names) & set(out.columns))
         out = (out.join(F.broadcast(vdf), shared) if shared
                else out.crossJoin(F.broadcast(vdf)))
+    # OPTIONAL chaining: a variable introduced by an EARLIER optional
+    # group may be NULL; SPARQL left-join compatibility treats unbound
+    # as compatible-with-anything, so a later group sharing it must use
+    # a null-or-equal condition + coalesce merge, not plain equality
+    # (round-4 review). Required-only shared vars keep the plain (hash)
+    # left join; the null-aware branch still hash-joins when at least
+    # one required var is shared (the equality conjunct drives it).
+    maybe_null: set = set()
     for i, group in enumerate(optional or []):
         sub = match_bgp(triples, group, allow_cartesian=allow_cartesian)
         shared = sorted(set(sub.columns) & set(out.columns))
@@ -175,7 +185,28 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern],
             raise ValueError(
                 f"OPTIONAL group {i} shares no variable with the "
                 "required pattern (would cross-join every solution)")
-        out = out.join(sub, shared, "left")
+        null_shared = [c for c in shared if c in maybe_null]
+        private = [c for c in sub.columns if c not in shared]
+        if not null_shared:
+            out = out.join(sub, shared, "left")
+        else:
+            pre_cols = list(out.columns)
+            r = sub
+            for c in sub.columns:
+                r = r.withColumnRenamed(c, f"_opt{i}_{c}")
+            cond = F.lit(True)
+            for c in shared:
+                rc = F.col(f"_opt{i}_{c}")
+                cond = cond & ((F.col(c).isNull() | (F.col(c) == rc))
+                               if c in maybe_null else (F.col(c) == rc))
+            out = (out.join(r, cond, "left")
+                   .select(
+                       *[(F.coalesce(F.col(c), F.col(f"_opt{i}_{c}"))
+                          .alias(c) if c in shared else F.col(c))
+                         for c in pre_cols],
+                       *[F.col(f"_opt{i}_{c}").alias(c)
+                         for c in private]))
+        maybe_null |= set(private) | set(null_shared)
     return out
 
 

@@ -154,8 +154,11 @@ def rdfs_closure(triples: DataFrame, derived_only: bool = False,
                        F.lit(RDF_TYPE).alias("pred"),
                        F.col("cls").alias("obj")))
 
-    # rdfs9 on all type triples (asserted + rdfs2/3-derived)
-    types = (t.filter(F.col("pred") == RDF_TYPE)
+    # rdfs9 on ALL type triples: asserted, rdfs2/3-derived, AND
+    # rdfs7-derived (a property declared subPropertyOf rdf:type emits
+    # type triples through the inheritance pass - round-4 review; the
+    # one-pass stratification is complete only with props as the base)
+    types = (props.filter(F.col("pred") == RDF_TYPE)
              .unionByName(d_rdfs2).unionByName(d_rdfs3))
     d_rdfs9 = (types.join(F.broadcast(sub_class),
                           types["obj"] == sub_class["src"])

@@ -215,9 +215,13 @@ def node_similarity(edges: DataFrame, src: str = "src", dst: str = "dst",
     deg = bidir.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     centers = bidir
     if max_center_degree is not None:
-        ok = (deg.filter(F.col("degree") <= max_center_degree)
-              .select(F.col("node").alias("nbr")))
-        centers = centers.join(F.broadcast(ok), "nbr", "left_semi")
+        # broadcast the tiny OVER-cap hub set and anti-join - the
+        # below-cap set is nearly the whole graph, and broadcasting IT
+        # would OOM the driver at exactly the hub-skewed scale the cap
+        # exists for (round-4 review)
+        hubs = (deg.filter(F.col("degree") > max_center_degree)
+                .select(F.col("node").alias("nbr")))
+        centers = centers.join(F.broadcast(hubs), "nbr", "left_anti")
     left = centers.select(F.col("nbr").alias("c"), F.col("node").alias("a"))
     right = centers.select(F.col("nbr").alias("c"), F.col("node").alias("b"))
     pairs = (left.join(right, "c")
@@ -280,6 +284,7 @@ def shortest_paths(edges: DataFrame, seeds: DataFrame,
             .withColumn("dist", F.lit(0).cast("long"))
             .localCheckpoint(eager=True))
     frontier = dist
+    converged = False
     for _ in range(max_iter):
         f = F.broadcast(frontier) if broadcast_frontier else frontier
         cand = (e.join(f, e["a"] == f["node"])
@@ -295,11 +300,20 @@ def shortest_paths(edges: DataFrame, seeds: DataFrame,
                     .select("node", F.col("d").alias("dist"))
                     .localCheckpoint(eager=False))
         if not improved.take(1):
+            converged = True
             break
         dist = (dist.join(improved.select("node"), "node", "left_anti")
                 .unionByName(improved)
                 .localCheckpoint(eager=True))
         frontier = improved
+    if not converged:
+        # returning partial distances silently would hash-mismatch the
+        # oracle at best and feed wrong distances downstream at worst
+        # (round-4 review: the repo rule is no silent caps)
+        raise ValueError(
+            f"shortest_paths did not converge within max_iter="
+            f"{max_iter} rounds (graph hop-diameter from the seeds "
+            "exceeds it); raise max_iter")
     return dist
 
 

@@ -250,15 +250,40 @@ def to_turtle(df: DataFrame, prefixes: dict | None = None) -> DataFrame:
 
 # one N-Triples statement: subject (IRI or bnode), predicate (IRI),
 # object term (everything up to the closing " ."). The quad grammar
-# additionally requires a fourth <graph> IRI term; it is tried FIRST so
+# additionally requires a fourth graph term - an IRI or (round-4
+# review: the spec allows it) a BLANK NODE label; it is tried FIRST so
 # the graph term can never be confused with the object (a triple line
 # `<s> <p> <o> .` cannot match the quad grammar - its object group
-# would have to be empty - while a quad line always does). Whitespace
-# per canonical N-Triples/N-Quads (single spaces).
+# would have to be empty - while a quad line always does). The bnode
+# graph charset is the tight PN_CHARS-ish set, NOT \S+: a greedy \S+
+# would let a literal OBJECT ending in `_:x"` false-match as a quad.
+# Whitespace per canonical N-Triples/N-Quads (single spaces).
+_NT_BNODE = r"_:[A-Za-z0-9_.\-]+"
 _NT_LINE = r'^(<[^>]*>|_:\S+) (<[^>]*>) (.+) \.$'
-_NQ_LINE = r'^(<[^>]*>|_:\S+) (<[^>]*>) (.+) (<[^>]*>) \.$'
+_NQ_LINE = (r'^(<[^>]*>|_:\S+) (<[^>]*>) (.+) '
+            r'(<[^>]*>|' + _NT_BNODE + r') \.$')
 # literal object: quoted body with escapes, then @lang or ^^<dtype>
 _NT_LITERAL = r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?$'
+
+
+def _obj_term(line: Column) -> Column:
+    """The object term under whichever grammar matches (quad first)."""
+    return (F.when(line.rlike(_NQ_LINE),
+                   F.regexp_extract(line, _NQ_LINE, 3))
+            .otherwise(F.regexp_extract(line, _NT_LINE, 3)))
+
+
+def _valid_statement(line: Column) -> Column:
+    """Line-level validity shared by parse_ntriples (keep) and
+    invalid_ntriples (flag): the statement grammar must match AND the
+    object term must be a well-formed IRI, bnode label or literal -
+    `(.+)` alone would silently ingest garbage objects as 'iri'
+    (round-4 review)."""
+    obj = _obj_term(line)
+    return line.rlike(_NT_LINE) & (
+        obj.rlike(r'^<[^>]*>$')
+        | obj.rlike('^' + _NT_BNODE + '$')
+        | obj.rlike(_NT_LITERAL))
 
 
 def _strip_angles(c: Column) -> Column:
@@ -318,7 +343,7 @@ def parse_ntriples(lines: DataFrame, col: str = "line",
     lit_lang = F.regexp_extract(obj_t, _NT_LITERAL, 2)
     lit_dtype = F.regexp_extract(obj_t, _NT_LITERAL, 3)
     out = (lines
-           .filter(line.rlike(_NT_LINE))
+           .filter(_valid_statement(line))
            .select(
                F.when(subj_t.startswith("_:"), subj_t)
                 .otherwise(_strip_angles(subj_t)).alias("subj"),
@@ -343,6 +368,6 @@ def invalid_ntriples(lines: DataFrame, col: str = "line") -> DataFrame:
     match), excluding blank lines and comments. No silent caps: run this
     alongside a load and alert on count() > 0."""
     line = F.col(col)
-    return lines.filter(~line.rlike(_NT_LINE)
+    return lines.filter(~_valid_statement(line)
                         & (F.trim(line) != "")
                         & ~F.trim(line).startswith("#"))

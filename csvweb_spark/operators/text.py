@@ -320,18 +320,17 @@ def chunk_documents(df: DataFrame, window: int, stride: int | None = None,
         stride = window
     if window < 1 or stride < 1:
         raise ValueError("window and stride must be >= 1")
-    toks = F.split(
-        F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+")
+    trimmed = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+    toks = F.split(trimmed, r"\s+")
     n = F.size(toks)
     last_ix = F.when(
         n > window,
         F.floor((n - F.lit(window) + F.lit(stride) - 1) / F.lit(stride)))\
         .otherwise(F.lit(0))
-    base = (df.filter(F.length(
-                F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")) > 0)
+    base = (df.filter(F.length(trimmed) > 0)
             .select(F.col(key_col), toks.alias("_toks"),
-                    F.posexplode(F.sequence(F.lit(0), last_ix))
-                     .alias("chunk_ix", "_i")))
+                    F.explode(F.sequence(F.lit(0), last_ix))
+                     .alias("chunk_ix")))
     piece = F.slice(F.col("_toks"), F.col("chunk_ix") * stride + 1, window)
     return (base.select(
         key_col,

@@ -157,13 +157,21 @@ def test_bgp_optional_left_join(spark):
     assert got == {(EX + "alice", EX + "paris", EX + "bob"),
                    (EX + "bob", EX + "paris", None),
                    (EX + "carol", EX + "lyon", None)}
-    # second optional chains on a variable the FIRST optional bound
+    # second optional chains on a variable the FIRST optional bound.
+    # SPARQL left-join COMPATIBILITY (round-4 review fix): a solution
+    # whose ?f is unbound is compatible with EVERY G2 solution, so it
+    # extends once per (f, fcity) pair - the spec's famous OPTIONAL
+    # gotcha - while alice's bound ?f=bob matches only bob's city.
     out2 = match_bgp(kg, [("?p", EX + "in", "?city")],
                      optional=[[("?p", EX + "knows", "?f")],
                                [("?f", EX + "in", "?fcity")]])
-    rows = {r.p: (r.f, r.fcity) for r in out2.collect()}
-    assert rows[EX + "alice"] == (EX + "bob", EX + "paris")
-    assert rows[EX + "carol"] == (None, None)
+    rows2 = {(r.p, r.f, r.fcity) for r in out2.collect()}
+    residents = {(EX + "alice", EX + "paris"), (EX + "bob", EX + "paris"),
+                 (EX + "carol", EX + "lyon")}
+    expect = {(EX + "alice", EX + "bob", EX + "paris")}
+    for p in (EX + "bob", EX + "carol"):  # unbound ?f rows fan out
+        expect |= {(p, f, fc) for f, fc in residents}
+    assert rows2 == expect
     with pytest.raises(ValueError, match="OPTIONAL"):
         match_bgp(kg, [("?p", EX + "in", "?city")],
                   optional=[[("?x", EX + "country", "?y")]])
@@ -917,3 +925,21 @@ def test_match_bgp_graph_scoping(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="property paths"):
         match_bgp_graph(quads, "?g", [("?s", ("plus", "p"), "?v")])
+
+
+def test_rdfs_subproperty_of_type_feeds_rdfs9(spark):
+    """REGRESSION (round-4 review): a property declared subPropertyOf
+    rdf:type emits type triples through rdfs7; those must feed rdfs9
+    (the subclass lift) - the one-pass stratification is complete only
+    with the rdfs7 output in the type base."""
+    from csvweb_spark.operators.entail import rdfs_closure
+    EX = "http://ex.org/"
+    triples = _t(spark, [
+        (EX + "isA", RDFS_SUBPROP, RDF_TYPE),
+        (EX + "A", RDFS_SUBCLASS, EX + "B"),
+        (EX + "x", EX + "isA", EX + "A"),
+    ])
+    got = {tuple(r) for r in
+           rdfs_closure(triples, derived_only=True).collect()}
+    assert (EX + "x", RDF_TYPE, EX + "A") in got   # rdfs7
+    assert (EX + "x", RDF_TYPE, EX + "B") in got   # rdfs9 on derived

@@ -736,3 +736,32 @@ def test_chunk_documents_token_coverage_property(spark):
         # every token of the document appears in at least one chunk
         n = len([t for t in docs[doc_id][1].split(" ") if t])
         assert covered == {f"t{doc_id}_{j}" for j in range(n)}
+
+
+def test_parse_nquads_bnode_graph_and_object_validation(spark):
+    """REGRESSION (round-4 review): (a) a quad whose GRAPH label is a
+    blank node must parse as a quad, not fold the label into the
+    object; (b) a literal object ending in an _:x-shaped token must NOT
+    false-match the quad grammar; (c) garbage object terms are flagged
+    by invalid_ntriples and dropped by parse_ntriples, never silently
+    ingested as IRIs."""
+    from csvweb_spark.operators.serialize import (invalid_ntriples,
+                                                  parse_ntriples)
+    rows = [
+        ('<http://s> <http://p> "lit" _:g .',),          # bnode graph
+        ('<http://s> <http://p> <http://o> _:g2 .',),    # bnode graph
+        ('<http://s> <http://p> "text _:x" .',),         # literal, no quad
+        ('<http://s> <http://p> garbage term .',),       # invalid object
+        ('<http://s> <http://p> "ok" <http://g> .',),    # iri graph quad
+    ]
+    lines = spark.createDataFrame(rows, "line string")
+    out = parse_ntriples(lines, keep_graph=True).collect()
+    got = {(r.subj, r.obj, r.obj_kind, r.graph) for r in out}
+    assert got == {
+        ("http://s", "lit", "literal", "_:g"),
+        ("http://s", "http://o", "iri", "_:g2"),
+        ("http://s", "text _:x", "literal", None),
+        ("http://s", "ok", "literal", "http://g"),
+    }
+    bad = [r.line for r in invalid_ntriples(lines).collect()]
+    assert bad == ['<http://s> <http://p> garbage term .']
