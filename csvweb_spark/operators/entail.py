@@ -401,7 +401,8 @@ def sameas_labels(triples: DataFrame,
 
 
 def smush_sameas(triples: DataFrame, sameas_pred: str = OWL_SAMEAS,
-                 keep_sameas: bool = False, dedupe: bool = True) -> DataFrame:
+                 keep_sameas: bool = False, dedupe: bool = True,
+                 broadcast_map: bool | str = "auto") -> DataFrame:
     """owl:sameAs identity smushing - the canonicalization step that
     turns linked mentions into ONE node per real-world entity: every
     IRI in a sameAs component is rewritten (subject position always;
@@ -417,16 +418,27 @@ def smush_sameas(triples: DataFrame, sameas_pred: str = OWL_SAMEAS,
     worth auditing). Rewriting can collapse distinct triples into
     duplicates, so the result is `distinct()`ed unless `dedupe=False`.
 
-    Scale shape: the (iri -> canonical) map is KB-sized and broadcast;
-    the corpus-scale triple scan never shuffles except the final
-    distinct (drop it when the downstream sink dedups)."""
+    Scale shape: the (iri -> canonical) map is KB-sized but
+    DATA-DEPENDENT (every IRI in any sameAs component), so whether it is
+    broadcast is policy, not hardcoded: `broadcast_map` is True / False /
+    "auto" (default; count-gated against
+    spark.sql.autoBroadcastJoinThreshold via
+    `canonicalize.resolve_broadcast` - a map that outgrows executor
+    memory falls back to a plain hash/sort-merge join instead of OOMing).
+    With the fallback, the corpus-scale triple side joins zero-exchange
+    when the store is bucketed by subj (plans/bucketed.write_bucketed);
+    only the final distinct shuffles (drop it when the downstream sink
+    dedups)."""
+    from .canonicalize import resolve_broadcast
     canon = sameas_labels(triples, sameas_pred)
     rest = (triples if keep_sameas
             else triples.filter(F.col("pred") != sameas_pred))
-    smap = F.broadcast(canon.select(F.col("iri").alias("_si"),
-                                    F.col("canonical").alias("_sc")))
-    omap = F.broadcast(canon.select(F.col("iri").alias("_oi"),
-                                    F.col("canonical").alias("_oc")))
+    hint = (F.broadcast if resolve_broadcast(canon, broadcast_map)
+            else (lambda df: df))
+    smap = hint(canon.select(F.col("iri").alias("_si"),
+                             F.col("canonical").alias("_sc")))
+    omap = hint(canon.select(F.col("iri").alias("_oi"),
+                             F.col("canonical").alias("_oc")))
     t = (rest.join(smap, rest["subj"] == F.col("_si"), "left").drop("_si")
              .join(omap, rest["obj"] == F.col("_oi"), "left").drop("_oi"))
     obj_is_iri = (F.col("obj_kind") == "iri") if "obj_kind" in rest.columns \
