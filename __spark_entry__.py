@@ -1461,6 +1461,77 @@ def q_kg_graph_bgp(spark, sf_dir):
     return out.select("g", "c", "n", "s")
 
 
+def q_sparql_graph(spark, sf_dir):
+    """GRAPH in the SPARQL TEXT front-end (round-4 VERDICT item #2):
+    the same provenance-scoped quad match as q_kg_graph_bgp, but
+    entered as query text - `GRAPH ?g { ... }` parses and compiles
+    onto bgp.match_bgp_graph (a plan-equivalence test pins text ==
+    programmatic). Both patterns must match in the SAME named graph;
+    ?g binds it. Oracle: identical join on (graph, subject)."""
+    from csvweb_spark.operators.sparql import sparql_select
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    q_in = cust.select(
+        F.concat(F.lit("g:"), F.col("c_custkey") % 3).alias("graph"),
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit("ex:in").alias("pred"),
+        F.concat(F.lit("ex:N"), F.col("c_nationkey")).alias("obj"))
+    q_seg = cust.select(
+        F.concat(F.lit("g:"), F.col("c_nationkey") % 3).alias("graph"),
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit("ex:seg").alias("pred"),
+        F.col("c_mktsegment").alias("obj"))
+    out = sparql_select(q_in.unionByName(q_seg), """
+      PREFIX e: <ex:>
+      SELECT ?g ?c ?n ?s WHERE {
+        GRAPH ?g { ?c e:in ?n . ?c e:seg ?s }
+      }
+    """)
+    return out.select("g", "c", "n", "s")
+
+
+def q_bgp_values_undef(spark, sf_dir):
+    """VALUES with UNDEF cells (round-4 VERDICT item #3): UNDEF in the
+    shared ?n column is a join-compatibility WILDCARD - the row matches
+    every solution - while bound cells constrain; ?grp extends each
+    matched solution. Bag semantics: an ex:N1 customer matches both its
+    bound row and the UNDEF row, yielding two solutions. Oracle: join
+    against the inline table on (n IS NULL OR n = t.n)."""
+    from csvweb_spark.operators.sparql import sparql_select
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    t_in = cust.select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit("ex:in").alias("pred"),
+        F.concat(F.lit("ex:N"), F.col("c_nationkey")).alias("obj"))
+    out = sparql_select(t_in, """
+      PREFIX e: <ex:>
+      SELECT ?c ?n ?grp WHERE {
+        ?c e:in ?n .
+        VALUES (?n ?grp) { (e:N1 "g1") (e:N3 "g1") (UNDEF "all") }
+      }
+    """)
+    return out.select("c", "n", "grp")
+
+
+def q_sparql_order_numeric(spark, sf_dir):
+    """Numeric ORDER BY (round-4 VERDICT item #4): the sort key is
+    numeric-aware, so MIXED-WIDTH integer lexical forms (no
+    zero-padding: "99" < "100") page correctly under
+    ORDER BY DESC + LIMIT. The sort also exercises the round-5
+    any-in-scope-variable rule: ?k is projected, ?a is the sort key.
+    Oracle: ORDER BY CAST(... AS BIGINT) DESC."""
+    from csvweb_spark.operators.sparql import sparql_select
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    t = cust.select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit("ex:age").alias("pred"),
+        F.col("c_custkey").cast("string").alias("obj"))
+    out = sparql_select(t, """
+      PREFIX e: <ex:>
+      SELECT ?c ?a WHERE { ?c e:age ?a } ORDER BY DESC(?a) LIMIT 20
+    """)
+    return out.select("c", "a")
+
+
 def q_owl_entail_incr(spark, sf_dir):
     """Incremental OWL property closure (entail.py::
     owl_property_closure_incremental): the q_owl_entail store (closed
@@ -1965,6 +2036,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is still judge-runnable via tools/check_oracles.py.
     return {
         "kg_pipeline": q_kg_pipeline,
+        # -- new in round 5 (never recorded) --
+        "sparql_graph": q_sparql_graph,
+        "bgp_values_undef": q_bgp_values_undef,
+        "sparql_order_numeric": q_sparql_order_numeric,
         # -- never recorded before round 4 --
         "owl_sameas": q_owl_sameas,
         "bgp_minus": q_bgp_minus,
@@ -3179,6 +3254,33 @@ def oracle_sql() -> dict[str, str]:
                   FROM customer WHERE c_custkey < 400)
             SELECT a.g, a.c, a.n, b.s
             FROM a JOIN b ON a.g = b.g AND a.c = b.c
+        """,
+        "sparql_graph": """
+            WITH a AS (SELECT 'g:' || (c_custkey % 3) AS g,
+                              'ex:C' || c_custkey AS c,
+                              'ex:N' || c_nationkey AS n
+                       FROM customer WHERE c_custkey < 400),
+            b AS (SELECT 'g:' || (c_nationkey % 3) AS g,
+                         'ex:C' || c_custkey AS c,
+                         c_mktsegment AS s
+                  FROM customer WHERE c_custkey < 400)
+            SELECT a.g, a.c, a.n, b.s
+            FROM a JOIN b ON a.g = b.g AND a.c = b.c
+        """,
+        "bgp_values_undef": """
+            WITH t AS (SELECT 'ex:C' || c_custkey AS c,
+                              'ex:N' || c_nationkey AS n
+                       FROM customer WHERE c_custkey < 500),
+            v(vn, grp) AS (VALUES ('ex:N1', 'g1'), ('ex:N3', 'g1'),
+                                  (NULL, 'all'))
+            SELECT t.c, t.n, v.grp
+            FROM t JOIN v ON v.vn IS NULL OR v.vn = t.n
+        """,
+        "sparql_order_numeric": """
+            SELECT 'ex:C' || c_custkey AS c,
+                   CAST(c_custkey AS VARCHAR) AS a
+            FROM customer WHERE c_custkey < 500
+            ORDER BY c_custkey DESC LIMIT 20
         """,
         "owl_trans_incr": """
             WITH RECURSIVE

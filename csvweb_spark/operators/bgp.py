@@ -124,8 +124,14 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern],
     shared variables BEFORE the OPTIONAL groups (SPARQL joins VALUES
     into the group it appears in), constraining them; variables the
     pattern does not bind extend each solution instead. The table is
-    literal data, so it broadcasts by construction. UNDEF rows (None
-    cells) are not supported - they would need a per-row wildcard join."""
+    literal data, so it broadcasts by construction. UNDEF cells (None)
+    are wildcards per SPARQL join compatibility: a row with UNDEF in a
+    shared variable matches ANY solution value there (compiled as a
+    null-or-equal condition on the broadcast table - same machinery the
+    OPTIONAL chain uses for possibly-unbound shared variables); UNDEF in
+    an extending variable leaves that solution column unbound (NULL).
+    Bag semantics are preserved either way: duplicate VALUES rows
+    multiply solutions."""
     if not patterns:
         raise ValueError("empty pattern list")
     scans = [(_pattern_df(triples, p, i),
@@ -160,16 +166,34 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern],
     if values is not None:
         vvars, rows = values
         names = [v.lstrip("?") for v in vvars]
-        if any(cell is None for row in rows for cell in row):
-            raise ValueError("UNDEF (None) in VALUES is not supported")
         # NO distinct: SPARQL bag semantics - duplicate VALUES rows
         # multiply solutions (round-4 review)
         vdf = triples.sparkSession.createDataFrame(
             [tuple(row) for row in rows],
             ", ".join(f"`{n}` string" for n in names))
         shared = sorted(set(names) & set(out.columns))
-        out = (out.join(F.broadcast(vdf), shared) if shared
-               else out.crossJoin(F.broadcast(vdf)))
+        undef_shared = any(row[names.index(c)] is None
+                           for row in rows for c in shared)
+        if not shared:
+            out = out.crossJoin(F.broadcast(vdf))
+        elif not undef_shared:
+            out = out.join(F.broadcast(vdf), shared)
+        else:
+            # UNDEF in a shared variable: join compatibility makes it a
+            # per-row wildcard - null-or-equal conjunction against the
+            # broadcast table (the OPTIONAL-chain machinery), then keep
+            # the solution side's (always-bound) shared columns
+            r = vdf
+            for c in names:
+                r = r.withColumnRenamed(c, f"_val_{c}")
+            cond = F.lit(True)
+            for c in shared:
+                rc = F.col(f"_val_{c}")
+                cond = cond & (rc.isNull() | (rc == F.col(c)))
+            extend = [c for c in names if c not in shared]
+            out = (out.join(F.broadcast(r), cond)
+                   .select(*[F.col(c) for c in out.columns],
+                           *[F.col(f"_val_{c}").alias(c) for c in extend]))
     # OPTIONAL chaining: a variable introduced by an EARLIER optional
     # group may be NULL; SPARQL left-join compatibility treats unbound
     # as compatible-with-anything, so a later group sharing it must use

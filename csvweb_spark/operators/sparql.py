@@ -37,15 +37,24 @@ Supported subset (raise on anything else - no silent misparse):
                 MINUS { ...triples... };
                 BIND (value-expr AS ?v)  (binds are applied after the
                 whole BGP and before all FILTERs, in textual order -
-                a FILTER may reference any BIND of its group);
-                VALUES ?v { ... } / VALUES (?a ?b) { (..) (..) };
+                a FILTER may reference any BIND of its group; an alias
+                that the group already binds raises, per 10.1);
+                GRAPH <g>/?g { ...triples... }  (compiles onto
+                match_bgp_graph over the quad shape to_nquads exports;
+                inner-joined with the rest of the group on shared
+                variables; not mixable with OPTIONAL/UNION here);
+                VALUES ?v { ... } / VALUES (?a ?b) { (..) (..) } with
+                UNDEF cells (wildcards in shared variables, unbound in
+                extending ones - bag semantics preserved);
                 { SELECT ... } sub-selects (evaluated first, joined on
                 their shared variables; must share >=1 variable with
                 the rest of the group - no silent cartesians);
                 { A } UNION { B } [UNION { C }...] as the WHOLE group.
 * FILTER exprs: && || ! comparisons (= != < <= > >=; numeric when
                 either side is a number literal or an arithmetic
-                result, else string), arithmetic + - * / (double),
+                result, else string), arithmetic + - * / (double;
+                binary '-' tokenizes both spaced `?a - ?b` and the
+                signed-literal form `?a -3`),
                 REGEX(?v,"re"), BOUND(?v), STRLEN(?v),
                 CONTAINS/STRSTARTS/STRENDS(?v,"s"),
                 value builtins (below), parenthesized subexpressions.
@@ -57,10 +66,12 @@ Supported subset (raise on anything else - no silent misparse):
                 allowed as comparison operands), ORDER BY
                 [ASC|DESC](?v)..., LIMIT n, OFFSET n (applied after
                 ORDER BY; pair it with ORDER BY for stable pages).
-                ORDER BY compares the STORED LEXICAL FORM (strings) -
-                zero-pad numeric identifiers at triple-construction
-                time when numeric ordering matters, as every driver
-                query in this repo does.
+                ORDER BY is numeric-aware (`_order_keys`): values that
+                parse as numbers sort numerically and precede
+                non-numeric terms; any in-scope variable may be a sort
+                key (the sort runs before the projection), except under
+                DISTINCT / GROUP BY where the spec restricts keys to
+                the projected expressions (raises otherwise).
 
 Semantics notes: literal terms match the OBJ column's lexical form
 (datatype/lang columns are not consulted - the conversion stores plain
@@ -94,11 +105,11 @@ _TOKEN_RE = re.compile(r"""
   | (?P<pname>[A-Za-z_][A-Za-z0-9_\-]*:(?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?
               |:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>&&|\|\||!=|<=|>=|[{}().;,^/|+*?!=<>])
+  | (?P<op>&&|\|\||!=|<=|>=|[{}().;,^/|+*?!=<>-])
 """, re.X)
 
 _KEYWORDS = {"PREFIX", "SELECT", "ASK", "CONSTRUCT", "DESCRIBE",
-             "DISTINCT", "WHERE", "OPTIONAL",
+             "DISTINCT", "WHERE", "OPTIONAL", "GRAPH", "UNDEF",
              "FILTER", "EXISTS", "NOT", "MINUS", "UNION", "VALUES", "BIND",
              "GROUP", "BY", "HAVING", "ORDER", "ASC", "DESC", "LIMIT",
              "OFFSET", "AS", "COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
@@ -203,6 +214,12 @@ class _Parser:
         if k == "kw" and v in ("TRUE", "FALSE"):
             return v.lower()
         raise SparqlSyntaxError(f"unexpected term {v!r}")
+
+    def values_cell(self):
+        """One VALUES data cell: a term, or UNDEF -> None (wildcard)."""
+        if self.eat("kw", "UNDEF"):
+            return None
+        return self.term()
 
     def iri_term(self) -> str:
         k, v = self.next()
@@ -638,12 +655,15 @@ def _query_body(p: "_Parser", sub: bool) -> dict:
     minuses: list = []
     binds: list = []         # (name, Column) in textual order
     subqueries: list = []    # parsed sub-SELECT dicts
+    graphs: list = []        # (graph_term, patterns) GRAPH blocks
     values = None
     union_groups = None
     if has_group:
         p.eat("kw", "WHERE")
         p.expect("op", "{")
     while has_group and not p.at("op", "}"):
+        if p.eat("op", "."):
+            continue  # optional '.' separators between group elements
         if p.at("op", "{") and p.peek(1) == ("kw", "SELECT"):
             p.next()
             subqueries.append(_query_body(p, sub=True))
@@ -651,6 +671,9 @@ def _query_body(p: "_Parser", sub: bool) -> dict:
             continue
         if p.eat("kw", "OPTIONAL"):
             optionals.append(p.bare_bgp())
+        elif p.eat("kw", "GRAPH"):
+            gterm = p.next()[1] if p.at("var") else p.iri_term()
+            graphs.append((gterm, p.bare_bgp()))
         elif p.eat("kw", "BIND"):
             p.expect("op", "(")
             col = p.value_expr()
@@ -682,7 +705,7 @@ def _query_body(p: "_Parser", sub: bool) -> dict:
                 p.expect("op", "{")
                 rows = []
                 while not p.at("op", "}"):
-                    rows.append((p.term(),))
+                    rows.append((p.values_cell(),))
                 p.expect("op", "}")
             else:
                 p.expect("op", "(")
@@ -693,7 +716,7 @@ def _query_body(p: "_Parser", sub: bool) -> dict:
                 p.expect("op", "{")
                 rows = []
                 while p.eat("op", "("):
-                    row = tuple(p.term() for _ in vars_)
+                    row = tuple(p.values_cell() for _ in vars_)
                     p.expect("op", ")")
                     rows.append(row)
                 p.expect("op", "}")
@@ -713,9 +736,14 @@ def _query_body(p: "_Parser", sub: bool) -> dict:
             p.triples_block(patterns)
     if has_group:
         p.expect("op", "}")
-    if union_groups and (patterns or optionals or minuses or values):
+    if union_groups and (patterns or optionals or minuses or values
+                         or graphs):
         raise SparqlSyntaxError(
             "UNION cannot mix with other group elements in this subset")
+    if graphs and optionals:
+        raise SparqlSyntaxError(
+            "GRAPH cannot mix with OPTIONAL in this subset (the graph "
+            "join would need null-compatible semantics)")
 
     group_by: list = []
     order_by: list = []
@@ -758,7 +786,7 @@ def _query_body(p: "_Parser", sub: bool) -> dict:
             raise SparqlSyntaxError(f"unexpected trailing {p.peek()!r}")
 
     if has_group and not patterns and union_groups is None \
-            and not subqueries:
+            and not subqueries and not graphs:
         raise SparqlSyntaxError("empty group")
     if subqueries and not patterns and union_groups is None \
             and (optionals or values):
@@ -780,9 +808,23 @@ def _query_body(p: "_Parser", sub: bool) -> dict:
         nullable = set.union(*arm_vars) - required
     else:
         required = _pattern_vars(patterns)
+        for gterm, gpats in graphs:
+            # GRAPH blocks are inner-joined: their variables (and the
+            # graph variable itself) are required
+            required |= _pattern_vars(gpats)
+            if gterm.startswith("?"):
+                required.add(gterm[1:])
         nullable = set()
     for g in optionals:
         nullable |= _pattern_vars(g) - required
+    if values is not None:
+        # a VALUES variable with an UNDEF cell can reach the output
+        # unbound (when it extends rather than constrains the solution)
+        vvars, vrows = values
+        for j, v in enumerate(vvars):
+            if v.lstrip("?") not in required \
+                    and any(r[j] is None for r in vrows):
+                nullable.add(v.lstrip("?"))
     for subq in subqueries:
         for item in subq["projection"]:
             if item[0] == "var" and item[1] in subq["nullable"]:
@@ -795,6 +837,30 @@ def _query_body(p: "_Parser", sub: bool) -> dict:
                 nullable.add(item[2])  # opaque expression: conservative
             elif item[0] == "star":
                 nullable |= subq["nullable"]
+    if binds:
+        # SPARQL 1.1 (10.1): the BIND target variable must not already
+        # be bound in the group - silent withColumn overwrite would
+        # mis-evaluate (round-4 advice). Collect everything the group
+        # binds, then check each BIND in textual order.
+        bound = set(required) | set(nullable)
+        if values is not None:
+            bound |= {v.lstrip("?") for v in values[0]}
+        for subq in subqueries:
+            for item in subq["projection"]:
+                if item[0] == "var":
+                    bound.add(item[1])
+                elif item[0] in ("agg", "vexpr"):
+                    bound.add(item[2])
+                else:  # star
+                    bound |= _pattern_vars(subq["patterns"])
+                    if subq["union"]:
+                        for arm in subq["union"]:
+                            bound |= _pattern_vars(arm)
+        for name, _ in binds:
+            if name in bound:
+                raise SparqlSyntaxError(
+                    f"BIND alias ?{name} is already bound in the group")
+            bound.add(name)
     if binds and nullable:
         # BIND expressions are compiled Columns here (no var list to
         # inspect); if anything nullable is in scope, assume the bind
@@ -822,7 +888,7 @@ def _query_body(p: "_Parser", sub: bool) -> dict:
             "patterns": patterns, "optionals": optionals,
             "filters": filters, "exists": exists, "minuses": minuses,
             "binds": binds, "subqueries": subqueries,
-            "nullable": nullable,
+            "graphs": graphs, "nullable": nullable,
             "values": values, "union": union_groups,
             "group_by": group_by, "having": having,
             "having_aggs": having_aggs, "order_by": order_by,
@@ -858,7 +924,8 @@ def _solutions(triples: DataFrame, q: dict) -> DataFrame:
     (evaluated first, bottom-up per the spec, each joined on its shared
     variables), BGP/UNION match, BINDs, EXISTS/MINUS (null-aware when
     OPTIONAL/UNION can leave variables unbound), FILTERs."""
-    from .bgp import filter_exists, match_bgp, match_minus, match_union
+    from .bgp import (filter_exists, match_bgp, match_bgp_graph,
+                      match_minus, match_union)
 
     if q["union"] is not None:
         sol = match_union(triples, q["union"])
@@ -867,7 +934,29 @@ def _solutions(triples: DataFrame, q: dict) -> DataFrame:
                         optional=q["optionals"] or None,
                         values=q["values"])
     else:
-        sol = None  # subquery-only group (validated at parse time)
+        sol = None  # graph-/subquery-only group (validated at parse time)
+    for gterm, gpats in q.get("graphs", ()):
+        # GRAPH <g>/?g { ... }: compiled onto match_bgp_graph over the
+        # quad shape to_nquads exports; plain patterns in the same group
+        # match the union of all graphs (the quad table's triple view)
+        if "graph" not in triples.columns:
+            raise SparqlSyntaxError(
+                "GRAPH needs a quad table with a 'graph' column "
+                "(the to_nquads export shape)")
+        gdf = match_bgp_graph(triples, gterm, gpats)
+        if sol is None:
+            sol = gdf
+            continue
+        shared = sorted(set(gdf.columns) & set(sol.columns))
+        if not shared:
+            raise SparqlSyntaxError(
+                "GRAPH block shares no variable with the rest of the "
+                "group - a cartesian product (unsupported)")
+        sol = sol.join(gdf, shared)
+    if q.get("graphs") and q["values"] is not None and not q["patterns"]:
+        raise SparqlSyntaxError(
+            "VALUES alongside a GRAPH-only group is unsupported in this "
+            "subset - add a triple pattern or inline the constraint")
     for subq in q.get("subqueries", ()):
         sub_df = _select_df(triples, subq)
         if sol is None:
@@ -939,11 +1028,31 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     return _select_df(triples, q)
 
 
+def _order_keys(sol: DataFrame, order_by: list) -> list:
+    """ORDER BY sort keys, numeric-aware: a value that parses as a
+    number sorts NUMERICALLY (mixed-width integers need no zero-padding
+    - round-4 VERDICT item), and numeric values precede non-numeric
+    terms ascending (SPARQL 1.1 15.1 orders numeric literals before
+    plain strings). Ties between distinct lexical forms of one number
+    ("1" vs "1.0") break on the stored lexical form, keeping the order
+    total and deterministic. DESC reverses the whole key."""
+    keys = []
+    for n, asc in order_by:
+        if n not in sol.columns:
+            raise SparqlSyntaxError(f"ORDER BY ?{n} is not in scope here")
+        c = F.col(n)
+        num = c.try_cast("double")
+        for k in (num.isNull(), num, c):
+            keys.append(k.asc() if asc else k.desc())
+    return keys
+
+
 def _select_df(triples: DataFrame, q: dict) -> DataFrame:
     """The SELECT tail (projection/aggregation/modifiers) - also the
     compile target of `{ SELECT ... }` subqueries."""
     sol = _solutions(triples, q)
     proj = q["projection"]
+    ordered = False
     if q["group_by"] or q["having"] \
             or any(item[0] == "agg" for item in proj):
         aggs, names = [], []
@@ -966,19 +1075,38 @@ def _select_df(triples: DataFrame, q: dict) -> DataFrame:
         # project in the SELECT clause's textual order (group keys and
         # aggregate aliases interleave exactly as written)
         order = [i[1] if i[0] == "var" else i[2] for i in proj]
+        for n, _ in q["order_by"]:
+            if n not in order:
+                raise SparqlSyntaxError(
+                    f"ORDER BY ?{n}: an aggregated query can only sort "
+                    "by its projected group keys / aggregate aliases")
         sol = sol.select(*order)
     else:
         for item in proj:
             if item[0] == "vexpr":
                 sol = sol.withColumn(item[2], item[1])
         if proj != [("star",)]:
-            sol = sol.select(*[item[1] if item[0] == "var" else item[2]
-                               for item in proj])
+            names = [item[1] if item[0] == "var" else item[2]
+                     for item in proj]
+            if q["order_by"] and not q["distinct"]:
+                # SPARQL scopes ORDER BY over ALL in-scope variables,
+                # not just projected ones: sort BEFORE the projection
+                # (round-4 advice; a projection is order-preserving)
+                sol = sol.orderBy(*_order_keys(sol, q["order_by"]))
+                ordered = True
+            elif q["distinct"]:
+                # the spec restricts DISTINCT queries to sorting by
+                # projected expressions (18.1 in-scope after projection)
+                for n, _ in q["order_by"]:
+                    if n not in names:
+                        raise SparqlSyntaxError(
+                            f"ORDER BY ?{n} must be projected when "
+                            "DISTINCT is used")
+            sol = sol.select(*names)
     if q["distinct"]:
         sol = sol.distinct()
-    if q["order_by"]:
-        sol = sol.orderBy(*[F.col(n).asc() if asc else F.col(n).desc()
-                            for n, asc in q["order_by"]])
+    if q["order_by"] and not ordered:
+        sol = sol.orderBy(*_order_keys(sol, q["order_by"]))
     if q["offset"] is not None:
         sol = sol.offset(q["offset"])
     if q["limit"] is not None:

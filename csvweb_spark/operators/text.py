@@ -320,6 +320,13 @@ def chunk_documents(df: DataFrame, window: int, stride: int | None = None,
         stride = window
     if window < 1 or stride < 1:
         raise ValueError("window and stride must be >= 1")
+    if stride > window:
+        # gaps between windows would break the every-token-covered
+        # contract (and the old last-window formula could emit an empty
+        # chunk past the token array - round-4 advice)
+        raise ValueError(
+            f"stride ({stride}) > window ({window}) leaves tokens "
+            "uncovered - use stride <= window")
     trimmed = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
     toks = F.split(trimmed, r"\s+")
     n = F.size(toks)

@@ -352,8 +352,17 @@ def test_bgp_values_constrains_and_extends(spark):
                      values=(["?x", "?tag"], [("a", "t1"), ("a", "t2")]))
     assert {(r.x, r.y, r.tag) for r in out2.collect()} == {
         ("a", "b", "t1"), ("a", "b", "t2")}
-    with pytest.raises(ValueError, match="UNDEF"):
-        match_bgp(t, [("?x", "p", "?y")], values=(["?x"], [(None,)]))
+    # UNDEF (None) cells are wildcards in shared variables (round-5):
+    # the UNDEF row matches EVERY solution, the bound row adds one more
+    # for its match - bag semantics, duplicates preserved
+    out3 = match_bgp(t, [("?x", "p", "?y")],
+                     values=(["?x"], [(None,), ("a",)]))
+    got = sorted((r.x, r.y) for r in out3.collect())
+    assert got == sorted([("a", "b"), ("c", "d"), ("e", "f"), ("a", "b")])
+    # UNDEF in an extending variable leaves that column unbound (NULL)
+    out4 = match_bgp(t, [("?x", "p", "?y")],
+                     values=(["?x", "?t"], [("a", "t1"), ("c", None)]))
+    assert {(r.x, r.t) for r in out4.collect()} == {("a", "t1"), ("c", None)}
 
 
 def test_sparql_construct(spark):
@@ -670,6 +679,10 @@ def test_chunk_documents_windows(spark):
     assert got2 == [(1, 0, 4, "a b c d"), (1, 1, 3, "e f g")]
     with pytest.raises(ValueError, match=">= 1"):
         chunk_documents(df, window=0)
+    # stride > window would leave tokens uncovered (and used to emit a
+    # bogus empty trailing chunk - round-4 advice): refuse it
+    with pytest.raises(ValueError, match="uncovered"):
+        chunk_documents(df, window=2, stride=100)
 
 
 def test_describe_nodes_bounded(spark):

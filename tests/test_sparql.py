@@ -34,9 +34,9 @@ def test_bgp_filter_order_limit(kg):
         FILTER (?a >= 6 && ?a < 18)
       } ORDER BY DESC(?a) LIMIT 3
     """)
-    # numeric FILTER, lexical ORDER (documented): "9" > "6" > "15"
+    # numeric FILTER and (round-5) numeric-aware ORDER: 15 > 12 > 9
     assert [(r.c, r.a) for r in out.collect()] == [
-        (f"{EX}C9", "9"), (f"{EX}C6", "6"), (f"{EX}C15", "15")]
+        (f"{EX}C15", "15"), (f"{EX}C12", "12"), (f"{EX}C9", "9")]
 
 
 def test_optional_bound_not_exists(kg):
@@ -470,3 +470,204 @@ def test_parser_never_crashes_on_garbage():
     # NOT required - garbage rarely forms a full query - but the loop
     # must have executed)
     assert parsed >= 0
+
+
+# ------------------------------------------------- round-5 additions
+
+
+def test_binary_subtraction(kg):
+    """'-' tokenizes as an operator: spaced binary subtraction works in
+    FILTER and BIND (round-4 advice: only the '?x -3' signed-literal
+    form used to parse)."""
+    out = sparql_select(kg, f"""
+      PREFIX ex: <{EX}>
+      SELECT ?c WHERE {{ ?c ex:age ?a . FILTER (?a - 10 > 5) }}
+    """)
+    assert {r.c for r in out.collect()} == {f"{EX}C{k}" for k in (16, 17, 18, 19)}
+    out2 = sparql_select(kg, f"""
+      PREFIX ex: <{EX}>
+      SELECT ?c ?d WHERE {{ ?c ex:age ?a . BIND (?a - ?a AS ?d) }} LIMIT 1
+    """)
+    assert out2.collect()[0].d == "0.0"
+    # STRLEN(?s) - 1 (the documented example)
+    out3 = sparql_select(kg, f"""
+      PREFIX ex: <{EX}>
+      SELECT ?c (STRLEN(?a) - 1 AS ?l) WHERE {{ ?c ex:age ?a }}
+    """)
+    got = {(r.c, r.l) for r in out3.collect()}
+    assert (f"{EX}C5", "0.0") in got and (f"{EX}C15", "1.0") in got
+    # the signed-literal form still works
+    out4 = sparql_select(kg, f"""
+      PREFIX ex: <{EX}>
+      SELECT ?c WHERE {{ ?c ex:age ?a . FILTER (?a -3 > 15) }}
+    """)
+    assert {r.c for r in out4.collect()} == {f"{EX}C{k}" for k in (19,)}
+
+
+def test_values_undef_wildcard(kg):
+    """UNDEF cells are join-compatibility wildcards in shared variables
+    and unbound extensions otherwise; bag semantics multiply a solution
+    matched by several VALUES rows (round-4 VERDICT item #3)."""
+    out = sparql_select(kg, f"""
+      PREFIX ex: <{EX}>
+      SELECT ?c ?n ?grp WHERE {{
+        ?c ex:in ?n .
+        VALUES (?n ?grp) {{ (ex:N1 "g1") (UNDEF "all") }}
+      }}
+    """)
+    rows = [(r.c, r.n, r.grp) for r in out.collect()]
+    # N1 customers (7) match both rows; N0 (7) + N2 (6) match only UNDEF
+    assert len(rows) == 7 * 2 + 7 + 6
+    assert (f"{EX}C1", f"{EX}N1", "g1") in rows
+    assert (f"{EX}C1", f"{EX}N1", "all") in rows
+    assert (f"{EX}C0", f"{EX}N0", "all") in rows
+    assert (f"{EX}C0", f"{EX}N0", "g1") not in rows
+    # UNDEF in an EXTENDING variable leaves it unbound (NULL)
+    out2 = sparql_select(kg, f"""
+      PREFIX ex: <{EX}>
+      SELECT ?c ?tag WHERE {{
+        ?c ex:vip ?v .
+        VALUES (?c ?tag) {{ (ex:C0 "zero") (ex:C4 UNDEF) }}
+      }}
+    """)
+    assert {(r.c, r.tag) for r in out2.collect()} == {
+        (f"{EX}C0", "zero"), (f"{EX}C4", None)}
+    # all-UNDEF row: every solution survives once, nothing bound
+    n = sparql_select(kg, f"""
+      PREFIX ex: <{EX}>
+      SELECT ?c WHERE {{ ?c ex:vip ?v . VALUES ?c {{ UNDEF }} }}
+    """).count()
+    assert n == 5
+
+
+def test_order_by_numeric(kg):
+    """ORDER BY sorts numerically for values that parse as numbers -
+    mixed-width integers need no zero-padding (round-4 VERDICT #4)."""
+    out = sparql_select(kg, f"""
+      PREFIX ex: <{EX}>
+      SELECT ?c ?a WHERE {{ ?c ex:age ?a }} ORDER BY DESC(?a) LIMIT 3
+    """)
+    assert [r.a for r in out.collect()] == ["19", "18", "17"]
+    out2 = sparql_select(kg, f"""
+      PREFIX ex: <{EX}>
+      SELECT ?a WHERE {{ ?c ex:age ?a }} ORDER BY ?a LIMIT 4
+    """)
+    assert [r.a for r in out2.collect()] == ["0", "1", "2", "3"]
+
+
+def test_order_by_unprojected(kg):
+    """Any in-scope variable can be a sort key (the sort runs before the
+    projection, round-4 advice) - except under DISTINCT, where the spec
+    restricts keys to projected expressions."""
+    out = sparql_select(kg, f"""
+      PREFIX ex: <{EX}>
+      SELECT ?c WHERE {{ ?c ex:age ?a }} ORDER BY DESC(?a) LIMIT 2
+    """)
+    assert [r.c for r in out.collect()] == [f"{EX}C19", f"{EX}C18"]
+    with pytest.raises(SparqlSyntaxError, match="must be projected"):
+        sparql_select(kg, f"""
+          PREFIX ex: <{EX}>
+          SELECT DISTINCT ?n WHERE {{ ?c ex:in ?n . ?c ex:age ?a }}
+          ORDER BY ?a
+        """)
+    with pytest.raises(SparqlSyntaxError, match="group keys"):
+        sparql_select(kg, f"""
+          PREFIX ex: <{EX}>
+          SELECT ?n (COUNT(?c) AS ?k) WHERE {{ ?c ex:in ?n . ?c ex:age ?a }}
+          GROUP BY ?n ORDER BY ?a
+        """)
+
+
+def test_bind_alias_collision_raises(kg):
+    """SPARQL 10.1: the BIND target must be fresh in the group (round-4
+    advice: withColumn used to silently overwrite)."""
+    for bad in [
+        f"SELECT ?x WHERE {{ ?x <{EX}in> ?n . BIND (UCASE(?n) AS ?n) }}",
+        f"SELECT ?x WHERE {{ ?x <{EX}in> ?n . BIND (1 AS ?b) . "
+        f"BIND (2 AS ?b) }}",
+        f"SELECT ?x WHERE {{ ?x <{EX}in> ?n . VALUES ?v {{ \"t\" }} . "
+        f"BIND (3 AS ?v) }}",
+    ]:
+        with pytest.raises(SparqlSyntaxError, match="already bound"):
+            sparql_select(kg, bad)
+
+
+@pytest.fixture()
+def quads(spark):
+    rows = []
+    for k in range(12):
+        rows.append((f"g:{k % 3}", f"{EX}C{k}", f"{EX}in", f"{EX}N{k % 4}"))
+        rows.append((f"g:{k % 4}", f"{EX}C{k}", f"{EX}seg", f"S{k % 2}"))
+    return spark.createDataFrame(
+        rows, "graph string, subj string, pred string, obj string")
+
+
+def test_graph_text_form(quads):
+    """GRAPH ?g / GRAPH <iri> parse and compile onto match_bgp_graph
+    (round-4 VERDICT #2): the text form is row- and plan-identical to
+    the programmatic call."""
+    import re as _re
+    from csvweb_spark.operators.bgp import match_bgp_graph
+    text = sparql_select(quads, f"""
+      PREFIX ex: <{EX}>
+      SELECT ?g ?c ?n ?s WHERE {{
+        GRAPH ?g {{ ?c ex:in ?n . ?c ex:seg ?s }}
+      }}
+    """)
+    prog = match_bgp_graph(
+        quads, "?g",
+        [("?c", f"{EX}in", "?n"), ("?c", f"{EX}seg", "?s")]
+    ).select("g", "c", "n", "s")
+    # plan equivalence modulo expression ids - BEFORE execution (AQE
+    # finalization after collect() can re-pick build sides per runtime
+    # stats; the pre-execution plans are the deterministic compile)
+    def norm(df):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        return _re.sub(r"#\d+|plan_id=\d+", "#", p)
+    assert norm(text) == norm(prog)
+    assert sorted(map(tuple, text.collect())) == \
+        sorted(map(tuple, prog.collect()))
+    # both patterns in the SAME graph: k%3 == k%4 only for k in {0,1,2}+12s
+    assert {r.c for r in text.collect()} == {f"{EX}C{k}" for k in (0, 1, 2)}
+    # constant-graph form
+    const = sparql_select(quads, f"""
+      PREFIX ex: <{EX}>
+      SELECT ?c ?n WHERE {{ GRAPH <g:1> {{ ?c ex:in ?n }} }}
+    """)
+    assert {r.c for r in const.collect()} == {
+        f"{EX}C{k}" for k in range(12) if k % 3 == 1}
+
+
+def test_graph_joins_rest_of_group(quads):
+    """A GRAPH block inner-joins the rest of the group on shared
+    variables; the graph variable reaches the output."""
+    out = sparql_select(quads, f"""
+      PREFIX ex: <{EX}>
+      SELECT ?g ?c WHERE {{
+        ?c ex:seg "S1" .
+        GRAPH ?g {{ ?c ex:in ?n }}
+      }}
+    """)
+    got = {(r.g, r.c) for r in out.collect()}
+    assert got == {(f"g:{k % 3}", f"{EX}C{k}") for k in range(12) if k % 2 == 1}
+
+
+def test_graph_rejections(kg, quads):
+    with pytest.raises(SparqlSyntaxError, match="quad table"):
+        sparql_select(kg, f"""
+          SELECT ?g ?c WHERE {{ GRAPH ?g {{ ?c <{EX}in> ?n }} }}
+        """)
+    with pytest.raises(SparqlSyntaxError, match="OPTIONAL"):
+        sparql_select(quads, f"""
+          SELECT ?g ?c WHERE {{
+            GRAPH ?g {{ ?c <{EX}in> ?n }}
+            OPTIONAL {{ ?c <{EX}seg> ?s }}
+          }}
+        """)
+    with pytest.raises(SparqlSyntaxError, match="shares no variable"):
+        sparql_select(quads, f"""
+          SELECT ?g ?x WHERE {{
+            ?x <{EX}seg> "S0" .
+            GRAPH ?g {{ ?c <{EX}in> ?n }}
+          }}
+        """)
