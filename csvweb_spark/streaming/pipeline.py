@@ -151,7 +151,12 @@ def stream_deduped_documents(spark: SparkSession, input_dir: str,
          retained or re-read, which is what makes the state viable at
          10^12 docs;
       3. survivors land in docs/batch=<id>/, their bands + signatures in
-         _state/{bands,sigs}/batch=<id>/.
+         _state/{bands,sigs}/batch=<dir id>/ - dir id = batch id + the
+         per-family compaction offset (_compact_offset), so
+         `compact_dedup_state` can fold the monotonically-growing dirs
+         into one snapshot without colliding with a post-restart
+         micro-batch (round-4 VERDICT item #5; same protocol as the CC
+         label state).
 
     Exactly-once on redelivery: every write is a deterministic
     mode('overwrite') of THIS batch's own directory, and the state read
@@ -177,11 +182,20 @@ def stream_deduped_documents(spark: SparkSession, input_dir: str,
     stream = reader.parquet(input_dir)
     fs = fs_for(output_dir, spark)
 
-    def _state_dirs(sub: str, batch_id: int) -> list[str]:
-        # committed (_SUCCESS-marked) dirs only, own batch id excluded -
+    def _dir_id(sub: str, batch_id: int) -> int:
+        # dir id = batch id + per-family compaction offset (see
+        # _compact_offset: keeps consolidated snapshots out of the
+        # stream's id space). Offsets are per sub-root: a crash between
+        # compact_dedup_state's two folds leaves them unequal, which is
+        # fine - each family's reads/writes only use its own offset.
+        return batch_id + _compact_offset(
+            fs, fs.join(output_dir, "_state", sub))
+
+    def _state_dirs(sub: str, dir_id: int) -> list[str]:
+        # committed (_SUCCESS-marked) dirs only, own dir id excluded -
         # the retry-safety invariant _batch_dirs documents
         root = fs.join(output_dir, "_state", sub)
-        return [p for b, p in _batch_dirs(fs, root) if b != batch_id]
+        return [p for b, p in _batch_dirs(fs, root) if b != dir_id]
 
     def _capped(bandt):
         """Drop band entries in over-cap buckets (the dedup_minhash_lsh
@@ -242,11 +256,13 @@ def stream_deduped_documents(spark: SparkSession, input_dir: str,
             # table, verified against the committed signatures; both
             # sides' over-cap buckets are excluded from candidate
             # generation (boilerplate belongs to the exact pre-pass)
-            band_dirs = _state_dirs("bands", batch_id)
+            band_id = _dir_id("bands", batch_id)
+            sig_id = _dir_id("sigs", batch_id)
+            band_dirs = _state_dirs("bands", band_id)
             if band_dirs:
                 prev_bands = _capped(spark.read.parquet(*band_dirs))
                 prev_sigs = spark.read.parquet(
-                    *_state_dirs("sigs", batch_id))
+                    *_state_dirs("sigs", sig_id))
                 cand = (joinable
                         .join(alive.select(key_col), key_col, "left_semi")
                         .join(prev_bands.select(
@@ -274,10 +290,10 @@ def stream_deduped_documents(spark: SparkSession, input_dir: str,
             keys = alive.select(key_col)
             bandt.join(keys, key_col, "left_semi").write.mode("overwrite") \
                 .parquet(fs.join(output_dir,
-                                 f"_state/bands/batch={batch_id}"))
+                                 f"_state/bands/batch={band_id}"))
             sigs.join(keys, key_col, "left_semi").write.mode("overwrite") \
                 .parquet(fs.join(output_dir,
-                                 f"_state/sigs/batch={batch_id}"))
+                                 f"_state/sigs/batch={sig_id}"))
         finally:
             for c in caches:
                 c.unpersist()
@@ -636,6 +652,132 @@ def _compact_state(spark: SparkSession, output_dir: str, subdir: str,
         if b != new_id:
             fs.rmtree(path)
     return new_id
+
+
+DEDUP_BANDS_SUBDIR = "_state/bands"
+DEDUP_SIGS_SUBDIR = "_state/sigs"
+LINE_STATE_SUBDIR = "_state/lines"
+
+
+def _read_union_state(spark: SparkSession, output_dir: str,
+                      subdir: str) -> Optional[DataFrame]:
+    """Committed state of an append-only UNION family (MinHash bands /
+    signatures, line digests): the plain union of every committed batch
+    dir - no argmax, rows are only ever added. None before the first
+    commit."""
+    from ..plans.fs import fs_for
+    fs = fs_for(output_dir, spark)
+    dirs = [p for _, p in _batch_dirs(fs, fs.join(output_dir, subdir))]
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
+def compact_dedup_state(spark: SparkSession,
+                        output_dir: str) -> tuple[int, int]:
+    """Fold the MinHash band and signature batch dirs of a
+    stream_deduped_documents run each into one consolidated partition
+    (round-4 VERDICT item #5: these dirs grew monotonically while the
+    label/latest families already compacted). Union state is
+    order-free, so each family folds independently under the shared
+    crash-safe `_compact_state` protocol (snapshot -> offset marker ->
+    remove inputs); a crash between the two folds leaves one family
+    compacted and the other not - both still read correctly, and the
+    next run finishes the job. Returns (bands_id, sigs_id); -1 for a
+    family with <= 1 partition (no-op). Must not run concurrently with
+    the owning stream (same contract as compact_entity_components)."""
+    bands_id = _compact_state(
+        spark, output_dir, DEDUP_BANDS_SUBDIR,
+        lambda s, o: _read_union_state(s, o, DEDUP_BANDS_SUBDIR))
+    sigs_id = _compact_state(
+        spark, output_dir, DEDUP_SIGS_SUBDIR,
+        lambda s, o: _read_union_state(s, o, DEDUP_SIGS_SUBDIR))
+    return bands_id, sigs_id
+
+
+def read_line_digest_state(spark: SparkSession,
+                           output_dir: str) -> Optional[DataFrame]:
+    """The committed line-digest table (1 column `line_dg`) of a
+    stream_line_deduped_documents run."""
+    return _read_union_state(spark, output_dir, LINE_STATE_SUBDIR)
+
+
+def compact_line_digest_state(spark: SparkSession, output_dir: str) -> int:
+    """Fold the line-digest batch dirs into one snapshot - the
+    line-level sibling of compact_dedup_state, same protocol and
+    no-concurrent-stream contract."""
+    return _compact_state(
+        spark, output_dir, LINE_STATE_SUBDIR,
+        lambda s, o: _read_union_state(s, o, LINE_STATE_SUBDIR))
+
+
+def stream_line_deduped_documents(spark: SparkSession, input_dir: str,
+                                  output_dir: str, checkpoint_dir: str,
+                                  schema: str = "doc_id long, text string",
+                                  text_col: str = "text",
+                                  key_col: str = "doc_id",
+                                  min_line_chars: int = 1,
+                                  max_files_per_trigger: Optional[int] = None,
+                                  available_now: bool = True,
+                                  batch_hook=None):
+    """Cross-batch LINE-level dedup (the RefinedWeb curation rule as a
+    stream): every micro-batch strips lines whose md5 digest the
+    committed corpus already contains, dedups lines within the batch
+    corpus-first (`dedup.dedup_lines_incremental`), writes the rebuilt
+    documents to docs/batch=<id>/ and the batch's NEW digests to
+    _state/lines/batch=<dir id>/. Committed state is 16-byte digests
+    only - text is never retained or re-read, so the state is viable at
+    10^12 docs.
+
+    Exactly-once on redelivery: deterministic own-dir overwrites with
+    the state read excluding the current dir id (the
+    stream_deduped_documents protocol); dir ids ride the compaction
+    offset so compact_line_digest_state can fold history. `batch_hook`
+    fires at 'start', 'mid' (between the docs commit and the digest
+    commit - the crash-injection seam) and 'done'. Returns the
+    StreamingQuery."""
+    from ..operators.dedup import dedup_lines_incremental
+    from ..plans.fs import fs_for
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    fs = fs_for(output_dir, spark)
+
+    def process(batch_df, batch_id):
+        if batch_hook is not None:
+            batch_hook(batch_id, "start")
+        docs = batch_df.select(key_col, text_col).persist()
+        try:
+            if docs.count() == 0:
+                if batch_hook is not None:
+                    batch_hook(batch_id, "done")
+                return
+            root = fs.join(output_dir, LINE_STATE_SUBDIR)
+            dir_id = batch_id + _compact_offset(fs, root)
+            dirs = [p for b, p in _batch_dirs(fs, root) if b != dir_id]
+            seen = (spark.read.parquet(*dirs) if dirs
+                    else spark.createDataFrame([], "line_dg string"))
+            out, new_digests = dedup_lines_incremental(
+                docs, seen, text_col=text_col, key_col=key_col,
+                min_line_chars=min_line_chars)
+            out.write.mode("overwrite").parquet(
+                fs.join(output_dir, f"docs/batch={batch_id}"))
+            if batch_hook is not None:
+                batch_hook(batch_id, "mid")
+            new_digests.write.mode("overwrite").parquet(
+                fs.join(root, f"batch={dir_id}"))
+        finally:
+            docs.unpersist()
+        if batch_hook is not None:
+            batch_hook(batch_id, "done")
+
+    writer = (stream.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 LATEST_STATE_SUBDIR = "_state/latest"
