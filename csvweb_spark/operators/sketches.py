@@ -100,7 +100,8 @@ def kmv_distinct(df: DataFrame, value_col: str, group_cols: list[str],
 
 def exact_quantiles(df: DataFrame, value_col: str,
                     group_cols: list[str],
-                    quantile_bps: tuple = (5000, 9000, 9900)) -> DataFrame:
+                    quantile_bps: tuple = (5000, 9000, 9900),
+                    pre_aggregate: bool = True) -> DataFrame:
     """Exact per-group order statistics for integer-valued metrics:
     one row per group with the count and, per requested quantile q (in
     basis points), the value at sorted position ceil(q/10^4 * n) - the
@@ -115,20 +116,24 @@ def exact_quantiles(df: DataFrame, value_col: str,
     thresholds, and thresholds derived from EXACT quantiles are
     reproducible across cluster sizes by construction.
 
-    Scale shape: ONE shuffle on the group key, then a full per-group
-    sort window (row_number + count) - correct and fine for profile
-    strata (languages, hosts, shards), but a mega-stratum sorts on one
-    reducer, the same caveat as `stratified_sample_topk`; for
-    billion-row single strata use a pre-aggregated (group, value,
-    freq) input - value cardinality, not row count, then bounds the
-    window (`pre_aggregate=True` does exactly that reduction first and
-    walks the cumulative frequencies, changing nothing in the
-    output)."""
+    Scale shape: by default (`pre_aggregate=True`) the input is first
+    reduced to (group, value) -> frequency - map-side-combinable - so
+    the per-group sort window ranks DISTINCT values, bounded by value
+    cardinality, not row count: a billion-row stratum whose metric has
+    10^5 distinct values windows 10^5 rows, not 10^9. The two plans
+    are output-identical (the type-1 quantile is the smallest value
+    whose cumulative frequency reaches the position); pass
+    `pre_aggregate=False` only for the raw row_number plan, which
+    skips the reduction but sorts every row of a mega-stratum on one
+    reducer - the same caveat as `stratified_sample_topk`."""
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
     for q in quantile_bps:
         if not 0 < q <= 10000:
             raise ValueError(f"quantile {q} not in (0, 10000]")
+    if pre_aggregate:
+        return exact_quantiles_preagg(df, value_col, group_cols,
+                                      quantile_bps)
     v = F.col(value_col).cast("long")
     w = Window.partitionBy(*group_cols).orderBy("_v")
     cw = Window.partitionBy(*group_cols)

@@ -504,14 +504,26 @@ def test_exact_quantiles_known_values(spark):
             out["a"].q9900, out["a"].q10000) == (100, 50, 90, 99, 100)
     # group b = {7, 9}: median position ceil(0.5*2)=1 -> 7, p99 -> 9
     assert (out["b"].n_rows, out["b"].q5000, out["b"].q9900) == (2, 7, 9)
-    # the pre-aggregated variant is value-identical (duplicates force
+    # the raw row_number variant is value-identical (duplicates force
     # the cumulative-frequency walk to matter)
     dup = spark.createDataFrame(
         [("a", v // 10) for v in range(100)], "g string, v long")
-    a = exact_quantiles(dup, "v", ["g"]).collect()[0]
+    a = exact_quantiles(dup, "v", ["g"], pre_aggregate=False).collect()[0]
     b = exact_quantiles_preagg(dup, "v", ["g"]).collect()[0]
     assert (a.n_rows, a.q5000, a.q9000, a.q9900) == \
         (b.n_rows, b.q5000, b.q9000, b.q9900)
+    # default = preagg: a frequency Aggregate sits BELOW the Window
+    # (the window input is (value, freq) rows, bounded by value
+    # cardinality); the raw plan windows the bare scan, so it has only
+    # the final Aggregate. Optimized-plan strings print top-down.
+    plan_default = exact_quantiles(
+        dup, "v", ["g"])._jdf.queryExecution().optimizedPlan().toString()
+    plan_raw = exact_quantiles(
+        dup, "v", ["g"],
+        pre_aggregate=False)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan_default.count("Aggregate") == 2 and "Window" in plan_default
+    assert plan_default.rindex("Aggregate") > plan_default.index("Window")
+    assert plan_raw.count("Aggregate") == 1
     with pytest.raises(ValueError, match="group_cols"):
         exact_quantiles(df, "v", [])
     with pytest.raises(ValueError, match="quantile"):

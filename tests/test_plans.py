@@ -289,6 +289,99 @@ def test_write_resumable_iceberg_shape(spark):
         write_resumable_iceberg(df, "triples")
 
 
+class _FakeIcebergCatalog:
+    """Stateful catalog fake: appends are ATOMIC snapshots (all part_keys
+    of an append become visible together or not at all - Iceberg's commit
+    contract), `.partitions` reflects commit state at call time, and
+    `fail_next_append` simulates an executor lost mid-commit (snapshot
+    never becomes visible; Iceberg cleans orphan files, so state is
+    unchanged)."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.committed = []          # list of frozenset - the snapshot log
+        self.tables = set()
+        self.fail_next_append = False
+        self.append_row_counts = []
+
+    def visible(self):
+        return set().union(*self.committed) if self.committed else set()
+
+    def sql(self, s):
+        if s.startswith("CREATE TABLE IF NOT EXISTS"):
+            self.tables.add(s.split()[5])
+            return None
+        assert ".partitions" in s
+        return self.spark.createDataFrame(
+            [(k,) for k in sorted(self.visible())], "part_key bigint")
+
+    def append(self, d, ident):
+        rows = d.collect()  # materialize BEFORE the commit decision
+        self.append_row_counts.append(len(rows))
+        if self.fail_next_append:
+            self.fail_next_append = False
+            raise RuntimeError("executor lost during commit")
+        self.committed.append(frozenset(r.part_key for r in rows))
+
+    @property
+    def executor(self):
+        return {"sql": self.sql, "append": self.append}
+
+
+def test_write_resumable_iceberg_crash_and_concurrency(spark):
+    """Protocol depth (r4 VERDICT item #7), all through the stateful fake:
+    (a) crash between DDL and append leaves NO visible partitions - the
+    retry reprocesses every bucket exactly once (atomic-snapshot
+    semantics); (b) a concurrent writer's partitions committed between
+    two runs are honored by the second run's resume read; (c) re-running
+    after success appends zero rows - bucket-level idempotence."""
+    from csvweb_spark.plans.lineage import write_resumable_iceberg
+
+    df = spark.createDataFrame(
+        [(f"http://p/{i}.csv", f"t{i}") for i in range(64)],
+        "url string, text string")
+    cat = _FakeIcebergCatalog(spark)
+
+    # (a) crash during the first append: snapshot never commits
+    cat.fail_next_append = True
+    with pytest.raises(RuntimeError, match="executor lost"):
+        write_resumable_iceberg(df, "lake.db.triples", n_buckets=8,
+                                executor=cat.executor)
+    assert cat.visible() == set()          # nothing torn, nothing visible
+    first_attempt_rows = cat.append_row_counts[0]
+    assert first_attempt_rows == 64        # it WAS trying the full input
+
+    # retry: resumes past nothing (no visible partitions), commits all
+    res = write_resumable_iceberg(df, "lake.db.triples", n_buckets=8,
+                                  executor=cat.executor)
+    assert res["resumed_past"] == []
+    assert cat.append_row_counts[1] == 64  # every row exactly once
+    full_keys = cat.visible()
+    assert full_keys == set(range(8)) & full_keys and len(full_keys) > 1
+
+    # (c) idempotent re-run: all buckets committed -> empty append
+    res2 = write_resumable_iceberg(df, "lake.db.triples", n_buckets=8,
+                                   executor=cat.executor)
+    assert set(res2["resumed_past"]) == full_keys
+    assert cat.append_row_counts[2] == 0
+
+    # (b) concurrent writer: fresh table, writer B commits SOME buckets
+    # out-of-band, then writer A's resume read sees them and appends only
+    # the complement - no bucket is written twice across writers
+    cat2 = _FakeIcebergCatalog(spark)
+    from csvweb_spark.plans.lineage import with_part_key
+    keyed = with_part_key(df, "url", 8)
+    b_keys = {r.part_key for r in keyed.select("part_key")
+              .distinct().limit(2).collect()}
+    cat2.committed.append(frozenset(b_keys))   # B's snapshot lands first
+    res3 = write_resumable_iceberg(df, "lake.db.triples", n_buckets=8,
+                                   executor=cat2.executor)
+    assert set(res3["resumed_past"]) == b_keys
+    a_keys = cat2.committed[-1]
+    assert not (a_keys & b_keys)               # disjoint commit sets
+    assert a_keys | b_keys == full_keys        # and complete coverage
+
+
 def test_parse_ntriples_jvm_narrow(spark, tmp_path):
     """Ingest is the inverse narrow projection: over a real text scan the
     plan is Scan -> Filter -> Project with no Exchange and no Python (the
