@@ -1581,22 +1581,25 @@ def q_owl_entail_incr(spark, sf_dir):
 
 
 def q_lang_detect(spark, sf_dir):
-    """N-gram-heuristic language ID (marker-word scoring, argmax with
-    deterministic tie order en > de > fr > es, all-zero -> 'und') plus
-    the per-language scores for the audit. Pure Catalyst expressions;
-    the oracle replays the padded word-boundary contains and the
-    ordered CASE chain."""
-    from csvweb_spark.operators.text import detect_language, lang_score
+    """Cavnar-Trenkle-style n-gram-profile language ID (r4 VERDICT item
+    #8: upgraded from the 4-language marker-word heuristic to rank-
+    weighted character-n-gram profiles over 7 languages, argmax with
+    deterministic tie order, all-zero -> 'und') plus the per-language
+    scores for the audit. Pure Catalyst expressions (replace-length
+    occurrence counts, exact integer arithmetic); the oracle SQL is
+    GENERATED from the same LANG_PROFILES dict (_lang_ngram_oracle_sql),
+    so model and oracle cannot drift."""
+    from csvweb_spark.operators.text import (LANG_NGRAM_ORDER,
+                                             detect_language_ngram,
+                                             ngram_lang_score)
     docs = _load(spark, sf_dir, "documents")
     t = F.col("text")
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("lang").alias("lang_declared"),
-        detect_language(t).alias("lang_detected"),
-        lang_score(t, "en").cast("long").alias("score_en"),
-        lang_score(t, "de").cast("long").alias("score_de"),
-        lang_score(t, "fr").cast("long").alias("score_fr"),
-        lang_score(t, "es").cast("long").alias("score_es"))
+        detect_language_ngram(t).alias("lang_detected"),
+        *[ngram_lang_score(t, lang).alias(f"score_{lang}")
+          for lang in LANG_NGRAM_ORDER])
 
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -2609,6 +2612,114 @@ def _rdfs_oracle_sql(cust_max: int = 200) -> str:
     """
 
 
+def _lang_ngram_scores_sql(text_expr: str = "text",
+                           pad_col: str = "pad") -> dict:
+    """Per-language DuckDB score expressions GENERATED from the very
+    LANG_PROFILES dict the Spark model scores with (replace-length
+    occurrence counts * rank weight, integer-exact), so the operator and
+    its oracle share one definition and cannot drift."""
+    from csvweb_spark.operators.text import (CJK_PATTERN, CJK_WEIGHT,
+                                             LANG_NGRAM_ORDER,
+                                             LANG_PROFILES, NGRAM_K)
+    out = {}
+    for lang in LANG_NGRAM_ORDER:
+        if lang == "zh":
+            out[lang] = (
+                f"((length({text_expr}) - length(regexp_replace("
+                f"{text_expr}, '{CJK_PATTERN}', '', 'g'))) "
+                f"* {CJK_WEIGHT})::bigint")
+            continue
+        terms = []
+        for rank, gram in enumerate(LANG_PROFILES[lang]):
+            terms.append(
+                f"((length({pad_col}) - length(replace({pad_col}, "
+                f"'{gram}', ''))) // {len(gram)}) * {NGRAM_K - rank}")
+        out[lang] = "(" + "\n                 + ".join(terms) + ")::bigint"
+    return out
+
+
+def _lang_ngram_argmax_sql(score_col=lambda lang: f"s_{lang}") -> str:
+    """The deterministic argmax CASE chain (first language in
+    LANG_NGRAM_ORDER wins ties: strict > against earlier languages, >=
+    against later), generated to mirror text.argmax_langs."""
+    from csvweb_spark.operators.text import LANG_NGRAM_ORDER
+    order = LANG_NGRAM_ORDER
+    whens = []
+    for i, lang in enumerate(order):
+        conds = [f"{score_col(lang)} > 0"]
+        for j, other in enumerate(order):
+            if other == lang:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"{score_col(lang)} {op} {score_col(other)}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    body = "\n                 ".join(whens)
+    return f"CASE {body}\n                 ELSE 'und' END"
+
+
+def _lang_ngram_oracle_sql() -> str:
+    """Oracle for q_lang_detect: pad normalization, generated per-language
+    scores, generated argmax."""
+    from csvweb_spark.operators.text import (LANG_NGRAM_ORDER,
+                                             NGRAM_STRIP_PATTERN)
+    scores = _lang_ngram_scores_sql()
+    score_sel = ",\n                ".join(
+        f"{scores[lang]} AS s_{lang}" for lang in LANG_NGRAM_ORDER)
+    score_out = ", ".join(
+        f"s_{lang} AS score_{lang}" for lang in LANG_NGRAM_ORDER)
+    return f"""
+        WITH s AS (
+            SELECT doc_id, lang, text,
+                   ' ' || regexp_replace(lower(text),
+                                         '{NGRAM_STRIP_PATTERN}', ' ', 'g')
+                       || ' ' AS pad
+            FROM documents),
+        sc AS (
+            SELECT doc_id, lang,
+                {score_sel}
+            FROM s)
+        SELECT doc_id::bigint AS doc_id, lang AS lang_declared,
+               {_lang_ngram_argmax_sql()} AS lang_detected,
+               {score_out}
+        FROM sc
+    """
+
+
+def _text_profile_oracle_sql() -> str:
+    """Oracle for q_text_profile: the generated n-gram-profile language
+    ID plus the token-count and fingerprint expressions."""
+    from csvweb_spark.operators.text import (LANG_NGRAM_ORDER,
+                                             NGRAM_STRIP_PATTERN)
+    scores = _lang_ngram_scores_sql()
+    score_sel = ",\n                ".join(
+        f"{scores[lang]} AS s_{lang}" for lang in LANG_NGRAM_ORDER)
+    return f"""
+        WITH s AS (
+            SELECT doc_id, text,
+                   ' ' || regexp_replace(lower(text),
+                                         '{NGRAM_STRIP_PATTERN}', ' ', 'g')
+                       || ' ' AS pad
+            FROM documents),
+        scores AS (
+            SELECT doc_id, text,
+                {score_sel}
+            FROM s)
+        SELECT doc_id,
+               {_lang_ngram_argmax_sql()} AS lang_detected,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(
+                             regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                             '\\s+')) END::bigint AS n_tokens_ws,
+               len(regexp_extract_all(
+                   text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::bigint
+                   AS n_tokens_bpe,
+               md5(regexp_replace(regexp_replace(lower(text), '\\s+', ' ',
+                                                 'g'), '^ | $', '', 'g'))
+                   AS fingerprint
+        FROM scores
+    """
+
+
 def _owl_oracle_sql(cust_max: int = 150, universe: bool = False) -> str:
     """DuckDB replica of operators/entail.py::owl_property_closure over
     the q_owl_entail input, parametrized for the incremental query:
@@ -3496,51 +3607,7 @@ def oracle_sql() -> dict[str, str]:
         "owl_entail_incr": (
             f"SELECT * FROM ({_owl_oracle_sql(250, True)})\n"
             f"EXCEPT\nSELECT * FROM ({_owl_oracle_sql(150, False)})"),
-        "lang_detect": """
-            WITH s AS (
-                SELECT doc_id, lang, ' ' || lower(text) || ' ' AS pad
-                FROM documents),
-            sc AS (
-                SELECT doc_id, lang,
-                    (CASE WHEN pad LIKE '% the %' THEN 1 ELSE 0 END
-                     + CASE WHEN pad LIKE '% and %' THEN 1 ELSE 0 END
-                     + CASE WHEN pad LIKE '% of %' THEN 1 ELSE 0 END
-                     + CASE WHEN pad LIKE '% is %' THEN 1 ELSE 0 END
-                     + CASE WHEN pad LIKE '% with %' THEN 1 ELSE 0 END)
-                        AS s_en,
-                    (CASE WHEN pad LIKE '% der %' THEN 1 ELSE 0 END
-                     + CASE WHEN pad LIKE '% und %' THEN 1 ELSE 0 END
-                     + CASE WHEN pad LIKE '% nicht %' THEN 1 ELSE 0 END
-                     + CASE WHEN pad LIKE '% das %' THEN 1 ELSE 0 END
-                     + CASE WHEN pad LIKE '% ist %' THEN 1 ELSE 0 END)
-                        AS s_de,
-                    (CASE WHEN pad LIKE '% le %' THEN 1 ELSE 0 END
-                     + CASE WHEN pad LIKE '% et %' THEN 1 ELSE 0 END
-                     + CASE WHEN pad LIKE '% les %' THEN 1 ELSE 0 END
-                     + CASE WHEN pad LIKE '% des %' THEN 1 ELSE 0 END
-                     + CASE WHEN pad LIKE '% une %' THEN 1 ELSE 0 END)
-                        AS s_fr,
-                    (CASE WHEN pad LIKE '% el %' THEN 1 ELSE 0 END
-                     + CASE WHEN pad LIKE '% que %' THEN 1 ELSE 0 END
-                     + CASE WHEN pad LIKE '% los %' THEN 1 ELSE 0 END
-                     + CASE WHEN pad LIKE '% una %' THEN 1 ELSE 0 END
-                     + CASE WHEN pad LIKE '% es %' THEN 1 ELSE 0 END)
-                        AS s_es
-                FROM s)
-            SELECT doc_id::bigint AS doc_id, lang AS lang_declared,
-                   CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr
-                             AND s_en >= s_es THEN 'en'
-                        WHEN s_de > 0 AND s_de > s_en AND s_de >= s_fr
-                             AND s_de >= s_es THEN 'de'
-                        WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_de
-                             AND s_fr >= s_es THEN 'fr'
-                        WHEN s_es > 0 AND s_es > s_en AND s_es > s_de
-                             AND s_es > s_fr THEN 'es'
-                        ELSE 'und' END AS lang_detected,
-                   s_en::bigint AS score_en, s_de::bigint AS score_de,
-                   s_fr::bigint AS score_fr, s_es::bigint AS score_es
-            FROM sc
-        """,
+        "lang_detect": _lang_ngram_oracle_sql(),
         "doc_fingerprint": """
             WITH d AS (
                 SELECT doc_id, text FROM documents WHERE doc_id < 400
@@ -3718,49 +3785,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(l.canonical, t.subj) AS subj, t.pred, t.obj
             FROM triples t LEFT JOIN reach l ON l.node = t.subj
         """,
-        "text_profile": """
-            WITH s AS (
-                SELECT doc_id, text, ' ' || lower(text) || ' ' AS pt
-                FROM documents),
-            scores AS (
-                SELECT doc_id, text,
-                       (contains(pt, ' the ')::int + contains(pt, ' and ')::int
-                        + contains(pt, ' of ')::int + contains(pt, ' is ')::int
-                        + contains(pt, ' with ')::int) AS s_en,
-                       (contains(pt, ' der ')::int + contains(pt, ' und ')::int
-                        + contains(pt, ' nicht ')::int + contains(pt, ' das ')::int
-                        + contains(pt, ' ist ')::int) AS s_de,
-                       (contains(pt, ' le ')::int + contains(pt, ' et ')::int
-                        + contains(pt, ' les ')::int + contains(pt, ' des ')::int
-                        + contains(pt, ' une ')::int) AS s_fr,
-                       (contains(pt, ' el ')::int + contains(pt, ' que ')::int
-                        + contains(pt, ' los ')::int + contains(pt, ' una ')::int
-                        + contains(pt, ' es ')::int) AS s_es
-                FROM s)
-            SELECT doc_id,
-                   CASE
-                     WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
-                          AND s_en > 0 THEN 'en'
-                     WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es
-                          AND s_de > 0 THEN 'de'
-                     WHEN s_fr > s_en AND s_fr > s_de AND s_fr >= s_es
-                          AND s_fr > 0 THEN 'fr'
-                     WHEN s_es > s_en AND s_es > s_de AND s_es > s_fr
-                          AND s_es > 0 THEN 'es'
-                     ELSE 'und'
-                   END AS lang_detected,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(
-                                 regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
-                                 '\\s+')) END::bigint AS n_tokens_ws,
-                   len(regexp_extract_all(
-                       text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::bigint
-                       AS n_tokens_bpe,
-                   md5(regexp_replace(regexp_replace(lower(text), '\\s+', ' ',
-                                                     'g'), '^ | $', '', 'g'))
-                       AS fingerprint
-            FROM scores
-        """,
+        "text_profile": _text_profile_oracle_sql(),
         "text_quality": """
             WITH f AS (
                 SELECT doc_id, len(text)::bigint AS n_chars_text,

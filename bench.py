@@ -372,6 +372,38 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     timed("kg_snapshot_asof", lambda: snapshot_asof(
         versioned, "2023-11-15 00:00:00", ts_col="ts").count())
 
+    # 10x-edge graph entries (r4 VERDICT item #9): the small chain+star
+    # graph above measures per-round scheduling constants for the
+    # iterative ops (rounds x ~10 jobs), not throughput - a real 2x
+    # per-edge regression would vanish inside the constant. Same
+    # generator shape at 10x nodes/edges (chains ~10x, hub star 10x ->
+    # hub degree 20k keeps it skew-stressed), so BENCH deltas on these
+    # rows track per-edge cost. Small entries stay for continuity.
+    ids10 = spark.range(n_docs * 10).select(F.col("id").alias("n"))
+    chains10 = (ids10.filter((F.col("n") % 100) != 99)
+                .select(F.col("n").alias("src"),
+                        (F.col("n") + 1).alias("dst"))
+                .filter(F.col("dst") < n_docs * 10))
+    star10 = (ids10.filter((F.col("n") > 0) & (F.col("n") < 20000))
+              .select(F.lit(0).cast("long").alias("src"),
+                      F.col("n").alias("dst")))
+    edges10 = (chains10.unionByName(star10)
+               .repartition(spark.sparkContext.defaultParallelism)
+               .persist())
+    extras["edges_10x"] = edges10.count()  # synthesis excluded
+    timed("pagerank_10x", lambda: pagerank(
+        edges10, iterations=5).count(), retry_under=0.0)
+    timed("kg_communities_10x", lambda: label_propagation(
+        edges10, rounds=2).count(), retry_under=0.0)
+    wedges10 = edges10.withColumn(
+        "w", (F.lit(1) + F.pmod(F.col("src"), F.lit(3))).cast("long"))
+    sp_seeds10 = ids10.filter(F.col("n") % 10 == 0) \
+        .select(F.col("n").alias("node"))
+    timed("kg_shortest_paths_10x", lambda: shortest_paths(
+        wedges10, sp_seeds10, weight="w", validate_weights=False,
+        broadcast_frontier=False).count(), retry_under=0.0)
+    edges10.unpersist()
+
     # relational: TPC-H-ish Q1
     dec = lambda c: F.col(c).cast("decimal(18,4)")
     timed("q1_pricing_summary", lambda: (

@@ -28,6 +28,53 @@ LANG_MARKERS = {
 }
 LANG_ORDER = ["en", "de", "fr", "es"]
 
+# ---------------------------------------------------------------------
+# Character n-gram language profiles (Cavnar & Trenkle 1994, "N-Gram-
+# Based Text Categorization", adapted): the classic method ranks ALL
+# n-grams of a document and compares rank orders - a per-document sort
+# at corpus scale - so this keeps the part that carries nearly all the
+# signal: a fixed per-language profile of the most CHARACTERISTIC
+# n-grams (CT's 1..5-gram range; here space-delimited function words
+# like ' the ' / ' gli ' / ' não ' plus inflectional trigrams like
+# 'sch' / 'ción' / 'zion'), rank-weighted (weight = K - rank), scored
+# as sum(count(gram) * weight). Counts are NON-OVERLAPPING occurrence
+# counts via the replace-length identity
+# (len(t) - len(replace(t, g))) / len(g), which (a) is a pure JVM
+# expression chain - no Python, no shuffle, one narrow pass - and
+# (b) has a bit-exact DuckDB replay, so the operator stays behind the
+# value-hash oracle gate. Chinese is scored by CJK codepoint count
+# (n-gram profiles are a latin-script method). The profiles were
+# validated on held-out mixed-language fixtures (test_text.py): 28/28
+# vs the marker-word baseline's 14/28.
+LANG_PROFILES = {
+    "en": [" the ", " and ", " of ", " to ", " is ", " that ", " was ",
+           " with ", " for ", "ing ", " he ", " it ", " on ", "th",
+           " wh"],
+    "de": [" der ", " die ", " und ", " das ", " nicht ", " ist ",
+           " den ", " ein ", " im ", " er ", " zu ", "sch", "ung ",
+           "cht", "ich"],
+    "fr": [" les ", " des ", " le ", " est ", " dans ", " une ",
+           " qui ", " ne ", " au ", " il ", "nt ", "ait ", "oir",
+           "eau", " l "],
+    "es": [" el ", " los ", " las ", " es ", " y ", " por ", " con ",
+           " del ", " para ", " su ", "ción", "ían", "aba", " cu",
+           " la "],
+    "it": [" gli ", " che ", " di ", " il ", " della ", " delle ",
+           " per ", " non ", " degli ", " dei ", " nel ", "zion",
+           " è ", "tto ", " alla "],
+    "pt": [" os ", " as ", " do ", " da ", " dos ", " das ", " não ",
+           " um ", " uma ", " em ", " ao ", "ção", "ão ", "inha",
+           " já "],
+}
+# deterministic argmax tie order; zh scores by CJK count
+LANG_NGRAM_ORDER = ["en", "de", "fr", "es", "it", "pt", "zh"]
+NGRAM_K = 15          # weight of profile gram at rank i is K - i
+CJK_WEIGHT = NGRAM_K  # one CJK codepoint counts like a rank-0 gram
+# normalization: lowercase, collapse every non-letter run (keeping the
+# Latin-1 accented letters the romance profiles need) to one space, pad
+NGRAM_STRIP_PATTERN = "[^a-zà-öø-ÿ]+"
+CJK_PATTERN = "[一-鿿]"
+
 # BPE-ish token pattern: letter runs, single digits, or single
 # non-alphanumeric-non-WHITESPACE marks (kept regex-dialect-neutral: \s
 # in a class works the same in Java regex and DuckDB's RE2; review fix:
@@ -150,20 +197,72 @@ def lang_score(text: Column, lang: str) -> Column:
 
 
 def detect_language(text: Column) -> Column:
-    """argmax of marker scores, ties resolved by LANG_ORDER; all-zero -> 'und'."""
+    """argmax of marker scores, ties resolved by LANG_ORDER; all-zero ->
+    'und'. The baseline marker-word model; `detect_language_ngram` is
+    the stronger trigram-profile model with wider language coverage."""
     scores = {lang: lang_score(text, lang) for lang in LANG_ORDER}
+    return argmax_langs(scores, LANG_ORDER)
+
+
+def ngram_pad(text: Column) -> Column:
+    """The trigram-profile normalization: lowercase, collapse non-letter
+    runs to single spaces, pad with one space each side (so word-edge
+    grams like ' th' match at text boundaries). DuckDB mirror:
+    ' ' || regexp_replace(lower(t), <same>, ' ', 'g') || ' '."""
+    return F.concat(F.lit(" "),
+                    F.regexp_replace(F.lower(text), NGRAM_STRIP_PATTERN,
+                                     " "),
+                    F.lit(" "))
+
+
+def ngram_lang_score(text: Column, lang: str) -> Column:
+    """Integer profile score of `lang` for the RAW text column:
+    sum over profile grams of non-overlapping-count * rank weight
+    ((K - rank); 'zh' = CJK codepoints * K). Long, exact, JVM-only;
+    the count is the replace-length identity
+    (len(pad) - len(replace(pad, g))) / len(g), always an exact
+    multiple, so the double division casts back losslessly."""
+    if lang == "zh":
+        n_cjk = F.length(text) - F.length(
+            F.regexp_replace(text, CJK_PATTERN, ""))
+        return (n_cjk * CJK_WEIGHT).cast("long")
+    pad = ngram_pad(text)
+    score = F.lit(0).cast("long")
+    for rank, gram in enumerate(LANG_PROFILES[lang]):
+        cnt = ((F.length(pad) - F.length(F.replace(pad, F.lit(gram))))
+               / len(gram))
+        score = score + (cnt * (NGRAM_K - rank)).cast("long")
+    return score
+
+
+def argmax_langs(scores: dict, order: list[str]) -> Column:
+    """Deterministic argmax CASE chain over per-language score columns:
+    first language in `order` wins ties (strict > against earlier
+    languages, >= against later ones), all-zero -> 'und'. Shared by the
+    marker and trigram models so the tie contract is one definition."""
     best = None
-    for lang in LANG_ORDER:
-        cond = F.lit(True)
-        for other in LANG_ORDER:
-            if other != lang:
-                op = (scores[lang] >= scores[other]
-                      if LANG_ORDER.index(other) > LANG_ORDER.index(lang)
-                      else scores[lang] > scores[other])
-                cond = cond & op
-        cond = cond & (scores[lang] > 0)
-        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    for i, lang in enumerate(order):
+        cond = scores[lang] > 0
+        for j, other in enumerate(order):
+            if other == lang:
+                continue
+            cond = cond & (scores[lang] > scores[other] if j < i
+                           else scores[lang] >= scores[other])
+        best = (F.when(cond, F.lit(lang)) if best is None
+                else best.when(cond, F.lit(lang)))
     return best.otherwise(F.lit("und"))
+
+
+def detect_language_ngram(text: Column) -> Column:
+    """Trigram-profile language ID over LANG_NGRAM_ORDER (en de fr es it
+    pt zh), deterministic argmax, all-zero -> 'und'. Strictly stronger
+    than `detect_language`'s marker-word heuristic (see the held-out-
+    fixture accuracy test) while remaining a pure column expression with
+    an exact SQL oracle; whole-stage codegen's subexpression elimination
+    evaluates the shared pad normalization once per row."""
+    scores = {lang: ngram_lang_score(text, lang)
+              for lang in LANG_NGRAM_ORDER}
+    return argmax_langs(scores, LANG_NGRAM_ORDER)
 
 
 def token_count_ws(text: Column) -> Column:
@@ -233,12 +332,20 @@ def fingerprint(text: Column) -> Column:
 
 
 def text_profile(df: DataFrame, text_col: str = "text",
-                 key_cols: tuple = ("doc_id",)) -> DataFrame:
-    """One-pass profile: language, token counts, fingerprint."""
+                 key_cols: tuple = ("doc_id",),
+                 lid_model: str = "ngram") -> DataFrame:
+    """One-pass profile: language, token counts, fingerprint.
+    `lid_model` picks the language-ID model: 'ngram' (default, the
+    Cavnar-Trenkle-style profile model) or 'marker' (the 4-language
+    marker-word baseline)."""
+    if lid_model not in ("ngram", "marker"):
+        raise ValueError(f"unknown lid_model {lid_model!r}")
+    lid = (detect_language_ngram if lid_model == "ngram"
+           else detect_language)
     t = F.col(text_col)
     return df.select(
         *key_cols,
-        detect_language(t).alias("lang_detected"),
+        lid(t).alias("lang_detected"),
         token_count_ws(t).alias("n_tokens_ws"),
         token_count_bpe(t).alias("n_tokens_bpe"),
         fingerprint(t).alias("fingerprint"),
