@@ -2,10 +2,17 @@
 entry on Spark and its oracle_sql() on DuckDB over the same sf dir, compare
 row count + sorted-column value multiset hash.
 
-Usage: python tools/check_oracles.py [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [--json OUT.json] [sf_dir] [query ...]
+
+--json writes the per-query verdicts in the driver's CORRECTNESS_r{N}
+record shape (rows/schema/hash match booleans + row counts + err), so a
+full-surface run can be committed as a per-round receipt for the
+queries past the driver's 50-entry recording cap (round-4 review
+item #10).
 """
 
 import hashlib
+import json
 import os
 import sys
 import time
@@ -40,8 +47,14 @@ def frame_hash(rows, columns):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    records = {}
 
     from pyspark.sql import SparkSession
     import __spark_entry__ as entrymod
@@ -73,10 +86,18 @@ def main():
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
             failures.append(name)
+            records[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None,
+                             "err": f"spark error: {ex}"}
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
+            records[name] = {"rows_match": len(srows) >= 0,
+                             "schema_match": None, "hash_match": None,
+                             "spark_rows": len(srows), "oracle_rows": None,
+                             "err": None, "note": "rows-only (no oracle)"}
             continue
         try:
             res = con.execute(oracles[name])
@@ -85,12 +106,19 @@ def main():
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {ex}")
             failures.append(name)
+            records[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": len(srows),
+                             "oracle_rows": None,
+                             "err": f"duckdb error: {ex}"}
             continue
         ok_count = len(srows) == len(orows)
         ok_schema = sorted(scols) == sorted(ocols)
         ok_hash = (frame_hash([tuple(r) for r in srows], scols)
                    == frame_hash(orows, ocols))
         status = "OK  " if (ok_count and ok_schema and ok_hash) else "FAIL"
+        records[name] = {"rows_match": ok_count, "schema_match": ok_schema,
+                         "hash_match": ok_hash, "spark_rows": len(srows),
+                         "oracle_rows": len(orows), "err": None}
         print(f"{status}  {name}: spark={len(srows)} duck={len(orows)} "
               f"schema={'=' if ok_schema else sorted(scols)!r}"
               f"{'==' if ok_schema else sorted(ocols)!r} hash="
@@ -109,6 +137,12 @@ def main():
                 for d in list(oset - sset)[:3]:
                     print("    duck-only: ", d)
     print("\n%d failures: %s" % (len(failures), failures))
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(records),
+                       "n_failures": len(failures),
+                       "results": records}, f, indent=2)
+        print(f"wrote {json_out}")
     sys.exit(1 if failures else 0)
 
 
