@@ -590,6 +590,38 @@ def q_text_profile(spark, sf_dir):
                       "fingerprint")
 
 
+def q_quality_gopher(spark, sf_dir):
+    """Gopher-rule document quality signals + keep flag
+    (text.py::gopher_quality - Rae et al. 2021 Appendix A thresholds
+    as integer basis points / x100 fixed point): mean word length,
+    hash/ellipsis symbol ratios, bullet/ellipsis line ratios,
+    alpha-word fraction, stop-word presence. One narrow map-only pass;
+    the oracle replays every signal with the same shared tokenizer
+    split and list-lambda filters, bit-exact."""
+    from csvweb_spark.operators.text import gopher_quality
+    docs = _load(spark, sf_dir, "documents")
+    out = gopher_quality(docs, min_words=10)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_words", "n_lines", "mean_word_len_x100", "hash_word_bp",
+        "ellipsis_word_bp", "bullet_line_bp", "ellipsis_line_bp",
+        "alpha_word_bp", "n_stop_words", "keep")
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 salient terms by the integer-exact TF-IDF
+    surrogate floor(10^6 * tf / df) (text.py::tfidf_topk - ln() is not
+    bit-reproducible across engines, floor-division is; tf and df are
+    emitted raw so any idf variant recomputes downstream). Explode ->
+    two map-side-combinable aggs -> term-dimension join -> partial
+    WindowGroupLimit top-k; deterministic (score desc, term asc) ties."""
+    from csvweb_spark.operators.text import tfidf_topk
+    docs = _load(spark, sf_dir, "documents")
+    return tfidf_topk(docs.select("doc_id", "text"), k=3).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term", "tf", "df_t", "tfidf_ppm", "rnk")
+
+
 def q_text_quality(spark, sf_dir):
     from csvweb_spark.operators.text import quality_features
     docs = _load(spark, sf_dir, "documents")
@@ -2043,6 +2075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_graph": q_sparql_graph,
         "bgp_values_undef": q_bgp_values_undef,
         "sparql_order_numeric": q_sparql_order_numeric,
+        "quality_gopher": q_quality_gopher,
+        "tfidf_topk": q_tfidf_topk,
         # -- never recorded before round 4 --
         "owl_sameas": q_owl_sameas,
         "bgp_minus": q_bgp_minus,
@@ -2717,6 +2751,87 @@ def _text_profile_oracle_sql() -> str:
                                                  'g'), '^ | $', '', 'g'))
                    AS fingerprint
         FROM scores
+    """
+
+
+def _gopher_oracle_sql(min_words: int = 10,
+                       max_words: int = 100_000) -> str:
+    """DuckDB replica of text.py::gopher_quality: same shared-tokenizer
+    split, replace-length symbol counts, list-lambda line/word filters,
+    integer floor-division ratios; thresholds read from GOPHER_RULES so
+    operator and oracle cannot drift."""
+    from csvweb_spark.operators.text import GOPHER_RULES, GOPHER_STOP_WORDS
+    r = GOPHER_RULES
+    stops = " + ".join(
+        f"list_contains(toks, '{sw}')::int" for sw in GOPHER_STOP_WORDS)
+    return f"""
+        WITH s AS (
+            SELECT doc_id, text,
+                   CASE WHEN regexp_replace(lower(text),
+                                            '^\\s+|\\s+$', '', 'g') = ''
+                        THEN []::varchar[]
+                        ELSE string_split_regex(
+                                 regexp_replace(lower(text),
+                                                '^\\s+|\\s+$', '', 'g'),
+                                 '\\s+') END AS toks,
+                   string_split(text, chr(10)) AS lines
+            FROM documents),
+        f AS (
+            SELECT doc_id,
+                   len(toks)::bigint AS n_words,
+                   len(lines)::bigint AS n_lines,
+                   coalesce(list_sum(list_transform(
+                       toks, w -> length(w))), 0)::bigint AS sum_len,
+                   (length(text) - length(replace(text, '#', '')))::bigint
+                       AS n_hash,
+                   ((length(text) - length(replace(text, '...', ''))) // 3
+                    + (length(text) - length(replace(text, '…', ''))))
+                       ::bigint AS n_ellipsis,
+                   len(list_filter(lines,
+                       l -> regexp_matches(l, '^\\s*[-*•]')))::bigint
+                       AS n_bullet,
+                   len(list_filter(lines,
+                       l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+                       ::bigint AS n_ell_line,
+                   len(list_filter(toks,
+                       w -> regexp_matches(w, '[a-zà-öø-ÿ]')))::bigint
+                       AS n_alpha_w,
+                   ({stops})::bigint AS n_stop_words
+            FROM s),
+        g AS (
+            SELECT doc_id, n_words, n_lines,
+                   CASE WHEN n_words > 0
+                        THEN (sum_len * 100) // n_words
+                        ELSE 0 END::bigint AS mean_word_len_x100,
+                   CASE WHEN n_words > 0
+                        THEN (n_hash * 10000) // n_words
+                        ELSE 0 END::bigint AS hash_word_bp,
+                   CASE WHEN n_words > 0
+                        THEN (n_ellipsis * 10000) // n_words
+                        ELSE 0 END::bigint AS ellipsis_word_bp,
+                   ((n_bullet * 10000) // n_lines)::bigint
+                       AS bullet_line_bp,
+                   ((n_ell_line * 10000) // n_lines)::bigint
+                       AS ellipsis_line_bp,
+                   CASE WHEN n_words > 0
+                        THEN (n_alpha_w * 10000) // n_words
+                        ELSE 0 END::bigint AS alpha_word_bp,
+                   n_stop_words
+            FROM f)
+        SELECT doc_id::bigint AS doc_id, n_words, n_lines,
+               mean_word_len_x100, hash_word_bp, ellipsis_word_bp,
+               bullet_line_bp, ellipsis_line_bp, alpha_word_bp,
+               n_stop_words,
+               (n_words >= {min_words} AND n_words <= {max_words}
+                AND mean_word_len_x100 >= {r['min_mean_word_len_x100']}
+                AND mean_word_len_x100 <= {r['max_mean_word_len_x100']}
+                AND hash_word_bp <= {r['max_hash_word_bp']}
+                AND ellipsis_word_bp <= {r['max_ellipsis_word_bp']}
+                AND bullet_line_bp <= {r['max_bullet_line_bp']}
+                AND ellipsis_line_bp <= {r['max_ellipsis_line_bp']}
+                AND alpha_word_bp >= {r['min_alpha_word_bp']}
+                AND n_stop_words >= {r['min_stop_words']}) AS keep
+        FROM g
     """
 
 
@@ -3608,6 +3723,37 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM ({_owl_oracle_sql(250, True)})\n"
             f"EXCEPT\nSELECT * FROM ({_owl_oracle_sql(150, False)})"),
         "lang_detect": _lang_ngram_oracle_sql(),
+        "quality_gopher": _gopher_oracle_sql(),
+        "tfidf_topk": """
+            WITH toks AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN regexp_replace(lower(text),
+                                             '^\\s+|\\s+$', '', 'g') = ''
+                         THEN []::varchar[]
+                         ELSE string_split_regex(
+                                  regexp_replace(lower(text),
+                                                 '^\\s+|\\s+$', '', 'g'),
+                                  '\\s+') END) AS term
+                FROM documents),
+            tf AS (
+                SELECT doc_id, term, count(*)::bigint AS tf
+                FROM toks GROUP BY doc_id, term),
+            dft AS (
+                SELECT term, count(*)::bigint AS df_t
+                FROM tf GROUP BY term),
+            sc AS (
+                SELECT t.doc_id, t.term, t.tf, d.df_t,
+                       ((t.tf * 1000000) // d.df_t)::bigint AS tfidf_ppm
+                FROM tf t JOIN dft d USING (term)),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY tfidf_ppm DESC, term ASC) AS rnk
+                FROM sc)
+            SELECT doc_id::bigint AS doc_id, term, tf, df_t, tfidf_ppm,
+                   rnk::bigint AS rnk
+            FROM r WHERE rnk <= 3
+        """,
         "doc_fingerprint": """
             WITH d AS (
                 SELECT doc_id, text FROM documents WHERE doc_id < 400

@@ -451,3 +451,177 @@ def chunk_documents(df: DataFrame, window: int, stride: int | None = None,
         F.col("chunk_ix").cast("long").alias("chunk_ix"),
         F.size(piece).cast("long").alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text")))
+
+
+# Gopher quality-rule constants (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", Appendix
+# A1.1 - the standard web-corpus document-level quality filter family,
+# also the basis of RefinedWeb/Dolma/FineWeb variants). Thresholds are
+# integer basis points / x100 fixed-point so Spark and the SQL oracle
+# agree bit-for-bit.
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have",
+                     "with")
+GOPHER_RULES = {
+    "min_mean_word_len_x100": 300,    # mean word length in [3, 10]
+    "max_mean_word_len_x100": 1000,
+    "max_hash_word_bp": 1000,         # '#' per word <= 0.1
+    "max_ellipsis_word_bp": 1000,     # '...' / '…' per word <= 0.1
+    "max_bullet_line_bp": 9000,       # <= 90% lines bullet-started
+    "max_ellipsis_line_bp": 3000,     # <= 30% lines ellipsis-ended
+    "min_alpha_word_bp": 8000,        # >= 80% words contain a letter
+    "min_stop_words": 2,              # >= 2 distinct Gopher stop words
+}
+_ALPHA_WORD_RE = "[a-zà-öø-ÿ]"        # letter test incl. Latin-1 accents
+_BULLET_LINE_RE = "^\\s*[-*•]"
+_ELLIPSIS_LINE_RE = "(\\.\\.\\.|…)\\s*$"
+
+
+def _count_occurrences(col: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count via the replace-length identity
+    (exact-division, see ngram_lang_score)."""
+    return ((F.length(col) - F.length(F.replace(col, F.lit(needle))))
+            / len(needle)).cast("long")
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   key_col: str = "doc_id", min_words: int = 50,
+                   max_words: int = 100_000) -> DataFrame:
+    """Per-document Gopher quality signals + the combined keep flag -
+    the document-level companion to `repetition_stats` (which carries
+    the repetition half of the Gopher rule set) and `c4_clean_lines`
+    (the line-level half):
+
+      n_words              whitespace tokens (lowercased, shared tokenizer)
+      n_lines              newline-split line count
+      mean_word_len_x100   floor(100 * sum(len(word)) / n_words)
+      hash_word_bp         floor(10^4 * count('#') / n_words)
+      ellipsis_word_bp     floor(10^4 * (count('...') + count('…')) / n_words)
+      bullet_line_bp       floor(10^4 * bullet-started lines / n_lines)
+      ellipsis_line_bp     floor(10^4 * ellipsis-ended lines / n_lines)
+      alpha_word_bp        floor(10^4 * words containing a letter / n_words)
+      n_stop_words         how many of the 8 Gopher stop words appear
+      keep                 all GOPHER_RULES thresholds pass AND
+                           min_words <= n_words <= max_words
+
+    Word-denominator ratios are 0 when n_words = 0 (keep is then false
+    via the word-count rule); n_lines >= 1 always (splitting '' yields
+    ['']). All arithmetic is integer (longs, floor division), so the
+    DuckDB oracle replays every signal and the flag exactly.
+
+    Scale shape: one narrow map-only projection over the documents scan
+    - array expressions per row, no explode, no shuffle, column-pruned
+    to (key, text). The standard pre-dedup curation gate at corpus
+    scale."""
+    t = F.col(text_col)
+    toks = whitespace_tokens(t)
+    lines = F.split(t, "\n")
+    n_words = F.size(toks).cast("long")
+    n_lines = F.size(lines).cast("long")
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"),
+                          lambda acc, w: acc + F.length(w))
+    n_hash = _count_occurrences(t, "#")
+    n_ellipsis = _count_occurrences(t, "...") + _count_occurrences(t, "…")
+    n_bullet = F.size(F.filter(
+        lines, lambda l: l.rlike(_BULLET_LINE_RE))).cast("long")
+    n_ell_line = F.size(F.filter(
+        lines, lambda l: l.rlike(_ELLIPSIS_LINE_RE))).cast("long")
+    n_alpha_w = F.size(F.filter(
+        toks, lambda w: w.rlike(_ALPHA_WORD_RE))).cast("long")
+    n_stop = sum(
+        F.array_contains(toks, sw).cast("long")
+        for sw in GOPHER_STOP_WORDS)
+
+    def per_word_bp(n: Column) -> Column:
+        return F.when(n_words > 0,
+                      F.floor(n * 10000 / n_words)).otherwise(0) \
+                .cast("long")
+
+    staged = df.select(
+        F.col(key_col),
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        F.when(n_words > 0, F.floor(sum_len * 100 / n_words))
+         .otherwise(0).cast("long").alias("mean_word_len_x100"),
+        per_word_bp(n_hash).alias("hash_word_bp"),
+        per_word_bp(n_ellipsis).alias("ellipsis_word_bp"),
+        F.floor(n_bullet * 10000 / n_lines).cast("long")
+         .alias("bullet_line_bp"),
+        F.floor(n_ell_line * 10000 / n_lines).cast("long")
+         .alias("ellipsis_line_bp"),
+        per_word_bp(n_alpha_w).alias("alpha_word_bp"),
+        n_stop.cast("long").alias("n_stop_words"))
+    r = GOPHER_RULES
+    keep = ((F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+            & (F.col("mean_word_len_x100") >= r["min_mean_word_len_x100"])
+            & (F.col("mean_word_len_x100") <= r["max_mean_word_len_x100"])
+            & (F.col("hash_word_bp") <= r["max_hash_word_bp"])
+            & (F.col("ellipsis_word_bp") <= r["max_ellipsis_word_bp"])
+            & (F.col("bullet_line_bp") <= r["max_bullet_line_bp"])
+            & (F.col("ellipsis_line_bp") <= r["max_ellipsis_line_bp"])
+            & (F.col("alpha_word_bp") >= r["min_alpha_word_bp"])
+            & (F.col("n_stop_words") >= r["min_stop_words"]))
+    return staged.withColumn("keep", keep)
+
+
+def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text",
+               key_col: str = "doc_id", scale: int = 1_000_000,
+               cache_registry: list | None = None) -> DataFrame:
+    """Per-document top-k salient terms - the keyword-extraction /
+    document-tagging primitive: (key, term, tf, df_t, tfidf_ppm, rnk),
+    the k terms with the highest integer-exact TF-IDF surrogate
+    score = floor(scale * tf / df_t), tf = occurrences of the term in
+    the document (shared whitespace tokenizer), df_t = number of
+    documents containing the term.
+
+    The classic log-idf weight (tf * ln(N/df)) ranks IDENTICALLY to
+    tf/df only per fixed tf, so this is a surrogate, not the textbook
+    formula - chosen because ln() is not bit-reproducible across
+    engines (libm vs DuckDB) while floor-division on longs is; raw tf
+    and df_t are emitted so any idf variant can be recomputed
+    downstream. Ties break deterministically (score desc, term asc);
+    terms are unique per document, so the ordering is total and the
+    oracle's row_number replays it exactly.
+
+    Scale shape: explode -> groupBy(key, term) - map-side combinable,
+    uniform digest-like keys - then one groupBy(term) for document
+    frequencies (tf rows are distinct (doc, term), so count(*) IS the
+    document frequency), a join on term (the smaller dimension;
+    AQE broadcasts it when the vocabulary fits), and a per-document
+    top-k window that compiles to partial WindowGroupLimit (rank <= k
+    prunes map-side like stratified_sample_topk - plan-pinned there).
+
+    The tf table feeds BOTH the join probe and the df_t aggregate, and
+    Spark's exchange reuse does not collapse the two branches (column
+    pruning makes the partial aggregates structurally different), so by
+    default the token explode + tf shuffle run twice - stateless and
+    skew-safe (the window-over-term alternative would put every
+    (doc, 'the') row in one partition). When that second pass matters,
+    pass `cache_registry` (a list): tf is persisted MEMORY_AND_DISK,
+    computed once, and the handle is appended for the CALLER to
+    unpersist after consuming the result - the same release contract as
+    pipeline.curate_documents."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+    pairs = df.select(
+        F.col(key_col),
+        F.explode(whitespace_tokens(F.col(text_col))).alias("term"))
+    tf = pairs.groupBy(key_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"))
+    if cache_registry is not None:
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        cache_registry.append(tf)
+    dft = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_t"))
+    scored = (tf.join(dft, "term")
+              .withColumn("tfidf_ppm",
+                          F.floor(F.col("tf") * scale / F.col("df_t"))
+                           .cast("long")))
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("tfidf_ppm").desc(), F.col("term").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(key_col, "term", "tf", "df_t", "tfidf_ppm",
+                    F.col("rnk").cast("long").alias("rnk")))

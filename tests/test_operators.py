@@ -1287,3 +1287,154 @@ def test_ann_topk_ivf(spark, embeddings):
     top1_exact = {(r.query_id, r.neighbor_id) for r in exact if r.rank == 1}
     top1_approx = {(r.query_id, r.neighbor_id) for r in approx if r.rank == 1}
     assert len(top1_exact & top1_approx) >= 2  # >=2/3 recall@1
+
+
+def test_gopher_quality_signals(spark):
+    """Hand-computed Gopher quality signals on crafted docs (rule
+    thresholds exercised one by one; min_words lowered so short
+    fixtures can pass the word-count rule)."""
+    from csvweb_spark.operators.text import gopher_quality
+    docs = [
+        # 0: clean prose - passes every rule at min_words=10
+        (0, "The cat sat on the mat and that was fine to see "
+            "with a dog of great size be having fun."),
+        # 1: all-bullet lines -> bullet_line_bp = 10000 (fails <= 9000)
+        (1, "- the first item of the list and that\n"
+            "- the second item of the list to be\n"
+            "- the third item with more of that"),
+        # 2: hash spam -> hash_word_bp over 1000
+        (2, "# # # # # the and of to that with be have more words"),
+        # 3: numeric only -> alpha_word_bp = 0, n_stop_words = 0
+        (3, "1 2 3 4 5 6 7 8 9 10 11 12"),
+        # 4: empty
+        (4, ""),
+        # 5: ellipsis-ended lines -> ellipsis_line_bp = 5000 (fails)
+        (5, "the cat sat and that was it...\n"
+            "a dog of size to be with have fun"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           gopher_quality(df, min_words=10, max_words=100).collect()}
+
+    r0 = out[0]
+    assert r0.n_words == 21 and r0.n_lines == 1
+    assert r0.alpha_word_bp == 10000 and r0.n_stop_words >= 6
+    assert r0.bullet_line_bp == 0 and r0.keep is True
+
+    r1 = out[1]
+    assert r1.n_lines == 3 and r1.bullet_line_bp == 10000
+    assert r1.keep is False
+
+    r2 = out[2]
+    assert r2.n_words == 15
+    # 5 hashes / 15 words = 3333 bp > 1000
+    assert r2.hash_word_bp == 3333 and r2.keep is False
+
+    r3 = out[3]
+    assert r3.alpha_word_bp == 0 and r3.n_stop_words == 0
+    assert r3.keep is False
+
+    r4 = out[4]
+    assert r4.n_words == 0 and r4.n_lines == 1
+    assert r4.mean_word_len_x100 == 0 and r4.keep is False
+
+    r5 = out[5]
+    assert r5.n_lines == 2 and r5.ellipsis_line_bp == 5000
+    assert r5.keep is False
+
+
+def test_gopher_quality_mean_word_len(spark):
+    from csvweb_spark.operators.text import gopher_quality
+    # 4 words, lengths 2+2+2+10 = 16 -> floor(1600/4) = 400
+    df = spark.createDataFrame(
+        [(0, "ab cd ef abcdefghij")], "doc_id long, text string")
+    r = gopher_quality(df, min_words=1).collect()[0]
+    assert r.mean_word_len_x100 == 400
+    # stop-word rule fails (0 stop words) -> keep False
+    assert r.n_stop_words == 0 and r.keep is False
+
+
+def test_tfidf_topk(spark):
+    """Hand-computed TF-IDF surrogate: 'zebra' appears only in doc 0
+    (df=1) so it must outrank the ubiquitous 'the' (df=3) there; ties
+    break on term asc."""
+    from csvweb_spark.operators.text import tfidf_topk
+    df = spark.createDataFrame([
+        (0, "the zebra the zebra zebra"),
+        (1, "the cat the cat the"),
+        (2, "the dog"),
+    ], "doc_id long, text string")
+    out = tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    d0 = sorted(by_doc[0], key=lambda r: r.rnk)
+    # zebra: tf=3, df=1 -> 3_000_000; the: tf=2, df=3 -> 666_666
+    assert (d0[0].term, d0[0].tf, d0[0].df_t, d0[0].tfidf_ppm) == \
+        ("zebra", 3, 1, 3_000_000)
+    assert (d0[1].term, d0[1].tfidf_ppm) == ("the", 666_666)
+    d1 = sorted(by_doc[1], key=lambda r: r.rnk)
+    # cat: tf=2, df=1 -> 2_000_000 beats the: tf=3, df=3 -> 1_000_000
+    assert d1[0].term == "cat" and d1[1].term == "the"
+    # every doc capped at k
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_tfidf_topk_tie_break_and_empty(spark):
+    from csvweb_spark.operators.text import tfidf_topk
+    df = spark.createDataFrame(
+        [(0, "bb aa"), (1, "")], "doc_id long, text string")
+    out = tfidf_topk(df, k=1).collect()
+    # aa and bb tie at the same score -> term asc wins; empty doc: no rows
+    assert len(out) == 1 and out[0].term == "aa" and out[0].doc_id == 0
+
+
+def test_tfidf_topk_cache_registry(spark):
+    """cache_registry mode: tf computed once (persisted), handle
+    returned for caller release; results identical to stateless mode."""
+    from csvweb_spark.operators.text import tfidf_topk
+    df = spark.createDataFrame([
+        (0, "the zebra the zebra zebra"),
+        (1, "the cat the cat the"),
+    ], "doc_id long, text string")
+    reg = []
+    out = tfidf_topk(df, k=2, cache_registry=reg).collect()
+    assert len(reg) == 1 and reg[0].is_cached
+    base = tfidf_topk(df, k=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, base))
+    for h in reg:
+        h.unpersist()
+    assert not reg[0].is_cached
+
+
+def test_tfidf_topk_plan_window_group_limit(spark):
+    """Scale-shape pin for tfidf_topk: the per-document top-k must
+    compile with a PARTIAL WindowGroupLimit (map-side <= k rows per doc
+    before the doc exchange), and the shared tokenizer explode must not
+    introduce a per-row Python stage.
+
+    The input is round-robin repartitioned to model a parquet scan with
+    unknown partitioning — a bare spark.range reports
+    RangePartitioning(id), so doc_id rows are already co-located and
+    Spark correctly plans ZERO exchanges with a Final-only
+    WindowGroupLimit (the even better plan, covered by the second
+    assertion block)."""
+    from csvweb_spark.operators.text import tfidf_topk
+    base = (spark.range(2000)
+            .select(F.col("id").alias("doc_id"),
+                    F.concat(F.lit("the quick term"),
+                             (F.col("id") % 50).cast("string"),
+                             F.lit(" and more of that text"))
+                    .alias("text")))
+    out = tfidf_topk(base.repartition(4), k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # doc_id-pre-clustered input (range partitioning): no exchange at
+    # all between the tf aggregate and the window — Spark proves
+    # co-location and the top-k runs shuffle-free.
+    pre = tfidf_topk(base, k=3)
+    pre_plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in pre_plan
+    assert "hashpartitioning(doc_id" not in pre_plan, pre_plan
