@@ -1564,6 +1564,79 @@ def q_sparql_order_numeric(spark, sf_dir):
     return out.select("c", "a")
 
 
+def _nation_link_pages(spark, sf_dir):
+    """Shared fixture for the link-graph queries: one HTML page per
+    nation (host n{key}.example.org) carrying an absolute link to its
+    region's host (anchor text = region name), a root-relative
+    self-host link with tracking params, and a mailto: link the
+    extractor must drop. Rendered distributed; the oracle recomputes
+    the graph relationally from nation JOIN region."""
+    from csvweb_spark.sources.weblinks import link_pages_from_table
+    nation = _load(spark, sf_dir, "nation")
+    region = _load(spark, sf_dir, "region")
+    src = nation.join(region,
+                      nation.n_regionkey == region.r_regionkey).select(
+        "n_nationkey", "n_regionkey", "r_name")
+    return link_pages_from_table(
+        src, "http://n{n_nationkey}.example.org/crawl/index.html",
+        [("http://r{n_regionkey}.example.org/region?utm_source=x&id=7",
+          "{r_name}"),
+         ("/about#team", "about"),
+         ("mailto:ops@n{n_nationkey}.example.org", "mail us")],
+        "n_nationkey")
+
+
+def q_web_link_hosts(spark, sf_dir):
+    """Host-level link graph from HTML pages (weblinks.extract_links ->
+    host_edges): JVM-regex anchor extraction, RFC-3986-subset relative
+    resolution (the /about link resolves onto the page's own host, the
+    mailto: drops), then one map-side-combinable groupBy on host pairs.
+    Oracle: nation JOIN region recomputes every (src_host, dst_host)
+    pair relationally."""
+    from csvweb_spark.sources.weblinks import extract_links, host_edges
+    pages = _nation_link_pages(spark, sf_dir)
+    out = host_edges(extract_links(pages))
+    return out.select("src_host", "dst_host", "n_links")
+
+
+def q_web_anchor_aliases(spark, sf_dir):
+    """Anchor-text alias dictionary (weblinks.anchor_alias_candidates):
+    anchor text pointing at a page is an alias for that page's entity -
+    the alias side of entity linking. Canonicalization pools the
+    utm-tracking variants onto one dst URL; five nations per region
+    yield n_links = 5 per (region-name alias, region URL). Oracle:
+    group nation JOIN region by region."""
+    from csvweb_spark.sources.weblinks import (anchor_alias_candidates,
+                                               extract_links)
+    pages = _nation_link_pages(spark, sf_dir)
+    out = anchor_alias_candidates(extract_links(pages), min_count=2)
+    return out.select("alias", "dst_canonical", "n_links")
+
+
+def q_web_jsonld_triples(spark, sf_dir):
+    """Embedded JSON-LD -> triples (sources/jsonld.py): one
+    schema.org Organization node per supplier page (@id, @type, name,
+    integer identifier, nested {"@id": ...} nation edge). The JVM regex
+    prunes to pages with an ld+json block before the single
+    Arrow-batched mapInPandas parse; output is the engine quad shape,
+    so the KG stages downstream (linking, canonicalization,
+    entailment) consume web-markup triples unchanged. Oracle: UNION ALL
+    of four SELECTs over supplier."""
+    from csvweb_spark.sources.jsonld import (jsonld_pages_from_table,
+                                             jsonld_triples)
+    supp = _load(spark, sf_dir, "supplier")
+    node = ('{{"@context": "https://schema.org",'
+            ' "@id": "http://ex.org/supplier/{s_suppkey}",'
+            ' "@type": "Organization",'
+            ' "name": "{s_name}",'
+            ' "identifier": {s_suppkey},'
+            ' "location": {{"@id": "http://ex.org/nation/{s_nationkey}"}}}}')
+    pages = jsonld_pages_from_table(
+        supp, "http://supplier-{s_suppkey}.example.org/", node, "s_suppkey")
+    out = jsonld_triples(pages)
+    return out.select("subj", "pred", "obj", "obj_kind", "obj_datatype")
+
+
 def q_owl_entail_incr(spark, sf_dir):
     """Incremental OWL property closure (entail.py::
     owl_property_closure_incremental): the q_owl_entail store (closed
@@ -2077,6 +2150,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_order_numeric": q_sparql_order_numeric,
         "quality_gopher": q_quality_gopher,
         "tfidf_topk": q_tfidf_topk,
+        "web_link_hosts": q_web_link_hosts,
+        "web_anchor_aliases": q_web_anchor_aliases,
+        "web_jsonld_triples": q_web_jsonld_triples,
         # -- never recorded before round 4 --
         "owl_sameas": q_owl_sameas,
         "bgp_minus": q_bgp_minus,
@@ -3723,6 +3799,52 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM ({_owl_oracle_sql(250, True)})\n"
             f"EXCEPT\nSELECT * FROM ({_owl_oracle_sql(150, False)})"),
         "lang_detect": _lang_ngram_oracle_sql(),
+        "web_link_hosts": """
+            WITH nr AS (
+                SELECT n_nationkey, n_regionkey
+                FROM nation JOIN region ON n_regionkey = r_regionkey)
+            SELECT src_host, dst_host, count(*)::bigint AS n_links
+            FROM (
+                SELECT 'n' || n_nationkey || '.example.org' AS src_host,
+                       'r' || n_regionkey || '.example.org' AS dst_host
+                FROM nr
+                UNION ALL
+                SELECT 'n' || n_nationkey || '.example.org',
+                       'n' || n_nationkey || '.example.org'
+                FROM nr)
+            GROUP BY src_host, dst_host
+        """,
+        "web_anchor_aliases": """
+            SELECT lower(r_name) AS alias,
+                   'http://r' || r_regionkey
+                       || '.example.org/region?id=7' AS dst_canonical,
+                   count(*)::bigint AS n_links
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_regionkey, r_name
+            HAVING count(*) >= 2
+        """,
+        "web_jsonld_triples": """
+            SELECT 'http://ex.org/supplier/' || s_suppkey AS subj,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+                   'https://schema.org/Organization' AS obj,
+                   'iri' AS obj_kind, NULL AS obj_datatype
+            FROM supplier
+            UNION ALL
+            SELECT 'http://ex.org/supplier/' || s_suppkey,
+                   'https://schema.org/name', s_name, 'literal',
+                   'http://www.w3.org/2001/XMLSchema#string'
+            FROM supplier
+            UNION ALL
+            SELECT 'http://ex.org/supplier/' || s_suppkey,
+                   'https://schema.org/identifier', s_suppkey::varchar,
+                   'literal', 'http://www.w3.org/2001/XMLSchema#integer'
+            FROM supplier
+            UNION ALL
+            SELECT 'http://ex.org/supplier/' || s_suppkey,
+                   'https://schema.org/location',
+                   'http://ex.org/nation/' || s_nationkey, 'iri', NULL
+            FROM supplier
+        """,
         "quality_gopher": _gopher_oracle_sql(),
         "tfidf_topk": """
             WITH toks AS (

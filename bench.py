@@ -372,6 +372,50 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     timed("kg_snapshot_asof", lambda: snapshot_asof(
         versioned, "2023-11-15 00:00:00", ts_col="ts").count())
 
+    # round-5 web-KG surface: link-graph extraction + host aggregation
+    # and embedded-JSON-LD parsing over doc-scale synthesized HTML
+    # (synthesis is narrow JVM concat inside the timed plan, identical
+    # across rounds). Three anchors per page: cross-host, root-relative
+    # (self-host), and a ../ relative needing dot-segment removal.
+    from csvweb_spark.sources.jsonld import jsonld_triples
+    from csvweb_spark.sources.weblinks import extract_links, host_edges
+    lurl = F.concat(F.lit("http://h"), F.col("doc_id") % 997,
+                    F.lit(".example.org/d/sub/"), F.col("doc_id"))
+    lpages = docs.select(
+        lurl.alias("url"),
+        F.encode(F.concat(
+            F.lit('<html><body><a href="http://h'),
+            (F.col("doc_id") + 1) % 997,
+            F.lit('.example.org/p">cross <b>host</b></a>\n'),
+            F.lit('<a href="/about?utm_source=x&page=1">about us</a>\n'),
+            F.lit('<a href="../up/'), F.col("doc_id") % 50,
+            F.lit('.html#sec">up link</a></body></html>')),
+            "UTF-8").alias("html"))
+    timed("web_link_hosts", lambda: host_edges(
+        extract_links(lpages)).count())
+    jpages = docs.select(
+        lurl.alias("url"),
+        F.encode(F.concat(
+            F.lit('<html><head><script type="application/ld+json">'
+                  '{"@context": "https://schema.org",'
+                  ' "@id": "http://ex.org/d/'), F.col("doc_id"),
+            F.lit('", "@type": "Article", "name": "doc '),
+            F.col("doc_id"),
+            F.lit('", "wordCount": '), F.col("n_chars"),
+            F.lit(', "publisher": {"name": "host '),
+            F.col("doc_id") % 997,
+            F.lit('"}}</script></head><body>x</body></html>')),
+            "UTF-8").alias("html"))
+    timed("web_jsonld_triples", lambda: jsonld_triples(jpages).count())
+
+    # round-5 text additions: Gopher quality gate (map-only) and the
+    # TF-IDF top-k keyword extraction (explode + two aggs + window)
+    from csvweb_spark.operators.text import gopher_quality, tfidf_topk
+    timed("quality_gopher", lambda: gopher_quality(
+        docs, min_words=10).count())
+    timed("tfidf_topk", lambda: tfidf_topk(
+        docs.select("doc_id", "text"), k=3).count())
+
     # 10x-edge graph entries (r4 VERDICT item #9): the small chain+star
     # graph above measures per-round scheduling constants for the
     # iterative ops (rounds x ~10 jobs), not throughput - a real 2x
