@@ -1637,6 +1637,24 @@ def q_web_jsonld_triples(spark, sf_dir):
     return out.select("subj", "pred", "obj", "obj_kind", "obj_datatype")
 
 
+def q_web_extract_text(spark, sf_dir):
+    """HTML -> text extraction (sources/webtext.py): the stage that
+    PRODUCES the text column from raw-HTML crawls, honoring the
+    input_hint's byte-identity invariant - born-normalized text
+    round-trips render -> extract byte-for-byte. Pages rendered from
+    documents (title + one entity-escaped <p> per line + decoy
+    script/style/comment); one narrow JVM regex/array pass extracts.
+    Oracle: DuckDB recomputes expected text from the same rows with the
+    identical normalization (trim + blank-drop + collapse)."""
+    from csvweb_spark.sources.webtext import (extract_page_text,
+                                              prose_pages_from_table)
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pages = prose_pages_from_table(
+        docs, "http://doc-{doc_id}.example.org/", "DOC {doc_id}",
+        "text", "doc_id")
+    return extract_page_text(pages).select("url", "text")
+
+
 def q_owl_entail_incr(spark, sf_dir):
     """Incremental OWL property closure (entail.py::
     owl_property_closure_incremental): the q_owl_entail store (closed
@@ -2153,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_link_hosts": q_web_link_hosts,
         "web_anchor_aliases": q_web_anchor_aliases,
         "web_jsonld_triples": q_web_jsonld_triples,
+        "web_extract_text": q_web_extract_text,
         # -- never recorded before round 4 --
         "owl_sameas": q_owl_sameas,
         "bgp_minus": q_bgp_minus,
@@ -3844,6 +3863,22 @@ def oracle_sql() -> dict[str, str]:
                    'https://schema.org/location',
                    'http://ex.org/nation/' || s_nationkey, 'iri', NULL
             FROM supplier
+        """,
+        "web_extract_text": r"""
+            WITH norm AS (
+                SELECT doc_id,
+                       coalesce(list_aggregate(list_filter(list_transform(
+                           string_split(text, chr(10)),
+                           l -> trim(regexp_replace(l, '[ \t\r]+', ' ',
+                                                    'g'))),
+                           l -> l <> ''), 'string_agg', chr(10)),
+                           '') AS body
+                FROM documents WHERE doc_id < 300)
+            SELECT 'http://doc-' || doc_id || '.example.org/' AS url,
+                   CASE WHEN body = '' THEN 'DOC ' || doc_id
+                        ELSE 'DOC ' || doc_id || chr(10) || body
+                   END AS text
+            FROM norm
         """,
         "quality_gopher": _gopher_oracle_sql(),
         "tfidf_topk": """

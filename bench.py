@@ -407,6 +407,18 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
             F.lit('"}}</script></head><body>x</body></html>')),
             "UTF-8").alias("html"))
     timed("web_jsonld_triples", lambda: jsonld_triples(jpages).count())
+    from csvweb_spark.sources.webtext import extract_page_text
+    epages = docs.select(
+        lurl.alias("url"),
+        F.encode(F.concat(
+            F.lit("<html><head><title>t</title></head><body>"
+                  "<script>var x=1;</script><h1>doc "),
+            F.col("doc_id"),
+            F.lit("</h1><p>"),
+            F.regexp_replace("text", "\n", "</p><p>"),
+            F.lit("</p></body></html>")), "UTF-8").alias("html"))
+    timed("web_extract_text", lambda: extract_page_text(epages)
+          .select(F.sum(F.length("text"))).collect())
 
     # round-5 text additions: Gopher quality gate (map-only) and the
     # TF-IDF top-k keyword extraction (explode + two aggs + window)

@@ -1,0 +1,126 @@
+"""HTML -> text extraction: deriving the `text` column from `html`.
+
+The pages-table contract (BASELINE.json input_hint) carries BOTH
+``html:binary`` and ``text:string`` with the per-row invariant
+"byte-identical extracted text per url" - this module is the stage that
+PRODUCES the text column when a crawl delivers raw HTML only.  The
+reference has no equivalent (csvweb consumes CSV); at crawl scale this
+runs on every page, so it must be a narrow JVM pass: the whole operator
+is one chain of regexp_replace / higher-order array expressions -
+zero Python, zero shuffles, whole-stage codegen.
+
+Extraction contract (each step a deterministic, DuckDB-replayable
+string transform, applied in this order):
+
+1. drop ``<head>``/``<script>``/``<style>`` elements wholesale and
+   ``<!-- -->`` comments (metadata and code are not prose);
+2. closing block-level tags (``</p> </div> </li> </tr> </h1..6>
+   </blockquote> </title>``) and ``<br>`` become newlines - paragraph
+   structure survives;
+3. cell boundaries (``</td> </th>``) become single spaces;
+4. every remaining tag is deleted (inline markup like ``<b>`` must not
+   split words);
+5. the six ubiquitous named entities decode - ``&lt; &gt; &quot;
+   &#39; &apos; &nbsp;`` then ``&amp;`` LAST, so a single decode pass
+   exactly inverts a single escape pass (escape("&lt;") = "&amp;lt;"
+   round-trips); other numeric/named entities pass through verbatim
+   (documented subset - full HTML5 entity tables need a real parser);
+6. whitespace normalization: within each line runs of spaces/tabs
+   collapse to one space and the line is trimmed; empty lines drop;
+   lines re-join with single newlines.
+
+Because step 6 is idempotent, text that was BORN normalized (one
+trimmed non-empty paragraph per line) round-trips byte-identically
+through render -> extract - that is the invariant `web_extract_text`
+checks against the oracle and `test_webtext.py` pins per byte.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DROP_BLOCKS = (r"(?is)<head\b[^>]*>.*?</head>"
+                r"|<script\b[^>]*>.*?</script>"
+                r"|<style\b[^>]*>.*?</style>"
+                r"|<!--.*?-->")
+_NEWLINE_TAGS = r"(?i)<(?:br\s*/?|/p|/div|/li|/tr|/h[1-6]|/blockquote|/title)>"
+_SPACE_TAGS = r"(?i)<(?:/td|/th)>"
+_ANY_TAG = r"(?s)<[^>]*>"
+
+# decode order matters: &amp; strictly last (see module docstring)
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+             ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+             ("&amp;", "&")]
+
+
+def html_text(html: Column) -> Column:
+    """Extracted text of one HTML string column (see module contract).
+    NULL html -> NULL text."""
+    t = F.regexp_replace(html, _DROP_BLOCKS, " ")
+    t = F.regexp_replace(t, _NEWLINE_TAGS, "\n")
+    t = F.regexp_replace(t, _SPACE_TAGS, " ")
+    t = F.regexp_replace(t, _ANY_TAG, "")
+    for ent, ch in _ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    lines = F.split(t, "\n")
+    cleaned = F.transform(
+        lines, lambda l: F.trim(F.regexp_replace(l, r"[ \t\r]+", " ")))
+    kept = F.filter(cleaned, lambda l: l != "")
+    return F.array_join(kept, "\n")
+
+
+def extract_page_text(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """(url, text) for every page with an html payload - the
+    text-column producer for raw-HTML crawls.  One narrow projection;
+    pages without html contribute no rows (their text, if any, is
+    already present in the source table)."""
+    return (pages
+            .where(F.col(html_col).isNotNull())
+            .select(F.col(url_col).alias("url"),
+                    html_text(F.col(html_col).cast("string"))
+                    .alias("text")))
+
+
+def escape_html(s: str) -> str:
+    """The single-pass escape html_text's entity decode inverts."""
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+def prose_pages_from_table(df: DataFrame, url_template: str,
+                           title_template: str, text_col: str,
+                           key_col: str) -> DataFrame:
+    """Render one prose HTML page per row: a <title>/<h1> from
+    `title_template`, a decoy <script>, and one entity-escaped ``<p>``
+    per line of `text_col`.  Distributed applyInPandas like the other
+    page renderers; lets the oracle recompute the expected extracted
+    text relationally from the same rows (title + normalized lines)."""
+    from .pages import PAGES_SCHEMA
+
+    def make_pages(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        urls, htmls = [], []
+        for row in pdf.sort_values(key_col, kind="mergesort") \
+                      .to_dict("records"):
+            title = escape_html(title_template.format(**row))
+            paras = "".join(
+                f"<p>{escape_html(line)}</p>\n"
+                for line in str(row[text_col]).split("\n"))
+            html = (f"<html><head><title>{title}</title></head>"
+                    "<body><script>var hidden = 1;</script>"
+                    "<style>p { color: red; }</style>"
+                    f"<!-- boilerplate --><h1>{title}</h1>\n"
+                    f"{paras}</body></html>")
+            urls.append(url_template.format(**row))
+            htmls.append(html.encode())
+        return pd.DataFrame({
+            "url": urls,
+            "warc_ts": [pd.Timestamp("2026-01-01")] * len(urls),
+            "html": htmls,
+            "text": [None] * len(urls),
+            "lang": ["en"] * len(urls),
+        })
+
+    return df.groupBy(key_col).applyInPandas(make_pages, PAGES_SCHEMA)

@@ -1,0 +1,93 @@
+"""HTML -> text extraction (sources/webtext.py)."""
+
+from pyspark.sql import functions as F
+
+from csvweb_spark.sources.webtext import (escape_html, extract_page_text,
+                                          html_text, prose_pages_from_table)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, None, h.encode() if h is not None else None, None, "en")
+         for u, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+
+
+def _extract(spark, html: str) -> str:
+    df = spark.createDataFrame([(html,)], "h string")
+    return df.select(html_text(F.col("h")).alias("t")).collect()[0].t
+
+
+def test_html_text_structure(spark):
+    html = ("<html><head><title>META TITLE</title>"
+            "<script>var x = '<p>not text</p>';</script></head>"
+            "<body><style>p { color: red }</style>"
+            "<!-- a comment\nspanning lines -->"
+            "<h1>Main  Title</h1>"
+            "<p>First <b>bold</b> paragraph.</p>"
+            "<p>Second<br>with break.</p>"
+            "<div>a div</div>"
+            "<table><tr><td>c1</td><td>c2</td></tr></table>"
+            "</body></html>")
+    assert _extract(spark, html) == (
+        "Main Title\n"
+        "First bold paragraph.\n"
+        "Second\n"
+        "with break.\n"
+        "a div\n"
+        "c1 c2")
+
+
+def test_html_text_entities_and_double_escape(spark):
+    html = ("<p>a &lt; b &amp;&amp; c &gt; d</p>"
+            "<p>&quot;q&quot; &#39;s&#39; &apos;t&apos; x&nbsp;y</p>"
+            # escape('&lt;') = '&amp;lt;' must decode back to '&lt;'
+            "<p>&amp;lt;literal&amp;gt;</p>"
+            # entities outside the documented six pass through verbatim
+            "<p>&copy; &#169;</p>")
+    assert _extract(spark, html) == (
+        "a < b && c > d\n"
+        '"q" \'s\' \'t\' x y\n'
+        "&lt;literal&gt;\n"
+        "&copy; &#169;")
+
+
+def test_html_text_whitespace_normalization(spark):
+    html = "<p>  spaced\tout  </p>\n\n\n<p></p><p>next</p>"
+    assert _extract(spark, html) == "spaced out\nnext"
+
+
+def test_escape_round_trip(spark):
+    src = 'tricky & <tags> "quotes" &amp; pre-escaped'
+    assert _extract(spark, f"<p>{escape_html(src)}</p>") == src
+
+
+def test_extract_page_text_null_html(spark):
+    pages = _pages(spark, [("http://a.x/none", None),
+                           ("http://a.x/p", "<p>hello</p>")])
+    rows = extract_page_text(pages).collect()
+    assert [(r.url, r.text) for r in rows] == [("http://a.x/p", "hello")]
+
+
+def test_prose_pages_byte_identity(spark):
+    """render -> extract round-trips born-normalized text BYTE-identically
+    (the input_hint per-row invariant), title prepended."""
+    docs = spark.createDataFrame(
+        [(1, "first line & more\nsecond <line>"),
+         (2, 'only "one" line')],
+        "k long, body string")
+    pages = prose_pages_from_table(
+        docs, "http://d{k}.example.org/", "DOC {k}", "body", "k")
+    got = {r.url: r.text for r in extract_page_text(pages).collect()}
+    assert got == {
+        "http://d1.example.org/": "DOC 1\nfirst line & more\nsecond <line>",
+        "http://d2.example.org/": 'DOC 2\nonly "one" line',
+    }
+
+
+def test_html_text_plan_is_jvm_only(spark):
+    pages = _pages(spark, [("http://x.example.org/", "<p>a</p>")])
+    plan = extract_page_text(pages)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
