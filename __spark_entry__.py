@@ -1637,6 +1637,25 @@ def q_web_jsonld_triples(spark, sf_dir):
     return out.select("subj", "pred", "obj", "obj_kind", "obj_datatype")
 
 
+def q_web_host_pagerank(spark, sf_dir):
+    """End-to-end web-graph composition: HTML pages -> extract_links ->
+    host_edges(drop_self) -> integer-exact pagerank over host-STRING
+    node ids (pagerank only joins on node values, so no dictionary
+    encoding is needed; rank arithmetic is all bigint). Region hosts
+    (in-degree 5) must outrank the leaf nation hosts. Oracle: the
+    unrolled pr0->pr3 CTE chain over the relationally recomputed host
+    edge set."""
+    from csvweb_spark.operators.graph import pagerank
+    from csvweb_spark.sources.weblinks import extract_links, host_edges
+    pages = _nation_link_pages(spark, sf_dir)
+    he = host_edges(extract_links(pages), drop_self=True)
+    out = pagerank(he.select(F.col("src_host").alias("src"),
+                             F.col("dst_host").alias("dst")),
+                   iterations=3)
+    return out.select(F.col("node").cast("string").alias("node"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def q_web_extract_text(spark, sf_dir):
     """HTML -> text extraction (sources/webtext.py): the stage that
     PRODUCES the text column from raw-HTML crawls, honoring the
@@ -2172,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_anchor_aliases": q_web_anchor_aliases,
         "web_jsonld_triples": q_web_jsonld_triples,
         "web_extract_text": q_web_extract_text,
+        "web_host_pagerank": q_web_host_pagerank,
         # -- never recorded before round 4 --
         "owl_sameas": q_owl_sameas,
         "bgp_minus": q_bgp_minus,
@@ -2516,13 +2536,18 @@ def _minhash_incremental_oracle_sql(num_hashes: int = 64, bands: int = 16,
 
 
 def _pagerank_oracle_sql(iterations: int = 5, damping_bp: int = 8500,
-                         scale: int = 1_000_000) -> str:
+                         scale: int = 1_000_000,
+                         edges_raw_sql: str | None = None,
+                         node_cast: str = "BIGINT") -> str:
     """DuckDB replica of graph.py::pagerank over the q_pagerank graph:
     the per-round aggregation cannot live inside a recursive CTE
     (aggregates are barred from recursive terms), so the fixed iteration
     count is UNROLLED into a pr0 -> pr{n} CTE chain - each step one
     contribution groupBy + left join, all bigint (// is DuckDB's integer
-    division, matching Spark's `div`)."""
+    division, matching Spark's `div`).  `edges_raw_sql` swaps in any
+    other (s, d) edge query (node ids may be strings - pagerank only
+    joins on them; `node_cast` types the output column), reused by the
+    web_host_pagerank composition."""
     base = (scale * (10_000 - damping_bp)) // 10_000
     steps = []
     for i in range(1, iterations + 1):
@@ -2537,16 +2562,17 @@ def _pagerank_oracle_sql(iterations: int = 5, damping_bp: int = 8500,
                     JOIN pr{i - 1} p ON p.node = e.s
                     JOIN odeg o ON o.s = e.s
                     GROUP BY e.d) cs ON cs.node = n.node)""")
-    return f"""
-            WITH keys AS (
-                SELECT c_custkey AS k FROM customer WHERE c_custkey < 400),
-            edges_raw AS (
+    if edges_raw_sql is None:
+        edges_raw_sql = """
                 SELECT c_custkey AS s, c_custkey + 1 AS d FROM customer
                 WHERE c_custkey < 400 AND c_custkey % 100 != 99
-                  AND (c_custkey + 1) IN (SELECT k FROM keys)
+                  AND (c_custkey + 1) IN (SELECT c_custkey FROM customer
+                                          WHERE c_custkey < 400)
                 UNION ALL
                 SELECT 0, c_custkey FROM customer
-                WHERE c_custkey > 0 AND c_custkey < 100),
+                WHERE c_custkey > 0 AND c_custkey < 100"""
+    return f"""
+            WITH edges_raw AS ({edges_raw_sql}),
             edges AS (SELECT DISTINCT s, d FROM edges_raw),
             nodes AS (
                 SELECT DISTINCT x AS node FROM (
@@ -2555,7 +2581,7 @@ def _pagerank_oracle_sql(iterations: int = 5, damping_bp: int = 8500,
             odeg AS (SELECT s, count(*) AS odeg FROM edges GROUP BY s),
             pr0 AS (SELECT node, {scale}::BIGINT AS rank FROM nodes),
             {",".join(steps)}
-            SELECT node::BIGINT AS node, rank::BIGINT AS rank
+            SELECT node::{node_cast} AS node, rank::BIGINT AS rank
             FROM pr{iterations}
         """
 
@@ -3864,6 +3890,13 @@ def oracle_sql() -> dict[str, str]:
                    'http://ex.org/nation/' || s_nationkey, 'iri', NULL
             FROM supplier
         """,
+        "web_host_pagerank": _pagerank_oracle_sql(
+            iterations=3,
+            edges_raw_sql="""
+                SELECT 'n' || n_nationkey || '.example.org' AS s,
+                       'r' || n_regionkey || '.example.org' AS d
+                FROM nation JOIN region ON n_regionkey = r_regionkey""",
+            node_cast="VARCHAR"),
         "web_extract_text": r"""
             WITH norm AS (
                 SELECT doc_id,
