@@ -1674,6 +1674,91 @@ def q_web_extract_text(spark, sf_dir):
     return extract_page_text(pages).select("url", "text")
 
 
+def _nation_meta_pages(spark, sf_dir):
+    """Pages with head metadata, synthesized as pure JVM concat from
+    nation (no Python renderer needed): even nation keys declare a
+    region-level <link rel=canonical> and the normal og:title attribute
+    order; odd keys have no canonical and the REVERSED
+    (content-first) og:title order, exercising both regex alternates.
+    Every field derives from nation columns so DuckDB replays the
+    extraction relationally."""
+    nation = _load(spark, sf_dir, "nation")
+    even = F.col("n_nationkey") % 2 == 0
+    og = F.when(even, F.concat(
+        F.lit('<meta property="og:title" content="OG '),
+        F.col("n_name"), F.lit('">'))).otherwise(F.concat(
+            F.lit('<meta content="OG '), F.col("n_name"),
+            F.lit('" property="og:title">')))
+    canon = F.when(even, F.concat(
+        F.lit('<link rel="canonical" href="http://region-'),
+        F.col("n_regionkey"),
+        F.lit('.example.org/canon">'))).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html lang="'), F.when(even, F.lit("en")).otherwise("fr"),
+        F.lit('"><head><title>Nation  '), F.col("n_name"),
+        F.lit("</title>"),
+        F.lit('<meta name="description" content="All about '),
+        F.col("n_name"), F.lit('">'), og, canon,
+        F.lit("</head><body>x</body></html>"))
+    return nation.select(
+        F.concat(F.lit("http://n"), F.col("n_nationkey"),
+                 F.lit(".example.org/page?utm_source=crawl")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"))
+
+
+def q_web_page_metadata(spark, sf_dir):
+    """Head-metadata panel (webtext.page_metadata): title (whitespace-
+    squashed), meta description, og:title under BOTH attribute orders,
+    optional rel=canonical, <html lang> hint - one narrow JVM regex
+    projection per page. Oracle: CASE expressions over nation."""
+    from csvweb_spark.sources.webtext import page_metadata
+    out = page_metadata(_nation_meta_pages(spark, sf_dir))
+    return out.select("url", "title", "description", "og_title",
+                      "og_description", "canonical", "lang_hint")
+
+
+def q_web_canonical_collapse(spark, sf_dir):
+    """Publisher-declared duplicate collapse (webtext.
+    canonical_collapse): even nations pool on their region's declared
+    canonical target, odd nations on their own normalized URL
+    (tracking param dropped by canonicalize_url). Oracle: group nation
+    by the same CASE target."""
+    from csvweb_spark.sources.webtext import (canonical_collapse,
+                                              page_metadata)
+    meta = page_metadata(_nation_meta_pages(spark, sf_dir))
+    out = canonical_collapse(meta)
+    return out.select("canonical_target", "n_pages", "kept_url")
+
+
+def q_sparql_web_markup(spark, sf_dir):
+    """Web markup -> queryable KG, end to end: supplier pages ->
+    jsonld_triples -> the SPARQL text front-end over the extracted
+    graph ('a' = rdf:type sugar; property-list ';' syntax), numeric
+    ORDER BY on the integer identifier. Proves the embedded-markup
+    triples are first-class citizens of the query surface. Oracle:
+    relational top-20 straight from supplier."""
+    from csvweb_spark.operators.sparql import sparql_select
+    from csvweb_spark.sources.jsonld import (jsonld_pages_from_table,
+                                             jsonld_triples)
+    supp = _load(spark, sf_dir, "supplier")
+    node = ('{{"@context": "https://schema.org",'
+            ' "@id": "http://ex.org/supplier/{s_suppkey}",'
+            ' "@type": "Organization",'
+            ' "name": "{s_name}",'
+            ' "identifier": {s_suppkey}}}')
+    pages = jsonld_pages_from_table(
+        supp, "http://supplier-{s_suppkey}.example.org/", node, "s_suppkey")
+    triples = jsonld_triples(pages).select("subj", "pred", "obj",
+                                           "obj_datatype")
+    out = sparql_select(triples, """
+      PREFIX s: <https://schema.org/>
+      SELECT ?org ?name ?id WHERE {
+        ?org a s:Organization ; s:name ?name ; s:identifier ?id .
+      } ORDER BY DESC(?id) LIMIT 20
+    """)
+    return out.select("org", "name", F.col("id").cast("long").alias("id"))
+
+
 def q_owl_entail_incr(spark, sf_dir):
     """Incremental OWL property closure (entail.py::
     owl_property_closure_incremental): the q_owl_entail store (closed
@@ -2192,6 +2277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_jsonld_triples": q_web_jsonld_triples,
         "web_extract_text": q_web_extract_text,
         "web_host_pagerank": q_web_host_pagerank,
+        "web_page_metadata": q_web_page_metadata,
+        "web_canonical_collapse": q_web_canonical_collapse,
+        "sparql_web_markup": q_sparql_web_markup,
         # -- never recorded before round 4 --
         "owl_sameas": q_owl_sameas,
         "bgp_minus": q_bgp_minus,
@@ -3889,6 +3977,40 @@ def oracle_sql() -> dict[str, str]:
                    'https://schema.org/location',
                    'http://ex.org/nation/' || s_nationkey, 'iri', NULL
             FROM supplier
+        """,
+        "web_page_metadata": """
+            SELECT 'http://n' || n_nationkey
+                       || '.example.org/page?utm_source=crawl' AS url,
+                   'Nation ' || n_name AS title,
+                   'All about ' || n_name AS description,
+                   'OG ' || n_name AS og_title,
+                   NULL AS og_description,
+                   CASE WHEN n_nationkey % 2 = 0
+                        THEN 'http://region-' || n_regionkey
+                             || '.example.org/canon' END AS canonical,
+                   CASE WHEN n_nationkey % 2 = 0
+                        THEN 'en' ELSE 'fr' END AS lang_hint
+            FROM nation
+        """,
+        "web_canonical_collapse": """
+            WITH t AS (
+                SELECT CASE WHEN n_nationkey % 2 = 0
+                            THEN 'http://region-' || n_regionkey
+                                 || '.example.org/canon'
+                            ELSE 'http://n' || n_nationkey
+                                 || '.example.org/page'
+                       END AS canonical_target,
+                       'http://n' || n_nationkey
+                           || '.example.org/page?utm_source=crawl' AS url
+                FROM nation)
+            SELECT canonical_target, count(*)::bigint AS n_pages,
+                   min(url) AS kept_url
+            FROM t GROUP BY canonical_target
+        """,
+        "sparql_web_markup": """
+            SELECT 'http://ex.org/supplier/' || s_suppkey AS org,
+                   s_name AS name, s_suppkey::bigint AS id
+            FROM supplier ORDER BY s_suppkey DESC LIMIT 20
         """,
         "web_host_pagerank": _pagerank_oracle_sql(
             iterations=3,

@@ -84,6 +84,83 @@ def extract_page_text(pages: DataFrame, url_col: str = "url",
                     .alias("text")))
 
 
+_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
+_CANONICAL_RE = (r"(?is)<link\b[^>]*rel\s*=\s*[\"']canonical[\"'][^>]*"
+                 r"href\s*=\s*[\"']([^\"']*)[\"']")
+_HTML_LANG_RE = r"(?is)<html\b[^>]*\blang\s*=\s*[\"']([^\"']*)[\"']"
+
+
+def _meta_content(html: Column, key_attr: str, key: str) -> Column:
+    """content= of the first ``<meta name=.../property=...>`` tag with
+    the given key, attribute order-insensitive (both orders occur in
+    the wild; two alternates beat a permutation regex)."""
+    a = (rf"(?is)<meta\b[^>]*{key_attr}\s*=\s*[\"']{key}[\"'][^>]*"
+         rf"content\s*=\s*[\"']([^\"']*)[\"']")
+    b = (rf"(?is)<meta\b[^>]*content\s*=\s*[\"']([^\"']*)[\"'][^>]*"
+         rf"{key_attr}\s*=\s*[\"']{key}[\"']")
+    first = F.regexp_extract(html, a, 1)
+    return F.when(first != "", first).otherwise(
+        F.regexp_extract(html, b, 1))
+
+
+def _nullify(col: Column) -> Column:
+    return F.when(col == "", F.lit(None).cast("string")).otherwise(col)
+
+
+def page_metadata(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """Head-metadata panel per page: (url, title, description,
+    og_title, og_description, canonical, lang_hint).
+
+    * title        - first <title> text, whitespace-squashed
+    * description  - <meta name="description" content=...>
+    * og_title / og_description - the Open Graph properties
+    * canonical    - <link rel="canonical" href=...>, the publisher's
+                     own duplicate-collapse signal: grouping crawl
+                     variants by coalesce(canonical, canonical_url(url))
+                     beats URL normalization alone
+    * lang_hint    - the <html lang=...> attribute (feeds/validates
+                     the lang column and the lang_detect operator)
+
+    Missing fields are NULL.  One narrow JVM projection - at crawl
+    scale this is a per-page map with no Python and no shuffle."""
+    h = F.col(html_col).cast("string")
+    title = F.trim(F.regexp_replace(
+        F.regexp_extract(h, _TITLE_RE, 1), r"\s+", " "))
+    return (pages
+            .where(F.col(html_col).isNotNull())
+            .select(
+                F.col(url_col).alias("url"),
+                _nullify(title).alias("title"),
+                _nullify(_meta_content(h, "name", "description"))
+                .alias("description"),
+                _nullify(_meta_content(h, "property", "og:title"))
+                .alias("og_title"),
+                _nullify(_meta_content(h, "property", "og:description"))
+                .alias("og_description"),
+                _nullify(F.regexp_extract(h, _CANONICAL_RE, 1))
+                .alias("canonical"),
+                _nullify(F.regexp_extract(h, _HTML_LANG_RE, 1))
+                .alias("lang_hint")))
+
+
+def canonical_collapse(meta: DataFrame) -> DataFrame:
+    """Publisher-declared duplicate collapse: group pages on the
+    canonical target (declared <link rel=canonical> when present, else
+    the normalized URL itself) and keep the deterministic min-url
+    representative - (canonical_target, n_pages, kept_url).  The
+    companion to urls.dedup_urls for crawls where mirrors/trackers
+    declare their canonical; one uniform groupBy."""
+    from ..operators.urls import canonicalize_url
+    target = F.coalesce(canonicalize_url(F.col("canonical")),
+                        canonicalize_url(F.col("url")))
+    return (meta
+            .select(target.alias("canonical_target"), F.col("url"))
+            .groupBy("canonical_target")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pages"),
+                 F.min("url").alias("kept_url")))
+
+
 def escape_html(s: str) -> str:
     """The single-pass escape html_text's entity decode inverts."""
     return (s.replace("&", "&amp;").replace("<", "&lt;")

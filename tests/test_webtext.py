@@ -91,3 +91,54 @@ def test_html_text_plan_is_jvm_only(spark):
     plan = extract_page_text(pages)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_page_metadata_fields(spark):
+    html = ('<html lang="en-GB"><head><title> The   Title </title>'
+            '<meta name="description" content="a desc">'
+            '<meta property="og:title" content="OG Title">'
+            '<meta content="og desc reversed" property="og:description">'
+            '<link rel="canonical" href="http://c.example.org/page">'
+            '</head><body>x</body></html>')
+    from csvweb_spark.sources.webtext import page_metadata
+    pages = _pages(spark, [("http://a.example.org/p?utm_source=z", html),
+                           ("http://a.example.org/bare", "<p>no head</p>")])
+    rows = {r.url: r for r in page_metadata(pages).collect()}
+    r = rows["http://a.example.org/p?utm_source=z"]
+    assert r.title == "The Title"
+    assert r.description == "a desc"
+    assert r.og_title == "OG Title"
+    assert r.og_description == "og desc reversed"   # reversed attr order
+    assert r.canonical == "http://c.example.org/page"
+    assert r.lang_hint == "en-GB"
+    b = rows["http://a.example.org/bare"]
+    assert (b.title, b.description, b.og_title, b.canonical,
+            b.lang_hint) == (None, None, None, None, None)
+
+
+def test_canonical_collapse(spark):
+    from csvweb_spark.sources.webtext import canonical_collapse, page_metadata
+    mk = lambda c: (f'<html><head><link rel="canonical" href="{c}">'
+                    '</head><body>x</body></html>') if c else "<p>x</p>"
+    pages = _pages(spark, [
+        ("http://m1.example.org/a", mk("http://canon.example.org/x")),
+        ("http://m2.example.org/b?utm_source=t",
+         mk("http://canon.example.org/x?utm_campaign=z")),
+        ("http://m3.example.org/c", mk(None)),
+        ("http://m3.example.org/c?fbclid=q", mk(None)),
+    ])
+    out = {r.canonical_target: (r.n_pages, r.kept_url)
+           for r in canonical_collapse(page_metadata(pages)).collect()}
+    # declared canonicals pool (tracking params dropped on the target)
+    assert out["http://canon.example.org/x"] == \
+        (2, "http://m1.example.org/a")
+    # undeclared pages pool on their own normalized URL
+    assert out["http://m3.example.org/c"] == (2, "http://m3.example.org/c")
+
+
+def test_page_metadata_plan_is_jvm_only(spark):
+    from csvweb_spark.sources.webtext import page_metadata
+    pages = _pages(spark, [("http://x.example.org/", "<title>t</title>")])
+    plan = page_metadata(pages)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
