@@ -116,6 +116,25 @@ AUDITS = [
      "partial_max(struct(ts, vals)) below the exchange - no Window "
      "node (SortAggregate's in-partition sorts are map-local, not a "
      "shuffle sort); the cutoff filter is pushed into the scan."),
+    ("Web link graph -> host edges", "web_link_hosts",
+     "Anchor extraction is regexp_extract_all + Generate explode + "
+     "projection, all inside whole-stage codegen (no Python stage); "
+     "the ONLY exchange is the host-pair groupBy with partial_count "
+     "map-side combine below it."),
+    ("Embedded JSON-LD -> triples", "web_jsonld_triples",
+     "The size(blocks) > 0 filter sits BELOW the single MapInPandas "
+     "stage - pages without ld+json markup are pruned JVM-side before "
+     "any Python runs; no shuffle anywhere in the plan."),
+    ("HTML -> text extraction", "web_extract_text",
+     "One narrow projection: the regex/entity/whitespace chain "
+     "compiles to a single codegen'd stage over the page scan - no "
+     "Python (after the test-fixture renderer), no exchange."),
+    ("Per-document TF-IDF top-k", "tfidf_topk",
+     "The tf aggregate feeds BOTH the df_t aggregate (term exchange + "
+     "broadcast back) and the join probe; the per-document top-k "
+     "compiles with a WindowGroupLimit above the doc sort - Partial "
+     "on unknown-partitioned input, Final-only (zero exchanges) when "
+     "the input is already doc-clustered."),
 ]
 
 
