@@ -885,3 +885,82 @@ def compact_latest_assertions(spark: SparkSession, output_dir: str,
                                       val_cols=val_cols, ts_col=ts_col)
     return _compact_state(spark, output_dir, LATEST_STATE_SUBDIR,
                           read_fn, batch_id)
+
+
+WEBGRAPH_STATE_SUBDIR = "_state/host_edges"
+
+
+def read_host_graph(spark: SparkSession,
+                    output_dir: str) -> Optional[DataFrame]:
+    """The cumulative host-level link graph maintained by
+    stream_web_graph: per (src_host, dst_host), the SUM of per-batch
+    link counts across every committed delta. Count-sum is associative
+    and commutative, so batch order and redelivery cannot change the
+    merged graph (the additive sibling of the ts-argmax merge in
+    read_latest_assertions). None before the first commit."""
+    from ..plans.fs import fs_for
+
+    fs = fs_for(output_dir, spark)
+    dirs = [p for _, p in
+            _batch_dirs(fs, fs.join(output_dir, WEBGRAPH_STATE_SUBDIR))]
+    if not dirs:
+        return None
+    return (spark.read.parquet(*dirs)
+            .groupBy("src_host", "dst_host")
+            .agg(F.sum("n_links").cast("long").alias("n_links")))
+
+
+def stream_web_graph(spark: SparkSession, input_dir: str,
+                     output_dir: str, checkpoint_dir: str,
+                     drop_self: bool = False,
+                     max_files_per_trigger: Optional[int] = None,
+                     available_now: bool = True,
+                     batch_hook=None):
+    """Continuously-maintained web link graph: HTML pages arrive as a
+    stream, each micro-batch extracts its anchors (sources/weblinks.py,
+    pure JVM) and writes ONLY its own (src_host, dst_host, n_links)
+    delta - stateless per batch, no committed-state read, no join, the
+    same batch-dir protocol as stream_latest_assertions. The read side
+    sum-merges (exact under any ordering because counts are additive);
+    `compact_host_graph` folds deltas behind the shared crash-safe
+    offset protocol. A torn delta dir (no _SUCCESS) is invisible to
+    readers and the retry's overwrite is idempotent.
+
+    Scale: a delta is bounded by the batch's distinct host pairs (the
+    map-side-combinable groupBy absorbs per-page fan-out); the full
+    10^10-edge host graph only materializes distributed at read time,
+    and compaction bounds the read fan-in."""
+    from ..plans.fs import fs_for
+    from ..sources.weblinks import extract_links, host_edges
+
+    pages = read_pages_stream(spark, input_dir, max_files_per_trigger)
+    fs = fs_for(output_dir, spark)
+
+    def process(batch_df, batch_id):
+        if batch_hook is not None:
+            batch_hook(batch_id, "start")
+        root = fs.join(output_dir, WEBGRAPH_STATE_SUBDIR)
+        delta = host_edges(extract_links(batch_df), drop_self=drop_self)
+        if not delta.take(1):
+            if batch_hook is not None:
+                batch_hook(batch_id, "done")
+            return
+        dir_id = batch_id + _compact_offset(fs, root)
+        delta.write.mode("overwrite").parquet(
+            fs.join(root, f"batch={dir_id}"))
+        if batch_hook is not None:
+            batch_hook(batch_id, "done")
+
+    writer = (pages.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_host_graph(spark: SparkSession, output_dir: str,
+                       batch_id: Optional[int] = None) -> int:
+    """Fold the host-edge deltas into one consolidated partition
+    (crash-safe protocol of _compact_state)."""
+    return _compact_state(spark, output_dir, WEBGRAPH_STATE_SUBDIR,
+                          read_host_graph, batch_id)

@@ -760,3 +760,65 @@ def test_stream_line_dedup_and_compaction(spark, tmp_path):
     assert read_line_digest_state(spark, out).count() == 5
     dirs = sorted(d for d in os.listdir(root) if d.startswith("batch="))
     assert dirs == ["batch=2", "batch=4"]  # snapshot + offset-mapped delta
+
+
+def test_stream_web_graph_additive_merge_and_compaction(spark, tmp_path):
+    """Cumulative web link graph from streamed HTML pages: per-batch
+    host-edge deltas sum-merge (additive, order-independent), and
+    compaction + resume from the same checkpoint preserves the counts
+    (shared offset protocol)."""
+    import os
+    from datetime import datetime
+
+    from csvweb_spark.streaming.pipeline import (
+        compact_host_graph, read_host_graph, stream_web_graph)
+
+    pages_dir = str(tmp_path / "pages")
+    out = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(pages_dir)
+    schema = ("url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+
+    def page(url, *hrefs):
+        body = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+        return (url, datetime(2026, 1, 1),
+                f"<html><body>{body}</body></html>".encode(), None, "en")
+
+    def add_batch_file(name, rows):
+        stage = f"{tmp_path}/_stage_{name}"
+        spark.createDataFrame(rows, schema) \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage)
+                if f.endswith(".parquet")][0]
+        os.rename(f"{stage}/{part}", f"{pages_dir}/{name}.parquet")
+
+    add_batch_file("b0", [
+        page("http://a.x/1", "http://b.x/p", "http://c.x/p"),
+        page("http://a.x/2", "http://b.x/q"),
+    ])
+    add_batch_file("b1", [
+        page("http://a.x/3", "http://b.x/p", "/self"),
+        page("http://d.x/1", "http://b.x/p"),
+    ])
+    q = stream_web_graph(spark, pages_dir, out, ckpt,
+                         max_files_per_trigger=1)
+    q.awaitTermination(180)
+    got = {(r.src_host, r.dst_host): r.n_links
+           for r in read_host_graph(spark, out).collect()}
+    assert got == {("a.x", "b.x"): 3, ("a.x", "c.x"): 1,
+                   ("a.x", "a.x"): 1, ("d.x", "b.x"): 1}
+
+    # compact, then resume with new pages: counts keep accumulating
+    cid = compact_host_graph(spark, out)
+    add_batch_file("b2", [page("http://a.x/4", "http://c.x/p")])
+    q2 = stream_web_graph(spark, pages_dir, out, ckpt,
+                          max_files_per_trigger=1)
+    q2.awaitTermination(180)
+    got2 = {(r.src_host, r.dst_host): r.n_links
+            for r in read_host_graph(spark, out).collect()}
+    assert got2[("a.x", "c.x")] == 2 and got2[("a.x", "b.x")] == 3
+    state_root = os.path.join(out, "_state", "host_edges")
+    dirs = sorted(d for d in os.listdir(state_root)
+                  if d.startswith("batch="))
+    assert f"batch={cid}" in dirs and len(dirs) == 2
