@@ -1637,6 +1637,39 @@ def q_web_jsonld_triples(spark, sf_dir):
     return out.select("subj", "pred", "obj", "obj_kind", "obj_datatype")
 
 
+def q_web_microdata_triples(spark, sf_dir):
+    """HTML microdata -> triples (sources/microdata.py): one
+    schema.org Product item per part page written as
+    itemscope/itemprop/itemtype attributes - the second structured-
+    data channel after embedded JSON-LD. Exercises every value
+    source: itemtype -> rdf:type, text content (with an entity to
+    decode), meta@content, a@href resolved against the page URL, a
+    nested itemscope edge with its own itemid and type. The JVM
+    contains('itemscope') filter prunes before the single
+    Arrow-batched mapInPandas parse. Oracle: UNION ALL of eight
+    SELECTs over part."""
+    from csvweb_spark.sources.microdata import (
+        microdata_pages_from_table, microdata_triples)
+    part = (_load(spark, sf_dir, "part")
+            .withColumn("brand_slug",
+                        F.regexp_replace("p_brand", "#", "-")))
+    body = ('<div itemscope itemtype="https://schema.org/Product" '
+            'itemid="urn:part:{p_partkey}">'
+            '<span itemprop="name">{p_name}</span>'
+            '<meta itemprop="size" content="{p_size}">'
+            '<a itemprop="brand" href="/brand/{brand_slug}">b</a>'
+            '<span itemprop="category">{p_type} &amp; co</span>'
+            '<div itemprop="offers" itemscope '
+            'itemtype="https://schema.org/Offer" '
+            'itemid="urn:offer:{p_partkey}">'
+            '<meta itemprop="sku" content="{p_partkey}">'
+            '</div></div>')
+    pages = microdata_pages_from_table(
+        part, "http://part-{p_partkey}.example.org/p", body, "p_partkey")
+    out = microdata_triples(pages)
+    return out.select("subj", "pred", "obj", "obj_kind", "obj_datatype")
+
+
 def q_web_host_pagerank(spark, sf_dir):
     """End-to-end web-graph composition: HTML pages -> extract_links ->
     host_edges(drop_self) -> integer-exact pagerank over host-STRING
@@ -2275,6 +2308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_link_hosts": q_web_link_hosts,
         "web_anchor_aliases": q_web_anchor_aliases,
         "web_jsonld_triples": q_web_jsonld_triples,
+        "web_microdata_triples": q_web_microdata_triples,
         "web_extract_text": q_web_extract_text,
         "web_host_pagerank": q_web_host_pagerank,
         "web_page_metadata": q_web_page_metadata,
@@ -3977,6 +4011,52 @@ def oracle_sql() -> dict[str, str]:
                    'https://schema.org/location',
                    'http://ex.org/nation/' || s_nationkey, 'iri', NULL
             FROM supplier
+        """,
+        "web_microdata_triples": """
+            SELECT 'urn:part:' || p_partkey AS subj,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                       AS pred,
+                   'https://schema.org/Product' AS obj,
+                   'iri' AS obj_kind, NULL AS obj_datatype
+            FROM part
+            UNION ALL
+            SELECT 'urn:part:' || p_partkey, 'https://schema.org/name',
+                   p_name, 'literal',
+                   'http://www.w3.org/2001/XMLSchema#string'
+            FROM part
+            UNION ALL
+            SELECT 'urn:part:' || p_partkey, 'https://schema.org/size',
+                   p_size::varchar, 'literal',
+                   'http://www.w3.org/2001/XMLSchema#string'
+            FROM part
+            UNION ALL
+            SELECT 'urn:part:' || p_partkey, 'https://schema.org/brand',
+                   'http://part-' || p_partkey
+                       || '.example.org/brand/'
+                       || replace(p_brand, '#', '-'),
+                   'iri', NULL
+            FROM part
+            UNION ALL
+            SELECT 'urn:part:' || p_partkey,
+                   'https://schema.org/category',
+                   p_type || ' & co', 'literal',
+                   'http://www.w3.org/2001/XMLSchema#string'
+            FROM part
+            UNION ALL
+            SELECT 'urn:part:' || p_partkey,
+                   'https://schema.org/offers',
+                   'urn:offer:' || p_partkey, 'iri', NULL
+            FROM part
+            UNION ALL
+            SELECT 'urn:offer:' || p_partkey,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'https://schema.org/Offer', 'iri', NULL
+            FROM part
+            UNION ALL
+            SELECT 'urn:offer:' || p_partkey, 'https://schema.org/sku',
+                   p_partkey::varchar, 'literal',
+                   'http://www.w3.org/2001/XMLSchema#string'
+            FROM part
         """,
         "web_page_metadata": """
             SELECT 'http://n' || n_nationkey

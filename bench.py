@@ -407,6 +407,27 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
             F.lit('"}}</script></head><body>x</body></html>')),
             "UTF-8").alias("html"))
     timed("web_jsonld_triples", lambda: jsonld_triples(jpages).count())
+    # microdata markup over the same doc-scale pages: one Product item
+    # with text/meta/href/nested-scope value sources per page
+    from csvweb_spark.sources.microdata import microdata_triples
+    mpages = docs.select(
+        lurl.alias("url"),
+        F.encode(F.concat(
+            F.lit('<html><body><div itemscope '
+                  'itemtype="https://schema.org/Product" '
+                  'itemid="urn:d:'), F.col("doc_id"),
+            F.lit('"><span itemprop="name">doc '), F.col("doc_id"),
+            F.lit(' &amp; co</span><meta itemprop="size" content="'),
+            F.col("n_chars"),
+            F.lit('"><a itemprop="brand" href="/b/'),
+            F.col("doc_id") % 97,
+            F.lit('">b</a><div itemprop="offers" itemscope '
+                  'itemtype="https://schema.org/Offer"><meta '
+                  'itemprop="sku" content="'), F.col("doc_id"),
+            F.lit('"></div></div></body></html>')),
+            "UTF-8").alias("html"))
+    timed("web_microdata_triples",
+          lambda: microdata_triples(mpages).count())
     from csvweb_spark.sources.webtext import extract_page_text
     epages = docs.select(
         lurl.alias("url"),
