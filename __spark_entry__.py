@@ -1670,6 +1670,44 @@ def q_web_microdata_triples(spark, sf_dir):
     return out.select("subj", "pred", "obj", "obj_kind", "obj_datatype")
 
 
+def q_web_rdfa_triples(spark, sf_dir):
+    """HTML RDFa Lite -> triples (sources/rdfa.py): the THIRD
+    structured-data channel after JSON-LD and microdata.  One customer
+    profile page each exercising: page-URL initial subject (OpenGraph
+    meta), about="#frag" subject minting, vocab terms + a prefix-
+    declared CURIE vocabulary, datatype= typed literal (integer-exact
+    cents so the double never round-trips through repr), href IRI
+    object resolved against the page origin, lang= language-tagged
+    literal (obj_datatype NULL + obj_lang), and property+typeof+
+    resource chaining that types the IRI object.  Oracle: UNION ALL of
+    seven SELECTs over customer."""
+    from csvweb_spark.sources.rdfa import (rdfa_pages_from_table,
+                                           rdfa_triples)
+    cust = (_load(spark, sf_dir, "customer")
+            .withColumn("bal_cents",
+                        F.round(F.col("c_acctbal") * 100)
+                         .cast("long")))
+    body = ('<meta property="og:title" content="Customer {c_custkey}">'
+            '<div vocab="https://schema.org/" '
+            'prefix="ex: http://ex.org/kg#" '
+            'about="#c{c_custkey}" typeof="Person">'
+            '<span property="name">{c_name}</span>'
+            '<meta property="ex:acctbal_cents" content="{bal_cents}" '
+            'datatype="xsd:integer">'
+            '<a property="url" href="/c/{c_custkey}">home</a>'
+            '<span property="ex:segment" lang="en">{c_mktsegment}'
+            '</span>'
+            '<div property="ex:nation" typeof="ex:Nation" '
+            'resource="http://ex.org/nation/{c_nationkey}"></div>'
+            '</div>')
+    pages = rdfa_pages_from_table(
+        cust, "http://c{c_custkey}.example.org/profile", body,
+        "c_custkey")
+    out = rdfa_triples(pages)
+    return out.select("subj", "pred", "obj", "obj_kind",
+                      "obj_datatype", "obj_lang")
+
+
 def q_web_host_pagerank(spark, sf_dir):
     """End-to-end web-graph composition: HTML pages -> extract_links ->
     host_edges(drop_self) -> integer-exact pagerank over host-STRING
@@ -2309,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_anchor_aliases": q_web_anchor_aliases,
         "web_jsonld_triples": q_web_jsonld_triples,
         "web_microdata_triples": q_web_microdata_triples,
+        "web_rdfa_triples": q_web_rdfa_triples,
         "web_extract_text": q_web_extract_text,
         "web_host_pagerank": q_web_host_pagerank,
         "web_page_metadata": q_web_page_metadata,
@@ -4057,6 +4096,63 @@ def oracle_sql() -> dict[str, str]:
                    p_partkey::varchar, 'literal',
                    'http://www.w3.org/2001/XMLSchema#string'
             FROM part
+        """,
+        "web_rdfa_triples": """
+            SELECT 'http://c' || c_custkey
+                       || '.example.org/profile' AS subj,
+                   'http://ogp.me/ns#title' AS pred,
+                   'Customer ' || c_custkey AS obj,
+                   'literal' AS obj_kind,
+                   'http://www.w3.org/2001/XMLSchema#string'
+                       AS obj_datatype,
+                   NULL AS obj_lang
+            FROM customer
+            UNION ALL
+            SELECT 'http://c' || c_custkey || '.example.org/profile#c'
+                       || c_custkey,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'https://schema.org/Person', 'iri', NULL, NULL
+            FROM customer
+            UNION ALL
+            SELECT 'http://c' || c_custkey || '.example.org/profile#c'
+                       || c_custkey,
+                   'https://schema.org/name', c_name, 'literal',
+                   'http://www.w3.org/2001/XMLSchema#string', NULL
+            FROM customer
+            UNION ALL
+            SELECT 'http://c' || c_custkey || '.example.org/profile#c'
+                       || c_custkey,
+                   'http://ex.org/kg#acctbal_cents',
+                   CAST(round(c_acctbal * 100) AS BIGINT)::varchar,
+                   'literal',
+                   'http://www.w3.org/2001/XMLSchema#integer', NULL
+            FROM customer
+            UNION ALL
+            SELECT 'http://c' || c_custkey || '.example.org/profile#c'
+                       || c_custkey,
+                   'https://schema.org/url',
+                   'http://c' || c_custkey || '.example.org/c/'
+                       || c_custkey,
+                   'iri', NULL, NULL
+            FROM customer
+            UNION ALL
+            SELECT 'http://c' || c_custkey || '.example.org/profile#c'
+                       || c_custkey,
+                   'http://ex.org/kg#segment', c_mktsegment,
+                   'literal', NULL, 'en'
+            FROM customer
+            UNION ALL
+            SELECT 'http://c' || c_custkey || '.example.org/profile#c'
+                       || c_custkey,
+                   'http://ex.org/kg#nation',
+                   'http://ex.org/nation/' || c_nationkey, 'iri',
+                   NULL, NULL
+            FROM customer
+            UNION ALL
+            SELECT 'http://ex.org/nation/' || c_nationkey,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   'http://ex.org/kg#Nation', 'iri', NULL, NULL
+            FROM customer
         """,
         "web_page_metadata": """
             SELECT 'http://n' || n_nationkey

@@ -428,6 +428,28 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
             "UTF-8").alias("html"))
     timed("web_microdata_triples",
           lambda: microdata_triples(mpages).count())
+    # RDFa-Lite markup over the same doc-scale pages: OG head meta +
+    # an about-rooted item with text/content/href/lang/chained-
+    # resource value sources per page
+    from csvweb_spark.sources.rdfa import rdfa_triples
+    rpages = docs.select(
+        lurl.alias("url"),
+        F.encode(F.concat(
+            F.lit('<html><body><meta property="og:title" '
+                  'content="Doc '), F.col("doc_id"),
+            F.lit('"><div vocab="https://schema.org/" about="#d'),
+            F.col("doc_id"),
+            F.lit('" typeof="Article"><span property="name">doc '),
+            F.col("doc_id"),
+            F.lit(' &amp; co</span><a property="url" href="/d/'),
+            F.col("doc_id") % 97,
+            F.lit('">l</a><span property="about" lang="en">topic '),
+            F.col("doc_id") % 13,
+            F.lit('</span><div property="publisher" typeof="Org" '
+                  'resource="http://pub-'), F.col("doc_id") % 31,
+            F.lit('.org/"></div></div></body></html>')),
+            "UTF-8").alias("html"))
+    timed("web_rdfa_triples", lambda: rdfa_triples(rpages).count())
     from csvweb_spark.sources.webtext import extract_page_text
     epages = docs.select(
         lurl.alias("url"),
