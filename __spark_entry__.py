@@ -2314,6 +2314,43 @@ def q_sparql_ask(spark, sf_dir):
             .unionByName(no.select(F.lit("platinum").alias("probe"), "ask")))
 
 
+def q_web_robots_filter(spark, sf_dir):
+    """robots.txt crawl-politeness verdicts (sources/robots.py, RFC
+    9309): rules parse once per HOST (mapInPandas over 25 nation-host
+    bodies), fold to one pre-sorted array-of-structs row per host, and
+    page verdicts are a single host equi-join + JVM higher-order
+    filter - the page table is never aggregated or (under broadcast)
+    shuffled.  The fixture exercises every match rule: longest-pattern
+    wins (/private vs /private/ok), allow-beats-disallow tie,
+    '*'-wildcard + '$'-anchor (/tmp*.log$ matches .log but not
+    .log.bak), no-match default-allow, and exact-agent group shadowing
+    the star group (odd hosts publish a kgbot group, so only /public
+    is off-limits there).  Oracle: pure CASE over (nationkey parity,
+    custkey mod 5)."""
+    from csvweb_spark.sources.robots import robots_verdicts
+    nation = _load(spark, sf_dir, "nation")
+    star = ("# crawl policy\nUser-agent: *\nDisallow: /private\n"
+            "Allow: /private/ok\nDisallow: /tmp*.log$\n")
+    kgbot = "\nUser-agent: kgbot\nDisallow: /public\n"
+    robots = nation.select(
+        F.format_string("h%d.example.org", "n_nationkey").alias("host"),
+        F.concat(F.lit(star),
+                 F.when(F.col("n_nationkey") % 2 == 1, F.lit(kgbot))
+                  .otherwise(F.lit(""))).alias("body"))
+    cust = _load(spark, sf_dir, "customer")
+    m = F.col("c_custkey") % 5
+    path = (F.when(m == 0, F.format_string("/private/x%d", "c_custkey"))
+             .when(m == 1, F.format_string("/private/ok/%d", "c_custkey"))
+             .when(m == 2, F.format_string("/tmp%d.log", "c_custkey"))
+             .when(m == 3, F.format_string("/tmp%d.log.bak", "c_custkey"))
+             .otherwise(F.format_string("/public/%d", "c_custkey")))
+    pages = cust.select(F.concat(
+        F.format_string("http://h%d.example.org", "c_nationkey"),
+        path).alias("url"))
+    out = robots_verdicts(pages, robots, agent="kgbot")
+    return out.select("url", "allowed")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2353,6 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_page_metadata": q_web_page_metadata,
         "web_canonical_collapse": q_web_canonical_collapse,
         "sparql_web_markup": q_sparql_web_markup,
+        "web_robots_filter": q_web_robots_filter,
         # -- never recorded before round 4 --
         "owl_sameas": q_owl_sameas,
         "bgp_minus": q_bgp_minus,
@@ -4187,6 +4225,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'http://ex.org/supplier/' || s_suppkey AS org,
                    s_name AS name, s_suppkey::bigint AS id
             FROM supplier ORDER BY s_suppkey DESC LIMIT 20
+        """,
+        "web_robots_filter": """
+            SELECT 'http://h' || c_nationkey || '.example.org' ||
+                   CASE c_custkey % 5
+                     WHEN 0 THEN '/private/x' || c_custkey
+                     WHEN 1 THEN '/private/ok/' || c_custkey
+                     WHEN 2 THEN '/tmp' || c_custkey || '.log'
+                     WHEN 3 THEN '/tmp' || c_custkey || '.log.bak'
+                     ELSE '/public/' || c_custkey
+                   END AS url,
+                   CASE WHEN c_nationkey % 2 = 1
+                        THEN c_custkey % 5 <> 4
+                        ELSE c_custkey % 5 IN (1, 3, 4)
+                   END AS allowed
+            FROM customer
         """,
         "web_host_pagerank": _pagerank_oracle_sql(
             iterations=3,

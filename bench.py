@@ -463,6 +463,19 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     timed("web_extract_text", lambda: extract_page_text(epages)
           .select(F.sum(F.length("text"))).collect())
 
+    # robots.txt politeness filter: 997 per-host rule bodies vs the
+    # doc-scale page table - measures the page-side join+HOF verdict,
+    # which is the 100 TB cost (the rule parse is per-host, ~0)
+    from csvweb_spark.sources.robots import filter_allowed
+    robots = (spark.range(997).select(
+        F.concat(F.lit("h"), F.col("id"), F.lit(".example.org"))
+         .alias("host"),
+        F.concat(F.lit("User-agent: *\nDisallow: /d/sub\n"
+                       "Allow: /d/sub/1\nDisallow: /*.log$\n"))
+         .alias("body")))
+    timed("web_robots_filter", lambda: filter_allowed(
+        lpages.select("url"), robots).count())
+
     # round-5 text additions: Gopher quality gate (map-only) and the
     # TF-IDF top-k keyword extraction (explode + two aggs + window)
     from csvweb_spark.operators.text import gopher_quality, tfidf_topk
