@@ -2314,6 +2314,60 @@ def q_sparql_ask(spark, sf_dir):
             .unionByName(no.select(F.lit("platinum").alias("probe"), "ask")))
 
 
+def q_web_charset_decode(spark, sf_dir):
+    """Charset sniffing + decode of the html:binary column
+    (sources/charset.py): five encoding families per customer page -
+    utf-8 with BOM (BOM beats the lying meta), utf-8 by meta, cp1252
+    by http-equiv meta, cp1252 via the WHATWG latin1 alias (0x92
+    decodes as curly quote, not a C1 control), and utf-16le with BOM.
+    Everything is JVM column ops (3-byte BOM probe, bounded meta
+    prescan, is_valid_utf8 gate, latin-1 decode + 27-point translate
+    for cp1252); the decoded page composes straight into html_text.
+    Oracle: pure CASE with the expected unicode literals."""
+    from csvweb_spark.sources.charset import decode_pages
+    import pandas as pd
+
+    cust = _load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+
+    def render(batches):
+        for pdf in batches:
+            urls, blobs = [], []
+            for ck, name in zip(pdf["c_custkey"], pdf["c_name"]):
+                m = int(ck) % 5
+                if m == 0:
+                    body, meta, enc, bom = (f"Café {name} •",
+                                            '<meta charset="windows-1252">',
+                                            "utf-8", b"\xef\xbb\xbf")
+                elif m == 1:
+                    body, meta, enc, bom = (f"naïve — {name}",
+                                            '<meta charset="utf-8">',
+                                            "utf-8", b"")
+                elif m == 2:
+                    body, meta, enc, bom = (
+                        f"€9 {name} ’s",
+                        '<meta http-equiv="Content-Type" content='
+                        '"text/html; charset=windows-1252">',
+                        "cp1252", b"")
+                elif m == 3:
+                    body, meta, enc, bom = (f"café {name} ’",
+                                            "<meta charset=latin1>",
+                                            "cp1252", b"")
+                else:
+                    body, meta, enc, bom = (f"Café {name} ±", "",
+                                            "utf-16-le", b"\xff\xfe")
+                html = (f"<html><head>{meta}</head><body><p>{body}</p>"
+                        "</body></html>")
+                urls.append(f"http://cs{ck}.example.org/")
+                blobs.append(bom + html.encode(enc))
+            yield pd.DataFrame({"url": urls, "html": blobs})
+
+    pages = cust.mapInPandas(render, "url string, html binary")
+    dec = decode_pages(pages)
+    from csvweb_spark.sources.webtext import html_text
+    return dec.select("url", "charset",
+                      html_text(F.col("html_str")).alias("text"))
+
+
 def q_web_robots_filter(spark, sf_dir):
     """robots.txt crawl-politeness verdicts (sources/robots.py, RFC
     9309): rules parse once per HOST (mapInPandas over 25 nation-host
@@ -2391,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_canonical_collapse": q_web_canonical_collapse,
         "sparql_web_markup": q_sparql_web_markup,
         "web_robots_filter": q_web_robots_filter,
+        "web_charset_decode": q_web_charset_decode,
         # -- never recorded before round 4 --
         "owl_sameas": q_owl_sameas,
         "bgp_minus": q_bgp_minus,
@@ -4225,6 +4280,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'http://ex.org/supplier/' || s_suppkey AS org,
                    s_name AS name, s_suppkey::bigint AS id
             FROM supplier ORDER BY s_suppkey DESC LIMIT 20
+        """,
+        "web_charset_decode": """
+            SELECT 'http://cs' || c_custkey || '.example.org/' AS url,
+                   CASE c_custkey % 5
+                     WHEN 2 THEN 'windows-1252'
+                     WHEN 3 THEN 'windows-1252'
+                     WHEN 4 THEN 'utf-16le'
+                     ELSE 'utf-8'
+                   END AS charset,
+                   CASE c_custkey % 5
+                     WHEN 0 THEN 'Café ' || c_name || ' •'
+                     WHEN 1 THEN 'naïve — ' || c_name
+                     WHEN 2 THEN '€9 ' || c_name || ' ’s'
+                     WHEN 3 THEN 'café ' || c_name || ' ’'
+                     ELSE 'Café ' || c_name || ' ±'
+                   END AS text
+            FROM customer
         """,
         "web_robots_filter": """
             SELECT 'http://h' || c_nationkey || '.example.org' ||

@@ -463,6 +463,24 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     timed("web_extract_text", lambda: extract_page_text(epages)
           .select(F.sum(F.length("text"))).collect())
 
+    # charset sniff+decode over doc-scale binary pages: odd ids are
+    # windows-1252 (meta-declared latin1 alias + translate path), even
+    # ids utf-8 (validity-gate path) - both decode branches measured
+    from csvweb_spark.sources.charset import decode_pages
+    cbody = F.concat(F.lit("<html><head>"),
+                     F.when(F.col("doc_id") % 2 == 1,
+                            F.lit("<meta charset=latin1>"))
+                      .otherwise(F.lit('<meta charset="utf-8">')),
+                     F.lit("</head><body><p>café doc "),
+                     F.col("doc_id"), F.lit("</p></body></html>"))
+    cpages = docs.select(
+        lurl.alias("url"),
+        F.when(F.col("doc_id") % 2 == 1,
+               F.encode(cbody, "ISO-8859-1"))
+         .otherwise(F.encode(cbody, "UTF-8")).alias("html"))
+    timed("web_charset_decode", lambda: decode_pages(cpages)
+          .select(F.sum(F.length("html_str"))).collect())
+
     # robots.txt politeness filter: 997 per-host rule bodies vs the
     # doc-scale page table - measures the page-side join+HOF verdict,
     # which is the 100 TB cost (the rule parse is per-host, ~0)
