@@ -2314,6 +2314,59 @@ def q_sparql_ask(spark, sf_dir):
             .unionByName(no.select(F.lit("platinum").alias("probe"), "ask")))
 
 
+def q_web_sitemap_recrawl(spark, sf_dir):
+    """Sitemap discovery -> parse -> recrawl schedule end-to-end
+    (sources/sitemaps.py): robots.txt Sitemap: lines seed the fetch
+    set, per-host <urlset> bodies (rendered by a JVM groupBy/concat)
+    flatten to (loc, lastmod) entries, and the recrawl join compares
+    lastmod against max(warc_ts) per URL - 'new' for never-crawled
+    (custkey%3=0), 'stale' when lastmod (day 1+ck%25) postdates the
+    2026-01-13 crawl, else 'fresh'; older duplicate snapshots must not
+    explode the key-unique join.  Oracle: pure CASE over customer."""
+    from csvweb_spark.sources.sitemaps import (recrawl_candidates,
+                                               robots_sitemap_urls,
+                                               sitemap_entries)
+    nation = _load(spark, sf_dir, "nation")
+    cust = _load(spark, sf_dir, "customer")
+    robots = nation.select(
+        F.format_string("h%d.example.org", "n_nationkey").alias("host"),
+        F.format_string(
+            "User-agent: *\nDisallow: /x\n"
+            "Sitemap: http://h%d.example.org/sitemap.xml",
+            "n_nationkey", "n_nationkey").alias("body"))
+    day = (F.lit(1) + F.col("c_custkey") % 25).cast("int")
+    entry_xml = F.format_string(
+        "<url><loc>http://h%d.example.org/c/%d</loc>"
+        "<lastmod>2026-01-%02d</lastmod></url>",
+        "c_nationkey", "c_custkey", day)
+    bodies = (cust
+              .groupBy("c_nationkey")
+              .agg(F.concat(
+                  F.lit("<urlset>"),
+                  F.array_join(F.array_sort(
+                      F.collect_list(entry_xml)), ""),
+                  F.lit("</urlset>")).alias("body"))
+              .select(F.format_string(
+                  "http://h%d.example.org/sitemap.xml",
+                  "c_nationkey").alias("url"), "body"))
+    sm = robots_sitemap_urls(robots)
+    fetched = sm.join(bodies, sm.sitemap_url == bodies.url) \
+                .select(bodies.url.alias("url"), "body")
+    entries = sitemap_entries(fetched)
+    page_url = F.format_string("http://h%d.example.org/c/%d",
+                               "c_nationkey", "c_custkey")
+    crawled = cust.filter(F.col("c_custkey") % 3 != 0)
+    pages = (crawled.select(
+        page_url.alias("url"),
+        F.lit("2026-01-13").cast("timestamp").alias("warc_ts"))
+        .unionByName(
+            crawled.filter(F.col("c_custkey") % 2 == 0).select(
+                page_url.alias("url"),
+                F.lit("2026-01-02").cast("timestamp").alias("warc_ts"))))
+    out = recrawl_candidates(entries, pages)
+    return out.select("url", "lastmod_ts", "last_crawl_ts", "status")
+
+
 def q_web_charset_decode(spark, sf_dir):
     """Charset sniffing + decode of the html:binary column
     (sources/charset.py): five encoding families per customer page -
@@ -2446,6 +2499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_web_markup": q_sparql_web_markup,
         "web_robots_filter": q_web_robots_filter,
         "web_charset_decode": q_web_charset_decode,
+        "web_sitemap_recrawl": q_web_sitemap_recrawl,
         # -- never recorded before round 4 --
         "owl_sameas": q_owl_sameas,
         "bgp_minus": q_bgp_minus,
@@ -4280,6 +4334,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'http://ex.org/supplier/' || s_suppkey AS org,
                    s_name AS name, s_suppkey::bigint AS id
             FROM supplier ORDER BY s_suppkey DESC LIMIT 20
+        """,
+        "web_sitemap_recrawl": """
+            SELECT 'http://h' || c_nationkey || '.example.org/c/'
+                       || c_custkey AS url,
+                   CAST('2026-01-' ||
+                        lpad(CAST(1 + c_custkey % 25 AS VARCHAR), 2, '0')
+                        AS TIMESTAMP) AS lastmod_ts,
+                   CASE WHEN c_custkey % 3 = 0 THEN NULL
+                        ELSE TIMESTAMP '2026-01-13' END AS last_crawl_ts,
+                   CASE WHEN c_custkey % 3 = 0 THEN 'new'
+                        WHEN 1 + c_custkey % 25 > 13 THEN 'stale'
+                        ELSE 'fresh' END AS status
+            FROM customer
         """,
         "web_charset_decode": """
             SELECT 'http://cs' || c_custkey || '.example.org/' AS url,

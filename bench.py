@@ -463,6 +463,28 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     timed("web_extract_text", lambda: extract_page_text(epages)
           .select(F.sum(F.length("text"))).collect())
 
+    # sitemap parse (per-host, cheap side) + doc-scale recrawl join:
+    # the timed cost is the key-unique url join vs the crawl state
+    from csvweb_spark.sources.sitemaps import (recrawl_candidates,
+                                               sitemap_entries)
+    sm_bodies = (docs.select(
+        (F.col("doc_id") % 997).alias("hid"),
+        F.format_string(
+            "<url><loc>http://h%d.example.org/d/sub/%d</loc>"
+            "<lastmod>2026-01-15</lastmod></url>",
+            (F.col("doc_id") % 997).cast("int"), "doc_id").alias("e"))
+        .groupBy("hid")
+        .agg(F.concat(F.lit("<urlset>"),
+                      F.array_join(F.collect_list("e"), ""),
+                      F.lit("</urlset>")).alias("body"))
+        .select(F.format_string("http://h%d.example.org/sitemap.xml",
+                                "hid").alias("url"), "body"))
+    sm_pages = docs.filter(F.col("doc_id") % 3 != 0).select(
+        lurl.alias("url"),
+        F.lit("2026-01-13").cast("timestamp").alias("warc_ts"))
+    timed("web_sitemap_recrawl", lambda: recrawl_candidates(
+        sitemap_entries(sm_bodies), sm_pages).count())
+
     # charset sniff+decode over doc-scale binary pages: odd ids are
     # windows-1252 (meta-declared latin1 alias + translate path), even
     # ids utf-8 (validity-gate path) - both decode branches measured
