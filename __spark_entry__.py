@@ -2314,6 +2314,32 @@ def q_sparql_ask(spark, sf_dir):
             .unionByName(no.select(F.lit("platinum").alias("probe"), "ask")))
 
 
+def q_web_main_content(spark, sf_dir):
+    """Boilerplate removal (webtext.main_content): per-part pages with
+    a nav bar (link density 1), a short heading, a long link-farm
+    footer (45 chars but 2/3 anchor text), and a 'tiny' stub - only
+    the two prose blocks survive (the second proving moderate inline
+    links are allowed), joined in document order.  One JVM
+    split/transform/filter chain, no Python.  Oracle: string concat
+    over part."""
+    from csvweb_spark.sources.webtext import extract_main_content
+    part = _load(spark, sf_dir, "part")
+    html = F.format_string(
+        "<html><head><title>x</title><script>nav()</script></head>"
+        '<body><div><a href="/">Home</a> <a href="/cat">Catalog</a>'
+        "</div><h1>Part %d</h1><p>%s in size %d from our catalog</p>"
+        '<div>See <a href="/t">terms of service</a> and '
+        '<a href="/p">privacy policy</a> here</div>'
+        '<p>%s ships with <a href="/g">a guarantee</a> of quality '
+        "parts</p><p>tiny</p></body></html>",
+        "p_partkey", "p_name", "p_size", "p_brand")
+    pages = part.select(
+        F.format_string("http://p%d.example.org/", "p_partkey")
+        .alias("url"),
+        F.encode(html, "UTF-8").alias("html"))
+    return extract_main_content(pages).select("url", "main_text")
+
+
 def q_web_sitemap_recrawl(spark, sf_dir):
     """Sitemap discovery -> parse -> recrawl schedule end-to-end
     (sources/sitemaps.py): robots.txt Sitemap: lines seed the fetch
@@ -2500,6 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_robots_filter": q_web_robots_filter,
         "web_charset_decode": q_web_charset_decode,
         "web_sitemap_recrawl": q_web_sitemap_recrawl,
+        "web_main_content": q_web_main_content,
         # -- never recorded before round 4 --
         "owl_sameas": q_owl_sameas,
         "bgp_minus": q_bgp_minus,
@@ -4334,6 +4361,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'http://ex.org/supplier/' || s_suppkey AS org,
                    s_name AS name, s_suppkey::bigint AS id
             FROM supplier ORDER BY s_suppkey DESC LIMIT 20
+        """,
+        "web_main_content": """
+            SELECT 'http://p' || p_partkey || '.example.org/' AS url,
+                   p_name || ' in size ' || CAST(p_size AS VARCHAR)
+                   || ' from our catalog' || chr(10) || p_brand
+                   || ' ships with a guarantee of quality parts'
+                       AS main_text
+            FROM part
         """,
         "web_sitemap_recrawl": """
             SELECT 'http://h' || c_nationkey || '.example.org/c/'

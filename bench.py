@@ -463,6 +463,12 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     timed("web_extract_text", lambda: extract_page_text(epages)
           .select(F.sum(F.length("text"))).collect())
 
+    # main-content extraction over the prose pages: the jusText-style
+    # block classifier at full-crawl cost class (per-page map, JVM)
+    from csvweb_spark.sources.webtext import extract_main_content
+    timed("web_main_content", lambda: extract_main_content(epages)
+          .select(F.sum(F.length("main_text"))).collect())
+
     # sitemap parse (per-host, cheap side) + doc-scale recrawl join:
     # the timed cost is the key-unique url join vs the crawl state
     from csvweb_spark.sources.sitemaps import (recrawl_candidates,

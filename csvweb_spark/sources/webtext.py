@@ -84,6 +84,69 @@ def extract_page_text(pages: DataFrame, url_col: str = "url",
                     .alias("text")))
 
 
+# --- main-content extraction (boilerplate removal) ------------------
+# jusText/Arc90-style block classification, reduced to two
+# deterministic rules a JVM higher-order chain can evaluate: a block
+# survives iff its text is long enough AND not link-dominated.
+_BLOCK_SPLIT = (r"(?i)</?(?:p|div|li|ul|ol|tr|td|th|table|h[1-6]|"
+                r"blockquote|section|article|main|header|footer|nav|"
+                r"aside|br)\b[^>]*/?>")
+_ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
+
+
+def _block_text(seg: Column) -> Column:
+    t = F.regexp_replace(seg, _ANY_TAG, "")
+    for ent, ch in _ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"[ \t\r\n]+", " "))
+
+
+def main_content(html: Column, min_len: int = 25,
+                 max_link_density: float = 1 / 3) -> Column:
+    """Boilerplate-stripped main text of one HTML string column.
+
+    Blocks are the segments between block-level tags (after dropping
+    head/script/style/comments wholesale); a block is MAIN CONTENT iff
+
+    * its squashed text length >= `min_len` (navigation crumbs,
+      headings, 'read more' stubs fall under it), and
+    * its anchor-text share <= `max_link_density` (nav bars, footer
+      link farms, related-article lists are link-dominated even when
+      long).
+
+    Surviving blocks join with newlines in document order.  The whole
+    classifier is one JVM split/transform/filter chain over the page
+    string - per-page map work, no Python, no shuffle - so it runs as
+    a full-crawl stage at the same cost class as `html_text`."""
+    t = F.regexp_replace(html, _DROP_BLOCKS, " ")
+    segs = F.split(t, _BLOCK_SPLIT)
+    blocks = F.transform(segs, lambda s: F.struct(
+        _block_text(s).alias("txt"),
+        F.aggregate(F.regexp_extract_all(s, F.lit(_ANCHOR_RE), 1),
+                    F.lit(0),
+                    lambda acc, a: acc + F.length(_block_text(a)))
+        .alias("alen")))
+    kept = F.filter(
+        blocks,
+        lambda b: (F.length(b["txt"]) >= F.lit(min_len))
+        & (b["alen"].cast("double")
+           <= F.length(b["txt"]) * F.lit(float(max_link_density))))
+    return F.array_join(F.transform(kept, lambda b: b["txt"]), "\n")
+
+
+def extract_main_content(pages: DataFrame, url_col: str = "url",
+                         html_col: str = "html", min_len: int = 25,
+                         max_link_density: float = 1 / 3) -> DataFrame:
+    """(url, main_text) per page - the curation-grade text producer
+    (html_text keeps ALL prose; this keeps only content blocks)."""
+    return (pages
+            .where(F.col(html_col).isNotNull())
+            .select(F.col(url_col).alias("url"),
+                    main_content(F.col(html_col).cast("string"),
+                                 min_len, max_link_density)
+                    .alias("main_text")))
+
+
 _TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
 _CANONICAL_RE = (r"(?is)<link\b[^>]*rel\s*=\s*[\"']canonical[\"'][^>]*"
                  r"href\s*=\s*[\"']([^\"']*)[\"']")

@@ -142,3 +142,59 @@ def test_page_metadata_plan_is_jvm_only(spark):
     plan = page_metadata(pages)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- main-content extraction ----------------------------------------
+
+from csvweb_spark.sources.webtext import extract_main_content, \
+    main_content  # noqa: E402
+
+
+def _main(spark, html, **kw):
+    df = spark.createDataFrame([("u", html.encode())],
+                               "url string, html binary")
+    return extract_main_content(df, **kw).collect()[0]["main_text"]
+
+
+def test_main_content_drops_nav_footer_keeps_prose(spark):
+    html = ("<html><head><title>T</title><style>p{}</style></head><body>"
+            '<div><a href="/">Home</a> <a href="/c">Catalog</a></div>'
+            "<h1>Short head</h1>"
+            "<p>This paragraph is long enough to be main content.</p>"
+            "<p>tiny</p>"
+            '<div>See <a href="/t">terms of service</a> and '
+            '<a href="/p">privacy policy</a> here</div>'
+            "</body></html>")
+    assert _main(spark, html) == (
+        "This paragraph is long enough to be main content.")
+
+
+def test_main_content_allows_moderate_links(spark):
+    html = ('<p>Brand X ships with <a href="/g">a guarantee</a> of '
+            "quality parts for years</p>")
+    got = _main(spark, html)
+    assert got == ("Brand X ships with a guarantee of quality parts "
+                   "for years")
+
+
+def test_main_content_density_boundary(spark):
+    # 30-char text, 10-char anchor: exactly 1/3 -> kept; 11 -> dropped
+    base = "x" * 20
+    kept = f"<p>{base}<a>0123456789</a></p>"
+    dropped = f"<p>{'x' * 19}<a>01234567890</a></p>"
+    assert _main(spark, kept) == base + "0123456789"
+    assert _main(spark, dropped) == ""
+
+
+def test_main_content_entities_and_order(spark):
+    html = ("<p>First block of the article &amp; its opening line.</p>"
+            "<div>Second block continues &lt;here&gt; with detail.</div>")
+    assert _main(spark, html) == (
+        "First block of the article & its opening line.\n"
+        "Second block continues <here> with detail.")
+
+
+def test_main_content_min_len_knob(spark):
+    html = "<p>Twelve chars</p>"
+    assert _main(spark, html) == ""
+    assert _main(spark, html, min_len=5) == "Twelve chars"
