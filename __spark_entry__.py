@@ -2314,6 +2314,67 @@ def q_sparql_ask(spark, sf_dir):
             .unionByName(no.select(F.lit("platinum").alias("probe"), "ask")))
 
 
+def q_web_warc_ingest(spark, sf_dir):
+    """WARC segment ingest -> pages -> text, end-to-end
+    (sources/warc.py): one synthetic WARC segment per nation (odd
+    nations as member-per-record .warc.gz), carrying per-customer
+    response records - every 4th a 301 redirect, every 7th an
+    image/png - plus warcinfo/request records.  warc_pages keeps only
+    renderable 200 text/html responses; charset decode + html_text
+    produce the text column.  The byte walk is Content-Length exact
+    (payloads mention 'WARC/1.0' without breaking framing).  Oracle:
+    relational recompute over customer with the same mod filters."""
+    import gzip as _gzip
+
+    import pandas as pd
+    from csvweb_spark.sources.charset import decode_pages
+    from csvweb_spark.sources.warc import warc_pages
+    from csvweb_spark.sources.webtext import html_text
+
+    cust = _load(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_name", "c_nationkey")
+
+    def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        nk = int(key[0])
+        parts = []
+        for row in pdf.sort_values("c_custkey").to_dict("records"):
+            ck = int(row["c_custkey"])
+            url = f"http://h{nk}.example.org/c/{ck}"
+            date = f"2026-02-01T00:00:{ck % 60:02d}Z"
+            if ck % 4 == 0:
+                http = (b"HTTP/1.1 301 Moved\r\nLocation: /new\r\n"
+                        b"Content-Type: text/html\r\n\r\ngone")
+            elif ck % 7 == 0:
+                http = (b"HTTP/1.1 200 OK\r\nContent-Type: image/png"
+                        b"\r\n\r\n\x89PNG fake")
+            else:
+                body = (f"<html><body><p>Customer {row['c_name']} "
+                        "page about WARC/1.0 files</p></body></html>"
+                        ).encode()
+                http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html;"
+                        b" charset=UTF-8\r\n\r\n" + body)
+            hdr = (f"WARC/1.0\r\nWARC-Type: response\r\n"
+                   f"WARC-Date: {date}\r\n"
+                   f"WARC-Target-URI: {url}\r\n"
+                   f"Content-Length: {len(http)}\r\n").encode()
+            parts.append(hdr + b"\r\n" + http + b"\r\n\r\n")
+        info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+                b"WARC-Date: 2026-02-01T00:00:00Z\r\n"
+                b"Content-Length: 16\r\n\r\nsoftware: test\r\n\r\n\r\n")
+        blob = info + b"".join(parts)
+        if nk % 2 == 1:
+            blob = b"".join(_gzip.compress(p) for p in [info] + parts)
+        return pd.DataFrame({"segment_id": [f"seg-{nk}"],
+                             "blob": [blob]})
+
+    segs = cust.groupBy("c_nationkey").applyInPandas(
+        render, "segment_id string, blob binary")
+    pages = warc_pages(segs)
+    dec = decode_pages(pages)
+    return dec.select("url", "warc_ts",
+                      html_text(F.col("html_str")).alias("text"))
+
+
 def q_web_main_content(spark, sf_dir):
     """Boilerplate removal (webtext.main_content): per-part pages with
     a nav bar (link density 1), a short heading, a long link-farm
@@ -2527,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_charset_decode": q_web_charset_decode,
         "web_sitemap_recrawl": q_web_sitemap_recrawl,
         "web_main_content": q_web_main_content,
+        "web_warc_ingest": q_web_warc_ingest,
         # -- never recorded before round 4 --
         "owl_sameas": q_owl_sameas,
         "bgp_minus": q_bgp_minus,
@@ -4361,6 +4423,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'http://ex.org/supplier/' || s_suppkey AS org,
                    s_name AS name, s_suppkey::bigint AS id
             FROM supplier ORDER BY s_suppkey DESC LIMIT 20
+        """,
+        "web_warc_ingest": """
+            SELECT 'http://h' || c_nationkey || '.example.org/c/'
+                       || c_custkey AS url,
+                   TIMESTAMP '2026-02-01'
+                       + (c_custkey % 60) * INTERVAL 1 SECOND AS warc_ts,
+                   'Customer ' || c_name
+                       || ' page about WARC/1.0 files' AS text
+            FROM customer
+            WHERE c_custkey % 4 <> 0 AND c_custkey % 7 <> 0
         """,
         "web_main_content": """
             SELECT 'http://p' || p_partkey || '.example.org/' AS url,

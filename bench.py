@@ -463,6 +463,29 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     timed("web_extract_text", lambda: extract_page_text(epages)
           .select(F.sum(F.length("text"))).collect())
 
+    # WARC ingest: ~200 synthetic segments (one per host bucket) of
+    # concatenated response records; segments persist OUTSIDE the
+    # timing so the row measures the byte walk + page filter, not the
+    # fixture render
+    from csvweb_spark.sources.warc import warc_pages
+    wrec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\n"
+              "WARC-Date: 2026-02-01T00:00:01Z\r\n"
+              "WARC-Target-URI: "), lurl,
+        F.lit("\r\nContent-Length: "),
+        (F.octet_length("text") + 59).cast("string"),
+        F.lit("\r\n\r\nHTTP/1.1 200 OK\r\n"
+              "Content-Type: text/html; charset=UTF-8\r\n\r\n"),
+        F.col("text"), F.lit("\r\n\r\n"))
+    wsegs = (docs.groupBy((F.col("doc_id") % 200).alias("segment_id"))
+             .agg(F.encode(F.concat_ws("", F.collect_list(wrec)),
+                           "UTF-8").alias("blob"))
+             .persist())
+    extras["warc_segments"] = wsegs.count()  # render excluded
+    timed("web_warc_ingest", lambda: warc_pages(wsegs)
+          .select(F.sum(F.length("html"))).collect())
+    wsegs.unpersist()
+
     # main-content extraction over the prose pages: the jusText-style
     # block classifier at full-crawl cost class (per-page map, JVM)
     from csvweb_spark.sources.webtext import extract_main_content

@@ -1,0 +1,117 @@
+"""WARC segment ingest (sources/warc.py): exact Content-Length walk,
+payloads that contain record-magic bytes, gzip member-per-record,
+truncation audit rows, response filtering, and composition with the
+charset decoder."""
+
+import datetime as dt
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from csvweb_spark.sources.warc import parse_warc, parse_warc_bytes, \
+    warc_pages
+
+
+def _record(wtype, url, date, body, extra=b""):
+    hdr = (f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+           f"WARC-Date: {date}\r\n").encode()
+    if url:
+        hdr += f"WARC-Target-URI: {url}\r\n".encode()
+    hdr += extra + f"Content-Length: {len(body)}\r\n".encode()
+    return hdr + b"\r\n" + body + b"\r\n\r\n"
+
+
+def _http(body: bytes, status=b"200 OK",
+          ctype=b"text/html; charset=UTF-8") -> bytes:
+    return (b"HTTP/1.1 " + status + b"\r\nContent-Type: " + ctype +
+            b"\r\n\r\n" + body)
+
+
+def _segment():
+    info = _record("warcinfo", None, "2026-02-01T00:00:00Z",
+                   b"software: test\r\n")
+    req = _record("request", "http://a.org/", "2026-02-01T00:00:01Z",
+                  b"GET / HTTP/1.1\r\nHost: a.org\r\n\r\n")
+    # payload embedding the record magic - must not confuse the walk
+    page = _http(b"<html>WARC/1.0 is mentioned\r\n\r\nhere</html>")
+    resp = _record("response", "http://a.org/",
+                   "2026-02-01T00:00:02Z", page)
+    redirect = _record("response", "http://a.org/old",
+                       "2026-02-01T00:00:03Z",
+                       _http(b"gone", status=b"301 Moved"))
+    img = _record("response", "http://a.org/i.png",
+                  "2026-02-01T00:00:04Z",
+                  _http(b"\x89PNG...", ctype=b"image/png"))
+    return info + req + resp + redirect + img
+
+
+def test_byte_walk_and_fields():
+    rows = parse_warc_bytes("s1", _segment())
+    assert [r[2] for r in rows] == ["warcinfo", "request", "response",
+                                    "response", "response"]
+    resp = rows[2]
+    assert resp[3] == "http://a.org/" and resp[5] == 200
+    assert resp[6].startswith("text/html")
+    assert resp[7] == b"<html>WARC/1.0 is mentioned\r\n\r\nhere</html>"
+    assert rows[3][5] == 301 and rows[4][6] == "image/png"
+    assert all(r[8] is None for r in rows)
+
+
+def test_gzip_member_per_record_equivalent():
+    plain = _segment()
+    # one gzip member per record, concatenated (the .warc.gz layout)
+    recs, pos = [], 0
+    while pos < len(plain):
+        hdr_end = plain.find(b"\r\n\r\n", pos)
+        clen = int(dict(
+            line.split(b": ", 1) for line in
+            plain[pos:hdr_end].split(b"\r\n")[1:])[b"Content-Length"])
+        end = hdr_end + 4 + clen + 4
+        recs.append(gzip.compress(plain[pos:end]))
+        pos = end
+    assert parse_warc_bytes("s", b"".join(recs)) == \
+        parse_warc_bytes("s", plain)
+
+
+def test_truncation_audit_not_garbage():
+    seg = _segment() + b"WARC/1.0\r\nWARC-Type: response\r\n"
+    rows = parse_warc_bytes("s", seg)
+    assert rows[-1][2] == "truncated"
+    assert "unterminated" in rows[-1][8]
+    assert len(rows) == 6  # 5 good + 1 audit
+    bad = _segment() + b"garbage tail"
+    assert parse_warc_bytes("s", bad)[-1][8].startswith("bad magic")
+
+
+def test_parse_warc_dataframe_and_ts(spark):
+    df = spark.createDataFrame([("s1", _segment())],
+                               "segment_id string, blob binary")
+    rows = parse_warc(df).orderBy("rec_ix").collect()
+    assert rows[2]["warc_ts"] == dt.datetime(2026, 2, 1, 0, 0, 2)
+    assert rows[2]["http_status"] == 200
+
+
+def test_warc_pages_filters_to_renderable(spark):
+    df = spark.createDataFrame([("s1", _segment())],
+                               "segment_id string, blob binary")
+    pages = warc_pages(df).collect()
+    assert len(pages) == 1
+    assert pages[0]["url"] == "http://a.org/"
+    assert bytes(pages[0]["html"]).startswith(b"<html>")
+    # ok_only=False keeps the redirect and the image too
+    assert warc_pages(df, ok_only=False).count() == 3
+
+
+def test_compose_with_charset_decode(spark):
+    body = _http("<p>café</p>".encode("cp1252"),
+                 ctype=b"text/html; charset=windows-1252")
+    seg = _record("response", "http://l.org/", "2026-02-01T00:00:00Z",
+                  body)
+    df = spark.createDataFrame([("s", seg)],
+                               "segment_id string, blob binary")
+    from csvweb_spark.sources.charset import decode_pages
+    out = decode_pages(warc_pages(df)).collect()[0]
+    # no meta in the body: validity sniff -> cp1252 fallback
+    assert out["charset"] == "windows-1252"
+    assert out["html_str"] == "<p>café</p>"
