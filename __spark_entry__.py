@@ -2314,6 +2314,54 @@ def q_sparql_ask(spark, sf_dir):
             .unionByName(no.select(F.lit("platinum").alias("probe"), "ask")))
 
 
+def q_web_feed_entries(spark, sf_dir):
+    """RSS/Atom feed parsing (sources/feeds.py): one feed per nation
+    host - even nations RSS 2.0 (RFC 822 pubDates with weekday
+    prefix), odd nations Atom (ISO updated, rel=alternate link beside
+    a decoy rel=self) - one entry per customer; both formats flatten
+    to the same unified row.  JVM regex+explode, no Python.  Oracle:
+    pure CASE over customer."""
+    from csvweb_spark.sources.feeds import feed_entries
+    cust = _load(spark, sf_dir, "customer")
+    day = (F.lit(1) + F.col("c_custkey") % 28).cast("int")
+    sec = (F.col("c_custkey") % 60).cast("int")
+    rss_item = F.format_string(
+        "<item><title>Customer %s</title>"
+        "<link>http://h%d.example.org/c/%d</link>"
+        "<guid>urn:c:%d</guid>"
+        "<pubDate>Mon, %02d Feb 2026 10:00:%02d +0000</pubDate>"
+        "<description>story %d</description></item>",
+        "c_name", "c_nationkey", "c_custkey", "c_custkey", day, sec,
+        "c_custkey")
+    atom_entry = F.format_string(
+        '<entry><title>Customer %s</title>'
+        '<link rel="self" href="http://h%d.example.org/self"/>'
+        '<link rel="alternate" href="http://h%d.example.org/c/%d"/>'
+        "<id>urn:c:%d</id>"
+        "<updated>2026-02-%02dT10:00:%02dZ</updated>"
+        "<summary>story %d</summary></entry>",
+        "c_name", "c_nationkey", "c_nationkey", "c_custkey",
+        "c_custkey", day, sec, "c_custkey")
+    entry = F.when(F.col("c_nationkey") % 2 == 1, atom_entry) \
+             .otherwise(rss_item)
+    feeds = (cust.groupBy("c_nationkey")
+             .agg(F.array_join(F.array_sort(F.collect_list(entry)), "")
+                  .alias("_items"))
+             .select(
+                 F.format_string("http://h%d.example.org/feed.xml",
+                                 "c_nationkey").alias("url"),
+                 F.when(F.col("c_nationkey") % 2 == 1,
+                        F.concat(F.lit("<feed>"), F.col("_items"),
+                                 F.lit("</feed>")))
+                  .otherwise(F.concat(
+                      F.lit('<rss version="2.0"><channel>'),
+                      F.col("_items"),
+                      F.lit("</channel></rss>"))).alias("body")))
+    out = feed_entries(feeds)
+    return out.select("feed_url", "kind", "title", "link", "entry_id",
+                      "published_ts", "summary")
+
+
 def q_web_warc_ingest(spark, sf_dir):
     """WARC segment ingest -> pages -> text, end-to-end
     (sources/warc.py): one synthetic WARC segment per nation (odd
@@ -2589,6 +2637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_sitemap_recrawl": q_web_sitemap_recrawl,
         "web_main_content": q_web_main_content,
         "web_warc_ingest": q_web_warc_ingest,
+        "web_feed_entries": q_web_feed_entries,
         # -- never recorded before round 4 --
         "owl_sameas": q_owl_sameas,
         "bgp_minus": q_bgp_minus,
@@ -4423,6 +4472,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'http://ex.org/supplier/' || s_suppkey AS org,
                    s_name AS name, s_suppkey::bigint AS id
             FROM supplier ORDER BY s_suppkey DESC LIMIT 20
+        """,
+        "web_feed_entries": """
+            SELECT 'http://h' || c_nationkey || '.example.org/feed.xml'
+                       AS feed_url,
+                   CASE WHEN c_nationkey % 2 = 1 THEN 'atom'
+                        ELSE 'rss' END AS kind,
+                   'Customer ' || c_name AS title,
+                   'http://h' || c_nationkey || '.example.org/c/'
+                       || c_custkey AS link,
+                   'urn:c:' || c_custkey AS entry_id,
+                   CAST('2026-02-'
+                        || lpad(CAST(1 + c_custkey % 28 AS VARCHAR),
+                                2, '0')
+                        || ' 10:00:'
+                        || lpad(CAST(c_custkey % 60 AS VARCHAR), 2, '0')
+                        AS TIMESTAMP) AS published_ts,
+                   'story ' || c_custkey AS summary
+            FROM customer
         """,
         "web_warc_ingest": """
             SELECT 'http://h' || c_nationkey || '.example.org/c/'
