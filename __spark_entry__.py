@@ -2314,6 +2314,49 @@ def q_sparql_ask(spark, sf_dir):
             .unionByName(no.select(F.lit("platinum").alias("probe"), "ask")))
 
 
+def q_kg_pipeline_warc(spark, sf_dir):
+    """The flagship pipeline fed from RAW CRAWL BYTES: the same CSV
+    pages as `kg_pipeline`, but wrapped as WARC response records
+    (JVM render, ~8 pages per segment), ingested back through the
+    Content-Length byte walk (sources/warc.py), charset-decoded
+    (sources/charset.py), and only THEN extracted/linked/canonicalized
+    by pipeline.py stages A-D.  Its oracle is literally the
+    kg_pipeline oracle: the container round-trip must be byte-exact
+    per the input_hint invariant (byte-identical extracted text per
+    url), so the two queries' triples hash-match or the ingest is
+    wrong."""
+    from bench import docs_table_spec
+    from csvweb_spark.pipeline import kg_canonical_triples, synth_aliases
+    from csvweb_spark.sources.charset import decode_pages
+    from csvweb_spark.sources.pages import pages_from_documents
+    from csvweb_spark.sources.warc import warc_pages
+    docs = _load(spark, sf_dir, "documents")
+    pages = pages_from_documents(spark, sf_dir, docs_per_page=10)
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\n"
+              "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+              "WARC-Target-URI: "), F.col("url"),
+        F.lit("\r\nContent-Length: "),
+        (F.octet_length("text") + 58).cast("string"),
+        F.lit("\r\n\r\nHTTP/1.1 200 OK\r\n"
+              "Content-Type: text/csv; charset=UTF-8\r\n\r\n"),
+        F.col("text"), F.lit("\r\n\r\n"))
+    segs = (pages
+            .groupBy(F.pmod(F.xxhash64("url"), F.lit(8))
+                     .alias("segment_id"))
+            .agg(F.encode(F.concat_ws("", F.collect_list(rec)),
+                          "UTF-8").alias("blob")))
+    ingested = warc_pages(segs, content_type_prefix="text/csv")
+    dec = decode_pages(ingested)
+    p2 = dec.select("url", "warc_ts",
+                    F.lit(None).cast("binary").alias("html"),
+                    F.col("html_str").alias("text"),
+                    F.lit("en").alias("lang"))
+    canonical = kg_canonical_triples(p2, docs_table_spec(),
+                                     synth_aliases(docs))[0]
+    return canonical.select("subj", "pred", "obj")
+
+
 def q_web_feed_entries(spark, sf_dir):
     """RSS/Atom feed parsing (sources/feeds.py): one feed per nation
     host - even nations RSS 2.0 (RFC 822 pubDates with weekday
@@ -2617,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_pipeline": q_kg_pipeline,
         # -- new in round 5 (never recorded) --
+        "kg_pipeline_warc": q_kg_pipeline_warc,
         "sparql_graph": q_sparql_graph,
         "bgp_values_undef": q_bgp_values_undef,
         "sparql_order_numeric": q_sparql_order_numeric,
@@ -3447,7 +3491,7 @@ def _owl_oracle_sql(cust_max: int = 150, universe: bool = False) -> str:
     """
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_literal() -> dict[str, str]:
     xsd_s = XSD + "string"
     xsd_i = XSD + "integer"
     xsd_d = XSD + "date"
@@ -5272,6 +5316,14 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(url, content_kind, n_html_tables, csv_delimiter)
         """,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_literal()
+    # the WARC-ingested flagship must produce EXACTLY the flagship's
+    # triples (container round-trip is byte-identical per input_hint)
+    out["kg_pipeline_warc"] = out["kg_pipeline"]
+    return out
 
 
 if __name__ == "__main__":

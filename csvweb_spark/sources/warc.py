@@ -152,18 +152,20 @@ def parse_warc(segments: DataFrame, id_col: str = "segment_id",
 
 
 def warc_pages(segments: DataFrame, id_col: str = "segment_id",
-               blob_col: str = "blob",
-               ok_only: bool = True) -> DataFrame:
+               blob_col: str = "blob", ok_only: bool = True,
+               content_type_prefix: str = "text/html") -> DataFrame:
     """The input_hint page shape straight from WARC segments:
     (url, warc_ts, html:binary) for response records - HTTP 200 +
-    text/html only by default (the crawl also archives robots
-    fetches, redirects and images; a KG build wants renderable
-    pages).  Compose `charset.decode_pages` downstream for text."""
+    `content_type_prefix` only by default (the crawl also archives
+    robots fetches, redirects and images; a KG build wants renderable
+    pages - pass 'text/csv' for tabular-payload crawls, or
+    ok_only=False for everything).  Compose `charset.decode_pages`
+    downstream for text."""
     recs = parse_warc(segments, id_col, blob_col) \
         .where(F.col("warc_type") == "response")
     if ok_only:
         recs = recs.where(
             (F.col("http_status") == 200)
-            & F.col("content_type").startswith("text/html"))
+            & F.col("content_type").startswith(content_type_prefix))
     return recs.select("url", "warc_ts",
                        F.col("payload").alias("html"))
