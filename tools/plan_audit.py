@@ -129,6 +129,36 @@ AUDITS = [
      "One narrow projection: the regex/entity/whitespace chain "
      "compiles to a single codegen'd stage over the page scan - no "
      "Python (after the test-fixture renderer), no exchange."),
+    ("robots.txt politeness verdicts", "web_robots_filter",
+     "The rule parse is ONE MapInPandas over the per-HOST table; the "
+     "page side joins once on host (AQE-decided, or broadcast via "
+     "broadcast_rules) and the verdict is a JVM higher-order "
+     "filter(...)[1] - the page table is never aggregated and never "
+     "reaches Python."),
+    ("Charset sniff + decode", "web_charset_decode",
+     "Above the fixture render's MapInPandas, the whole sniff+decode "
+     "(BOM binary compares, bounded meta prescan, is_valid_utf8 gate, "
+     "latin-1 decode + cp1252 translate) is ONE codegen'd projection "
+     "- no exchange, no further Python."),
+    ("Main-content extraction", "web_main_content",
+     "One narrow codegen'd projection: the block split / per-block "
+     "anchor-mass aggregate / length+density filter is a JVM "
+     "higher-order chain over the page scan - no Python, no "
+     "exchange."),
+    ("Sitemap recrawl schedule", "web_sitemap_recrawl",
+     "Both join inputs collapse to key-unique url rows via "
+     "partial-final aggregates (map-side combine below each "
+     "exchange) before ONE equi-join on url; no broadcast assumption "
+     "- both sides can be page-corpus-sized."),
+    ("WARC segment ingest", "web_warc_ingest",
+     "ONE MapInPandas does the Content-Length byte walk per segment "
+     "batch; the response/200/text-html filters and the ISO "
+     "WARC-Date parse are JVM projections above it - records never "
+     "re-enter Python."),
+    ("RSS/Atom feed entries", "web_feed_entries",
+     "The rss and atom arms are each a regex_extract_all + Generate "
+     "explode + projection codegen stage over the per-host feed "
+     "table, unioned with no exchange anywhere."),
     ("Per-document TF-IDF top-k", "tfidf_topk",
      "The tf aggregate feeds BOTH the df_t aggregate (term exchange + "
      "broadcast back) and the join probe; the per-document top-k "
