@@ -3257,15 +3257,19 @@ def _rdfs_oracle_sql(cust_max: int = 200) -> str:
     """
 
 
-def _lang_ngram_scores_sql(text_expr: str = "text",
+def _lang_ngram_scores_sql(text_expr: str = None,
                            pad_col: str = "pad") -> dict:
     """Per-language DuckDB score expressions GENERATED from the very
     LANG_PROFILES dict the Spark model scores with (replace-length
-    occurrence counts * rank weight, integer-exact), so the operator and
-    its oracle share one definition and cannot drift."""
+    occurrence counts * rank weight over the LID_SAMPLE_CHARS prefix,
+    integer-exact), so the operator and its oracle share one
+    definition and cannot drift."""
     from csvweb_spark.operators.text import (CJK_PATTERN, CJK_WEIGHT,
                                              LANG_NGRAM_ORDER,
-                                             LANG_PROFILES, NGRAM_K)
+                                             LANG_PROFILES,
+                                             LID_SAMPLE_CHARS, NGRAM_K)
+    if text_expr is None:
+        text_expr = f"substring(text, 1, {LID_SAMPLE_CHARS})"
     out = {}
     for lang in LANG_NGRAM_ORDER:
         if lang == "zh":
@@ -3306,6 +3310,7 @@ def _lang_ngram_oracle_sql() -> str:
     """Oracle for q_lang_detect: pad normalization, generated per-language
     scores, generated argmax."""
     from csvweb_spark.operators.text import (LANG_NGRAM_ORDER,
+                                             LID_SAMPLE_CHARS,
                                              NGRAM_STRIP_PATTERN)
     scores = _lang_ngram_scores_sql()
     score_sel = ",\n                ".join(
@@ -3315,8 +3320,10 @@ def _lang_ngram_oracle_sql() -> str:
     return f"""
         WITH s AS (
             SELECT doc_id, lang, text,
-                   ' ' || regexp_replace(lower(text),
-                                         '{NGRAM_STRIP_PATTERN}', ' ', 'g')
+                   ' ' || regexp_replace(
+                              lower(substring(text, 1,
+                                              {LID_SAMPLE_CHARS})),
+                              '{NGRAM_STRIP_PATTERN}', ' ', 'g')
                        || ' ' AS pad
             FROM documents),
         sc AS (
@@ -3334,6 +3341,7 @@ def _text_profile_oracle_sql() -> str:
     """Oracle for q_text_profile: the generated n-gram-profile language
     ID plus the token-count and fingerprint expressions."""
     from csvweb_spark.operators.text import (LANG_NGRAM_ORDER,
+                                             LID_SAMPLE_CHARS,
                                              NGRAM_STRIP_PATTERN)
     scores = _lang_ngram_scores_sql()
     score_sel = ",\n                ".join(
@@ -3341,8 +3349,10 @@ def _text_profile_oracle_sql() -> str:
     return f"""
         WITH s AS (
             SELECT doc_id, text,
-                   ' ' || regexp_replace(lower(text),
-                                         '{NGRAM_STRIP_PATTERN}', ' ', 'g')
+                   ' ' || regexp_replace(
+                              lower(substring(text, 1,
+                                              {LID_SAMPLE_CHARS})),
+                              '{NGRAM_STRIP_PATTERN}', ' ', 'g')
                        || ' ' AS pad
             FROM documents),
         scores AS (

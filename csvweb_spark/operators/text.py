@@ -70,6 +70,11 @@ LANG_PROFILES = {
 LANG_NGRAM_ORDER = ["en", "de", "fr", "es", "it", "pt", "zh"]
 NGRAM_K = 15          # weight of profile gram at rank i is K - i
 CJK_WEIGHT = NGRAM_K  # one CJK codepoint counts like a rank-0 gram
+# LID reads only this prefix (CLD-style sampling): the profile scorer
+# is ~90 string scans per row (6 langs x 15 grams), so bounding the
+# scanned text makes per-row cost O(1) in document length; 2048 chars
+# is far past the accuracy plateau for whole-document language ID
+LID_SAMPLE_CHARS = 2048
 # normalization: lowercase, collapse every non-letter run (keeping the
 # Latin-1 accented letters the romance profiles need) to one space, pad
 NGRAM_STRIP_PATTERN = "[^a-zà-öø-ÿ]+"
@@ -205,13 +210,16 @@ def detect_language(text: Column) -> Column:
 
 
 def ngram_pad(text: Column) -> Column:
-    """The trigram-profile normalization: lowercase, collapse non-letter
-    runs to single spaces, pad with one space each side (so word-edge
-    grams like ' th' match at text boundaries). DuckDB mirror:
-    ' ' || regexp_replace(lower(t), <same>, ' ', 'g') || ' '."""
+    """The trigram-profile normalization over the LID sample prefix:
+    take the first LID_SAMPLE_CHARS chars, lowercase, collapse
+    non-letter runs to single spaces, pad with one space each side (so
+    word-edge grams like ' th' match at text boundaries). DuckDB
+    mirror: ' ' || regexp_replace(lower(substring(t, 1, N)), <same>,
+    ' ', 'g') || ' '."""
+    sample = F.substring(text, 1, LID_SAMPLE_CHARS)
     return F.concat(F.lit(" "),
-                    F.regexp_replace(F.lower(text), NGRAM_STRIP_PATTERN,
-                                     " "),
+                    F.regexp_replace(F.lower(sample),
+                                     NGRAM_STRIP_PATTERN, " "),
                     F.lit(" "))
 
 
@@ -223,8 +231,9 @@ def ngram_lang_score(text: Column, lang: str) -> Column:
     (len(pad) - len(replace(pad, g))) / len(g), always an exact
     multiple, so the double division casts back losslessly."""
     if lang == "zh":
-        n_cjk = F.length(text) - F.length(
-            F.regexp_replace(text, CJK_PATTERN, ""))
+        sample = F.substring(text, 1, LID_SAMPLE_CHARS)
+        n_cjk = F.length(sample) - F.length(
+            F.regexp_replace(sample, CJK_PATTERN, ""))
         return (n_cjk * CJK_WEIGHT).cast("long")
     pad = ngram_pad(text)
     score = F.lit(0).cast("long")

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 WARC_RECORDS_SCHEMA = (
     "segment_id string, rec_ix int, warc_type string, url string, "
     "warc_ts timestamp, http_status int, content_type string, "
-    "payload binary, error string")
+    "location string, payload binary, error string")
 
 _CRLF2 = b"\r\n\r\n"
 
@@ -72,31 +72,31 @@ def parse_warc_bytes(segment_id: str, blob: bytes) -> list[tuple]:
     while pos < n:
         if blob[pos:pos + 5] != b"WARC/":
             out.append((segment_id, ix, "truncated", None, None, None,
-                        None, None,
+                        None, None, None,
                         f"bad magic at byte {pos}"))
             break
         hdr_end = blob.find(_CRLF2, pos)
         if hdr_end < 0:
             out.append((segment_id, ix, "truncated", None, None, None,
-                        None, None, "unterminated WARC header"))
+                        None, None, None, "unterminated WARC header"))
             break
         hdrs = _headers(blob[pos:hdr_end])
         try:
             clen = int(hdrs.get("content-length", ""))
         except ValueError:
             out.append((segment_id, ix, "truncated", None, None, None,
-                        None, None, "missing Content-Length"))
+                        None, None, None, "missing Content-Length"))
             break
         body_start = hdr_end + 4
         body = blob[body_start:body_start + clen]
         if len(body) < clen:
             out.append((segment_id, ix, "truncated", None, None, None,
-                        None, None, "body past end of segment"))
+                        None, None, None, "body past end of segment"))
             break
         wtype = hdrs.get("warc-type", "unknown")
         url = hdrs.get("warc-target-uri")
         ts = hdrs.get("warc-date")
-        status = ctype = None
+        status = ctype = location = None
         payload = None
         if wtype == "response" and body[:5] == b"HTTP/":
             http_end = body.find(_CRLF2)
@@ -109,11 +109,12 @@ def parse_warc_bytes(segment_id: str, blob: bytes) -> list[tuple]:
                     status = None
                 hh = _headers(body[:http_end])
                 ctype = hh.get("content-type")
+                location = hh.get("location")
                 payload = body[http_end + 4:]
         elif wtype == "response":
             payload = body
         out.append((segment_id, ix, wtype, url, ts, status, ctype,
-                    payload, None))
+                    location, payload, None))
         # record boundary: exactly two CRLFs after the block
         pos = body_start + clen + 4
         ix += 1
@@ -130,7 +131,8 @@ def parse_warc(segments: DataFrame, id_col: str = "segment_id",
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["segment_id", "rec_ix", "warc_type", "url", "_ts",
-                "http_status", "content_type", "payload", "error"]
+                "http_status", "content_type", "location", "payload",
+                "error"]
         for pdf in batches:
             rows: list[tuple] = []
             for sid, blob in zip(pdf["_sid"], pdf["_blob"]):
@@ -148,7 +150,7 @@ def parse_warc(segments: DataFrame, id_col: str = "segment_id",
                            F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")))
     return raw.select("segment_id", "rec_ix", "warc_type", "url",
                       ts.alias("warc_ts"), "http_status",
-                      "content_type", "payload", "error")
+                      "content_type", "location", "payload", "error")
 
 
 def warc_pages(segments: DataFrame, id_col: str = "segment_id",

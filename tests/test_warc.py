@@ -23,9 +23,9 @@ def _record(wtype, url, date, body, extra=b""):
 
 
 def _http(body: bytes, status=b"200 OK",
-          ctype=b"text/html; charset=UTF-8") -> bytes:
+          ctype=b"text/html; charset=UTF-8", extra=b"") -> bytes:
     return (b"HTTP/1.1 " + status + b"\r\nContent-Type: " + ctype +
-            b"\r\n\r\n" + body)
+            b"\r\n" + extra + b"\r\n" + body)
 
 
 def _segment():
@@ -39,7 +39,8 @@ def _segment():
                    "2026-02-01T00:00:02Z", page)
     redirect = _record("response", "http://a.org/old",
                        "2026-02-01T00:00:03Z",
-                       _http(b"gone", status=b"301 Moved"))
+                       _http(b"gone", status=b"301 Moved",
+                             extra=b"Location: http://a.org/new\r\n"))
     img = _record("response", "http://a.org/i.png",
                   "2026-02-01T00:00:04Z",
                   _http(b"\x89PNG...", ctype=b"image/png"))
@@ -53,9 +54,10 @@ def test_byte_walk_and_fields():
     resp = rows[2]
     assert resp[3] == "http://a.org/" and resp[5] == 200
     assert resp[6].startswith("text/html")
-    assert resp[7] == b"<html>WARC/1.0 is mentioned\r\n\r\nhere</html>"
+    assert resp[8] == b"<html>WARC/1.0 is mentioned\r\n\r\nhere</html>"
     assert rows[3][5] == 301 and rows[4][6] == "image/png"
-    assert all(r[8] is None for r in rows)
+    assert rows[3][7] == "http://a.org/new"  # Location captured
+    assert all(r[9] is None for r in rows)
 
 
 def test_gzip_member_per_record_equivalent():
@@ -78,10 +80,10 @@ def test_truncation_audit_not_garbage():
     seg = _segment() + b"WARC/1.0\r\nWARC-Type: response\r\n"
     rows = parse_warc_bytes("s", seg)
     assert rows[-1][2] == "truncated"
-    assert "unterminated" in rows[-1][8]
+    assert "unterminated" in rows[-1][9]
     assert len(rows) == 6  # 5 good + 1 audit
     bad = _segment() + b"garbage tail"
-    assert parse_warc_bytes("s", bad)[-1][8].startswith("bad magic")
+    assert parse_warc_bytes("s", bad)[-1][9].startswith("bad magic")
 
 
 def test_parse_warc_dataframe_and_ts(spark):
