@@ -2357,6 +2357,32 @@ def q_kg_pipeline_warc(spark, sf_dir):
     return canonical.select("subj", "pred", "obj")
 
 
+def q_web_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution (operators/redirects.py): customer
+    URLs chain downward to the nearest multiple-of-4 key (1-3 hops),
+    plus one 2-cycle per nation that must come back resolved=false
+    with NULL final/hops.  Pointer doubling: 4 self-joins resolve up
+    to 16 hops; localCheckpoint truncates lineage per round.  Oracle:
+    pure CASE over customer UNION the nation cycles."""
+    from csvweb_spark.operators.redirects import resolve_redirects
+    cust = _load(spark, sf_dir, "customer")
+    nation = _load(spark, sf_dir, "nation")
+    chain = (cust.filter(F.col("c_custkey") % 4 != 0)
+             .select(F.format_string("http://r.example.org/u/%d",
+                                     "c_custkey").alias("src"),
+                     F.format_string(
+                         "http://r.example.org/u/%d",
+                         (F.col("c_custkey") - 1).cast("long"))
+                     .alias("dst")))
+    cyc_a = F.format_string("http://cyc%d.example.org/a", "n_nationkey")
+    cyc_b = F.format_string("http://cyc%d.example.org/b", "n_nationkey")
+    cycles = (nation.select(cyc_a.alias("src"), cyc_b.alias("dst"))
+              .unionByName(
+                  nation.select(cyc_b.alias("src"), cyc_a.alias("dst"))))
+    out = resolve_redirects(chain.unionByName(cycles))
+    return out.select("src", "final_url", "hops", "resolved")
+
+
 def q_web_feed_entries(spark, sf_dir):
     """RSS/Atom feed parsing (sources/feeds.py): one feed per nation
     host - even nations RSS 2.0 (RFC 822 pubDates with weekday
@@ -2682,6 +2708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_main_content": q_web_main_content,
         "web_warc_ingest": q_web_warc_ingest,
         "web_feed_entries": q_web_feed_entries,
+        "web_redirect_resolve": q_web_redirect_resolve,
         # -- never recorded before round 4 --
         "owl_sameas": q_owl_sameas,
         "bgp_minus": q_bgp_minus,
@@ -4526,6 +4553,18 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT 'http://ex.org/supplier/' || s_suppkey AS org,
                    s_name AS name, s_suppkey::bigint AS id
             FROM supplier ORDER BY s_suppkey DESC LIMIT 20
+        """,
+        "web_redirect_resolve": """
+            SELECT 'http://r.example.org/u/' || c_custkey AS src,
+                   'http://r.example.org/u/'
+                       || (c_custkey - c_custkey % 4) AS final_url,
+                   CAST(c_custkey % 4 AS BIGINT) AS hops,
+                   TRUE AS resolved
+            FROM customer WHERE c_custkey % 4 <> 0
+            UNION ALL
+            SELECT 'http://cyc' || n_nationkey || '.example.org/' || s,
+                   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), FALSE
+            FROM nation, (VALUES ('a'), ('b')) AS t(s)
         """,
         "web_feed_entries": """
             SELECT 'http://h' || c_nationkey || '.example.org/feed.xml'

@@ -486,6 +486,18 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
           .select(F.sum(F.length("html"))).collect())
     wsegs.unpersist()
 
+    # redirect-chain resolution: doc-scale chain edges (chains of up
+    # to 100 via the doc-id lattice) through 4 pointer-doubling joins
+    from csvweb_spark.operators.redirects import resolve_redirects
+    redges = (docs.filter(F.col("doc_id") % 100 != 0)
+              .select(F.concat(F.lit("http://r.org/u/"),
+                               F.col("doc_id")).alias("src"),
+                      F.concat(F.lit("http://r.org/u/"),
+                               (F.col("doc_id") - 1)).alias("dst")))
+    timed("web_redirect_resolve", lambda: resolve_redirects(
+        redges, max_hops=128).agg(F.sum("hops")).collect(),
+        retry_under=0.0)
+
     # main-content extraction over the prose pages: the jusText-style
     # block classifier at full-crawl cost class (per-page map, JVM)
     from csvweb_spark.sources.webtext import extract_main_content
