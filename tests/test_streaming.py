@@ -822,3 +822,56 @@ def test_stream_web_graph_additive_merge_and_compaction(spark, tmp_path):
     dirs = sorted(d for d in os.listdir(state_root)
                   if d.startswith("batch="))
     assert f"batch={cid}" in dirs and len(dirs) == 2
+
+
+def test_streaming_crawl_state_feeds_recrawl(spark, tmp_path):
+    """Composition: the crawl's fetch log streams through the
+    latest-assertion state (key=url, ts=warc_ts - ts-argmax is exactly
+    'latest crawl per url'), and the committed state feeds
+    sitemaps.recrawl_candidates unchanged - the recrawl frontier is a
+    read over streaming state, no new machinery."""
+    import os
+    from datetime import datetime
+
+    from csvweb_spark.sources.sitemaps import (recrawl_candidates,
+                                               sitemap_entries)
+    from csvweb_spark.streaming.pipeline import (
+        read_latest_assertions, stream_latest_assertions)
+
+    fetch_dir = str(tmp_path / "fetch")
+    out = str(tmp_path / "crawlstate")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(fetch_dir)
+    schema = "url string, http_status int, warc_ts timestamp"
+
+    def add(name, rows):
+        stage = f"{tmp_path}/_s_{name}"
+        spark.createDataFrame(rows, schema) \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage)
+                if f.endswith(".parquet")][0]
+        os.rename(f"{stage}/{part}", f"{fetch_dir}/{name}.parquet")
+
+    t = lambda d: datetime(2026, 1, d)
+    add("b0", [("u:stale", 200, t(5)), ("u:fresh", 200, t(1))])
+    add("b1", [("u:fresh", 200, t(12))])  # refetched later
+    q = stream_latest_assertions(
+        spark, fetch_dir, out, ckpt, schema=schema,
+        key_cols=("url",), val_cols=("http_status",),
+        ts_col="warc_ts", max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    state = read_latest_assertions(
+        spark, out, key_cols=("url",), val_cols=("http_status",),
+        ts_col="warc_ts")
+    body = ("<urlset>"
+            "<url><loc>u:stale</loc><lastmod>2026-01-10</lastmod></url>"
+            "<url><loc>u:fresh</loc><lastmod>2026-01-10</lastmod></url>"
+            "<url><loc>u:new</loc><lastmod>2026-01-10</lastmod></url>"
+            "</urlset>")
+    entries = sitemap_entries(spark.createDataFrame(
+        [("s", body)], "url string, body string"))
+    got = {r["url"]: r["status"] for r in recrawl_candidates(
+        entries, state.select("url", "warc_ts")).collect()}
+    assert got == {"u:stale": "stale", "u:fresh": "fresh",
+                   "u:new": "new"}
