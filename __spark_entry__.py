@@ -2357,6 +2357,33 @@ def q_kg_pipeline_warc(spark, sf_dir):
     return canonical.select("subj", "pred", "obj")
 
 
+def q_web_hreflang_clusters(spark, sf_dir):
+    """hreflang language-variant clusters (webtext.hreflang_links +
+    hreflang_clusters): an en and an fr page per customer declare each
+    other (and themselves, per Google's bidirectional contract) plus a
+    decoy typeless rel=alternate feed link - each pair collapses to
+    one cluster keyed by the min URL, n_langs=2.  JVM regex+explode +
+    one groupBy.  Oracle: customer x (en, fr) literal."""
+    from csvweb_spark.sources.webtext import (hreflang_clusters,
+                                              hreflang_links)
+    cust = _load(spark, sf_dir, "customer")
+    en = F.format_string("http://c%d.example.org/en", "c_custkey")
+    fr = F.format_string("http://c%d.example.org/fr", "c_custkey")
+    links = F.format_string(
+        '<link rel="alternate" hreflang="en" href="http://c%d.example.org/en">'
+        '<link rel="alternate" hreflang="fr" href="http://c%d.example.org/fr">'
+        '<link rel="alternate" type="application/rss+xml" href="/feed">',
+        "c_custkey", "c_custkey")
+    html = F.encode(F.concat(F.lit("<html><head>"), links,
+                             F.lit("</head><body>x</body></html>")),
+                    "UTF-8")
+    pages = (cust.select(en.alias("url"), html.alias("html"))
+             .unionByName(cust.select(fr.alias("url"),
+                                      html.alias("html"))))
+    out = hreflang_clusters(hreflang_links(pages))
+    return out.select("cluster_key", "url", "n_langs")
+
+
 def q_web_redirect_resolve(spark, sf_dir):
     """Redirect-chain resolution (operators/redirects.py): customer
     URLs chain downward to the nearest multiple-of-4 key (1-3 hops),
@@ -2709,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_warc_ingest": q_web_warc_ingest,
         "web_feed_entries": q_web_feed_entries,
         "web_redirect_resolve": q_web_redirect_resolve,
+        "web_hreflang_clusters": q_web_hreflang_clusters,
         # -- never recorded before round 4 --
         "owl_sameas": q_owl_sameas,
         "bgp_minus": q_bgp_minus,
@@ -4553,6 +4581,14 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT 'http://ex.org/supplier/' || s_suppkey AS org,
                    s_name AS name, s_suppkey::bigint AS id
             FROM supplier ORDER BY s_suppkey DESC LIMIT 20
+        """,
+        "web_hreflang_clusters": """
+            SELECT 'http://c' || c_custkey || '.example.org/en'
+                       AS cluster_key,
+                   'http://c' || c_custkey || '.example.org/' || s
+                       AS url,
+                   CAST(2 AS BIGINT) AS n_langs
+            FROM customer, (VALUES ('en'), ('fr')) AS t(s)
         """,
         "web_redirect_resolve": """
             SELECT 'http://r.example.org/u/' || c_custkey AS src,

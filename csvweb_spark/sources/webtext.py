@@ -224,6 +224,50 @@ def canonical_collapse(meta: DataFrame) -> DataFrame:
                  F.min("url").alias("kept_url")))
 
 
+_HREFLANG_RE = (r"(?is)<link\b[^>]*rel\s*=\s*[\"']alternate[\"'][^>]*>")
+_HREFLANG_LANG_RE = r"(?is)\bhreflang\s*=\s*[\"']([^\"']*)[\"']"
+_HREFLANG_HREF_RE = r"(?is)\bhref\s*=\s*[\"']([^\"']*)[\"']"
+
+
+def hreflang_links(pages: DataFrame, url_col: str = "url",
+                   html_col: str = "html") -> DataFrame:
+    """(url, hreflang, href) for every ``<link rel="alternate"
+    hreflang=..>`` declaration - the publisher's own statement that
+    `href` is the same content in another language.  JVM
+    regexp_extract_all over the alternate links + per-tag attribute
+    extraction (attribute order-insensitive), explode, no Python."""
+    h = F.col(html_col).cast("string")
+    tags = F.regexp_extract_all(h, F.lit(_HREFLANG_RE), 0)
+    exploded = (pages
+                .where(F.col(html_col).isNotNull())
+                .select(F.col(url_col).alias("url"),
+                        F.explode(tags).alias("_tag")))
+    lang = F.regexp_extract(F.col("_tag"), _HREFLANG_LANG_RE, 1)
+    href = F.regexp_extract(F.col("_tag"), _HREFLANG_HREF_RE, 1)
+    return (exploded
+            .select("url", lang.alias("hreflang"), href.alias("href"))
+            .where((F.col("hreflang") != "") & (F.col("href") != "")))
+
+
+def hreflang_clusters(links: DataFrame) -> DataFrame:
+    """Language-variant clusters from hreflang declarations: the
+    cluster key is the minimum URL over the page's declared alternate
+    set INCLUDING itself (well-formed hreflang is bidirectional and
+    self-referential per Google's spec, so every member derives the
+    same key locally - no graph closure needed; pages that disagree
+    simply land in different clusters, which is the honest reading).
+    Returns (cluster_key, url, n_langs) - one row per member page.
+    One map-side min + one groupBy; the i18n twin of
+    `canonical_collapse`."""
+    per_page = (links
+                .groupBy("url")
+                .agg(F.min("href").alias("_min_href"),
+                     F.countDistinct("hreflang").alias("n_langs")))
+    return per_page.select(
+        F.least(F.col("_min_href"), F.col("url")).alias("cluster_key"),
+        "url", "n_langs")
+
+
 def escape_html(s: str) -> str:
     """The single-pass escape html_text's entity decode inverts."""
     return (s.replace("&", "&amp;").replace("<", "&lt;")

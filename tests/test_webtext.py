@@ -198,3 +198,49 @@ def test_main_content_min_len_knob(spark):
     html = "<p>Twelve chars</p>"
     assert _main(spark, html) == ""
     assert _main(spark, html, min_len=5) == "Twelve chars"
+
+
+# --- hreflang clusters ----------------------------------------------
+
+from csvweb_spark.sources.webtext import hreflang_clusters, \
+    hreflang_links  # noqa: E402
+
+
+def test_hreflang_links_and_clusters(spark):
+    def page(url, alts):
+        links = "".join(
+            f'<link rel="alternate" hreflang="{l}" href="{h}">'
+            for l, h in alts)
+        # decoy: alternate without hreflang (an RSS feed link)
+        html = (f"<html><head>{links}"
+                '<link rel="alternate" type="application/rss+xml" '
+                'href="/feed"></head><body>x</body></html>')
+        return (url, html.encode())
+
+    en, fr = "http://a.org/en/p", "http://a.org/fr/p"
+    df = spark.createDataFrame(
+        [page(en, [("en", en), ("fr", fr)]),
+         page(fr, [("hreflang", "")] if False else
+              [("en", en), ("fr", fr)]),
+         page("http://solo.org/", [])],
+        "url string, html binary")
+    links = hreflang_links(df)
+    got = {(r["url"], r["hreflang"]): r["href"]
+           for r in links.collect()}
+    # the typeless feed link and the linkless page contribute nothing
+    assert got == {(en, "en"): en, (en, "fr"): fr,
+                   (fr, "en"): en, (fr, "fr"): fr}
+    clusters = {r["url"]: (r["cluster_key"], r["n_langs"])
+                for r in hreflang_clusters(links).collect()}
+    assert clusters == {en: (en, 2), fr: (en, 2)}
+
+
+def test_hreflang_attr_order_insensitive(spark):
+    # rel LAST in the tag: attribute order must not matter
+    html = ('<link href="http://a.org/de" hreflang="de" '
+            'rel="alternate">')
+    df = spark.createDataFrame([("u", html.encode())],
+                               "url string, html binary")
+    rows = hreflang_links(df).collect()
+    assert [(r["hreflang"], r["href"]) for r in rows] == \
+        [("de", "http://a.org/de")]
