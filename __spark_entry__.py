@@ -2598,6 +2598,22 @@ def q_web_sitemap_recrawl(spark, sf_dir):
     return out.select("url", "lastmod_ts", "last_crawl_ts", "status")
 
 
+def q_web_crawl_frontier(spark, sf_dir):
+    """Politeness-capped fetch frontier (sitemaps.crawl_frontier) over
+    the recrawl schedule of q_web_sitemap_recrawl: actionable statuses
+    only (new/stale), at most 3 URLs per host, freshest lastmod first
+    with URL tiebreak.  The rank filter compiles to WindowGroupLimit
+    (plan-pinned in test_sitemaps), so map tasks forward at most cap
+    rows per host before the exchange - the hub-host skew guard.
+    Oracle: the same window in DuckDB over the CASE-recomputed
+    candidates."""
+    from csvweb_spark.sources.sitemaps import crawl_frontier
+    cands = q_web_sitemap_recrawl(spark, sf_dir)
+    out = crawl_frontier(cands, per_host_cap=3)
+    return out.select("host", "url", "lastmod_ts", "status",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def q_web_charset_decode(spark, sf_dir):
     """Charset sniffing + decode of the html:binary column
     (sources/charset.py): five encoding families per customer page -
@@ -2737,6 +2753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_feed_entries": q_web_feed_entries,
         "web_redirect_resolve": q_web_redirect_resolve,
         "web_hreflang_clusters": q_web_hreflang_clusters,
+        "web_crawl_frontier": q_web_crawl_frontier,
         # -- never recorded before round 4 --
         "owl_sameas": q_owl_sameas,
         "bgp_minus": q_bgp_minus,
@@ -4581,6 +4598,27 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT 'http://ex.org/supplier/' || s_suppkey AS org,
                    s_name AS name, s_suppkey::bigint AS id
             FROM supplier ORDER BY s_suppkey DESC LIMIT 20
+        """,
+        "web_crawl_frontier": """
+            WITH cand AS (
+                SELECT 'http://h' || c_nationkey || '.example.org/c/'
+                           || c_custkey AS url,
+                       'h' || c_nationkey || '.example.org' AS host,
+                       CAST('2026-01-' ||
+                            lpad(CAST(1 + c_custkey % 25 AS VARCHAR),
+                                 2, '0') AS TIMESTAMP) AS lastmod_ts,
+                       CASE WHEN c_custkey % 3 = 0 THEN 'new'
+                            ELSE 'stale' END AS status
+                FROM customer
+                WHERE c_custkey % 3 = 0 OR 1 + c_custkey % 25 > 13),
+            r AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY host
+                           ORDER BY lastmod_ts DESC NULLS LAST, url)
+                       AS rank
+                FROM cand)
+            SELECT host, url, lastmod_ts, status, rank
+            FROM r WHERE rank <= 3
         """,
         "web_hreflang_clusters": """
             SELECT 'http://c' || c_custkey || '.example.org/en'

@@ -107,6 +107,35 @@ def sitemap_entries(sitemaps: DataFrame, url_col: str = "url",
         "changefreq", "priority")
 
 
+def crawl_frontier(candidates: DataFrame, per_host_cap: int,
+                   statuses: tuple = ("new", "stale"),
+                   url_col: str = "url") -> DataFrame:
+    """Politeness-capped fetch frontier from `recrawl_candidates`
+    output: keep only actionable statuses, then at most
+    `per_host_cap` URLs per host, freshest-lastmod first (NULL
+    lastmod last, URL as the deterministic tiebreak).  Returns
+    (host, url, lastmod_ts, status, rank).
+
+    The per-host cap is the crawl's politeness budget AND the skew
+    guard: one 10^8-page host cannot occupy a scheduling round.  The
+    rank filter compiles to Spark's WindowGroupLimit, so each map
+    task forwards at most cap rows per host BEFORE the exchange -
+    same plan family as the exact-k stratified sampler (plan-pinned
+    there)."""
+    from pyspark.sql import Window
+    host = F.regexp_extract(F.col(url_col),
+                            r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1)
+    w = (Window.partitionBy("host")
+         .orderBy(F.desc_nulls_last("lastmod_ts"), F.col(url_col)))
+    return (candidates
+            .where(F.col("status").isin(*statuses))
+            .withColumn("host", host)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= per_host_cap)
+            .select("host", F.col(url_col).alias("url"),
+                    "lastmod_ts", "status", "rank"))
+
+
 def recrawl_candidates(entries: DataFrame, pages: DataFrame,
                        url_col: str = "url",
                        ts_col: str = "warc_ts") -> DataFrame:

@@ -105,3 +105,42 @@ def test_recrawl_join_is_key_unique(spark):
     out = recrawl_candidates(entries, pages).collect()
     assert len(out) == 1 and out[0]["last_crawl_ts"] == dt.datetime(
         2026, 1, 3)
+
+
+def test_crawl_frontier_caps_per_host(spark):
+    import datetime as dt
+    rows = [(f"http://big.org/p{i}",
+             dt.datetime(2026, 1, 1 + i), None, "stale")
+            for i in range(9)]
+    rows += [("http://small.org/x", dt.datetime(2026, 1, 2), None,
+              "new"),
+             ("http://small.org/nolm", None, None, "new"),
+             ("http://small.org/skip", None, None, "fresh")]
+    cands = spark.createDataFrame(
+        rows, "url string, lastmod_ts timestamp, "
+              "last_crawl_ts timestamp, status string")
+    from csvweb_spark.sources.sitemaps import crawl_frontier
+    got = crawl_frontier(cands, per_host_cap=3).collect()
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r["host"], []).append((r["rank"], r["url"]))
+    # the hub host is capped at 3, freshest lastmod first
+    assert sorted(by_host["big.org"]) == [
+        (1, "http://big.org/p8"), (2, "http://big.org/p7"),
+        (3, "http://big.org/p6")]
+    # NULL lastmod sorts last; 'fresh' is not actionable
+    assert sorted(by_host["small.org"]) == [
+        (1, "http://small.org/x"), (2, "http://small.org/nolm")]
+
+
+def test_crawl_frontier_plan_has_window_group_limit(spark):
+    import datetime as dt
+    cands = spark.createDataFrame(
+        [(f"http://h{i % 5}.org/p{i}", dt.datetime(2026, 1, 1), None,
+          "new") for i in range(50)],
+        "url string, lastmod_ts timestamp, "
+        "last_crawl_ts timestamp, status string")
+    from csvweb_spark.sources.sitemaps import crawl_frontier
+    plan = crawl_frontier(cands, per_host_cap=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
