@@ -964,3 +964,94 @@ def compact_host_graph(spark: SparkSession, output_dir: str,
     (crash-safe protocol of _compact_state)."""
     return _compact_state(spark, output_dir, WEBGRAPH_STATE_SUBDIR,
                           read_host_graph, batch_id)
+
+
+WARC_PAGES_SUBDIR = "_state/warc_pages"
+
+
+def read_warc_pages(spark: SparkSession,
+                    output_dir: str) -> Optional[DataFrame]:
+    """The cumulative pages table maintained by stream_warc_ingest:
+    per url, the LATEST-warc_ts page across every committed delta
+    (ts-argmax merge, exact under any batch ordering and redelivery -
+    a recrawled url supersedes its older snapshot the same way
+    read_latest_assertions elects heads). None before the first
+    commit."""
+    from ..operators.asof import snapshot_asof
+    from ..plans.fs import fs_for
+
+    fs = fs_for(output_dir, spark)
+    dirs = [p for _, p in
+            _batch_dirs(fs, fs.join(output_dir, WARC_PAGES_SUBDIR))]
+    if not dirs:
+        return None
+    df = spark.read.parquet(*dirs)
+    return snapshot_asof(df, "9999-12-31 23:59:59", ts_col="warc_ts",
+                         key_cols=("url",), val_cols=("html",))
+
+
+def stream_warc_ingest(spark: SparkSession, input_dir: str,
+                       output_dir: str, checkpoint_dir: str,
+                       content_type_prefix: str = "text/html",
+                       max_files_per_trigger: Optional[int] = None,
+                       available_now: bool = True,
+                       batch_hook=None):
+    """Continuously-maintained pages table from landing WARC segments:
+    segment files arrive in `input_dir` (Spark's binaryFile streaming
+    source - one row per file, exactly the per-~1GB-blob partition
+    unit the batch walk wants), each micro-batch runs the
+    Content-Length byte walk (sources/warc.py) on ITS OWN files and
+    writes only its (url, warc_ts, html) delta - stateless per batch,
+    the same batch-dir protocol as stream_web_graph, so crash safety
+    (torn dirs invisible, idempotent retries, compaction offsets) is
+    inherited wholesale. `read_warc_pages` merges deltas by
+    warc_ts-argmax per url, so re-crawled pages supersede exactly as
+    in the batch table.
+
+    Scale: a delta is bounded by the batch's record count; the full
+    page corpus only materializes distributed at read time, and
+    `compact_warc_pages` folds the dirs when their count overtakes
+    the live url count."""
+    from ..plans.fs import fs_for
+    from ..sources.warc import warc_pages
+
+    bin_schema = ("path string, modificationTime timestamp, "
+                  "length long, content binary")
+    reader = spark.readStream.format("binaryFile").schema(bin_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               max_files_per_trigger)
+    stream = reader.load(input_dir)
+    fs = fs_for(output_dir, spark)
+
+    def process(batch_df, batch_id):
+        if batch_hook is not None:
+            batch_hook(batch_id, "start")
+        root = fs.join(output_dir, WARC_PAGES_SUBDIR)
+        segs = batch_df.select(F.col("path").alias("segment_id"),
+                               F.col("content").alias("blob"))
+        delta = warc_pages(segs,
+                           content_type_prefix=content_type_prefix)
+        if not delta.take(1):
+            if batch_hook is not None:
+                batch_hook(batch_id, "done")
+            return
+        dir_id = batch_id + _compact_offset(fs, root)
+        delta.write.mode("overwrite").parquet(
+            fs.join(root, f"batch={dir_id}"))
+        if batch_hook is not None:
+            batch_hook(batch_id, "done")
+
+    writer = (stream.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_warc_pages(spark: SparkSession, output_dir: str,
+                       batch_id: Optional[int] = None) -> int:
+    """Fold the page deltas into one consolidated partition
+    (crash-safe protocol of _compact_state)."""
+    return _compact_state(spark, output_dir, WARC_PAGES_SUBDIR,
+                          read_warc_pages, batch_id)

@@ -875,3 +875,67 @@ def test_streaming_crawl_state_feeds_recrawl(spark, tmp_path):
         entries, state.select("url", "warc_ts")).collect()}
     assert got == {"u:stale": "stale", "u:fresh": "fresh",
                    "u:new": "new"}
+
+
+def test_stream_warc_ingest_supersede_compact_resume(spark, tmp_path):
+    """Landing WARC segments stream into the pages state: per-url
+    warc_ts-argmax (a re-crawl in a LATER batch supersedes; an OLDER
+    late-arriving snapshot loses), response filtering inherited from
+    warc_pages, and compaction + resume under the shared offset
+    protocol."""
+    import os
+
+    from csvweb_spark.streaming.pipeline import (compact_warc_pages,
+                                                 read_warc_pages,
+                                                 stream_warc_ingest)
+
+    seg_dir = str(tmp_path / "segs")
+    out = str(tmp_path / "pages_state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(seg_dir)
+
+    def record(url, date, body, status=b"200 OK",
+               ctype=b"text/html"):
+        http = (b"HTTP/1.1 " + status + b"\r\nContent-Type: " + ctype +
+                b"\r\n\r\n" + body)
+        hdr = (f"WARC/1.0\r\nWARC-Type: response\r\n"
+               f"WARC-Date: {date}\r\nWARC-Target-URI: {url}\r\n"
+               f"Content-Length: {len(http)}\r\n").encode()
+        return hdr + b"\r\n" + http + b"\r\n\r\n"
+
+    with open(f"{seg_dir}/seg0.warc", "wb") as f:
+        f.write(record("http://a.org/p", "2026-01-01T00:00:00Z",
+                       b"<html>v1</html>")
+                + record("http://a.org/skip", "2026-01-01T00:00:00Z",
+                         b"\x89PNG", ctype=b"image/png"))
+    with open(f"{seg_dir}/seg1.warc", "wb") as f:
+        f.write(record("http://a.org/p", "2026-01-05T00:00:00Z",
+                       b"<html>v2</html>")
+                + record("http://a.org/q", "2026-01-02T00:00:00Z",
+                         b"<html>q</html>"))
+    q = stream_warc_ingest(spark, seg_dir, out, ckpt,
+                           max_files_per_trigger=1)
+    q.awaitTermination(180)
+    got = {r["url"]: bytes(r["html"])
+           for r in read_warc_pages(spark, out).collect()}
+    assert got == {"http://a.org/p": b"<html>v2</html>",
+                   "http://a.org/q": b"<html>q</html>"}
+
+    cid = compact_warc_pages(spark, out)
+    # a LATE batch carrying an OLDER snapshot must lose to the state
+    with open(f"{seg_dir}/seg2.warc", "wb") as f:
+        f.write(record("http://a.org/p", "2026-01-03T00:00:00Z",
+                       b"<html>LATE-OLD</html>")
+                + record("http://a.org/r", "2026-01-09T00:00:00Z",
+                         b"<html>r</html>"))
+    q2 = stream_warc_ingest(spark, seg_dir, out, ckpt,
+                            max_files_per_trigger=1)
+    q2.awaitTermination(180)
+    got2 = {r["url"]: bytes(r["html"])
+            for r in read_warc_pages(spark, out).collect()}
+    assert got2["http://a.org/p"] == b"<html>v2</html>"
+    assert got2["http://a.org/r"] == b"<html>r</html>"
+    state_root = os.path.join(out, "_state", "warc_pages")
+    dirs = sorted(d for d in os.listdir(state_root)
+                  if d.startswith("batch="))
+    assert f"batch={cid}" in dirs and len(dirs) == 2
