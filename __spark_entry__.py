@@ -1744,6 +1744,61 @@ def q_web_markup_fuse(spark, sf_dir):
     return fuse_markup_triples(pages)
 
 
+def _crawl_snapshots(spark, sf_dir):
+    """Three-fetch crawl history per customer URL: k%3==0 churns on
+    every revisit, k%3==1 changes once (at the 3rd fetch), k%3==2 is
+    static — the three scheduler-relevant page classes."""
+    cust = _load(spark, sf_dir, "customer")
+    k3 = F.col("c_custkey") % 3
+    v1 = F.concat(F.lit("v1 "), F.col("c_name"))
+    v2 = F.concat(F.lit("v2 "), F.col("c_name"))
+    v3 = F.concat(F.lit("v3 "), F.col("c_name"))
+    t2 = F.when(k3 == 0, v2).otherwise(v1)
+    t3 = (F.when(k3 == 0, v3).when(k3 == 1, v3).otherwise(v1))
+    snaps = F.array(
+        F.struct(F.lit("2026-01-01").cast("timestamp").alias("warc_ts"),
+                 v1.alias("text")),
+        F.struct(F.lit("2026-01-08").cast("timestamp").alias("warc_ts"),
+                 t2.alias("text")),
+        F.struct(F.lit("2026-01-15").cast("timestamp").alias("warc_ts"),
+                 t3.alias("text")))
+    return (cust.select(
+        F.concat(F.lit("http://c"), F.col("c_custkey"),
+                 F.lit(".example.org/")).alias("url"),
+        F.explode(snaps).alias("s"))
+        .select("url", "s.warc_ts", "s.text"))
+
+
+def q_web_crawl_delta(spark, sf_dir):
+    """Per-fetch revisit classification (operators/revisits.py):
+    sha2 digest vs the previous capture of the same url (warc_ts
+    order) — Common Crawl's revisit-record rule, with the digest
+    projected BEFORE the per-url window so page text never shuffles.
+    payload_stored is the revisit storage decision.  Oracle: lag(text)
+    window over the same synthesized 3-fetch history (statuses are
+    digest-free so the two engines need not share a hash)."""
+    from csvweb_spark.operators.revisits import fetch_deltas
+    pages = _crawl_snapshots(spark, sf_dir)
+    return fetch_deltas(pages).select(
+        "url", "warc_ts", "status", "payload_stored")
+
+
+def q_web_recrawl_interval(spark, sf_dir):
+    """Adaptive recrawl schedule from observed change history
+    (operators/revisits.py): per-url fetch/change counts, change rate,
+    last content change, and the clamped mean-inter-change-gap
+    interval — churners (k%3==0) land at 7 days, one-change pages at
+    14, static pages at the 90-day max.  Oracle: the same window +
+    group + floor arithmetic in SQL."""
+    from csvweb_spark.operators.revisits import (recrawl_interval_days,
+                                                 revisit_stats)
+    pages = _crawl_snapshots(spark, sf_dir)
+    stats = revisit_stats(pages)
+    return recrawl_interval_days(stats).select(
+        "url", "n_fetches", "n_changes", "last_change_ts",
+        "change_rate", "interval_days")
+
+
 def q_web_host_pagerank(spark, sf_dir):
     """End-to-end web-graph composition: HTML pages -> extract_links ->
     host_edges(drop_self) -> integer-exact pagerank over host-STRING
@@ -2778,6 +2833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_microdata_triples": q_web_microdata_triples,
         "web_rdfa_triples": q_web_rdfa_triples,
         "web_markup_fuse": q_web_markup_fuse,
+        "web_crawl_delta": q_web_crawl_delta,
+        "web_recrawl_interval": q_web_recrawl_interval,
         "web_extract_text": q_web_extract_text,
         "web_host_pagerank": q_web_host_pagerank,
         "web_page_metadata": q_web_page_metadata,
@@ -4643,6 +4700,91 @@ def _oracle_sql_literal() -> dict[str, str]:
                    'https://schema.org/slogan', 'quality goods',
                    'literal', NULL, 'en', 'rdfa', 1
             FROM supplier
+        """,
+        "web_crawl_delta": """
+            WITH snaps AS (
+                SELECT 'http://c' || c_custkey || '.example.org/'
+                           AS url,
+                       TIMESTAMP '2026-01-01' AS warc_ts,
+                       'v1 ' || c_name AS text
+                FROM customer
+                UNION ALL
+                SELECT 'http://c' || c_custkey || '.example.org/',
+                       TIMESTAMP '2026-01-08',
+                       CASE WHEN c_custkey % 3 = 0
+                            THEN 'v2 ' || c_name
+                            ELSE 'v1 ' || c_name END
+                FROM customer
+                UNION ALL
+                SELECT 'http://c' || c_custkey || '.example.org/',
+                       TIMESTAMP '2026-01-15',
+                       CASE WHEN c_custkey % 3 IN (0, 1)
+                            THEN 'v3 ' || c_name
+                            ELSE 'v1 ' || c_name END
+                FROM customer
+            ), d AS (
+                SELECT url, warc_ts, text,
+                       lag(text) OVER (PARTITION BY url
+                                       ORDER BY warc_ts) AS prev
+                FROM snaps
+            )
+            SELECT url, warc_ts,
+                   CASE WHEN prev IS NULL THEN 'new'
+                        WHEN prev = text THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   (prev IS NULL OR prev <> text) AS payload_stored
+            FROM d
+        """,
+        "web_recrawl_interval": """
+            WITH snaps AS (
+                SELECT 'http://c' || c_custkey || '.example.org/'
+                           AS url,
+                       TIMESTAMP '2026-01-01' AS warc_ts,
+                       'v1 ' || c_name AS text
+                FROM customer
+                UNION ALL
+                SELECT 'http://c' || c_custkey || '.example.org/',
+                       TIMESTAMP '2026-01-08',
+                       CASE WHEN c_custkey % 3 = 0
+                            THEN 'v2 ' || c_name
+                            ELSE 'v1 ' || c_name END
+                FROM customer
+                UNION ALL
+                SELECT 'http://c' || c_custkey || '.example.org/',
+                       TIMESTAMP '2026-01-15',
+                       CASE WHEN c_custkey % 3 IN (0, 1)
+                            THEN 'v3 ' || c_name
+                            ELSE 'v1 ' || c_name END
+                FROM customer
+            ), d AS (
+                SELECT url, warc_ts,
+                       CASE WHEN lag(text) OVER w IS NULL THEN 'new'
+                            WHEN lag(text) OVER w = text
+                                THEN 'unchanged'
+                            ELSE 'changed' END AS status
+                FROM snaps
+                WINDOW w AS (PARTITION BY url ORDER BY warc_ts)
+            ), s AS (
+                SELECT url,
+                       count(*) AS n_fetches,
+                       sum(CASE WHEN status = 'changed'
+                                THEN 1 ELSE 0 END) AS n_changes,
+                       min(warc_ts) AS first_ts,
+                       max(warc_ts) AS last_ts,
+                       max(CASE WHEN status IN ('new', 'changed')
+                                THEN warc_ts END) AS last_change_ts
+                FROM d GROUP BY url
+            )
+            SELECT url, n_fetches, n_changes, last_change_ts,
+                   n_changes / CAST(greatest(n_fetches - 1, 1)
+                                    AS DOUBLE) AS change_rate,
+                   least(greatest(
+                       CASE WHEN n_changes > 0
+                            THEN CAST(floor(
+                                date_diff('day', first_ts, last_ts)
+                                / n_changes) AS BIGINT)
+                            ELSE 90 END, 1), 90) AS interval_days
+            FROM s
         """,
         "web_page_metadata": """
             SELECT 'http://n' || n_nationkey
