@@ -1799,6 +1799,30 @@ def q_web_recrawl_interval(spark, sf_dir):
         "change_rate", "interval_days")
 
 
+def q_web_boilerplate_strip(spark, sf_dir):
+    """Host-scoped template removal (operators/boilerplate.py): one
+    page per customer on a per-nation host; NAV/Copyright lines sit on
+    100% of each host's pages (always stripped where the host has >= 2
+    pages), the market-segment line only crosses the 60% threshold on
+    hosts a single segment dominates (data-dependent — the oracle
+    replays the frequency rule relationally via window counts), and
+    the per-customer Welcome line is always kept.  Page text never
+    shuffles: the census moves 16-hex digests, the strip is a host
+    equi-join + JVM higher-order filter.  Oracle: window-count CASE
+    over customer."""
+    from csvweb_spark.operators.boilerplate import strip_host_boilerplate
+    cust = _load(spark, sf_dir, "customer")
+    pages = cust.select(
+        F.concat(F.lit("http://n"), F.col("c_nationkey"),
+                 F.lit(".example.org/c"), F.col("c_custkey"))
+         .alias("url"),
+        F.concat(F.lit("NAV MENU\nWelcome "), F.col("c_name"),
+                 F.lit("\n"), F.col("c_mktsegment"),
+                 F.lit(" content\nCopyright 2026")).alias("text"))
+    out = strip_host_boilerplate(pages, min_pages=2, min_frac_pct=60)
+    return out.select("url", "text_clean", "n_removed")
+
+
 def q_web_host_pagerank(spark, sf_dir):
     """End-to-end web-graph composition: HTML pages -> extract_links ->
     host_edges(drop_self) -> integer-exact pagerank over host-STRING
@@ -2835,6 +2859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_markup_fuse": q_web_markup_fuse,
         "web_crawl_delta": q_web_crawl_delta,
         "web_recrawl_interval": q_web_recrawl_interval,
+        "web_boilerplate_strip": q_web_boilerplate_strip,
         "web_extract_text": q_web_extract_text,
         "web_host_pagerank": q_web_host_pagerank,
         "web_page_metadata": q_web_page_metadata,
@@ -4785,6 +4810,37 @@ def _oracle_sql_literal() -> dict[str, str]:
                                 / n_changes) AS BIGINT)
                             ELSE 90 END, 1), 90) AS interval_days
             FROM s
+        """,
+        "web_boilerplate_strip": """
+            WITH c AS (
+                SELECT c_custkey, c_name, c_mktsegment, c_nationkey,
+                       count(*) OVER (PARTITION BY c_nationkey)
+                           AS n_host,
+                       count(*) OVER (PARTITION BY c_nationkey,
+                                      c_mktsegment) AS n_seg
+                FROM customer
+            ), f AS (
+                SELECT *,
+                       (n_host >= 2) AS nav_bl,
+                       (n_seg >= 2 AND n_seg * 100 >= 60 * n_host)
+                           AS seg_bl
+                FROM c
+            )
+            SELECT 'http://n' || c_nationkey || '.example.org/c'
+                       || c_custkey AS url,
+                   CASE WHEN nav_bl AND seg_bl
+                            THEN 'Welcome ' || c_name
+                        WHEN nav_bl
+                            THEN 'Welcome ' || c_name || chr(10)
+                                 || c_mktsegment || ' content'
+                        ELSE 'NAV MENU' || chr(10) || 'Welcome '
+                             || c_name || chr(10) || c_mktsegment
+                             || ' content' || chr(10)
+                             || 'Copyright 2026' END AS text_clean,
+                   CASE WHEN nav_bl AND seg_bl THEN 3
+                        WHEN nav_bl THEN 2
+                        ELSE 0 END AS n_removed
+            FROM f
         """,
         "web_page_metadata": """
             SELECT 'http://n' || n_nationkey
