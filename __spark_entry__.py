@@ -1823,6 +1823,84 @@ def q_web_boilerplate_strip(spark, sf_dir):
     return out.select("url", "text_clean", "n_removed")
 
 
+def q_web_spider_traps(spark, sf_dir):
+    """Crawler-trap census (operators/crawl_quality.py): orders URLs
+    collapse to one /order/N?sess=N template per shop host whose
+    fan-out (~150 distinct URLs/host at sf0.001) trips the
+    100-URL cap; nation hosts carry a single 14-deep /a/b/... URL
+    (trap by depth); region hosts a single shallow /about (clean).
+    URL strings only — no payloads anywhere.  Oracle: three SELECTs
+    with literal template strings and relational fan-out counts."""
+    from csvweb_spark.operators.crawl_quality import spider_trap_candidates
+    orders = _load(spark, sf_dir, "orders")
+    nation = _load(spark, sf_dir, "nation")
+    region = _load(spark, sf_dir, "region")
+    shop = orders.select(F.concat(
+        F.lit("http://shop-"), F.col("o_custkey") % 10,
+        F.lit(".example.org/order/"), F.col("o_orderkey"),
+        F.lit("?sess="), F.col("o_orderkey")).alias("url"))
+    deep = nation.select(F.concat(
+        F.lit("http://n"), F.col("n_nationkey"),
+        F.lit(".deep.example.org/a/b/a/b/a/b/a/b/a/b/a/b/a/b"))
+        .alias("url"))
+    clean = region.select(F.concat(
+        F.lit("http://r"), F.col("r_regionkey"),
+        F.lit(".example.org/about")).alias("url"))
+    urls = shop.unionByName(deep).unionByName(clean)
+    return spider_trap_candidates(urls, max_urls_per_template=100)
+
+
+def q_web_reciprocal_links(spark, sf_dir):
+    """Link-farm signal (operators/crawl_quality.py): a nation-ring
+    host graph (every host links to its successor; even hosts get the
+    back-link) — mutual pairs are exactly the even-source ring edges
+    plus their returns, so reciprocity separates the exchange cluster
+    from one-way hosts.  Both join sides are the edge table itself;
+    no broadcast assumption.  Oracle: the same reversed-edge self-join
+    in SQL."""
+    from csvweb_spark.operators.crawl_quality import reciprocal_link_stats
+    nation = _load(spark, sf_dir, "nation")
+    fwd = nation.select(
+        F.concat(F.lit("h"), F.col("n_nationkey")).alias("src_host"),
+        F.concat(F.lit("h"), (F.col("n_nationkey") + 1) % 25)
+         .alias("dst_host"),
+        F.lit(1).cast("long").alias("n_links"))
+    back = (nation.filter(F.col("n_nationkey") % 2 == 0)
+            .select(F.concat(F.lit("h"), (F.col("n_nationkey") + 1) % 25)
+                    .alias("src_host"),
+                    F.concat(F.lit("h"), F.col("n_nationkey"))
+                    .alias("dst_host"),
+                    F.lit(1).cast("long").alias("n_links")))
+    return reciprocal_link_stats(fwd.unionByName(back))
+
+
+def q_web_soft404(spark, sf_dir):
+    """Soft-404 classification (operators/crawl_quality.py) over four
+    part-page classes: thin 'Page not found' title (flagged via
+    title+thin), long body containing a marker (flagged via body), a
+    long article ABOUT 404s whose title matches but body is fat (NOT
+    flagged — the precision case), and a normal page.  One codegen
+    regex/length projection, no shuffle.  Oracle: CASE over part."""
+    from csvweb_spark.operators.crawl_quality import soft404_signals
+    part = _load(spark, sf_dir, "part")
+    k4 = F.col("p_partkey") % 4
+    fat = F.concat(F.lit("All about "), F.col("p_name"),
+                   F.lit(". "), F.repeat(F.lit("Useful prose. "), 12))
+    title = (F.when(k4 == 0, F.lit("Page not found"))
+             .when(k4 == 2, F.lit("What a 404 page should say"))
+             .otherwise(F.concat(F.lit("Catalog: "), F.col("p_name"))))
+    text = (F.when(k4 == 0, F.lit("Sorry."))
+            .when(k4 == 1, F.concat(fat,
+                  F.lit(" This page is no longer available.")))
+            .otherwise(fat))
+    pages = part.select(
+        F.concat(F.lit("http://p"), F.col("p_partkey"),
+                 F.lit(".example.org/")).alias("url"),
+        title.alias("title"), text.alias("text"))
+    return soft404_signals(pages).select(
+        "url", "soft404_title", "soft404_body", "is_soft404")
+
+
 def q_web_host_pagerank(spark, sf_dir):
     """End-to-end web-graph composition: HTML pages -> extract_links ->
     host_edges(drop_self) -> integer-exact pagerank over host-STRING
@@ -2860,6 +2938,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_crawl_delta": q_web_crawl_delta,
         "web_recrawl_interval": q_web_recrawl_interval,
         "web_boilerplate_strip": q_web_boilerplate_strip,
+        "web_spider_traps": q_web_spider_traps,
+        "web_reciprocal_links": q_web_reciprocal_links,
+        "web_soft404": q_web_soft404,
         "web_extract_text": q_web_extract_text,
         "web_host_pagerank": q_web_host_pagerank,
         "web_page_metadata": q_web_page_metadata,
@@ -4841,6 +4922,53 @@ def _oracle_sql_literal() -> dict[str, str]:
                         WHEN nav_bl THEN 2
                         ELSE 0 END AS n_removed
             FROM f
+        """,
+        "web_spider_traps": """
+            SELECT 'shop-' || (o_custkey % 10) || '.example.org'
+                       AS host,
+                   'shop-N.example.org/order/N?sess=N' AS template,
+                   count(DISTINCT o_orderkey) AS n_urls,
+                   2 AS path_depth,
+                   (count(DISTINCT o_orderkey) > 100) AS is_trap
+            FROM orders GROUP BY o_custkey % 10
+            UNION ALL
+            SELECT 'n' || n_nationkey || '.deep.example.org',
+                   'nN.deep.example.org/a/b/a/b/a/b/a/b/a/b/a/b/a/b',
+                   1, 14, true
+            FROM nation
+            UNION ALL
+            SELECT 'r' || r_regionkey || '.example.org',
+                   'rN.example.org/about', 1, 1, false
+            FROM region
+        """,
+        "web_reciprocal_links": """
+            WITH e AS (
+                SELECT 'h' || n_nationkey AS src,
+                       'h' || ((n_nationkey + 1) % 25) AS dst
+                FROM nation
+                UNION ALL
+                SELECT 'h' || ((n_nationkey + 1) % 25),
+                       'h' || n_nationkey
+                FROM nation WHERE n_nationkey % 2 = 0
+            ), o AS (
+                SELECT src, count(*) AS out_hosts FROM e GROUP BY src
+            ), m AS (
+                SELECT e.src AS src, count(*) AS mutual_hosts
+                FROM e JOIN e r ON e.src = r.dst AND e.dst = r.src
+                GROUP BY e.src
+            )
+            SELECT o.src AS host, out_hosts,
+                   coalesce(mutual_hosts, 0) AS mutual_hosts,
+                   coalesce(mutual_hosts, 0)
+                       / CAST(out_hosts AS DOUBLE) AS reciprocity
+            FROM o LEFT JOIN m USING (src)
+        """,
+        "web_soft404": """
+            SELECT 'http://p' || p_partkey || '.example.org/' AS url,
+                   (p_partkey % 4 IN (0, 2)) AS soft404_title,
+                   (p_partkey % 4 = 1) AS soft404_body,
+                   (p_partkey % 4 IN (0, 1)) AS is_soft404
+            FROM part
         """,
         "web_page_metadata": """
             SELECT 'http://n' || n_nationkey
