@@ -1564,6 +1564,45 @@ def q_sparql_order_numeric(spark, sf_dir):
     return out.select("c", "a")
 
 
+def q_sparql_update(spark, sf_dir):
+    """SPARQL 1.1 UPDATE over the triple store (round 5): a three-op
+    request - DELETE/INSERT WHERE rewrites the market segment of every
+    customer whose nation is in region R1 (keeping the old value under
+    ex:was), INSERT DATA adds ground triples, DELETE WHERE removes all
+    remaining BUILDING segments. Ops apply in order, each against the
+    store as of the previous op; RDF set semantics throughout.
+    Oracle: the same algebra as chained EXCEPT/UNION CTEs."""
+    from csvweb_spark.operators.sparql import sparql_update
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    nation = _load(spark, sf_dir, "nation")
+    t = (cust.select(
+            F.concat(F.lit("http://ex.org/C"), F.col("c_custkey"))
+            .alias("subj"),
+            F.lit("http://ex.org/in").alias("pred"),
+            F.concat(F.lit("http://ex.org/N"), F.col("c_nationkey"))
+            .alias("obj"))
+         .unionByName(nation.select(
+            F.concat(F.lit("http://ex.org/N"), F.col("n_nationkey"))
+            .alias("subj"),
+            F.lit("http://ex.org/of").alias("pred"),
+            F.concat(F.lit("http://ex.org/R"), F.col("n_regionkey"))
+            .alias("obj")))
+         .unionByName(cust.select(
+            F.concat(F.lit("http://ex.org/C"), F.col("c_custkey"))
+            .alias("subj"),
+            F.lit("http://ex.org/seg").alias("pred"),
+            F.col("c_mktsegment").alias("obj"))))
+    out = sparql_update(t, """
+      PREFIX ex: <http://ex.org/>
+      DELETE { ?c ex:seg ?s }
+      INSERT { ?c ex:seg "RETIRED" . ?c ex:was ?s }
+      WHERE { ?c ex:in ?n . ?n ex:of ex:R1 . ?c ex:seg ?s } ;
+      INSERT DATA { ex:C900001 ex:seg "SYNTH" . ex:C900001 ex:in ex:N0 } ;
+      DELETE WHERE { ?c ex:seg "BUILDING" }
+    """)
+    return out.select("subj", "pred", "obj")
+
+
 def _nation_link_pages(spark, sf_dir):
     """Shared fixture for the link-graph queries: one HTML page per
     nation (host n{key}.example.org) carrying an absolute link to its
@@ -2927,6 +2966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_graph": q_sparql_graph,
         "bgp_values_undef": q_bgp_values_undef,
         "sparql_order_numeric": q_sparql_order_numeric,
+        "sparql_update": q_sparql_update,
         "quality_gopher": q_quality_gopher,
         "tfidf_topk": q_tfidf_topk,
         "web_link_hosts": q_web_link_hosts,
@@ -4401,6 +4441,63 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(c_custkey AS VARCHAR) AS a
             FROM customer WHERE c_custkey < 500
             ORDER BY c_custkey DESC LIMIT 20
+        """,
+        "sparql_update": """
+            WITH base AS (
+                SELECT 'http://ex.org/C' || c_custkey AS subj,
+                       'http://ex.org/in' AS pred,
+                       'http://ex.org/N' || c_nationkey AS obj
+                FROM customer WHERE c_custkey < 300
+                UNION ALL
+                SELECT 'http://ex.org/N' || n_nationkey,
+                       'http://ex.org/of',
+                       'http://ex.org/R' || n_regionkey
+                FROM nation
+                UNION ALL
+                SELECT 'http://ex.org/C' || c_custkey,
+                       'http://ex.org/seg', c_mktsegment
+                FROM customer WHERE c_custkey < 300
+            ),
+            store0 AS (SELECT DISTINCT * FROM base),
+            -- op 1 WHERE: customers in region R1 with their segment
+            sol1 AS (
+                SELECT cin.subj AS c, seg.obj AS s
+                FROM store0 cin
+                JOIN store0 nof
+                  ON nof.subj = cin.obj
+                 AND nof.pred = 'http://ex.org/of'
+                 AND nof.obj = 'http://ex.org/R1'
+                JOIN store0 seg
+                  ON seg.subj = cin.subj
+                 AND seg.pred = 'http://ex.org/seg'
+                WHERE cin.pred = 'http://ex.org/in'
+            ),
+            store1 AS (
+                SELECT * FROM (
+                    SELECT * FROM store0
+                    EXCEPT
+                    SELECT c, 'http://ex.org/seg', s FROM sol1)
+                UNION
+                SELECT c, 'http://ex.org/seg', 'RETIRED' FROM sol1
+                UNION
+                SELECT c, 'http://ex.org/was', s FROM sol1
+            ),
+            store2 AS (
+                SELECT * FROM store1
+                UNION
+                SELECT * FROM (VALUES
+                    ('http://ex.org/C900001', 'http://ex.org/seg',
+                     'SYNTH'),
+                    ('http://ex.org/C900001', 'http://ex.org/in',
+                     'http://ex.org/N0'))
+            ),
+            store3 AS (
+                SELECT * FROM store2
+                EXCEPT
+                SELECT * FROM store2
+                WHERE pred = 'http://ex.org/seg' AND obj = 'BUILDING'
+            )
+            SELECT subj, pred, obj FROM store3
         """,
         "owl_trans_incr": """
             WITH RECURSIVE

@@ -109,6 +109,7 @@ _TOKEN_RE = re.compile(r"""
 """, re.X)
 
 _KEYWORDS = {"PREFIX", "SELECT", "ASK", "CONSTRUCT", "DESCRIBE",
+             "INSERT", "DELETE", "DATA",
              "DISTINCT", "WHERE", "OPTIONAL", "GRAPH", "UNDEF",
              "FILTER", "EXISTS", "NOT", "MINUS", "UNION", "VALUES", "BIND",
              "GROUP", "BY", "HAVING", "ORDER", "ASC", "DESC", "LIMIT",
@@ -1116,3 +1117,196 @@ def _select_df(triples: DataFrame, q: dict) -> DataFrame:
 
 # form-neutral name: the dispatcher handles SELECT/ASK/CONSTRUCT/DESCRIBE
 sparql_query = sparql_select
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 UPDATE (graph-store maintenance over the triple DataFrame)
+# ---------------------------------------------------------------------------
+
+def _prologue(p: _Parser) -> None:
+    """PREFIX declarations (allowed before every operation in an update
+    request, SPARQL 1.1 Update grammar rule [3])."""
+    while p.eat("kw", "PREFIX"):
+        k, v = p.next()
+        if k != "pname" or not v.endswith(":"):
+            raise SparqlSyntaxError(f"bad PREFIX name {v!r}")
+        p.prefixes[v[:-1]] = p.expect("iri")[1:-1]
+
+
+def _template_block(p: _Parser, what: str) -> list:
+    """'{ triples }' used as an UPDATE template or DATA block: plain
+    triple patterns only - a property-path predicate cannot name a
+    triple to write, so it raises here just like in CONSTRUCT."""
+    p.expect("op", "{")
+    patterns: list = []
+    while not p.at("op", "}"):
+        p.triples_block(patterns)
+    p.expect("op", "}")
+    if not patterns:
+        raise SparqlSyntaxError(f"empty {what} block")
+    for pat in patterns:
+        if isinstance(pat[1], tuple):
+            raise SparqlSyntaxError(f"property path in {what} block")
+    return patterns
+
+
+def _ground_block(p: _Parser, what: str) -> list:
+    """DATA block: a template block that must be variable-free
+    (INSERT DATA / DELETE DATA carry ground triples only)."""
+    patterns = _template_block(p, what)
+    for pat in patterns:
+        for term in pat:
+            if term.startswith("?"):
+                raise SparqlSyntaxError(
+                    f"{what} takes ground triples; found variable {term}")
+    return patterns
+
+
+def _capture_group(p: _Parser) -> list:
+    """Consume one balanced '{ ... }' token group (incl. braces) and
+    return the token slice - spliced into a synthetic SELECT * WHERE
+    parse so UPDATE WHERE groups get the full group grammar (OPTIONAL /
+    FILTER / UNION / BIND / VALUES ...) without duplicating the parser."""
+    if not p.at("op", "{"):
+        raise SparqlSyntaxError("expected '{'")
+    start = p.i
+    depth = 0
+    while True:
+        k, v = p.next()
+        if k == "eof":
+            raise SparqlSyntaxError("unterminated '{' group")
+        if (k, v) == ("op", "{"):
+            depth += 1
+        elif (k, v) == ("op", "}"):
+            depth -= 1
+            if depth == 0:
+                return p.toks[start:p.i]
+
+
+def _where_query(prefixes: dict, group_toks: list) -> dict:
+    """Parse a captured WHERE group as `SELECT * WHERE { ... }` so
+    `_solutions` can compile it - one grammar, one compiler for query
+    and update."""
+    p2 = _Parser("")
+    p2.toks = ([("kw", "SELECT"), ("op", "*"), ("kw", "WHERE")]
+               + list(group_toks) + [("eof", "")])
+    p2.i = 0
+    p2.prefixes = dict(prefixes)
+    return _query_body(p2, sub=False)
+
+
+def _parse_update(text: str) -> list[dict]:
+    """Parse a SPARQL 1.1 UPDATE request: ';'-separated operations, each
+    INSERT DATA { ground } | DELETE DATA { ground } |
+    DELETE WHERE { bgp } |
+    [DELETE { template }] [INSERT { template }] WHERE { group }.
+    Unsupported (raise, no silent misparse): WITH/USING/GRAPH-targeted
+    quads, LOAD/CLEAR/CREATE/DROP/COPY/MOVE/ADD, blank nodes in
+    templates."""
+    p = _Parser(text)
+    ops: list[dict] = []
+    while True:
+        _prologue(p)
+        if p.at("eof"):
+            break
+        if p.eat("kw", "INSERT"):
+            if p.eat("kw", "DATA"):
+                ops.append({"op": "insert_data",
+                            "triples": _ground_block(p, "INSERT DATA")})
+            else:
+                ins = _template_block(p, "INSERT template")
+                p.eat("kw", "WHERE")
+                q = _where_query(p.prefixes, _capture_group(p))
+                ops.append({"op": "modify", "delete": None,
+                            "insert": ins, "q": q})
+        elif p.eat("kw", "DELETE"):
+            if p.eat("kw", "DATA"):
+                ops.append({"op": "delete_data",
+                            "triples": _ground_block(p, "DELETE DATA")})
+            elif p.at("kw", "WHERE"):
+                # DELETE WHERE { bgp }: the group is both the match and
+                # the delete template (SPARQL 1.1 Update 3.1.3.2), so it
+                # must be a plain quad pattern - template rules apply
+                p.next()
+                group_toks = _capture_group(p)
+                tp = _Parser("")
+                tp.toks = list(group_toks) + [("eof", "")]
+                tp.i = 0
+                tp.prefixes = dict(p.prefixes)
+                dels = tp.bare_bgp()
+                for pat in dels:
+                    if isinstance(pat[1], tuple):
+                        raise SparqlSyntaxError(
+                            "property path in DELETE WHERE")
+                q = _where_query(p.prefixes, group_toks)
+                ops.append({"op": "modify", "delete": dels,
+                            "insert": None, "q": q})
+            else:
+                dels = _template_block(p, "DELETE template")
+                ins = (_template_block(p, "INSERT template")
+                       if p.eat("kw", "INSERT") else None)
+                p.eat("kw", "WHERE")
+                q = _where_query(p.prefixes, _capture_group(p))
+                ops.append({"op": "modify", "delete": dels,
+                            "insert": ins, "q": q})
+        else:
+            k, v = p.peek()
+            raise SparqlSyntaxError(f"expected update operation, got {v!r}")
+        if not p.eat("op", ";"):
+            if not p.at("eof"):
+                k, v = p.peek()
+                raise SparqlSyntaxError(
+                    f"expected ';' or end of request, got {v!r}")
+    if not ops:
+        raise SparqlSyntaxError("empty update request")
+    return ops
+
+
+def sparql_update(triples: DataFrame, update: str) -> DataFrame:
+    """Apply a SPARQL 1.1 UPDATE request to the (subj, pred, obj) triple
+    store and return the updated store. The reference hands its emitted
+    graph to a writable dotNetRDF store (DataDock repo updates re-run
+    conversions and replace graph contents; `Rdf/Converter.cs:235-238`
+    is the hand-off); at web scale the store is this DataFrame and an
+    update compiles to the same declarative plan family as queries.
+
+    Semantics (SPARQL 1.1 Update 3.1.3): RDF graphs are SETS, so the
+    input is projected to (subj, pred, obj) and deduplicated once.
+    Operations apply in request order; each DELETE/INSERT WHERE matches
+    its WHERE group against the store AS IT WAS before that operation,
+    instantiates both templates from the same solution multiset
+    (unbound-variable instances are skipped per spec - the isNotNull
+    filter in `instantiate_template`), removes the delete instances,
+    then adds the insert instances.
+
+    Scale shape: everything stays declarative and lazy - WHERE groups
+    compile through `_solutions` (the SELECT join tree), template
+    instantiation is a projection per template triple, deletion is a
+    left_anti hash join on the full triple key, insertion a union +
+    distinct. DATA blocks are driver-side literals (bounded by the
+    request text, never data-sized). A long ';' chain grows one plan;
+    checkpoint between operations if a request has many - each op adds
+    a join + distinct stage over the previous store."""
+    store = triples.select("subj", "pred", "obj").distinct()
+    spark = triples.sparkSession
+    key = ["subj", "pred", "obj"]
+    for op in _parse_update(update):
+        if op["op"] in ("insert_data", "delete_data"):
+            delta = spark.createDataFrame(
+                op["triples"], "subj string, pred string, obj string")
+            if op["op"] == "insert_data":
+                store = store.unionByName(delta).distinct()
+            else:
+                store = store.join(delta, key, "left_anti")
+        else:
+            from .bgp import instantiate_template
+            sol = _solutions(store, op["q"])
+            new = store
+            if op["delete"]:
+                dels = instantiate_template(sol, op["delete"])
+                new = new.join(dels, key, "left_anti")
+            if op["insert"]:
+                ins = instantiate_template(sol, op["insert"])
+                new = new.unionByName(ins).distinct()
+            store = new
+    return store

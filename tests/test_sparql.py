@@ -671,3 +671,63 @@ def test_graph_rejections(kg, quads):
             GRAPH ?g {{ ?c <{EX}in> ?n }}
           }}
         """)
+
+
+# ---- SPARQL 1.1 UPDATE ----
+
+def test_update_modify_sequence(kg):
+    from csvweb_spark.operators.sparql import sparql_update
+    out = sparql_update(kg, f"""
+      PREFIX e: <{EX}>
+      DELETE {{ ?c e:vip ?g }}
+      INSERT {{ ?c e:vip "platinum" . ?c e:was ?g }}
+      WHERE {{ ?c e:vip ?g . ?c e:in e:N0 }} ;
+      INSERT DATA {{ e:C99 e:vip "gold" . e:C99 e:in e:N9 }} ;
+      DELETE WHERE {{ ?c e:vip "gold" }}
+    """)
+    rows = {tuple(r) for r in out.collect()}
+    # C0/C12 (vip & in N0) rewritten; C4/C8/C16 (vip, other nations)
+    # plus the freshly inserted C99 gold rows are then deleted by op 3
+    assert (f"{EX}C0", f"{EX}vip", "platinum") in rows
+    assert (f"{EX}C12", f"{EX}was", "gold") in rows
+    assert not any(p == f"{EX}vip" and o == "gold" for _, p, o in rows)
+    assert (f"{EX}C99", f"{EX}in", f"{EX}N9") in rows  # insert survives
+    assert (f"{EX}C4", f"{EX}in", f"{EX}N1") in rows   # untouched triple
+
+
+def test_update_set_semantics(spark):
+    from csvweb_spark.operators.sparql import sparql_update
+    t = spark.createDataFrame(
+        [("a", "p", "x"), ("a", "p", "x"), ("b", "p", "y")],
+        "subj string, pred string, obj string")
+    out = sparql_update(t, 'INSERT DATA { <a> <p> "x" . <c> <p> "z" }')
+    rows = sorted(tuple(r) for r in out.collect())
+    assert rows == [("a", "p", "x"), ("b", "p", "y"), ("c", "p", "z")]
+
+
+def test_update_insert_only_and_where_filter(kg):
+    from csvweb_spark.operators.sparql import sparql_update
+    before = kg.distinct().count()
+    out = sparql_update(kg, f"""
+      PREFIX e: <{EX}>
+      INSERT {{ ?c e:senior "1" }}
+      WHERE {{ ?c e:age ?a FILTER (?a >= 18) }}
+    """)
+    rows = {tuple(r) for r in out.collect()}
+    assert (f"{EX}C18", f"{EX}senior", "1") in rows
+    assert (f"{EX}C19", f"{EX}senior", "1") in rows
+    assert len(rows) == before + 2  # nothing deleted
+
+
+def test_update_rejections():
+    from csvweb_spark.operators.sparql import _parse_update
+    with pytest.raises(SparqlSyntaxError, match="ground"):
+        _parse_update('INSERT DATA { ?v <p> "x" }')
+    with pytest.raises(SparqlSyntaxError, match="property path"):
+        _parse_update('DELETE WHERE { ?s <p>+ ?o }')
+    with pytest.raises(SparqlSyntaxError, match="empty"):
+        _parse_update("")
+    with pytest.raises(SparqlSyntaxError, match="update operation"):
+        _parse_update('CLEAR GRAPH <g>')
+    with pytest.raises(SparqlSyntaxError, match="';'"):
+        _parse_update('INSERT DATA { <a> <p> "x" } garbage')
