@@ -1603,6 +1603,49 @@ def q_sparql_update(spark, sf_dir):
     return out.select("subj", "pred", "obj")
 
 
+def q_web_meta_robots(spark, sf_dir):
+    """Page-level robots META policy (round 5): one synthetic page per
+    nation - k%3==1 carries `noindex, NOFOLLOW`, k%3==2 two robots
+    metas in both attribute orders whose union is `noarchive` + `none`
+    (none = noindex+nofollow), k%3==0 none at all; every page has one
+    plain anchor plus two rel=nofollow anchors (double- and
+    single-quoted rel, token inside a list). Returns per page the
+    sorted directive set, the effective flags, and how many outgoing
+    edges an indexer may follow (anchor-level rel drops + page-level
+    nofollow drops). Oracle replays the k%3 arithmetic."""
+    from csvweb_spark.sources.weblinks import (extract_links, follow_edges,
+                                               robots_directives)
+    nation = _load(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    meta = (F.when(k % 3 == 1, F.lit(
+                '<meta name="robots" content="noindex, NOFOLLOW">'))
+            .when(k % 3 == 2, F.lit(
+                '<meta content="noarchive" name="robots">'
+                "<meta name=\"ROBOTS\" content='none'>"))
+            .otherwise(F.lit("")))
+    body = F.concat(
+        F.lit('<a href="http://r'), F.col("n_regionkey"),
+        F.lit('.example.org/">region</a>'),
+        F.lit('<a rel="nofollow" href="http://track.example.org/t">x</a>'),
+        F.lit("<a rel='ugc nofollow' href=\"http://ads.example.org/a\">"
+              "ad</a>"))
+    pages = nation.select(
+        F.concat(F.lit("http://n"), k, F.lit(".example.org/")).alias("url"),
+        F.concat(F.lit("<html><head>"), meta, F.lit("</head><body>"),
+                 body, F.lit("</body></html>")).cast("binary").alias("html"))
+    pol = robots_directives(pages)
+    fe = follow_edges(extract_links(pages), pol)
+    counts = fe.groupBy("src_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_follow"))
+    out = (pol.join(counts, pol.url == counts.src_url, "left")
+           .select(pol.url,
+                   F.concat_ws(",", "directives").alias("directives_csv"),
+                   "noindex", "nofollow",
+                   F.coalesce("n_follow", F.lit(0).cast("long"))
+                   .alias("n_follow")))
+    return out
+
+
 def _nation_link_pages(spark, sf_dir):
     """Shared fixture for the link-graph queries: one HTML page per
     nation (host n{key}.example.org) carrying an absolute link to its
@@ -2967,6 +3010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_values_undef": q_bgp_values_undef,
         "sparql_order_numeric": q_sparql_order_numeric,
         "sparql_update": q_sparql_update,
+        "web_meta_robots": q_web_meta_robots,
         "quality_gopher": q_quality_gopher,
         "tfidf_topk": q_tfidf_topk,
         "web_link_hosts": q_web_link_hosts,
@@ -4498,6 +4542,18 @@ def _oracle_sql_literal() -> dict[str, str]:
                 WHERE pred = 'http://ex.org/seg' AND obj = 'BUILDING'
             )
             SELECT subj, pred, obj FROM store3
+        """,
+        "web_meta_robots": """
+            SELECT 'http://n' || n_nationkey || '.example.org/' AS url,
+                   CASE n_nationkey % 3
+                        WHEN 1 THEN 'nofollow,noindex'
+                        WHEN 2 THEN 'noarchive,none'
+                        ELSE '' END AS directives_csv,
+                   n_nationkey % 3 IN (1, 2) AS noindex,
+                   n_nationkey % 3 IN (1, 2) AS nofollow,
+                   CASE WHEN n_nationkey % 3 IN (1, 2)
+                        THEN 0 ELSE 1 END::BIGINT AS n_follow
+            FROM nation
         """,
         "owl_trans_incr": """
             WITH RECURSIVE

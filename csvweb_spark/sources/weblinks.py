@@ -138,10 +138,88 @@ def extract_links(pages: DataFrame, url_col: str = "url",
     href = F.when(has_dq, href_dq).when(has_sq, href_sq)
     inner = F.regexp_extract(F.col("_a"), r"(?is)^<a\b[^>]*>(.*)</a>$", 1)
     text = _squash_ws(F.regexp_replace(inner, r"(?s)<[^>]*>", " "))
+    # rel tokens read from the OPEN tag only (inner markup of an anchor
+    # can carry rel attributes of its own, e.g. nested <link> fragments)
+    open_tag = F.regexp_extract(F.col("_a"), r"(?is)^<a\b[^>]*>", 0)
+    rel = F.when(open_tag.rlike(_REL_DQ),
+                 F.regexp_extract(open_tag, _REL_DQ, 1)) \
+           .when(open_tag.rlike(_REL_SQ),
+                 F.regexp_extract(open_tag, _REL_SQ, 1)) \
+           .otherwise(F.lit(""))
+    nofollow = F.array_contains(
+        F.split(F.lower(_squash_ws(rel)), " "), "nofollow")
     return (base
             .withColumn("dst_url", resolve_url(F.col("src_url"), href))
             .where(F.col("dst_url").isNotNull())
-            .select("src_url", "dst_url", text.alias("anchor_text")))
+            .select("src_url", "dst_url", text.alias("anchor_text"),
+                    nofollow.alias("nofollow")))
+
+
+_META_TAG_RE = r"(?is)<meta\b[^>]*>"
+_ROBOTS_NAME_RE = r"""(?is)\bname\s*=\s*["']\s*robots\s*["']"""
+_CONTENT_DQ = r'(?is)\bcontent\s*=\s*"([^"]*)"'
+_CONTENT_SQ = r"(?is)\bcontent\s*=\s*'([^']*)'"
+_REL_DQ = r'(?is)\brel\s*=\s*"([^"]*)"'
+_REL_SQ = r"(?is)\brel\s*=\s*'([^']*)'"
+
+
+def robots_directives(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """Page-level robots META directives (the REP's in-document half -
+    robots.txt governs fetching, `<meta name="robots">` governs what an
+    indexer may DO with a fetched page): (url, directives, noindex,
+    nofollow) for EVERY input page - pages without a robots meta get an
+    empty directive array and false flags.
+
+    Parse rules: attribute order-insensitive, name value
+    case-insensitive, content tokens comma-separated / trimmed /
+    lowercased; multiple robots metas union their tokens (the
+    restrictive reading every major indexer applies); `none` expands to
+    noindex+nofollow per the de-facto standard.
+
+    Scale shape: ZERO shuffle - the per-page tag array never leaves its
+    row (regexp_extract_all -> higher-order filter/transform/flatten),
+    so this is one codegen projection over the page scan, exactly the
+    kind of full-corpus pass a 10^12-page policy sweep needs."""
+    h = F.col(html_col).cast("string")
+    tags = F.filter(F.regexp_extract_all(h, F.lit(_META_TAG_RE), 0),
+                    lambda t: t.rlike(_ROBOTS_NAME_RE))
+    content = lambda t: F.when(  # noqa: E731 - tiny per-tag chooser
+        t.rlike(_CONTENT_DQ), F.regexp_extract(t, _CONTENT_DQ, 1)) \
+        .when(t.rlike(_CONTENT_SQ), F.regexp_extract(t, _CONTENT_SQ, 1)) \
+        .otherwise(F.lit(""))
+    tokens = F.flatten(F.transform(
+        tags, lambda t: F.transform(F.split(F.lower(content(t)), ","),
+                                    lambda x: F.trim(x))))
+    directives = F.array_sort(F.array_distinct(
+        F.array_remove(F.coalesce(tokens, F.array()), "")))
+    has = lambda d: F.array_contains(F.col("directives"), d)  # noqa: E731
+    return (pages
+            .select(F.col(url_col).alias("url"),
+                    directives.alias("directives"))
+            .withColumn("noindex", has("noindex") | has("none"))
+            .withColumn("nofollow", has("nofollow") | has("none")))
+
+
+def follow_edges(links: DataFrame, directives: DataFrame) -> DataFrame:
+    """The link-graph rows an indexer may FOLLOW: drops anchors with a
+    rel=nofollow token (extract_links' `nofollow` column) and every
+    outgoing edge of a page whose robots meta says nofollow.  Left join
+    on src_url (directives has exactly one row per page), so pages
+    missing from `directives` default to followable - same openness
+    default as RFC 9309."""
+    pol = directives.select(F.col("url").alias("src_url"),
+                            F.col("nofollow").alias("_page_nofollow"))
+    return (links.join(pol, "src_url", "left")
+            .where(~F.col("nofollow")
+                   & ~F.coalesce(F.col("_page_nofollow"), F.lit(False)))
+            .drop("_page_nofollow"))
+
+
+def indexable_urls(directives: DataFrame) -> DataFrame:
+    """URLs an indexer may index: the noindex rows removed. One narrow
+    filter over the directives projection."""
+    return directives.where(~F.col("noindex")).select("url")
 
 
 def host_edges(links: DataFrame, drop_self: bool = False) -> DataFrame:

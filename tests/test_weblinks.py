@@ -230,3 +230,80 @@ def test_jsonld_prunes_before_python(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "size(" in plan and "MapInPandas" in plan
     assert plan.index("MapInPandas") < plan.index("size(")
+
+
+# --------------------------------------------- robots meta / link policy
+
+def test_extract_links_rel_nofollow(spark):
+    pages = _pages(spark, [
+        ("http://a.example.org/",
+         '<a href="/f">follow</a>'
+         '<a rel="nofollow" href="/n1">dq</a>'
+         "<a rel='ugc NOFOLLOW sponsored' href='/n2'>sq list</a>"
+         '<a rel="noopener" href="/other-rel">other</a>'
+         '<a href="/inner"><span rel="nofollow">inner rel ignored</span>'
+         "</a>"),
+    ])
+    got = {(r.dst_url, r.nofollow) for r in extract_links(pages).collect()}
+    assert got == {
+        ("http://a.example.org/f", False),
+        ("http://a.example.org/n1", True),
+        ("http://a.example.org/n2", True),
+        ("http://a.example.org/other-rel", False),
+        ("http://a.example.org/inner", False),
+    }
+
+
+def test_robots_directives_parse(spark):
+    from csvweb_spark.sources.weblinks import robots_directives
+    pages = _pages(spark, [
+        # attribute order + case + multi-tag union + none expansion
+        ("http://a.example.org/",
+         '<meta content="NOARCHIVE , nosnippet" name="robots">'
+         "<meta name='ROBOTS' content='none'>"),
+        # plain noindex,nofollow
+        ("http://b.example.org/",
+         '<meta name="robots" content="noindex, nofollow">'),
+        # a non-robots meta must not contribute
+        ("http://c.example.org/",
+         '<meta name="description" content="noindex">'),
+        # no html at all
+        ("http://d.example.org/", None),
+    ])
+    out = {r.url: (list(r.directives), r.noindex, r.nofollow)
+           for r in robots_directives(pages).collect()}
+    assert out["http://a.example.org/"] == (
+        ["noarchive", "none", "nosnippet"], True, True)
+    assert out["http://b.example.org/"] == (
+        ["nofollow", "noindex"], True, True)
+    assert out["http://c.example.org/"] == ([], False, False)
+    assert out["http://d.example.org/"] == ([], False, False)
+
+
+def test_follow_edges_and_indexable(spark):
+    from csvweb_spark.sources.weblinks import (follow_edges, indexable_urls,
+                                               robots_directives)
+    pages = _pages(spark, [
+        ("http://a.example.org/",
+         '<meta name="robots" content="nofollow">'
+         '<a href="/x">x</a>'),
+        ("http://b.example.org/",
+         '<a href="/y">y</a><a rel="nofollow" href="/z">z</a>'),
+    ])
+    pol = robots_directives(pages)
+    fe = follow_edges(extract_links(pages), pol)
+    assert {r.dst_url for r in fe.collect()} == {"http://b.example.org/y"}
+    assert sorted(fe.columns) == sorted(
+        ["src_url", "dst_url", "anchor_text", "nofollow"])
+    assert {r.url for r in indexable_urls(pol).collect()} == {
+        "http://a.example.org/", "http://b.example.org/"}
+
+
+def test_robots_directives_plan_zero_shuffle(spark):
+    from csvweb_spark.sources.weblinks import robots_directives
+    pages = _pages(spark, [("http://x.example.org/",
+                            '<meta name="robots" content="noindex">')])
+    plan = robots_directives(pages)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # per-page tokens never leave the row
