@@ -1646,6 +1646,64 @@ def q_web_meta_robots(spark, sf_dir):
     return out
 
 
+def q_kg_shacl_validate(spark, sf_dir):
+    """SHACL-core validation of a constructed KG (round 5,
+    operators/shacl.py): customers < 600 become ex:Customer nodes whose
+    property triples carry arithmetic-planted defects - k%7==0 gets a
+    second name (maxCount), k%13==0 (and not %7) gets none (minCount),
+    nations >= 20 are left untyped (sh:class), negative / >9000
+    balances breach the inclusive range, k%11==0 phones get an 'X'
+    prefix (sh:pattern). Returns the violation report; the oracle
+    replays the plants as UNION ALL arithmetic over customer."""
+    from csvweb_spark.operators.shacl import RDF_TYPE, validate_shapes
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 600)
+    k = F.col("c_custkey")
+    subj = F.concat(F.lit("ex:C"), k)
+    no_dt = F.lit(None).cast("string")
+
+    def triple(df, s, pred, obj, kind, dt=no_dt):
+        return df.select(s.alias("subj"), F.lit(pred).alias("pred"),
+                         obj.alias("obj"), F.lit(kind).alias("obj_kind"),
+                         dt.alias("obj_datatype"))
+
+    phone = F.concat(F.lpad((k % 100).cast("string"), 2, "0"),
+                     F.lit("-"), k.cast("string"))
+    parts = [
+        triple(cust, subj, RDF_TYPE, F.lit("ex:Customer"), "iri"),
+        triple(cust.filter((k % 7 == 0) | (k % 13 != 0)), subj, "ex:name",
+               F.col("c_name"), "literal", F.lit(XSD + "string")),
+        triple(cust.filter(k % 7 == 0), subj, "ex:name",
+               F.concat(F.col("c_name"), F.lit("_alt")), "literal",
+               F.lit(XSD + "string")),
+        triple(cust, subj, "ex:nation",
+               F.concat(F.lit("ex:N"), F.col("c_nationkey")), "iri"),
+        triple(cust.select("c_nationkey").distinct()
+               .filter(F.col("c_nationkey") < 20),
+               F.concat(F.lit("ex:N"), F.col("c_nationkey")),
+               RDF_TYPE, F.lit("ex:Nation"), "iri"),
+        triple(cust, subj, "ex:bal", F.col("c_acctbal").cast("string"),
+               "literal", F.lit(XSD + "decimal")),
+        triple(cust, subj, "ex:phone",
+               F.when(k % 11 == 0, F.concat(F.lit("X"), phone))
+               .otherwise(phone), "literal", F.lit(XSD + "string")),
+    ]
+    triples = parts[0]
+    for p in parts[1:]:
+        triples = triples.unionByName(p)
+    shapes = [{
+        "shape": "ex:CustomerShape", "target_class": "ex:Customer",
+        "properties": [
+            {"path": "ex:name", "min_count": 1, "max_count": 1,
+             "datatype": XSD + "string"},
+            {"path": "ex:nation", "class": "ex:Nation"},
+            {"path": "ex:bal", "min_inclusive": 0, "max_inclusive": 9000},
+            {"path": "ex:phone", "pattern": "^[0-9]{2}-"},
+        ],
+    }]
+    return validate_shapes(triples, shapes)
+
+
 def _nation_link_pages(spark, sf_dir):
     """Shared fixture for the link-graph queries: one HTML page per
     nation (host n{key}.example.org) carrying an absolute link to its
@@ -3011,6 +3069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_order_numeric": q_sparql_order_numeric,
         "sparql_update": q_sparql_update,
         "web_meta_robots": q_web_meta_robots,
+        "kg_shacl_validate": q_kg_shacl_validate,
         "quality_gopher": q_quality_gopher,
         "tfidf_topk": q_tfidf_topk,
         "web_link_hosts": q_web_link_hosts,
@@ -4542,6 +4601,37 @@ def _oracle_sql_literal() -> dict[str, str]:
                 WHERE pred = 'http://ex.org/seg' AND obj = 'BUILDING'
             )
             SELECT subj, pred, obj FROM store3
+        """,
+        "kg_shacl_validate": """
+            WITH c AS (SELECT c_custkey AS k, c_name, c_nationkey,
+                              c_acctbal
+                       FROM customer WHERE c_custkey < 600)
+            SELECT 'ex:CustomerShape' AS shape, 'ex:C' || k AS focus,
+                   'ex:name' AS path, 'maxCount' AS "constraint",
+                   '2' AS "value"
+            FROM c WHERE k % 7 = 0
+            UNION ALL
+            SELECT 'ex:CustomerShape', 'ex:C' || k, 'ex:name',
+                   'minCount', '0'
+            FROM c WHERE k % 13 = 0 AND k % 7 <> 0
+            UNION ALL
+            SELECT 'ex:CustomerShape', 'ex:C' || k, 'ex:nation',
+                   'class', 'ex:N' || c_nationkey
+            FROM c WHERE c_nationkey >= 20
+            UNION ALL
+            SELECT 'ex:CustomerShape', 'ex:C' || k, 'ex:bal',
+                   'minInclusive', CAST(c_acctbal AS VARCHAR)
+            FROM c WHERE c_acctbal < 0
+            UNION ALL
+            SELECT 'ex:CustomerShape', 'ex:C' || k, 'ex:bal',
+                   'maxInclusive', CAST(c_acctbal AS VARCHAR)
+            FROM c WHERE c_acctbal > 9000
+            UNION ALL
+            SELECT 'ex:CustomerShape', 'ex:C' || k, 'ex:phone',
+                   'pattern',
+                   'X' || lpad(CAST(k % 100 AS VARCHAR), 2, '0')
+                       || '-' || k
+            FROM c WHERE k % 11 = 0
         """,
         "web_meta_robots": """
             SELECT 'http://n' || n_nationkey || '.example.org/' AS url,
