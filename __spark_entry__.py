@@ -1646,16 +1646,13 @@ def q_web_meta_robots(spark, sf_dir):
     return out
 
 
-def q_kg_shacl_validate(spark, sf_dir):
-    """SHACL-core validation of a constructed KG (round 5,
-    operators/shacl.py): customers < 600 become ex:Customer nodes whose
-    property triples carry arithmetic-planted defects - k%7==0 gets a
-    second name (maxCount), k%13==0 (and not %7) gets none (minCount),
-    nations >= 20 are left untyped (sh:class), negative / >9000
-    balances breach the inclusive range, k%11==0 phones get an 'X'
-    prefix (sh:pattern). Returns the violation report; the oracle
-    replays the plants as UNION ALL arithmetic over customer."""
-    from csvweb_spark.operators.shacl import RDF_TYPE, validate_shapes
+def _defect_kg_triples(spark, sf_dir):
+    """Shared KG fixture for the validation/statistics queries:
+    customers < 600 as ex:Customer nodes with arithmetic-planted
+    defects - k%7==0 carries a second name, k%13==0 (and not %7) none,
+    nations >= 20 stay untyped, balances keep their sign, k%11==0
+    phones get an 'X' prefix."""
+    from csvweb_spark.operators.shacl import RDF_TYPE
     XSD = "http://www.w3.org/2001/XMLSchema#"
     cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 600)
     k = F.col("c_custkey")
@@ -1691,6 +1688,19 @@ def q_kg_shacl_validate(spark, sf_dir):
     triples = parts[0]
     for p in parts[1:]:
         triples = triples.unionByName(p)
+    return triples
+
+
+def q_kg_shacl_validate(spark, sf_dir):
+    """SHACL-core validation of a constructed KG (round 5,
+    operators/shacl.py) over the planted-defect fixture: maxCount /
+    minCount on ex:name, sh:class on ex:nation (nations >= 20 untyped),
+    inclusive range on ex:bal, sh:pattern on ex:phone. Returns the
+    violation report; the oracle replays the plants as UNION ALL
+    arithmetic over customer."""
+    from csvweb_spark.operators.shacl import validate_shapes
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    triples = _defect_kg_triples(spark, sf_dir)
     shapes = [{
         "shape": "ex:CustomerShape", "target_class": "ex:Customer",
         "properties": [
@@ -1702,6 +1712,25 @@ def q_kg_shacl_validate(spark, sf_dir):
         ],
     }]
     return validate_shapes(triples, shapes)
+
+
+def q_kg_void_stats(spark, sf_dir):
+    """W3C VoID statistical description (round 5,
+    operators/void_stats.py) of the planted-defect KG: the per-predicate
+    void:propertyPartition rows (triples / distinct subjects / distinct
+    objects per predicate) plus the dataset-level summary as a sentinel
+    pred='ALL' row carrying (triples, subjects, properties, objects).
+    Oracle rebuilds the same triple synthesis as a SQL CTE and GROUPs
+    BY pred - the distinct counts are genuinely recomputed, not
+    arithmetic replays."""
+    from csvweb_spark.operators.void_stats import (predicate_partitions,
+                                                   void_summary)
+    triples = _defect_kg_triples(spark, sf_dir)
+    parts = predicate_partitions(triples)
+    summary = void_summary(triples).select(
+        F.lit("ALL").alias("pred"), "n_triples",
+        F.col("n_subjects"), F.col("n_objects"))
+    return parts.unionByName(summary)
 
 
 def _nation_link_pages(spark, sf_dir):
@@ -3070,6 +3099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_update": q_sparql_update,
         "web_meta_robots": q_web_meta_robots,
         "kg_shacl_validate": q_kg_shacl_validate,
+        "kg_void_stats": q_kg_void_stats,
         "quality_gopher": q_quality_gopher,
         "tfidf_topk": q_tfidf_topk,
         "web_link_hosts": q_web_link_hosts,
@@ -4632,6 +4662,49 @@ def _oracle_sql_literal() -> dict[str, str]:
                    'X' || lpad(CAST(k % 100 AS VARCHAR), 2, '0')
                        || '-' || k
             FROM c WHERE k % 11 = 0
+        """,
+        "kg_void_stats": """
+            WITH c AS (SELECT c_custkey AS k, c_name, c_nationkey,
+                              c_acctbal
+                       FROM customer WHERE c_custkey < 600),
+            t AS (
+              SELECT 'ex:C' || k AS subj,
+                     'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                         AS pred,
+                     'ex:Customer' AS obj FROM c
+              UNION ALL
+              SELECT 'ex:C' || k, 'ex:name', c_name
+              FROM c WHERE k % 7 = 0 OR k % 13 <> 0
+              UNION ALL
+              SELECT 'ex:C' || k, 'ex:name', c_name || '_alt'
+              FROM c WHERE k % 7 = 0
+              UNION ALL
+              SELECT 'ex:C' || k, 'ex:nation', 'ex:N' || c_nationkey
+              FROM c
+              UNION ALL
+              SELECT DISTINCT 'ex:N' || c_nationkey,
+                     'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                     'ex:Nation'
+              FROM c WHERE c_nationkey < 20
+              UNION ALL
+              SELECT 'ex:C' || k, 'ex:bal', CAST(c_acctbal AS VARCHAR)
+              FROM c
+              UNION ALL
+              SELECT 'ex:C' || k, 'ex:phone',
+                     CASE WHEN k % 11 = 0 THEN 'X' ELSE '' END
+                         || lpad(CAST(k % 100 AS VARCHAR), 2, '0')
+                         || '-' || k
+              FROM c
+            )
+            SELECT pred, COUNT(*)::BIGINT AS n_triples,
+                   COUNT(DISTINCT subj)::BIGINT AS n_subjects,
+                   COUNT(DISTINCT obj)::BIGINT AS n_objects
+            FROM t GROUP BY pred
+            UNION ALL
+            SELECT 'ALL', COUNT(*)::BIGINT,
+                   COUNT(DISTINCT subj)::BIGINT,
+                   COUNT(DISTINCT obj)::BIGINT
+            FROM t
         """,
         "web_meta_robots": """
             SELECT 'http://n' || n_nationkey || '.example.org/' AS url,

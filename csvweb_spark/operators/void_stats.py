@@ -1,0 +1,71 @@
+"""VoID dataset statistics for the constructed KG (W3C VoID, 2011).
+
+The reference counts triples as a single conversion metric
+(/root/reference/src/DataDock.CsvWeb/Rdf/Converter.cs emits the graph
+and leaves description to the consumer); a published web-scale KG needs
+the W3C VoID statistical description alongside the data: void:triples,
+void:distinctSubjects/Objects, void:properties, void:classes, plus the
+per-predicate void:propertyPartition and per-class void:classPartition
+blocks that let a query planner or a downstream consumer size its joins
+before reading the graph.
+
+Scale shape: each function is ONE aggregation over the triple scan.
+`exact=True` (the oracle-checkable default) uses COUNT(DISTINCT ...),
+which Spark executes as an Expand + two-phase hash aggregate - partial
+aggregation still runs map-side, but the expanded rows multiply the
+shuffle by the number of distinct clauses. `exact=False` switches every
+distinct to approx_count_distinct (HyperLogLog++, relativeSD 0.01): the
+partial state becomes a fixed-size sketch per group, making the shuffle
+O(groups), independent of the 10^12-row instance count - the right
+default at full corpus scale where VoID numbers are descriptive, not
+contractual.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _distinct_fn(exact: bool):
+    if exact:
+        return F.count_distinct
+    return lambda c: F.approx_count_distinct(c, 0.01)
+
+
+def void_summary(triples: DataFrame, exact: bool = True,
+                 type_pred: str = RDF_TYPE) -> DataFrame:
+    """Dataset-level VoID numbers as one row: void:triples,
+    void:distinctSubjects, void:properties, void:distinctObjects,
+    void:classes (distinct objects of rdf:type)."""
+    d = _distinct_fn(exact)
+    return triples.agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        d(F.col("subj")).alias("n_subjects"),
+        d(F.col("pred")).alias("n_properties"),
+        d(F.col("obj")).alias("n_objects"),
+        d(F.when(F.col("pred") == type_pred, F.col("obj")))
+        .alias("n_classes"))
+
+
+def predicate_partitions(triples: DataFrame,
+                         exact: bool = True) -> DataFrame:
+    """void:propertyPartition - per predicate: triple count, distinct
+    subjects, distinct objects. One groupBy over the scan."""
+    d = _distinct_fn(exact)
+    return triples.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        d(F.col("subj")).alias("n_subjects"),
+        d(F.col("obj")).alias("n_objects"))
+
+
+def class_partitions(triples: DataFrame, exact: bool = True,
+                     type_pred: str = RDF_TYPE) -> DataFrame:
+    """void:classPartition - per class: void:entities (distinct typed
+    subjects). The rdf:type filter prunes the scan before the shuffle."""
+    d = _distinct_fn(exact)
+    return (triples.where(F.col("pred") == type_pred)
+            .groupBy(F.col("obj").alias("class"))
+            .agg(d(F.col("subj")).alias("n_entities")))

@@ -1,0 +1,54 @@
+"""VoID dataset statistics (operators/void_stats.py)."""
+
+from csvweb_spark.operators.void_stats import (RDF_TYPE, class_partitions,
+                                               predicate_partitions,
+                                               void_summary)
+
+
+def _kg(spark):
+    rows = [
+        ("ex:A", RDF_TYPE, "ex:Person"),
+        ("ex:B", RDF_TYPE, "ex:Person"),
+        ("ex:C", RDF_TYPE, "ex:Org"),
+        ("ex:A", "ex:knows", "ex:B"),
+        ("ex:A", "ex:knows", "ex:C"),
+        ("ex:B", "ex:knows", "ex:C"),
+        ("ex:A", "ex:name", "alice"),
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_void_summary(spark):
+    row = void_summary(_kg(spark)).collect()[0]
+    assert (row.n_triples, row.n_subjects, row.n_properties,
+            row.n_objects, row.n_classes) == (7, 3, 3, 5, 2)
+
+
+def test_predicate_partitions(spark):
+    got = {r.pred: (r.n_triples, r.n_subjects, r.n_objects)
+           for r in predicate_partitions(_kg(spark)).collect()}
+    assert got == {RDF_TYPE: (3, 3, 2),
+                   "ex:knows": (3, 2, 2),
+                   "ex:name": (1, 1, 1)}
+
+
+def test_class_partitions(spark):
+    got = {getattr(r, "class"): r.n_entities
+           for r in class_partitions(_kg(spark)).collect()}
+    assert got == {"ex:Person": 2, "ex:Org": 1}
+
+
+def test_approx_mode_close_and_sketch_plan(spark):
+    kg = _kg(spark)
+    exact = void_summary(kg).collect()[0]
+    approx = void_summary(kg, exact=False).collect()[0]
+    # HLL at 1% relativeSD is exact at this cardinality
+    assert (approx.n_subjects, approx.n_properties) == (
+        exact.n_subjects, exact.n_properties)
+    plan = predicate_partitions(kg, exact=False) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # sketch aggregation must not Expand the scan (the exact path does)
+    assert "approx_count_distinct" in plan and "Expand" not in plan
+    exact_plan = predicate_partitions(kg, exact=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan
