@@ -1733,6 +1733,30 @@ def q_kg_void_stats(spark, sf_dir):
     return parts.unionByName(summary)
 
 
+def q_web_warc_roundtrip(spark, sf_dir):
+    """WARC sink round-trip (round 5, sources/warc.py::render_warc):
+    customers < 300 become pages (deterministic url / warc_ts / UTF-8
+    body), rendered into per-host .warc.gz segments (one gzip member
+    per record, mtime 0), then re-ingested through the byte walk.
+    Returns (url, warc_ts, body) read BACK from the container - the
+    oracle rebuilds the same rows relationally, so a hash match
+    receipts that the sink+parse round-trip is byte-exact."""
+    from csvweb_spark.sources.warc import render_warc, warc_pages
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    k = F.col("c_custkey")
+    pages = cust.select(
+        F.concat(F.lit("http://h"), F.col("c_nationkey"),
+                 F.lit(".example.org/c/"), k).alias("url"),
+        F.make_timestamp(F.lit(2026), F.lit(2), F.lit(1), F.lit(0),
+                         F.lit(0), (k % 60).cast("int")).alias("warc_ts"),
+        F.concat(F.lit("<html><body><p>Customer "), F.col("c_name"),
+                 F.lit("</p></body></html>")).cast("binary").alias("html"),
+        F.concat(F.lit("h"), F.col("c_nationkey")).alias("host"))
+    segs = render_warc(pages, segment_col="host", gzip_members=True)
+    return warc_pages(segs, ok_only=False).select(
+        "url", "warc_ts", F.col("html").cast("string").alias("body"))
+
+
 def _nation_link_pages(spark, sf_dir):
     """Shared fixture for the link-graph queries: one HTML page per
     nation (host n{key}.example.org) carrying an absolute link to its
@@ -3100,6 +3124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_meta_robots": q_web_meta_robots,
         "kg_shacl_validate": q_kg_shacl_validate,
         "kg_void_stats": q_kg_void_stats,
+        "web_warc_roundtrip": q_web_warc_roundtrip,
         "quality_gopher": q_quality_gopher,
         "tfidf_topk": q_tfidf_topk,
         "web_link_hosts": q_web_link_hosts,
@@ -4705,6 +4730,15 @@ def _oracle_sql_literal() -> dict[str, str]:
                    COUNT(DISTINCT subj)::BIGINT,
                    COUNT(DISTINCT obj)::BIGINT
             FROM t
+        """,
+        "web_warc_roundtrip": """
+            SELECT 'http://h' || c_nationkey || '.example.org/c/'
+                       || c_custkey AS url,
+                   TIMESTAMP '2026-02-01 00:00:00'
+                       + (c_custkey % 60) * INTERVAL 1 SECOND AS warc_ts,
+                   '<html><body><p>Customer ' || c_name
+                       || '</p></body></html>' AS body
+            FROM customer WHERE c_custkey < 300
         """,
         "web_meta_robots": """
             SELECT 'http://n' || n_nationkey || '.example.org/' AS url,

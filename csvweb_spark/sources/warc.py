@@ -171,3 +171,103 @@ def warc_pages(segments: DataFrame, id_col: str = "segment_id",
             & F.col("content_type").startswith(content_type_prefix))
     return recs.select("url", "warc_ts",
                        F.col("payload").alias("html"))
+
+
+# ---------------------------------------------------------------------------
+# WARC sink (render pages back into segments - the archival twin of the
+# ingest above; `parse_warc(render_warc(pages))` round-trips byte-exactly)
+# ---------------------------------------------------------------------------
+
+def _render_record(url: str, ts: str, body: bytes, status: int,
+                   ctype: str) -> bytes:
+    """One WARC/1.0 response record: WARC headers + HTTP/1.1 message,
+    Content-Length exact, record terminated by the spec's two CRLFs.
+    WARC-Record-ID is a deterministic content address (sha-256 of
+    url + date + body) so re-rendering a segment is byte-identical -
+    resumable sinks must not invent fresh UUIDs per attempt."""
+    import hashlib
+    http = (f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+    rid = hashlib.sha256(
+        url.encode() + b"\x1f" + ts.encode() + b"\x1f" + body).hexdigest()
+    hdr = (f"WARC/1.0\r\n"
+           f"WARC-Type: response\r\n"
+           f"WARC-Record-ID: <urn:sha256:{rid}>\r\n"
+           f"WARC-Date: {ts}\r\n"
+           f"WARC-Target-URI: {url}\r\n"
+           f"Content-Type: application/http; msgtype=response\r\n"
+           f"Content-Length: {len(http)}\r\n\r\n").encode()
+    return hdr + http + b"\r\n\r\n"
+
+
+def render_warc(pages: DataFrame, url_col: str = "url",
+                ts_col: str = "warc_ts", html_col: str = "html",
+                segment_col: str | None = None,
+                status: int = 200,
+                content_type: str = "text/html; charset=UTF-8",
+                gzip_members: bool = False) -> DataFrame:
+    """Pages -> WARC segments (segment_id, blob:binary, n_records).
+
+    Default segmenting is ONE SEGMENT PER INPUT PARTITION (segment id =
+    the partition ordinal): the sink is then completely shuffle-free -
+    each executor renders the pages it already holds, the 10^12-row
+    write plan being scan -> mapInPandas -> sink. Pass `segment_col`
+    for semantic segments (e.g. per host); that groups (one shuffle) and
+    orders records by url inside each segment for deterministic blobs.
+    `gzip_members=True` emits the .warc.gz layout the parser ingests:
+    one gzip member per record (mtime pinned to 0 so blobs are
+    deterministic), concatenated."""
+    import gzip as _gzip
+
+    def _blob(sid: str, rows) -> tuple:
+        parts, n = [], 0
+        for url, ts, body in rows:
+            if url is None or ts is None:
+                continue
+            rec = _render_record(
+                url, ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                b"" if body is None else bytes(body), status, content_type)
+            if gzip_members:
+                buf = io.BytesIO()
+                with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                    g.write(rec)
+                rec = buf.getvalue()
+            parts.append(rec)
+            n += 1
+        return sid, b"".join(parts), n
+
+    out_schema = "segment_id string, blob binary, n_records long"
+    if segment_col is None:
+        src = pages.select(
+            F.spark_partition_id().cast("string").alias("_sid"),
+            F.col(url_col).alias("_url"), F.col(ts_col).alias("_ts"),
+            F.col(html_col).alias("_html"))
+
+        def per_partition(batches: Iterator[pd.DataFrame]
+                          ) -> Iterator[pd.DataFrame]:
+            acc: list[tuple] = []
+            sid = None
+            for pdf in batches:
+                if len(pdf) and sid is None:
+                    sid = str(pdf["_sid"].iloc[0])
+                acc.extend(zip(pdf["_url"], pdf["_ts"], pdf["_html"]))
+            if sid is None:
+                return
+            yield pd.DataFrame([_blob(sid, acc)],
+                               columns=["segment_id", "blob", "n_records"])
+
+        return src.mapInPandas(per_partition, out_schema)
+
+    src = pages.select(
+        F.col(segment_col).cast("string").alias("_sid"),
+        F.col(url_col).alias("_url"), F.col(ts_col).alias("_ts"),
+        F.col(html_col).alias("_html"))
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_url")
+        row = _blob(str(pdf["_sid"].iloc[0]),
+                    zip(pdf["_url"], pdf["_ts"], pdf["_html"]))
+        return pd.DataFrame([row],
+                            columns=["segment_id", "blob", "n_records"])
+
+    return src.groupBy("_sid").applyInPandas(per_group, out_schema)
