@@ -385,6 +385,19 @@ def q_pagerank(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+def q_kg_hits(spark, sf_dir):
+    """Integer-scaled HITS hubs/authorities (round 5, graph.py::hits,
+    2 rounds) over the chain+star graph: node 0 is the dominant hub
+    (99 star out-edges), chain successors of star nodes are the
+    authorities. Max-normalized all-bigint power iteration, so the
+    unrolled CTE oracle replays the EXACT scores."""
+    from csvweb_spark.operators.graph import hits
+    out = hits(_chain_star_edges(spark, sf_dir), iterations=2)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.col("hub").cast("long").alias("hub"),
+                      F.col("authority").cast("long").alias("authority"))
+
+
 def q_kg_communities(spark, sf_dir):
     """Deterministic label propagation (graph.py::label_propagation,
     2 rounds) over the chain+star graph: most-frequent neighbor label,
@@ -3190,6 +3203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_incr": q_dedup_lines_incr,
         "kmv_distinct": q_kmv_distinct,
         "pagerank": q_pagerank,
+        "kg_hits": q_kg_hits,
         "dedup_incremental_near": q_dedup_incremental_near,
         # -- recorded green in CORRECTNESS_r03 --
         "entity_link_exact": q_entity_link_exact,
@@ -3494,6 +3508,59 @@ def _minhash_incremental_oracle_sql(num_hashes: int = 64, bands: int = 16,
             SELECT doc_id::bigint AS doc_id FROM alive1
             WHERE doc_id NOT IN (SELECT doc_id FROM dup_x)
         """
+
+
+def _hits_oracle_sql(iterations: int = 2, scale: int = 1_000_000) -> str:
+    """DuckDB replica of graph.py::hits over the chain+star graph:
+    max-normalized integer power iteration unrolled into an
+    a{i}/h{i} CTE chain (aggregates can't live in recursive terms),
+    `//` matching Spark's `div`, greatest(max, 1) guarding the
+    no-in-edge round."""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+            a{i}r AS (
+                SELECT n.node, coalesce(x.raw, 0)::BIGINT AS raw
+                FROM nodes n LEFT JOIN (
+                    SELECT e.d AS node, sum(h.hub) AS raw
+                    FROM edges e JOIN h{i - 1} h ON h.node = e.s
+                    GROUP BY e.d) x ON x.node = n.node),
+            a{i} AS (
+                SELECT node, (raw * {scale} //
+                    greatest((SELECT max(raw) FROM a{i}r), 1))::BIGINT
+                    AS authority
+                FROM a{i}r),
+            h{i}r AS (
+                SELECT n.node, coalesce(x.raw, 0)::BIGINT AS raw
+                FROM nodes n LEFT JOIN (
+                    SELECT e.s AS node, sum(a.authority) AS raw
+                    FROM edges e JOIN a{i} a ON a.node = e.d
+                    GROUP BY e.s) x ON x.node = n.node),
+            h{i} AS (
+                SELECT node, (raw * {scale} //
+                    greatest((SELECT max(raw) FROM h{i}r), 1))::BIGINT
+                    AS hub
+                FROM h{i}r)""")
+    return f"""
+            WITH edges_raw AS (
+                SELECT c_custkey AS s, c_custkey + 1 AS d FROM customer
+                WHERE c_custkey < 400 AND c_custkey % 100 != 99
+                  AND (c_custkey + 1) IN (SELECT c_custkey FROM customer
+                                          WHERE c_custkey < 400)
+                UNION ALL
+                SELECT 0, c_custkey FROM customer
+                WHERE c_custkey > 0 AND c_custkey < 100),
+            edges AS (SELECT DISTINCT s, d FROM edges_raw),
+            nodes AS (
+                SELECT DISTINCT x AS node FROM (
+                    SELECT s AS x FROM edges
+                    UNION ALL SELECT d FROM edges)),
+            h0 AS (SELECT node, {scale}::BIGINT AS hub FROM nodes),
+            {",".join(steps)}
+            SELECT n.node::BIGINT AS node, h.hub, a.authority
+            FROM nodes n
+            JOIN h{iterations} h ON h.node = n.node
+            JOIN a{iterations} a ON a.node = n.node"""
 
 
 def _pagerank_oracle_sql(iterations: int = 5, damping_bp: int = 8500,
@@ -4538,6 +4605,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_incremental_near": _minhash_incremental_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
+        "kg_hits": _hits_oracle_sql(),
         "kg_triangles": """
             WITH
             c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 400),

@@ -86,6 +86,61 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     return ranks
 
 
+def hits(edges: DataFrame, iterations: int = 3, scale: int = 1_000_000,
+         src: str = "src", dst: str = "dst") -> DataFrame:
+    """Kleinberg HITS (hubs & authorities) over the directed edge set -
+    the web-graph score pair PageRank doesn't give: an authority is a
+    page many good hubs point AT, a hub is a page pointing at many good
+    authorities (SODA'98 / JACM'99; the link-analysis complement for
+    ranking extracted web entities).
+
+    Determinism/oracle design (same contract as `pagerank`): all-bigint.
+    hub_0 = scale; per round
+        auth_raw(v) = sum_{u->v} hub(u);   auth = auth_raw*scale div max
+        hub_raw(u)  = sum_{u->v} auth(v);  hub  = hub_raw*scale div max
+    Max-normalization (the standard power-iteration rescale, integer
+    here) replaces the L2 norm so DuckDB replays EXACT scores with an
+    unrolled CTE chain - integer sums are order-independent. Fixed
+    iteration count keeps the oracle replayable; the hub/authority
+    ORDERING stabilizes in 2-3 rounds on web-shaped graphs. Overflow
+    bound: values stay <= scale after normalizing, so round sums are
+    <= max_degree*scale and the rescale multiply <= max_degree*scale^2
+    - pick scale so that fits in int64 (10^6 allows degree ~10^6).
+
+    Scale shape: per round two bounded joins keyed on node id (AQE-skew
+    splittable) and two map-side-combinable integer-sum groupBys - a
+    10^8-degree hub pre-aggregates per map partition. The per-round max
+    is a 1-row broadcast (crossJoin of an aggregate, never a driver
+    collect); localCheckpoint truncates lineage per round."""
+    assert iterations >= 1 and scale > 0
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    nodes = (e.select(F.col("s").alias("node"))
+             .unionByName(e.select(F.col("d").alias("node")))
+             .distinct())
+    hubs = nodes.withColumn("hub", F.lit(scale).cast("long"))
+    auth = None
+
+    def _normalize(raw: DataFrame, out_name: str) -> DataFrame:
+        full = (nodes.join(raw, "node", "left")
+                .select("node", F.coalesce("raw", F.lit(0))
+                        .cast("long").alias("raw")))
+        mx = full.agg(F.greatest(F.max("raw"), F.lit(1)).alias("_m"))
+        return (full.crossJoin(F.broadcast(mx))
+                .select("node", F.expr(f"(raw * {scale}) div _m")
+                        .cast("long").alias(out_name)))
+
+    for _ in range(iterations):
+        a_raw = (e.join(hubs.withColumnRenamed("node", "s"), "s")
+                 .groupBy(F.col("d").alias("node"))
+                 .agg(F.sum("hub").alias("raw")))
+        auth = _normalize(a_raw, "authority").localCheckpoint(eager=True)
+        h_raw = (e.join(auth.withColumnRenamed("node", "d"), "d")
+                 .groupBy(F.col("s").alias("node"))
+                 .agg(F.sum("authority").alias("raw")))
+        hubs = _normalize(h_raw, "hub").localCheckpoint(eager=True)
+    return hubs.join(auth, "node")
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst",
                    orient_by_degree: bool = False) -> DataFrame:
     """(node, triangles) - per-node triangle participation over the

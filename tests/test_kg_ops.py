@@ -968,3 +968,53 @@ def test_rdfs_subproperty_of_type_feeds_rdfs9(spark):
            rdfs_closure(triples, derived_only=True).collect()}
     assert (EX + "x", RDF_TYPE, EX + "A") in got   # rdfs7
     assert (EX + "x", RDF_TYPE, EX + "B") in got   # rdfs9 on derived
+
+
+# ------------------------------------------------------------------- HITS
+
+def test_hits_hub_authority_ordering(spark):
+    from csvweb_spark.operators.graph import hits
+    S = 1_000_000
+    edges = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9), (1, 8)], "src long, dst long")
+    out = {r.node: (r.hub, r.authority)
+           for r in hits(edges, iterations=1).collect()}
+    # node 9: pointed at by all three hubs -> top authority (== scale)
+    assert out[9] == (0, S)
+    # node 8: one in-edge of three -> a third of the max, integer div
+    assert out[8] == (0, S // 3)
+    # node 1 points at BOTH authorities -> top hub (== scale)
+    assert out[1][0] == S and out[1][1] == 0
+    # nodes 2 and 3 tie below node 1: raw S*S vs max (S + S//3)
+    expect = S * S // (S + S // 3)
+    assert out[2][0] == out[3][0] == expect < S
+
+
+def test_hits_deterministic_and_integer(spark):
+    from csvweb_spark.operators.graph import hits
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 11) for i in range(40)], "src long, dst long")
+    a = sorted(map(tuple, hits(edges, iterations=3).collect()))
+    b = sorted(map(tuple, hits(edges, iterations=3).collect()))
+    assert a == b
+    assert all(isinstance(h, int) and isinstance(au, int)
+               for _, h, au in a)
+
+
+def test_hits_round_plan_partial_aggregates(spark):
+    # the per-round sums must map-side combine; checkpointing hides the
+    # round plan from the final DF, so pin the round's own shape (the
+    # exact pattern hits() builds: edge join -> groupBy sum)
+    from pyspark.sql import functions as F
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    hubs = edges.select(F.col("src").alias("s")).distinct() \
+        .withColumn("hub", F.lit(1_000_000).cast("long"))
+    a_raw = (edges.withColumnRenamed("src", "s").join(hubs, "s")
+             .groupBy(F.col("dst").alias("node"))
+             .agg(F.sum("hub").alias("raw")))
+    plan = a_raw._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan
+    from csvweb_spark.operators.graph import hits
+    final = hits(edges, iterations=1)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
