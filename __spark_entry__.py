@@ -1770,6 +1770,24 @@ def q_web_warc_roundtrip(spark, sf_dir):
         "url", "warc_ts", F.col("html").cast("string").alias("body"))
 
 
+def q_web_registrable_domain(spark, sf_dir):
+    """Public-suffix (eTLD+1) extraction (round 5, urls.py::
+    registrable_domain): customer-derived hosts cycle through the PSL
+    rule families - exact (.com), multi-label (.co.uk), private-domain
+    (github.io), wildcard (*.ck), exception (!www.ck). Zero-shuffle
+    broadcast-join chain; oracle replays the k%5 arithmetic."""
+    from csvweb_spark.operators.urls import registrable_domain
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    k = F.col("c_custkey")
+    host = (F.when(k % 5 == 0, F.concat(F.lit("www.s"), k, F.lit(".com")))
+            .when(k % 5 == 1, F.concat(F.lit("www.s"), k, F.lit(".co.uk")))
+            .when(k % 5 == 2, F.concat(F.lit("s"), k, F.lit(".github.io")))
+            .when(k % 5 == 3, F.concat(F.lit("a.s"), k, F.lit(".ck")))
+            .otherwise(F.concat(F.lit("x"), k, F.lit(".www.ck"))))
+    return registrable_domain(cust.select(host.alias("host"))) \
+        .select("host", "public_suffix", "registrable_domain")
+
+
 def _nation_link_pages(spark, sf_dir):
     """Shared fixture for the link-graph queries: one HTML page per
     nation (host n{key}.example.org) carrying an absolute link to its
@@ -3138,6 +3156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shacl_validate": q_kg_shacl_validate,
         "kg_void_stats": q_kg_void_stats,
         "web_warc_roundtrip": q_web_warc_roundtrip,
+        "web_registrable_domain": q_web_registrable_domain,
         "quality_gopher": q_quality_gopher,
         "tfidf_topk": q_tfidf_topk,
         "web_link_hosts": q_web_link_hosts,
@@ -4798,6 +4817,27 @@ def _oracle_sql_literal() -> dict[str, str]:
                    COUNT(DISTINCT subj)::BIGINT,
                    COUNT(DISTINCT obj)::BIGINT
             FROM t
+        """,
+        "web_registrable_domain": """
+            SELECT CASE c_custkey % 5
+                     WHEN 0 THEN 'www.s' || c_custkey || '.com'
+                     WHEN 1 THEN 'www.s' || c_custkey || '.co.uk'
+                     WHEN 2 THEN 's' || c_custkey || '.github.io'
+                     WHEN 3 THEN 'a.s' || c_custkey || '.ck'
+                     ELSE 'x' || c_custkey || '.www.ck' END AS host,
+                   CASE c_custkey % 5
+                     WHEN 0 THEN 'com'
+                     WHEN 1 THEN 'co.uk'
+                     WHEN 2 THEN 'github.io'
+                     WHEN 3 THEN 's' || c_custkey || '.ck'
+                     ELSE 'ck' END AS public_suffix,
+                   CASE c_custkey % 5
+                     WHEN 0 THEN 's' || c_custkey || '.com'
+                     WHEN 1 THEN 's' || c_custkey || '.co.uk'
+                     WHEN 2 THEN 's' || c_custkey || '.github.io'
+                     WHEN 3 THEN 'a.s' || c_custkey || '.ck'
+                     ELSE 'www.ck' END AS registrable_domain
+            FROM customer WHERE c_custkey < 500
         """,
         "web_warc_roundtrip": """
             SELECT 'http://h' || c_nationkey || '.example.org/c/'

@@ -117,3 +117,101 @@ def dedup_urls(df: DataFrame, url_col: str = "url",
             .agg(F.min(key_col).alias("keeper"),
                  F.count(F.lit(1)).alias("n_variants"),
                  F.countDistinct("_raw").alias("n_distinct_raw")))
+
+
+# ---------------------------------------------------------------------------
+# Public-suffix / registrable-domain extraction (eTLD+1)
+# ---------------------------------------------------------------------------
+
+#: A deterministic test/default subset of the Mozilla Public Suffix List
+#: (publicsuffix.org, MPL-2.0 data; the full list is ~9k rules - pass its
+#: text to `parse_psl` in production). Includes the PSL's canonical
+#: wildcard/exception pair (*.ck / !www.ck).
+DEFAULT_PSL_RULES = [
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "de", "fr",
+    "jp", "uk", "au", "nz", "br",
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "net.br",
+    "github.io", "gitlab.io",      # private-domain section entries
+    "*.ck", "!www.ck",
+]
+
+
+def parse_psl(text: str) -> list[str]:
+    """publicsuffix.org list text -> rule list for registrable_domain:
+    comments (//...) and blank lines dropped, rules kept verbatim
+    (including '*.' wildcards and '!' exceptions); the ICANN/PRIVATE
+    section markers are comments, so both sections are kept - PSL
+    semantics treat them identically."""
+    rules = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("//"):
+            continue
+        rules.append(line.split()[0])
+    return rules
+
+
+def registrable_domain(df: DataFrame, host_col: str = "host",
+                       rules: list[str] | None = None,
+                       max_suffix_labels: int = 5) -> DataFrame:
+    """Adds (public_suffix, registrable_domain) columns: the PSL
+    algorithm (publicsuffix.org/list/) - prevailing rule is any
+    matching exception (public suffix = rule minus leftmost label),
+    else the match with most labels (wildcard '*.x' matches one extra
+    label), else the implicit '*' rule (last label). registrable_domain
+    (eTLD+1) is the suffix plus one label, NULL when the host IS a
+    public suffix.
+
+    Scale shape: ZERO shuffle. PSL rules have bounded depth, so instead
+    of explode + groupBy(host) the host's candidate label-suffixes join
+    the (tiny, broadcast) rule table once per candidate depth - a fixed
+    chain of `max_suffix_labels` BROADCAST left joins over the scan,
+    then one CASE projection. At 10^12 rows the plan is
+    scan -> 5x BroadcastHashJoin -> project."""
+    spark = df.sparkSession
+    rule_rows = []
+    for r in (DEFAULT_PSL_RULES if rules is None else rules):
+        if r.startswith("!"):
+            rule_rows.append((r[1:], "exception"))
+        elif r.startswith("*."):
+            rule_rows.append((r[2:], "wildcard"))
+        else:
+            rule_rows.append((r, "exact"))
+    rules_df = spark.createDataFrame(rule_rows, "rule string, kind string")
+
+    labels = F.split(F.lower(F.col(host_col)), r"\.")
+    n = F.size(labels)
+    out = df.withColumn("_labels", labels)
+    hit_cols = []
+    for i in range(1, max_suffix_labels + 1):
+        cand = F.when(n >= i, F.array_join(
+            F.slice(F.col("_labels"), -i, i), "."))
+        ri = rules_df.select(F.col("rule").alias(f"_r{i}"),
+                             F.col("kind").alias(f"_k{i}"))
+        out = (out.withColumn(f"_c{i}", cand)
+               .join(F.broadcast(ri), F.col(f"_c{i}") == F.col(f"_r{i}"),
+                     "left"))
+        hit_cols.append(i)
+    # prevailing exception (PSL: exception beats everything)
+    exc_len = F.greatest(*[
+        F.when(F.col(f"_k{i}") == "exception", F.lit(i))
+        for i in hit_cols])
+    best = F.greatest(*(
+        [F.when(F.col(f"_k{i}") == "exact", F.lit(i)) for i in hit_cols]
+        + [F.when(F.col(f"_k{i}") == "wildcard", F.lit(i + 1))
+           for i in hit_cols]
+        + [F.lit(1)]))
+    pub_len = F.when(exc_len.isNotNull(), exc_len - 1).otherwise(best)
+    suffix = F.when(n >= pub_len, F.array_join(
+        F.slice(F.col("_labels"), -pub_len, pub_len), "."))
+    reg = F.when(n > pub_len, F.array_join(
+        F.slice(F.col("_labels"),
+                (-pub_len - 1).cast("int"), pub_len + 1), "."))
+    drop = (["_labels"] + [f"_c{i}" for i in hit_cols]
+            + [f"_r{i}" for i in hit_cols] + [f"_k{i}" for i in hit_cols])
+    return (out.withColumn("public_suffix", suffix)
+            .withColumn("registrable_domain", reg)
+            .drop(*drop))

@@ -244,3 +244,52 @@ def test_hreflang_attr_order_insensitive(spark):
     rows = hreflang_links(df).collect()
     assert [(r["hreflang"], r["href"]) for r in rows] == \
         [("de", "http://a.org/de")]
+
+
+# ----------------------------------------- public suffix / eTLD+1
+
+def test_registrable_domain_psl_algorithm(spark):
+    from csvweb_spark.operators.urls import registrable_domain
+    hosts = ["www.example.com", "example.co.uk", "a.b.example.co.uk",
+             "foo.github.io", "github.io", "example.ck", "www.ck",
+             "foo.www.ck", "b.example.ck", "localhost", "EXAMPLE.COM"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {r.host: (r.public_suffix, r.registrable_domain)
+           for r in registrable_domain(df).collect()}
+    assert got["www.example.com"] == ("com", "example.com")
+    assert got["example.co.uk"] == ("co.uk", "example.co.uk")
+    assert got["a.b.example.co.uk"] == ("co.uk", "example.co.uk")
+    # private-domain rule: github.io is itself a suffix
+    assert got["foo.github.io"] == ("github.io", "foo.github.io")
+    assert got["github.io"] == ("github.io", None)
+    # wildcard *.ck: every 2-label .ck host is a suffix
+    assert got["example.ck"] == ("example.ck", None)
+    assert got["b.example.ck"] == ("example.ck", "b.example.ck")
+    # exception !www.ck beats the wildcard
+    assert got["www.ck"] == ("ck", "www.ck")
+    assert got["foo.www.ck"] == ("ck", "www.ck")
+    # implicit '*' rule + a host that IS its own suffix
+    assert got["localhost"] == ("localhost", None)
+    # case-insensitive
+    assert got["EXAMPLE.COM"] == ("com", "example.com")
+
+
+def test_registrable_domain_parse_psl_and_plan(spark):
+    from csvweb_spark.operators.urls import parse_psl, registrable_domain
+    rules = parse_psl("""
+// ===BEGIN ICANN DOMAINS===
+com
+// a comment
+co.uk
+
+*.ck
+!www.ck
+""")
+    assert rules == ["com", "co.uk", "*.ck", "!www.ck"]
+    df = spark.createDataFrame([("x.example.com",)], "host string")
+    out = registrable_domain(df, rules=rules)
+    assert out.collect()[0].registrable_domain == "example.com"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # zero shuffle: fixed chain of broadcast joins over the scan
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
