@@ -1788,6 +1788,19 @@ def q_web_registrable_domain(spark, sf_dir):
         .select("host", "public_suffix", "registrable_domain")
 
 
+def q_text_collocations(spark, sf_dir):
+    """Corpus collocation mining (round 5, text.py::collocations) over
+    the real documents table: adjacent lowercased-whitespace bigrams
+    with multiplicity, pruned below 2 occurrences BEFORE the unigram
+    joins. Integer count columns only (pmi is a deterministic function
+    of them; floats stay out of the hash gate). Oracle: DuckDB lateral
+    range over the same token arrays."""
+    from csvweb_spark.operators.text import collocations
+    docs = _load(spark, sf_dir, "documents")
+    return collocations(docs, min_pair_count=2) \
+        .select("w1", "w2", "n_pair", "n_w1", "n_w2")
+
+
 def _nation_link_pages(spark, sf_dir):
     """Shared fixture for the link-graph queries: one HTML page per
     nation (host n{key}.example.org) carrying an absolute link to its
@@ -3157,6 +3170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_void_stats": q_kg_void_stats,
         "web_warc_roundtrip": q_web_warc_roundtrip,
         "web_registrable_domain": q_web_registrable_domain,
+        "text_collocations": q_text_collocations,
         "quality_gopher": q_quality_gopher,
         "tfidf_topk": q_tfidf_topk,
         "web_link_hosts": q_web_link_hosts,
@@ -4817,6 +4831,31 @@ def _oracle_sql_literal() -> dict[str, str]:
                    COUNT(DISTINCT subj)::BIGINT,
                    COUNT(DISTINCT obj)::BIGINT
             FROM t
+        """,
+        "text_collocations": """
+            WITH t AS (
+                SELECT CASE WHEN regexp_replace(lower(text),
+                                '^\\s+|\\s+$', '', 'g') = ''
+                       THEN []::VARCHAR[]
+                       ELSE string_split_regex(
+                           regexp_replace(lower(text),
+                               '^\\s+|\\s+$', '', 'g'), '\\s+')
+                       END AS toks
+                FROM documents),
+            bi AS (
+                SELECT toks[i] AS w1, toks[i + 1] AS w2
+                FROM t, LATERAL (SELECT unnest(range(1, len(toks)))
+                                 AS i) r),
+            pc AS (
+                SELECT w1, w2, count(*)::BIGINT AS n_pair
+                FROM bi GROUP BY w1, w2 HAVING count(*) >= 2),
+            uni AS (
+                SELECT w, count(*)::BIGINT AS n
+                FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w)
+            SELECT pc.w1, pc.w2, pc.n_pair, u1.n AS n_w1, u2.n AS n_w2
+            FROM pc
+            JOIN uni u1 ON u1.w = pc.w1
+            JOIN uni u2 ON u2.w = pc.w2
         """,
         "web_registrable_domain": """
             SELECT CASE c_custkey % 5

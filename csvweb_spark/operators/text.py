@@ -634,3 +634,61 @@ def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text",
             .filter(F.col("rnk") <= k)
             .select(key_col, "term", "tf", "df_t", "tfidf_ppm",
                     F.col("rnk").cast("long").alias("rnk")))
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining (adjacent-bigram association over the corpus)
+# ---------------------------------------------------------------------------
+
+def collocations(df: DataFrame, text_col: str = "text",
+                 min_pair_count: int = 2) -> DataFrame:
+    """Corpus-wide adjacent-bigram collocation table: (w1, w2, n_pair,
+    n_w1, n_w2, pmi) - the phrase-mining primitive (multi-word entity
+    names like 'new york' surface as high-PMI pairs before any
+    dictionary exists, feeding the alias table the linker scores
+    against).
+
+    Tokens are lowercased whitespace tokens (`whitespace_tokens`);
+    bigrams are ADJACENT pairs within a document, counted with
+    multiplicity; unigram counts share the same tokenization. PMI =
+    ln(n_pair * N_uni^2 / (N_pair * n_w1 * n_w2)) with N_* the corpus
+    totals - the count columns are integer-exact (oracle-checkable);
+    pmi is a deterministic function of them (FLOAT, compare
+    approximately).
+
+    Scale shape: one explode of per-doc bigram arrays -> one
+    map-side-combinable count groupBy; unigram counts the same; the
+    final joins key on single words (Zipf-skewed - AQE skew-join
+    handles the 'the' reducer; min_pair_count prunes the long tail
+    BEFORE the joins). No Python, no window over the corpus."""
+    toks = F.transform(whitespace_tokens(F.col(text_col)),
+                       lambda t: F.lower(t))
+    pairs_arr = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(F.slice(toks, 1, F.size(toks) - 1),
+                   F.slice(toks, 2, F.size(toks) - 1),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pair_counts = (df.select(F.explode(pairs_arr).alias("p"))
+                   .select("p.w1", "p.w2")
+                   .groupBy("w1", "w2")
+                   .agg(F.count(F.lit(1)).alias("n_pair"))
+                   .where(F.col("n_pair") >= min_pair_count))
+    uni = (df.select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("n")))
+    totals = uni.agg(F.sum("n").alias("_n_uni"))
+    pair_totals = pair_counts.agg(F.sum("n_pair").alias("_n_pairs"))
+    out = (pair_counts
+           .join(uni.select(F.col("w").alias("w1"),
+                            F.col("n").alias("n_w1")), "w1")
+           .join(uni.select(F.col("w").alias("w2"),
+                            F.col("n").alias("n_w2")), "w2")
+           .crossJoin(F.broadcast(totals))
+           .crossJoin(F.broadcast(pair_totals)))
+    pmi = F.log(
+        (F.col("n_pair").cast("double") * F.col("_n_uni")
+         * F.col("_n_uni"))
+        / (F.col("_n_pairs").cast("double") * F.col("n_w1")
+           * F.col("n_w2")))
+    return out.select("w1", "w2", "n_pair", "n_w1", "n_w2",
+                      pmi.alias("pmi"))

@@ -293,3 +293,39 @@ co.uk
     # zero shuffle: fixed chain of broadcast joins over the scan
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+# ------------------------------------------------------- collocations
+
+def test_collocations_counts_and_pmi(spark):
+    import math
+
+    import pytest
+    from csvweb_spark.operators.text import collocations
+    docs = spark.createDataFrame(
+        [("d1", "new york is big"), ("d2", "New York and new jersey"),
+         ("d3", "one"), ("d4", "")],
+        "doc_id string, text string")
+    rows = {(r.w1, r.w2): r for r in
+            collocations(docs, min_pair_count=1).collect()}
+    ny = rows[("new", "york")]
+    # unigrams: new x3, york x2; pairs counted with multiplicity
+    assert (ny.n_pair, ny.n_w1, ny.n_w2) == (2, 3, 2)
+    n_uni = 4 + 5 + 1  # tokens of d1 + d2 + d3
+    n_pairs = sum(r.n_pair for r in rows.values())
+    assert n_pairs == 3 + 4  # adjacent pairs of d1 + d2
+    expect = math.log(2 * n_uni * n_uni / (n_pairs * 3 * 2))
+    assert ny.pmi == pytest.approx(expect)
+    # min_pair_count prunes singleton pairs before the joins
+    pruned = collocations(docs, min_pair_count=2)
+    assert [(r.w1, r.w2) for r in pruned.collect()] == [("new", "york")]
+
+
+def test_collocations_plan_partial_counts_no_python(spark):
+    from csvweb_spark.operators.text import collocations
+    docs = spark.createDataFrame([("d", "a b a b")],
+                                 "doc_id string, text string")
+    plan = collocations(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
