@@ -1801,6 +1801,24 @@ def q_text_collocations(spark, sf_dir):
         .select("w1", "w2", "n_pair", "n_w1", "n_w2")
 
 
+def q_web_wet_roundtrip(spark, sf_dir):
+    """WET sidecar export round-trip (round 5, warc.py::render_wet):
+    the real documents table rendered as WARC conversion records
+    (text-only blocks, Content-Length exact) grouped per source, then
+    re-ingested. Hash-matching the trivially-rebuilt oracle rows
+    receipts byte-exact text preservation through the container."""
+    from csvweb_spark.sources.warc import render_wet, wet_pages
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    pages = docs.select(
+        F.concat(F.lit("http://docs.example.org/"), d).alias("url"),
+        F.make_timestamp(F.lit(2026), F.lit(2), F.lit(1), F.lit(0),
+                         F.lit(0), (d % 60).cast("int")).alias("warc_ts"),
+        "text", "source")
+    segs = render_wet(pages, segment_col="source")
+    return wet_pages(segs)
+
+
 def _nation_link_pages(spark, sf_dir):
     """Shared fixture for the link-graph queries: one HTML page per
     nation (host n{key}.example.org) carrying an absolute link to its
@@ -3171,6 +3189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_warc_roundtrip": q_web_warc_roundtrip,
         "web_registrable_domain": q_web_registrable_domain,
         "text_collocations": q_text_collocations,
+        "web_wet_roundtrip": q_web_wet_roundtrip,
         "quality_gopher": q_quality_gopher,
         "tfidf_topk": q_tfidf_topk,
         "web_link_hosts": q_web_link_hosts,
@@ -4831,6 +4850,13 @@ def _oracle_sql_literal() -> dict[str, str]:
                    COUNT(DISTINCT subj)::BIGINT,
                    COUNT(DISTINCT obj)::BIGINT
             FROM t
+        """,
+        "web_wet_roundtrip": """
+            SELECT 'http://docs.example.org/' || doc_id AS url,
+                   TIMESTAMP '2026-02-01 00:00:00'
+                       + (doc_id % 60) * INTERVAL 1 SECOND AS warc_ts,
+                   text
+            FROM documents
         """,
         "text_collocations": """
             WITH t AS (

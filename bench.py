@@ -595,7 +595,84 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     timed("kg_shortest_paths_10x", lambda: shortest_paths(
         wedges10, sp_seeds10, weight="w", validate_weights=False,
         broadcast_frontier=False).count(), retry_under=0.0)
+    from csvweb_spark.operators.graph import hits as _hits10
+    timed("kg_hits_10x", lambda: _hits10(
+        edges10, iterations=2).count(), retry_under=0.0)
     edges10.unpersist()
+
+    # round-5 additions: SHACL/VoID over a customer-proportional KG
+    # (4 triples per customer - these SCALE with sf, unlike the
+    # driver queries' bounded oracle fixtures), HITS on the shared
+    # graphs, WARC sink round-trip, eTLD+1, collocations
+    from csvweb_spark.operators.graph import hits
+    from csvweb_spark.operators.shacl import (RDF_TYPE as _RT,
+                                              validate_shapes)
+    from csvweb_spark.operators.text import collocations
+    from csvweb_spark.operators.urls import registrable_domain
+    from csvweb_spark.operators.void_stats import predicate_partitions
+    from csvweb_spark.sources.warc import render_warc, warc_pages
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    _k = F.col("c_custkey")
+    _xsd = "http://www.w3.org/2001/XMLSchema#"
+    _no = F.lit(None).cast("string")
+
+    def _t(df, s, p, o, kind, dt=_no):
+        return df.select(s.alias("subj"), F.lit(p).alias("pred"),
+                         o.alias("obj"), F.lit(kind).alias("obj_kind"),
+                         dt.alias("obj_datatype"))
+
+    _s = F.concat(F.lit("ex:C"), _k)
+    bench_kg = (
+        _t(cust, _s, _RT, F.lit("ex:Customer"), "iri")
+        .unionByName(_t(cust, _s, "ex:name", F.col("c_name"), "literal",
+                        F.lit(_xsd + "string")))
+        .unionByName(_t(cust, _s, "ex:nation",
+                        F.concat(F.lit("ex:N"), F.col("c_nationkey")),
+                        "iri"))
+        .unionByName(_t(cust, _s, "ex:bal",
+                        F.col("c_acctbal").cast("string"), "literal",
+                        F.lit(_xsd + "decimal")))
+        .unionByName(_t(cust.select("c_nationkey").distinct()
+                        .filter(F.col("c_nationkey") < 20),
+                        F.concat(F.lit("ex:N"), F.col("c_nationkey")),
+                        _RT, F.lit("ex:Nation"), "iri"))).persist()
+    extras["bench_kg_triples"] = bench_kg.count()  # synthesis excluded
+    _shapes = [{"shape": "ex:CustomerShape", "target_class": "ex:Customer",
+                "properties": [
+                    {"path": "ex:name", "min_count": 1, "max_count": 1,
+                     "datatype": _xsd + "string"},
+                    {"path": "ex:nation", "class": "ex:Nation"},
+                    {"path": "ex:bal", "min_inclusive": 0,
+                     "max_inclusive": 9000}]}]
+    timed("kg_shacl_validate", lambda: validate_shapes(
+        bench_kg, _shapes).count())
+    timed("kg_void_stats", lambda: predicate_partitions(bench_kg).count())
+    bench_kg.unpersist()
+
+    timed("kg_hits", lambda: hits(edges_khop, iterations=2).count())
+
+    warc_in = cust.select(
+        F.concat(F.lit("http://h"), F.col("c_nationkey"),
+                 F.lit(".example.org/c/"), _k).alias("url"),
+        F.make_timestamp(F.lit(2026), F.lit(2), F.lit(1), F.lit(0),
+                         F.lit(0), (_k % 60).cast("int")).alias("warc_ts"),
+        F.concat(F.lit("<html><body><p>Customer "), F.col("c_name"),
+                 F.lit("</p></body></html>")).cast("binary").alias("html"))
+    timed("web_warc_roundtrip", lambda: warc_pages(
+        render_warc(warc_in), ok_only=False).count())
+
+    hosts_in = cust.select(
+        (F.when(_k % 5 == 0, F.concat(F.lit("www.s"), _k, F.lit(".com")))
+         .when(_k % 5 == 1, F.concat(F.lit("www.s"), _k, F.lit(".co.uk")))
+         .when(_k % 5 == 2, F.concat(F.lit("s"), _k, F.lit(".github.io")))
+         .when(_k % 5 == 3, F.concat(F.lit("a.s"), _k, F.lit(".ck")))
+         .otherwise(F.concat(F.lit("x"), _k, F.lit(".www.ck"))))
+        .alias("host"))
+    timed("web_registrable_domain", lambda: registrable_domain(
+        hosts_in).count())
+
+    timed("text_collocations", lambda: collocations(
+        docs, min_pair_count=2).count())
 
     # relational: TPC-H-ish Q1
     dec = lambda c: F.col(c).cast("decimal(18,4)")

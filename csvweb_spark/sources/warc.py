@@ -111,7 +111,8 @@ def parse_warc_bytes(segment_id: str, blob: bytes) -> list[tuple]:
                 ctype = hh.get("content-type")
                 location = hh.get("location")
                 payload = body[http_end + 4:]
-        elif wtype == "response":
+        elif wtype in ("response", "conversion"):
+            # conversion records (WET) carry the raw block as payload
             payload = body
         out.append((segment_id, ix, wtype, url, ts, status, ctype,
                     location, payload, None))
@@ -200,6 +201,104 @@ def _render_record(url: str, ts: str, body: bytes, status: int,
     return hdr + http + b"\r\n\r\n"
 
 
+def _render_conversion_record(url: str, ts: str, body: bytes) -> bytes:
+    """One WARC/1.0 conversion record (the WET layout Common Crawl
+    derives: extracted text as the raw block, no HTTP message).
+    Deterministic content-address record ID like _render_record."""
+    import hashlib
+    rid = hashlib.sha256(
+        url.encode() + b"\x1f" + ts.encode() + b"\x1f" + body).hexdigest()
+    hdr = (f"WARC/1.0\r\n"
+           f"WARC-Type: conversion\r\n"
+           f"WARC-Record-ID: <urn:sha256:{rid}>\r\n"
+           f"WARC-Date: {ts}\r\n"
+           f"WARC-Target-URI: {url}\r\n"
+           f"Content-Type: text/plain\r\n"
+           f"Content-Length: {len(body)}\r\n\r\n").encode()
+    return hdr + body + b"\r\n\r\n"
+
+
+def render_wet(pages: DataFrame, url_col: str = "url",
+               ts_col: str = "warc_ts", text_col: str = "text",
+               segment_col: str | None = None) -> DataFrame:
+    """Pages -> WET segments (segment_id, blob, n_records): one WARC
+    *conversion* record per page whose block is the UTF-8 extracted
+    text - the text-only sidecar format Common Crawl publishes next to
+    its response archives. Same segmenting contract as `render_warc`
+    (partition mode = shuffle-free). Round-trips through `parse_warc`
+    (conversion payloads are the raw block) / `wet_pages`."""
+    with_bytes = pages.withColumn(
+        "_wet_body", F.col(text_col).cast("binary"))
+    return _render_segments(
+        with_bytes, url_col, ts_col, "_wet_body", segment_col,
+        _render_conversion_record)
+
+
+def wet_pages(segments: DataFrame, id_col: str = "segment_id",
+              blob_col: str = "blob") -> DataFrame:
+    """(url, warc_ts, text) back out of WET segments: conversion
+    records' blocks decoded as UTF-8."""
+    recs = parse_warc(segments, id_col, blob_col) \
+        .where(F.col("warc_type") == "conversion")
+    return recs.select("url", "warc_ts",
+                       F.col("payload").cast("string").alias("text"))
+
+
+def _render_segments(pages: DataFrame, url_col: str, ts_col: str,
+                     body_col: str, segment_col: str | None,
+                     make_record) -> DataFrame:
+    """Shared segment assembly for render_warc / render_wet: partition
+    mode (shuffle-free, segment id = partition ordinal) or explicit
+    `segment_col` grouping (url-sorted deterministic blobs)."""
+
+    def _blob(sid: str, rows) -> tuple:
+        parts, n = [], 0
+        for url, ts, body in rows:
+            if url is None or ts is None:
+                continue
+            parts.append(make_record(
+                url, ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                b"" if body is None else bytes(body)))
+            n += 1
+        return sid, b"".join(parts), n
+
+    out_schema = "segment_id string, blob binary, n_records long"
+    if segment_col is None:
+        src = pages.select(
+            F.spark_partition_id().cast("string").alias("_sid"),
+            F.col(url_col).alias("_url"), F.col(ts_col).alias("_ts"),
+            F.col(body_col).alias("_body"))
+
+        def per_partition(batches: Iterator[pd.DataFrame]
+                          ) -> Iterator[pd.DataFrame]:
+            acc: list[tuple] = []
+            sid = None
+            for pdf in batches:
+                if len(pdf) and sid is None:
+                    sid = str(pdf["_sid"].iloc[0])
+                acc.extend(zip(pdf["_url"], pdf["_ts"], pdf["_body"]))
+            if sid is None:
+                return
+            yield pd.DataFrame([_blob(sid, acc)],
+                               columns=["segment_id", "blob", "n_records"])
+
+        return src.mapInPandas(per_partition, out_schema)
+
+    src = pages.select(
+        F.col(segment_col).cast("string").alias("_sid"),
+        F.col(url_col).alias("_url"), F.col(ts_col).alias("_ts"),
+        F.col(body_col).alias("_body"))
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_url")
+        row = _blob(str(pdf["_sid"].iloc[0]),
+                    zip(pdf["_url"], pdf["_ts"], pdf["_body"]))
+        return pd.DataFrame([row],
+                            columns=["segment_id", "blob", "n_records"])
+
+    return src.groupBy("_sid").applyInPandas(per_group, out_schema)
+
+
 def render_warc(pages: DataFrame, url_col: str = "url",
                 ts_col: str = "warc_ts", html_col: str = "html",
                 segment_col: str | None = None,
@@ -219,55 +318,14 @@ def render_warc(pages: DataFrame, url_col: str = "url",
     deterministic), concatenated."""
     import gzip as _gzip
 
-    def _blob(sid: str, rows) -> tuple:
-        parts, n = [], 0
-        for url, ts, body in rows:
-            if url is None or ts is None:
-                continue
-            rec = _render_record(
-                url, ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
-                b"" if body is None else bytes(body), status, content_type)
-            if gzip_members:
-                buf = io.BytesIO()
-                with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
-                    g.write(rec)
-                rec = buf.getvalue()
-            parts.append(rec)
-            n += 1
-        return sid, b"".join(parts), n
+    def make_record(url: str, ts: str, body: bytes) -> bytes:
+        rec = _render_record(url, ts, body, status, content_type)
+        if gzip_members:
+            buf = io.BytesIO()
+            with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                g.write(rec)
+            rec = buf.getvalue()
+        return rec
 
-    out_schema = "segment_id string, blob binary, n_records long"
-    if segment_col is None:
-        src = pages.select(
-            F.spark_partition_id().cast("string").alias("_sid"),
-            F.col(url_col).alias("_url"), F.col(ts_col).alias("_ts"),
-            F.col(html_col).alias("_html"))
-
-        def per_partition(batches: Iterator[pd.DataFrame]
-                          ) -> Iterator[pd.DataFrame]:
-            acc: list[tuple] = []
-            sid = None
-            for pdf in batches:
-                if len(pdf) and sid is None:
-                    sid = str(pdf["_sid"].iloc[0])
-                acc.extend(zip(pdf["_url"], pdf["_ts"], pdf["_html"]))
-            if sid is None:
-                return
-            yield pd.DataFrame([_blob(sid, acc)],
-                               columns=["segment_id", "blob", "n_records"])
-
-        return src.mapInPandas(per_partition, out_schema)
-
-    src = pages.select(
-        F.col(segment_col).cast("string").alias("_sid"),
-        F.col(url_col).alias("_url"), F.col(ts_col).alias("_ts"),
-        F.col(html_col).alias("_html"))
-
-    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_url")
-        row = _blob(str(pdf["_sid"].iloc[0]),
-                    zip(pdf["_url"], pdf["_ts"], pdf["_html"]))
-        return pd.DataFrame([row],
-                            columns=["segment_id", "blob", "n_records"])
-
-    return src.groupBy("_sid").applyInPandas(per_group, out_schema)
+    return _render_segments(pages, url_col, ts_col, html_col,
+                            segment_col, make_record)

@@ -174,3 +174,24 @@ def test_render_warc_partition_mode_shuffle_free(spark):
     assert sum(r.n_records for r in rows) == 3
     back = warc_pages(segs, ok_only=False)
     assert back.count() == 3
+
+
+def test_render_wet_roundtrip(spark):
+    import datetime as dt
+    from csvweb_spark.sources.warc import render_wet, wet_pages
+    rows = [("http://a.example.org/1", dt.datetime(2026, 2, 1), "héllo", "a"),
+            ("http://a.example.org/2", dt.datetime(2026, 2, 1),
+             "text with WARC/1.0 inline\nand a newline", "a")]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, host string")
+    segs = render_wet(pages, segment_col="host")
+    s = segs.collect()
+    assert len(s) == 1 and s[0].n_records == 2
+    assert b"WARC-Type: conversion" in bytes(s[0].blob)
+    back = {(r.url, r.text) for r in wet_pages(segs).collect()}
+    assert back == {(u, t) for u, t, in
+                    ((r[0], r[2]) for r in rows)}
+    # partition mode is shuffle-free here too
+    plan = render_wet(pages)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
