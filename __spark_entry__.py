@@ -2687,6 +2687,36 @@ def q_sparql_text(spark, sf_dir):
     return out.select("c", "n", "v")
 
 
+def q_sparql_builtins(spark, sf_dir):
+    """Round-5 SPARQL value builtins (ABS/ROUND/FLOOR/CEIL with the
+    xpath toward-+inf tie rule, IF over a boolean condition,
+    STRBEFORE/STRAFTER): customers < 400 store a signed half-integer
+    balance literal and a 'seg:NAME' tag; the oracle replays each
+    builtin in SQL (floor(x+0.5) IS the xpath ROUND)."""
+    from csvweb_spark.operators.sparql import sparql_select
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    k = F.col("c_custkey")
+    iri = F.concat(F.lit("ex:C"), k)
+    val = (F.when(k % 2 == 0, (k - 200).cast("double") + 0.5)
+           .otherwise((200 - k).cast("double"))).cast("string")
+    t = (cust.select(iri.alias("subj"), F.lit("ex:bal").alias("pred"),
+                     val.alias("obj"))
+         .unionByName(cust.select(
+             iri.alias("subj"), F.lit("ex:seg").alias("pred"),
+             F.concat(F.lit("seg:"), F.col("c_mktsegment")).alias("obj"))))
+    out = sparql_select(t, """
+      PREFIX e: <ex:>
+      SELECT ?c (ABS(?v) AS ?absv) (ROUND(?v) AS ?roundv)
+             (FLOOR(?v) AS ?floorv) (CEIL(?v) AS ?ceilv)
+             (IF(?v < 0, "neg", "nonneg") AS ?sign)
+             (STRAFTER(?seg, ":") AS ?market)
+             (STRBEFORE(?seg, ":") AS ?scheme)
+      WHERE { ?c e:bal ?v . ?c e:seg ?seg }
+    """)
+    return out.select("c", "absv", "roundv", "floorv", "ceilv",
+                      "sign", "market", "scheme")
+
+
 def q_sparql_analytics(spark, sf_dir):
     """SPARQL analytics constructs (operators/sparql.py): BIND +
     value-expression arithmetic in FILTER, GROUP BY with
@@ -3190,6 +3220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_registrable_domain": q_web_registrable_domain,
         "text_collocations": q_text_collocations,
         "web_wet_roundtrip": q_web_wet_roundtrip,
+        "sparql_builtins": q_sparql_builtins,
         "quality_gopher": q_quality_gopher,
         "tfidf_topk": q_tfidf_topk,
         "web_link_hosts": q_web_link_hosts,
@@ -4850,6 +4881,24 @@ def _oracle_sql_literal() -> dict[str, str]:
                    COUNT(DISTINCT subj)::BIGINT,
                    COUNT(DISTINCT obj)::BIGINT
             FROM t
+        """,
+        "sparql_builtins": """
+            WITH c AS (
+                SELECT 'ex:C' || c_custkey AS c,
+                       CASE WHEN c_custkey % 2 = 0
+                            THEN (c_custkey - 200)::DOUBLE + 0.5
+                            ELSE (200 - c_custkey)::DOUBLE END AS v,
+                       c_mktsegment AS seg
+                FROM customer WHERE c_custkey < 400)
+            SELECT c,
+                   abs(v)::VARCHAR AS absv,
+                   floor(v + 0.5)::BIGINT::VARCHAR AS roundv,
+                   floor(v)::BIGINT::VARCHAR AS floorv,
+                   ceil(v)::BIGINT::VARCHAR AS ceilv,
+                   CASE WHEN v < 0 THEN 'neg' ELSE 'nonneg' END AS sign,
+                   seg AS market,
+                   'seg' AS scheme
+            FROM c
         """,
         "web_wet_roundtrip": """
             SELECT 'http://docs.example.org/' || doc_id AS url,

@@ -116,12 +116,15 @@ _KEYWORDS = {"PREFIX", "SELECT", "ASK", "CONSTRUCT", "DESCRIBE",
              "OFFSET", "AS", "COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE",
              "GROUP_CONCAT", "SEPARATOR", "REGEX", "BOUND", "CONTAINS",
              "STRSTARTS", "STRENDS", "STRLEN", "CONCAT", "STR", "UCASE",
-             "LCASE", "SUBSTR", "REPLACE", "COALESCE", "TRUE", "FALSE"}
+             "LCASE", "SUBSTR", "REPLACE", "COALESCE", "TRUE", "FALSE",
+             "ABS", "CEIL", "FLOOR", "ROUND", "IF",
+             "STRBEFORE", "STRAFTER"}
 
 _AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT"}
 
 _VALUE_FNS = {"CONCAT", "STR", "UCASE", "LCASE", "SUBSTR", "REPLACE",
-              "COALESCE", "STRLEN"}
+              "COALESCE", "STRLEN", "ABS", "CEIL", "FLOOR", "ROUND",
+              "IF", "STRBEFORE", "STRAFTER"}
 
 
 class SparqlSyntaxError(ValueError):
@@ -415,6 +418,17 @@ class _Parser:
     def _value_fn(self, name: str):
         """Value builtin call, 'NAME' already consumed, at '('."""
         self.expect("op", "(")
+        if name == "IF":
+            # arg 1 is a BOOLEAN expression (the FILTER grammar), args
+            # 2/3 are value expressions - SPARQL 17.4.1.2
+            cond = self.expr()
+            self.expect("op", ",")
+            then_arg = self._expr_additive()
+            self.expect("op", ",")
+            else_arg = self._expr_additive()
+            self.expect("op", ")")
+            return ("col", F.when(cond(), self._as_str(*then_arg))
+                    .otherwise(self._as_str(*else_arg)))
         args: list = []
         if not self.at("op", ")"):
             args.append(self._expr_additive())
@@ -469,7 +483,46 @@ class _Parser:
                         "literals")
             return ("col", F.regexp_replace(self._as_str(*args[0]),
                                             args[1][1], args[2][1]))
+        if name == "ABS":
+            arity(1)
+            return ("number_col", F.abs(self._as_num(*args[0])))
+        if name == "CEIL":
+            arity(1)
+            return ("number_col", F.ceil(self._as_num(*args[0])))
+        if name == "FLOOR":
+            arity(1)
+            return ("number_col", F.floor(self._as_num(*args[0])))
+        if name == "ROUND":
+            # xpath numeric-round: ties go toward +infinity (ROUND(-2.5)
+            # = -2), which floor(x + 0.5) computes exactly - Spark's
+            # F.round is HALF_UP away from zero and would disagree on
+            # negative ties
+            arity(1)
+            return ("number_col",
+                    F.floor(self._as_num(*args[0]) + F.lit(0.5)))
+        if name == "STRBEFORE":
+            arity(2)
+            return ("col", self._str_cut(args, before=True))
+        if name == "STRAFTER":
+            arity(2)
+            return ("col", self._str_cut(args, before=False))
         raise SparqlSyntaxError(f"unknown value function {name}")
+
+    def _str_cut(self, args, before: bool) -> Column:
+        """STRBEFORE/STRAFTER: the part of arg1 before/after the FIRST
+        occurrence of arg2 (a string literal), '' when absent - SPARQL
+        17.4.3.7/.8 (the simple-literal case this engine stores)."""
+        if args[1][0] != "string":
+            raise SparqlSyntaxError(
+                "STRBEFORE/STRAFTER separator must be a string literal")
+        s = self._as_str(*args[0])
+        sep = args[1][1]
+        pos = F.locate(sep, s)
+        if before:
+            return F.when(pos > 0, s.substr(F.lit(1), pos - 1)) \
+                .otherwise(F.lit(""))
+        return F.when(pos > 0, s.substr(pos + len(sep), F.length(s))) \
+            .otherwise(F.lit(""))
 
     # ---- aggregates (projection + HAVING) ----
     def aggregate(self, fn: str):

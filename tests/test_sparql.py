@@ -731,3 +731,48 @@ def test_update_rejections():
         _parse_update('CLEAR GRAPH <g>')
     with pytest.raises(SparqlSyntaxError, match="';'"):
         _parse_update('INSERT DATA { <a> <p> "x" } garbage')
+
+
+# ------------------------------------------- round-5 value builtins
+
+def test_numeric_builtins_abs_round_floor_ceil(spark):
+    from csvweb_spark.operators.sparql import sparql_select
+    t = spark.createDataFrame(
+        [("a", "ex:v", "-2.5"), ("b", "ex:v", "2.5"), ("c", "ex:v", "7")],
+        "subj string, pred string, obj string")
+    out = {r.s: (r.a, r.r, r.f, r.c) for r in sparql_select(t, """
+        SELECT ?s (ABS(?v) AS ?a) (ROUND(?v) AS ?r)
+               (FLOOR(?v) AS ?f) (CEIL(?v) AS ?c)
+        WHERE { ?s <ex:v> ?v }""").collect()}
+    assert out["a"] == ("2.5", "-2", "-3", "-2")  # xpath tie: toward +inf
+    assert out["b"] == ("2.5", "3", "2", "3")
+    assert out["c"] == ("7.0", "7", "7", "7")
+
+
+def test_if_strbefore_strafter(spark):
+    from csvweb_spark.operators.sparql import sparql_select
+    t = spark.createDataFrame(
+        [("a", "ex:v", "5"), ("b", "ex:v", "-3"),
+         ("a", "ex:tag", "lang:en"), ("b", "ex:tag", "plain")],
+        "subj string, pred string, obj string")
+    out = {r.s: (r.sign, r.pre, r.post) for r in sparql_select(t, """
+        SELECT ?s (IF(?v > 0, "pos", "neg") AS ?sign)
+               (STRBEFORE(?tag, ":") AS ?pre)
+               (STRAFTER(?tag, ":") AS ?post)
+        WHERE { ?s <ex:v> ?v . ?s <ex:tag> ?tag }""").collect()}
+    assert out["a"] == ("pos", "lang", "en")
+    assert out["b"] == ("neg", "", "")  # separator absent -> ''
+
+
+def test_strbefore_empty_separator_and_errors(spark):
+    from csvweb_spark.operators.sparql import (SparqlSyntaxError,
+                                               sparql_select)
+    t = spark.createDataFrame([("a", "ex:v", "abc")],
+                              "subj string, pred string, obj string")
+    row = sparql_select(t, """
+        SELECT (STRBEFORE(?v, "") AS ?b) (STRAFTER(?v, "") AS ?af)
+        WHERE { ?s <ex:v> ?v }""").collect()[0]
+    assert (row.b, row.af) == ("", "abc")  # spec: empty-pattern cases
+    with pytest.raises(SparqlSyntaxError, match="string literal"):
+        sparql_select(t, """SELECT (STRBEFORE(?v, ?v) AS ?b)
+                            WHERE { ?s <ex:v> ?v }""").collect()
