@@ -1659,15 +1659,17 @@ def q_web_meta_robots(spark, sf_dir):
     return out
 
 
-def _defect_kg_triples(spark, sf_dir):
+def _defect_kg_triples(spark, sf_dir, lo=0, hi=600, type_nations=True):
     """Shared KG fixture for the validation/statistics queries:
-    customers < 600 as ex:Customer nodes with arithmetic-planted
+    customers in [lo, hi) as ex:Customer nodes with arithmetic-planted
     defects - k%7==0 carries a second name, k%13==0 (and not %7) none,
     nations >= 20 stay untyped, balances keep their sign, k%11==0
-    phones get an 'X' prefix."""
+    phones get an 'X' prefix. `type_nations=False` drops the nation
+    typing triples (so a delta batch never re-asserts base rows)."""
     from csvweb_spark.operators.shacl import RDF_TYPE
     XSD = "http://www.w3.org/2001/XMLSchema#"
-    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 600)
+    cust = _load(spark, sf_dir, "customer").filter(
+        (F.col("c_custkey") >= lo) & (F.col("c_custkey") < hi))
     k = F.col("c_custkey")
     subj = F.concat(F.lit("ex:C"), k)
     no_dt = F.lit(None).cast("string")
@@ -1688,16 +1690,18 @@ def _defect_kg_triples(spark, sf_dir):
                F.lit(XSD + "string")),
         triple(cust, subj, "ex:nation",
                F.concat(F.lit("ex:N"), F.col("c_nationkey")), "iri"),
-        triple(cust.select("c_nationkey").distinct()
-               .filter(F.col("c_nationkey") < 20),
-               F.concat(F.lit("ex:N"), F.col("c_nationkey")),
-               RDF_TYPE, F.lit("ex:Nation"), "iri"),
         triple(cust, subj, "ex:bal", F.col("c_acctbal").cast("string"),
                "literal", F.lit(XSD + "decimal")),
         triple(cust, subj, "ex:phone",
                F.when(k % 11 == 0, F.concat(F.lit("X"), phone))
                .otherwise(phone), "literal", F.lit(XSD + "string")),
     ]
+    if type_nations:
+        parts.append(
+            triple(cust.select("c_nationkey").distinct()
+                   .filter(F.col("c_nationkey") < 20),
+                   F.concat(F.lit("ex:N"), F.col("c_nationkey")),
+                   RDF_TYPE, F.lit("ex:Nation"), "iri"))
     triples = parts[0]
     for p in parts[1:]:
         triples = triples.unionByName(p)
@@ -1712,9 +1716,13 @@ def q_kg_shacl_validate(spark, sf_dir):
     violation report; the oracle replays the plants as UNION ALL
     arithmetic over customer."""
     from csvweb_spark.operators.shacl import validate_shapes
-    XSD = "http://www.w3.org/2001/XMLSchema#"
     triples = _defect_kg_triples(spark, sf_dir)
-    shapes = [{
+    return validate_shapes(triples, _customer_shapes())
+
+
+def _customer_shapes():
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    return [{
         "shape": "ex:CustomerShape", "target_class": "ex:Customer",
         "properties": [
             {"path": "ex:name", "min_count": 1, "max_count": 1,
@@ -1724,7 +1732,29 @@ def q_kg_shacl_validate(spark, sf_dir):
             {"path": "ex:phone", "pattern": "^[0-9]{2}-"},
         ],
     }]
-    return validate_shapes(triples, shapes)
+
+
+def q_kg_shacl_incr(spark, sf_dir):
+    """INCREMENTAL SHACL revalidation (round 5, shacl.py::
+    validate_shapes_incremental): base = planted-defect KG for
+    customers < 500; the delta adds customers [500, 600) AND types
+    nations 20/21 as ex:Nation - a remote fix that clears base
+    customers' sh:class violations without touching their rows. The
+    report covers exactly the affected focus (delta subjects + holders
+    of newly-typed nation values); oracle = the full-report arithmetic
+    filtered to that set, with the class clause tightened to >= 22."""
+    from csvweb_spark.operators.shacl import (RDF_TYPE,
+                                              validate_shapes_incremental)
+    base = _defect_kg_triples(spark, sf_dir, hi=500)
+    delta = _defect_kg_triples(spark, sf_dir, lo=500, hi=600,
+                               type_nations=False)
+    fix = spark.createDataFrame(
+        [("ex:N20", RDF_TYPE, "ex:Nation", "iri", None),
+         ("ex:N21", RDF_TYPE, "ex:Nation", "iri", None)],
+        "subj string, pred string, obj string, obj_kind string, "
+        "obj_datatype string")
+    return validate_shapes_incremental(
+        base, delta.unionByName(fix), _customer_shapes())
 
 
 def q_kg_void_stats(spark, sf_dir):
@@ -3216,6 +3246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_meta_robots": q_web_meta_robots,
         "kg_shacl_validate": q_kg_shacl_validate,
         "kg_void_stats": q_kg_void_stats,
+        "kg_shacl_incr": q_kg_shacl_incr,
         "web_warc_roundtrip": q_web_warc_roundtrip,
         "web_registrable_domain": q_web_registrable_domain,
         "text_collocations": q_text_collocations,
@@ -4838,6 +4869,39 @@ def _oracle_sql_literal() -> dict[str, str]:
                    'X' || lpad(CAST(k % 100 AS VARCHAR), 2, '0')
                        || '-' || k
             FROM c WHERE k % 11 = 0
+        """,
+        "kg_shacl_incr": """
+            WITH c AS (SELECT c_custkey AS k, c_name, c_nationkey,
+                              c_acctbal
+                       FROM customer WHERE c_custkey < 600),
+            a AS (SELECT * FROM c
+                  WHERE k >= 500 OR c_nationkey IN (20, 21))
+            SELECT 'ex:CustomerShape' AS shape, 'ex:C' || k AS focus,
+                   'ex:name' AS path, 'maxCount' AS "constraint",
+                   '2' AS "value"
+            FROM a WHERE k % 7 = 0
+            UNION ALL
+            SELECT 'ex:CustomerShape', 'ex:C' || k, 'ex:name',
+                   'minCount', '0'
+            FROM a WHERE k % 13 = 0 AND k % 7 <> 0
+            UNION ALL
+            SELECT 'ex:CustomerShape', 'ex:C' || k, 'ex:nation',
+                   'class', 'ex:N' || c_nationkey
+            FROM a WHERE c_nationkey >= 22
+            UNION ALL
+            SELECT 'ex:CustomerShape', 'ex:C' || k, 'ex:bal',
+                   'minInclusive', CAST(c_acctbal AS VARCHAR)
+            FROM a WHERE c_acctbal < 0
+            UNION ALL
+            SELECT 'ex:CustomerShape', 'ex:C' || k, 'ex:bal',
+                   'maxInclusive', CAST(c_acctbal AS VARCHAR)
+            FROM a WHERE c_acctbal > 9000
+            UNION ALL
+            SELECT 'ex:CustomerShape', 'ex:C' || k, 'ex:phone',
+                   'pattern',
+                   'X' || lpad(CAST(k % 100 AS VARCHAR), 2, '0')
+                       || '-' || k
+            FROM a WHERE k % 11 = 0
         """,
         "kg_void_stats": """
             WITH c AS (SELECT c_custkey AS k, c_name, c_nationkey,

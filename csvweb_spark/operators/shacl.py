@@ -86,7 +86,8 @@ def _report(shape_name: str, df: DataFrame, path, constraint: str,
 
 
 def validate_shapes(triples: DataFrame, shapes: list[dict],
-                    type_pred: str = RDF_TYPE) -> DataFrame:
+                    type_pred: str = RDF_TYPE,
+                    focus_filter: DataFrame | None = None) -> DataFrame:
     """Validate `triples` against `shapes`; return the violation report
     (shape, focus, path, constraint, value) - EMPTY means conformant
     (sh:conforms true).
@@ -97,7 +98,11 @@ def validate_shapes(triples: DataFrame, shapes: list[dict],
     pattern (Java regex, sh:pattern unanchored-find semantics), in
     (list), has_value, min_inclusive / max_inclusive (numeric).
     datatype / node_kind require the triples frame to carry
-    obj_datatype / obj_kind columns (the engine's serializer schema)."""
+    obj_datatype / obj_kind columns (the engine's serializer schema).
+
+    `focus_filter` (1-column frame of node IRIs) restricts every
+    shape's target set by a semi-join - the incremental-revalidation
+    hook (see validate_shapes_incremental)."""
     spark = triples.sparkSession
     reports: list[DataFrame] = []
     type_triples = None  # built lazily, shared by every sh:class
@@ -110,6 +115,10 @@ def validate_shapes(triples: DataFrame, shapes: list[dict],
             raise ValueError(f"shape {name!r}: unknown constraint keys "
                              f"{sorted(unknown)}")
         focus = _focus_nodes(triples, shape)
+        if focus_filter is not None:
+            flt = focus_filter.select(
+                F.col(focus_filter.columns[0]).alias("focus")).distinct()
+            focus = focus.join(flt, "focus", "left_semi")
         for prop in shape.get("properties", []):
             path = prop["path"]
             vals = (triples.where(F.col("pred") == path)
@@ -191,6 +200,57 @@ def validate_shapes(triples: DataFrame, shapes: list[dict],
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.select(*_REPORT_COLS)
+
+
+def affected_focus(store: DataFrame, delta: DataFrame,
+                   shapes: list[dict],
+                   type_pred: str = RDF_TYPE) -> DataFrame:
+    """The focus nodes whose verdict can CHANGE when the additive
+    `delta` merges into `store` (1 column, `focus`):
+
+    * every delta subject (new values shift counts, new typing creates
+      focus membership or class membership);
+    * every subject - in store OR delta - holding a class-constrained
+      property whose VALUE is newly typed by the delta (a remote typing
+      can fix another node's sh:class violation).
+
+    Additive deltas only - the same monotonicity contract as
+    rdfs_closure_incremental (entail.py); retractions need a full
+    revalidation of the retracted subjects' neighborhoods."""
+    aff = delta.select(F.col("subj").alias("focus")).distinct()
+    class_paths = sorted({p["path"] for shape in shapes
+                          for p in shape.get("properties", [])
+                          if p.get("class") is not None})
+    if class_paths:
+        typed = (delta.where(F.col("pred") == type_pred)
+                 .select(F.col("subj").alias("obj")).distinct())
+        updated = store.select("subj", "pred", "obj").unionByName(
+            delta.select("subj", "pred", "obj"))
+        remote = (updated.where(F.col("pred").isin(class_paths))
+                  .join(typed, "obj", "left_semi")
+                  .select(F.col("subj").alias("focus")))
+        aff = aff.unionByName(remote).distinct()
+    return aff
+
+
+def validate_shapes_incremental(store: DataFrame, delta: DataFrame,
+                                shapes: list[dict],
+                                type_pred: str = RDF_TYPE) -> DataFrame:
+    """Delta-proportional revalidation: the violation report of
+    store+delta RESTRICTED to `affected_focus` - by construction equal
+    to the full report's rows for those nodes, so the caller replaces
+    exactly the affected nodes' rows in its materialized report and
+    touches nothing else.
+
+    Scale shape: the focus side shrinks to O(delta) via the semi-join
+    pushed into every shape's target scan; against a subj-bucketed
+    store (plans/bucketed.py) the value joins are zero-exchange, making
+    daily KG deltas validate without rescanning 10^12 rows' worth of
+    shuffle."""
+    updated = store.unionByName(delta)
+    return validate_shapes(
+        updated, shapes, type_pred,
+        focus_filter=affected_focus(store, delta, shapes, type_pred))
 
 
 def conforms(triples: DataFrame, shapes: list[dict],

@@ -142,3 +142,41 @@ def test_validation_plan_shape(spark):
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+# -------------------------------------------------- incremental
+
+def test_incremental_equals_full_on_affected(spark):
+    from pyspark.sql import functions as F
+    from csvweb_spark.operators.shacl import (affected_focus,
+                                              validate_shapes_incremental)
+    store = _kg(spark)
+    # delta: a new customer with a minCount violation, plus a typing
+    # that FIXES C3's sh:class violation (ex:N9 becomes a Nation)
+    delta = spark.createDataFrame(
+        [("ex:C5", RDF_TYPE, "ex:Customer", "iri", None),
+         ("ex:C5", "ex:nation", "ex:N1", "iri", None),
+         ("ex:N9", RDF_TYPE, "ex:Nation", "iri", None)],
+        store.schema)
+    aff = {r.focus for r in
+           affected_focus(store, delta, [SHAPE]).collect()}
+    # delta subjects + remote holders of ex:nation -> ex:N9 (C3)
+    assert aff == {"ex:C5", "ex:N9", "ex:C3"}
+    incr = validate_shapes_incremental(store, delta, [SHAPE])
+    got = {(r.focus, r.path, r.constraint) for r in incr.collect()}
+    # C5: no name/bal/phone/status/tag at all -> minCount + hasValue
+    assert ("ex:C5", "ex:name", "minCount") in got
+    assert ("ex:C5", "ex:tag", "hasValue") in got
+    # C3's class violation is GONE (N9 now typed) but its name
+    # minCount remains
+    assert ("ex:C3", "ex:nation", "class") not in got
+    assert ("ex:C3", "ex:name", "minCount") in got
+    # equality with the full report restricted to affected nodes
+    from csvweb_spark.operators.shacl import validate_shapes
+    full = validate_shapes(store.unionByName(delta), [SHAPE]) \
+        .where(F.col("focus").isin(*aff))
+    assert sorted(map(tuple, incr.collect())) == \
+        sorted(map(tuple, full.collect()))
+    # and NO rows for unaffected nodes (C2/C4 violations untouched)
+    assert not any(f in ("ex:C2", "ex:C4") for f, *_ in
+                   {tuple(r) for r in incr.collect()})
