@@ -398,6 +398,20 @@ def q_kg_hits(spark, sf_dir):
                       F.col("authority").cast("long").alias("authority"))
 
 
+def q_kg_pagerank_seeded(spark, sf_dir):
+    """Seed-personalized PageRank (round 5, graph.py::
+    personalized_pagerank, 3 rounds, seeds {0, 250}) over the
+    chain+star graph: teleport mass returns only to the seeds, so
+    chain segments unreachable from them hold exactly zero and are
+    pruned. All-bigint; unrolled-CTE oracle replays exact ranks."""
+    from csvweb_spark.operators.graph import personalized_pagerank
+    seeds = spark.createDataFrame([(0,), (250,)], "node long")
+    out = personalized_pagerank(_chain_star_edges(spark, sf_dir), seeds,
+                                iterations=3)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def q_kg_communities(spark, sf_dir):
     """Deterministic label propagation (graph.py::label_propagation,
     2 rounds) over the chain+star graph: most-frequent neighbor label,
@@ -3318,6 +3332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "pagerank": q_pagerank,
         "kg_hits": q_kg_hits,
+        "kg_pagerank_seeded": q_kg_pagerank_seeded,
         "dedup_incremental_near": q_dedup_incremental_near,
         # -- recorded green in CORRECTNESS_r03 --
         "entity_link_exact": q_entity_link_exact,
@@ -3675,6 +3690,52 @@ def _hits_oracle_sql(iterations: int = 2, scale: int = 1_000_000) -> str:
             FROM nodes n
             JOIN h{iterations} h ON h.node = n.node
             JOIN a{iterations} a ON a.node = n.node"""
+
+
+def _ppr_oracle_sql(iterations: int = 3, damping_bp: int = 8500,
+                    scale: int = 1_000_000) -> str:
+    """DuckDB replica of graph.py::personalized_pagerank over the
+    chain+star graph with seeds {0, 250}: pr0 = scale on seeds / 0
+    elsewhere, teleport base lands only on seeds, zero-rank rows
+    pruned at the end."""
+    base = (scale * (10_000 - damping_bp)) // 10_000
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+            pr{i} AS (
+                SELECT n.node,
+                       (CASE WHEN n.node IN (0, 250) THEN {base}
+                             ELSE 0 END
+                        + ({damping_bp} * coalesce(cs.in_sum, 0))
+                        // 10000)::BIGINT AS rank
+                FROM nodes n LEFT JOIN (
+                    SELECT e.d AS node, sum(p.rank // o.odeg) AS in_sum
+                    FROM edges e
+                    JOIN pr{i - 1} p ON p.node = e.s
+                    JOIN odeg o ON o.s = e.s
+                    GROUP BY e.d) cs ON cs.node = n.node)""")
+    return f"""
+            WITH edges_raw AS (
+                SELECT c_custkey AS s, c_custkey + 1 AS d FROM customer
+                WHERE c_custkey < 400 AND c_custkey % 100 != 99
+                  AND (c_custkey + 1) IN (SELECT c_custkey FROM customer
+                                          WHERE c_custkey < 400)
+                UNION ALL
+                SELECT 0, c_custkey FROM customer
+                WHERE c_custkey > 0 AND c_custkey < 100),
+            edges AS (SELECT DISTINCT s, d FROM edges_raw),
+            nodes AS (
+                SELECT DISTINCT x AS node FROM (
+                    SELECT s AS x FROM edges
+                    UNION ALL SELECT d FROM edges)),
+            odeg AS (SELECT s, count(*) AS odeg FROM edges GROUP BY s),
+            pr0 AS (SELECT node,
+                           CASE WHEN node IN (0, 250) THEN {scale}
+                                ELSE 0 END::BIGINT AS rank
+                    FROM nodes),
+            {",".join(steps)}
+            SELECT node::BIGINT AS node, rank
+            FROM pr{iterations} WHERE rank > 0"""
 
 
 def _pagerank_oracle_sql(iterations: int = 5, damping_bp: int = 8500,
@@ -4720,6 +4781,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "dedup_incremental_near": _minhash_incremental_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
         "kg_hits": _hits_oracle_sql(),
+        "kg_pagerank_seeded": _ppr_oracle_sql(),
         "kg_triangles": """
             WITH
             c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 400),

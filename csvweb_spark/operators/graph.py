@@ -86,6 +86,58 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     return ranks
 
 
+def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
+                          iterations: int = 5, damping_bp: int = 8500,
+                          scale: int = 1_000_000, src: str = "src",
+                          dst: str = "dst") -> DataFrame:
+    """Seed-personalized PageRank - the KG relatedness score: random
+    walks teleport back to the SEED set instead of the whole graph, so
+    high-rank nodes are important RELATIVE to the seeds (entity
+    disambiguation context, related-entity retrieval, topic-focused
+    crawl prioritization).
+
+    Same all-bigint determinism contract as `pagerank` (integer sums,
+    div, fixed rounds - unrolled-CTE oracle replayable): rank_0 = scale
+    on seeds / 0 elsewhere; per round
+        rank'(v) = seed(v)*base + damping * sum_in(v) div 10^4
+    with base = (scale * (10^4 - damping_bp)) div 10^4 - the teleport
+    mass lands only on seeds. Non-seed nodes unreachable from seeds
+    stay at exactly 0 (pruned from the output).
+
+    Scale shape: identical to pagerank (bounded node-keyed joins +
+    map-side-combined integer sums, localCheckpoint per round); the
+    seed frame joins broadcast-or-hash by Catalyst's size estimate."""
+    assert iterations >= 0 and 0 <= damping_bp <= 10_000
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    nodes = (e.select(F.col("s").alias("node"))
+             .unionByName(e.select(F.col("d").alias("node")))
+             .distinct())
+    seed = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct() \
+        .withColumn("_is_seed", F.lit(True))
+    nodes = nodes.join(seed, "node", "left") \
+        .select("node", F.coalesce("_is_seed", F.lit(False))
+                .alias("_is_seed")).localCheckpoint(eager=True)
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("odeg"))
+    base = (scale * (10_000 - damping_bp)) // 10_000
+    ranks = nodes.withColumn(
+        "rank", F.when(F.col("_is_seed"), F.lit(scale))
+        .otherwise(F.lit(0)).cast("long")).drop("_is_seed")
+    for _ in range(iterations):
+        contrib = (e.join(ranks.withColumnRenamed("node", "s"), "s")
+                   .join(outdeg, "s")
+                   .select(F.col("d").alias("node"),
+                           F.expr("rank div odeg").alias("c"))
+                   .groupBy("node").agg(F.sum("c").alias("in_sum")))
+        ranks = (nodes.join(contrib, "node", "left")
+                 .select("node", (
+                     F.when(F.col("_is_seed"), F.lit(base))
+                     .otherwise(F.lit(0))
+                     + F.expr(f"({damping_bp} * coalesce(in_sum, 0L)) "
+                              f"div 10000")).cast("long").alias("rank")))
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.where(F.col("rank") > 0)
+
+
 def hits(edges: DataFrame, iterations: int = 3, scale: int = 1_000_000,
          src: str = "src", dst: str = "dst") -> DataFrame:
     """Kleinberg HITS (hubs & authorities) over the directed edge set -

@@ -1018,3 +1018,39 @@ def test_hits_round_plan_partial_aggregates(spark):
     final = hits(edges, iterations=1)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
+
+
+# ----------------------------------------- personalized pagerank
+
+def test_personalized_pagerank_teleports_to_seeds(spark):
+    from csvweb_spark.operators.graph import pagerank, personalized_pagerank
+    S = 1_000_000
+    # two disconnected chains: 1->2->3 and 10->11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r.node: r.rank for r in
+           personalized_pagerank(edges, seeds, iterations=2).collect()}
+    # the other component gets exactly zero mass -> pruned
+    assert 10 not in out and 11 not in out
+    base = (S * 1500) // 10_000
+    # hand-replay: r0 = (S,0,0); r1 = (base + .85*S? no: damping on sums)
+    r1 = {1: base, 2: (8500 * S) // 10_000, 3: 0}
+    r2 = {1: base, 2: (8500 * base) // 10_000,
+          3: (8500 * r1[2]) // 10_000}
+    assert out == {n: v for n, v in r2.items() if v > 0}
+    # global pagerank by contrast gives every node base mass
+    g = {r.node: r.rank for r in pagerank(edges, iterations=2).collect()}
+    assert g[10] >= base and g[11] >= base
+
+
+def test_personalized_pagerank_deterministic(spark):
+    from csvweb_spark.operators.graph import personalized_pagerank
+    edges = spark.createDataFrame(
+        [(i % 9, (i * 5) % 11) for i in range(50)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (3,)], "node long")
+    a = sorted(map(tuple, personalized_pagerank(
+        edges, seeds, iterations=3).collect()))
+    b = sorted(map(tuple, personalized_pagerank(
+        edges, seeds, iterations=3).collect()))
+    assert a == b and all(isinstance(r, int) for _, r in a)
