@@ -121,8 +121,16 @@ def validate_shapes(triples: DataFrame, shapes: list[dict],
             focus = focus.join(flt, "focus", "left_semi")
         for prop in shape.get("properties", []):
             path = prop["path"]
+            extra = [c for c in ("obj_kind", "obj_datatype")
+                     if c in triples.columns]
+            # RDF graphs are SETS: a provenance-duplicated assertion
+            # (same s/p/o from many pages) is ONE triple, so both the
+            # cardinality counts and the value checks run over the
+            # distinct value nodes - counting rows would make merged
+            # entities violate maxCount spuriously
             vals = (triples.where(F.col("pred") == path)
-                    .withColumnRenamed("subj", "focus")
+                    .select(F.col("subj").alias("focus"), "obj", *extra)
+                    .distinct()
                     .join(focus, "focus"))
             # ---- cardinality: LEFT join so absent values count as 0
             if prop.get("min_count") is not None \

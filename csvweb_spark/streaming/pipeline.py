@@ -63,7 +63,9 @@ def stream_knowledge_graph(spark: SparkSession, input_dir: str,
                            mode: str = MODE_MINIMAL, n_buckets: int = 8,
                            max_files_per_trigger: Optional[int] = None,
                            available_now: bool = True,
-                           batch_hook=None):
+                           batch_hook=None,
+                           shapes: Optional[list] = None,
+                           quarantine_on_violation: bool = False):
     """The FULL KG pipeline (extract -> convert -> link -> CC ->
     materialize-with-lineage) under incremental arrival: a foreachBatch
     composition running pipeline.kg_canonical_triples + write_resumable
@@ -85,7 +87,16 @@ def stream_knowledge_graph(spark: SparkSession, input_dir: str,
     `batch_hook(batch_id, point)` is called at point='start' (before any
     write) and point='mid' (between the triples commit and the entities
     commit) - the crash-injection seam used by the resume test; leave
-    None in production. Returns the StreamingQuery."""
+    None in production. Returns the StreamingQuery.
+
+    `shapes` (round 5): SHACL publish gate - every micro-batch's
+    canonical triples are validated (operators/shacl.py) and the
+    violation report lands under batch=<id>/violations BEFORE the
+    triples commit. With `quarantine_on_violation` a violating batch
+    commits ONLY its report (triples/entities withheld for curation) -
+    validation is deterministic over the batch, so a crash-replayed
+    batch reaches the same verdict and the resume protocol is
+    unaffected."""
     from ..pipeline import kg_canonical_triples
     from ..plans.fs import fs_for
     from ..plans.lineage import write_resumable
@@ -100,6 +111,19 @@ def stream_knowledge_graph(spark: SparkSession, input_dir: str,
         canonical, entity_map, _obs, errors = kg_canonical_triples(
             batch_df, table, aliases, mode=mode, cache_registry=caches)
         bdir = fs.join(output_dir, f"batch={batch_id}")
+        if shapes is not None:
+            from ..operators.shacl import validate_shapes
+            report = validate_shapes(
+                canonical.select("subj", "pred", "obj"), shapes) \
+                .localCheckpoint(eager=True)
+            n_viol = report.count()
+            write_resumable(report.withColumn("url", F.col("focus")),
+                            fs.join(bdir, "violations"),
+                            n_buckets=max(n_buckets // 4, 1))
+            if quarantine_on_violation and n_viol > 0:
+                for cached in caches:
+                    cached.unpersist()
+                return
         write_resumable(canonical, fs.join(bdir, "triples"),
                         n_buckets=n_buckets)
         if batch_hook is not None:

@@ -939,3 +939,42 @@ def test_stream_warc_ingest_supersede_compact_resume(spark, tmp_path):
     dirs = sorted(d for d in os.listdir(state_root)
                   if d.startswith("batch="))
     assert f"batch={cid}" in dirs and len(dirs) == 2
+
+
+def test_streaming_shacl_gate_clean_and_quarantine(spark, pages_dir,
+                                                   tmp_path):
+    """Round-5 SHACL publish gate on the streaming KG: a conformant
+    shape commits triples per batch with empty violation reports; a
+    violating shape under quarantine_on_violation withholds EVERY
+    batch's triples and commits only the reports."""
+    from csvweb_spark.streaming.pipeline import (read_streamed_graph,
+                                                 stream_knowledge_graph)
+    aliases = spark.createDataFrame(
+        [("val1", 1, "http://kb/e1")],
+        "alias string, entity_id long, entity_uri string")
+    V = "http://ex.org/def/v"
+
+    clean_shape = [{"shape": "s", "target_subjects_of": V,
+                    "properties": [{"path": V, "min_count": 1,
+                                    "max_count": 1}]}]
+    out1, ck1 = str(tmp_path / "kg1"), str(tmp_path / "ck1")
+    q = stream_knowledge_graph(spark, pages_dir, out1, ck1, _table(),
+                               aliases, max_files_per_trigger=1,
+                               shapes=clean_shape)
+    q.awaitTermination(300)
+    assert read_streamed_graph(spark, out1, "triples").count() > 0
+    viol = read_streamed_graph(spark, out1, "violations")
+    assert viol is None or viol.count() == 0
+
+    bad_shape = [{"shape": "s", "target_subjects_of": V,
+                  "properties": [{"path": V, "pattern": "^zz"}]}]
+    out2, ck2 = str(tmp_path / "kg2"), str(tmp_path / "ck2")
+    q2 = stream_knowledge_graph(spark, pages_dir, out2, ck2, _table(),
+                                aliases, max_files_per_trigger=1,
+                                shapes=bad_shape,
+                                quarantine_on_violation=True)
+    q2.awaitTermination(300)
+    assert read_streamed_graph(spark, out2, "triples") is None
+    reports = read_streamed_graph(spark, out2, "violations")
+    assert reports.count() > 0
+    assert {r.constraint for r in reports.collect()} == {"pattern"}
