@@ -651,16 +651,20 @@ def collocations(df: DataFrame, text_col: str = "text",
     Tokens are lowercased whitespace tokens (`whitespace_tokens`);
     bigrams are ADJACENT pairs within a document, counted with
     multiplicity; unigram counts share the same tokenization. PMI =
-    ln(n_pair * N_uni^2 / (N_pair * n_w1 * n_w2)) with N_* the corpus
-    totals - the count columns are integer-exact (oracle-checkable);
-    pmi is a deterministic function of them (FLOAT, compare
-    approximately).
+    ln(n_pair * N_uni^2 / (N_pair * n_w1 * n_w2)) with N_uni/N_pair
+    the CORPUS totals (all tokens / all adjacent pairs, independent of
+    the prune) - the count columns are integer-exact
+    (oracle-checkable); pmi is a deterministic function of them
+    (FLOAT, compare approximately).
 
     Scale shape: one explode of per-doc bigram arrays -> one
     map-side-combinable count groupBy; unigram counts the same; the
-    final joins key on single words (Zipf-skewed - AQE skew-join
+    corpus totals are ONE narrow sum over the token-array sizes (no
+    re-aggregation of the count tables), broadcast as 1-row frames;
+    the final joins key on single words (Zipf-skewed - AQE skew-join
     handles the 'the' reducer; min_pair_count prunes the long tail
-    BEFORE the joins). No Python, no window over the corpus."""
+    BEFORE the joins, and the two unigram probes share their shuffle
+    via AQE exchange reuse). No Python, no window over the corpus."""
     toks = F.transform(whitespace_tokens(F.col(text_col)),
                        lambda t: F.lower(t))
     pairs_arr = F.when(
@@ -676,15 +680,16 @@ def collocations(df: DataFrame, text_col: str = "text",
                    .where(F.col("n_pair") >= min_pair_count))
     uni = (df.select(F.explode(toks).alias("w"))
            .groupBy("w").agg(F.count(F.lit(1)).alias("n")))
-    totals = uni.agg(F.sum("n").alias("_n_uni"))
-    pair_totals = pair_counts.agg(F.sum("n_pair").alias("_n_pairs"))
+    totals = df.agg(
+        F.coalesce(F.sum(F.size(toks)), F.lit(0)).alias("_n_uni"),
+        F.coalesce(F.sum(F.greatest(F.size(toks) - 1, F.lit(0))),
+                   F.lit(0)).alias("_n_pairs"))
     out = (pair_counts
            .join(uni.select(F.col("w").alias("w1"),
                             F.col("n").alias("n_w1")), "w1")
            .join(uni.select(F.col("w").alias("w2"),
                             F.col("n").alias("n_w2")), "w2")
-           .crossJoin(F.broadcast(totals))
-           .crossJoin(F.broadcast(pair_totals)))
+           .crossJoin(F.broadcast(totals)))
     pmi = F.log(
         (F.col("n_pair").cast("double") * F.col("_n_uni")
          * F.col("_n_uni"))

@@ -165,6 +165,62 @@ AUDITS = [
      "compiles with a WindowGroupLimit above the doc sort - Partial "
      "on unknown-partitioned input, Final-only (zero exchanges) when "
      "the input is already doc-clustered."),
+    ("SHACL shape validation", "kg_shacl_validate",
+     "Every constraint branch hangs off the SAME filtered triple scan: "
+     "cardinality is a partial_count below one exchange then a left "
+     "join against the focus set (zero-count minCount safe); value "
+     "checks (pattern/range) are narrow filters; sh:class is a "
+     "LeftAnti join against the type-filtered scan. No Python "
+     "anywhere; value-node dedup (RDF set semantics) is the distinct "
+     "under each values branch."),
+    ("Incremental SHACL revalidation", "kg_shacl_incr",
+     "The affected-focus frame semi-joins INTO every shape target "
+     "before any values work, so the whole report is delta-"
+     "proportional on the focus side; the remote-fix derivation is "
+     "one LeftSemi of the class-path scan against the delta's typed "
+     "subjects."),
+    ("VoID property partitions + summary", "kg_void_stats",
+     "Exact mode: the COUNT(DISTINCT subj/obj) pair compiles to one "
+     "Expand + two-phase hash aggregate per grouping (partial below "
+     "the exchange); the approx variant (unit-tested plan pin) drops "
+     "the Expand for fixed-size HLL sketch state."),
+    ("HITS hubs/authorities round", "kg_hits",
+     "Per round two node-keyed hash joins and two map-side-combined "
+     "integer sums; the max-normalization is a 1-row broadcast "
+     "crossJoin (never a driver collect); localCheckpoint truncates "
+     "rounds, so the shown plan is the final join of the two "
+     "checkpointed score tables."),
+    ("Seed-personalized PageRank round", "kg_pagerank_seeded",
+     "Identical shape to global pagerank (edge join + partial_sum "
+     "below the contribution exchange) with the teleport CASE keyed "
+     "on the checkpointed seed flag; the final rank>0 prune is a "
+     "narrow filter."),
+    ("WARC sink -> re-ingest round-trip", "web_warc_roundtrip",
+     "Render is ONE applyInPandas per host group (or mapInPandas with "
+     "zero exchange in partition mode - unit plan pin); the re-ingest "
+     "byte walk is the already-audited single MapInPandas; nothing "
+     "else leaves the JVM."),
+    ("WET export -> re-ingest round-trip", "web_wet_roundtrip",
+     "Same sink shape as the WARC round-trip over conversion records; "
+     "the text column casts binary<->string JVM-side on both ends."),
+    ("Public-suffix eTLD+1 extraction", "web_registrable_domain",
+     "A fixed chain of BroadcastHashJoins (one per candidate suffix "
+     "depth) over the host scan, then one CASE projection - ZERO "
+     "hash-partition exchanges at any corpus size."),
+    ("Collocation mining", "text_collocations",
+     "Bigram and unigram counts are partial_count below their "
+     "exchanges (map-side combine absorbs Zipf heads); the min-count "
+     "prune sits between the pair aggregate and the word joins; the "
+     "corpus totals are 1-row broadcast crossJoins."),
+    ("Robots META directives", "web_meta_robots",
+     "The per-page tag array never leaves its row: regexp_extract_all "
+     "-> higher-order filter/transform/flatten is one codegen "
+     "projection (unit plan pin: zero Exchange); the follow-edges "
+     "composition joins page policy once on src_url."),
+    ("SPARQL value builtins", "sparql_builtins",
+     "ABS/ROUND/FLOOR/CEIL/IF/STRBEFORE/STRAFTER all compile into the "
+     "projection of the pattern join - one codegen stage above the "
+     "two pushed-filter scans, no Python, no extra exchange."),
 ]
 
 
