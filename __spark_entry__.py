@@ -1863,6 +1863,30 @@ def q_web_wet_roundtrip(spark, sf_dir):
     return wet_pages(segs)
 
 
+def q_web_cdx_index(spark, sf_dir):
+    """CDX index over rendered WARC segments (round 5, sources/cdx.py):
+    customer pages -> per-host .warc.gz (member per record) -> offset
+    walk + SURT keys + sha-256 payload digests. Offsets/lengths are
+    compression-dependent (unit tests prove them ranged-fetchable);
+    the relational identity fields + digest are the oracle surface -
+    DuckDB recomputes the digests from the same body synthesis."""
+    from csvweb_spark.sources.cdx import cdx_index
+    from csvweb_spark.sources.warc import render_warc
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    k = F.col("c_custkey")
+    pages = cust.select(
+        F.concat(F.lit("http://h"), F.col("c_nationkey"),
+                 F.lit(".example.org/c/"), k).alias("url"),
+        F.make_timestamp(F.lit(2026), F.lit(2), F.lit(1), F.lit(0),
+                         F.lit(0), (k % 60).cast("int")).alias("warc_ts"),
+        F.concat(F.lit("<html><body><p>Customer "), F.col("c_name"),
+                 F.lit("</p></body></html>")).cast("binary").alias("html"),
+        F.concat(F.lit("h"), F.col("c_nationkey")).alias("host"))
+    segs = render_warc(pages, segment_col="host", gzip_members=True)
+    return cdx_index(segs).select(
+        "surt", "url", "warc_ts", "http_status", "mime", "digest")
+
+
 def _nation_link_pages(spark, sf_dir):
     """Shared fixture for the link-graph queries: one HTML page per
     nation (host n{key}.example.org) carrying an absolute link to its
@@ -3266,6 +3290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": q_text_collocations,
         "web_wet_roundtrip": q_web_wet_roundtrip,
         "sparql_builtins": q_sparql_builtins,
+        "web_cdx_index": q_web_cdx_index,
         "quality_gopher": q_quality_gopher,
         "tfidf_topk": q_tfidf_topk,
         "web_link_hosts": q_web_link_hosts,
@@ -5007,6 +5032,19 @@ def _oracle_sql_literal() -> dict[str, str]:
                    COUNT(DISTINCT subj)::BIGINT,
                    COUNT(DISTINCT obj)::BIGINT
             FROM t
+        """,
+        "web_cdx_index": """
+            SELECT 'org,example,h' || c_nationkey || ')/c/'
+                       || c_custkey AS surt,
+                   'http://h' || c_nationkey || '.example.org/c/'
+                       || c_custkey AS url,
+                   TIMESTAMP '2026-02-01 00:00:00'
+                       + (c_custkey % 60) * INTERVAL 1 SECOND AS warc_ts,
+                   200::INTEGER AS http_status,
+                   'text/html' AS mime,
+                   sha256('<html><body><p>Customer ' || c_name
+                          || '</p></body></html>') AS digest
+            FROM customer WHERE c_custkey < 300
         """,
         "sparql_builtins": """
             WITH c AS (
