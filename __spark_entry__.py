@@ -1887,6 +1887,23 @@ def q_web_cdx_index(spark, sf_dir):
         "surt", "url", "warc_ts", "http_status", "mime", "digest")
 
 
+def q_events_coalesce(spark, sf_dir):
+    """Temporal interval coalescing (round 5, interval.py::
+    coalesce_intervals) over the events table: each event asserts a
+    validity window [ts, ts + (event_id%7+1)s]; per (user, type) the
+    overlapping-or-touching runs compact to minimal ranges - the
+    revisit-assertion compaction a temporal KG store performs. Oracle
+    replays the same two-window gaps-and-islands in DuckDB."""
+    from csvweb_spark.operators.interval import coalesce_intervals
+    ev = _load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id", "event_type", F.col("ts").alias("start"),
+        (F.col("ts") + F.make_interval(
+            secs=(F.col("event_id") % 7 + 1).cast("double")))
+        .alias("end"))
+    return coalesce_intervals(iv, ["user_id", "event_type"])
+
+
 def _nation_link_pages(spark, sf_dir):
     """Shared fixture for the link-graph queries: one HTML page per
     nation (host n{key}.example.org) carrying an absolute link to its
@@ -3291,6 +3308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_wet_roundtrip": q_web_wet_roundtrip,
         "sparql_builtins": q_sparql_builtins,
         "web_cdx_index": q_web_cdx_index,
+        "events_coalesce": q_events_coalesce,
         "quality_gopher": q_quality_gopher,
         "tfidf_topk": q_tfidf_topk,
         "web_link_hosts": q_web_link_hosts,
@@ -5032,6 +5050,31 @@ def _oracle_sql_literal() -> dict[str, str]:
                    COUNT(DISTINCT subj)::BIGINT,
                    COUNT(DISTINCT obj)::BIGINT
             FROM t
+        """,
+        "events_coalesce": """
+            WITH iv AS (
+                SELECT user_id, event_type, ts AS "start",
+                       ts + (event_id % 7 + 1) * INTERVAL 1 SECOND
+                           AS "end"
+                FROM events),
+            m AS (
+                SELECT *, max("end") OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY "start", "end"
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS pmax
+                FROM iv),
+            i AS (
+                SELECT *, sum(CASE WHEN pmax IS NULL OR "start" > pmax
+                                   THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY "start", "end"
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS island
+                FROM m)
+            SELECT user_id, event_type, min("start") AS "start",
+                   max("end") AS "end", count(*)::BIGINT AS n_merged
+            FROM i GROUP BY user_id, event_type, island
         """,
         "web_cdx_index": """
             SELECT 'org,example,h' || c_nationkey || ')/c/'

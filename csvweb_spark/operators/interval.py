@@ -53,3 +53,48 @@ def interval_join(events: DataFrame, intervals: DataFrame,
             .filter((F.col(time_col) >= F.col(start_col))
                     & (F.col(time_col) <= F.col(end_col)))
             .drop("_bucket"))
+
+
+def coalesce_intervals(df: DataFrame, key_cols: Sequence[str],
+                       start_col: str = "start", end_col: str = "end",
+                       max_gap=None) -> DataFrame:
+    """Gaps-and-islands interval coalescing: per key, merge every run
+    of overlapping-or-adjacent [start, end] intervals into one row
+    (key..., start, end, n_merged) - the temporal-KG compaction that
+    turns per-crawl assertion validity snapshots into minimal validity
+    ranges (revisits re-assert a fact crawl after crawl; storage wants
+    ONE row saying 'true from t1 to t9').
+
+    `max_gap` additionally bridges gaps up to that size (same type as
+    the columns' difference: an INTERVAL for timestamps, a number for
+    numerics; None/0 merges only touching-or-overlapping rows).
+    Half-open vs closed reading is the caller's convention - adjacency
+    here means next.start <= running_max(end) (+ gap).
+
+    Scale shape: ONE shuffle on the key columns feeding two Window
+    passes over the same sorted partition (running max(end) via rows
+    unbounded-preceding..1-preceding, then a running sum of
+    island-break flags) and a final partial-aggregated groupBy on
+    (key, island) - no self-join, no explode. Keys are fact-grained
+    (triple ids, urls), so partitions stay small; a single key's
+    history never needs to fit anywhere special beyond its sorted
+    partition."""
+    from pyspark.sql.window import Window
+
+    keys = [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*keys).orderBy(F.col(start_col),
+                                          F.col(end_col))
+    prev_max_end = F.max(F.col(end_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    threshold = (prev_max_end + max_gap) if max_gap is not None \
+        else prev_max_end
+    is_break = F.when(prev_max_end.isNull()
+                      | (F.col(start_col) > threshold), 1).otherwise(0)
+    island = F.sum(is_break).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    return (df.withColumn("_island", island)
+            .groupBy(*key_cols, "_island")
+            .agg(F.min(start_col).alias(start_col),
+                 F.max(end_col).alias(end_col),
+                 F.count(F.lit(1)).alias("n_merged"))
+            .drop("_island"))

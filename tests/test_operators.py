@@ -1438,3 +1438,44 @@ def test_tfidf_topk_plan_window_group_limit(spark):
     pre_plan = pre._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in pre_plan
     assert "hashpartitioning(doc_id" not in pre_plan, pre_plan
+
+
+# ------------------------------------------------ interval coalescing
+
+def test_coalesce_intervals_islands_and_gap(spark):
+    from csvweb_spark.operators.interval import coalesce_intervals
+    rows = [
+        # key a: [1,5] + [3,8] overlap; [8,9] touches; [20,22] is an
+        # island; [21,30] overlaps it; a COVERED interval [2,4] merges
+        ("a", 1, 5), ("a", 3, 8), ("a", 2, 4), ("a", 8, 9),
+        ("a", 20, 22), ("a", 21, 30),
+        ("b", 1, 2), ("b", 4, 5),
+    ]
+    df = spark.createDataFrame(rows, "k string, start long, end long")
+    got = {(r.k, r.start, r.end, r.n_merged) for r in
+           coalesce_intervals(df, ["k"]).collect()}
+    assert got == {("a", 1, 9, 4), ("a", 20, 30, 2),
+                   ("b", 1, 2, 1), ("b", 4, 5, 1)}
+    # max_gap=2 bridges b's gap of 2 (4 - 2 <= 2)
+    gap = {(r.k, r.start, r.end) for r in
+           coalesce_intervals(df, ["k"], max_gap=2).collect()
+           if r.k == "b"}
+    assert gap == {("b", 1, 5)}
+
+
+def test_coalesce_intervals_timestamps_and_plan(spark):
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from csvweb_spark.operators.interval import coalesce_intervals
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    df = spark.createDataFrame(
+        [("u", t(0), t(10)), ("u", t(10), t(20)), ("u", t(40), t(50))],
+        "k string, start timestamp, end timestamp")
+    out = coalesce_intervals(df, ["k"],
+                             max_gap=F.expr("INTERVAL 5 SECOND"))
+    got = {(r.start.second, r.end.second) for r in out.collect()}
+    assert got == {(0, 20), (40, 50)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one key shuffle, two window passes, no self-join / explode
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + agg
+    assert "Generate" not in plan and "Join" not in plan
