@@ -509,6 +509,18 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return out.select("id_a", "id_b", F.col("jaccard_bp"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster election (round 5, dedup.py::dedup_clusters):
+    the q_dedup_minhash_lsh corpus's verified pairs close under
+    connected components, singletons stay their own cluster, canonical
+    = min-id member. Oracle composes the full minhash-LSH replay with
+    a recursive-CTE reachability closure (components are near-dup
+    sized, so the quadratic closure is bounded)."""
+    from csvweb_spark.operators.dedup import dedup_clusters
+    d = _docs_with_near_dups(spark, sf_dir, 150, 20000, " y")
+    return dedup_clusters(d, threshold=0.6)
+
+
 def q_dedup_incremental_near(spark, sf_dir):
     """Incremental near-dedup against a SIGNATURE-ONLY committed corpus
     (dedup_minhash_incremental - the batch twin of the streaming
@@ -3389,6 +3401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_spans": q_dedup_spans,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -4821,6 +4834,37 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "dedup_simhash": _simhash_oracle_sql(),
         "dedup_minhash_lsh": _minhash_oracle_sql(),
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT id_a, id_b FROM ({_minhash_oracle_sql()})),
+            corpus_ids AS (
+                SELECT doc_id FROM documents WHERE doc_id < 150
+                UNION ALL
+                SELECT doc_id + 20000 FROM documents WHERE doc_id < 37),
+            und AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs),
+            reach(a, b) AS (
+                SELECT a, b FROM und
+                UNION
+                SELECT r.a, u.b FROM reach r
+                JOIN und u ON u.a = r.b
+                WHERE u.b <> r.a),
+            labels AS (
+                SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                FROM reach GROUP BY a),
+            lab AS (
+                SELECT c.doc_id,
+                       coalesce(l.cluster_id, c.doc_id) AS cluster_id
+                FROM corpus_ids c LEFT JOIN labels l USING (doc_id)),
+            sizes AS (
+                SELECT cluster_id, count(*)::BIGINT AS cluster_size
+                FROM lab GROUP BY cluster_id)
+            SELECT lab.doc_id, lab.cluster_id, sizes.cluster_size,
+                   lab.doc_id = lab.cluster_id AS is_canonical
+            FROM lab JOIN sizes USING (cluster_id)
+        """,
         "dedup_incremental_near": _minhash_incremental_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
         "kg_hits": _hits_oracle_sql(),

@@ -876,3 +876,43 @@ def dedup_embedding_cosine(df: DataFrame, vec_col: str = "embedding",
             .withColumn("cos", F.round(cosine_sim(F.col("v_a"), F.col("v_b")), 4))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", "cos"))
+
+
+def dedup_clusters(df: DataFrame, text_col: str = "text",
+                   key_col: str = "doc_id", **minhash_kwargs) -> DataFrame:
+    """Near-duplicate CLUSTER election: MinHash-LSH pair edges ->
+    connected components -> one row per document (doc_id, cluster_id,
+    cluster_size, is_canonical). The release-shaping step after pair
+    detection: a corpus keeps exactly the canonical member of each
+    near-dup cluster, and cluster_size is the per-document duplication
+    weight (CCNet/RefinedWeb keep it as a quality feature).
+
+    cluster_id = min doc id reachable through verified near-dup pairs
+    (singletons are their own cluster of size 1); is_canonical = the
+    member whose id IS the cluster id - deterministic min-id election;
+    rank by quality upstream by remapping ids if a different winner is
+    wanted.
+
+    Scale shape: pair edges are near-dup-sized (tiny vs the corpus);
+    the CC runs the salted star loop on exactly those edges, and the
+    corpus rejoins ONCE (left join on doc id) to pick up singleton
+    status - the full text never enters the clustering."""
+    from .canonicalize import connected_components
+    pairs = dedup_minhash_lsh(df, text_col=text_col, key_col=key_col,
+                              **minhash_kwargs)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"),
+                     F.col("id_b").alias("dst")))
+    lab = (df.select(F.col(key_col).alias("doc_id"))
+           .join(comp.withColumnRenamed("node", "doc_id"),
+                 "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("component", F.col("doc_id"))
+                   .alias("cluster_id")))
+    sizes = lab.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return (lab.join(sizes, "cluster_id")
+            .withColumn("is_canonical",
+                        F.col("doc_id") == F.col("cluster_id"))
+            .select("doc_id", "cluster_id", "cluster_size",
+                    "is_canonical"))

@@ -1479,3 +1479,22 @@ def test_coalesce_intervals_timestamps_and_plan(spark):
     # one key shuffle, two window passes, no self-join / explode
     assert plan.count("Exchange hashpartitioning") <= 2  # window + agg
     assert "Generate" not in plan and "Join" not in plan
+
+
+def test_dedup_clusters_election(spark):
+    from csvweb_spark.operators.dedup import dedup_clusters
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + "tail"), (3, base + "tail two"),
+         (10, "a completely different document about spark plans "
+              "and shuffle boundaries in distributed execution")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.cluster_id, r.cluster_size, r.is_canonical)
+           for r in dedup_clusters(docs, threshold=0.5).collect()}
+    # 1-2-3 cluster under min-id election; 10 is a singleton
+    assert out[1] == (1, 3, True)
+    assert out[2] == (1, 3, False)
+    assert out[3] == (1, 3, False)
+    assert out[10] == (10, 1, True)
+    # keep-canonical filter yields one survivor per cluster
+    assert sum(1 for v in out.values() if v[2]) == 2
