@@ -181,3 +181,70 @@ def sorted_cdx(index: DataFrame, n_partitions: int = 0) -> DataFrame:
     ranged = (index.repartitionByRange(n_partitions, *parts)
               if n_partitions else index.repartitionByRange(*parts))
     return ranged.sortWithinPartitions(*parts)
+
+
+def fetch_records(index: DataFrame, segments: DataFrame,
+                  id_col: str = "segment_id",
+                  blob_col: str = "blob") -> DataFrame:
+    """Resolve CDX rows back to records: each (segment_id, offset,
+    length) span is sliced out of its segment, inflated if it is a gzip
+    member, and parsed - the random-access read path the index exists
+    for. Returns WARC_RECORDS_SCHEMA rows (minus rec_ix, offsets are
+    the identity here) plus the span columns.
+
+    Scale shape: spans group per segment (one small shuffle of offset
+    pairs - never of blobs), the segment table joins ONCE on its key,
+    and slicing happens inside one mapInPandas per segment batch. On a
+    real object store the slice becomes a ranged GET per span and the
+    segment blob never loads at all - this operator models that access
+    pattern with the bytes available in-sandbox."""
+    import gzip as _gzip
+    import io as _io
+
+    spans = (index.select(F.col("segment_id").alias("_sid"),
+                          "offset", "length")
+             .groupBy("_sid")
+             .agg(F.sort_array(F.collect_list(
+                 F.struct("offset", "length"))).alias("_spans")))
+    src = (segments.select(F.col(id_col).cast("string").alias("_sid"),
+                           F.col(blob_col).alias("_blob"))
+           .join(spans, "_sid"))
+
+    out_schema = ("segment_id string, offset long, length long, "
+                  "url string, warc_ts timestamp, warc_type string, "
+                  "http_status int, content_type string, "
+                  "payload binary")
+
+    def slice_parse(batches: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
+        cols = ["segment_id", "offset", "length", "url", "_ts",
+                "warc_type", "http_status", "content_type", "payload"]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for sid, blob, sp in zip(pdf["_sid"], pdf["_blob"],
+                                     pdf["_spans"]):
+                blob = bytes(blob)
+                for span in sp:
+                    off, ln = int(span["offset"]), int(span["length"])
+                    rec = blob[off:off + ln]
+                    if rec[:2] == b"\x1f\x8b":
+                        rec = _gzip.GzipFile(
+                            fileobj=_io.BytesIO(rec)).read()
+                    parsed = parse_warc_bytes(sid, rec)
+                    if not parsed:
+                        continue
+                    (_, _, wtype, url, ts, status, ctype, _loc,
+                     payload, _err) = parsed[0]
+                    rows.append((sid, off, ln, url, ts, wtype, status,
+                                 ctype, payload))
+            yield pd.DataFrame(rows, columns=cols)
+
+    raw = src.mapInPandas(
+        slice_parse, out_schema.replace("warc_ts timestamp",
+                                        "_ts string"))
+    ts = F.coalesce(
+        F.try_to_timestamp(F.col("_ts"), F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
+        F.try_to_timestamp(F.col("_ts"), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")))
+    return raw.select("segment_id", "offset", "length", "url",
+                      ts.alias("warc_ts"), "warc_type", "http_status",
+                      "content_type", "payload")

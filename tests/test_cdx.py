@@ -71,3 +71,24 @@ def test_sorted_cdx_layout(spark):
     assert keys == sorted(keys)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
+
+
+def test_fetch_records_resolves_index_spans(spark):
+    segs = render_warc(_pages(spark), segment_col="seg",
+                       gzip_members=True)
+    from csvweb_spark.sources.cdx import fetch_records
+    idx = cdx_index(segs)
+    # resolve only one surt key - the point of the index is selective
+    hit = idx.where(F.col("surt").startswith("org,example,b)"))
+    got = fetch_records(hit, segs).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.url == "http://www.B.example.org/x?b=2&a=1"
+    assert bytes(r.payload) == b"body-two"
+    assert r.http_status == 200
+    # the blob never shuffles: the spans aggregate (the only exchange)
+    # must not reference _blob
+    plan = fetch_records(hit, segs)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    agg_part = plan[plan.find("Aggregate"):plan.find("Join")]
+    assert agg_part and "_blob" not in agg_part
