@@ -90,5 +90,7 @@ def test_fetch_records_resolves_index_spans(spark):
     # must not reference _blob
     plan = fetch_records(hit, segs)._jdf.queryExecution() \
         .optimizedPlan().toString()
-    agg_part = plan[plan.find("Aggregate"):]  # spans side = last child
-    assert agg_part and "_blob" not in agg_part
+    # the aggregate's OUTPUT (what the exchange ships) is sid + span
+    # structs only - the blob column never enters the shuffled row
+    agg_line = plan[plan.find("Aggregate"):].splitlines()[0]
+    assert "_spans" in agg_line and "_blob" not in agg_line
