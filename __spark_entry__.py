@@ -1916,6 +1916,26 @@ def q_events_coalesce(spark, sf_dir):
     return coalesce_intervals(iv, ["user_id", "event_type"])
 
 
+def q_kg_void_incr(spark, sf_dir):
+    """INCREMENTAL (mergeable) VoID statistics (round 5,
+    void_stats.py::predicate_partitions_sketched / merge / estimate):
+    the defect KG splits into two shards sketched INDEPENDENTLY
+    (KMV bottom-32 per predicate), the partials merge, and the
+    estimates finish. The oracle computes the DIRECT path over the
+    union with the same deterministic md5 KMV arithmetic - a hash
+    match proves merge(shard sketches) == sketch(union) end-to-end."""
+    from csvweb_spark.operators.void_stats import (
+        estimate_sketched_partitions, merge_sketched_partitions,
+        predicate_partitions_sketched)
+    a = _defect_kg_triples(spark, sf_dir, hi=300)
+    b = _defect_kg_triples(spark, sf_dir, lo=300, hi=600,
+                           type_nations=False)
+    merged = merge_sketched_partitions(
+        predicate_partitions_sketched(a, k=32),
+        predicate_partitions_sketched(b, k=32), k=32)
+    return estimate_sketched_partitions(merged, k=32)
+
+
 def _nation_link_pages(spark, sf_dir):
     """Shared fixture for the link-graph queries: one HTML page per
     nation (host n{key}.example.org) carrying an absolute link to its
@@ -3314,6 +3334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shacl_validate": q_kg_shacl_validate,
         "kg_void_stats": q_kg_void_stats,
         "kg_shacl_incr": q_kg_shacl_incr,
+        "kg_void_incr": q_kg_void_incr,
         "web_warc_roundtrip": q_web_warc_roundtrip,
         "web_registrable_domain": q_web_registrable_domain,
         "text_collocations": q_text_collocations,
@@ -5051,6 +5072,71 @@ def _oracle_sql_literal() -> dict[str, str]:
                    'X' || lpad(CAST(k % 100 AS VARCHAR), 2, '0')
                        || '-' || k
             FROM a WHERE k % 11 = 0
+        """,
+        "kg_void_incr": """
+            WITH c AS (SELECT c_custkey AS k, c_name, c_nationkey,
+                              c_acctbal
+                       FROM customer WHERE c_custkey < 600),
+            t AS (
+              SELECT 'ex:C' || k AS subj,
+                     'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                         AS pred,
+                     'ex:Customer' AS obj FROM c
+              UNION ALL
+              SELECT 'ex:C' || k, 'ex:name', c_name
+              FROM c WHERE k % 7 = 0 OR k % 13 <> 0
+              UNION ALL
+              SELECT 'ex:C' || k, 'ex:name', c_name || '_alt'
+              FROM c WHERE k % 7 = 0
+              UNION ALL
+              SELECT 'ex:C' || k, 'ex:nation', 'ex:N' || c_nationkey
+              FROM c
+              UNION ALL
+              SELECT DISTINCT 'ex:N' || c_nationkey,
+                     'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                     'ex:Nation'
+              FROM c WHERE c_nationkey < 20 AND k < 300
+              UNION ALL
+              SELECT 'ex:C' || k, 'ex:bal', CAST(c_acctbal AS VARCHAR)
+              FROM c
+              UNION ALL
+              SELECT 'ex:C' || k, 'ex:phone',
+                     CASE WHEN k % 11 = 0 THEN 'X' ELSE '' END
+                         || lpad(CAST(k % 100 AS VARCHAR), 2, '0')
+                         || '-' || k
+              FROM c),
+            counts AS (SELECT pred, count(*)::BIGINT AS n_triples
+                       FROM t GROUP BY pred),
+            sh AS (SELECT DISTINCT pred,
+                          ('0x' || substr(md5(subj), 1, 15))::bigint AS h
+                   FROM t),
+            srk AS (SELECT pred, h, row_number() OVER (
+                        PARTITION BY pred ORDER BY h) AS rn FROM sh),
+            sest AS (SELECT pred, count(*)::bigint AS n_kept,
+                            max(CASE WHEN rn = 32 THEN h END) AS kth
+                     FROM srk WHERE rn <= 32 GROUP BY pred),
+            oh AS (SELECT DISTINCT pred,
+                          ('0x' || substr(md5(obj), 1, 15))::bigint AS h
+                   FROM t),
+            ork AS (SELECT pred, h, row_number() OVER (
+                        PARTITION BY pred ORDER BY h) AS rn FROM oh),
+            oest AS (SELECT pred, count(*)::bigint AS n_kept,
+                            max(CASE WHEN rn = 32 THEN h END) AS kth
+                     FROM ork WHERE rn <= 32 GROUP BY pred)
+            SELECT counts.pred, counts.n_triples,
+                   CASE WHEN sest.n_kept < 32 THEN sest.n_kept
+                        ELSE ((31::HUGEINT
+                               * 1152921504606846976::HUGEINT)
+                              // greatest(sest.kth, 1)::HUGEINT)::bigint
+                   END AS n_subjects_est,
+                   CASE WHEN oest.n_kept < 32 THEN oest.n_kept
+                        ELSE ((31::HUGEINT
+                               * 1152921504606846976::HUGEINT)
+                              // greatest(oest.kth, 1)::HUGEINT)::bigint
+                   END AS n_objects_est
+            FROM counts
+            JOIN sest ON sest.pred = counts.pred
+            JOIN oest ON oest.pred = counts.pred
         """,
         "kg_void_stats": """
             WITH c AS (SELECT c_custkey AS k, c_name, c_nationkey,

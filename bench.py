@@ -674,6 +674,23 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     timed("text_collocations", lambda: collocations(
         docs, min_pair_count=2).count())
 
+    from csvweb_spark.operators.graph import personalized_pagerank
+    from csvweb_spark.operators.interval import coalesce_intervals
+    from csvweb_spark.sources.cdx import cdx_index
+    seeds2 = spark.createDataFrame([(0,), (250,)], "node long")
+    timed("kg_pagerank_seeded", lambda: personalized_pagerank(
+        edges_khop, seeds2, iterations=3).count())
+    warc_segs = render_warc(warc_in, segment_col=None,
+                            gzip_members=True)
+    timed("web_cdx_index", lambda: cdx_index(warc_segs).count())
+    ev_iv = ev.select(
+        "user_id", "event_type", F.col("ts").alias("start"),
+        (F.col("ts") + F.make_interval(
+            secs=(F.col("event_id") % 7 + 1).cast("double")))
+        .alias("end"))
+    timed("events_coalesce", lambda: coalesce_intervals(
+        ev_iv, ["user_id", "event_type"]).count())
+
     # relational: TPC-H-ish Q1
     dec = lambda c: F.col(c).cast("decimal(18,4)")
     timed("q1_pricing_summary", lambda: (

@@ -61,6 +61,62 @@ def predicate_partitions(triples: DataFrame,
         d(F.col("obj")).alias("n_objects"))
 
 
+def predicate_partitions_sketched(triples: DataFrame,
+                                  k: int = 64) -> DataFrame:
+    """The MERGEABLE per-shard VoID partial: (pred, n_triples,
+    subj_sketch, obj_sketch) with KMV bottom-k sketches
+    (operators/sketches.py - deterministic md5 60-bit hashes, exactly
+    mergeable and order-invariant). Shards / micro-batches compute this
+    independently; `merge_sketched_partitions` folds them and
+    `estimate_sketched_partitions` finishes - the incremental VoID
+    maintenance a daily-delta KG needs without rescanning history."""
+    from .sketches import kmv_sketch
+    counts = triples.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_triples"))
+    s = kmv_sketch(triples, "subj", ["pred"], k) \
+        .withColumnRenamed("sketch", "subj_sketch")
+    o = kmv_sketch(triples, "obj", ["pred"], k) \
+        .withColumnRenamed("sketch", "obj_sketch")
+    return counts.join(s, "pred").join(o, "pred")
+
+
+def merge_sketched_partitions(a: DataFrame, b: DataFrame,
+                              k: int = 64) -> DataFrame:
+    """Fold two sketched-partition tables: triple counts add, sketches
+    union-and-retake-k - by the KMV merge property the result EQUALS
+    the sketched partial of the combined input (the driver query's
+    oracle checks exactly that equality)."""
+    from .sketches import kmv_merge
+    cols = ["pred", "n_triples"]
+    counts = (a.select(*cols).unionByName(b.select(*cols))
+              .groupBy("pred").agg(F.sum("n_triples").alias("n_triples")))
+    s = kmv_merge(a.select("pred", F.col("subj_sketch").alias("sketch")),
+                  b.select("pred", F.col("subj_sketch").alias("sketch")),
+                  ["pred"], k) \
+        .withColumnRenamed("sketch", "subj_sketch")
+    o = kmv_merge(a.select("pred", F.col("obj_sketch").alias("sketch")),
+                  b.select("pred", F.col("obj_sketch").alias("sketch")),
+                  ["pred"], k) \
+        .withColumnRenamed("sketch", "obj_sketch")
+    return counts.join(s, "pred").join(o, "pred")
+
+
+def estimate_sketched_partitions(parts: DataFrame,
+                                 k: int = 64) -> DataFrame:
+    """Finish sketched partials into VoID numbers: (pred, n_triples,
+    n_subjects_est, n_objects_est) - exact below k distinct values,
+    the deterministic integer bottom-k estimator above."""
+    from .sketches import kmv_estimate
+    s = kmv_estimate(
+        parts.select("pred", F.col("subj_sketch").alias("sketch")), k) \
+        .select("pred", F.col("distinct_est").alias("n_subjects_est"))
+    o = kmv_estimate(
+        parts.select("pred", F.col("obj_sketch").alias("sketch")), k) \
+        .select("pred", F.col("distinct_est").alias("n_objects_est"))
+    return (parts.select("pred", "n_triples")
+            .join(s, "pred").join(o, "pred"))
+
+
 def class_partitions(triples: DataFrame, exact: bool = True,
                      type_pred: str = RDF_TYPE) -> DataFrame:
     """void:classPartition - per class: void:entities (distinct typed

@@ -52,3 +52,35 @@ def test_approx_mode_close_and_sketch_plan(spark):
     exact_plan = predicate_partitions(kg, exact=True) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in exact_plan
+
+
+def test_sketched_partitions_merge_property(spark):
+    from pyspark.sql import functions as F
+    from csvweb_spark.operators.void_stats import (
+        estimate_sketched_partitions, merge_sketched_partitions,
+        predicate_partitions_sketched)
+    rows = [(f"ex:S{i % 37}", "ex:p" if i % 3 else "ex:q",
+             f"ex:O{i % 11}") for i in range(300)]
+    kg = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    a = kg.where(F.length("subj") % 2 == 0)
+    b = kg.where(F.length("subj") % 2 == 1)
+    merged = merge_sketched_partitions(
+        predicate_partitions_sketched(a, k=8),
+        predicate_partitions_sketched(b, k=8), k=8)
+    direct = predicate_partitions_sketched(kg, k=8)
+    m = {r.pred: (r.n_triples, list(r.subj_sketch), list(r.obj_sketch))
+         for r in merged.collect()}
+    d = {r.pred: (r.n_triples, list(r.subj_sketch), list(r.obj_sketch))
+         for r in direct.collect()}
+    assert m == d  # exact merge property, sketch-for-sketch
+    est = {r.pred: (r.n_triples, r.n_subjects_est, r.n_objects_est)
+           for r in estimate_sketched_partitions(merged, k=8).collect()}
+    # 11 distinct objects > k=8 -> estimator engages; subjects 37 > 8
+    for pred in ("ex:p", "ex:q"):
+        assert est[pred][2] > 0 and est[pred][1] > 0
+    # below-k groups are exact: restrict to 3 subjects
+    tiny = predicate_partitions_sketched(
+        kg.where(F.col("subj").isin("ex:S1", "ex:S2", "ex:S3")), k=8)
+    t = {r.pred: r.n_subjects_est
+         for r in estimate_sketched_partitions(tiny, k=8).collect()}
+    assert t["ex:p"] == 3
