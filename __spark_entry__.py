@@ -647,6 +647,29 @@ def q_quality_gopher(spark, sf_dir):
         "alpha_word_bp", "n_stop_words", "keep")
 
 
+def q_web_site_quality(spark, sf_dir):
+    """Site-level quality rollup (round 5 composition): every document
+    gets a synthetic host (14 sites across two PSL families), the
+    Gopher gate scores each page, and the rollup groups by REGISTRABLE
+    domain (urls.registrable_domain - the crawl-curation grain: caps
+    and quality priors bind to eTLD+1, not to raw hosts). Oracle
+    composes the full Gopher replay with the same domain arithmetic."""
+    from csvweb_spark.operators.text import gopher_quality
+    from csvweb_spark.operators.urls import registrable_domain
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    g = gopher_quality(docs, min_words=10).withColumn(
+        "host",
+        F.when(d % 2 == 0,
+               F.concat(F.lit("www.s"), d % 7, F.lit(".com")))
+        .otherwise(F.concat(F.lit("s"), d % 7, F.lit(".github.io"))))
+    site = registrable_domain(g)
+    return site.groupBy("registrable_domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum("n_words").cast("long").alias("sum_words"))
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Per-document top-3 salient terms by the integer-exact TF-IDF
     surrogate floor(10^6 * tf / df) (text.py::tfidf_topk - ln() is not
@@ -3343,6 +3366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_cdx_index": q_web_cdx_index,
         "events_coalesce": q_events_coalesce,
         "quality_gopher": q_quality_gopher,
+        "web_site_quality": q_web_site_quality,
         "tfidf_topk": q_tfidf_topk,
         "web_link_hosts": q_web_link_hosts,
         "web_anchor_aliases": q_web_anchor_aliases,
@@ -6059,6 +6083,21 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM norm
         """,
         "quality_gopher": _gopher_oracle_sql(),
+        "web_site_quality": f"""
+            WITH g AS ({_gopher_oracle_sql()}),
+            h AS (SELECT doc_id, keep, n_words,
+                         CASE WHEN doc_id % 2 = 0
+                              THEN 's' || (doc_id % 7) || '.com'
+                              ELSE 's' || (doc_id % 7) || '.github.io'
+                         END AS registrable_domain
+                  FROM g)
+            SELECT registrable_domain,
+                   count(*)::BIGINT AS n_pages,
+                   sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT
+                       AS n_keep,
+                   sum(n_words)::BIGINT AS sum_words
+            FROM h GROUP BY registrable_domain
+        """,
         "tfidf_topk": """
             WITH toks AS (
                 SELECT doc_id, unnest(
