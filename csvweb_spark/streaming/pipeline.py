@@ -991,6 +991,24 @@ def compact_host_graph(spark: SparkSession, output_dir: str,
 
 
 WARC_PAGES_SUBDIR = "_state/warc_pages"
+WARC_CDX_SUBDIR = "_state/warc_cdx"
+
+
+def read_warc_cdx(spark: SparkSession,
+                  output_dir: str) -> Optional[DataFrame]:
+    """The cumulative CDX index maintained by stream_warc_ingest
+    (maintain_cdx=True): union of committed per-batch index deltas -
+    append-only by construction (a segment file is indexed exactly
+    once; revisit supersede is a READ policy on pages, the index keeps
+    every archived record like Common Crawl's). None before the first
+    commit."""
+    from ..plans.fs import fs_for
+    fs = fs_for(output_dir, spark)
+    dirs = [p for _, p in
+            _batch_dirs(fs, fs.join(output_dir, WARC_CDX_SUBDIR))]
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
 
 
 def read_warc_pages(spark: SparkSession,
@@ -1019,7 +1037,8 @@ def stream_warc_ingest(spark: SparkSession, input_dir: str,
                        content_type_prefix: str = "text/html",
                        max_files_per_trigger: Optional[int] = None,
                        available_now: bool = True,
-                       batch_hook=None):
+                       batch_hook=None,
+                       maintain_cdx: bool = False):
     """Continuously-maintained pages table from landing WARC segments:
     segment files arrive in `input_dir` (Spark's binaryFile streaming
     source - one row per file, exactly the per-~1GB-blob partition
@@ -1054,6 +1073,17 @@ def stream_warc_ingest(spark: SparkSession, input_dir: str,
         root = fs.join(output_dir, WARC_PAGES_SUBDIR)
         segs = batch_df.select(F.col("path").alias("segment_id"),
                                F.col("content").alias("blob"))
+        if maintain_cdx:
+            # index EVERY response record of this batch's segments
+            # (the index keeps non-html archives the page state
+            # filters out); same batch-dir idempotence as the pages
+            # delta, written first so a crash between the two writes
+            # retries both overwrites harmlessly
+            from ..sources.cdx import cdx_index
+            cdx_root = fs.join(output_dir, WARC_CDX_SUBDIR)
+            cdx_dir_id = batch_id + _compact_offset(fs, cdx_root)
+            cdx_index(segs).write.mode("overwrite").parquet(
+                fs.join(cdx_root, f"batch={cdx_dir_id}"))
         delta = warc_pages(segs,
                            content_type_prefix=content_type_prefix)
         if not delta.take(1):

@@ -978,3 +978,52 @@ def test_streaming_shacl_gate_clean_and_quarantine(spark, pages_dir,
     reports = read_streamed_graph(spark, out2, "violations")
     assert reports.count() > 0
     assert {r.constraint for r in reports.collect()} == {"pattern"}
+
+
+def test_stream_warc_ingest_maintains_cdx(spark, tmp_path):
+    """maintain_cdx=True: every micro-batch commits its CDX delta -
+    the index keeps ALL response records (incl non-html the page
+    state filters), and each row's (segment, offset, length) span
+    slices back to exactly its record."""
+    import os
+
+    from csvweb_spark.sources.warc import parse_warc_bytes
+    from csvweb_spark.streaming.pipeline import (read_warc_cdx,
+                                                 stream_warc_ingest)
+
+    seg_dir = str(tmp_path / "segs")
+    out = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(seg_dir)
+
+    def record(url, date, body, ctype=b"text/html"):
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype +
+                b"\r\n\r\n" + body)
+        hdr = (f"WARC/1.0\r\nWARC-Type: response\r\n"
+               f"WARC-Date: {date}\r\nWARC-Target-URI: {url}\r\n"
+               f"Content-Length: {len(http)}\r\n").encode()
+        return hdr + b"\r\n" + http + b"\r\n\r\n"
+
+    with open(f"{seg_dir}/s0.warc", "wb") as f:
+        f.write(record("http://a.org/p", "2026-01-01T00:00:00Z",
+                       b"<html>v1</html>")
+                + record("http://a.org/img", "2026-01-01T00:00:01Z",
+                         b"\x89PNG", ctype=b"image/png"))
+    with open(f"{seg_dir}/s1.warc", "wb") as f:
+        f.write(record("http://b.org/q", "2026-01-02T00:00:00Z",
+                       b"<html>q</html>"))
+    q = stream_warc_ingest(spark, seg_dir, out, ckpt,
+                           max_files_per_trigger=1, maintain_cdx=True)
+    q.awaitTermination(180)
+    idx = read_warc_cdx(spark, out)
+    rows = idx.collect()
+    # all three responses indexed, incl the png the page state drops
+    assert {r.url for r in rows} == {"http://a.org/p",
+                                     "http://a.org/img",
+                                     "http://b.org/q"}
+    assert {r.mime for r in rows} == {"text/html", "image/png"}
+    for r in rows:  # spans ranged-fetch back to exactly their record
+        with open(r.segment_id.replace("file:", ""), "rb") as f:
+            f.seek(r.offset)
+            rec = f.read(r.length)
+        assert parse_warc_bytes("probe", rec)[0][3] == r.url
