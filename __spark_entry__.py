@@ -2476,16 +2476,24 @@ def q_lang_detect(spark, sf_dir):
     GENERATED from the same LANG_PROFILES dict (_lang_ngram_oracle_sql),
     so model and oracle cannot drift."""
     from csvweb_spark.operators.text import (LANG_NGRAM_ORDER,
-                                             detect_language_ngram,
-                                             ngram_lang_score)
+                                             LID_SAMPLE_CHARS,
+                                             _ngram_score_cols,
+                                             add_language_ngram,
+                                             ngram_pad)
     docs = _load(spark, sf_dir, "documents")
     t = F.col("text")
-    return docs.select(
+    # DataFrame form: pad/sample projected once, scores once, argmax
+    # over the score COLUMNS (the inline column form re-evaluates every
+    # scan per CASE branch - round-5 perf fix, output-identical)
+    base = (add_language_ngram(docs, "text")
+            .withColumn("_pad", ngram_pad(t))
+            .withColumn("_smp", F.substring(t, 1, LID_SAMPLE_CHARS)))
+    return base.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("lang").alias("lang_declared"),
-        detect_language_ngram(t).alias("lang_detected"),
-        *[ngram_lang_score(t, lang).alias(f"score_{lang}")
-          for lang in LANG_NGRAM_ORDER])
+        "lang_detected",
+        *[_ngram_score_cols(F.col("_pad"), F.col("_smp"), lang)
+          .alias(f"score_{lang}") for lang in LANG_NGRAM_ORDER])
 
 
 def q_doc_fingerprint(spark, sf_dir):

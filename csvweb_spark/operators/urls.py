@@ -171,6 +171,9 @@ def registrable_domain(df: DataFrame, host_col: str = "host",
     chain of `max_suffix_labels` BROADCAST left joins over the scan,
     then one CASE projection. At 10^12 rows the plan is
     scan -> 5x BroadcastHashJoin -> project."""
+    if max_suffix_labels < 2:
+        raise ValueError("max_suffix_labels must be >= 2 (PSL rules are "
+                         "multi-label; 5 covers the published list)")
     spark = df.sparkSession
     rule_rows = []
     for r in (DEFAULT_PSL_RULES if rules is None else rules):
