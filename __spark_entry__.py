@@ -412,6 +412,26 @@ def q_kg_pagerank_seeded(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+def q_kg_kcore(spark, sf_dir):
+    """k-core decomposition (round 5, graph.py::kcore, k=2) over a
+    blocks-of-8 graph from customer: each block is a 6-cycle (path +
+    chord) with a 2-node pendant tail - the tail peels over CASCADING
+    rounds (node b+7 first, then b+6), the cycles survive as the
+    2-core. Peeling is idempotent at the fixpoint, so Spark's
+    early-stop equals the oracle's fixed 8 unrolled rounds."""
+    from csvweb_spark.operators.graph import kcore
+    cust = (_load(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") < 320).select("c_custkey"))
+    k = F.col("c_custkey")
+    path = (cust.filter((k % 8 < 7) & (k + 1 < 320))
+            .select(k.alias("src"), (k + 1).alias("dst")))
+    chord = (cust.filter((k % 8 == 0) & (k + 5 < 320))
+             .select(k.alias("src"), (k + 5).alias("dst")))
+    out = kcore(path.unionByName(chord), k=2, max_rounds=8)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.col("deg").cast("long").alias("deg"))
+
+
 def q_kg_communities(spark, sf_dir):
     """Deterministic label propagation (graph.py::label_propagation,
     2 rounds) over the chain+star graph: most-frequent neighbor label,
@@ -3441,6 +3461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "kg_hits": q_kg_hits,
         "kg_pagerank_seeded": q_kg_pagerank_seeded,
+        "kg_kcore": q_kg_kcore,
         "dedup_incremental_near": q_dedup_incremental_near,
         # -- recorded green in CORRECTNESS_r03 --
         "entity_link_exact": q_entity_link_exact,
@@ -3845,6 +3866,41 @@ def _ppr_oracle_sql(iterations: int = 3, damping_bp: int = 8500,
             {",".join(steps)}
             SELECT node::BIGINT AS node, rank
             FROM pr{iterations} WHERE rank > 0"""
+
+
+def _kcore_oracle_sql(k: int = 2, rounds: int = 8) -> str:
+    """DuckDB replica of graph.py::kcore over the q_kg_kcore blocks-of-8
+    graph: fixed unrolled peel rounds (idempotent at the fixpoint, so
+    extra rounds are no-ops and Spark's early-stop agrees)."""
+    steps = []
+    for r in range(1, rounds + 1):
+        # MATERIALIZED: DuckDB inlines plain CTEs, and a{r-1} is
+        # referenced twice per round - unmaterialized that's 2^rounds
+        # replays of the whole chain (measured 70s vs ~1s)
+        steps.append(f"""
+            a{r} AS MATERIALIZED (
+                SELECT e.u AS node FROM und e
+                JOIN a{r - 1} x ON x.node = e.u
+                JOIN a{r - 1} y ON y.node = e.v
+                GROUP BY e.u HAVING count(*) >= {k})""")
+    return f"""
+            WITH c AS (SELECT c_custkey AS k FROM customer
+                       WHERE c_custkey < 320),
+            e0 AS (
+                SELECT k AS u, k + 1 AS v FROM c
+                WHERE k % 8 < 7 AND k + 1 < 320
+                UNION ALL
+                SELECT k, k + 5 FROM c WHERE k % 8 = 0 AND k + 5 < 320),
+            und AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+                SELECT u, v FROM e0 WHERE u <> v
+                UNION ALL SELECT v, u FROM e0 WHERE u <> v)),
+            a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM und),
+            {",".join(steps)}
+            SELECT e.u::BIGINT AS node, count(*)::BIGINT AS deg
+            FROM und e
+            JOIN a{rounds} x ON x.node = e.u
+            JOIN a{rounds} y ON y.node = e.v
+            GROUP BY e.u HAVING count(*) >= {k}"""
 
 
 def _pagerank_oracle_sql(iterations: int = 5, damping_bp: int = 8500,
@@ -4922,6 +4978,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "pagerank": _pagerank_oracle_sql(),
         "kg_hits": _hits_oracle_sql(),
         "kg_pagerank_seeded": _ppr_oracle_sql(),
+        "kg_kcore": _kcore_oracle_sql(),
         "kg_triangles": """
             WITH
             c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 400),

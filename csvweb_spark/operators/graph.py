@@ -86,6 +86,52 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     return ranks
 
 
+def kcore(edges: DataFrame, k: int = 3, max_rounds: int = 20,
+          src: str = "src", dst: str = "dst") -> DataFrame:
+    """The k-core of the undirected simple graph: iteratively peel
+    nodes of degree < k until stable; returns (node, deg) for the
+    surviving nodes with their WITHIN-CORE degree. The dense-subgraph
+    signal KG curation uses both ways - link-farm/spam clusters are
+    high-core, and entities outside the 2-core are weakly-attested
+    leaves.
+
+    Peeling is monotone and idempotent once stable, so the early-stop
+    below cannot change the result vs a fixed round count - which is
+    what makes the unrolled-CTE oracle exact (it just runs the full
+    max_rounds). Self-loops dropped, parallel/reversed edges
+    deduplicated, matching triangle_count's graph reading.
+
+    Scale shape: per round two LeftSemi joins restrict the edge list to
+    live endpoints and one map-side-combinable count rebuilds degrees -
+    edges never carry payload; localCheckpoint truncates lineage; the
+    convergence probe is a 1-row count."""
+    assert k >= 1 and max_rounds >= 1
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .where(F.col("u") != F.col("v")))
+    und = (e.unionByName(e.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+           .distinct().localCheckpoint(eager=True))
+    alive = und.select(F.col("u").alias("node")).distinct() \
+        .localCheckpoint(eager=True)
+    n_alive = alive.count()
+    deg = None
+    for _ in range(max_rounds):
+        live_e = (und.join(alive.withColumnRenamed("node", "u"), "u",
+                           "left_semi")
+                  .join(alive.withColumnRenamed("node", "v"), "v",
+                        "left_semi"))
+        deg = live_e.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("deg"))
+        nxt = deg.where(F.col("deg") >= k).select("node") \
+            .localCheckpoint(eager=True)
+        n_next = nxt.count()
+        alive = nxt
+        if n_next == n_alive:
+            break
+        n_alive = n_next
+    return deg.where(F.col("deg") >= k)
+
+
 def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
                           iterations: int = 5, damping_bp: int = 8500,
                           scale: int = 1_000_000, src: str = "src",

@@ -1054,3 +1054,35 @@ def test_personalized_pagerank_deterministic(spark):
     b = sorted(map(tuple, personalized_pagerank(
         edges, seeds, iterations=3).collect()))
     assert a == b and all(isinstance(r, int) for _, r in a)
+
+
+# ------------------------------------------------------------ k-core
+
+def test_kcore_peels_to_the_clique(spark):
+    from csvweb_spark.operators.graph import kcore
+    # K4 on {1..4} + a pendant chain 4-10-11 that peels away
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = spark.createDataFrame(k4 + [(4, 10), (10, 11)],
+                                  "src long, dst long")
+    core3 = {r.node: r.deg for r in kcore(edges, k=3).collect()}
+    assert core3 == {1: 3, 2: 3, 3: 3, 4: 3}  # within-core degrees
+    core2 = {r.node for r in kcore(edges, k=2).collect()}
+    assert core2 == {1, 2, 3, 4}  # the chain is degree-1 after peeling
+    assert kcore(edges, k=4).count() == 0
+    # k=1 keeps everything with an edge
+    assert {r.node for r in kcore(edges, k=1).collect()} == \
+        {1, 2, 3, 4, 10, 11}
+
+
+def test_kcore_cascading_peel(spark):
+    from csvweb_spark.operators.graph import kcore
+    # path 1-2-3-4-5: every round peels the current endpoints; the
+    # 2-core is empty but only after CASCADED rounds (not one pass)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long")
+    assert kcore(edges, k=2).count() == 0
+    # cycle 1-2-3-1 is its own 2-core
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)],
+                                "src long, dst long")
+    assert {r.node: r.deg for r in kcore(cyc, k=2).collect()} == \
+        {1: 2, 2: 2, 3: 2}
