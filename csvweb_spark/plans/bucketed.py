@@ -65,3 +65,51 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Catalog read - REQUIRED for the bucket spec to reach the planner
     (a direct path read silently loses it and joins re-shuffle)."""
     return spark.table(table)
+
+
+PRED_PART_COL = "pred_part"
+
+
+def write_pred_partitioned(df: DataFrame, path: str,
+                           n_pred_parts: int = 64,
+                           n_buckets: int = 16,
+                           mode: str = "overwrite") -> None:
+    """The POS-style second index of the triple store: parquet
+    PARTITIONED BY a bounded hash of `pred` (so a pred-bound scan
+    touches 1/n_pred_parts of the files via partition PRUNING - the
+    classic RDF predicate-partitioning trick, bounded because raw pred
+    values can be a 10^5-value directory explosion) and bucketed-style
+    clustered by obj WITHIN each partition (repartition keeps files per
+    partition bounded).
+
+    The subj-bucketed catalog table (write_bucketed) serves
+    subject-joins; this layout serves the other dominant BGP shape -
+    `?s <p> ?o / ?s <p> CONST` patterns - where the win is not a join
+    but reading 1-2% of the store instead of all of it. Readers use
+    `read_pred_partitioned(spark, path, pred=...)`, which applies the
+    same hash so pruning happens at planning time."""
+    from pyspark.sql import functions as F
+    part = F.pmod(F.xxhash64("pred"), F.lit(n_pred_parts)).cast("int")
+    (df.withColumn(PRED_PART_COL, part)
+       .repartition(n_buckets, PRED_PART_COL, "obj")
+       .write.mode(mode)
+       .partitionBy(PRED_PART_COL)
+       .parquet(path))
+
+
+def read_pred_partitioned(spark: SparkSession, path: str,
+                          pred: Optional[str] = None,
+                          n_pred_parts: int = 64) -> DataFrame:
+    """Scan the POS layout; with `pred` given, the partition filter
+    (same xxhash64 the writer used) prunes to ONE directory at planning
+    time and the residual pred equality prunes hash collisions - the
+    plan's scan must show `PushedFilters`/partition count 1, pinned in
+    test_plans."""
+    from pyspark.sql import functions as F
+    df = spark.read.parquet(path)
+    if pred is None:
+        return df.drop(PRED_PART_COL)
+    part = F.pmod(F.xxhash64(F.lit(pred)), F.lit(n_pred_parts))
+    return (df.where((F.col(PRED_PART_COL) == part.cast("int"))
+                     & (F.col("pred") == pred))
+            .drop(PRED_PART_COL))

@@ -546,3 +546,36 @@ def test_canonicalize_triples_no_broadcast_fallback(spark):
                                         broadcast_map=False))
     assert "BroadcastExchange" not in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_pred_partitioned_store_prunes(spark, tmp_path):
+    """POS layout (plans/bucketed.py::write_pred_partitioned): a
+    pred-bound read prunes to ONE hash partition at planning time and
+    returns exactly that predicate's triples."""
+    from pyspark.sql import functions as F
+    from csvweb_spark.plans.bucketed import (read_pred_partitioned,
+                                             write_pred_partitioned)
+    rows = [(f"ex:S{i}", f"ex:p{i % 9}", f"ex:O{i % 5}")
+            for i in range(500)]
+    df = spark.createDataFrame(rows,
+                               "subj string, pred string, obj string")
+    path = str(tmp_path / "pos")
+    write_pred_partitioned(df, path, n_pred_parts=16, n_buckets=4)
+    got = read_pred_partitioned(spark, path, pred="ex:p3",
+                                n_pred_parts=16)
+    rows_back = got.collect()
+    assert {r.pred for r in rows_back} == {"ex:p3"}
+    assert len(rows_back) == sum(1 for i in range(500) if i % 9 == 3)
+    # planning-time pruning: the partition filter reaches the scan
+    # (the hash-of-literal folds to a constant), and the files ACTUALLY
+    # read (input_file_name after pruning - inputFiles() ignores
+    # filters) all live in one pred_part directory
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "pred_part" in plan
+    read_dirs = {r.f.rsplit("/", 2)[-2] for r in
+                 got.select(F.input_file_name().alias("f")).collect()}
+    assert len(read_dirs) == 1
+    assert read_dirs.pop().startswith("pred_part=")
+    # unfiltered read returns everything without the helper column
+    full = read_pred_partitioned(spark, path, n_pred_parts=16)
+    assert full.count() == 500 and "pred_part" not in full.columns
