@@ -66,13 +66,26 @@ def _path_pattern_df(triples: DataFrame, pat, idx: int) -> DataFrame:
     return df.select(*[F.col(pos).alias(name) for pos, name in cols])
 
 
-def _pattern_df(triples: DataFrame, pat: Pattern, idx: int) -> DataFrame:
+def _pattern_df(triples, pat: Pattern, idx: int) -> DataFrame:
     """One filtered scan; variable columns renamed to the variable name,
     constant columns filtered then dropped. A tuple in the PREDICATE
-    position is a property-path expression (`_path_pattern_df`)."""
-    if isinstance(pat[1], tuple):
-        return _path_pattern_df(triples, pat, idx)
-    df = triples
+    position is a property-path expression (`_path_pattern_df`).
+
+    `triples` may be a CALLABLE `pattern -> DataFrame` (a layout
+    router, e.g. plans.bucketed.TripleStore.scan): each pattern then
+    reads from the layout that serves it best (pred-bound patterns hit
+    the pred-partitioned POS files, the rest the subj-bucketed SPO
+    table); the constant filters below still apply, so a routed scan
+    only needs to be a SUPERSET of the pattern's triples."""
+    if callable(triples):
+        full = triples(None)
+        if isinstance(pat[1], tuple):
+            return _path_pattern_df(full, pat, idx)
+        df = triples(pat)
+    else:
+        if isinstance(pat[1], tuple):
+            return _path_pattern_df(triples, pat, idx)
+        df = triples
     cols = []
     seen: dict[str, str] = {}
     for pos, term in zip(_POS, pat):
@@ -168,7 +181,8 @@ def match_bgp(triples: DataFrame, patterns: list[Pattern],
         names = [v.lstrip("?") for v in vvars]
         # NO distinct: SPARQL bag semantics - duplicate VALUES rows
         # multiply solutions (round-4 review)
-        vdf = triples.sparkSession.createDataFrame(
+        vdf = (triples(None) if callable(triples)
+               else triples).sparkSession.createDataFrame(
             [tuple(row) for row in rows],
             ", ".join(f"`{n}` string" for n in names))
         shared = sorted(set(names) & set(out.columns))

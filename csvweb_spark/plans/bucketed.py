@@ -113,3 +113,43 @@ def read_pred_partitioned(spark: SparkSession, path: str,
     return (df.where((F.col(PRED_PART_COL) == part.cast("int"))
                      & (F.col("pred") == pred))
             .drop(PRED_PART_COL))
+
+
+class TripleStore:
+    """Dual-layout materialized triple store + per-pattern router:
+
+    * SPO - the subj-bucketed catalog table (`write_bucketed`), serving
+      subject-keyed joins with zero exchange;
+    * POS - the pred-partitioned parquet (`write_pred_partitioned`),
+      serving pred-bound patterns with planning-time partition pruning.
+
+    `scan(pattern)` returns the layout that serves a BGP triple pattern
+    best; pass `store.scan` as the `triples` argument of
+    operators.bgp.match_bgp and every pattern reads its own layout (the
+    router contract: any returned frame is a SUPERSET of the pattern's
+    triples - match_bgp re-applies the constant filters)."""
+
+    def __init__(self, spark: SparkSession, table: str, pos_path: str,
+                 n_pred_parts: int = 64):
+        self.spark = spark
+        self.table = table
+        self.pos_path = pos_path
+        self.n_pred_parts = n_pred_parts
+
+    @classmethod
+    def materialize(cls, df: DataFrame, table: str, pos_path: str,
+                    n_buckets: int = 16, n_pred_parts: int = 64,
+                    mode: str = "overwrite") -> "TripleStore":
+        """Write both layouts (two write-time shuffles, amortized over
+        every read) and return the router."""
+        write_bucketed(df, table, n_buckets, mode=mode)
+        write_pred_partitioned(df, pos_path, n_pred_parts=n_pred_parts,
+                               mode=mode)
+        return cls(df.sparkSession, table, pos_path, n_pred_parts)
+
+    def scan(self, pattern=None) -> DataFrame:
+        if (pattern is not None and isinstance(pattern[1], str)
+                and not pattern[1].startswith("?")):
+            return read_pred_partitioned(self.spark, self.pos_path,
+                                         pattern[1], self.n_pred_parts)
+        return read_bucketed(self.spark, self.table)

@@ -579,3 +579,34 @@ def test_pred_partitioned_store_prunes(spark, tmp_path):
     # unfiltered read returns everything without the helper column
     full = read_pred_partitioned(spark, path, n_pred_parts=16)
     assert full.count() == 500 and "pred_part" not in full.columns
+
+
+def test_triple_store_router_in_match_bgp(spark, tmp_path):
+    """TripleStore.scan as the match_bgp source: pred-bound patterns
+    read pruned POS files, the variable-pred pattern reads the SPO
+    table; results equal the plain-frame evaluation."""
+    from csvweb_spark.operators.bgp import match_bgp
+    from csvweb_spark.plans.bucketed import TripleStore
+    rows = ([(f"ex:C{i}", "ex:in", f"ex:N{i % 5}") for i in range(80)]
+            + [(f"ex:N{n}", "ex:part", "ex:R1") for n in range(5)]
+            + [(f"ex:C{i}", "ex:vip", "gold") for i in range(0, 80, 7)])
+    kg = spark.createDataFrame(rows,
+                               "subj string, pred string, obj string")
+    store = TripleStore.materialize(
+        kg, "t_router_spo", str(tmp_path / "pos"), n_buckets=4,
+        n_pred_parts=8)
+    pats = [("?c", "ex:in", "?n"), ("?n", "ex:part", "?r"),
+            ("?c", "ex:vip", "?g")]
+    routed = match_bgp(store.scan, pats)
+    plain = match_bgp(kg, pats)
+    assert sorted(map(tuple, routed.collect())) == \
+        sorted(map(tuple, plain.collect()))
+    # the routed scan for a pred-bound pattern reads ONE POS partition
+    one = store.scan(("?c", "ex:vip", "?g"))
+    dirs = {r.f.rsplit("/", 2)[-2] for r in
+            one.select(F.input_file_name().alias("f")).collect()}
+    assert len(dirs) == 1 and dirs.pop().startswith("pred_part=")
+    # variable-pred pattern routes to the bucketed catalog table
+    full = store.scan(("?s", "?p", "?o"))
+    assert full.count() == len(rows)
+    spark.sql("DROP TABLE IF EXISTS t_router_spo")
