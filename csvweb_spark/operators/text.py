@@ -15,6 +15,7 @@ shuffle, column-pruned to `text` (+key), linear scale-out.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve by name
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -738,3 +739,34 @@ def collocations(df: DataFrame, text_col: str = "text",
            * F.col("n_w2")))
     return out.select("w1", "w2", "n_pair", "n_w1", "n_w2",
                       pmi.alias("pmi"))
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text",
+                      out_col: str = "compress_bp",
+                      level: int = 6) -> DataFrame:
+    """Adds the zlib compression ratio of the UTF-8 text as integer
+    basis points (compressed*10000/raw; 0 for empty text) - the
+    classic redundancy signal (Gopher/CCNet-family pipelines drop
+    pathologically compressible boilerplate/spam and incompressible
+    binary-ish noise). DEFLATE at a fixed level is deterministic for a
+    given input, so the column is stable across runs/partitionings -
+    but no SQL engine replays it, so this operator is unit-tested
+    rather than oracle-gated (documented exception).
+
+    Scale shape: one Arrow-batched pandas UDF (the legitimate Python
+    case: per-row byte compression has no Catalyst expression), narrow,
+    no shuffle."""
+    @F.pandas_udf("long")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return 0
+            return len(zlib.compress(b, level)) * 10000 // len(b)
+        return s.map(one)
+
+    return df.withColumn(out_col, _ratio(F.col(text_col)))

@@ -329,3 +329,25 @@ def test_collocations_plan_partial_counts_no_python(spark):
         .executedPlan().toString()
     assert "partial_count" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_compression_ratio_signal(spark):
+    import zlib
+    from csvweb_spark.operators.text import compression_ratio
+    docs = spark.createDataFrame(
+        [(1, "spam " * 200), (2, "the quick brown fox jumps over the "
+                                 "lazy dog while mixed entropy text "
+                                 "accumulates varied tokens 12345"),
+         (3, ""), (4, None)],
+        "doc_id long, text string")
+    out = {r.doc_id: r.compress_bp
+           for r in compression_ratio(docs).collect()}
+    raw = ("spam " * 200).encode()
+    assert out[1] == len(zlib.compress(raw, 6)) * 10000 // len(raw)
+    assert out[1] < 500          # repetitive text compresses hard
+    assert out[3] == 0 and out[4] is None
+    # mixed-entropy text sits well above the spam ratio
+    assert out[2] > out[1] * 3
+    plan = compression_ratio(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "Exchange" not in plan
