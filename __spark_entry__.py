@@ -432,6 +432,42 @@ def q_kg_kcore(spark, sf_dir):
                       F.col("deg").cast("long").alias("deg"))
 
 
+def q_kg_scc(spark, sf_dir):
+    """Strongly connected components (round 5, graph.py::
+    strongly_connected_components - FW-BW coloring with trimming) over
+    a directed blocks-of-8 graph from customer: each block holds a
+    5-cycle {b..b+4} (the SCC), a 2-node tail b+4->b+5->b+6 and an
+    entry-only node b+7->b (all singletons, retired by TRIM), and even
+    blocks send a DAG edge b+1 -> b+8 into the next block's cycle - so
+    the odd block's cycle COLORS to the even block's minimum and is
+    only harvestable on the second outer pass (exercises the
+    multi-pass path, not just one-shot coloring). The oracle is purely
+    SEMANTIC: recursive-CTE reachability, mutual-reachability pairs,
+    scc = min member id - it never replays the algorithm, so the hash
+    match certifies the labels themselves."""
+    from csvweb_spark.operators.graph import strongly_connected_components
+    cust = (_load(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") < 240).select("c_custkey"))
+    k = F.col("c_custkey")
+    b = (k - (k % 8))
+    cyc = cust.filter(k % 8 < 4).select(k.alias("src"),
+                                        (k + 1).alias("dst"))
+    back = cust.filter(k % 8 == 4).select(k.alias("src"), b.alias("dst"))
+    tail1 = cust.filter(k % 8 == 4).select(k.alias("src"),
+                                           (k + 1).alias("dst"))
+    tail2 = cust.filter(k % 8 == 5).select(k.alias("src"),
+                                           (k + 1).alias("dst"))
+    enter = cust.filter(k % 8 == 7).select(k.alias("src"), b.alias("dst"))
+    cross = (cust.filter((k % 8 == 1) & (F.floor(k / 8) % 2 == 0)
+                         & (k + 7 < 240))
+             .select(k.alias("src"), (k + 7).alias("dst")))
+    edges = cyc.unionByName(back).unionByName(tail1) \
+        .unionByName(tail2).unionByName(enter).unionByName(cross)
+    out = strongly_connected_components(edges, max_outer=3)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.col("scc").cast("long").alias("scc"))
+
+
 def q_kg_communities(spark, sf_dir):
     """Deterministic label propagation (graph.py::label_propagation,
     2 rounds) over the chain+star graph: most-frequent neighbor label,
@@ -3462,6 +3498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits": q_kg_hits,
         "kg_pagerank_seeded": q_kg_pagerank_seeded,
         "kg_kcore": q_kg_kcore,
+        "kg_scc": q_kg_scc,
         "dedup_incremental_near": q_dedup_incremental_near,
         # -- recorded green in CORRECTNESS_r03 --
         "entity_link_exact": q_entity_link_exact,
@@ -4979,6 +5016,37 @@ def _oracle_sql_literal() -> dict[str, str]:
         "kg_hits": _hits_oracle_sql(),
         "kg_pagerank_seeded": _ppr_oracle_sql(),
         "kg_kcore": _kcore_oracle_sql(),
+        "kg_scc": """
+            WITH RECURSIVE
+            c AS (SELECT c_custkey AS k FROM customer
+                  WHERE c_custkey < 240),
+            e AS (
+                SELECT k AS a, k + 1 AS b FROM c WHERE k % 8 < 4
+                UNION ALL
+                SELECT k, k - (k % 8) FROM c WHERE k % 8 = 4
+                UNION ALL
+                SELECT k, k + 1 FROM c WHERE k % 8 = 4
+                UNION ALL
+                SELECT k, k + 1 FROM c WHERE k % 8 = 5
+                UNION ALL
+                SELECT k, k - (k % 8) FROM c WHERE k % 8 = 7
+                UNION ALL
+                SELECT k, k + 7 FROM c
+                WHERE k % 8 = 1 AND (k // 8) % 2 = 0 AND k + 7 < 240),
+            nodes AS (SELECT DISTINCT n FROM (
+                SELECT a AS n FROM e UNION ALL SELECT b FROM e)),
+            r(s, d) AS (
+                SELECT a, b FROM e WHERE a <> b
+                UNION
+                SELECT r.s, e.b FROM r JOIN e ON e.a = r.d
+                WHERE e.a <> e.b),
+            mut AS (SELECT x.s AS x, x.d AS y
+                    FROM r x JOIN r y ON y.s = x.d AND y.d = x.s)
+            SELECT n.n::bigint AS node,
+                   least(n.n, coalesce(min(m.y), n.n))::bigint AS scc
+            FROM nodes n LEFT JOIN mut m ON m.x = n.n
+            GROUP BY n.n
+        """,
         "kg_triangles": """
             WITH
             c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 400),

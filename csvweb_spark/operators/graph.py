@@ -563,3 +563,159 @@ def label_propagation(edges: DataFrame, rounds: int = 3,
                   .select("node", F.col("m.label").alias("label"))
                   .localCheckpoint(eager=True))
     return labels
+
+
+def strongly_connected_components(edges: DataFrame, max_outer: int = 4,
+                                  max_rounds: int = 60,
+                                  trim_rounds: int = 3,
+                                  src: str = "src",
+                                  dst: str = "dst") -> DataFrame:
+    """Strongly connected components of the DIRECTED graph: returns
+    (node, scc) where `scc` is the MINIMUM member id of the node's
+    component - a purely semantic label, so any correct algorithm (and
+    any oracle) must produce the identical table. The directed-graph
+    counterpart of `connected_components`: on web graphs SCCs are the
+    link-exchange rings / redirect loops / navigational cliques that
+    undirected CC cannot see (a spam farm linking in a cycle is an SCC;
+    a site merely linked FROM everywhere is not).
+
+    Algorithm: FW-BW coloring with trimming (the Slota/Multistep family,
+    the standard distributed SCC shape), entirely in DataFrame ops:
+
+      1. TRIM - a node with no in-edge or no out-edge among the live
+         nodes cannot sit on a cycle, so it is its own singleton SCC.
+         Iterated `trim_rounds` per outer pass: on bow-tie-shaped web
+         graphs this alone retires most of the corpus (the IN/OUT
+         tendrils), which is why it runs before any fixpoint work.
+      2. COLOR - forward min-label fixpoint: color(v) = min id over
+         {u : u ->* v} u {v}. All members of one SCC share ancestors,
+         hence share a color; a color's ROOT (the node whose id equals
+         its color) has no smaller ancestor, so the root is the minimum
+         member of ITS component.
+      3. HARVEST - backward reachability from each root restricted to
+         the root's color class: u joins when (u -> v, v marked,
+         color(u) == color(v)). The marked set of root c is exactly
+         SCC(c) (anything backward-reachable within the color is also
+         forward-reachable from c by the color definition), and c being
+         the min member makes `scc = color` the semantic label. All
+         colors harvest in the SAME joins - one root per color, many
+         components per outer pass.
+      4. Remove harvested nodes, repeat: each outer pass retires every
+         component whose minimum member is minimal within its ancestor
+         set, so condensation-DAG depth (in those terms) bounds
+         `max_outer` - tiny on real graphs (the giant SCC falls in pass
+         one; trimming eats the tendrils).
+
+    Determinism/scale: every step is a hash join + map-side-combinable
+    min/count on bare (long, long) rows - no payload ever rides the
+    shuffle; localCheckpoint truncates lineage per round; the color
+    fixpoint probe is a 1-row checksum aggregate (min-labels only
+    decrease, so an unchanged decimal(38,0) label sum == fixpoint -
+    no extra diff join). Non-convergence RAISES (repo rule: no silent
+    caps) - partial SCC labels poison every consumer.
+
+    Self-loops are dropped from the edge relation (they never change
+    strong connectivity) but their endpoints stay in the node set.
+    Parallel edges are deduplicated.
+    """
+    assert max_outer >= 1 and max_rounds >= 1 and trim_rounds >= 0
+    e0 = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+          .distinct())
+    nodes = (e0.select(F.col("u").alias("node"))
+             .unionByName(e0.select(F.col("v").alias("node")))
+             .distinct())
+    e = e0.where(F.col("u") != F.col("v")).localCheckpoint(eager=True)
+    remaining = nodes.localCheckpoint(eager=True)
+    done = []           # (node, scc) slices
+    n_remaining = remaining.count()
+
+    def _live(edges_df, rem):
+        return (edges_df
+                .join(rem.withColumnRenamed("node", "u"), "u", "left_semi")
+                .join(rem.withColumnRenamed("node", "v"), "v", "left_semi"))
+
+    for _outer in range(max_outer):
+        if n_remaining == 0:
+            break
+        live = _live(e, remaining)
+        # 1. trim tendrils: no in-edge or no out-edge => singleton SCC
+        for _t in range(trim_rounds):
+            has_out = live.select(F.col("u").alias("node")).distinct()
+            has_in = live.select(F.col("v").alias("node")).distinct()
+            keep = (remaining.join(has_out, "node", "left_semi")
+                    .join(has_in, "node", "left_semi")
+                    .localCheckpoint(eager=True))
+            n_keep = keep.count()
+            if n_keep == n_remaining:
+                break
+            done.append(remaining.join(keep, "node", "left_anti")
+                        .select("node", F.col("node").alias("scc"))
+                        .localCheckpoint(eager=True))
+            remaining, n_remaining = keep, n_keep
+            live = _live(e, remaining)
+        if n_remaining == 0:
+            break
+        live = live.localCheckpoint(eager=True)
+        # 2. forward min-label fixpoint (color)
+        labels = remaining.withColumn("label", F.col("node")) \
+            .localCheckpoint(eager=True)
+        checksum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        converged = False
+        for _r in range(max_rounds):
+            prop = (live.join(labels.withColumnRenamed("node", "u"), "u")
+                    .groupBy(F.col("v").alias("node"))
+                    .agg(F.min("label").alias("inmin")))
+            labels = (labels.join(prop, "node", "left")
+                      .select("node",
+                              F.least("label", F.coalesce("inmin", "label"))
+                              .alias("label"))
+                      .localCheckpoint(eager=True))
+            new_sum = labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+            if new_sum == checksum:
+                converged = True
+                break
+            checksum = new_sum
+        if not converged:
+            raise ValueError(
+                f"strongly_connected_components: color fixpoint not "
+                f"reached within max_rounds={max_rounds}; raise it")
+        # 3. harvest: backward reach from roots within their color class
+        marked = (labels.where(F.col("label") == F.col("node"))
+                  .localCheckpoint(eager=True))
+        n_marked = marked.count()
+        for _r in range(max_rounds):
+            cand = (live
+                    .join(marked.select(F.col("node").alias("v"), "label"),
+                          "v")
+                    .select(F.col("u").alias("node"), "label")
+                    .join(labels.withColumnRenamed("label", "ulabel"),
+                          "node")
+                    .where(F.col("label") == F.col("ulabel"))
+                    .select("node", "label"))
+            marked = (marked.unionByName(cand).distinct()
+                      .localCheckpoint(eager=True))
+            n_new = marked.count()
+            if n_new == n_marked:
+                break
+            n_marked = n_new
+        else:
+            raise ValueError(
+                f"strongly_connected_components: harvest walk not "
+                f"closed within max_rounds={max_rounds}; raise it")
+        done.append(marked.select("node", F.col("label").alias("scc")))
+        remaining = (remaining.join(marked.select("node"), "node",
+                                    "left_anti")
+                     .localCheckpoint(eager=True))
+        n_remaining = remaining.count()
+    if n_remaining > 0:
+        raise ValueError(
+            f"strongly_connected_components: {n_remaining} nodes "
+            f"unresolved after max_outer={max_outer} passes (deep "
+            "condensation chain of locally-minimal components); raise "
+            "max_outer")
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out

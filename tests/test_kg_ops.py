@@ -1086,3 +1086,58 @@ def test_kcore_cascading_peel(spark):
                                 "src long, dst long")
     assert {r.node: r.deg for r in kcore(cyc, k=2).collect()} == \
         {1: 2, 2: 2, 3: 2}
+
+
+# ----------------------------------------------------------------- SCC
+
+
+def _brute_scc(pairs):
+    """Reference SCC labels by brute-force transitive closure."""
+    nodes = {n for e in pairs for n in e}
+    reach = {n: {n} for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in pairs:
+            new = reach[b] - reach[a]
+            if new:
+                reach[a] |= new
+                changed = True
+    return {n: min(m for m in nodes if n in reach[m] and m in reach[n])
+            for n in nodes}
+
+
+def _scc(spark, pairs, **kw):
+    from csvweb_spark.operators.graph import strongly_connected_components
+    out = strongly_connected_components(
+        spark.createDataFrame(pairs, "src long, dst long"), **kw)
+    return {r.node: r.scc for r in out.collect()}
+
+
+def test_scc_cycles_and_dag(spark):
+    # two 3-cycles bridged by a DAG edge + a tail; a 2-cycle island
+    e = [(1, 2), (2, 3), (3, 1),           # SCC {1,2,3}
+         (3, 10), (10, 11), (11, 12), (12, 10),  # SCC {10,11,12}
+         (12, 20), (20, 21),               # tail singletons
+         (30, 31), (31, 30)]               # SCC {30,31}
+    assert _scc(spark, e) == _brute_scc(e)
+
+
+def test_scc_chained_minimal_components_need_outer_rounds(spark):
+    # cycle {1,2} -> cycle {5,6} -> cycle {8,9}: every component's color
+    # collapses to 1, so one component harvests per outer pass
+    e = [(1, 2), (2, 1), (2, 5), (5, 6), (6, 5), (6, 8), (8, 9), (9, 8)]
+    assert _scc(spark, e, max_outer=3) == _brute_scc(e)
+    with pytest.raises(ValueError, match="max_outer"):
+        _scc(spark, e, max_outer=2, trim_rounds=0)
+
+
+def test_scc_self_loops_and_duplicates(spark):
+    e = [(1, 1), (1, 2), (1, 2), (2, 3), (3, 2)]
+    assert _scc(spark, e) == _brute_scc(e)
+
+
+def test_scc_trim_only_graph(spark):
+    # pure DAG: everything trims to singletons, no fixpoint work needed
+    e = [(1, 2), (2, 3), (2, 4), (4, 5)]
+    assert _scc(spark, e, trim_rounds=5) == _brute_scc(e)
