@@ -517,6 +517,44 @@ def q_kg_snapshot_asof(spark, sf_dir):
                       F.col("ts").alias("asof_ts"))
 
 
+def q_kg_diff(spark, sf_dir):
+    """Snapshot-to-snapshot KG delta (round 5, asof.py::kg_diff): two
+    crawl epochs rendered from customer - epoch 2 drops custkeys
+    >= 550, rewrites every %10==0 segment (one removed + one added per
+    rewrite) and asserts a new flag fact per %25==0 - with the old
+    epoch provenance-DUPLICATED for %7==0 customers, which must NOT
+    leak into the diff (RDF set semantics). Two anti-joins vs the
+    oracle's EXCEPT both ways."""
+    from csvweb_spark.operators.asof import kg_diff
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 600)
+    k = F.col("c_custkey")
+
+    def triples(df, segment):
+        subj = F.concat(F.lit("http://ex.org/customer/"),
+                        F.col("c_custkey")).alias("subj")
+        seg = df.select(subj, F.lit("http://ex.org/def/segment")
+                        .alias("pred"), segment(df).alias("obj"))
+        nat = df.select(subj, F.lit("http://ex.org/def/nation")
+                        .alias("pred"),
+                        F.col("c_nationkey").cast("string").alias("obj"))
+        return seg.unionByName(nat)
+
+    old = triples(cust, lambda d: F.col("c_mktsegment")).unionByName(
+        triples(cust.filter(k % 7 == 0), lambda d: F.col("c_mktsegment")))
+    c2 = cust.filter(k < 550)
+    new = triples(c2, lambda d: F.when(
+        F.col("c_custkey") % 10 == 0,
+        F.concat(F.col("c_mktsegment"), F.lit("-R2")))
+        .otherwise(F.col("c_mktsegment")))
+    flags = c2.filter(k % 25 == 0).select(
+        F.concat(F.lit("http://ex.org/customer/"), k).alias("subj"),
+        F.lit("http://ex.org/def/flag").alias("pred"),
+        F.lit("recrawled").alias("obj"))
+    out = kg_diff(old, new.unionByName(flags),
+                  key_cols=("subj", "pred", "obj"))
+    return out.select("subj", "pred", "obj", "change")
+
+
 def q_dedup_exact(spark, sf_dir):
     from csvweb_spark.operators.dedup import dedup_exact
     docs = _load(spark, sf_dir, "documents")
@@ -3509,6 +3547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_communities": q_kg_communities,
         "kg_cooccurrence": q_kg_cooccurrence,
         "kg_snapshot_asof": q_kg_snapshot_asof,
+        "kg_diff": q_kg_diff,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -4902,6 +4941,47 @@ def _oracle_sql_literal() -> dict[str, str]:
                              ORDER BY ts DESC, obj DESC) AS rn
                   FROM t)
             SELECT subj, pred, obj, ts AS asof_ts FROM r WHERE rn = 1
+        """,
+        "kg_diff": """
+            WITH c AS (SELECT * FROM customer WHERE c_custkey < 600),
+            old AS (
+                SELECT 'http://ex.org/customer/' || c_custkey AS subj,
+                       'http://ex.org/def/segment' AS pred,
+                       c_mktsegment AS obj FROM c
+                UNION ALL
+                SELECT 'http://ex.org/customer/' || c_custkey,
+                       'http://ex.org/def/nation', c_nationkey::varchar
+                FROM c
+                UNION ALL
+                SELECT 'http://ex.org/customer/' || c_custkey,
+                       'http://ex.org/def/segment', c_mktsegment
+                FROM c WHERE c_custkey % 7 = 0
+                UNION ALL
+                SELECT 'http://ex.org/customer/' || c_custkey,
+                       'http://ex.org/def/nation', c_nationkey::varchar
+                FROM c WHERE c_custkey % 7 = 0),
+            c2 AS (SELECT * FROM c WHERE c_custkey < 550),
+            new AS (
+                SELECT 'http://ex.org/customer/' || c_custkey AS subj,
+                       'http://ex.org/def/segment' AS pred,
+                       CASE WHEN c_custkey % 10 = 0
+                            THEN c_mktsegment || '-R2'
+                            ELSE c_mktsegment END AS obj FROM c2
+                UNION ALL
+                SELECT 'http://ex.org/customer/' || c_custkey,
+                       'http://ex.org/def/nation', c_nationkey::varchar
+                FROM c2
+                UNION ALL
+                SELECT 'http://ex.org/customer/' || c_custkey,
+                       'http://ex.org/def/flag', 'recrawled'
+                FROM c2 WHERE c_custkey % 25 = 0)
+            SELECT subj, pred, obj, 'added' AS change
+            FROM (SELECT subj, pred, obj FROM new
+                  EXCEPT SELECT subj, pred, obj FROM old)
+            UNION ALL
+            SELECT subj, pred, obj, 'removed'
+            FROM (SELECT subj, pred, obj FROM old
+                  EXCEPT SELECT subj, pred, obj FROM new)
         """,
         "dedup_exact": """
             WITH d AS (

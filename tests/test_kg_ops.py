@@ -1141,3 +1141,25 @@ def test_scc_trim_only_graph(spark):
     # pure DAG: everything trims to singletons, no fixpoint work needed
     e = [(1, 2), (2, 3), (2, 4), (4, 5)]
     assert _scc(spark, e, trim_rounds=5) == _brute_scc(e)
+
+
+# ----------------------------------------------------------------- kg_diff
+
+
+def test_kg_diff_set_semantics_and_stats(spark):
+    from csvweb_spark.operators.asof import kg_diff, kg_diff_stats
+    cols = "subj string, pred string, obj string"
+    old = spark.createDataFrame(
+        [("s1", "p", "a"), ("s1", "p", "a"),   # provenance duplicate
+         ("s2", "p", "b"), ("s3", "q", "c")], cols)
+    new = spark.createDataFrame(
+        [("s1", "p", "a"), ("s2", "p", "B2"), ("s4", "q", "d")], cols)
+    d = kg_diff(old, new, key_cols=("subj", "pred", "obj"))
+    got = {(r.subj, r.pred, r.obj, r.change) for r in d.collect()}
+    assert got == {("s2", "p", "B2", "added"), ("s4", "q", "d", "added"),
+                   ("s2", "p", "b", "removed"),
+                   ("s3", "q", "c", "removed")}
+    # the duplicated (s1,p,a) must not appear on either side
+    stats = {r.pred: (r.n_added, r.n_removed)
+             for r in kg_diff_stats(d).collect()}
+    assert stats == {"p": (1, 1), "q": (1, 1)}
