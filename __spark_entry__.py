@@ -1974,6 +1974,26 @@ def q_text_collocations(spark, sf_dir):
         .select("w1", "w2", "n_pair", "n_w1", "n_w2")
 
 
+def q_text_lm_score(spark, sf_dir):
+    """Bigram LM quality scoring (round 5, text.py::train_bigram_lm +
+    score_documents_lm) - the CCNet-family signal: a model trained on
+    the even-doc_id half of the corpus scores the held-out odd half
+    (unseen bigrams and histories exercise the add-one smoothing
+    path). Integer basis-point probabilities ((n+1)*10^4 div (h+V),
+    V = training vocab incl BOS) make the scores engine-exact; the
+    conventional float logprob column stays out of the hash gate
+    (collocations' pmi split)."""
+    from csvweb_spark.operators.text import (train_bigram_lm,
+                                             score_documents_lm)
+    docs = _load(spark, sf_dir, "documents")
+    pc, uc = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    vocab = uc.count()
+    out = score_documents_lm(docs.filter(F.col("doc_id") % 2 == 1),
+                             pc, uc, vocab)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "n_bigrams", "sum_prob_bp", "avg_prob_bp")
+
+
 def q_web_wet_roundtrip(spark, sf_dir):
     """WET sidecar export round-trip (round 5, warc.py::render_wet):
     the real documents table rendered as WARC conversion records
@@ -3463,6 +3483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_warc_roundtrip": q_web_warc_roundtrip,
         "web_registrable_domain": q_web_registrable_domain,
         "text_collocations": q_text_collocations,
+        "text_lm_score": q_text_lm_score,
         "web_wet_roundtrip": q_web_wet_roundtrip,
         "sparql_builtins": q_sparql_builtins,
         "web_cdx_index": q_web_cdx_index,
@@ -5505,6 +5526,45 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM pc
             JOIN uni u1 ON u1.w = pc.w1
             JOIN uni u2 ON u2.w = pc.w2
+        """,
+        "text_lm_score": """
+            WITH t AS (
+                SELECT doc_id, CASE WHEN regexp_replace(lower(text),
+                                '^\\s+|\\s+$', '', 'g') = ''
+                       THEN []::VARCHAR[]
+                       ELSE string_split_regex(
+                           regexp_replace(lower(text),
+                               '^\\s+|\\s+$', '', 'g'), '\\s+')
+                       END AS toks
+                FROM documents),
+            trb AS (SELECT (['<s>'] || toks) AS wb, len(toks) AS n
+                    FROM t WHERE doc_id % 2 = 0 AND len(toks) >= 1),
+            bi AS (SELECT wb[i] AS w1, wb[i + 1] AS w2
+                   FROM trb, LATERAL (SELECT unnest(range(1, n + 1))
+                                      AS i) r),
+            pc AS (SELECT w1, w2, count(*)::BIGINT AS np
+                   FROM bi GROUP BY 1, 2),
+            uc AS (SELECT w1 AS w, sum(np)::BIGINT AS nu
+                   FROM pc GROUP BY 1),
+            v AS (SELECT count(*)::BIGINT AS vs FROM uc),
+            sc AS (SELECT doc_id, (['<s>'] || toks) AS wb,
+                          len(toks) AS n
+                   FROM t WHERE doc_id % 2 = 1 AND len(toks) >= 1),
+            fb AS (SELECT doc_id, wb[i] AS w1, wb[i + 1] AS w2
+                   FROM sc, LATERAL (SELECT unnest(range(1, n + 1))
+                                     AS i) r),
+            j AS (SELECT doc_id,
+                         (coalesce(pc.np, 0) + 1) * 10000
+                         // (coalesce(uc.nu, 0) + (SELECT vs FROM v))
+                         AS bp
+                  FROM fb
+                  LEFT JOIN pc ON pc.w1 = fb.w1 AND pc.w2 = fb.w2
+                  LEFT JOIN uc ON uc.w = fb.w1)
+            SELECT doc_id::BIGINT AS doc_id,
+                   count(*)::BIGINT AS n_bigrams,
+                   sum(bp)::BIGINT AS sum_prob_bp,
+                   (sum(bp) // count(*))::BIGINT AS avg_prob_bp
+            FROM j GROUP BY doc_id
         """,
         "web_registrable_domain": """
             SELECT CASE c_custkey % 5

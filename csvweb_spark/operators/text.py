@@ -770,3 +770,105 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
         return s.map(one)
 
     return df.withColumn(out_col, _ratio(F.col(text_col)))
+
+
+# Bigram language-model quality scoring (the CCNet-family signal: score
+# held-out pages by an LM trained on a trusted corpus slice; gibberish,
+# boilerplate soup and wrong-language text score low). BOS marks the
+# document start so the first token is conditioned too.
+LM_BOS = "<s>"
+
+
+def _lm_bigrams(text_col: str) -> Column:
+    """Per-document adjacent-bigram array over lowercased whitespace
+    tokens with a BOS sentinel: tokens [a, b] -> [(<s>, a), (a, b)].
+    Empty documents produce an empty array (no BOS-only bigram)."""
+    toks = F.transform(whitespace_tokens(F.col(text_col)),
+                       lambda t: F.lower(t))
+    with_bos = F.concat(F.array(F.lit(LM_BOS)), toks)
+    return F.when(
+        F.size(toks) >= 1,
+        F.zip_with(F.slice(with_bos, 1, F.size(toks)),
+                   F.slice(with_bos, 2, F.size(toks)),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
+def train_bigram_lm(df: DataFrame, text_col: str = "text"):
+    """Train the corpus bigram model: returns (pair_counts, uni_counts)
+    DataFrames - (w1, w2, n_pair) and (w, n_uni), where n_uni counts a
+    word's occurrences as a bigram HISTORY (so BOS has n_uni = number
+    of non-empty documents, and sum(n_pair | w1=w) == n_uni(w) exactly
+    - the conditional distributions are properly normalized).
+
+    Scale shape: one corpus scan, one explode, two map-side-combinable
+    count groupBys (the history counts fold from the pair counts, no
+    second scan). Key skew ('the', BOS) is pure aggregation skew -
+    partial aggregation absorbs it map-side; no joins here."""
+    pairs = (df.select(F.explode(_lm_bigrams(text_col)).alias("p"))
+             .select("p.w1", "p.w2"))
+    pair_counts = (pairs.groupBy("w1", "w2")
+                   .agg(F.count(F.lit(1)).cast("long").alias("n_pair")))
+    uni_counts = (pair_counts.groupBy(F.col("w1").alias("w"))
+                  .agg(F.sum("n_pair").cast("long").alias("n_uni")))
+    return pair_counts, uni_counts
+
+
+def score_documents_lm(df: DataFrame, pair_counts: DataFrame,
+                       uni_counts: DataFrame, vocab_size: int,
+                       text_col: str = "text",
+                       key_col: str = "doc_id") -> DataFrame:
+    """Score documents under the trained bigram model with add-one
+    smoothing: per adjacent bigram (w1, w2),
+
+        p(w2 | w1) = (n_pair + 1) / (n_uni(w1) + V)
+
+    with V = `vocab_size` (the smoothing denominator mass; pass the
+    training vocabulary size, e.g. uni_counts.count()). Output per
+    non-empty document:
+
+        n_bigrams    scored bigram count (tokens incl. the BOS start)
+        sum_prob_bp  sum of per-bigram probabilities in basis points,
+                     each floored via INTEGER arithmetic:
+                     (n_pair+1)*10000 div (n_uni+V)
+        avg_prob_bp  sum_prob_bp div n_bigrams - the ranking signal
+        logprob      sum ln p (double) - the conventional LM score for
+                     real use; NOT oracle-gated (ln differs in the last
+                     ulp across engines), the _bp columns are the
+                     engine-independent contract, same split as
+                     collocations' pmi.
+
+    Empty documents (no tokens) have no bigrams and are absent - filter
+    upstream or treat absence as minimum quality.
+
+    Scale shape: explode bigrams (slim (key, w1, w2) rows - text never
+    shuffles), LEFT join the model tables (hash joins; the model side
+    is corpus-vocabulary-sized, typically broadcastable but NOT hinted
+    - model size is data-dependent, the smush_sameas lesson), then one
+    map-side-combinable per-doc aggregation. Unseen bigrams/histories
+    coalesce to 0 and still score (the +1 smoothing mass)."""
+    assert vocab_size >= 1
+    fact = (df.select(F.col(key_col),
+                      F.explode(_lm_bigrams(text_col)).alias("p"))
+            .select(key_col, "p.w1", "p.w2"))
+    joined = (fact
+              .join(pair_counts, ["w1", "w2"], "left")
+              .join(uni_counts.withColumnRenamed("w", "w1"), ["w1"],
+                    "left")
+              .select(key_col,
+                      F.coalesce("n_pair", F.lit(0)).alias("np"),
+                      F.coalesce("n_uni", F.lit(0)).alias("nu")))
+    num = (F.col("np") + 1).cast("long")
+    den = (F.col("nu") + F.lit(int(vocab_size))).cast("long")
+    prob_bp = F.expr("(np + 1) * 10000 div (nu + " +
+                     str(int(vocab_size)) + ")")
+    return (joined
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                 F.sum(prob_bp).cast("long").alias("sum_prob_bp"),
+                 F.sum(F.log(num.cast("double") / den.cast("double")))
+                 .alias("logprob"))
+            .withColumn("avg_prob_bp",
+                        F.expr("sum_prob_bp div n_bigrams"))
+            .select(key_col, "n_bigrams", "sum_prob_bp", "avg_prob_bp",
+                    "logprob"))

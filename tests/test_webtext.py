@@ -351,3 +351,39 @@ def test_compression_ratio_signal(spark):
     plan = compression_ratio(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "ArrowEvalPython" in plan and "Exchange" not in plan
+
+
+# ----------------------------------------------------------- bigram LM
+
+
+def test_bigram_lm_normalization_and_score(spark):
+    from csvweb_spark.operators.text import (train_bigram_lm,
+                                             score_documents_lm)
+    train = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "")],
+        "doc_id long, text string")
+    pc, uc = train_bigram_lm(train)
+    pairs = {(r.w1, r.w2): r.n_pair for r in pc.collect()}
+    assert pairs == {("<s>", "the"): 2, ("the", "cat"): 2,
+                     ("cat", "sat"): 1, ("cat", "ran"): 1}
+    uni = {r.w: r.n_uni for r in uc.collect()}
+    # history counts: properly normalized (sum of n_pair per w1)
+    assert uni == {"<s>": 2, "the": 2, "cat": 2}
+    V = len(uni)
+    score = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "dog"), (12, "  ")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           score_documents_lm(score, pc, uc, V).collect()}
+    # doc 10: bigrams (<s>,the) np=2 nu=2; (the,cat) np=2 nu=2;
+    # (cat,sat) np=1 nu=2 -> bp = 3*10000//5, 3*10000//5, 2*10000//5
+    r = out[10]
+    assert (r.n_bigrams, r.sum_prob_bp) == (3, 6000 + 6000 + 4000)
+    assert r.avg_prob_bp == 16000 // 3
+    # doc 11: unseen continuation from BOS: np=0 nu=2 -> 10000//5
+    assert (out[11].n_bigrams, out[11].sum_prob_bp) == (1, 2000)
+    # empty doc: absent
+    assert 12 not in out
+    import math
+    want = math.log(3 / 5) * 2 + math.log(2 / 5)
+    assert abs(r.logprob - want) < 1e-9
