@@ -1218,6 +1218,49 @@ def q_entity_link_fuzzy(spark, sf_dir):
     return out.select("mention_id", "mention", "alias", "jaccard_dist_bp")
 
 
+def q_entity_disambiguate(spark, sf_dir):
+    """Coherence disambiguation (round 5, linking.py::
+    disambiguate_by_coherence): customers < 200 act as documents, each
+    with two UNAMBIGUOUS context mentions (entities 1000+j / 2000+j,
+    j = custkey%20) and one ambiguous mention 'x' with three
+    candidates (100/200/300 + custkey%5). KG edges tie contexts to
+    the even-j reading (support 2), the odd-j reading (support 1), or
+    BOTH at j%10==5 (the tie -> min-id path); the 300-family never
+    has edges (zero-support path). The oracle recomputes supports
+    with the same joins + a window argmax - nothing hardcoded."""
+    from csvweb_spark.operators.linking import disambiguate_by_coherence
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    d, j, r = (F.col("c_custkey"), F.col("c_custkey") % 20,
+               F.col("c_custkey") % 5)
+    cand = (cust.select(d.alias("doc_id"), F.lit("ctx_a").alias("mention"),
+                        (j + 1000).alias("entity_id"))
+            .unionByName(cust.select(d.alias("doc_id"),
+                                     F.lit("ctx_b").alias("mention"),
+                                     (j + 2000).alias("entity_id"))))
+    for base in (100, 200, 300):
+        cand = cand.unionByName(
+            cust.select(d.alias("doc_id"), F.lit("x").alias("mention"),
+                        (r + base).alias("entity_id")))
+    c40 = (_load(spark, sf_dir, "customer")
+           .filter(F.col("c_custkey") < 40)
+           .select((F.col("c_custkey") % 20).alias("j")))
+    jj, rr = F.col("j"), F.col("j") % 5
+    e1 = c40.filter(jj % 2 == 0).select((jj + 1000).alias("src"),
+                                        (rr + 100).alias("dst"))
+    e2 = c40.filter(jj % 2 == 0).select((jj + 2000).alias("src"),
+                                        (rr + 100).alias("dst"))
+    e3 = c40.filter(jj % 2 == 1).select((jj + 1000).alias("src"),
+                                        (rr + 200).alias("dst"))
+    e4 = c40.filter(jj % 10 == 5).select((jj + 2000).alias("src"),
+                                         (rr + 100).alias("dst"))
+    edges = e1.unionByName(e2).unionByName(e3).unionByName(e4)
+    out = disambiguate_by_coherence(cand, edges)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "mention",
+                      F.col("entity_id").cast("long").alias("entity_id"),
+                      "support", "n_candidates")
+
+
 def q_html_table_triples(spark, sf_dir):
     """HTML <table> path (north_star: detect+parse tabular content from the
     html:binary payload): sources/html_tables.py parses every <table> with
@@ -3563,6 +3606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link_exact": q_entity_link_exact,
         "entity_link_contains": q_entity_link_contains,
         "entity_link_fuzzy": q_entity_link_fuzzy,
+        "entity_disambiguate": q_entity_disambiguate,
         "canonicalize_cc": q_canonicalize_cc,
         "kg_khop": q_kg_khop,
         "kg_communities": q_kg_communities,
@@ -6492,6 +6536,65 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE t_in.c NOT IN (SELECT c FROM v)
         """,
         "entity_link_fuzzy": _fuzzy_link_oracle_sql(),
+        "entity_disambiguate": """
+            WITH c AS (SELECT c_custkey AS d, c_custkey % 20 AS j,
+                              c_custkey % 5 AS r
+                       FROM customer WHERE c_custkey < 200),
+            cd AS (SELECT DISTINCT * FROM (
+                SELECT d AS doc_id, 'ctx_a' AS mention,
+                       j + 1000 AS entity_id FROM c
+                UNION ALL SELECT d, 'ctx_b', j + 2000 FROM c
+                UNION ALL SELECT d, 'x', r + 100 FROM c
+                UNION ALL SELECT d, 'x', r + 200 FROM c
+                UNION ALL SELECT d, 'x', r + 300 FROM c)),
+            counts AS (SELECT doc_id, mention,
+                              count(*)::BIGINT AS n_candidates
+                       FROM cd GROUP BY 1, 2),
+            ctx AS (SELECT cd.doc_id, cd.mention AS m2,
+                           cd.entity_id AS cent
+                    FROM cd JOIN counts USING (doc_id, mention)
+                    WHERE n_candidates = 1),
+            c40 AS (SELECT c_custkey % 20 AS j FROM customer
+                    WHERE c_custkey < 40),
+            ed AS (
+                SELECT j + 1000 AS u, (j % 5) + 100 AS v FROM c40
+                WHERE j % 2 = 0
+                UNION ALL SELECT j + 2000, (j % 5) + 100 FROM c40
+                WHERE j % 2 = 0
+                UNION ALL SELECT j + 1000, (j % 5) + 200 FROM c40
+                WHERE j % 2 = 1
+                UNION ALL SELECT j + 2000, (j % 5) + 100 FROM c40
+                WHERE j % 10 = 5),
+            und AS (SELECT DISTINCT u, v FROM (
+                SELECT u, v FROM ed WHERE u <> v
+                UNION ALL SELECT v, u FROM ed WHERE u <> v)),
+            pairs AS (SELECT DISTINCT cd.doc_id, cd.mention,
+                             cd.entity_id, ctx.cent
+                      FROM cd JOIN ctx ON ctx.doc_id = cd.doc_id
+                      WHERE ctx.m2 <> cd.mention
+                        AND ctx.cent <> cd.entity_id),
+            sup AS (SELECT doc_id, mention, entity_id,
+                           count(*)::BIGINT AS support
+                    FROM pairs
+                    WHERE EXISTS (SELECT 1 FROM und
+                                  WHERE und.u = pairs.entity_id
+                                    AND und.v = pairs.cent)
+                    GROUP BY 1, 2, 3),
+            scored AS (SELECT cd.doc_id, cd.mention, cd.entity_id,
+                              coalesce(sup.support, 0)::BIGINT AS support
+                       FROM cd LEFT JOIN sup
+                       USING (doc_id, mention, entity_id)),
+            best AS (SELECT doc_id, mention, entity_id, support,
+                            row_number() OVER (
+                                PARTITION BY doc_id, mention
+                                ORDER BY support DESC, entity_id) AS rn
+                     FROM scored)
+            SELECT b.doc_id::BIGINT AS doc_id, b.mention,
+                   b.entity_id::BIGINT AS entity_id, b.support,
+                   counts.n_candidates
+            FROM best b JOIN counts USING (doc_id, mention)
+            WHERE rn = 1
+        """,
         "ann_topk_lsh": _ann_lsh_oracle_sql(),
         "events_asof": """
             WITH m AS (SELECT user_id, ts, max(event_id) AS marker_id

@@ -170,3 +170,74 @@ def link_fuzzy_minhash(mentions: DataFrame, aliases: DataFrame,
         mention_key, "mention", "alias",
         (F.col("jaccard_dist_bp") / 10000.0).alias("jaccard_dist"),
         "jaccard_dist_bp")
+
+
+def disambiguate_by_coherence(candidates: DataFrame, edges: DataFrame,
+                              key_col: str = "doc_id",
+                              mention_col: str = "mention",
+                              entity_col: str = "entity_id",
+                              src: str = "src",
+                              dst: str = "dst") -> DataFrame:
+    """Pick ONE entity per (document, mention) from an ambiguous
+    candidate table by KG coherence - the classic collective-linking
+    heuristic (Cucerzan/TagMe family): the right reading of 'Paris' on
+    a page about Texas is the one adjacent, in the entity graph, to
+    the page's OTHER (unambiguously linked) entities.
+
+    Inputs: `candidates` = (key, mention, entity) rows as produced by
+    link_exact/link_contains against a many-to-one alias table
+    (several rows per mention when the surface form is ambiguous);
+    `edges` = the KG relatedness edges (read undirected).
+
+    support(key, mention, e) = # DISTINCT context entities c adjacent
+    to e, where the context is the doc's entities from UNAMBIGUOUS
+    other mentions (exactly one candidate; the mention being resolved
+    never supports itself). Winner = max support, ties to the smallest
+    entity id; zero-support candidates still resolve (min id) so every
+    mention gets a deterministic answer.
+
+    Scale shape: the candidate x context pairing joins on the DOC key
+    - per-doc quadratic in mention count, which is bounded by page
+    length (never corpus-quadratic) - then ONE hash equi-join of the
+    slim (entity, ctx) pairs against the edge table on the full pair
+    key. Joining pairs->edges (not entity->edges first) keeps hub
+    entities' 10^6-edge fan-outs out of the plan entirely: the edge
+    table is probed, never exploded. Winner election is a map-side-
+    combinable min(struct(-support, entity)) - no window sort.
+
+    Returns one row per (key, mention): (key, mention, entity,
+    support, n_candidates)."""
+    cand = (candidates.select(F.col(key_col).alias("_k"),
+                              F.col(mention_col).alias("_m"),
+                              F.col(entity_col).alias("_e"))
+            .distinct())
+    counts = (cand.groupBy("_k", "_m")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_candidates")))
+    ctx = (cand.join(counts.where(F.col("n_candidates") == 1)
+                    .select("_k", "_m"), ["_k", "_m"], "left_semi")
+           .select("_k", F.col("_m").alias("_m2"),
+                   F.col("_e").alias("_c")))
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = (e.unionByName(e.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+           .where(F.col("u") != F.col("v")).distinct())
+    pairs = (cand.join(ctx, "_k")
+             .where((F.col("_m2") != F.col("_m"))
+                    & (F.col("_c") != F.col("_e")))
+             .select("_k", "_m", "_e", "_c").distinct())
+    support = (pairs.join(und, (pairs["_e"] == und["u"])
+                          & (pairs["_c"] == und["v"]), "left_semi")
+               .groupBy("_k", "_m", "_e")
+               .agg(F.count(F.lit(1)).cast("long").alias("support")))
+    scored = (cand.join(support, ["_k", "_m", "_e"], "left")
+              .withColumn("support",
+                          F.coalesce("support", F.lit(0).cast("long"))))
+    best = (scored.groupBy("_k", "_m")
+            .agg(F.min(F.struct((-F.col("support")).alias("ns"),
+                                F.col("_e").alias("e"))).alias("b")))
+    return (best.join(counts, ["_k", "_m"])
+            .select(F.col("_k").alias(key_col),
+                    F.col("_m").alias(mention_col),
+                    F.col("b.e").alias(entity_col),
+                    (-F.col("b.ns")).cast("long").alias("support"),
+                    "n_candidates"))

@@ -1498,3 +1498,31 @@ def test_dedup_clusters_election(spark):
     assert out[10] == (10, 1, True)
     # keep-canonical filter yields one survivor per cluster
     assert sum(1 for v in out.values() if v[2]) == 2
+
+
+# --------------------------------------------------- coherence disambiguation
+
+
+def test_disambiguate_by_coherence(spark):
+    from csvweb_spark.operators.linking import disambiguate_by_coherence
+    cand = spark.createDataFrame(
+        [  # doc 1: ambiguous 'paris' {10, 11}; context texas=20 (unamb)
+           (1, "paris", 10), (1, "paris", 11), (1, "texas", 20),
+           # doc 2: same mention, context france=30 -> other reading
+           (2, "paris", 10), (2, "paris", 11), (2, "france", 30),
+           # doc 3: no context -> zero support, min id wins
+           (3, "paris", 10), (3, "paris", 11),
+           # doc 4: tie (both supported) -> min id
+           (4, "paris", 10), (4, "paris", 11), (4, "texas", 20),
+           (4, "france", 30)],
+        "doc_id long, mention string, entity_id long")
+    edges = spark.createDataFrame(
+        [(20, 11), (30, 10)], "src long, dst long")
+    out = {(r.doc_id, r.mention): (r.entity_id, r.support, r.n_candidates)
+           for r in disambiguate_by_coherence(cand, edges).collect()}
+    assert out[(1, "paris")] == (11, 1, 2)
+    assert out[(2, "paris")] == (10, 1, 2)
+    assert out[(3, "paris")] == (10, 0, 2)
+    assert out[(4, "paris")] == (10, 1, 2)     # tie at 1 -> min id
+    # unambiguous mentions resolve to themselves with their own support
+    assert out[(1, "texas")] == (20, 0, 1)
