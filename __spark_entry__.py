@@ -3397,6 +3397,62 @@ def q_web_crawl_frontier(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+def _moji_oracle_sql():
+    cases_f = "".join(
+        f"                     WHEN {k} THEN '{good}' || c_custkey\n"
+        for k, (_bad, good, _ap) in sorted(_MOJI_FAMILIES.items()))
+    cases_a = "".join(
+        f"                     WHEN {k} THEN {str(ap).upper()}\n"
+        for k, (_bad, _good, ap) in sorted(_MOJI_FAMILIES.items()))
+    return (
+        "SELECT c_custkey::BIGINT AS doc_key,\n"
+        "       CASE c_custkey % 5\n" + cases_f +
+        "       END AS fixed,\n"
+        "       CASE c_custkey % 5\n" + cases_a +
+        "       END AS applied\n"
+        "FROM customer")
+
+
+# mojibake fixture families: (corrupted input prefix, repaired prefix)
+_MOJI_FAMILIES = {
+    0: ("caf\u00c3\u00a9 r\u00c3\u00a9sum\u00c3\u00a9 ",
+        "caf\u00e9 r\u00e9sum\u00e9 ", True),
+    1: ("plain caf\u00e9 ", "plain caf\u00e9 ", False),
+    2: ("\u00e4\u00b8\u00ad\u00e6\u2013\u2021 doc ",
+        "\u4e2d\u6587 doc ", True),
+    3: ("\u00e2\u20ac\u0153q\u00e2\u20ac\u009d dash ",
+        "\u201cq\u201d dash ", True),
+    4: ("\u65e5\u672c\u8a9e page ", "\u65e5\u672c\u8a9e page ",
+        False),
+}
+
+
+def q_web_mojibake(spark, sf_dir):
+    """UTF-8-as-cp1252 mojibake repair (round 5, charset.py::
+    fix_mojibake / add_mojibake_repair): five text families per
+    customer - Latin mojibake, clean text with an isolated accent
+    (invalid recovered bytes, untouched), CJK mojibake, curly-quote
+    mojibake through the unmapped 0x9D cp1252 hole, and genuinely
+    non-Latin text (not cp1252-encodable, untouched). Entirely JVM
+    expressions (translate + encode/decode + is_valid_utf8), one
+    narrow projection. Oracle: pure CASE with the expected repaired
+    unicode literals and applied flags."""
+    from csvweb_spark.sources.charset import add_mojibake_repair
+    cust = _load(spark, sf_dir, "customer").select("c_custkey")
+    m = F.col("c_custkey") % 5
+    text = F.lit(None).cast("string")
+    for fam, (bad, _good, _ap) in sorted(_MOJI_FAMILIES.items(),
+                                         reverse=True):
+        text = F.when(m == fam, F.concat(F.lit(bad),
+                                         F.col("c_custkey"))) \
+            .otherwise(text)
+    df = cust.select(F.col("c_custkey").cast("long").alias("doc_key"),
+                     text.alias("text"))
+    out = add_mojibake_repair(df)
+    return out.select("doc_key", F.col("text_fixed").alias("fixed"),
+                      F.col("text_fixed_applied").alias("applied"))
+
+
 def q_web_charset_decode(spark, sf_dir):
     """Charset sniffing + decode of the html:binary column
     (sources/charset.py): five encoding families per customer page -
@@ -3553,6 +3609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_web_markup": q_sparql_web_markup,
         "web_robots_filter": q_web_robots_filter,
         "web_charset_decode": q_web_charset_decode,
+        "web_mojibake": q_web_mojibake,
         "web_sitemap_recrawl": q_web_sitemap_recrawl,
         "web_main_content": q_web_main_content,
         "web_warc_ingest": q_web_warc_ingest,
@@ -6344,6 +6401,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                         ELSE 'fresh' END AS status
             FROM customer
         """,
+        "web_mojibake": _moji_oracle_sql(),
         "web_charset_decode": """
             SELECT 'http://cs' || c_custkey || '.example.org/' AS url,
                    CASE c_custkey % 5

@@ -157,3 +157,61 @@ def decode_pages(pages: DataFrame, html_col: str = "html",
     return (pages
             .withColumn(out_col, text)
             .withColumn("charset", charset))
+
+
+def fix_mojibake(text: Column) -> Column:
+    """Repair UTF-8-as-cp1252 mojibake in an already-decoded STRING
+    column ('cafÃ©' -> 'café', 'â€œ' -> '“', 'ä¸­æ–‡' -> '中文'):
+    the single most common crawl corruption - a UTF-8 page served or
+    archived under a windows-1252 (or defaulted) label, so every
+    multi-byte sequence surfaces as 2-4 Latin-1/cp1252 characters.
+
+    The repair INVERTS one cp1252 decode entirely JVM-side: translate
+    the 27 cp1252-specific code points back to their 0x80-0x9F byte
+    positions, re-encode ISO-8859-1 (bijective on chars <= U+00FF),
+    and re-decode UTF-8. Three gates keep it safe on clean text, all
+    evaluated before the rewrite is taken (lazy If branches - the
+    encode never sees non-latin chars, the decode never sees invalid
+    bytes):
+
+      1. every char must be cp1252-encodable (post-translate
+         ^[\\x00-\\xFF]*$) - genuinely multilingual text is untouched;
+      2. the recovered bytes must be VALID UTF-8 (`is_valid_utf8`) -
+         ordinary Western text with isolated accents ('plain café')
+         produces invalid sequences and is untouched;
+      3. the decode must actually change something.
+
+    A string that intentionally spells a valid multi-byte sequence
+    ('Ã©' as literal content) is indistinguishable from mojibake by
+    construction (ftfy's documented caveat) and is repaired; that is
+    the accepted trade - such sequences essentially never occur in
+    intentional text. NULL stays NULL. Apply twice for double-encoded
+    mojibake (the repair is idempotent once clean).
+
+    One narrow whole-stage-codegen projection: translate + regexp +
+    encode/decode + is_valid_utf8 are all JVM expressions - zero
+    Python, zero shuffle, full-crawl cost class."""
+    trans = F.translate(text, _CP1252_DST, _LATIN1_SRC)
+    enc_ok = trans.rlike(r"^[\x00-\xFF]*$")
+    # Spark 4's Encode RAISES on unmappable chars, and codegen CSE
+    # hoists shared subexpressions out of If branches - so the encode
+    # input must be masked, not merely guarded by the When condition
+    back = F.encode(F.when(enc_ok, trans).otherwise(F.lit("")),
+                    "ISO-8859-1")
+    repaired = F.decode(back, "UTF-8")
+    cond = (enc_ok
+            & F.is_valid_utf8(back.cast("string"))
+            & (repaired != text))
+    return F.when(cond, repaired).otherwise(text)
+
+
+def add_mojibake_repair(df, text_col: str = "text",
+                        out_col: str = "text_fixed") -> "DataFrame":
+    """DataFrame form: adds `out_col` (repaired text) and
+    `<out_col>_applied` (boolean audit flag - what fraction of a crawl
+    slice was mis-labeled is itself a source-quality signal)."""
+    fixed = fix_mojibake(F.col(text_col))
+    return (df.withColumn(out_col, fixed)
+            .withColumn(out_col + "_applied",
+                        F.coalesce(F.col(out_col) != F.col(text_col),
+                                   F.lit(False))))

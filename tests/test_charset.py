@@ -96,3 +96,37 @@ def test_compose_with_html_text(spark):
         decode_pages(df).drop("html").withColumnRenamed(
             "html_str", "html"))
     assert out.collect()[0]["text"] == "café – €9"
+
+
+# ---------------------------------------------------------------- mojibake
+
+
+def test_fix_mojibake_families(spark):
+    from csvweb_spark.sources.charset import (add_mojibake_repair,
+                                              fix_mojibake)
+    import pyspark.sql.functions as F
+    rows = [
+        (1, "caf\u00c3\u00a9 r\u00c3\u00a9sum\u00c3\u00a9",
+         "caf\u00e9 r\u00e9sum\u00e9"),
+        (2, "plain caf\u00e9 text", "plain caf\u00e9 text"),  # untouched
+        (3, "\u00e4\u00b8\u00ad\u00e6\u2013\u2021",
+         "\u4e2d\u6587"),                       # CJK mojibake
+        (4, "\u00e2\u20ac\u0153q\u00e2\u20ac\u009d",
+         "\u201cq\u201d"),                      # curly quotes (incl 0x9D)
+        (5, "\u65e5\u672c\u8a9e text", "\u65e5\u672c\u8a9e text"),
+        (6, "", ""),
+        (7, None, None),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in rows],
+                               "id long, text string")
+    out = {r.id: (r.text_fixed, r.text_fixed_applied)
+           for r in add_mojibake_repair(df).collect()}
+    for i, _, want in rows:
+        assert out[i][0] == want, (i, out[i])
+    assert [i for i, (_, ap) in sorted(out.items()) if ap] == [1, 3, 4]
+    # double-encoded mojibake repairs with two applications
+    dbl = "caf\u00c3\u0192\u00c2\u00a9"      # 'cafe'+acute, twice
+    d2 = spark.createDataFrame([(dbl,)], "text string")
+    once = fix_mojibake(F.col("text"))
+    got = d2.select(fix_mojibake(once).alias("t")).collect()[0].t
+    assert got == "caf\u00e9"
