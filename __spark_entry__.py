@@ -555,6 +555,27 @@ def q_kg_diff(spark, sf_dir):
     return out.select("subj", "pred", "obj", "change")
 
 
+def q_kg_validity(spark, sf_dir):
+    """SCD2 validity-interval build (round 5, interval.py::
+    validity_intervals): the events log as versioned (subj, pred)
+    assertions with a coarse 3-bucket object (forcing real
+    consecutive-same-value runs and same-ts duplicates), collapsed
+    into half-open [valid_from, valid_to) value runs with NULL open
+    ends - the inverse read of kg_snapshot_asof. Oracle replays the
+    window algebra (lag break flags, running-sum run ids, lead)."""
+    from csvweb_spark.operators.interval import validity_intervals
+    ev = _load(spark, sf_dir, "events")
+    t = ev.select(
+        F.concat(F.lit("ex:U"), F.col("user_id")).alias("subj"),
+        F.col("event_type").alias("pred"),
+        (F.floor(F.col("value") * 10).cast("long") % 3).alias("obj"),
+        F.col("ts"))
+    out = validity_intervals(t, ["subj", "pred"], ts_col="ts",
+                             val_cols=("obj",))
+    return out.select("subj", "pred", "obj", "valid_from", "valid_to",
+                      "n_assertions")
+
+
 def q_dedup_exact(spark, sf_dir):
     from csvweb_spark.operators.dedup import dedup_exact
     docs = _load(spark, sf_dir, "documents")
@@ -3670,6 +3691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cooccurrence": q_kg_cooccurrence,
         "kg_snapshot_asof": q_kg_snapshot_asof,
         "kg_diff": q_kg_diff,
+        "kg_validity": q_kg_validity,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -5063,6 +5085,32 @@ def _oracle_sql_literal() -> dict[str, str]:
                              ORDER BY ts DESC, obj DESC) AS rn
                   FROM t)
             SELECT subj, pred, obj, ts AS asof_ts FROM r WHERE rn = 1
+        """,
+        "kg_validity": """
+            WITH t AS (SELECT DISTINCT 'ex:U' || user_id AS subj,
+                              event_type AS pred,
+                              (floor(value * 10)::BIGINT % 3) AS obj,
+                              ts
+                       FROM events),
+            r AS (SELECT subj, pred, obj, ts,
+                         CASE WHEN obj = lag(obj) OVER w THEN 0
+                              ELSE 1 END AS brk
+                  FROM t
+                  WINDOW w AS (PARTITION BY subj, pred
+                               ORDER BY ts, obj)),
+            rr AS (SELECT subj, pred, obj, ts, sum(brk) OVER (
+                       PARTITION BY subj, pred ORDER BY ts, obj
+                       ROWS UNBOUNDED PRECEDING) AS run
+                   FROM r),
+            f AS (SELECT subj, pred, run, min(obj) AS obj,
+                         min(ts) AS valid_from,
+                         count(*)::BIGINT AS n_assertions
+                  FROM rr GROUP BY 1, 2, 3)
+            SELECT subj, pred, obj, valid_from,
+                   lead(valid_from) OVER (PARTITION BY subj, pred
+                                          ORDER BY run) AS valid_to,
+                   n_assertions
+            FROM f
         """,
         "kg_diff": """
             WITH c AS (SELECT * FROM customer WHERE c_custkey < 600),

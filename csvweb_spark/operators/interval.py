@@ -98,3 +98,56 @@ def coalesce_intervals(df: DataFrame, key_cols: Sequence[str],
                  F.max(end_col).alias(end_col),
                  F.count(F.lit(1)).alias("n_merged"))
             .drop("_island"))
+
+
+def validity_intervals(df: DataFrame, key_cols: Sequence[str],
+                       ts_col: str = "warc_ts",
+                       val_cols: Sequence[str] = ("obj",)) -> DataFrame:
+    """Build the SCD2-style temporal table from a versioned assertion
+    log: per key, collapse CONSECUTIVE re-assertions of the same value
+    and emit one row per value run - (key..., val..., valid_from,
+    valid_to, n_assertions), `valid_to` = the next run's start (NULL
+    for the currently-valid run, the half-open [from, to) convention).
+    The inverse of `snapshot_asof`: asof answers 'what held at t',
+    this materializes 'when did each value hold' - the shape a
+    temporal SPARQL layer or a fact-history export wants, and the
+    input `coalesce_intervals` compacts further when sources disagree.
+
+    Re-assertions at the SAME timestamp deduplicate first (a crawl
+    epoch asserting a fact from 10^6 pages is one version); ordering
+    within a key is then strictly by ts, with ties impossible
+    post-dedup unless two DIFFERENT values share a timestamp - that
+    conflict is resolved deterministically by value order (greatest
+    last, matching snapshot_asof's ts-tie break where the greatest
+    value tuple wins the snapshot).
+
+    Scale shape: ONE shuffle on the key columns; run detection (lag
+    compare), run numbering (running sum) and valid_to (lead over run
+    starts) are window passes sharing that sorted partition; the
+    per-run fold is a partial-aggregated groupBy. Keys are
+    fact-grained so partitions stay bounded."""
+    from pyspark.sql.window import Window
+
+    keys = [F.col(k) for k in key_cols]
+    vals = [F.col(v) for v in val_cols]
+    base = (df.select(*key_cols, ts_col, *val_cols)
+            .dropDuplicates([*key_cols, ts_col, *val_cols]))
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), *vals)
+    same = F.lit(True)
+    for v in val_cols:
+        prev = F.lag(F.col(v)).over(w)
+        same = same & F.coalesce(F.col(v) == prev, F.lit(False))
+    run = F.sum(F.when(same, 0).otherwise(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)).alias("_run")
+    runs = base.withColumn("_run", run)
+    folded = (runs.groupBy(*key_cols, "_run")
+              .agg(*[F.first(v).alias(c) for c, v in
+                     zip(val_cols, vals)],
+                   F.min(ts_col).alias("valid_from"),
+                   F.count(F.lit(1)).cast("long")
+                   .alias("n_assertions")))
+    w2 = Window.partitionBy(*keys).orderBy(F.col("_run"))
+    return (folded
+            .withColumn("valid_to", F.lead("valid_from").over(w2))
+            .select(*key_cols, *val_cols, "valid_from", "valid_to",
+                    "n_assertions"))

@@ -1526,3 +1526,22 @@ def test_disambiguate_by_coherence(spark):
     assert out[(4, "paris")] == (10, 1, 2)     # tie at 1 -> min id
     # unambiguous mentions resolve to themselves with their own support
     assert out[(1, "texas")] == (20, 0, 1)
+
+
+# --------------------------------------------------- validity intervals
+
+
+def test_validity_intervals_scd2(spark):
+    from csvweb_spark.operators.interval import validity_intervals
+    rows = [  # key s: a,a,b,a ; duplicate assertion at t2; key t: one run
+        ("s", 1, "a"), ("s", 2, "a"), ("s", 2, "a"), ("s", 3, "b"),
+        ("s", 5, "a"), ("t", 4, "x")]
+    df = spark.createDataFrame(rows, "subj string, ts long, obj string")
+    out = validity_intervals(df, ["subj"], ts_col="ts",
+                             val_cols=("obj",))
+    got = {(r.subj, r.valid_from): (r.obj, r.valid_to, r.n_assertions)
+           for r in out.collect()}
+    assert got == {("s", 1): ("a", 3, 2),
+                   ("s", 3): ("b", 5, 1),
+                   ("s", 5): ("a", None, 1),
+                   ("t", 4): ("x", None, 1)}
