@@ -1220,6 +1220,58 @@ def q_ann_topk_ivf(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"), "cos4")
 
 
+def q_embed_kmeans(spark, sf_dir):
+    """Integer-exact Lloyd k-means (round 5, similarity.py::
+    kmeans_lloyd, k=4, 2 rounds) over the real embeddings table:
+    md5-ordered deterministic seeding, quantized long arithmetic
+    throughout (squared-L2, truncating-div centroid updates), final
+    assignment bound to final centroids. The oracle REPLAYS the whole
+    algorithm - seeds, both rounds, final argmin - in unrolled SQL;
+    hash match certifies every centroid component and distance."""
+    from csvweb_spark.operators.similarity import kmeans_lloyd
+    emb = _load(spark, sf_dir, "embeddings")
+    a, _c = kmeans_lloyd(emb, k=4, iterations=2)
+    return a.select(F.col("vec_id").cast("long").alias("vec_id"),
+                    F.col("cell").cast("long").alias("cell"),
+                    F.col("dist").cast("long").alias("dist"))
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (round 5): kmeans_lloyd cells as
+    the blocking stage (pairwise work confined within clusters - the
+    published SemDeDup shape), exact cosine verify at >= 0.995 on
+    pairs sharing a final cell. Planted duplicates (vec_id+100000
+    copies of the first 20 vectors) quantize identically, land in the
+    same cell by determinism and verify at cos4 = 1.0. Oracle replays
+    kmeans AND the within-cell pair join."""
+    from csvweb_spark.operators.similarity import (cosine_sim,
+                                                   kmeans_lloyd)
+    emb = _load(spark, sf_dir, "embeddings")
+    dups = (emb.filter(F.col("vec_id") < 20)
+            .select((F.col("vec_id") + 100000).alias("vec_id"),
+                    "embedding", "label"))
+    corpus = emb.unionByName(dups)
+    a, _c = kmeans_lloyd(corpus, k=4, iterations=2)
+    e = corpus.select(F.col("vec_id").alias("_eid"),
+                      F.col("embedding").cast("array<double>")
+                      .alias("_ev"))
+    x = a.select(F.col("vec_id").alias("id_a"), "cell")
+    y = a.select(F.col("vec_id").alias("id_b"),
+                 F.col("cell").alias("cell_b"))
+    pairs = (x.join(y, (F.col("cell") == F.col("cell_b"))
+                    & (F.col("id_a") < F.col("id_b")))
+             .join(e.withColumnRenamed("_eid", "id_a")
+                   .withColumnRenamed("_ev", "va"), "id_a")
+             .join(e.withColumnRenamed("_eid", "id_b")
+                   .withColumnRenamed("_ev", "vb"), "id_b"))
+    cos4 = F.round(cosine_sim(F.col("va"), F.col("vb")), 4)
+    return (pairs.withColumn("cos4", cos4)
+            .filter(F.col("cos4") >= 0.995)
+            .select(F.col("id_a").cast("long").alias("id_a"),
+                    F.col("id_b").cast("long").alias("id_b"),
+                    F.col("cell").cast("long").alias("cell"), "cos4"))
+
+
 def q_entity_link_fuzzy(spark, sf_dir):
     """MinHash-LSH candidate generation for entity linking (north_star:
     'batch-scored against a broadcast alias dictionary with MinHash-LSH
@@ -3702,6 +3754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "embed_kmeans": q_embed_kmeans,
+        "semdedup": q_semdedup,
         "text_profile": q_text_profile,
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
@@ -4086,6 +4140,49 @@ def _ppr_oracle_sql(iterations: int = 3, damping_bp: int = 8500,
             {",".join(steps)}
             SELECT node::BIGINT AS node, rank
             FROM pr{iterations} WHERE rank > 0"""
+
+
+def _kmeans_oracle_cte(k: int = 4, iterations: int = 2,
+                       scale: int = 1_000_000,
+                       source: str = "SELECT vec_id AS id, embedding "
+                                     "FROM embeddings") -> str:
+    """Unrolled-SQL replay of similarity.kmeans_lloyd: md5-ordered
+    seeds, per-round argmin assignment + truncating-div centroid
+    update (DuckDB // == Spark div, negatives included), final
+    assignment `afin` bound to the final centroids."""
+    dist = ("list_sum(list_transform(list_zip(q.v, c.cv), "
+            "p -> (p[1]-p[2])*(p[1]-p[2])))::BIGINT")
+    ctes = [
+        f"q AS (SELECT id, list_transform(embedding::DOUBLE[], "
+        f"x -> floor(x*{scale})::BIGINT) AS v FROM ({source}))",
+        f"seeds AS (SELECT id, v, row_number() OVER "
+        f"(ORDER BY md5(id::VARCHAR), id) - 1 AS cell FROM q "
+        f"QUALIFY cell < {k})",
+        "c0 AS (SELECT cell, v AS cv FROM seeds)",
+    ]
+    for r in range(iterations):
+        ctes += [
+            f"s{r} AS (SELECT q.id, q.v, c.cell, {dist} AS d "
+            f"FROM q CROSS JOIN c{r} c)",
+            f"a{r} AS (SELECT id, v, cell, d FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY id "
+            f"ORDER BY d, cell) AS rn FROM s{r}) WHERE rn = 1)",
+            f"u{r} AS (SELECT cell, i AS pos, sum(v[i]) AS sm, "
+            f"count(*) AS c FROM a{r}, LATERAL (SELECT "
+            f"unnest(range(1, len(v) + 1)) AS i) t GROUP BY 1, 2)",
+            f"n{r} AS (SELECT cell, list((sm // c)::BIGINT "
+            f"ORDER BY pos) AS ncv FROM u{r} GROUP BY cell)",
+            f"c{r + 1} AS (SELECT c.cell, coalesce(n.ncv, c.cv) AS cv "
+            f"FROM c{r} c LEFT JOIN n{r} n USING (cell))",
+        ]
+    ctes += [
+        f"sfin AS (SELECT q.id, q.v, c.cell, {dist} AS d "
+        f"FROM q CROSS JOIN c{iterations} c)",
+        "afin AS (SELECT id, cell, d FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY id "
+        "ORDER BY d, cell) AS rn FROM sfin) WHERE rn = 1)",
+    ]
+    return "WITH " + ",\n".join(ctes)
 
 
 def _kcore_oracle_sql(k: int = 2, rounds: int = 8) -> str:
@@ -5212,6 +5309,30 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         # full probing (n_probe = n_cells) makes IVF exactly the brute
         # force, so the exact top-k oracle checks the whole IVF plumbing
+        "embed_kmeans": _kmeans_oracle_cte() + """
+            SELECT id::BIGINT AS vec_id, cell::BIGINT AS cell,
+                   d::BIGINT AS dist
+            FROM afin
+        """,
+        "semdedup": _kmeans_oracle_cte(
+            source="SELECT vec_id AS id, embedding FROM embeddings "
+                   "UNION ALL SELECT vec_id + 100000, embedding "
+                   "FROM embeddings WHERE vec_id < 20") + """,
+            e AS (SELECT vec_id AS id, embedding FROM embeddings
+                  UNION ALL SELECT vec_id + 100000, embedding
+                  FROM embeddings WHERE vec_id < 20),
+            p AS (SELECT a.id AS id_a, b.id AS id_b, a.cell,
+                         round(list_cosine_similarity(
+                             ea.embedding::DOUBLE[],
+                             eb.embedding::DOUBLE[]), 4) AS cos4
+                  FROM afin a
+                  JOIN afin b ON a.cell = b.cell AND a.id < b.id
+                  JOIN e ea ON ea.id = a.id
+                  JOIN e eb ON eb.id = b.id)
+            SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+                   cell::BIGINT AS cell, cos4
+            FROM p WHERE cos4 >= 0.995
+        """,
         "ann_topk_ivf": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id < 32),

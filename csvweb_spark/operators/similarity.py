@@ -290,3 +290,94 @@ def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cos4"))
+
+
+def quantize_vec(vec: Column, scale: int = 1_000_000) -> Column:
+    """Integer-quantize an embedding: floor(x * scale) per component as
+    BIGINT. The shared determinism trick (minhash/simhash/pagerank):
+    all downstream arithmetic on quantized vectors is exact integer
+    math, so any engine replays it bit-for-bit - no FP accumulation-
+    order hazard inside iterative algorithms."""
+    return F.transform(vec.cast("array<double>"),
+                       lambda x: F.floor(x * F.lit(int(scale)))
+                       .cast("long"))
+
+
+def kmeans_lloyd(df: DataFrame, k: int = 8, iterations: int = 2,
+                 key_col: str = "vec_id", vec_col: str = "embedding",
+                 scale: int = 1_000_000):
+    """Deterministic, engine-replayable Lloyd k-means over an embedding
+    column - the clustering stage SemDeDup-style semantic dedup and
+    diversity-stratified sampling block on, and the in-repo quantizer
+    alternative to `ann_topk_ivf`'s pyspark.ml KMeans (whose float
+    accumulation order no SQL oracle can replay).
+
+    Every quantity is integer-exact on `quantize_vec` vectors:
+      * init: the k corpus rows with the smallest (md5(key), key) -
+        a deterministic pseudo-random draw, fetched via TakeOrdered
+        (partition-local top-k, no global sort), cells numbered in
+        that order;
+      * assign: squared-L2 to each centroid (long zip_with/aggregate),
+        argmin = min(struct(dist, cell)) - ties to the lowest cell id;
+      * update: per-(cell, dimension) SUM + COUNT (map-side
+        combinable; the n x dim explosion is the standard factored
+        Lloyd shuffle - no vector ever lands whole on a reducer),
+        centroid component = sum div count (truncating integer
+        division - Spark `div` and DuckDB `//` agree, negatives
+        included); clusters that lose all members keep their previous
+        centroid (deterministic, no resampling).
+    Fixed `iterations` (no convergence probe) keeps the unrolled
+    oracle finite; a final assignment pass binds the RETURNED
+    assignments to the RETURNED centroids.
+
+    Long-overflow headroom: |component| <= ~2*scale for unit-norm-ish
+    embeddings, so per-cell component sums stay under 2^63 up to
+    ~10^12 members per cell at the default scale - document-scale
+    safe; lower `scale` for larger corpora.
+
+    Returns (assignments, centroids): (key, cell, dist) and
+    (cell, cv: array<bigint>)."""
+    assert k >= 1 and iterations >= 0
+    spark = df.sparkSession
+    q = df.select(F.col(key_col).alias("_id"),
+                  quantize_vec(F.col(vec_col), scale).alias("v"))
+    seeds = (q.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+             .limit(k).collect())
+    cents = spark.createDataFrame(
+        [(i, list(r.v)) for i, r in enumerate(seeds)],
+        "cell bigint, cv array<bigint>")
+
+    def _assign(cents_df):
+        dist = F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        cand = (q.crossJoin(F.broadcast(cents_df))
+                .select("_id", "v", F.struct(dist.alias("d"),
+                                             F.col("cell").alias("cell"),
+                                             F.col("v").alias("vv"))
+                        .alias("s")))
+        return (cand.groupBy("_id").agg(F.min("s").alias("b"))
+                .select("_id", F.col("b.cell").alias("cell"),
+                        F.col("b.d").alias("dist"),
+                        F.col("b.vv").alias("v")))
+
+    for _ in range(iterations):
+        best = _assign(cents)
+        sums = (best.select("cell", F.posexplode("v")
+                            .alias("pos", "val"))
+                .groupBy("cell", "pos")
+                .agg(F.sum("val").alias("s"),
+                     F.count(F.lit(1)).alias("c")))
+        newc = (sums.withColumn("cval", F.expr("s div c"))
+                .groupBy("cell")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("pos", "cval"))),
+                    lambda st: st["cval"]).alias("ncv")))
+        cents = (cents.join(newc, "cell", "left")
+                 .select("cell", F.coalesce("ncv", "cv").alias("cv"))
+                 .localCheckpoint(eager=True))
+    assignments = _assign(cents).select(
+        F.col("_id").alias(key_col), "cell", "dist")
+    return assignments, cents

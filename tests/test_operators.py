@@ -1545,3 +1545,50 @@ def test_validity_intervals_scd2(spark):
                    ("s", 3): ("b", 5, 1),
                    ("s", 5): ("a", None, 1),
                    ("t", 4): ("x", None, 1)}
+
+
+# --------------------------------------------------------- kmeans / semdedup
+
+
+def test_kmeans_lloyd_matches_python_replay(spark):
+    import hashlib
+    from csvweb_spark.operators.similarity import kmeans_lloyd
+    pts = {1: [0.0, 0.1], 2: [0.1, 0.0], 3: [0.05, 0.05],
+           4: [1.0, 1.0], 5: [0.9, 1.1], 6: [-1.0, -1.0], 7: [-0.9, -1.1]}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in pts.items()],
+        "vec_id long, embedding array<double>")
+    k, iters, S = 3, 2, 1_000_000
+    a, c = kmeans_lloyd(df, k=k, iterations=iters)
+    got_assign = {r.vec_id: (r.cell, r.dist) for r in a.collect()}
+    got_cents = {r.cell: list(r.cv) for r in c.collect()}
+
+    # python replay with identical integer rules
+    import math
+    qp = {i: [math.floor(x * S) for x in v] for i, v in pts.items()}
+    order = sorted(qp, key=lambda i: (hashlib.md5(str(i).encode())
+                                      .hexdigest(), i))
+    cents = {ci: qp[i][:] for ci, i in enumerate(order[:k])}
+    def assign():
+        out = {}
+        for i, v in qp.items():
+            best = min((sum((x - y) ** 2 for x, y in zip(v, cents[ci])),
+                        ci) for ci in cents)
+            out[i] = best
+        return out
+    def tdiv(a, b):  # truncating integer division (Spark div semantics)
+        return int(a / b) if b else 0
+    for _ in range(iters):
+        asg = assign()
+        byc = {}
+        for i, (_, ci) in asg.items():
+            byc.setdefault(ci, []).append(qp[i])
+        for ci in cents:
+            if ci in byc:
+                m = byc[ci]
+                cents[ci] = [tdiv(sum(col), len(m))
+                             for col in zip(*m)]
+    asg = assign()
+    assert got_cents == cents
+    assert got_assign == {i: (ci, d) for i, (d, ci) in asg.items()}
+    assert {ci for ci, _ in got_assign.values()} <= set(range(k))
