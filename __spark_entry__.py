@@ -432,6 +432,22 @@ def q_kg_kcore(spark, sf_dir):
                       F.col("deg").cast("long").alias("deg"))
 
 
+def q_kg_walks(spark, sf_dir):
+    """Deterministic random-walk corpus (round 5, graph.py::
+    random_walks - the DeepWalk/node2vec prep stage) over the directed
+    chain+star graph: 2 walks per node, length 3, next-hop = shared
+    md5 base hash of (start, walk, step, node) mod out-degree over the
+    row_number adjacency ranking. The oracle replays every hop in
+    unrolled SQL - same hash, same ranking - so the walk corpus is
+    bit-identical across engines (df.sample could never be)."""
+    from csvweb_spark.operators.graph import random_walks
+    out = random_walks(_chain_star_edges(spark, sf_dir),
+                       walks_per_node=2, length=3)
+    return out.select(F.col("start").cast("long").alias("start"),
+                      "walk", "step",
+                      F.col("node").cast("long").alias("node"))
+
+
 def q_kg_scc(spark, sf_dir):
     """Strongly connected components (round 5, graph.py::
     strongly_connected_components - FW-BW coloring with trimming) over
@@ -3731,6 +3747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank_seeded": q_kg_pagerank_seeded,
         "kg_kcore": q_kg_kcore,
         "kg_scc": q_kg_scc,
+        "kg_walks": q_kg_walks,
         "dedup_incremental_near": q_dedup_incremental_near,
         # -- recorded green in CORRECTNESS_r03 --
         "entity_link_exact": q_entity_link_exact,
@@ -5387,6 +5404,56 @@ def _oracle_sql_literal() -> dict[str, str]:
         "kg_hits": _hits_oracle_sql(),
         "kg_pagerank_seeded": _ppr_oracle_sql(),
         "kg_kcore": _kcore_oracle_sql(),
+        "kg_walks": """
+            WITH
+            c AS (SELECT c_custkey AS k FROM customer
+                  WHERE c_custkey < 400),
+            dir AS (
+                SELECT a.k AS a, a.k + 1 AS b
+                FROM c a JOIN c n ON n.k = a.k + 1
+                WHERE a.k % 100 <> 99
+                UNION ALL
+                SELECT 0, k FROM c WHERE k > 0 AND k < 100),
+            e AS (SELECT DISTINCT a AS u, b AS v FROM dir),
+            adj AS (SELECT u, v,
+                           row_number() OVER (PARTITION BY u
+                               ORDER BY v) - 1 AS rnk,
+                           count(*) OVER (PARTITION BY u) AS deg
+                    FROM e),
+            nodes AS (SELECT DISTINCT n FROM (
+                SELECT u AS n FROM e UNION ALL SELECT v FROM e)),
+            w AS (SELECT n AS start, unnest([0, 1])::BIGINT AS walk
+                  FROM nodes),
+            f0 AS (SELECT start, walk, 0::BIGINT AS step,
+                          start AS node FROM w),
+            f1 AS (SELECT f.start, f.walk, 1::BIGINT AS step,
+                          adj.v AS node
+                   FROM f0 f JOIN adj
+                     ON adj.u = f.node
+                    AND adj.rnk = ('0x' || substr(md5(
+                          f.start || '|' || f.walk || '|1|'
+                          || f.node), 1, 15))::BIGINT % adj.deg),
+            f2 AS (SELECT f.start, f.walk, 2::BIGINT AS step,
+                          adj.v AS node
+                   FROM f1 f JOIN adj
+                     ON adj.u = f.node
+                    AND adj.rnk = ('0x' || substr(md5(
+                          f.start || '|' || f.walk || '|2|'
+                          || f.node), 1, 15))::BIGINT % adj.deg),
+            f3 AS (SELECT f.start, f.walk, 3::BIGINT AS step,
+                          adj.v AS node
+                   FROM f2 f JOIN adj
+                     ON adj.u = f.node
+                    AND adj.rnk = ('0x' || substr(md5(
+                          f.start || '|' || f.walk || '|3|'
+                          || f.node), 1, 15))::BIGINT % adj.deg),
+            allf AS (SELECT * FROM f0 UNION ALL SELECT * FROM f1
+                     UNION ALL SELECT * FROM f2
+                     UNION ALL SELECT * FROM f3)
+            SELECT start::BIGINT AS start, walk, step,
+                   node::BIGINT AS node
+            FROM allf
+        """,
         "kg_scc": """
             WITH RECURSIVE
             c AS (SELECT c_custkey AS k FROM customer

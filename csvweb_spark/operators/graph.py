@@ -719,3 +719,81 @@ def strongly_connected_components(edges: DataFrame, max_outer: int = 4,
     for d in done[1:]:
         out = out.unionByName(d)
     return out
+
+
+def random_walks(edges: DataFrame, walks_per_node: int = 2,
+                 length: int = 3, src: str = "src",
+                 dst: str = "dst") -> DataFrame:
+    """Deterministic random-walk corpus over the directed graph - the
+    DeepWalk/node2vec PREPARATION stage: the walk table is the
+    skip-gram training input for graph embeddings, and a cheap
+    neighborhood sample for similarity features. 'Random' is a
+    REPRODUCIBLE pseudo-random draw on the shared md5 base hash
+    (dedup.md5_hash60): at step t of walk w from start s standing on
+    node u, the next edge is out-neighbor rank
+
+        md5_hash60(concat(s, '|', w, '|', t, '|', u)) % out_deg(u)
+
+    over the (src ORDER BY dst) row-number ranking - fully replayable
+    in SQL, independent across walks/steps, and invariant to
+    partitioning/cluster size (df.sample is neither).
+
+    Walks STOP at sinks (no out-edges): shorter rows simply end, the
+    standard directed-walk convention. Output one row per visited
+    position: (start, walk, step, node), step 0 = the start node
+    itself.
+
+    Scale shape: the adjacency ranking is ONE window sort keyed by
+    src (rank/out_deg materialized once, reused by every step); each
+    step is then a single hash equi-join of the frontier on
+    (node, rank) - frontier rows are 4 longs, text/payload never
+    moves. Hub fan-out is bounded by the JOIN being rank-exact (one
+    matched edge per frontier row, never an explode of the hub's
+    list). localCheckpoint truncates the per-step lineage."""
+    from .dedup import md5_hash60
+    from pyspark.sql.window import Window
+
+    assert walks_per_node >= 1 and length >= 1
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")) \
+        .distinct()
+    w = Window.partitionBy("u").orderBy("v")
+    adj = (e.withColumn("rank",
+                        F.row_number().over(w).cast("long") - 1)
+           .withColumn("deg", F.count(F.lit(1)).over(
+               Window.partitionBy("u")).cast("long"))
+           .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("u").alias("node"))
+             .unionByName(e.select(F.col("v").alias("node")))
+             .distinct())
+    walks = nodes.select(
+        F.col("node").alias("start"),
+        F.explode(F.array(*[F.lit(i).cast("long")
+                            for i in range(walks_per_node)]))
+        .alias("walk"))
+    degs = adj.select("u", "deg").distinct()
+    frontier = walks.select("start", "walk",
+                            F.lit(0).cast("long").alias("step"),
+                            F.col("start").alias("node"))
+    out = frontier
+    for t in range(1, length + 1):
+        # two-phase step: a 1-row-per-node deg lookup computes the
+        # picked rank FIRST, so the adjacency join is exact on
+        # (node, rank) - a hub's edge list is probed, never exploded
+        picked = (frontier
+                  .join(degs, frontier["node"] == degs["u"])
+                  .select("start", "walk", "node",
+                          F.pmod(md5_hash60(F.concat_ws(
+                              "|", F.col("start"), F.col("walk"),
+                              F.lit(t), F.col("node"))),
+                              F.col("deg")).cast("long")
+                          .alias("pick")))
+        nxt = (picked
+               .join(adj, (picked["node"] == adj["u"])
+                     & (picked["pick"] == adj["rank"]))
+               .select("start", "walk",
+                       F.lit(t).cast("long").alias("step"),
+                       F.col("v").alias("node"))
+               .localCheckpoint(eager=True))
+        out = out.unionByName(nxt)
+        frontier = nxt
+    return out

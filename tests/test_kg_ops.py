@@ -1163,3 +1163,38 @@ def test_kg_diff_set_semantics_and_stats(spark):
     stats = {r.pred: (r.n_added, r.n_removed)
              for r in kg_diff_stats(d).collect()}
     assert stats == {"p": (1, 1), "q": (1, 1)}
+
+
+# ----------------------------------------------------------------- walks
+
+
+def test_random_walks_deterministic_replay(spark):
+    import hashlib
+    from csvweb_spark.operators.graph import random_walks
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 1), (5, 9)]  # 9 = sink
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    out = random_walks(e, walks_per_node=2, length=3)
+    got = {(r.start, r.walk, r.step): r.node for r in out.collect()}
+
+    # python replay with the identical hash rule
+    adj = {}
+    for a, b in sorted(set(pairs)):
+        adj.setdefault(a, []).append(b)
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    nodes = {n for p in pairs for n in p}
+    want = {}
+    for s in nodes:
+        for w in range(2):
+            cur = s
+            want[(s, w, 0)] = s
+            for t in range(1, 4):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                cur = nbrs[h60(f"{s}|{w}|{t}|{cur}") % len(nbrs)]
+                want[(s, w, t)] = cur
+    assert got == want
+    # sink 9: both walks stop at step 1
+    assert (9, 0, 1) not in got and (9, 1, 1) not in got
+    assert got[(5, 0, 1)] == 9 and (5, 0, 2) not in got
