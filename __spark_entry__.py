@@ -2009,6 +2009,68 @@ def _customer_shapes():
     }]
 
 
+def q_kg_shacl_logical(spark, sf_dir):
+    """SHACL logical constraint components + uniqueLang (round 5,
+    shacl.py): sh:or (phone-pattern literal OR mailto IRI - k%8==0
+    plants a 'bad' literal failing both branches), sh:not over an
+    sh:in denylist (k%10==0 asserts 'spam'), sh:and range composition
+    (k%12==0 scores 150), and sh:uniqueLang (k%9==0 carries two @en
+    labels). Every component compiles to one narrow filter /
+    map-side-combined count over the shared value scan; oracle
+    replays the plants as UNION ALL arithmetic."""
+    from csvweb_spark.operators.shacl import RDF_TYPE, validate_shapes
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 600)
+    k = F.col("c_custkey")
+    subj = F.concat(F.lit("ex:C"), k)
+    ns = F.lit(None).cast("string")
+
+    def tr(df, s, pred, obj, kind, dt=ns, lang=ns):
+        return df.select(s.alias("subj"), F.lit(pred).alias("pred"),
+                         obj.alias("obj"), F.lit(kind).alias("obj_kind"),
+                         dt.alias("obj_datatype"),
+                         lang.alias("obj_lang"))
+
+    phone = F.concat(F.lpad((k % 100).cast("string"), 2, "0"),
+                     F.lit("-"), k.cast("string"))
+    contact_lit = F.when(k % 8 == 0, F.lit("bad")).otherwise(phone)
+    parts = [
+        tr(cust, subj, RDF_TYPE, F.lit("ex:Customer"), "iri"),
+        tr(cust.filter((k % 8 == 0) | (k % 2 == 0)), subj, "ex:contact",
+           contact_lit, "literal", F.lit(XSD + "string")),
+        tr(cust.filter((k % 8 != 0) & (k % 2 == 1)), subj, "ex:contact",
+           F.concat(F.lit("mailto:c"), k, F.lit("@ex.org")), "iri"),
+        tr(cust, subj, "ex:status",
+           F.when(k % 10 == 0, F.lit("spam")).otherwise(F.lit("active")),
+           "literal", F.lit(XSD + "string")),
+        tr(cust, subj, "ex:score",
+           F.when(k % 12 == 0, F.lit("150"))
+           .otherwise((k % 100).cast("string")), "literal",
+           F.lit(XSD + "decimal")),
+        tr(cust, subj, "ex:label", F.col("c_name"), "literal",
+           lang=F.lit("en")),
+        tr(cust.filter(k % 9 == 0), subj, "ex:label",
+           F.concat(F.col("c_name"), F.lit("_x")), "literal",
+           lang=F.lit("en")),
+    ]
+    triples = parts[0]
+    for p in parts[1:]:
+        triples = triples.unionByName(p)
+    shapes = [{"shape": "ex:LogicalShape", "target_class": "ex:Customer",
+               "properties": [
+                   {"path": "ex:contact",
+                    "or": [{"pattern": "^[0-9]{2}-"},
+                           {"node_kind": "iri"}]},
+                   {"path": "ex:status",
+                    "not": {"in": ["deleted", "spam"]}},
+                   {"path": "ex:score",
+                    "and": [{"min_inclusive": 0},
+                            {"max_inclusive": 100}]},
+                   {"path": "ex:label", "unique_lang": True},
+               ]}]
+    return validate_shapes(triples, shapes)
+
+
 def q_kg_shacl_incr(spark, sf_dir):
     """INCREMENTAL SHACL revalidation (round 5, shacl.py::
     validate_shapes_incremental): base = planted-defect KG for
@@ -3665,6 +3727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_update": q_sparql_update,
         "web_meta_robots": q_web_meta_robots,
         "kg_shacl_validate": q_kg_shacl_validate,
+        "kg_shacl_logical": q_kg_shacl_logical,
         "kg_void_stats": q_kg_void_stats,
         "kg_shacl_incr": q_kg_shacl_incr,
         "kg_void_incr": q_kg_void_incr,
@@ -5603,6 +5666,26 @@ def _oracle_sql_literal() -> dict[str, str]:
                 WHERE pred = 'http://ex.org/seg' AND obj = 'BUILDING'
             )
             SELECT subj, pred, obj FROM store3
+        """,
+        "kg_shacl_logical": """
+            WITH c AS (SELECT c_custkey AS k FROM customer
+                       WHERE c_custkey < 600)
+            SELECT 'ex:LogicalShape' AS shape, 'ex:C' || k AS focus,
+                   'ex:contact' AS path, 'or' AS "constraint",
+                   'bad' AS "value"
+            FROM c WHERE k % 8 = 0
+            UNION ALL
+            SELECT 'ex:LogicalShape', 'ex:C' || k, 'ex:status', 'not',
+                   'spam'
+            FROM c WHERE k % 10 = 0
+            UNION ALL
+            SELECT 'ex:LogicalShape', 'ex:C' || k, 'ex:score', 'and',
+                   '150'
+            FROM c WHERE k % 12 = 0
+            UNION ALL
+            SELECT 'ex:LogicalShape', 'ex:C' || k, 'ex:label',
+                   'uniqueLang', 'en'
+            FROM c WHERE k % 9 = 0
         """,
         "kg_shacl_validate": """
             WITH c AS (SELECT c_custkey AS k, c_name, c_nationkey,

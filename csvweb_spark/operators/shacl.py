@@ -49,7 +49,52 @@ _REPORT_COLS = ("shape", "focus", "path", "constraint", "value")
 #: property-constraint keys understood by validate_shapes
 _PROP_KEYS = {"path", "min_count", "max_count", "datatype", "node_kind",
               "class", "pattern", "in", "has_value",
-              "min_inclusive", "max_inclusive"}
+              "min_inclusive", "max_inclusive",
+              "not", "or", "and", "unique_lang"}
+
+#: join-free value-level keys allowed INSIDE sh:not / sh:or / sh:and
+#: branches (each compiles to a boolean Column over one value row -
+#: sh:class/sh:hasValue/cardinality need joins and are rejected there)
+_LOGICAL_KEYS = {"datatype", "node_kind", "pattern", "in",
+                 "min_inclusive", "max_inclusive"}
+
+
+def _value_conforms(branch: dict) -> "F.Column":
+    """Compile a join-free value-constraint dict to a boolean Column
+    over a value row (obj, obj_kind, obj_datatype): True = the value
+    node CONFORMS to every constraint in the dict. The building
+    block of the sh:not / sh:or / sh:and compilers - logical
+    composition stays one narrow filter, zero extra scans."""
+    unknown = set(branch) - _LOGICAL_KEYS
+    if unknown:
+        raise ValueError(
+            f"logical branch: unsupported keys {sorted(unknown)} "
+            f"(join-free value constraints only: "
+            f"{sorted(_LOGICAL_KEYS)})")
+    conds = []
+    if branch.get("datatype") is not None:
+        conds.append((F.col("obj_kind") == "literal")
+                     & F.col("obj_datatype").isNotNull()
+                     & (F.col("obj_datatype") == branch["datatype"]))
+    if branch.get("node_kind") is not None:
+        conds.append(F.col("obj_kind") == branch["node_kind"])
+    if branch.get("pattern") is not None:
+        rx = ".*(?:" + branch["pattern"] + ").*"
+        conds.append(F.col("obj").rlike(rx))
+    if branch.get("in") is not None:
+        conds.append(F.col("obj").isin(list(branch["in"])))
+    if branch.get("min_inclusive") is not None:
+        v = F.col("obj").try_cast("double")
+        conds.append(v.isNotNull()
+                     & (v >= float(branch["min_inclusive"])))
+    if branch.get("max_inclusive") is not None:
+        v = F.col("obj").try_cast("double")
+        conds.append(v.isNotNull()
+                     & (v <= float(branch["max_inclusive"])))
+    out = F.lit(True)
+    for c in conds:
+        out = out & c
+    return out
 
 
 def _focus_nodes(triples: DataFrame, shape: dict) -> DataFrame:
@@ -121,7 +166,7 @@ def validate_shapes(triples: DataFrame, shapes: list[dict],
             focus = focus.join(flt, "focus", "left_semi")
         for prop in shape.get("properties", []):
             path = prop["path"]
-            extra = [c for c in ("obj_kind", "obj_datatype")
+            extra = [c for c in ("obj_kind", "obj_datatype", "obj_lang")
                      if c in triples.columns]
             # RDF graphs are SETS: a provenance-duplicated assertion
             # (same s/p/o from many pages) is ONE triple, so both the
@@ -200,6 +245,39 @@ def validate_shapes(triples: DataFrame, shapes: list[dict],
                 missing = focus.join(holders, "focus", "left_anti")
                 reports.append(_report(name, missing, path, "hasValue",
                                        F.lit(None)))
+            # ---- logical constraint components (SHACL 4.6): still one
+            # narrow filter each - _value_conforms composes the join-
+            # free value predicates into a single boolean expression
+            if prop.get("not") is not None:
+                reports.append(_report(
+                    name, vals.where(_value_conforms(prop["not"])),
+                    path, "not", F.col("obj")))
+            if prop.get("or") is not None:
+                any_ok = F.lit(False)
+                for branch in prop["or"]:
+                    any_ok = any_ok | _value_conforms(branch)
+                reports.append(_report(name, vals.where(~any_ok), path,
+                                       "or", F.col("obj")))
+            if prop.get("and") is not None:
+                all_ok = F.lit(True)
+                for branch in prop["and"]:
+                    all_ok = all_ok & _value_conforms(branch)
+                reports.append(_report(name, vals.where(~all_ok), path,
+                                       "and", F.col("obj")))
+            # ---- sh:uniqueLang (4.2.3): no two values of the path may
+            # share a language tag; one map-side-combinable count over
+            # (focus, lang), violation value = the duplicated tag
+            if prop.get("unique_lang"):
+                if "obj_lang" not in triples.columns:
+                    raise ValueError(
+                        "unique_lang requires an obj_lang column")
+                dup = (vals.where(F.col("obj_lang").isNotNull()
+                                  & (F.col("obj_lang") != ""))
+                       .groupBy("focus", "obj_lang")
+                       .agg(F.count(F.lit(1)).alias("_n"))
+                       .where(F.col("_n") > 1))
+                reports.append(_report(name, dup, path, "uniqueLang",
+                                       F.col("obj_lang")))
     if not reports:
         return spark.createDataFrame(
             [], "shape string, focus string, path string, "

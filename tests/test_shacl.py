@@ -180,3 +180,69 @@ def test_incremental_equals_full_on_affected(spark):
     # and NO rows for unaffected nodes (C2/C4 violations untouched)
     assert not any(f in ("ex:C2", "ex:C4") for f, *_ in
                    {tuple(r) for r in incr.collect()})
+
+
+# ------------------------------------------------------ logical constraints
+
+
+def _lt(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_kind string, "
+              "obj_datatype string, obj_lang string")
+
+
+_RT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def test_shacl_logical_or_not_and(spark):
+    from csvweb_spark.operators.shacl import validate_shapes
+    X = "http://www.w3.org/2001/XMLSchema#"
+    t = _lt(spark, [
+        ("ex:a", _RT, "ex:T", "iri", None, None),
+        ("ex:b", _RT, "ex:T", "iri", None, None),
+        # ex:a conforms to the or (iri branch); ex:b fails both
+        ("ex:a", "ex:c", "mailto:x", "iri", None, None),
+        ("ex:b", "ex:c", "bad", "literal", X + "string", None),
+        # not(in): ex:b carries a forbidden status
+        ("ex:a", "ex:s", "active", "literal", X + "string", None),
+        ("ex:b", "ex:s", "spam", "literal", X + "string", None),
+        # and(range): ex:a in range, ex:b out
+        ("ex:a", "ex:n", "50", "literal", X + "decimal", None),
+        ("ex:b", "ex:n", "150", "literal", X + "decimal", None),
+    ])
+    shapes = [{"shape": "s", "target_class": "ex:T",
+               "properties": [
+                   {"path": "ex:c", "or": [{"pattern": "^[0-9]{2}-"},
+                                           {"node_kind": "iri"}]},
+                   {"path": "ex:s", "not": {"in": ["deleted", "spam"]}},
+                   {"path": "ex:n", "and": [{"min_inclusive": 0},
+                                            {"max_inclusive": 100}]},
+               ]}]
+    rep = validate_shapes(t, shapes)
+    got = {(r.focus, r.constraint, r.value) for r in rep.collect()}
+    assert got == {("ex:b", "or", "bad"), ("ex:b", "not", "spam"),
+                   ("ex:b", "and", "150")}
+
+
+def test_shacl_unique_lang_and_branch_validation(spark):
+    import pytest
+    from csvweb_spark.operators.shacl import validate_shapes
+    t = _lt(spark, [
+        ("ex:a", _RT, "ex:T", "iri", None, None),
+        ("ex:a", "ex:l", "hello", "literal", None, "en"),
+        ("ex:a", "ex:l", "hi", "literal", None, "en"),      # dup en
+        ("ex:a", "ex:l", "salut", "literal", None, "fr"),
+        ("ex:b", _RT, "ex:T", "iri", None, None),
+        ("ex:b", "ex:l", "x", "literal", None, "en"),
+    ])
+    shapes = [{"shape": "s", "target_class": "ex:T",
+               "properties": [{"path": "ex:l", "unique_lang": True}]}]
+    rep = validate_shapes(t, shapes)
+    got = {(r.focus, r.constraint, r.value) for r in rep.collect()}
+    assert got == {("ex:a", "uniqueLang", "en")}
+    # join-requiring keys are rejected inside logical branches
+    bad = [{"shape": "s", "target_class": "ex:T",
+            "properties": [{"path": "ex:l",
+                            "not": {"has_value": "x"}}]}]
+    with pytest.raises(ValueError, match="join-free"):
+        validate_shapes(t, bad).collect()
