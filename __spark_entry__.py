@@ -432,6 +432,36 @@ def q_kg_kcore(spark, sf_dir):
                       F.col("deg").cast("long").alias("deg"))
 
 
+def q_corpus_split(spark, sf_dir):
+    """Deterministic train/val/test split (round 5, sampling.py::
+    split_corpus, 80/10/10): contiguous intervals of the md5 sampling
+    hash assign each document exactly one leak-proof split label,
+    stable under corpus growth (a doc keeps its split as rows
+    appear/disappear - the guarantee per-run shuffling cannot give).
+    Oracle replays the hash and interval bounds."""
+    from csvweb_spark.operators.sampling import split_corpus
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source")
+    out = split_corpus(docs, {"train": 8000, "val": 1000, "test": 1000})
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "source", "split")
+
+
+def q_kg_harmonic(spark, sf_dir):
+    """Seed-sampled harmonic centrality (round 5, graph.py::
+    harmonic_centrality over multi_source_distances): per-seed
+    DIRECTED BFS within 3 hops from seeds {0, 250} on the chain+star
+    graph, then sum(ppm div d) per node - integer-exact, so the
+    recursive-CTE per-seed min-hop oracle replays the centrality
+    estimates bit-for-bit (the Eppstein-Wang seed-sample shape, never
+    all-pairs)."""
+    from csvweb_spark.operators.graph import harmonic_centrality
+    seeds = spark.createDataFrame([(0,), (250,)], "node long")
+    out = harmonic_centrality(_chain_star_edges(spark, sf_dir), seeds,
+                              k=3, directed=True)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      "harmonic_ppm", "n_reached")
+
+
 def q_kg_walks(spark, sf_dir):
     """Deterministic random-walk corpus (round 5, graph.py::
     random_walks - the DeepWalk/node2vec prep stage) over the directed
@@ -3811,6 +3841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": q_kg_kcore,
         "kg_scc": q_kg_scc,
         "kg_walks": q_kg_walks,
+        "kg_harmonic": q_kg_harmonic,
         "dedup_incremental_near": q_dedup_incremental_near,
         # -- recorded green in CORRECTNESS_r03 --
         "entity_link_exact": q_entity_link_exact,
@@ -3846,6 +3877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": q_url_canonical_dedup,
         "host_curation": q_host_curation,
         "sample_hash": q_sample_hash,
+        "corpus_split": q_corpus_split,
         "sample_stratified": q_sample_stratified,
         "corpus_blend": q_corpus_blend,
         "infer_schema": q_infer_schema,
@@ -5467,6 +5499,31 @@ def _oracle_sql_literal() -> dict[str, str]:
         "kg_hits": _hits_oracle_sql(),
         "kg_pagerank_seeded": _ppr_oracle_sql(),
         "kg_kcore": _kcore_oracle_sql(),
+        "kg_harmonic": """
+            WITH RECURSIVE
+            c AS (SELECT c_custkey AS k FROM customer
+                  WHERE c_custkey < 400),
+            dir AS (
+                SELECT a.k AS a, a.k + 1 AS b
+                FROM c a JOIN c n ON n.k = a.k + 1
+                WHERE a.k % 100 <> 99
+                UNION ALL
+                SELECT 0, k FROM c WHERE k > 0 AND k < 100),
+            e AS (SELECT DISTINCT a, b FROM dir WHERE a <> b),
+            bfs(seed, node, hops) AS (
+                SELECT * FROM (VALUES (0, 0, 0), (250, 250, 0))
+                    s(seed, node, hops)
+                UNION ALL
+                SELECT bfs.seed, e.b, bfs.hops + 1
+                FROM bfs JOIN e ON e.a = bfs.node
+                WHERE bfs.hops < 3),
+            md AS (SELECT seed, node, min(hops) AS hops
+                   FROM bfs GROUP BY 1, 2)
+            SELECT node::BIGINT AS node,
+                   sum(1000000 // hops)::BIGINT AS harmonic_ppm,
+                   count(*)::BIGINT AS n_reached
+            FROM md WHERE hops > 0 GROUP BY node
+        """,
         "kg_walks": """
             WITH
             c AS (SELECT c_custkey AS k FROM customer
@@ -7259,6 +7316,16 @@ def _oracle_sql_literal() -> dict[str, str]:
         # deterministic sampling: the oracle replays the md5 selection
         # hash, so the EXACT sampled row set is checked (cuts are
         # (2^31-1)*bp//10^4 computed the same way as sampling.py)
+        "corpus_split": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       ('0x' || substr(md5('42:' || doc_id), 1, 8))::bigint
+                       % 2147483647 AS h
+                FROM documents)
+            SELECT doc_id::bigint AS doc_id, source,
+                   CASE WHEN h < 214748364 THEN 'test' WHEN h < 1932735282 THEN 'train' ELSE 'val' END AS split
+            FROM d
+        """,
         "sample_hash": """
             SELECT doc_id::bigint AS doc_id, source
             FROM documents

@@ -691,6 +691,73 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     timed("events_coalesce", lambda: coalesce_intervals(
         ev_iv, ["user_id", "event_type"]).count())
 
+    # round-5 late additions: SCC (cyclic blocks-of-8 graph, scales
+    # with sf), deterministic walks, integer k-means, bigram LM
+    # scoring, SCD2 validity intervals, KG snapshot diff, mojibake
+    from csvweb_spark.operators.asof import kg_diff
+    from csvweb_spark.operators.graph import (random_walks,
+                                              strongly_connected_components)
+    from csvweb_spark.operators.interval import validity_intervals
+    from csvweb_spark.operators.similarity import kmeans_lloyd
+    from csvweb_spark.operators.text import (score_documents_lm,
+                                             train_bigram_lm)
+    from csvweb_spark.sources.charset import add_mojibake_repair
+    _kk = F.col("c_custkey")
+    _b = _kk - (_kk % 8)
+    scc_edges = (
+        cust.filter(_kk % 8 < 4).select(_kk.alias("src"),
+                                        (_kk + 1).alias("dst"))
+        .unionByName(cust.filter(_kk % 8 == 4)
+                     .select(_kk.alias("src"), _b.alias("dst")))
+        .unionByName(cust.filter(_kk % 8 == 4)
+                     .select(_kk.alias("src"), (_kk + 1).alias("dst")))
+        .unionByName(cust.filter(_kk % 8 == 5)
+                     .select(_kk.alias("src"), (_kk + 1).alias("dst")))
+        .unionByName(cust.filter(_kk % 8 == 7)
+                     .select(_kk.alias("src"), _b.alias("dst"))))
+    timed("kg_scc", lambda: strongly_connected_components(
+        scc_edges, max_outer=2, max_rounds=12).count(), retry_under=0.0)
+    timed("kg_walks", lambda: random_walks(
+        edges_khop, walks_per_node=2, length=3).count())
+    timed("embed_kmeans", lambda: kmeans_lloyd(
+        emb, k=8, iterations=2)[0].count(), retry_under=0.0)
+
+    def _lm():
+        pc, uc = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+        return score_documents_lm(
+            docs.filter(F.col("doc_id") % 2 == 1), pc, uc,
+            uc.count()).count()
+    timed("text_lm_score", _lm)
+    ev_va = ev.select(
+        F.concat(F.lit("ex:U"), F.col("user_id")).alias("subj"),
+        F.col("event_type").alias("pred"),
+        (F.floor(F.col("value") * 10).cast("long") % 3).alias("obj"),
+        "ts")
+    timed("kg_validity", lambda: validity_intervals(
+        ev_va, ["subj", "pred"], ts_col="ts").count())
+    old_kg = cust.select(
+        F.concat(F.lit("ex:C"), _kk).alias("subj"),
+        F.lit("ex:segment").alias("pred"),
+        F.col("c_mktsegment").alias("obj"))
+    new_kg = cust.select(
+        F.concat(F.lit("ex:C"), _kk).alias("subj"),
+        F.lit("ex:segment").alias("pred"),
+        F.when(_kk % 10 == 0, F.concat(F.col("c_mktsegment"),
+                                       F.lit("-R2")))
+        .otherwise(F.col("c_mktsegment")).alias("obj"))
+    timed("kg_diff", lambda: kg_diff(
+        old_kg, new_kg, key_cols=("subj", "pred", "obj")).count())
+    timed("web_mojibake", lambda: add_mojibake_repair(docs)
+          .agg(F.sum(F.col("text_fixed_applied").cast("long"))).count())
+    from csvweb_spark.operators.graph import harmonic_centrality
+    from csvweb_spark.operators.sampling import split_corpus
+    hseeds = spark.createDataFrame([(0,), (250,)], "node long")
+    timed("kg_harmonic", lambda: harmonic_centrality(
+        edges_khop, hseeds, k=3).count())
+    timed("corpus_split", lambda: split_corpus(
+        docs, {"train": 8000, "val": 1000, "test": 1000})
+        .groupBy("split").count().count())
+
     # relational: TPC-H-ish Q1
     dec = lambda c: F.col(c).cast("decimal(18,4)")
     timed("q1_pricing_summary", lambda: (

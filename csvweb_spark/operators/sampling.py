@@ -145,3 +145,34 @@ def stratified_sample_topk(df: DataFrame, k: int,
     return (base.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= k)
             .drop("_sh", "_rk"))
+
+
+def split_corpus(df: DataFrame, splits: dict, key_col: str = "doc_id",
+                 seed: int = 42,
+                 split_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: `splits` maps split
+    name -> basis points (must total 10^4), e.g. {"train": 9000,
+    "val": 500, "test": 500}. Every row gets exactly one `split_col`
+    label from contiguous intervals of the sampling hash range -
+    reproducible on any cluster shape AND stable under corpus growth:
+    a document keeps its split when rows are added or removed (the
+    leakage guarantee re-shuffling splits per run cannot give), and
+    disjointness is by construction (intervals partition the range).
+
+    Names assign in sorted order for determinism. One narrow CASE
+    projection - no shuffle, no state; compose with
+    `stratified_hash_sample` upstream for per-stratum balancing."""
+    assert splits and sum(splits.values()) == 10_000, \
+        "split basis points must total 10000"
+    h = sample_hash(F.col(key_col), seed)
+    names = sorted(splits)
+    bounds, acc = [], 0
+    for n in names:
+        acc += splits[n]
+        bounds.append((n, (MERSENNE31 * acc) // 10_000))
+    # first matching upper bound wins; the top interval catches the
+    # hash maximum (MERSENNE31 itself is excluded by the 31-bit hash)
+    expr = F.lit(names[-1])
+    for n, hi in reversed(bounds[:-1]):
+        expr = F.when(h < F.lit(hi), F.lit(n)).otherwise(expr)
+    return df.withColumn(split_col, expr)

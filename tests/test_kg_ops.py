@@ -1198,3 +1198,23 @@ def test_random_walks_deterministic_replay(spark):
     # sink 9: both walks stop at step 1
     assert (9, 0, 1) not in got and (9, 1, 1) not in got
     assert got[(5, 0, 1)] == 9 and (5, 0, 2) not in got
+
+
+# --------------------------------------------------------------- harmonic
+
+
+def test_multi_source_distances_and_harmonic(spark):
+    from csvweb_spark.operators.graph import (harmonic_centrality,
+                                              multi_source_distances)
+    # directed path 1->2->3->4 plus shortcut 1->3; island 9
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 3), (9, 8)])
+    seeds = spark.createDataFrame([(1,), (2,)], "node long")
+    d = {(r.seed, r.node): r.hops
+         for r in multi_source_distances(e, seeds, k=3).collect()}
+    assert d == {(1, 1): 0, (1, 2): 1, (1, 3): 1, (1, 4): 2,
+                 (2, 2): 0, (2, 3): 1, (2, 4): 2}
+    h = {r.node: (r.harmonic_ppm, r.n_reached)
+         for r in harmonic_centrality(e, seeds, k=3).collect()}
+    assert h == {2: (1_000_000, 1),
+                 3: (2_000_000, 2),            # 1/1 from both seeds
+                 4: (1_000_000, 2)}            # 1/2 + 1/2

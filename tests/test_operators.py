@@ -1592,3 +1592,24 @@ def test_kmeans_lloyd_matches_python_replay(spark):
     assert got_cents == cents
     assert got_assign == {i: (ci, d) for i, (d, ci) in asg.items()}
     assert {ci for ci, _ in got_assign.values()} <= set(range(k))
+
+
+# ----------------------------------------------------------- corpus split
+
+
+def test_split_corpus_deterministic_and_growth_stable(spark):
+    import pytest
+    from csvweb_spark.operators.sampling import split_corpus
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = split_corpus(df, {"train": 8000, "val": 1000, "test": 1000})
+    rows = {r.doc_id: r.split for r in out.collect()}
+    from collections import Counter
+    c = Counter(rows.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.75 < c["train"] / 2000 < 0.85           # ~80%
+    # growth stability: a smaller corpus assigns the SAME splits
+    sub = split_corpus(df.filter("doc_id < 500"),
+                       {"train": 8000, "val": 1000, "test": 1000})
+    assert all(rows[r.doc_id] == r.split for r in sub.collect())
+    with pytest.raises(AssertionError, match="10000"):
+        split_corpus(df, {"train": 9000, "val": 500})
