@@ -221,6 +221,51 @@ AUDITS = [
      "ABS/ROUND/FLOOR/CEIL/IF/STRBEFORE/STRAFTER all compile into the "
      "projection of the pattern join - one codegen stage above the "
      "two pushed-filter scans, no Python, no extra exchange."),
+    ("Strongly connected components (final union)", "kg_scc",
+     "The returned table unions checkpointed per-pass slices (trim "
+     "singletons + per-color harvests) - localCheckpoint per round "
+     "truncated every fixpoint's lineage, so the final plan is scans "
+     "of in-memory checkpoints, not a replay of the iteration."),
+    ("Deterministic random walks", "kg_walks",
+     "Each hop is TWO hash joins: a 1-row-per-node degree lookup "
+     "computing the picked rank, then a rank-exact equi-join on "
+     "(node, rank) - hub adjacency is probed, never exploded; "
+     "frontier rows are bare longs."),
+    ("Integer Lloyd k-means (final assignment)", "embed_kmeans",
+     "Final assignment = one BroadcastNestedLoop-free crossJoin with "
+     "the BROADCAST k-row centroid table + map-side-combined "
+     "min(struct) argmin - the corpus scan appears once; centroid "
+     "lineage is checkpoint-truncated."),
+    ("Bigram LM scoring", "text_lm_score",
+     "Slim (key, w1, w2) fact rows (text never shuffles) left-join "
+     "the model tables as plain hash joins (no broadcast HINT - model "
+     "size is data-dependent), then ONE map-side-combined per-doc "
+     "aggregation; integer basis-point arithmetic in the projection."),
+    ("Coherence disambiguation", "entity_disambiguate",
+     "Candidate x context pairing joins on the DOC key (bounded by "
+     "page mention count); the edge probe is a LEFT SEMI on the full "
+     "(entity, ctx) pair key; winner election is min(struct), not a "
+     "window sort."),
+    ("KG snapshot diff", "kg_diff",
+     "Two LEFT ANTI joins on the full triple key over deduplicated "
+     "sides - the minimal movement for an exact diff; aggregate-free "
+     "until the caller's rollup."),
+    ("SCD2 validity intervals", "kg_validity",
+     "ONE Exchange on (subj, pred): run detection (lag), run "
+     "numbering (running sum) and valid_to (lead) all share that "
+     "sorted partition; the per-run fold partial-aggregates."),
+    ("Harmonic centrality aggregation", "kg_harmonic",
+     "Per-seed BFS frontiers are (seed, node) long pairs; the final "
+     "sum(ppm div hops) per node is one map-side-combined "
+     "aggregation over checkpointed distance slices."),
+    ("Mojibake repair", "web_mojibake",
+     "translate + masked encode/decode + is_valid_utf8 fuse into ONE "
+     "WholeStageCodegen projection over the scan - zero Python, zero "
+     "shuffle before the audit aggregate."),
+    ("SHACL logical components", "kg_shacl_logical",
+     "sh:or/and/not are single narrow filters over the shared value "
+     "scan (one boolean expression each); uniqueLang is one "
+     "map-side-combined (focus, lang) count."),
 ]
 
 
