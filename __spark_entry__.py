@@ -385,6 +385,22 @@ def q_pagerank(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+def q_pagerank_dangling(spark, sf_dir):
+    """PageRank with dangling-mass redistribution (round 5 option on
+    graph.py::pagerank): the chain+star graph has real dangling nodes
+    (chain ends 99/199/299/399 emit nothing), whose rank mass is
+    summed each round (1-row broadcast aggregate) and returned to
+    every node as dsum div N inside the damped term - mass conserved
+    up to integer truncation, the textbook treatment. Oracle: the
+    unrolled CTE chain extended with one scalar dangling-sum subquery
+    per round."""
+    from csvweb_spark.operators.graph import pagerank
+    out = pagerank(_chain_star_edges(spark, sf_dir), iterations=5,
+                   redistribute_dangling=True)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def q_kg_hits(spark, sf_dir):
     """Integer-scaled HITS hubs/authorities (round 5, graph.py::hits,
     2 rounds) over the chain+star graph: node 0 is the dominant hub
@@ -444,6 +460,21 @@ def q_corpus_split(spark, sf_dir):
     out = split_corpus(docs, {"train": 8000, "val": 1000, "test": 1000})
     return out.select(F.col("doc_id").cast("long").alias("doc_id"),
                       "source", "split")
+
+
+def q_table_fingerprint(spark, sf_dir):
+    """Mergeable table content checksum (round 5, sketches.py::
+    table_fingerprint, 16 buckets) over a lineitem slice: 60-bit md5
+    row hashes summed per hash bucket as decimal(38,0) - order- and
+    partition-invariant, duplicate-sensitive, NULL-position-exact.
+    The 100 TB resumable-write verification: compare 16 rows, not
+    10^12. Oracle replays the row hash and bucket sums."""
+    from csvweb_spark.operators.sketches import table_fingerprint
+    li = (_load(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") < 2000)
+          .select("l_orderkey", "l_returnflag",
+                  F.floor("l_quantity").cast("long").alias("qty")))
+    return table_fingerprint(li, n_buckets=16)
 
 
 def q_kg_harmonic(spark, sf_dir):
@@ -2714,6 +2745,30 @@ def q_web_page_metadata(spark, sf_dir):
                       "og_description", "canonical", "lang_hint")
 
 
+def q_web_page_outline(spark, sf_dir):
+    """Document outline extraction (round 5, webtext.page_outline):
+    customer pages rendered with an h1 title, two h2 sections (one
+    with an HTML entity, one with nested <b> markup to strip), an
+    EMPTY h3 (position preserved, text ''), and an attribute-bearing
+    uppercase H2 - one regexp_extract_all + posexplode, document
+    order guaranteed. Oracle: UNION ALL of the expected rows per
+    customer."""
+    from csvweb_spark.sources.webtext import page_outline
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    k = F.col("c_custkey")
+    html = F.concat(
+        F.lit("<html><body><h1 id='t'>Customer "), F.col("c_name"),
+        F.lit("</h1><p>intro</p><h2>Orders &amp; Bills</h2><p>x</p>"
+              "<h2>Nation <b>"), F.col("c_nationkey"),
+        F.lit("</b></h2><h3></h3><H2 class='s'>Segment "),
+        F.col("c_mktsegment"), F.lit("</H2></body></html>"))
+    pages = cust.select(
+        F.concat(F.lit("http://o"), k, F.lit(".example.org/")).alias("url"),
+        html.alias("html"))
+    out = page_outline(pages)
+    return out.select("url", "heading_ix", "level", "text")
+
+
 def q_web_canonical_collapse(spark, sf_dir):
     """Publisher-declared duplicate collapse (webtext.
     canonical_collapse): even nations pool on their region's declared
@@ -3787,6 +3842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_extract_text": q_web_extract_text,
         "web_host_pagerank": q_web_host_pagerank,
         "web_page_metadata": q_web_page_metadata,
+        "web_page_outline": q_web_page_outline,
         "web_canonical_collapse": q_web_canonical_collapse,
         "sparql_web_markup": q_sparql_web_markup,
         "web_robots_filter": q_web_robots_filter,
@@ -3836,12 +3892,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_incr": q_dedup_lines_incr,
         "kmv_distinct": q_kmv_distinct,
         "pagerank": q_pagerank,
+        "pagerank_dangling": q_pagerank_dangling,
         "kg_hits": q_kg_hits,
         "kg_pagerank_seeded": q_kg_pagerank_seeded,
         "kg_kcore": q_kg_kcore,
         "kg_scc": q_kg_scc,
         "kg_walks": q_kg_walks,
         "kg_harmonic": q_kg_harmonic,
+        "table_fingerprint": q_table_fingerprint,
         "dedup_incremental_near": q_dedup_incremental_near,
         # -- recorded green in CORRECTNESS_r03 --
         "entity_link_exact": q_entity_link_exact,
@@ -4335,7 +4393,8 @@ def _kcore_oracle_sql(k: int = 2, rounds: int = 8) -> str:
 def _pagerank_oracle_sql(iterations: int = 5, damping_bp: int = 8500,
                          scale: int = 1_000_000,
                          edges_raw_sql: str | None = None,
-                         node_cast: str = "BIGINT") -> str:
+                         node_cast: str = "BIGINT",
+                         redistribute_dangling: bool = False) -> str:
     """DuckDB replica of graph.py::pagerank over the q_pagerank graph:
     the per-round aggregation cannot live inside a recursive CTE
     (aggregates are barred from recursive terms), so the fixed iteration
@@ -4348,10 +4407,20 @@ def _pagerank_oracle_sql(iterations: int = 5, damping_bp: int = 8500,
     base = (scale * (10_000 - damping_bp)) // 10_000
     steps = []
     for i in range(1, iterations + 1):
+        if redistribute_dangling:
+            steps.append(f"""
+            d{i} AS (SELECT coalesce(sum(p.rank), 0) AS ds
+                     FROM pr{i - 1} p
+                     JOIN dang g ON g.node = p.node)""")
+            extra = (f" + (SELECT ds FROM d{i})"
+                     " // (SELECT count(*) FROM nodes)")
+        else:
+            extra = ""
         steps.append(f"""
             pr{i} AS (
                 SELECT n.node,
-                       ({base} + ({damping_bp} * coalesce(cs.in_sum, 0))
+                       ({base} + ({damping_bp} * (coalesce(cs.in_sum, 0)
+                        {extra}))
                         // 10000)::BIGINT AS rank
                 FROM nodes n LEFT JOIN (
                     SELECT e.d AS node, sum(p.rank // o.odeg) AS in_sum
@@ -4376,6 +4445,8 @@ def _pagerank_oracle_sql(iterations: int = 5, damping_bp: int = 8500,
                     SELECT s AS x FROM edges
                     UNION ALL SELECT d FROM edges)),
             odeg AS (SELECT s, count(*) AS odeg FROM edges GROUP BY s),
+            dang AS (SELECT node FROM nodes
+                     WHERE node NOT IN (SELECT s FROM odeg)),
             pr0 AS (SELECT node, {scale}::BIGINT AS rank FROM nodes),
             {",".join(steps)}
             SELECT node::{node_cast} AS node, rank::BIGINT AS rank
@@ -5496,9 +5567,25 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "dedup_incremental_near": _minhash_incremental_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
+        "pagerank_dangling": _pagerank_oracle_sql(redistribute_dangling=True),
         "kg_hits": _hits_oracle_sql(),
         "kg_pagerank_seeded": _ppr_oracle_sql(),
         "kg_kcore": _kcore_oracle_sql(),
+        "table_fingerprint": """
+            WITH li AS (SELECT l_orderkey, l_returnflag,
+                               floor(l_quantity)::BIGINT AS qty
+                        FROM lineitem WHERE l_orderkey < 2000),
+            h AS (SELECT ('0x' || substr(md5(
+                      coalesce(l_orderkey::VARCHAR, chr(1)) || chr(31)
+                      || coalesce(l_returnflag, chr(1)) || chr(31)
+                      || coalesce(qty::VARCHAR, chr(1))), 1, 15))::BIGINT
+                      AS h
+                  FROM li)
+            SELECT (h % 16)::BIGINT AS bucket,
+                   count(*)::BIGINT AS n_rows,
+                   sum(h)::DECIMAL(38, 0) AS hash_sum
+            FROM h GROUP BY 1
+        """,
         "kg_harmonic": """
             WITH RECURSIVE
             c AS (SELECT c_custkey AS k FROM customer
@@ -6652,6 +6739,21 @@ def _oracle_sql_literal() -> dict[str, str]:
                    (p_partkey % 4 = 1) AS soft404_body,
                    (p_partkey % 4 IN (0, 1)) AS is_soft404
             FROM part
+        """,
+        "web_page_outline": """
+            WITH c AS (SELECT * FROM customer WHERE c_custkey < 300),
+            u AS (SELECT *, 'http://o' || c_custkey || '.example.org/'
+                         AS url FROM c)
+            SELECT url, 0::BIGINT AS heading_ix, 1 AS level,
+                   'Customer ' || c_name AS text FROM u
+            UNION ALL
+            SELECT url, 1, 2, 'Orders & Bills' FROM u
+            UNION ALL
+            SELECT url, 2, 2, 'Nation ' || c_nationkey FROM u
+            UNION ALL
+            SELECT url, 3, 3, '' FROM u
+            UNION ALL
+            SELECT url, 4, 2, 'Segment ' || c_mktsegment FROM u
         """,
         "web_page_metadata": """
             SELECT 'http://n' || n_nationkey

@@ -38,7 +38,8 @@ def degree_stats(edges: DataFrame, src: str = "src",
 
 def pagerank(edges: DataFrame, iterations: int = 5,
              damping_bp: int = 8500, scale: int = 1_000_000,
-             src: str = "src", dst: str = "dst") -> DataFrame:
+             src: str = "src", dst: str = "dst",
+             redistribute_dangling: bool = False) -> DataFrame:
     """Integer-scaled PageRank over the DIRECTED edge set - the KG hub/
     importance score feeding retrieval ranking and curation (which
     entities deserve canonical-page status).
@@ -57,6 +58,15 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     replayable; 5-10 rounds ranks hubs correctly long before full
     convergence.
 
+    `redistribute_dangling=True` switches to the textbook treatment:
+    each round the rank mass sitting on dangling nodes (no out-edges)
+    is summed (a 1-row broadcast aggregate, integer-exact) and every
+    node receives `dsum div N` inside the damped term - total mass is
+    conserved up to integer truncation instead of leaking. Still
+    fully oracle-replayable (the per-round dangling sum is one scalar
+    subquery in the unrolled CTE chain). Default stays False for
+    continuity with the recorded r4 ranks.
+
     Scale shape: each round is one bounded join of edges against the
     (node, rank) table - both keyed on node id, AQE-skew-splittable - and
     one map-side-combinable integer sum groupBy(dst); a 10^8-in-degree
@@ -71,17 +81,34 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("odeg"))
     base = (scale * (10_000 - damping_bp)) // 10_000
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    if redistribute_dangling:
+        n_nodes = nodes.count()
+        dang = (nodes.join(outdeg.select(F.col("s").alias("node")),
+                           "node", "left_anti")
+                .localCheckpoint(eager=True))
     for _ in range(iterations):
         contrib = (e.join(ranks.withColumnRenamed("node", "s"), "s")
                    .join(outdeg, "s")
                    .select(F.col("d").alias("node"),
                            F.expr("rank div odeg").alias("c"))
                    .groupBy("node").agg(F.sum("c").alias("in_sum")))
-        ranks = (nodes.join(contrib, "node", "left")
-                 .select("node",
-                         (F.lit(base) + F.expr(
-                             f"({damping_bp} * coalesce(in_sum, 0L)) "
-                             f"div 10000")).cast("long").alias("rank")))
+        if redistribute_dangling:
+            dsum = (ranks.join(dang, "node", "left_semi")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0))
+                         .cast("long").alias("_dsum")))
+            ranks = (nodes.join(contrib, "node", "left")
+                     .crossJoin(F.broadcast(dsum))
+                     .select("node",
+                             (F.lit(base) + F.expr(
+                                 f"({damping_bp} * (coalesce(in_sum, 0L)"
+                                 f" + _dsum div {n_nodes})) div 10000"))
+                             .cast("long").alias("rank")))
+        else:
+            ranks = (nodes.join(contrib, "node", "left")
+                     .select("node",
+                             (F.lit(base) + F.expr(
+                                 f"({damping_bp} * coalesce(in_sum, 0L)) "
+                                 f"div 10000")).cast("long").alias("rank")))
         ranks = ranks.localCheckpoint(eager=True)
     return ranks
 

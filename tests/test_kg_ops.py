@@ -1218,3 +1218,30 @@ def test_multi_source_distances_and_harmonic(spark):
     assert h == {2: (1_000_000, 1),
                  3: (2_000_000, 2),            # 1/1 from both seeds
                  4: (1_000_000, 2)}            # 1/2 + 1/2
+
+
+# ------------------------------------------------------- table fingerprint
+
+
+def test_table_fingerprint_invariance_and_sensitivity(spark):
+    from csvweb_spark.operators.sketches import table_fingerprint
+
+    def fp(rows, cols=None, n=4):
+        df = spark.createDataFrame(rows, "a string, b string")
+        return {r.bucket: (r.n_rows, str(r.hash_sum))
+                for r in table_fingerprint(df, cols, n_buckets=n)
+                .collect()}
+
+    base = [("x", "1"), ("y", None), (None, "y"), ("z", "")]
+    assert fp(base) == fp(list(reversed(base)))          # order-invariant
+    assert fp(base) != fp(base + [("x", "1")])           # multiplicity
+    assert fp([("a", None)]) != fp([(None, "a")])        # null position
+    assert fp([("a", None)]) != fp([("a", "")])          # null vs empty
+    # mergeability: fingerprint(A u B) = column-wise sum of parts
+    a, b = base[:2], base[2:]
+    merged = {}
+    for part in (fp(a), fp(b)):
+        for k, (n, s) in part.items():
+            n0, s0 = merged.get(k, (0, 0))
+            merged[k] = (n0 + n, int(s0) + int(s))
+    assert {k: (n, str(s)) for k, (n, s) in merged.items()} == fp(base)

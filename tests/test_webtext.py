@@ -387,3 +387,21 @@ def test_bigram_lm_normalization_and_score(spark):
     import math
     want = math.log(3 / 5) * 2 + math.log(2 / 5)
     assert abs(r.logprob - want) < 1e-9
+
+
+# ------------------------------------------------------------ page outline
+
+
+def test_page_outline_order_levels_and_decode(spark):
+    from csvweb_spark.sources.webtext import page_outline
+    html = ("<html><body><h1 id='t'>Main &amp; Title</h1><p>x</p>"
+            "<h2>First <b>Section</b></h2><h3></h3>"
+            "<H2 class='s'>Second</H2></body></html>")
+    df = spark.createDataFrame([("u1", html), ("u2", "<p>none</p>")],
+                               "url string, html string")
+    out = [(r.url, r.heading_ix, r.level, r.text)
+           for r in page_outline(df).orderBy("url", "heading_ix").collect()]
+    assert out == [("u1", 0, 1, "Main & Title"),
+                   ("u1", 1, 2, "First Section"),
+                   ("u1", 2, 3, ""),
+                   ("u1", 3, 2, "Second")]
