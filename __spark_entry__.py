@@ -2745,6 +2745,43 @@ def q_web_page_metadata(spark, sf_dir):
                       "og_description", "canonical", "lang_hint")
 
 
+def q_web_wat_roundtrip(spark, sf_dir):
+    """WAT sidecar round-trip (round 5, warc.py::render_wat /
+    wat_pages - the third Common-Crawl sidecar, completing
+    WARC+WET+WAT): customer pages render into WARC metadata records
+    whose JSON envelope (title, meta description, raw hrefs in
+    quote-order) derives entirely JVM-side, then parse back out;
+    k%2 drops the description (to_json null-drop path), k%5==0 pages
+    have no anchors (empty links, posexplode_outer NULL row). Oracle
+    rebuilds the parsed fields relationally."""
+    from csvweb_spark.sources.warc import render_wat, wat_pages
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    k = F.col("c_custkey")
+    desc = F.when(k % 2 == 0,
+                  F.concat(F.lit('<meta name="description" content="Desc '),
+                           k, F.lit('">'))).otherwise(F.lit(""))
+    anchors = F.when(k % 5 != 0, F.concat(
+        F.lit('<a href="/o/'), k, F.lit('">o</a>'),
+        F.lit("<a href='https://x.org/"), k, F.lit("'>x</a>"))) \
+        .otherwise(F.lit(""))
+    html = F.concat(F.lit("<html><head><title>Customer "),
+                    F.col("c_name"), F.lit("</title>"), desc,
+                    F.lit("</head><body>"), anchors,
+                    F.lit("</body></html>"))
+    pages = cust.select(
+        F.concat(F.lit("http://w"), k, F.lit(".example.org/")).alias("url"),
+        F.make_timestamp(F.lit(2026), F.lit(3), F.lit(1), F.lit(0),
+                         F.lit(0), (k % 60).cast("int")).alias("warc_ts"),
+        html.alias("html"))
+    out = wat_pages(render_wat(pages))
+    return (out.select("url", "title", "description",
+                       F.posexplode_outer("links")
+                       .alias("link_ix", "link"))
+            .select("url", "title", "description",
+                    F.col("link_ix").cast("long").alias("link_ix"),
+                    "link"))
+
+
 def q_web_page_outline(spark, sf_dir):
     """Document outline extraction (round 5, webtext.page_outline):
     customer pages rendered with an h1 title, two h2 sections (one
@@ -3821,6 +3858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": q_text_collocations,
         "text_lm_score": q_text_lm_score,
         "web_wet_roundtrip": q_web_wet_roundtrip,
+        "web_wat_roundtrip": q_web_wat_roundtrip,
         "sparql_builtins": q_sparql_builtins,
         "web_cdx_index": q_web_cdx_index,
         "events_coalesce": q_events_coalesce,
@@ -6739,6 +6777,26 @@ def _oracle_sql_literal() -> dict[str, str]:
                    (p_partkey % 4 = 1) AS soft404_body,
                    (p_partkey % 4 IN (0, 1)) AS is_soft404
             FROM part
+        """,
+        "web_wat_roundtrip": """
+            WITH c AS (SELECT * FROM customer WHERE c_custkey < 300),
+            base AS (SELECT c_custkey AS k,
+                            'http://w' || c_custkey || '.example.org/'
+                                AS url,
+                            'Customer ' || c_name AS title,
+                            CASE WHEN c_custkey % 2 = 0
+                                 THEN 'Desc ' || c_custkey END
+                                AS description
+                     FROM c)
+            SELECT url, title, description, 0::BIGINT AS link_ix,
+                   '/o/' || k AS link
+            FROM base WHERE k % 5 <> 0
+            UNION ALL
+            SELECT url, title, description, 1, 'https://x.org/' || k
+            FROM base WHERE k % 5 <> 0
+            UNION ALL
+            SELECT url, title, description, NULL, NULL
+            FROM base WHERE k % 5 = 0
         """,
         "web_page_outline": """
             WITH c AS (SELECT * FROM customer WHERE c_custkey < 300),

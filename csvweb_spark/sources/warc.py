@@ -111,8 +111,9 @@ def parse_warc_bytes(segment_id: str, blob: bytes) -> list[tuple]:
                 ctype = hh.get("content-type")
                 location = hh.get("location")
                 payload = body[http_end + 4:]
-        elif wtype in ("response", "conversion"):
-            # conversion records (WET) carry the raw block as payload
+        elif wtype in ("response", "conversion", "metadata"):
+            # conversion (WET) and metadata (WAT) records carry the
+            # raw block as payload
             payload = body
         out.append((segment_id, ix, wtype, url, ts, status, ctype,
                     location, payload, None))
@@ -329,3 +330,75 @@ def render_warc(pages: DataFrame, url_col: str = "url",
 
     return _render_segments(pages, url_col, ts_col, html_col,
                             segment_col, make_record)
+
+
+def _render_metadata_record(url: str, ts: str, body: bytes) -> bytes:
+    """One WARC/1.0 metadata record (the WAT layout: a JSON envelope
+    as the block). Deterministic content-address ID like the other
+    renderers - re-rendering is byte-identical."""
+    import hashlib
+    rid = hashlib.sha256(
+        url.encode() + b"\x1f" + ts.encode() + b"\x1f" + body).hexdigest()
+    hdr = (f"WARC/1.0\r\n"
+           f"WARC-Type: metadata\r\n"
+           f"WARC-Record-ID: <urn:sha256:{rid}>\r\n"
+           f"WARC-Date: {ts}\r\n"
+           f"WARC-Target-URI: {url}\r\n"
+           f"Content-Type: application/json\r\n"
+           f"Content-Length: {len(body)}\r\n\r\n").encode()
+    return hdr + body + b"\r\n\r\n"
+
+
+WAT_ENVELOPE_SCHEMA = ("title string, description string, "
+                       "links array<string>")
+
+
+def render_wat(pages: DataFrame, url_col: str = "url",
+               ts_col: str = "warc_ts", html_col: str = "html",
+               segment_col: str | None = None) -> DataFrame:
+    """Pages -> WAT segments: one WARC *metadata* record per page
+    whose block is a JSON envelope (title, meta description, raw
+    anchor hrefs in document order per attribute quoting) - the third
+    Common-Crawl sidecar next to WARC (render_warc) and WET
+    (render_wet), completing the triad: link-graph and head-metadata
+    consumers read WAT without touching page bytes.
+
+    The envelope derives ENTIRELY JVM-side before segment assembly
+    (title regex + meta-content regex + href regexp_extract_all +
+    to_json - the pandas stage only frames bytes, exactly like the
+    other sinks); hrefs are kept RAW (unresolved), matching CC's WAT
+    which records both - resolution is `weblinks.resolve_url`
+    downstream. Deterministic: to_json field order is the struct
+    order, so re-rendering is byte-identical (resumable-sink
+    contract). Round-trips through `wat_pages`."""
+    from .weblinks import _HREF_DQ, _HREF_SQ
+    from .webtext import _TITLE_RE, _meta_content, _nullify
+
+    h = F.col(html_col).cast("string")
+    title = F.trim(F.regexp_replace(
+        F.regexp_extract(h, _TITLE_RE, 1), r"\s+", " "))
+    links = F.concat(F.regexp_extract_all(h, F.lit(_HREF_DQ), 1),
+                     F.regexp_extract_all(h, F.lit(_HREF_SQ), 1))
+    envelope = F.to_json(F.struct(
+        _nullify(title).alias("title"),
+        _nullify(_meta_content(h, "name", "description"))
+        .alias("description"),
+        links.alias("links")))
+    with_bytes = pages.withColumn("_wat_body", envelope.cast("binary"))
+    return _render_segments(with_bytes, url_col, ts_col, "_wat_body",
+                            segment_col, _render_metadata_record)
+
+
+def wat_pages(segments: DataFrame, id_col: str = "segment_id",
+              blob_col: str = "blob") -> DataFrame:
+    """(url, warc_ts, title, description, links) back out of WAT
+    segments: metadata records' JSON envelopes via from_json (the
+    record's WARC-Target-URI is the authoritative url)."""
+    recs = parse_warc(segments, id_col, blob_col) \
+        .where(F.col("warc_type") == "metadata")
+    env = F.from_json(F.col("payload").cast("string"),
+                      WAT_ENVELOPE_SCHEMA)
+    return recs.select("url", "warc_ts",
+                       env["title"].alias("title"),
+                       env["description"].alias("description"),
+                       env["links"].alias("links"))

@@ -195,3 +195,28 @@ def test_render_wet_roundtrip(spark):
     plan = render_wet(pages)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ----------------------------------------------------------------- WAT
+
+
+def test_wat_roundtrip_and_determinism(spark):
+    from csvweb_spark.sources.warc import render_wat, wat_pages
+    import datetime as dt
+    ts = dt.datetime(2026, 3, 1, 12, 0, 0)
+    html = ('<html><head><title> T1  x </title>'
+            '<meta name="description" content="D1"></head>'
+            "<body><a href=\"/a\">A</a><a href='/b'>B</a></body></html>")
+    pages = spark.createDataFrame(
+        [("http://h/p1", ts, html),
+         ("http://h/p2", ts, "<html><body>no head</body></html>")],
+        "url string, warc_ts timestamp, html string")
+    segs = render_wat(pages)
+    out = {r.url: (r.title, r.description, list(r.links or []))
+           for r in wat_pages(segs).collect()}
+    assert out["http://h/p1"] == ("T1 x", "D1", ["/a", "/b"])
+    assert out["http://h/p2"] == (None, None, [])
+    # byte-identical re-render (resumable-sink contract)
+    b1 = {r.segment_id: bytes(r.blob) for r in segs.collect()}
+    b2 = {r.segment_id: bytes(r.blob) for r in render_wat(pages).collect()}
+    assert b1 == b2
