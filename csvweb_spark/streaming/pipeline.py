@@ -990,6 +990,87 @@ def compact_host_graph(spark: SparkSession, output_dir: str,
                           read_host_graph, batch_id)
 
 
+FINGERPRINT_STATE_SUBDIR = "_state/fingerprint"
+
+
+def read_table_fingerprint(spark: SparkSession,
+                           output_dir: str) -> Optional[DataFrame]:
+    """The cumulative content fingerprint maintained by
+    stream_table_fingerprint: per hash bucket, the SUM of per-batch
+    (n_rows, hash_sum) - both columns additive, so the merge is exact
+    under any batch order/redelivery pattern, and the merged value
+    EQUALS sketches.table_fingerprint of the union of every ingested
+    batch (mergeability is literal column addition - the batch
+    operator's contract). None before the first commit."""
+    from ..plans.fs import fs_for
+
+    fs = fs_for(output_dir, spark)
+    dirs = [p for _, p in
+            _batch_dirs(fs, fs.join(output_dir,
+                                    FINGERPRINT_STATE_SUBDIR))]
+    if not dirs:
+        return None
+    return (spark.read.parquet(*dirs)
+            .groupBy("bucket")
+            .agg(F.sum("n_rows").cast("long").alias("n_rows"),
+                 F.sum("hash_sum").cast("decimal(38,0)")
+                 .alias("hash_sum")))
+
+
+def stream_table_fingerprint(spark: SparkSession, input_dir: str,
+                             output_dir: str, checkpoint_dir: str,
+                             cols: tuple = ("url", "text"),
+                             n_buckets: int = 64,
+                             max_files_per_trigger: Optional[int] = None,
+                             available_now: bool = True,
+                             batch_hook=None):
+    """Continuously-maintained table content checksum: each micro-batch
+    commits ONLY its own 64-row fingerprint delta (stateless per
+    batch, the stream_web_graph protocol) - so at any point the
+    streaming ingest can be VERIFIED against a batch recompute by
+    comparing n_buckets rows instead of re-reading the corpus: the
+    end-to-end exactly-once receipt for the whole landing pipeline
+    (a lost or duplicated batch shows up as a bucket mismatch).
+    Compaction folds deltas behind the shared crash-safe offset
+    protocol; a torn delta dir (no _SUCCESS) is invisible and the
+    retry's overwrite is idempotent."""
+    from ..operators.sketches import table_fingerprint
+    from ..plans.fs import fs_for
+
+    pages = read_pages_stream(spark, input_dir, max_files_per_trigger)
+    fs = fs_for(output_dir, spark)
+
+    def process(batch_df, batch_id):
+        if batch_hook is not None:
+            batch_hook(batch_id, "start")
+        root = fs.join(output_dir, FINGERPRINT_STATE_SUBDIR)
+        delta = table_fingerprint(batch_df, list(cols),
+                                  n_buckets=n_buckets)
+        if not delta.take(1):
+            if batch_hook is not None:
+                batch_hook(batch_id, "done")
+            return
+        dir_id = batch_id + _compact_offset(fs, root)
+        delta.write.mode("overwrite").parquet(
+            fs.join(root, f"batch={dir_id}"))
+        if batch_hook is not None:
+            batch_hook(batch_id, "done")
+
+    writer = (pages.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_table_fingerprint(spark: SparkSession, output_dir: str,
+                              batch_id: Optional[int] = None) -> int:
+    """Fold the fingerprint deltas into one consolidated partition
+    (crash-safe protocol of _compact_state)."""
+    return _compact_state(spark, output_dir, FINGERPRINT_STATE_SUBDIR,
+                          read_table_fingerprint, batch_id)
+
+
 WARC_PAGES_SUBDIR = "_state/warc_pages"
 WARC_CDX_SUBDIR = "_state/warc_cdx"
 

@@ -1027,3 +1027,70 @@ def test_stream_warc_ingest_maintains_cdx(spark, tmp_path):
             f.seek(r.offset)
             rec = f.read(r.length)
         assert parse_warc_bytes("probe", rec)[0][3] == r.url
+
+
+def test_stream_table_fingerprint_matches_batch_recompute(spark, tmp_path):
+    """Streaming ingest verification: per-batch fingerprint deltas
+    sum-merge to EXACTLY sketches.table_fingerprint of the union of
+    the ingested rows (mergeability = column addition), and
+    compaction + resume preserves the checksum."""
+    import os
+    from datetime import datetime
+
+    from csvweb_spark.operators.sketches import table_fingerprint
+    from csvweb_spark.streaming.pipeline import (
+        compact_table_fingerprint, read_table_fingerprint,
+        stream_table_fingerprint)
+
+    pages_dir = str(tmp_path / "pages")
+    out = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(pages_dir)
+    schema = ("url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+
+    def row(u, t):
+        return (u, datetime(2026, 1, 1), None, t, "en")
+
+    def add_batch_file(name, rows):
+        stage = f"{tmp_path}/_stage_{name}"
+        spark.createDataFrame(rows, schema) \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage)
+                if f.endswith(".parquet")][0]
+        os.rename(f"{stage}/{part}", f"{pages_dir}/{name}.parquet")
+
+    b0 = [row("http://a/1", "t one"), row("http://a/2", None)]
+    b1 = [row("http://a/3", "t three"), row("http://a/1", "t one")]
+    add_batch_file("b0", b0)
+    add_batch_file("b1", b1)
+    q = stream_table_fingerprint(spark, pages_dir, out, ckpt,
+                                 cols=("url", "text"), n_buckets=8,
+                                 max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    def fp_dict(df):
+        return {r.bucket: (r.n_rows, str(r.hash_sum))
+                for r in df.collect()}
+
+    got = fp_dict(read_table_fingerprint(spark, out))
+    want = fp_dict(table_fingerprint(
+        spark.createDataFrame(b0 + b1, schema), ["url", "text"],
+        n_buckets=8))
+    assert got == want                  # duplicate url/1 counted twice
+
+    cid = compact_table_fingerprint(spark, out)
+    add_batch_file("b2", [row("http://a/4", "t four")])
+    q2 = stream_table_fingerprint(spark, pages_dir, out, ckpt,
+                                  cols=("url", "text"), n_buckets=8,
+                                  max_files_per_trigger=1)
+    q2.awaitTermination(180)
+    got2 = fp_dict(read_table_fingerprint(spark, out))
+    want2 = fp_dict(table_fingerprint(
+        spark.createDataFrame(b0 + b1 + [row("http://a/4", "t four")],
+                              schema), ["url", "text"], n_buckets=8))
+    assert got2 == want2
+    state_root = os.path.join(out, "_state", "fingerprint")
+    dirs = sorted(d for d in os.listdir(state_root)
+                  if d.startswith("batch="))
+    assert f"batch={cid}" in dirs and len(dirs) == 2
