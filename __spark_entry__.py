@@ -477,6 +477,25 @@ def q_table_fingerprint(spark, sf_dir):
     return table_fingerprint(li, n_buckets=16)
 
 
+def q_kg_negatives(spark, sf_dir):
+    """Deterministic negative sampling for KG-embedding training
+    (round 5, graph.py::negative_triple_samples, n_per=2): customer
+    nation triples corrupted on a hash-chosen side with a uniform
+    draw from the bucket-ranked entity pool (no global sort - the
+    cumulative-bucket CASE chain maps draws to (bucket, offset)),
+    degenerate replacements filtered. Oracle replays pool ranking,
+    cumulative mapping, draws and the filter exactly."""
+    from csvweb_spark.operators.graph import negative_triple_samples
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    t = cust.select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit("ex:nation").alias("pred"),
+        F.concat(F.lit("ex:N"), F.col("c_nationkey")).alias("obj"),
+        F.lit("iri").alias("obj_kind"))
+    out = negative_triple_samples(t, n_per=2, n_buckets=8, seed=42)
+    return out.select("subj", "pred", "obj", "sample_ix", "corrupted")
+
+
 def q_kg_harmonic(spark, sf_dir):
     """Seed-sampled harmonic centrality (round 5, graph.py::
     harmonic_centrality over multi_source_distances): per-seed
@@ -3936,6 +3955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": q_kg_kcore,
         "kg_scc": q_kg_scc,
         "kg_walks": q_kg_walks,
+        "kg_negatives": q_kg_negatives,
         "kg_harmonic": q_kg_harmonic,
         "table_fingerprint": q_table_fingerprint,
         "dedup_incremental_near": q_dedup_incremental_near,
@@ -5623,6 +5643,53 @@ def _oracle_sql_literal() -> dict[str, str]:
                    count(*)::BIGINT AS n_rows,
                    sum(h)::DECIMAL(38, 0) AS hash_sum
             FROM h GROUP BY 1
+        """,
+        "kg_negatives": """
+            WITH c AS (SELECT c_custkey AS k, c_nationkey AS n
+                       FROM customer WHERE c_custkey < 300),
+            t AS (SELECT 'ex:C' || k AS s, 'ex:nation' AS p,
+                         'ex:N' || n AS o FROM c),
+            pool AS (SELECT DISTINCT node FROM (
+                SELECT s AS node FROM t UNION ALL SELECT o FROM t)),
+            ranked AS (SELECT node, bucket,
+                              row_number() OVER (PARTITION BY bucket
+                                  ORDER BY node) - 1 AS rnk
+                       FROM (SELECT node,
+                                    ('0x' || substr(md5(node), 1, 15))
+                                    ::BIGINT % 8 AS bucket
+                             FROM pool)),
+            sizes AS (SELECT bucket, count(*) AS cnt FROM ranked
+                      GROUP BY bucket),
+            cum AS (SELECT bucket, cnt,
+                           sum(cnt) OVER (ORDER BY bucket
+                               ROWS UNBOUNDED PRECEDING) - cnt AS strt
+                    FROM sizes),
+            ntot AS (SELECT sum(cnt)::BIGINT AS nt FROM sizes),
+            fact AS (SELECT s, p, o, i FROM t,
+                     (SELECT unnest([0, 1]) AS i)),
+            draw AS (SELECT s, p, o, i,
+                            ('0x' || substr(md5('42|' || s || '|' || p
+                                || '|' || o || '|' || i || '|r'),
+                                1, 15))::BIGINT
+                                % (SELECT nt FROM ntot) AS r,
+                            ('0x' || substr(md5('42|' || s || '|' || p
+                                || '|' || o || '|' || i || '|side'),
+                                1, 15))::BIGINT % 2 AS side
+                     FROM fact),
+            pick AS (SELECT d.*, cm.bucket, (d.r - cm.strt) AS rnk
+                     FROM draw d JOIN cum cm
+                       ON d.r >= cm.strt AND d.r < cm.strt + cm.cnt),
+            rep AS (SELECT pk.s, pk.p, pk.o, pk.i, pk.side, rk.node
+                    FROM pick pk JOIN ranked rk
+                      ON rk.bucket = pk.bucket AND rk.rnk = pk.rnk)
+            SELECT CASE WHEN side = 0 THEN node ELSE s END AS subj,
+                   p AS pred,
+                   CASE WHEN side = 0 THEN o ELSE node END AS obj,
+                   i::BIGINT AS sample_ix,
+                   CASE WHEN side = 0 THEN 's' ELSE 'o' END AS corrupted
+            FROM rep
+            WHERE (side = 0 AND node <> s)
+               OR (side <> 0 AND node <> o)
         """,
         "kg_harmonic": """
             WITH RECURSIVE

@@ -887,3 +887,103 @@ def harmonic_centrality(edges: DataFrame, seeds: DataFrame, k: int,
             .agg(F.sum(F.expr(f"{int(ppm)} div hops")).cast("long")
                  .alias("harmonic_ppm"),
                  F.count(F.lit(1)).cast("long").alias("n_reached")))
+
+
+def negative_triple_samples(triples: DataFrame, n_per: int = 1,
+                            n_buckets: int = 64,
+                            nodes: Optional[DataFrame] = None,
+                            seed: int = 42) -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training
+    (TransE-family corruption): per positive triple, `n_per` corrupted
+    copies with the subject OR object (hash-chosen) replaced by a
+    uniform draw from the entity pool - the other half of the
+    embedding-prep story next to `random_walks`, and just as
+    reproducible (df.sample would give different negatives per run/
+    cluster).
+
+    Uniformity WITHOUT a global sort: the entity pool (distinct
+    subjects u IRI objects, or a caller `nodes` frame) is ranked
+    inside `n_buckets` hash buckets (row_number windows partitioned
+    by bucket - never one partition), bucket sizes fold driver-side
+    into a CASE chain mapping a draw r in [0, N) to (bucket, offset)
+    through the cumulative sizes - a pure projection - and the
+    replacement arrives by ONE equi-join on (bucket, rank). Draw
+    r = md5_hash60(seed|s|p|o|i|'r') % N; corrupted side =
+    md5_hash60(...|'side') % 2. Degenerate draws (replacement equals
+    the value it replaces) are FILTERED (a 'negative' equal to the
+    positive is a false label), so expect slightly fewer than
+    n_per * |triples| rows - deterministic, and the SQL oracle
+    replays the same filter.
+
+    Output: (subj, pred, obj, sample_ix, corrupted) where `corrupted`
+    is 's' or 'o' and the named side already carries the replacement.
+    """
+    from .dedup import md5_hash60
+
+    assert n_per >= 1 and n_buckets >= 1
+    spark = triples.sparkSession
+    if nodes is None:
+        pool = triples.select(F.col("subj").alias("node"))
+        if "obj_kind" in triples.columns:
+            pool = pool.unionByName(
+                triples.where(F.col("obj_kind") == "iri")
+                .select(F.col("obj").alias("node")))
+        else:
+            pool = pool.unionByName(
+                triples.select(F.col("obj").alias("node")))
+    else:
+        pool = nodes.select(F.col(nodes.columns[0]).alias("node"))
+    pool = pool.distinct()
+    from pyspark.sql.window import Window
+    bucket = F.pmod(md5_hash60(F.col("node")), F.lit(int(n_buckets)))
+    ranked = (pool.withColumn("bucket", bucket.cast("long"))
+              .withColumn("rank", F.row_number().over(
+                  Window.partitionBy("bucket").orderBy("node"))
+                  .cast("long") - 1)
+              .localCheckpoint(eager=True))
+    sizes = {r.bucket: r.c for r in
+             ranked.groupBy("bucket")
+             .agg(F.count(F.lit(1)).alias("c")).collect()}
+    n_total = sum(sizes.values())
+    assert n_total >= 2, "entity pool too small to corrupt against"
+    cum, acc = [], 0
+    for b in sorted(sizes):
+        cum.append((b, acc))
+        acc += sizes[b]
+
+    fact = triples.select(
+        "subj", "pred", "obj",
+        F.explode(F.array(*[F.lit(i).cast("long")
+                            for i in range(n_per)])).alias("sample_ix"))
+    key = F.concat_ws("|", F.lit(seed), F.col("subj"), F.col("pred"),
+                      F.col("obj"), F.col("sample_ix"))
+    r = F.pmod(md5_hash60(F.concat(key, F.lit("|r"))),
+               F.lit(n_total)).cast("long")
+    side = F.pmod(md5_hash60(F.concat(key, F.lit("|side"))), F.lit(2))
+    # cumulative-size CASE chains: draw -> (bucket, offset), projection
+    bexpr = F.lit(cum[-1][0])
+    oexpr = (r - F.lit(cum[-1][1])).cast("long")
+    for b, start in reversed(cum[:-1]):
+        nxt = start + sizes[b]
+        bexpr = F.when(r < F.lit(nxt), F.lit(b)).otherwise(bexpr)
+        oexpr = F.when(r < F.lit(nxt), (r - F.lit(start)).cast("long")) \
+            .otherwise(oexpr)
+    drawn = fact.select("subj", "pred", "obj", "sample_ix",
+                        (side == 0).alias("corrupt_s"),
+                        bexpr.cast("long").alias("bucket"),
+                        oexpr.alias("rank"))
+    joined = drawn.join(ranked, ["bucket", "rank"])
+    out = (joined
+           .where(F.when(F.col("corrupt_s"),
+                         F.col("node") != F.col("subj"))
+                  .otherwise(F.col("node") != F.col("obj")))
+           .select(
+               F.when(F.col("corrupt_s"), F.col("node"))
+               .otherwise(F.col("subj")).alias("subj"),
+               "pred",
+               F.when(F.col("corrupt_s"), F.col("obj"))
+               .otherwise(F.col("node")).alias("obj"),
+               "sample_ix",
+               F.when(F.col("corrupt_s"), F.lit("s"))
+               .otherwise(F.lit("o")).alias("corrupted")))
+    return out

@@ -1245,3 +1245,39 @@ def test_table_fingerprint_invariance_and_sensitivity(spark):
             n0, s0 = merged.get(k, (0, 0))
             merged[k] = (n0 + n, int(s0) + int(s))
     assert {k: (n, str(s)) for k, (n, s) in merged.items()} == fp(base)
+
+
+# ----------------------------------------------------------- neg sampling
+
+
+def test_negative_triple_samples_replay_and_uniform_machinery(spark):
+    import hashlib
+    from csvweb_spark.operators.graph import negative_triple_samples
+    trips = [(f"e{i}", "p", f"e{(i + 1) % 6}") for i in range(6)]
+    t = spark.createDataFrame(
+        [(s, p, o, "iri") for s, p, o in trips],
+        "subj string, pred string, obj string, obj_kind string")
+    out = negative_triple_samples(t, n_per=2, n_buckets=4, seed=7)
+    got = {(r.subj, r.pred, r.obj, r.sample_ix, r.corrupted)
+           for r in out.collect()}
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    pool = sorted({s for s, _, _ in trips} | {o for _, _, o in trips})
+    byb = {}
+    for n in sorted(pool):
+        byb.setdefault(h60(n) % 4, []).append(n)
+    flat = []
+    for b in sorted(byb):
+        flat.extend(sorted(byb[b]))
+    want = set()
+    for s, p, o in trips:
+        for i in range(2):
+            key = f"7|{s}|{p}|{o}|{i}"
+            repl = flat[h60(key + "|r") % len(flat)]
+            corrupt_s = h60(key + "|side") % 2 == 0
+            if corrupt_s and repl != s:
+                want.add((repl, p, o, i, "s"))
+            elif not corrupt_s and repl != o:
+                want.add((s, p, repl, i, "o"))
+    assert got == want and len(got) > 6
