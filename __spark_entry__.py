@@ -496,6 +496,51 @@ def q_kg_negatives(spark, sf_dir):
     return out.select("subj", "pred", "obj", "sample_ix", "corrupted")
 
 
+def q_kg_condensation(spark, sf_dir):
+    """Condensation DAG (round 5, graph.py::condensation over
+    strongly_connected_components): the kg_scc blocks-of-8 graph
+    contracted to its component DAG - cycle nodes collapse, tails and
+    cross-block edges become inter-component edges with counts. The
+    oracle composes the SEMANTIC mutual-reachability SCC labels with
+    the same contraction joins."""
+    from csvweb_spark.operators.graph import (
+        condensation, strongly_connected_components)
+    cust = (_load(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") < 240).select("c_custkey"))
+    k = F.col("c_custkey")
+    b = (k - (k % 8))
+    edges = (cust.filter(k % 8 < 4).select(k.alias("src"),
+                                           (k + 1).alias("dst"))
+             .unionByName(cust.filter(k % 8 == 4)
+                          .select(k.alias("src"), b.alias("dst")))
+             .unionByName(cust.filter(k % 8 == 4)
+                          .select(k.alias("src"), (k + 1).alias("dst")))
+             .unionByName(cust.filter(k % 8 == 5)
+                          .select(k.alias("src"), (k + 1).alias("dst")))
+             .unionByName(cust.filter(k % 8 == 7)
+                          .select(k.alias("src"), b.alias("dst")))
+             .unionByName(cust.filter((k % 8 == 1)
+                                      & (F.floor(k / 8) % 2 == 0)
+                                      & (k + 7 < 240))
+                          .select(k.alias("src"), (k + 7).alias("dst"))))
+    scc = strongly_connected_components(edges, max_outer=3)
+    out = condensation(edges, scc)
+    return out.select(F.col("scc_src").cast("long").alias("scc_src"),
+                      F.col("scc_dst").cast("long").alias("scc_dst"),
+                      "n_edges")
+
+
+def q_kg_degree_hist(spark, sf_dir):
+    """Log2-bucketed degree distribution (round 5, graph.py::
+    degree_histogram) over the chain+star graph - the power-law audit
+    (hub node 0 lands alone in a high bucket). Bucket = binary-length
+    minus one, exact integer arithmetic in both engines (FP log2
+    drifts at powers of two)."""
+    from csvweb_spark.operators.graph import degree_histogram
+    out = degree_histogram(_chain_star_edges(spark, sf_dir))
+    return out.select("bucket", "n_nodes", "min_degree", "max_degree")
+
+
 def q_kg_harmonic(spark, sf_dir):
     """Seed-sampled harmonic centrality (round 5, graph.py::
     harmonic_centrality over multi_source_distances): per-seed
@@ -3849,10 +3894,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER = recording priority. Round 3's driver harness recorded
     # exactly 50 rows and silently dropped the then-last entry (VERDICT
-    # r3 "what's wrong" #4), so with 116 queries the dict leads with
-    # (1) the flagship e2e query and its raw-WARC twin, (2) every
-    # round-5 web-ingest entry that has NEVER appeared in a driver
-    # CORRECTNESS artifact (all within the 50-cap), then (3) the
+    # r3 "what's wrong" #4), so with 158 queries the dict leads with
+    # (1) the flagship e2e query and its raw-WARC twin, (2) the
+    # late-round-5 graph/ML/temporal flagships and the round-5
+    # web-ingest entries that have NEVER appeared in a driver
+    # CORRECTNESS artifact, then (3) the
     # r4/r3-recorded operator queries, ending with the csvw/rdf
     # conversion entries whose semantics are already quadruple-covered
     # by the 270-test W3C conformance gate + the bit-exact goldens.
@@ -3866,6 +3912,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_values_undef": q_bgp_values_undef,
         "sparql_order_numeric": q_sparql_order_numeric,
         "sparql_update": q_sparql_update,
+        "kg_scc": q_kg_scc,
+        "kg_condensation": q_kg_condensation,
+        "kg_degree_hist": q_kg_degree_hist,
+        "embed_kmeans": q_embed_kmeans,
+        "semdedup": q_semdedup,
+        "kg_walks": q_kg_walks,
+        "kg_negatives": q_kg_negatives,
+        "kg_harmonic": q_kg_harmonic,
+        "entity_disambiguate": q_entity_disambiguate,
+        "kg_diff": q_kg_diff,
+        "kg_validity": q_kg_validity,
+        "table_fingerprint": q_table_fingerprint,
+        "corpus_split": q_corpus_split,
+        "pagerank_dangling": q_pagerank_dangling,
         "web_meta_robots": q_web_meta_robots,
         "kg_shacl_validate": q_kg_shacl_validate,
         "kg_shacl_logical": q_kg_shacl_logical,
@@ -3949,28 +4009,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_incr": q_dedup_lines_incr,
         "kmv_distinct": q_kmv_distinct,
         "pagerank": q_pagerank,
-        "pagerank_dangling": q_pagerank_dangling,
         "kg_hits": q_kg_hits,
         "kg_pagerank_seeded": q_kg_pagerank_seeded,
         "kg_kcore": q_kg_kcore,
-        "kg_scc": q_kg_scc,
-        "kg_walks": q_kg_walks,
-        "kg_negatives": q_kg_negatives,
-        "kg_harmonic": q_kg_harmonic,
-        "table_fingerprint": q_table_fingerprint,
         "dedup_incremental_near": q_dedup_incremental_near,
         # -- recorded green in CORRECTNESS_r03 --
         "entity_link_exact": q_entity_link_exact,
         "entity_link_contains": q_entity_link_contains,
         "entity_link_fuzzy": q_entity_link_fuzzy,
-        "entity_disambiguate": q_entity_disambiguate,
         "canonicalize_cc": q_canonicalize_cc,
         "kg_khop": q_kg_khop,
         "kg_communities": q_kg_communities,
         "kg_cooccurrence": q_kg_cooccurrence,
         "kg_snapshot_asof": q_kg_snapshot_asof,
-        "kg_diff": q_kg_diff,
-        "kg_validity": q_kg_validity,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3981,8 +4032,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
-        "embed_kmeans": q_embed_kmeans,
-        "semdedup": q_semdedup,
         "text_profile": q_text_profile,
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
@@ -3993,7 +4042,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": q_url_canonical_dedup,
         "host_curation": q_host_curation,
         "sample_hash": q_sample_hash,
-        "corpus_split": q_corpus_split,
         "sample_stratified": q_sample_stratified,
         "corpus_blend": q_corpus_blend,
         "infer_schema": q_infer_schema,
@@ -5765,6 +5813,66 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT start::BIGINT AS start, walk, step,
                    node::BIGINT AS node
             FROM allf
+        """,
+        "kg_condensation": """
+            WITH RECURSIVE
+            c AS (SELECT c_custkey AS k FROM customer
+                  WHERE c_custkey < 240),
+            e AS (
+                SELECT k AS a, k + 1 AS b FROM c WHERE k % 8 < 4
+                UNION ALL
+                SELECT k, k - (k % 8) FROM c WHERE k % 8 = 4
+                UNION ALL
+                SELECT k, k + 1 FROM c WHERE k % 8 = 4
+                UNION ALL
+                SELECT k, k + 1 FROM c WHERE k % 8 = 5
+                UNION ALL
+                SELECT k, k - (k % 8) FROM c WHERE k % 8 = 7
+                UNION ALL
+                SELECT k, k + 7 FROM c
+                WHERE k % 8 = 1 AND (k // 8) % 2 = 0 AND k + 7 < 240),
+            nodes AS (SELECT DISTINCT n FROM (
+                SELECT a AS n FROM e UNION ALL SELECT b FROM e)),
+            r(s, d) AS (
+                SELECT a, b FROM e WHERE a <> b
+                UNION
+                SELECT r.s, e.b FROM r JOIN e ON e.a = r.d
+                WHERE e.a <> e.b),
+            mut AS (SELECT x.s AS x, x.d AS y
+                    FROM r x JOIN r y ON y.s = x.d AND y.d = x.s),
+            labels AS (
+                SELECT n.n AS node,
+                       least(n.n, coalesce(min(m.y), n.n)) AS scc
+                FROM nodes n LEFT JOIN mut m ON m.x = n.n
+                GROUP BY n.n),
+            de AS (SELECT DISTINCT a, b FROM e)
+            SELECT ls.scc::BIGINT AS scc_src, ld.scc::BIGINT AS scc_dst,
+                   count(*)::BIGINT AS n_edges
+            FROM de JOIN labels ls ON ls.node = de.a
+                    JOIN labels ld ON ld.node = de.b
+            WHERE ls.scc <> ld.scc
+            GROUP BY 1, 2
+        """,
+        "kg_degree_hist": """
+            WITH c AS (SELECT c_custkey AS k FROM customer
+                       WHERE c_custkey < 400),
+            dir AS (
+                SELECT a.k AS a, a.k + 1 AS b
+                FROM c a JOIN c n ON n.k = a.k + 1
+                WHERE a.k % 100 <> 99
+                UNION ALL
+                SELECT 0, k FROM c WHERE k > 0 AND k < 100),
+            und AS (SELECT DISTINCT greatest(a, b) AS x, least(a, b) AS y
+                    FROM dir WHERE a <> b),
+            deg AS (SELECT node, count(*)::BIGINT AS degree FROM (
+                        SELECT x AS node FROM und
+                        UNION ALL SELECT y FROM und)
+                    GROUP BY node)
+            SELECT (length(bin(degree)) - 1)::BIGINT AS bucket,
+                   count(*)::BIGINT AS n_nodes,
+                   min(degree)::BIGINT AS min_degree,
+                   max(degree)::BIGINT AS max_degree
+            FROM deg GROUP BY 1
         """,
         "kg_scc": """
             WITH RECURSIVE

@@ -757,6 +757,18 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     timed("corpus_split", lambda: split_corpus(
         docs, {"train": 8000, "val": 1000, "test": 1000})
         .groupBy("split").count().count())
+    from csvweb_spark.operators.graph import negative_triple_samples
+    from csvweb_spark.operators.sketches import table_fingerprint
+    from csvweb_spark.sources.warc import render_wat, wat_pages
+    timed("kg_negatives", lambda: negative_triple_samples(
+        old_kg.withColumn("obj_kind", F.lit("iri")), n_per=2).count(),
+        retry_under=0.0)
+    timed("table_fingerprint", lambda: table_fingerprint(
+        li, ["l_orderkey", "l_partkey", "l_returnflag"]).count())
+    timed("web_wat_roundtrip", lambda: wat_pages(
+        render_wat(warc_in.withColumn("html",
+                                      F.col("html").cast("string")))
+        ).count())
 
     # relational: TPC-H-ish Q1
     dec = lambda c: F.col(c).cast("decimal(18,4)")

@@ -987,3 +987,46 @@ def negative_triple_samples(triples: DataFrame, n_per: int = 1,
                F.when(F.col("corrupt_s"), F.lit("s"))
                .otherwise(F.lit("o")).alias("corrupted")))
     return out
+
+
+def condensation(edges: DataFrame, scc: DataFrame, src: str = "src",
+                 dst: str = "dst") -> DataFrame:
+    """The condensation DAG: contract every strongly connected
+    component (labels from `strongly_connected_components`) to one
+    node and keep distinct inter-component edges - (scc_src, scc_dst,
+    n_edges). The macro-structure read of a web graph (the bow-tie:
+    which rings feed which), and the cycle-free order reasoning/
+    propagation passes want. Two hash joins against the label table
+    + one map-side-combinable count; self-edges (intra-component)
+    drop."""
+    lbl_s = scc.select(F.col("node").alias("_u"),
+                       F.col("scc").alias("scc_src"))
+    lbl_d = scc.select(F.col("node").alias("_v"),
+                       F.col("scc").alias("scc_dst"))
+    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v")) \
+        .distinct()
+    return (e.join(lbl_s, "_u").join(lbl_d, "_v")
+            .where(F.col("scc_src") != F.col("scc_dst"))
+            .groupBy("scc_src", "scc_dst")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+
+
+def degree_histogram(edges: DataFrame, src: str = "src",
+                     dst: str = "dst") -> DataFrame:
+    """Log2-bucketed degree distribution over the undirected simple
+    graph: (bucket, n_nodes, min_degree, max_degree) with bucket =
+    floor(log2(degree)) - the power-law audit every skew-mitigation
+    choice in this repo (salting, census caps, hub broadcasts) is
+    calibrated against. Integer-exact: bucket computed by bit length
+    (63 - number of leading zeros), not FP log. Two map-side-
+    combinable aggregations over bare longs."""
+    deg = degree_stats(edges, src=src, dst=dst)
+    # floor(log2(d)) = binary-representation length - 1: exact integer
+    # arithmetic (FP log2 drifts at powers of two), engine-portable
+    # (DuckDB: length(bin(d)) - 1 modulo its 0b prefix handling)
+    bucket = (F.length(F.conv(F.col("degree").cast("string"), 10, 2))
+              - 1).cast("long")
+    return (deg.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                 F.min("degree").cast("long").alias("min_degree"),
+                 F.max("degree").cast("long").alias("max_degree")))

@@ -1281,3 +1281,27 @@ def test_negative_triple_samples_replay_and_uniform_machinery(spark):
             elif not corrupt_s and repl != o:
                 want.add((s, p, repl, i, "o"))
     assert got == want and len(got) > 6
+
+
+# -------------------------------------------------- condensation/histogram
+
+
+def test_condensation_dag(spark):
+    from csvweb_spark.operators.graph import (
+        condensation, strongly_connected_components)
+    e = _edges(spark, [(1, 2), (2, 1), (2, 5), (5, 6), (6, 5),
+                       (5, 2), (6, 8), (8, 9), (9, 8), (6, 9)])
+    # {1,2,5,6} one SCC? 2->5,5->2 merges them: {1,2,5,6}; {8,9}
+    scc = strongly_connected_components(e)
+    out = {(r.scc_src, r.scc_dst): r.n_edges
+           for r in condensation(e, scc).collect()}
+    assert out == {(1, 8): 2}          # 6->8 and 6->9 both cross
+
+
+def test_degree_histogram_buckets(spark):
+    from csvweb_spark.operators.graph import degree_histogram
+    # star 0-(1..5): center degree 5 (bucket 2), leaves degree 1 (0)
+    e = _edges(spark, [(0, i) for i in range(1, 6)])
+    out = {r.bucket: (r.n_nodes, r.min_degree, r.max_degree)
+           for r in degree_histogram(e).collect()}
+    assert out == {0: (5, 1, 1), 2: (1, 5, 5)}
