@@ -134,8 +134,13 @@ def kg_diff(old: DataFrame, new: DataFrame,
     Scale shape: two hash LEFT ANTI joins on the full triple key -
     the minimal movement for an exact diff (each side shuffles once on
     the key). Over stores written with `plans.bucketed.write_bucketed`
-    keyed on the join column both anti-joins compile with zero
-    Exchange. `dropDuplicates` on each side first makes the diff
+    (subj-bucketed) both anti-joins compile with ZERO Exchange once
+    `spark.sql.requireAllClusterKeysForCoPartition=false` lets the
+    planner accept bucket keys as a prefix of the join keys - plan-
+    pinned, with the default conf as the re-shuffling negative
+    control, in test_plans.py::
+    test_kg_diff_zero_exchange_over_bucketed_stores.
+    `dropDuplicates` on each side first makes the diff
     honest under provenance-duplicated assertions (a triple asserted
     by 10^6 pages is ONE graph fact; without the dedup a count change
     would silently vanish from the diff).

@@ -610,3 +610,45 @@ def test_triple_store_router_in_match_bgp(spark, tmp_path):
     full = store.scan(("?s", "?p", "?o"))
     assert full.count() == len(rows)
     spark.sql("DROP TABLE IF EXISTS t_router_spo")
+
+
+def test_kg_diff_zero_exchange_over_bucketed_stores(spark, tmp_path):
+    """kg_diff's 100 TB shape: over subj-bucketed catalog tables the
+    full-key anti-joins compile with ZERO Exchange once
+    spark.sql.requireAllClusterKeysForCoPartition=false lets the
+    planner accept bucket keys as a PREFIX of the join keys (hash
+    partitioning on subj co-partitions any (subj, ...) join). With
+    the default (true) the same plan re-shuffles both sides - pinned
+    as the negative control."""
+    from csvweb_spark.operators.asof import kg_diff
+    from csvweb_spark.plans.bucketed import read_bucketed, write_bucketed
+    t = spark.range(0, 200).select(
+        F.concat(F.lit("s"), F.col("id")).alias("subj"),
+        F.lit("p").alias("pred"), F.col("id").cast("string").alias("obj"))
+    t2 = t.where(F.col("obj") != "7")
+    write_bucketed(t, "diff_old_test", 4, path=str(tmp_path / "o"))
+    write_bucketed(t2, "diff_new_test", 4, path=str(tmp_path / "n"))
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_req = spark.conf.get(
+        "spark.sql.requireAllClusterKeysForCoPartition")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = read_bucketed(spark, "diff_old_test")
+        n = read_bucketed(spark, "diff_new_test")
+        spark.conf.set(
+            "spark.sql.requireAllClusterKeysForCoPartition", "false")
+        d = kg_diff(o, n, key_cols=("subj", "pred", "obj"))
+        assert "Exchange" not in plan_of(d)
+        assert {(r.obj, r.change) for r in d.collect()} == {
+            ("7", "removed")}
+        # negative control: the default conf re-shuffles both sides
+        spark.conf.set(
+            "spark.sql.requireAllClusterKeysForCoPartition", "true")
+        assert "Exchange" in plan_of(
+            kg_diff(o, n, key_cols=("subj", "pred", "obj")))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
+                       old_req)
+        spark.sql("DROP TABLE IF EXISTS diff_old_test")
+        spark.sql("DROP TABLE IF EXISTS diff_new_test")
