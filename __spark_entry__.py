@@ -541,6 +541,41 @@ def q_kg_degree_hist(spark, sf_dir):
     return out.select("bucket", "n_nodes", "min_degree", "max_degree")
 
 
+def q_kg_graph_canon(spark, sf_dir):
+    """Canonical blank-node labeling (round 5, serialize.py::
+    canonicalize_blank_labels - URDNA2015-class guarantees, own hash
+    format): per customer page, a 2-bnode chain (root IRI -> _:x ->
+    _:y with distinguishing literals) relabels to _:c14n0/_:c14n1 by
+    the refined hash order. The structure is tie-free, so the oracle
+    REPLAYS the algorithm exactly in SQL: first-degree hashes (md5 of
+    the sorted serialized quad forms), the single WL refinement round
+    the partition-stability check admits, and the hash-order label
+    assignment. Ties/automorphism paths are covered by unit tests
+    (cycle orbits, distance-2 refinement)."""
+    from csvweb_spark.operators.serialize import canonicalize_blank_labels
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    k = F.col("c_custkey")
+    url = F.concat(F.lit("http://c"), k, F.lit(".org/"))
+    root = F.concat(F.lit("http://e"), k)
+    bx = F.concat(F.lit("_:x"), k)
+    by = F.concat(F.lit("_:y"), k)
+    litx = F.concat(F.lit("N"), F.col("c_name"))
+    lity = F.concat(F.lit("M"), k)
+    t = (cust.select(url.alias("url"), bx.alias("subj"),
+                     F.lit("ex:name").alias("pred"), litx.alias("obj"))
+         .unionByName(cust.select(url.alias("url"), bx.alias("subj"),
+                                  F.lit("ex:next").alias("pred"),
+                                  by.alias("obj")))
+         .unionByName(cust.select(url.alias("url"), by.alias("subj"),
+                                  F.lit("ex:name").alias("pred"),
+                                  lity.alias("obj")))
+         .unionByName(cust.select(url.alias("url"), root.alias("subj"),
+                                  F.lit("ex:root").alias("pred"),
+                                  bx.alias("obj"))))
+    out = canonicalize_blank_labels(t, graph_col="url")
+    return out.select("url", "subj", "pred", "obj")
+
+
 def q_kg_harmonic(spark, sf_dir):
     """Seed-sampled harmonic centrality (round 5, graph.py::
     harmonic_centrality over multi_source_distances): per-seed
@@ -3915,6 +3950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_scc": q_kg_scc,
         "kg_condensation": q_kg_condensation,
         "kg_degree_hist": q_kg_degree_hist,
+        "kg_graph_canon": q_kg_graph_canon,
         "embed_kmeans": q_embed_kmeans,
         "semdedup": q_semdedup,
         "kg_walks": q_kg_walks,
@@ -5738,6 +5774,37 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM rep
             WHERE (side = 0 AND node <> s)
                OR (side <> 0 AND node <> o)
+        """,
+        "kg_graph_canon": """
+            WITH c AS (SELECT c_custkey AS k, c_name FROM customer
+                       WHERE c_custkey < 200),
+            b AS (SELECT k, 'http://c' || k || '.org/' AS url,
+                         'http://e' || k AS root,
+                         'N' || c_name AS litx, 'M' || k AS lity
+                  FROM c),
+            fd AS (SELECT *,
+                md5(array_to_string(list_sort(
+                    ['_:a ex:name ' || litx, '_:a ex:next _:z',
+                     root || ' ex:root _:a']), chr(10))) AS fdx,
+                md5(array_to_string(list_sort(
+                    ['_:z ex:next _:a', '_:a ex:name ' || lity]),
+                    chr(10))) AS fdy
+                FROM b),
+            hh AS (SELECT *,
+                md5(fdx || '|' || 's:ex:next:' || fdy) AS hx,
+                md5(fdy || '|' || 'o:ex:next:' || fdx) AS hy
+                FROM fd),
+            lab AS (SELECT *,
+                CASE WHEN hx < hy THEN '_:c14n0'
+                     ELSE '_:c14n1' END AS lx,
+                CASE WHEN hx < hy THEN '_:c14n1'
+                     ELSE '_:c14n0' END AS ly
+                FROM hh)
+            SELECT url, lx AS subj, 'ex:name' AS pred, litx AS obj
+            FROM lab
+            UNION ALL SELECT url, lx, 'ex:next', ly FROM lab
+            UNION ALL SELECT url, ly, 'ex:name', lity FROM lab
+            UNION ALL SELECT url, root, 'ex:root', lx FROM lab
         """,
         "kg_harmonic": """
             WITH RECURSIVE

@@ -371,3 +371,147 @@ def invalid_ntriples(lines: DataFrame, col: str = "line") -> DataFrame:
     return lines.filter(~_valid_statement(line)
                         & (F.trim(line) != "")
                         & ~F.trim(line).startswith("#"))
+
+
+# --------------------------------------------------------------------------
+# canonical blank-node labeling (URDNA2015-class guarantees, own wire
+# format) + per-graph content fingerprints
+# --------------------------------------------------------------------------
+
+
+def _canon_labels_py(quads: list) -> dict:
+    """Canonical labels for the blank nodes of ONE graph (list of
+    (s, p, o) with blank terms prefixed '_:'): hash-refinement
+    canonical labeling - first-degree hashes (each quad serialized
+    with the node as '_:a', other bnodes '_:z', sorted, md5), then
+    WL-style refinement over bnode-bnode adjacency, then deterministic
+    individuation for automorphic classes. Same guarantees URDNA2015
+    gives (isomorphic graphs -> identical canonical QUADS; the
+    per-input-label mapping inside an automorphism orbit is chosen by
+    smallest original label, which cannot change the canonical quad
+    multiset by definition of an orbit) - but NOT wire-compatible
+    with the W3C algorithm's hash inputs, documented as such."""
+    import hashlib
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    bnodes = sorted({t for s, p, o in quads for t in (s, o)
+                     if isinstance(t, str) and t.startswith("_:")})
+    if not bnodes:
+        return {}
+
+    def first_degree(b):
+        forms = []
+        for s, p, o in quads:
+            if s == b or o == b:
+                def ser(x):
+                    if x == b:
+                        return "_:a"
+                    if isinstance(x, str) and x.startswith("_:"):
+                        return "_:z"
+                    return x if x is not None else ""
+                forms.append(f"{ser(s)} {p} {ser(o)}")
+        return md5("\n".join(sorted(forms)))
+
+    h = {b: first_degree(b) for b in bnodes}
+    nbrs = {b: [] for b in bnodes}
+    for s, p, o in quads:
+        if s in nbrs and o in nbrs and s != o:
+            nbrs[s].append(("s", p, o))
+            nbrs[o].append(("o", p, s))
+
+    def refine():
+        nonlocal h
+        for _ in range(len(bnodes)):
+            n_classes = len(set(h.values()))
+            h = {b: md5(h[b] + "|" + "\n".join(sorted(
+                f"{d}:{p}:{h[n]}" for d, p, n in nbrs[b])))
+                for b in bnodes}
+            if len(set(h.values())) == n_classes:
+                break
+
+    refine()
+    for _ in range(len(bnodes)):
+        classes = {}
+        for b in bnodes:
+            classes.setdefault(h[b], []).append(b)
+        tied = sorted((hh, bs) for hh, bs in classes.items()
+                      if len(bs) > 1)
+        if not tied:
+            break
+        # individuate the smallest member of the smallest tied class
+        pick = min(tied[0][1])
+        h[pick] = md5(h[pick] + "!")
+        refine()
+    order = sorted(bnodes, key=lambda b: (h[b], b))
+    return {b: f"_:c14n{i}" for i, b in enumerate(order)}
+
+
+def canonicalize_blank_labels(df: DataFrame,
+                              graph_col: str = "url") -> DataFrame:
+    """Rewrite every graph's blank-node labels to their canonical
+    '_:c14n<i>' form - the cross-run / cross-engine graph identity
+    the conversion pipeline's deterministic-but-arbitrary skolem ids
+    cannot give: two isomorphic page graphs (same facts, different
+    bnode label accidents) canonicalize to IDENTICAL rows, enabling
+    exact graph-level dedup, diffs and fingerprints. Schema preserved.
+
+    Scale shape: graphs are PAGE-sized (the group key is the page
+    url), so per-graph Python labeling in applyInPandas is the
+    legitimate Python case - per-group work is bounded by page size,
+    never corpus size; only bnode-bearing groups pay (others pass
+    through a cheap JVM filter path)."""
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    has_b = (F.col("subj").startswith("_:")
+             | F.col("obj").startswith("_:"))
+    marked = df.withColumn(
+        "_hasb", F.max(has_b.cast("int")).over(
+            Window.partitionBy(graph_col)))
+    clean = marked.where(F.col("_hasb") == 0).drop("_hasb")
+    dirty = marked.where(F.col("_hasb") == 1).drop("_hasb")
+    cols = df.columns
+
+    def relabel(pdf: pd.DataFrame) -> pd.DataFrame:
+        quads = list(zip(pdf["subj"], pdf["pred"], pdf["obj"]))
+        lab = _canon_labels_py(quads)
+        if lab:
+            pdf = pdf.assign(
+                subj=[lab.get(s, s) for s in pdf["subj"]],
+                obj=[lab.get(o, o) for o in pdf["obj"]])
+        return pdf[cols]
+
+    out_dirty = (dirty.groupBy(graph_col)
+                 .applyInPandas(relabel, df.schema))
+    return clean.unionByName(out_dirty)
+
+
+def graph_fingerprints(df: DataFrame,
+                       graph_col: str = "url") -> DataFrame:
+    """(graph, graph_md5, n_quads): content fingerprint of each
+    graph's CANONICAL quad set - md5 over the sorted canonical
+    N-Triples lines, so isomorphic graphs fingerprint identically
+    (label accidents canceled by canonicalize_blank_labels) and any
+    fact change flips the hash. The graph-level sibling of
+    sketches.table_fingerprint: dedup mirrored pages by meaning,
+    verify a re-extraction reproduced every page graph, diff crawls
+    at page granularity. One groupBy after the canonical rewrite;
+    lines sort WITHIN each page group (bounded), never globally."""
+    canon = canonicalize_blank_labels(df, graph_col)
+    line = ntriple_line(
+        F.col("subj"), F.col("pred"), F.col("obj"),
+        F.col("obj_kind") if "obj_kind" in df.columns
+        else F.lit("iri"),
+        F.col("obj_datatype") if "obj_datatype" in df.columns
+        else F.lit(None).cast("string"),
+        F.col("obj_lang") if "obj_lang" in df.columns
+        else F.lit(None).cast("string"))
+    return (canon.select(F.col(graph_col).alias("graph"),
+                         line.alias("_l"))
+            .groupBy("graph")
+            .agg(F.md5(F.concat_ws(
+                "\n", F.array_sort(F.collect_list("_l"))))
+                .alias("graph_md5"),
+                F.count(F.lit(1)).cast("long").alias("n_quads")))

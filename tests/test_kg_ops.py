@@ -1305,3 +1305,62 @@ def test_degree_histogram_buckets(spark):
     out = {r.bucket: (r.n_nodes, r.min_degree, r.max_degree)
            for r in degree_histogram(e).collect()}
     assert out == {0: (5, 1, 1), 2: (1, 5, 5)}
+
+
+# ----------------------------------------------------------- canonical bnodes
+
+
+def _quads(spark, url, rows):
+    return spark.createDataFrame(
+        [(url, s, p, o,
+          "iri" if (o.startswith("http") or o.startswith("_:"))
+          else "literal", None, None) for s, p, o in rows],
+        "url string, subj string, pred string, obj string, "
+        "obj_kind string, obj_datatype string, obj_lang string")
+
+
+def test_canonical_labels_isomorphism_invariant(spark):
+    from csvweb_spark.operators.serialize import (
+        canonicalize_blank_labels, graph_fingerprints)
+    g1 = [("_:x", "ex:name", "alice"), ("_:x", "ex:knows", "_:y"),
+          ("_:y", "ex:name", "bob"), ("http://s", "ex:root", "_:x")]
+    # same graph, permuted/renamed bnodes, different row order
+    g2 = [("_:q9", "ex:name", "bob"), ("http://s", "ex:root", "_:p1"),
+          ("_:p1", "ex:knows", "_:q9"), ("_:p1", "ex:name", "alice")]
+    f1 = graph_fingerprints(_quads(spark, "u", g1)).collect()[0]
+    f2 = graph_fingerprints(_quads(spark, "u", g2)).collect()[0]
+    assert f1.graph_md5 == f2.graph_md5 and f1.n_quads == 4
+    # a fact change flips the hash
+    g3 = [r if r[2] != "bob" else (r[0], r[1], "carol") for r in g2]
+    f3 = graph_fingerprints(_quads(spark, "u", g3)).collect()[0]
+    assert f3.graph_md5 != f1.graph_md5
+    # canonical rows are IDENTICAL, not just same hash
+    c1 = {tuple(r) for r in canonicalize_blank_labels(
+        _quads(spark, "u", g1)).collect()}
+    c2 = {tuple(r) for r in canonicalize_blank_labels(
+        _quads(spark, "u", g2)).collect()}
+    assert c1 == c2
+
+
+def test_canonical_labels_automorphic_cycle_and_refinement(spark):
+    from csvweb_spark.operators.serialize import graph_fingerprints
+    # 4-cycle of indistinguishable bnodes (automorphism orbit):
+    # any rotation/renaming fingerprints identically
+    def cyc(names):
+        return [(names[i], "ex:n", names[(i + 1) % 4])
+                for i in range(4)]
+    f1 = graph_fingerprints(
+        _quads(spark, "u", cyc(["_:a", "_:b", "_:c", "_:d"]))) \
+        .collect()[0]
+    f2 = graph_fingerprints(
+        _quads(spark, "u", cyc(["_:m3", "_:m0", "_:m2", "_:m1"]))) \
+        .collect()[0]
+    assert f1.graph_md5 == f2.graph_md5
+    # refinement case: two bnodes share first-degree shape, differ at
+    # distance 2 - the WL round separates them deterministically
+    g = [("_:u", "ex:n", "_:m1"), ("_:v", "ex:n", "_:m2"),
+         ("_:m1", "ex:name", "one"), ("_:m2", "ex:name", "two")]
+    h1 = graph_fingerprints(_quads(spark, "u", g)).collect()[0]
+    g_ren = [(s.replace("u", "w"), p, o) for s, p, o in g]
+    h2 = graph_fingerprints(_quads(spark, "u", g_ren)).collect()[0]
+    assert h1.graph_md5 == h2.graph_md5
