@@ -266,6 +266,34 @@ AUDITS = [
      "sh:or/and/not are single narrow filters over the shared value "
      "scan (one boolean expression each); uniqueLang is one "
      "map-side-combined (focus, lang) count."),
+    ("Table fingerprint", "table_fingerprint",
+     "One narrow hash projection + one map-side-combined groupBy on "
+     "n_buckets uniform keys - effectively shuffle-free (n_buckets "
+     "rows per map task)."),
+    ("Negative triple sampling", "kg_negatives",
+     "The cumulative-bucket CASE chain is a pure projection (no "
+     "range join against the size table); the replacement arrives by "
+     "ONE (bucket, rank) equi-join; pool ranking windows are "
+     "PARTITIONED by bucket, never a single global sort."),
+    ("WAT sidecar render -> re-ingest", "web_wat_roundtrip",
+     "The JSON envelope (title/description/href regexes + to_json) "
+     "derives in a codegen projection BEFORE the mapInPandas segment "
+     "assembler - Python only frames bytes; parse side is the shared "
+     "byte walk + from_json."),
+    ("Seed-sampled harmonic centrality", "kg_harmonic",
+     "Final sum(ppm div hops) is one map-side-combined aggregation "
+     "over checkpointed per-seed BFS slices of bare long pairs."),
+    ("Deterministic corpus split", "corpus_split",
+     "One narrow CASE projection over the sampling hash - no "
+     "shuffle, no state before the caller's rollup."),
+    ("Condensation DAG", "kg_condensation",
+     "Two hash joins of the (checkpointed) SCC label table against "
+     "the edge list + one map-side-combined count; intra-component "
+     "edges drop in a filter."),
+    ("Canonical blank-node labels", "kg_graph_canon",
+     "A window marks bnode-bearing pages; only those reach the "
+     "applyInPandas relabeler (page-sized groups - bounded Python); "
+     "bnode-free pages pass through the JVM branch untouched."),
 ]
 
 
