@@ -576,6 +576,42 @@ def q_kg_graph_canon(spark, sf_dir):
     return out.select("url", "subj", "pred", "obj")
 
 
+def q_text_readability(spark, sf_dir):
+    """Integer-exact Flesch-Kincaid readability (round 5, text.py::
+    readability) over the real documents table: whitespace words,
+    sentence-ender runs, vowel-group syllables, per-term floor-scaled
+    FK grade in basis points - every quantity replayable (the oracle
+    recomputes with the same regex lengths and // arithmetic)."""
+    from csvweb_spark.operators.text import readability
+    docs = _load(spark, sf_dir, "documents")
+    out = readability(docs)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "n_words", "n_sents", "n_syll", "fk_grade_bp")
+
+
+def q_web_publish_dates(spark, sf_dir):
+    """Publication-date extraction (round 5, webtext.publish_dates,
+    trafilatura-family priority): per customer page family k%4 -
+    article:published_time meta (beats a decoy <time>), <time
+    datetime> ISO prefix, /YYYY/MM/DD/ URL path (day defaulting), or
+    nothing. Oracle: pure CASE replay of the priority chain."""
+    from csvweb_spark.sources.webtext import publish_dates
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    k = F.col("c_custkey")
+    mm = F.lpad(((k % 12) + 1).cast("string"), 2, "0")
+    url = F.concat(
+        F.lit("http://p"), k, F.lit(".example.org"),
+        F.when(k % 4 == 2, F.concat(F.lit("/2019/"), mm, F.lit("/07/a")))
+        .otherwise(F.lit("/a")))
+    html = F.when(k % 4 == 0, F.concat(
+        F.lit('<meta property="article:published_time" content="2022-'),
+        mm, F.lit('-15T08:00:00Z"><time datetime="2011-01-01">d</time>')))         .when(k % 4 == 1, F.concat(
+            F.lit('<time datetime="2020-'), mm, F.lit('-05T00:00">t</time>')))         .otherwise(F.lit("<p>plain</p>"))
+    pages = cust.select(url.alias("url"), html.alias("html"))
+    out = publish_dates(pages)
+    return out.select("url", "published", "source")
+
+
 def q_kg_harmonic(spark, sf_dir):
     """Seed-sampled harmonic centrality (round 5, graph.py::
     harmonic_centrality over multi_source_distances): per-seed
@@ -3972,6 +4008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_registrable_domain": q_web_registrable_domain,
         "text_collocations": q_text_collocations,
         "text_lm_score": q_text_lm_score,
+        "text_readability": q_text_readability,
+        "web_publish_dates": q_web_publish_dates,
         "web_wet_roundtrip": q_web_wet_roundtrip,
         "web_wat_roundtrip": q_web_wat_roundtrip,
         "sparql_builtins": q_sparql_builtins,
@@ -6370,6 +6408,47 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM pc
             JOIN uni u1 ON u1.w = pc.w1
             JOIN uni u2 ON u2.w = pc.w2
+        """,
+        "text_readability": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN regexp_replace(text,
+                                '^\s+|\s+$', '', 'g') = '' THEN 0
+                            ELSE len(string_split_regex(
+                                regexp_replace(text, '^\s+|\s+$',
+                                               '', 'g'), '\s+'))
+                       END::BIGINT AS n_words,
+                       greatest(len(regexp_extract_all(text,
+                                '[.!?]+')), 1)::BIGINT AS n_sents,
+                       greatest(len(regexp_extract_all(lower(text),
+                                '[aeiouy]+')), 1)::BIGINT AS n_syll
+                FROM documents)
+            SELECT doc_id::BIGINT AS doc_id, n_words, n_sents, n_syll,
+                   (39 * 100 * n_words // n_sents
+                    + 1180 * 100 * n_syll // n_words
+                    - 155900)::BIGINT AS fk_grade_bp
+            FROM t WHERE n_words > 0
+        """,
+        "web_publish_dates": """
+            WITH c AS (SELECT c_custkey AS k,
+                              lpad(((c_custkey % 12) + 1)::VARCHAR,
+                                   2, '0') AS mm
+                       FROM customer WHERE c_custkey < 400)
+            SELECT 'http://p' || k || '.example.org' ||
+                   CASE WHEN k % 4 = 2
+                        THEN '/2019/' || mm || '/07/a'
+                        ELSE '/a' END AS url,
+                   CASE k % 4
+                     WHEN 0 THEN '2022-' || mm || '-15'
+                     WHEN 1 THEN '2020-' || mm || '-05'
+                     WHEN 2 THEN '2019-' || mm || '-07'
+                   END AS published,
+                   CASE k % 4
+                     WHEN 0 THEN 'meta'
+                     WHEN 1 THEN 'time'
+                     WHEN 2 THEN 'url'
+                     ELSE 'none' END AS source
+            FROM c
         """,
         "text_lm_score": """
             WITH t AS (

@@ -872,3 +872,42 @@ def score_documents_lm(df: DataFrame, pair_counts: DataFrame,
                         F.expr("sum_prob_bp div n_bigrams"))
             .select(key_col, "n_bigrams", "sum_prob_bp", "avg_prob_bp",
                     "logprob"))
+
+
+def readability(df: DataFrame, text_col: str = "text",
+                key_col: str = "doc_id") -> DataFrame:
+    """Flesch-Kincaid-style readability in INTEGER basis points - the
+    complexity axis of quality filtering (too-low = navigation soup /
+    keyword lists, too-high = OCR noise / code), engine-replayable
+    because every quantity is exact integer arithmetic:
+
+        n_words  whitespace tokens
+        n_sents  sentence enders (.!?) runs, min 1
+        n_syll   vowel GROUPS across words (the standard syllable
+                 heuristic: [aeiouy]+ runs, case-folded), min 1
+        fk_grade_bp = 39 * 100 * n_words div n_sents
+                    + 1180 * 100 * n_syll div n_words
+                    - 1559 * 100          (x100 basis: grade ~ bp/100)
+
+    which is the published FK-grade formula 0.39*w/s + 11.8*syl/w -
+    15.59 with each term floor-scaled independently (documented: the
+    two `div`s round per-term, the price of exactness). Empty/
+    wordless docs are absent - filter upstream. One narrow JVM
+    projection; DuckDB replays with regexp_extract_all lengths."""
+    toks = whitespace_tokens(F.col(text_col))
+    n_words = F.size(toks).cast("long")
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col),
+                                    F.lit(r"[.!?]+"), 0)),
+        F.lit(1)).cast("long")
+    n_syll = F.greatest(
+        F.size(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                    F.lit(r"[aeiouy]+"), 0)),
+        F.lit(1)).cast("long")
+    out = (df.select(F.col(key_col), n_words.alias("n_words"),
+                     n_sents.alias("n_sents"), n_syll.alias("n_syll"))
+           .where(F.col("n_words") > 0))
+    fk = F.expr("39 * 100 * n_words div n_sents"
+                " + 1180 * 100 * n_syll div n_words"
+                " - 155900")
+    return out.withColumn("fk_grade_bp", fk.cast("long"))

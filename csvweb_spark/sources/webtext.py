@@ -343,3 +343,54 @@ def page_outline(pages: DataFrame, url_col: str = "url",
     t = F.trim(F.regexp_replace(t, r"\s+", " "))
     return out.select("url", F.col("heading_ix").cast("long")
                       .alias("heading_ix"), "level", t.alias("text"))
+
+
+_META_PUBLISHED_RE = (r"(?is)<meta\b[^>]*(?:property|name)\s*=\s*"
+                      r"[\"'](?:article:published_time|"
+                      r"datePublished|date)[\"'][^>]*"
+                      r"content\s*=\s*[\"']([^\"']*)[\"']")
+_TIME_TAG_RE = r"(?is)<time\b[^>]*datetime\s*=\s*[\"']([^\"']*)[\"']"
+_URL_DATE_RE = r"/((?:19|20)\d{2})/(\d{2})(?:/(\d{2}))?(?:/|$)"
+_ISO_PREFIX_RE = r"^((?:19|20)\d{2}-\d{2}-\d{2})"
+
+
+def publish_dates(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """Publication-date extraction per page: (url, published, source)
+    with `published` an ISO yyyy-mm-dd string and `source` naming the
+    winning signal - the freshness axis temporal curation and recency
+    weighting need, independent of warc_ts (fetch time is NOT publish
+    time).
+
+    Priority (the trafilatura-family order, first hit wins):
+      1. 'meta'  - <meta property="article:published_time"|
+         name="datePublished"|name="date" content=...> with a valid
+         ISO date prefix;
+      2. 'time'  - the first <time datetime=...> ISO prefix;
+      3. 'url'   - a /YYYY/MM[/DD]/ path segment (day defaults 01);
+    else NULL/'none'. Validation is the ISO-prefix shape only
+    (yyyy-mm-dd, years 19xx/20xx) - parsing beyond that is the
+    caller's policy. One narrow JVM regex projection, zero Python,
+    zero shuffle."""
+    h = F.col(html_col).cast("string")
+    meta_iso = F.regexp_extract(
+        F.regexp_extract(h, _META_PUBLISHED_RE, 1), _ISO_PREFIX_RE, 1)
+    time_iso = F.regexp_extract(
+        F.regexp_extract(h, _TIME_TAG_RE, 1), _ISO_PREFIX_RE, 1)
+    u = F.col(url_col)
+    uy = F.regexp_extract(u, _URL_DATE_RE, 1)
+    um = F.regexp_extract(u, _URL_DATE_RE, 2)
+    ud = F.regexp_extract(u, _URL_DATE_RE, 3)
+    url_iso = F.when(
+        (uy != "") & (um != ""),
+        F.concat_ws("-", uy, um,
+                    F.when(ud == "", F.lit("01")).otherwise(ud))) \
+        .otherwise(F.lit(""))
+    published = F.when(meta_iso != "", meta_iso) \
+        .when(time_iso != "", time_iso) \
+        .when(url_iso != "", url_iso)
+    source = F.when(meta_iso != "", F.lit("meta")) \
+        .when(time_iso != "", F.lit("time")) \
+        .when(url_iso != "", F.lit("url")).otherwise(F.lit("none"))
+    return pages.select(u.alias("url"), published.alias("published"),
+                        source.alias("source"))

@@ -405,3 +405,43 @@ def test_page_outline_order_levels_and_decode(spark):
                    ("u1", 1, 2, "First Section"),
                    ("u1", 2, 3, ""),
                    ("u1", 3, 2, "Second")]
+
+
+# -------------------------------------------------------------- readability
+
+
+def test_readability_integer_formula(spark):
+    from csvweb_spark.operators.text import readability
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, ""), (3, "word")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_words, r.n_sents, r.n_syll, r.fk_grade_bp)
+           for r in readability(df).collect()}
+    # doc 1: 6 words, 2 sent runs, syllable groups: e,a,a,e,o,a = 6
+    w, s, y = 6, 2, 6
+    want = 39 * 100 * w // s + 1180 * 100 * y // w - 155900
+    assert out[1] == (w, s, y, want)
+    assert 2 not in out                      # empty docs absent
+    assert out[3][1] == 1 and out[3][2] == 1  # floors
+
+
+def test_publish_dates_priority(spark):
+    from csvweb_spark.sources.webtext import publish_dates
+    rows = [
+        ("http://a/2023/05/x",
+         '<meta property="article:published_time" '
+         'content="2022-01-02T10:00:00Z">'
+         '<time datetime="2021-03-04">t</time>', "2022-01-02", "meta"),
+        ("http://a/2023/05/x",
+         '<time datetime="2021-03-04T08:00">t</time>',
+         "2021-03-04", "time"),
+        ("http://a/2023/05/09/x", "<p>n</p>", "2023-05-09", "url"),
+        ("http://a/2023/05/x", "<p>n</p>", "2023-05-01", "url"),
+        ("http://a/page", "<p>n</p>", None, "none"),
+        ("http://a/page",
+         '<meta name="date" content="garbage">', None, "none"),
+    ]
+    df = spark.createDataFrame([(u, h) for u, h, _, _ in rows],
+                               "url string, html string")
+    got = [(r.published, r.source) for r in publish_dates(df).collect()]
+    assert got == [(p, s) for _, _, p, s in rows]
