@@ -769,6 +769,10 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
         render_wat(warc_in.withColumn("html",
                                       F.col("html").cast("string")))
         ).count())
+    from csvweb_spark.operators.text import readability
+    from csvweb_spark.sources.webtext import publish_dates
+    timed("text_readability", lambda: readability(docs).count())
+    timed("web_publish_dates", lambda: publish_dates(epages).count())
 
     # relational: TPC-H-ish Q1
     dec = lambda c: F.col(c).cast("decimal(18,4)")
