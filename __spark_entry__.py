@@ -612,6 +612,33 @@ def q_web_publish_dates(spark, sf_dir):
     return out.select("url", "published", "source")
 
 
+def q_kg_ktruss(spark, sf_dir):
+    """k-truss decomposition (round 5, graph.py::ktruss, k=4) over
+    blocks-of-10 from customer: a 5-clique per block (every edge in 3
+    triangles - the 4-truss) plus a two-triangle chain sharing an
+    edge, which CASCADES away (outer edges peel round 1, the shared
+    edge loses all support and peels round 2). Early-stop equals
+    fixed rounds by idempotence at the fixpoint, so the oracle just
+    unrolls 4 rounds of triangle-support recompute + filter."""
+    from csvweb_spark.operators.graph import ktruss
+    cust = _load(spark, sf_dir, "customer").filter(
+        (F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") < 400))
+    b = F.col("c_custkey")
+    offs = F.array(*[F.lit(i) for i in range(5)])
+    cl = (cust.select(b.alias("b"), F.explode(offs).alias("i"))
+          .select("b", "i", F.explode(offs).alias("j"))
+          .where(F.col("i") < F.col("j"))
+          .select((F.col("b") + F.col("i")).alias("src"),
+                  (F.col("b") + F.col("j")).alias("dst")))
+    chain = None
+    for x, y in ((5, 6), (5, 7), (6, 7), (6, 8), (7, 8)):
+        part = cust.select((b + x).alias("src"), (b + y).alias("dst"))
+        chain = part if chain is None else chain.unionByName(part)
+    out = ktruss(cl.unionByName(chain), k=4, max_rounds=4)
+    return out.select(F.col("u").cast("long").alias("u"),
+                      F.col("v").cast("long").alias("v"), "support")
+
+
 def q_kg_harmonic(spark, sf_dir):
     """Seed-sampled harmonic centrality (round 5, graph.py::
     harmonic_centrality over multi_source_distances): per-seed
@@ -3986,6 +4013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_scc": q_kg_scc,
         "kg_condensation": q_kg_condensation,
         "kg_degree_hist": q_kg_degree_hist,
+        "kg_ktruss": q_kg_ktruss,
         "kg_graph_canon": q_kg_graph_canon,
         "embed_kmeans": q_embed_kmeans,
         "semdedup": q_semdedup,
@@ -5843,6 +5871,85 @@ def _oracle_sql_literal() -> dict[str, str]:
             UNION ALL SELECT url, lx, 'ex:next', ly FROM lab
             UNION ALL SELECT url, ly, 'ex:name', lity FROM lab
             UNION ALL SELECT url, root, 'ex:root', lx FROM lab
+        """,
+        "kg_ktruss": """
+            WITH c AS (SELECT c_custkey AS b FROM customer
+                       WHERE c_custkey % 10 = 0
+                         AND c_custkey < 400),
+            cl AS (SELECT b + i.i AS u, b + j.j AS v
+                   FROM c,
+                        (SELECT unnest([0,1,2,3,4]) AS i) i,
+                        (SELECT unnest([0,1,2,3,4]) AS j) j
+                   WHERE i.i < j.j),
+            ch AS (
+                SELECT b + 5 AS u, b + 6 AS v FROM c
+                UNION ALL SELECT b + 5, b + 7 FROM c
+                UNION ALL SELECT b + 6, b + 7 FROM c
+                UNION ALL SELECT b + 6, b + 8 FROM c
+                UNION ALL SELECT b + 7, b + 8 FROM c),
+            e0 AS MATERIALIZED (SELECT DISTINCT least(u, v) AS u,
+                          greatest(u, v) AS v
+                   FROM (SELECT u, v FROM cl
+                         UNION ALL SELECT u, v FROM ch)
+                   WHERE u <> v),
+            t0 AS MATERIALIZED (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+                   FROM e0 ab
+                   JOIN e0 bc ON bc.u = ab.v
+                   JOIN e0 ac ON ac.u = ab.u AND ac.v = bc.v),
+            m0 AS MATERIALIZED (SELECT a AS u, b AS v FROM t0
+                   UNION ALL SELECT b, c FROM t0
+                   UNION ALL SELECT a, c FROM t0),
+            s0 AS MATERIALIZED (SELECT e.u, e.v,
+                          coalesce(g.c, 0)::BIGINT AS support
+                   FROM e0 e LEFT JOIN (
+                       SELECT u, v, count(*) AS c FROM m0
+                       GROUP BY 1, 2) g
+                     ON g.u = e.u AND g.v = e.v),
+            e1 AS MATERIALIZED (SELECT u, v FROM s0 WHERE support >= 2),
+            t1 AS MATERIALIZED (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+                   FROM e1 ab
+                   JOIN e1 bc ON bc.u = ab.v
+                   JOIN e1 ac ON ac.u = ab.u AND ac.v = bc.v),
+            m1 AS MATERIALIZED (SELECT a AS u, b AS v FROM t1
+                   UNION ALL SELECT b, c FROM t1
+                   UNION ALL SELECT a, c FROM t1),
+            s1 AS MATERIALIZED (SELECT e.u, e.v,
+                          coalesce(g.c, 0)::BIGINT AS support
+                   FROM e1 e LEFT JOIN (
+                       SELECT u, v, count(*) AS c FROM m1
+                       GROUP BY 1, 2) g
+                     ON g.u = e.u AND g.v = e.v),
+            e2 AS MATERIALIZED (SELECT u, v FROM s1 WHERE support >= 2),
+            t2 AS MATERIALIZED (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+                   FROM e2 ab
+                   JOIN e2 bc ON bc.u = ab.v
+                   JOIN e2 ac ON ac.u = ab.u AND ac.v = bc.v),
+            m2 AS MATERIALIZED (SELECT a AS u, b AS v FROM t2
+                   UNION ALL SELECT b, c FROM t2
+                   UNION ALL SELECT a, c FROM t2),
+            s2 AS MATERIALIZED (SELECT e.u, e.v,
+                          coalesce(g.c, 0)::BIGINT AS support
+                   FROM e2 e LEFT JOIN (
+                       SELECT u, v, count(*) AS c FROM m2
+                       GROUP BY 1, 2) g
+                     ON g.u = e.u AND g.v = e.v),
+            e3 AS MATERIALIZED (SELECT u, v FROM s2 WHERE support >= 2),
+            t3 AS MATERIALIZED (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+                   FROM e3 ab
+                   JOIN e3 bc ON bc.u = ab.v
+                   JOIN e3 ac ON ac.u = ab.u AND ac.v = bc.v),
+            m3 AS MATERIALIZED (SELECT a AS u, b AS v FROM t3
+                   UNION ALL SELECT b, c FROM t3
+                   UNION ALL SELECT a, c FROM t3),
+            s3 AS MATERIALIZED (SELECT e.u, e.v,
+                          coalesce(g.c, 0)::BIGINT AS support
+                   FROM e3 e LEFT JOIN (
+                       SELECT u, v, count(*) AS c FROM m3
+                       GROUP BY 1, 2) g
+                     ON g.u = e.u AND g.v = e.v),
+            e4 AS MATERIALIZED (SELECT u, v FROM s3 WHERE support >= 2)
+            SELECT u::BIGINT AS u, v::BIGINT AS v, support
+            FROM s3 WHERE support >= 2
         """,
         "kg_harmonic": """
             WITH RECURSIVE

@@ -1030,3 +1030,58 @@ def degree_histogram(edges: DataFrame, src: str = "src",
             .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
                  F.min("degree").cast("long").alias("min_degree"),
                  F.max("degree").cast("long").alias("max_degree")))
+
+
+def ktruss(edges: DataFrame, k: int = 4, max_rounds: int = 20,
+           src: str = "src", dst: str = "dst") -> DataFrame:
+    """The k-truss of the undirected simple graph: iteratively drop
+    edges whose SUPPORT (triangles containing the edge) is below k-2
+    until stable; returns surviving (u, v, support) with u < v and the
+    within-truss support. The edge-grained sibling of `kcore` and the
+    sharper spam/community-density signal (a k-truss is contained in
+    the (k-1)-core but demands actual triangle density, which link
+    farms built as stars cannot fake).
+
+    Per round: triangles of the LIVE edge set enumerate once via the
+    ordered three-way self-join (a<b<c, each triangle found exactly
+    once - triangle_count's shape), explode to their 3 member edges,
+    one map-side-combinable count rebuilds supports, and a filter
+    peels. Peeling is monotone and idempotent at the fixpoint, so the
+    early-stop equals a fixed round count (the kcore argument) - the
+    unrolled-SQL oracle just runs all rounds. localCheckpoint bounds
+    lineage; the convergence probe is a 1-row count. Self-loops
+    dropped, parallel/reversed edges deduplicated."""
+    assert k >= 2 and max_rounds >= 1
+    e = (edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+         .where(F.col("x") != F.col("y"))
+         .select(F.least("x", "y").alias("u"),
+                 F.greatest("x", "y").alias("v"))
+         .distinct().localCheckpoint(eager=True))
+    need = k - 2
+    n_edges = e.count()
+    sup = None
+    for _ in range(max_rounds):
+        ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+        ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+        tri = (ab.join(bc, "b").join(ac, ["a", "c"], "left_semi")
+               .select("a", "b", "c"))
+        mem = (tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+               .unionByName(tri.select(F.col("b").alias("u"),
+                                       F.col("c").alias("v")))
+               .unionByName(tri.select(F.col("a").alias("u"),
+                                       F.col("c").alias("v"))))
+        sup = (e.join(mem.groupBy("u", "v")
+                      .agg(F.count(F.lit(1)).cast("long")
+                           .alias("support")), ["u", "v"], "left")
+               .withColumn("support",
+                           F.coalesce("support",
+                                      F.lit(0).cast("long"))))
+        nxt = (sup.where(F.col("support") >= need)
+               .select("u", "v").localCheckpoint(eager=True))
+        n_next = nxt.count()
+        e = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    return sup.where(F.col("support") >= need)

@@ -1364,3 +1364,23 @@ def test_canonical_labels_automorphic_cycle_and_refinement(spark):
     g_ren = [(s.replace("u", "w"), p, o) for s, p, o in g]
     h2 = graph_fingerprints(_quads(spark, "u", g_ren)).collect()[0]
     assert h1.graph_md5 == h2.graph_md5
+
+
+# ----------------------------------------------------------------- k-truss
+
+
+def test_ktruss_clique_survives_triangle_chain_cascades(spark):
+    from csvweb_spark.operators.graph import ktruss
+    clique = [(a, b) for a in range(1, 6) for b in range(1, 6) if a < b]
+    chain = [(10, 11), (10, 12), (11, 12),     # T1
+             (11, 13), (12, 13)]               # T2 shares (11,12)
+    out = {(r.u, r.v): r.support
+           for r in ktruss(spark.createDataFrame(
+               clique + chain, "src long, dst long"), k=4).collect()}
+    # 5-clique edges all have support 3; the triangle chain cascades
+    # away entirely (round 1 peels support-1 edges, round 2 the rest)
+    assert out == {(a, b): 3 for a, b in clique}
+    # k=3 keeps both triangles of the chain
+    out3 = {(r.u, r.v) for r in ktruss(spark.createDataFrame(
+        clique + chain, "src long, dst long"), k=3).collect()}
+    assert out3 == set(clique) | set(chain)
