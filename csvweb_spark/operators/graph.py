@@ -951,7 +951,9 @@ def negative_triple_samples(triples: DataFrame, n_per: int = 1,
         cum.append((b, acc))
         acc += sizes[b]
 
-    fact = triples.select(
+    # RDF SET semantics: a provenance-duplicated positive is one fact
+    # (duplicates would mint byte-identical negatives - same hash key)
+    fact = triples.select("subj", "pred", "obj").distinct().select(
         "subj", "pred", "obj",
         F.explode(F.array(*[F.lit(i).cast("long")
                             for i in range(n_per)])).alias("sample_ix"))

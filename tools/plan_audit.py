@@ -294,6 +294,17 @@ AUDITS = [
      "A window marks bnode-bearing pages; only those reach the "
      "applyInPandas relabeler (page-sized groups - bounded Python); "
      "bnode-free pages pass through the JVM branch untouched."),
+    ("k-truss final support", "kg_ktruss",
+     "The returned supports read checkpointed live edges; each "
+     "peeling round was one ordered three-way self-join + a "
+     "map-side-combined member count - lineage truncated per round."),
+    ("Readability", "text_readability",
+     "One narrow codegen projection (token split + two "
+     "regexp_extract_all sizes + integer div chain) over the scan - "
+     "zero Python, zero shuffle."),
+    ("Publish dates", "web_publish_dates",
+     "The meta/time/url priority chain folds into one codegen "
+     "projection of regexp_extracts - no Python, no shuffle."),
 ]
 
 
