@@ -445,3 +445,32 @@ def test_publish_dates_priority(spark):
                                "url string, html string")
     got = [(r.published, r.source) for r in publish_dates(df).collect()]
     assert got == [(p, s) for _, _, p, s in rows]
+
+
+# ---------------------------------------------------------------------- BPE
+
+
+def test_bpe_train_and_count_hand_computed(spark):
+    from csvweb_spark.operators.text import (BPE_EOW, bpe_token_counts,
+                                             train_bpe,
+                                             word_frequencies)
+    train = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "low lower")],
+        "doc_id long, text string")
+    wf = [(r.word, r.n) for r in word_frequencies(train).collect()]
+    assert dict(wf) == {"low": 4, "lower": 2, "lowest": 1}
+    merges = train_bpe(wf, n_merges=4)
+    # hand-computed: pair counts round 1: (l,o)=7, (o,w)=7,
+    # (w,</w>)=4, (w,e)=3, ... -> tie 7/7 breaks lexicographically
+    # to (l,o); round 2 merges (lo,w)=7; round 3 (low,</w>)=4;
+    # round 4 (low,e)=3
+    assert merges == [("l", "o"), ("lo", "w"), ("low", BPE_EOW),
+                      ("low", "e")]
+    score = spark.createDataFrame(
+        [(10, "low lowest banana"), (11, ""), (12, None)],
+        "doc_id long, text string")
+    out = {r.doc_id: r.n_bpe_tokens
+           for r in bpe_token_counts(score, merges).collect()}
+    # low -> [low</w>] = 1; lowest -> [lowe, s, t, </w>] = 4;
+    # banana: no merges apply -> 6 chars + </w> = 7
+    assert out == {10: 1 + 4 + 7, 11: 0, 12: 0}
