@@ -381,3 +381,30 @@ def kmeans_lloyd(df: DataFrame, k: int = 8, iterations: int = 2,
     assignments = _assign(cents).select(
         F.col("_id").alias(key_col), "cell", "dist")
     return assignments, cents
+
+
+def assign_to_centroids(df: DataFrame, centroids: DataFrame,
+                        key_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        scale: int = 1_000_000) -> DataFrame:
+    """Assign NEW vectors to previously-trained `kmeans_lloyd`
+    centroids - the incremental path (an ingest batch lands in the
+    existing cell structure without retraining; streaming SemDeDup
+    blocks new documents against committed cells). Identical integer
+    arithmetic and argmin tie-break as training, so assignments are
+    exactly what a retrained final pass would give for unchanged
+    centroids. Returns (key, cell, dist)."""
+    q = df.select(F.col(key_col).alias("_id"),
+                  quantize_vec(F.col(vec_col), scale).alias("v"))
+    dist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    cand = (q.crossJoin(F.broadcast(centroids))
+            .select("_id", F.struct(dist.alias("d"),
+                                    F.col("cell").alias("cell"))
+                    .alias("s")))
+    return (cand.groupBy("_id").agg(F.min("s").alias("b"))
+            .select(F.col("_id").alias(key_col),
+                    F.col("b.cell").alias("cell"),
+                    F.col("b.d").alias("dist")))

@@ -1613,3 +1613,15 @@ def test_split_corpus_deterministic_and_growth_stable(spark):
     assert all(rows[r.doc_id] == r.split for r in sub.collect())
     with pytest.raises(AssertionError, match="10000"):
         split_corpus(df, {"train": 9000, "val": 500})
+
+
+def test_assign_to_centroids_matches_training_assignment(spark):
+    from csvweb_spark.operators.similarity import (assign_to_centroids,
+                                                   kmeans_lloyd)
+    pts = [(i, [float(i % 3), float((i * 7) % 5) / 5]) for i in range(12)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    a, c = kmeans_lloyd(df, k=3, iterations=2)
+    re = assign_to_centroids(df, c)
+    want = {(r.vec_id, r.cell, r.dist) for r in a.collect()}
+    got = {(r.vec_id, r.cell, r.dist) for r in re.collect()}
+    assert got == want
