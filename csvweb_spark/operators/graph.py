@@ -771,7 +771,12 @@ def random_walks(edges: DataFrame, walks_per_node: int = 2,
     itself.
 
     Scale shape: the adjacency ranking is ONE window sort keyed by
-    src (rank/out_deg materialized once, reused by every step); each
+    src (rank/out_deg materialized once, reused by every step).
+    Honest hub caveat: contiguous 0..deg-1 ranking of a 10^8-out-
+    degree hub is one task sorting that hub's edge list - a one-time
+    materialization cost (not per step), and the store to pre-build
+    at that scale is the ranked adjacency itself (write once,
+    bucket by src); each
     step is then a single hash equi-join of the frontier on
     (node, rank) - frontier rows are 4 longs, text/payload never
     moves. Hub fan-out is bounded by the JOIN being rank-exact (one
