@@ -1038,6 +1038,38 @@ def q_tfidf_topk(spark, sf_dir):
         "term", "tf", "df_t", "tfidf_ppm", "rnk")
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 retrieval over the distributed inverted index
+    (retrieval.py): one corpus scan builds (term, key, tf, dl) postings
+    (map-side-combinable, text never shuffles), queries probe via a
+    term join AQE broadcasts, scores fold map-side per (query, doc),
+    and the per-query top-k compiles to partial WindowGroupLimit.
+    Integer-exact ppm score: textbook BM25 length normalization
+    (k1=1.2, b=0.75) with the rational-odds idf surrogate (ln is not
+    bit-reproducible; the float ln-BM25 column is projected away).
+    Queries are derived from the corpus itself (the 5 highest-df terms
+    as single-term queries + one two-term query from ranks 6-7; the
+    derivation window sorts the vocabulary on one partition - fine for
+    deriving 7 query terms, not part of the operator)."""
+    from pyspark.sql import Window
+
+    from csvweb_spark.operators.retrieval import (
+        bm25_topk_terms, build_inverted_index, document_frequencies)
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    postings = build_inverted_index(docs)
+    dft = document_frequencies(postings)
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    qterms = (dft.withColumn("trk", F.row_number().over(w))
+              .filter(F.col("trk") <= 7)
+              .select(F.when(F.col("trk") <= 5, F.col("trk"))
+                      .otherwise(F.lit(6)).cast("long").alias("query_id"),
+                      "term"))
+    out = bm25_topk_terms(postings, qterms, k=10)
+    return out.select("query_id",
+                      F.col("key").cast("long").alias("doc_id"),
+                      "score_ppm", "n_terms_hit", "rnk")
+
+
 def q_text_quality(spark, sf_dir):
     from csvweb_spark.operators.text import quality_features
     docs = _load(spark, sf_dir, "documents")
@@ -4046,6 +4078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gopher": q_quality_gopher,
         "web_site_quality": q_web_site_quality,
         "tfidf_topk": q_tfidf_topk,
+        "bm25_topk": q_bm25_topk,
         "web_link_hosts": q_web_link_hosts,
         "web_anchor_aliases": q_web_anchor_aliases,
         "web_jsonld_triples": q_web_jsonld_triples,
@@ -7466,6 +7499,66 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT doc_id::bigint AS doc_id, term, tf, df_t, tfidf_ppm,
                    rnk::bigint AS rnk
             FROM r WHERE rnk <= 3
+        """,
+        "bm25_topk": """
+            WITH toks AS (
+                SELECT doc_id, CASE WHEN regexp_replace(lower(text),
+                                        '^\\s+|\\s+$', '', 'g') = ''
+                         THEN []::varchar[]
+                         ELSE string_split_regex(
+                                  regexp_replace(lower(text),
+                                                 '^\\s+|\\s+$', '', 'g'),
+                                  '\\s+') END AS tk
+                FROM documents),
+            pairs AS (
+                SELECT doc_id AS key, len(tk)::bigint AS dl,
+                       unnest(tk) AS term
+                FROM toks),
+            tf AS (
+                SELECT term, key, count(*)::bigint AS tf, max(dl) AS dl
+                FROM pairs GROUP BY term, key),
+            dft AS (
+                SELECT term, count(*)::bigint AS df FROM tf GROUP BY term),
+            stats AS (
+                SELECT count(*)::bigint AS n_docs,
+                       ((100 * sum(dl)) // count(*))::bigint AS avgdl_c
+                FROM (SELECT key, max(dl) AS dl FROM tf GROUP BY key)),
+            qt AS (
+                SELECT CASE WHEN trk <= 5 THEN trk
+                            ELSE 6 END::bigint AS query_id, term
+                FROM (SELECT term, row_number() OVER (
+                          ORDER BY df DESC, term ASC) AS trk FROM dft)
+                WHERE trk <= 7),
+            sc AS (
+                SELECT q.query_id, t.key,
+                       least(1000000000000,
+                             ((2 * (s.n_docs - d.df) + 1) * 1000000)
+                             // (2 * d.df + 1)) AS idf,
+                       t.tf * 1000000
+                       + (120 * (25 * 10000
+                                 + (75 * ((t.dl * 100000000) // s.avgdl_c))
+                                   // 100)) // 100 AS den,
+                       t.tf
+                FROM qt q
+                JOIN dft d USING (term)
+                JOIN tf t USING (term), stats s),
+            sc2 AS (
+                SELECT query_id, key,
+                       (idf * ((tf * 220 * 10000000000) // den))
+                       // 1000000 AS s
+                FROM sc),
+            per_doc AS (
+                SELECT query_id, key, sum(s)::bigint AS score_ppm,
+                       count(*)::bigint AS n_terms_hit
+                FROM sc2 GROUP BY query_id, key),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY score_ppm DESC, key ASC) AS rnk
+                FROM per_doc)
+            SELECT query_id, key::bigint AS doc_id, score_ppm,
+                   n_terms_hit, rnk::bigint AS rnk
+            FROM r WHERE rnk <= 10
         """,
         "doc_fingerprint": """
             WITH d AS (

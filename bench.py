@@ -565,6 +565,26 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     timed("tfidf_topk", lambda: tfidf_topk(
         docs.select("doc_id", "text"), k=3).count())
 
+    # BM25 retrieval over the inverted index (retrieval.py): index
+    # build + 6 corpus-derived queries + per-query top-10, end to end
+    from pyspark.sql import Window
+
+    from csvweb_spark.operators.retrieval import (
+        bm25_topk_terms, build_inverted_index, document_frequencies)
+
+    def _bm25():
+        postings = build_inverted_index(docs.select("doc_id", "text"))
+        dft = document_frequencies(postings)
+        w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+        qterms = (dft.withColumn("trk", F.row_number().over(w))
+                  .filter(F.col("trk") <= 7)
+                  .select(F.when(F.col("trk") <= 5, F.col("trk"))
+                          .otherwise(F.lit(6)).cast("long")
+                          .alias("query_id"), "term"))
+        return bm25_topk_terms(postings, qterms, k=10).count()
+
+    timed("bm25_topk", _bm25)
+
     # 10x-edge graph entries (r4 VERDICT item #9): the small chain+star
     # graph above measures per-round scheduling constants for the
     # iterative ops (rounds x ~10 jobs), not throughput - a real 2x
