@@ -1070,6 +1070,34 @@ def q_bm25_topk(spark, sf_dir):
                       "score_ppm", "n_terms_hit", "rnk")
 
 
+def q_bloom_prefilter(spark, sf_dir):
+    """Deterministic mergeable Bloom filter (sketches.bloom_build /
+    bloom_probe): the broadcastable runtime pre-filter for 100 TB
+    semi/anti-joins - build over the small side's keys (bitmap is
+    <= ceil(m/63) rows no matter the key count), probe the big side
+    with k chained bitmap joins (one row per input row; AQE broadcasts
+    the visible-size bitmap). No false negatives, so probe-misses are
+    safely dropped before the exact join. 63-bit words keep every
+    shifted mask positive in both engines (DuckDB's << overflows at
+    bit 63). Returns per-distinct-custkey (might_contain, is_member):
+    the oracle replays md5 positions + bit_or bitmap + bit tests."""
+    from csvweb_spark.operators.sketches import bloom_build, bloom_probe
+    m_bits, k = 1 << 14, 4
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    small = (cust.filter(F.col("c_custkey") % 2 == 0)
+             .select(F.col("c_custkey").alias("custkey")))
+    bl = bloom_build(small, "custkey", m_bits=m_bits, k=k)
+    probe = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    out = bloom_probe(probe, bl, "custkey", m_bits=m_bits, k=k)
+    return (out.join(small.withColumn("is_member", F.lit(True)),
+                     "custkey", "left")
+            .select(F.col("custkey").cast("long").alias("custkey"),
+                    "might_contain",
+                    F.coalesce("is_member", F.lit(False))
+                    .alias("is_member")))
+
+
 def q_text_quality(spark, sf_dir):
     from csvweb_spark.operators.text import quality_features
     docs = _load(spark, sf_dir, "documents")
@@ -4079,6 +4107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_site_quality": q_web_site_quality,
         "tfidf_topk": q_tfidf_topk,
         "bm25_topk": q_bm25_topk,
+        "bloom_prefilter": q_bloom_prefilter,
         "web_link_hosts": q_web_link_hosts,
         "web_anchor_aliases": q_web_anchor_aliases,
         "web_jsonld_triples": q_web_jsonld_triples,
@@ -7559,6 +7588,40 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT query_id, key::bigint AS doc_id, score_ppm,
                    n_terms_hit, rnk::bigint AS rnk
             FROM r WHERE rnk <= 10
+        """,
+        "bloom_prefilter": """
+            WITH small AS (
+                SELECT c_custkey AS ck FROM customer
+                WHERE c_custkey % 2 = 0),
+            hashes AS (
+                SELECT i, ck,
+                       ('0x' || substr(md5(i::varchar || ':'
+                                       || ck::varchar), 1, 15))::BIGINT
+                       % 16384 AS p
+                FROM small, (VALUES (0), (1), (2), (3)) t(i)),
+            bitmap AS (
+                SELECT p // 63 AS word_ix,
+                       bit_or(1::BIGINT << (p % 63)::INT) AS word
+                FROM hashes GROUP BY p // 63),
+            probe AS (SELECT DISTINCT o_custkey AS ck FROM orders),
+            pp AS (
+                SELECT ck, i,
+                       ('0x' || substr(md5(i::varchar || ':'
+                                       || ck::varchar), 1, 15))::BIGINT
+                       % 16384 AS p
+                FROM probe, (VALUES (0), (1), (2), (3)) t(i)),
+            tests AS (
+                SELECT pp.ck,
+                       coalesce((b.word & (1::BIGINT << (pp.p % 63)::INT))
+                                = (1::BIGINT << (pp.p % 63)::INT),
+                                FALSE) AS hit
+                FROM pp LEFT JOIN bitmap b ON pp.p // 63 = b.word_ix),
+            agg AS (
+                SELECT ck, bool_and(hit) AS might_contain
+                FROM tests GROUP BY ck)
+            SELECT a.ck::bigint AS custkey, a.might_contain,
+                   (s.ck IS NOT NULL) AS is_member
+            FROM agg a LEFT JOIN small s ON a.ck = s.ck
         """,
         "doc_fingerprint": """
             WITH d AS (

@@ -585,6 +585,19 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
 
     timed("bm25_topk", _bm25)
 
+    # deterministic Bloom filter: build over the doc-id key set, probe
+    # every lineitem row (duplicates kept - the realistic big-side
+    # runtime-filter probe: k chained bitmap joins, no explode/regroup)
+    from csvweb_spark.operators.sketches import bloom_build, bloom_probe
+
+    def _bloom():
+        bl = bloom_build(docs.select("doc_id"), "doc_id",
+                         m_bits=1 << 20, k=4)
+        return bloom_probe(li.select("l_orderkey"), bl, "l_orderkey",
+                           m_bits=1 << 20, k=4).count()
+
+    timed("bloom_prefilter", _bloom)
+
     # 10x-edge graph entries (r4 VERDICT item #9): the small chain+star
     # graph above measures per-round scheduling constants for the
     # iterative ops (rounds x ~10 jobs), not throughput - a real 2x

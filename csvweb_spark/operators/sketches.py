@@ -215,3 +215,107 @@ def table_fingerprint(df: DataFrame, cols: list | None = None,
             .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
                  F.sum(F.col("_h").cast("decimal(38,0)"))
                  .alias("hash_sum")))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (deterministic, mergeable, SQL-replayable)
+# ---------------------------------------------------------------------------
+
+def bloom_build(df: DataFrame, value_col: str,
+                m_bits: int = 1 << 20, k: int = 4) -> DataFrame:
+    """Mergeable Bloom-filter bitmap over a key column: (word_ix, word)
+    rows, word = OR of bit (pos mod 63) for every set position in that
+    word.  Words carry 63 bits, not 64: bit 63 would need 1<<63, which
+    overflows DuckDB's checked shift and flips the sign bit in Spark -
+    63-bit words keep every mask positive in BOTH engines, for the cost
+    of ~1.6% more rows.  At most ceil(m_bits/63) rows - a 1M-bit filter
+    is ~16.6k rows (~130 KB), broadcastable no matter how many keys
+    went in.
+
+    This is the runtime-filter pattern for 100 TB joins: build the
+    filter over the SMALL side's keys, broadcast it, and pre-filter the
+    big side before the shuffle - `bloom_probe` has NO false negatives,
+    so dropping probe-misses before a semi-join (or before the exact
+    recheck of an anti-join) is sound; false positives only cost a
+    recheck row.  Spark's own BloomFilterAggregate does this opaquely
+    in the JVM; this one is deterministic (shared md5 base hash) and
+    bit-for-bit replayable by the SQL oracle.
+
+    Positions: h_i(x) = md5_hash60(i || ':' || x) mod m_bits for
+    i in 0..k-1 - k independent draws from the shared cross-engine
+    hash family (DuckDB: ('0x'||substr(md5(i||':'||x),1,15))::bigint).
+
+    Scale shape: one narrow projection (k positions per key via an
+    inline array + explode), then ONE map-side-combinable groupBy on
+    <= m_bits/64 uniform word keys: each map task forwards at most
+    m_bits/64 partially-OR'd words regardless of input size.  Merging
+    two filters (same m_bits, k) = union + groupBy bit_or - the
+    sketch-of-union property holds exactly (OR is idempotent,
+    commutative, associative)."""
+    from .dedup import md5_hash60
+
+    if m_bits < 63:
+        raise ValueError("m_bits must be >= 63")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    v = F.col(value_col).cast("string")
+    pos = F.array(*[
+        F.pmod(md5_hash60(F.concat(F.lit(f"{i}:"), v)), F.lit(m_bits))
+        for i in range(k)])
+    return (df.select(F.explode(pos).alias("_p"))
+            .select(F.expr("_p div 63").cast("long").alias("word_ix"),
+                    F.expr("shiftleft(1L, CAST(_p % 63 AS INT))")
+                    .alias("_w"))
+            .groupBy("word_ix")
+            .agg(F.bit_or("_w").alias("word")))
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two bitmaps built with the SAME (m_bits, k): OR per word.
+    merge(build(X), build(Y)) == build(X union Y), exactly."""
+    return (a.unionByName(b).groupBy("word_ix")
+            .agg(F.bit_or("word").alias("word")))
+
+
+def bloom_probe(df: DataFrame, bloom: DataFrame, value_col: str,
+                m_bits: int = 1 << 20, k: int = 4) -> DataFrame:
+    """Membership test: input rows + a `might_contain` boolean.  False
+    => definitely absent (the soundness the anti-join prefilter rides);
+    true => present or a false positive (~(1-e^{-kn/m})^k rate).
+
+    Plan: k chained left equi-joins of the input against the bitmap
+    (one per hash, each on a different derived word index) - the probe
+    stays ONE ROW PER INPUT ROW throughout (duplicates keep their
+    multiplicity; no explode + wide re-group shuffling every column),
+    and each join's build side is the <= m_bits/64-row bitmap, which
+    AQE broadcasts from its visible size (no explicit hint - the
+    round-4 rule: sizes Catalyst can see decide).  A missing word row
+    means the bit was never set (coalesce -> False)."""
+    from functools import reduce
+
+    from .dedup import md5_hash60
+
+    if m_bits < 63:
+        raise ValueError("m_bits must be >= 63")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    for c in df.columns:
+        if c.startswith("_wx") or c.startswith("_w") or c == "word_ix":
+            raise ValueError(f"column {c!r} collides with probe internals")
+    v = F.col(value_col).cast("string")
+    out = df
+    tests = []
+    for i in range(k):
+        p = F.pmod(md5_hash60(F.concat(F.lit(f"{i}:"), v)), F.lit(m_bits))
+        out = (out.withColumn(f"_p{i}", p)
+               .withColumn(f"_wx{i}",
+                           F.expr(f"_p{i} div 63").cast("long"))
+               .withColumn(f"_m{i}", F.expr(
+                   f"shiftleft(1L, CAST(_p{i} % 63 AS INT))")))
+        side = bloom.select(F.col("word_ix").alias(f"_wx{i}"),
+                            F.col("word").alias(f"_w{i}"))
+        out = out.join(side, f"_wx{i}", "left")
+        tests.append(F.coalesce(
+            F.expr(f"(_w{i} & _m{i}) = _m{i}"), F.lit(False)))
+    might = reduce(lambda a, b: a & b, tests)
+    return out.select(*df.columns, might.alias("might_contain"))
