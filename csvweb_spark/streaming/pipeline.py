@@ -1190,3 +1190,93 @@ def compact_warc_pages(spark: SparkSession, output_dir: str,
     (crash-safe protocol of _compact_state)."""
     return _compact_state(spark, output_dir, WARC_PAGES_SUBDIR,
                           read_warc_pages, batch_id)
+
+
+POSTINGS_STATE_SUBDIR = "_state/postings"
+
+
+def read_inverted_index(spark: SparkSession,
+                        output_dir: str) -> Optional[DataFrame]:
+    """The cumulative inverted index maintained by
+    stream_inverted_index: the UNION of every committed posting delta
+    (term, key, tf, dl).  Document keys are append-only by contract
+    (each doc lands once - the landing pipeline's exactly-once
+    guarantee upstream), so the union IS retrieval.build_inverted_index
+    of the ingested corpus - no merge aggregation needed; feed it
+    straight into retrieval.bm25_topk_terms (document frequencies and
+    corpus stats recompute from the postings at query time, so idf and
+    dl normalization always reflect the whole corpus so far).  None
+    before the first commit."""
+    from ..plans.fs import fs_for
+
+    fs = fs_for(output_dir, spark)
+    dirs = [p for _, p in
+            _batch_dirs(fs, fs.join(output_dir, POSTINGS_STATE_SUBDIR))]
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
+def stream_inverted_index(spark: SparkSession, input_dir: str,
+                          output_dir: str, checkpoint_dir: str,
+                          schema: str = "doc_id long, text string",
+                          text_col: str = "text", key_col: str = "doc_id",
+                          max_files_per_trigger: Optional[int] = None,
+                          available_now: bool = True,
+                          batch_hook=None):
+    """Continuously-maintained BM25 index: documents arrive as a
+    stream, each micro-batch writes ONLY its own posting delta
+    (retrieval.build_inverted_index over the batch - one scan, text
+    never shuffles) to _state/postings/batch=<dir id>/.  Stateless per
+    batch: no committed-state read, no join - the same additive-delta
+    protocol as stream_web_graph, because postings of disjoint doc
+    sets compose by plain union.  A torn delta dir (no _SUCCESS) is
+    invisible to readers; a redelivered batch overwrites its own dir
+    idempotently; `compact_inverted_index` folds the dirs behind the
+    shared crash-safe offset protocol when their count overtakes the
+    read fan-in budget.
+
+    Scale: a delta is bounded by the batch's distinct (doc, term)
+    pairs; the full trillion-posting index only materializes
+    distributed at read time.  Re-crawled/revised documents are OUT of
+    this operator's contract (append-only keys) - route revisions
+    through stream_latest_assertions-style supersede upstream and
+    rebuild their postings, or tombstone at query time."""
+    from ..operators.retrieval import build_inverted_index
+    from ..plans.fs import fs_for
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    fs = fs_for(output_dir, spark)
+
+    def process(batch_df, batch_id):
+        if batch_hook is not None:
+            batch_hook(batch_id, "start")
+        root = fs.join(output_dir, POSTINGS_STATE_SUBDIR)
+        delta = build_inverted_index(
+            batch_df.select(key_col, text_col), text_col, key_col)
+        if not delta.take(1):
+            if batch_hook is not None:
+                batch_hook(batch_id, "done")
+            return
+        dir_id = batch_id + _compact_offset(fs, root)
+        delta.write.mode("overwrite").parquet(
+            fs.join(root, f"batch={dir_id}"))
+        if batch_hook is not None:
+            batch_hook(batch_id, "done")
+
+    writer = (stream.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_inverted_index(spark: SparkSession, output_dir: str,
+                           batch_id: Optional[int] = None) -> int:
+    """Fold the posting deltas into one consolidated partition
+    (crash-safe protocol of _compact_state)."""
+    return _compact_state(spark, output_dir, POSTINGS_STATE_SUBDIR,
+                          read_inverted_index, batch_id)

@@ -1094,3 +1094,70 @@ def test_stream_table_fingerprint_matches_batch_recompute(spark, tmp_path):
     dirs = sorted(d for d in os.listdir(state_root)
                   if d.startswith("batch="))
     assert f"batch={cid}" in dirs and len(dirs) == 2
+
+
+def test_stream_inverted_index_matches_batch_build(spark, tmp_path):
+    """Streaming BM25 index maintenance: per-batch posting deltas union
+    to EXACTLY the batch build over the ingested corpus (append-only
+    keys), BM25 retrieval over the streamed index equals retrieval over
+    the batch index, and compaction + resume keep accumulating."""
+    import os
+
+    from csvweb_spark.operators.retrieval import (bm25_topk_terms,
+                                                  build_inverted_index)
+    from csvweb_spark.streaming.pipeline import (compact_inverted_index,
+                                                 read_inverted_index,
+                                                 stream_inverted_index)
+
+    docs_dir = str(tmp_path / "docs")
+    out = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(docs_dir)
+    schema = "doc_id long, text string"
+
+    def add_batch_file(name, rows):
+        stage = f"{tmp_path}/_stage_{name}"
+        spark.createDataFrame(rows, schema) \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage)
+                if f.endswith(".parquet")][0]
+        os.rename(f"{stage}/{part}", f"{docs_dir}/{name}.parquet")
+
+    b0 = [(1, "apple banana apple"), (2, "banana cherry")]
+    b1 = [(3, "apple fig"), (4, "")]
+    add_batch_file("b0", b0)
+    add_batch_file("b1", b1)
+    q = stream_inverted_index(spark, docs_dir, out, ckpt,
+                              max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    streamed = read_inverted_index(spark, out)
+    batch = build_inverted_index(
+        spark.createDataFrame(b0 + b1, schema))
+    assert sorted(map(tuple, streamed.collect())) == \
+        sorted(map(tuple, batch.collect()))
+
+    # retrieval over the streamed index == retrieval over a batch build
+    qterms = spark.createDataFrame([(1, "apple"), (1, "banana")],
+                                   "query_id long, term string")
+    a = sorted(map(tuple, bm25_topk_terms(streamed, qterms, k=10)
+                   .select("query_id", "key", "score_ppm").collect()))
+    b = sorted(map(tuple, bm25_topk_terms(batch, qterms, k=10)
+                   .select("query_id", "key", "score_ppm").collect()))
+    assert a == b and len(a) == 3
+
+    # compact, resume with a new batch: union keeps accumulating
+    cid = compact_inverted_index(spark, out)
+    add_batch_file("b2", [(5, "banana banana")])
+    q2 = stream_inverted_index(spark, docs_dir, out, ckpt,
+                               max_files_per_trigger=1)
+    q2.awaitTermination(180)
+    final = read_inverted_index(spark, out)
+    full = build_inverted_index(
+        spark.createDataFrame(b0 + b1 + [(5, "banana banana")], schema))
+    assert sorted(map(tuple, final.collect())) == \
+        sorted(map(tuple, full.collect()))
+    state_root = os.path.join(out, "_state", "postings")
+    dirs = sorted(d for d in os.listdir(state_root)
+                  if d.startswith("batch="))
+    assert f"batch={cid}" in dirs and len(dirs) == 2
