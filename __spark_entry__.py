@@ -1098,6 +1098,21 @@ def q_bloom_prefilter(spark, sf_dir):
                     .alias("is_member")))
 
 
+def q_token_drift(spark, sf_dir):
+    """Per-source unigram-distribution drift vs the corpus
+    (text.token_drift): goodness-of-fit over the top-64 corpus terms +
+    OTHER bucket, integer ppm rate statistic (chi-square shape; the
+    classical float chi2 column is projected away - outside the hash
+    gate). Absent categories fold algebraically (no group x vocabulary
+    zero cells); one explode, map-side-combinable aggs, V-row broadcast
+    dimension join."""
+    from csvweb_spark.operators.text import token_drift
+    docs = _load(spark, sf_dir, "documents")
+    return (token_drift(docs.select("source", "text"), "source",
+                        top_v=64)
+            .select("source", "n_tokens", "n_cats_present", "drift_ppm"))
+
+
 def q_text_quality(spark, sf_dir):
     from csvweb_spark.operators.text import quality_features
     docs = _load(spark, sf_dir, "documents")
@@ -4108,6 +4123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "bm25_topk": q_bm25_topk,
         "bloom_prefilter": q_bloom_prefilter,
+        "token_drift": q_token_drift,
         "web_link_hosts": q_web_link_hosts,
         "web_anchor_aliases": q_web_anchor_aliases,
         "web_jsonld_triples": q_web_jsonld_triples,
@@ -7622,6 +7638,71 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT a.ck::bigint AS custkey, a.might_contain,
                    (s.ck IS NOT NULL) AS is_member
             FROM agg a LEFT JOIN small s ON a.ck = s.ck
+        """,
+        "token_drift": """
+            WITH toks AS (
+                SELECT source AS grp, unnest(
+                    CASE WHEN regexp_replace(lower(text),
+                                             '^\\s+|\\s+$', '', 'g') = ''
+                         THEN []::varchar[]
+                         ELSE string_split_regex(
+                                  regexp_replace(lower(text),
+                                                 '^\\s+|\\s+$', '', 'g'),
+                                  '\\s+') END) AS term
+                FROM documents),
+            cells AS (
+                SELECT grp, term, count(*)::bigint AS obs
+                FROM toks GROUP BY grp, term),
+            corpus AS (
+                SELECT term, sum(obs)::bigint AS ct
+                FROM cells GROUP BY term),
+            nc AS (SELECT sum(ct)::bigint AS n_corpus FROM corpus),
+            topv AS (
+                SELECT term, ct FROM corpus
+                ORDER BY ct DESC, term ASC LIMIT 64),
+            tot AS (
+                SELECT (SELECT n_corpus FROM nc) AS n_corpus,
+                       sum(ct)::bigint AS ct_top,
+                       sum((ct * 1000000)
+                           // (SELECT n_corpus FROM nc))::bigint
+                       AS rc_top_sum
+                FROM topv),
+            gt AS (
+                SELECT grp, sum(obs)::bigint AS n_g
+                FROM cells GROUP BY grp),
+            pc AS (
+                SELECT c.grp, c.obs,
+                       (c.obs * 1000000) // g.n_g AS r_g,
+                       (t.ct * 1000000)
+                       // (SELECT n_corpus FROM nc) AS r_c
+                FROM cells c
+                JOIN topv t USING (term)
+                JOIN gt g USING (grp)),
+            folded AS (
+                SELECT grp, count(*)::bigint AS n_cats_present,
+                       sum(((r_g - r_c) * (r_g - r_c))
+                           // greatest(r_c, 1))::bigint AS present_ppm,
+                       sum(r_c)::bigint AS rc_present,
+                       sum(obs)::bigint AS obs_present
+                FROM pc GROUP BY grp),
+            fl AS (
+                SELECT g.grp, g.n_g,
+                       coalesce(f.n_cats_present, 0)::bigint
+                           AS n_cats_present,
+                       coalesce(f.present_ppm, 0) AS present_ppm,
+                       coalesce(f.rc_present, 0) AS rc_present,
+                       coalesce(f.obs_present, 0) AS obs_present,
+                       t.n_corpus, t.ct_top, t.rc_top_sum,
+                       ((g.n_g - coalesce(f.obs_present, 0)) * 1000000)
+                       // g.n_g AS rg_o,
+                       ((t.n_corpus - t.ct_top) * 1000000)
+                       // t.n_corpus AS rc_o
+                FROM gt g LEFT JOIN folded f USING (grp), tot t)
+            SELECT grp AS source, n_g AS n_tokens, n_cats_present,
+                   (present_ppm + (rc_top_sum - rc_present)
+                    + ((rg_o - rc_o) * (rg_o - rc_o))
+                      // greatest(rc_o, 1))::bigint AS drift_ppm
+            FROM fl
         """,
         "doc_fingerprint": """
             WITH d AS (

@@ -598,6 +598,12 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
 
     timed("bloom_prefilter", _bloom)
 
+    # per-source unigram-distribution drift audit (explode + map-side
+    # aggs + V-row broadcast dimension + per-group fold)
+    from csvweb_spark.operators.text import token_drift
+    timed("token_drift", lambda: token_drift(
+        docs.select("source", "text"), "source", top_v=256).count())
+
     # 10x-edge graph entries (r4 VERDICT item #9): the small chain+star
     # graph above measures per-round scheduling constants for the
     # iterative ops (rounds x ~10 jobs), not throughput - a real 2x

@@ -1027,3 +1027,120 @@ def bpe_token_counts(df: DataFrame, merges: list,
         return s.map(doc_count)
 
     return df.withColumn(out_col, _count(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution drift (per-group goodness-of-fit vs the corpus)
+# ---------------------------------------------------------------------------
+
+def token_drift(df: DataFrame, group_col: str, text_col: str = "text",
+                top_v: int = 256) -> DataFrame:
+    """Per-group unigram-distribution drift vs the whole corpus - the
+    audit that catches templated/spam/machine-generated hosts whose
+    token mix diverges from the corpus even when per-document gates
+    (Gopher, LM score) pass: a goodness-of-fit statistic over the
+    corpus's `top_v` most frequent terms plus one OTHER bucket, so the
+    full token mass is tested, not just the head.
+
+    Output (group, n_tokens, n_cats_present, drift_ppm, chi2):
+    `drift_ppm` is the hash-gated integer statistic
+        sum over categories of (r_g - r_c)^2 div max(r_c, 1)
+    with r_g = obs*10^6 div n_g (the group's per-million-token rate)
+    and r_c = ct*10^6 div N (the corpus rate) - the chi-square SHAPE
+    over rates (multiply by n_g/10^6 for the classical scaling), kept
+    n-free so every intermediate fits a long (rates <= 10^6, squared
+    diffs <= 10^12); the same ppm-surrogate policy as tfidf_topk.
+    `chi2` is the classical float statistic over the same categories
+    (sum (obs - n_g*p_c)^2 / (n_g*p_c)), alongside, outside the hash
+    gate. Ranking by either flags the same tails; the integer one is
+    engine-exact.
+
+    Absent top-V categories contribute exactly r_c ((0-r_c)^2/r_c) and
+    are folded ALGEBRAICALLY: per-term floors happen once on the
+    corpus side, so sum over a group's absent terms = (corpus top-V
+    rate sum) - (group's present r_c sum) - zero cells are never
+    materialized, no group x vocabulary explosion.
+
+    Scale shape: one token explode feeding two map-side-combinable
+    aggregates ((group, term) cells; corpus term counts), a global
+    top-V cut on the vocabulary (V rows survive; count desc, term asc
+    ties - deterministic), cells join the V-row dimension (broadcast
+    by visible size), one per-group fold, one left join putting
+    no-top-V-token groups back. Corpus totals ride as a broadcast
+    1-row cross join (the pagerank dangling-mass pattern)."""
+    if top_v < 1:
+        raise ValueError("top_v must be >= 1")
+    toks = df.select(F.col(group_col).alias("_grp"),
+                     F.explode(whitespace_tokens(F.col(text_col)))
+                     .alias("term"))
+    cells = toks.groupBy("_grp", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("obs"))
+    corpus = cells.groupBy("term").agg(F.sum("obs").alias("ct"))
+    topv = (corpus.orderBy(F.col("ct").desc(), F.col("term").asc())
+            .limit(top_v))
+    n_corpus = corpus.agg(F.sum("ct").alias("n_corpus"))
+    # 1-row totals: corpus size, top-V mass, top-V per-term rate sum
+    tot = (topv.crossJoin(F.broadcast(n_corpus))
+           .agg(F.max("n_corpus").alias("n_corpus"),
+                F.sum("ct").alias("ct_top"),
+                F.sum(F.expr("(ct * 1000000) div n_corpus"))
+                .alias("rc_top_sum")))
+    grp_tot = cells.groupBy("_grp").agg(F.sum("obs").alias("n_g"))
+    per_cell = (cells.join(topv, "term")
+                .join(grp_tot, "_grp")
+                .crossJoin(F.broadcast(n_corpus))
+                .select(
+                    "_grp", "obs", "ct",
+                    F.expr("(obs * 1000000) div n_g").alias("r_g"),
+                    F.expr("(ct * 1000000) div n_corpus").alias("r_c"),
+                    F.expr("CAST(n_g AS DOUBLE) * ct / n_corpus")
+                    .alias("_e")))
+    folded = (per_cell
+              .select("_grp", "obs", "ct", "r_c", "_e",
+                      F.expr("((r_g - r_c) * (r_g - r_c)) "
+                             "div greatest(r_c, 1L)").alias("_cp"))
+              .groupBy("_grp")
+              .agg(F.count(F.lit(1)).cast("long")
+                   .alias("n_cats_present"),
+                   F.sum("_cp").alias("_present_ppm"),
+                   F.sum("r_c").alias("_rc_present"),
+                   F.sum("obs").alias("_obs_present"),
+                   F.sum("ct").alias("_ct_present"),
+                   F.sum(F.expr("(obs - _e) * (obs - _e) / _e"))
+                   .alias("_chi2_present")))
+    # groups whose tokens all fall outside the top V still get a row
+    full = (grp_tot.join(folded, "_grp", "left")
+            .select("_grp", "n_g",
+                    *[F.coalesce(c, F.lit(0)).cast("long").alias(c)
+                      for c in ("n_cats_present", "_present_ppm",
+                                "_rc_present", "_obs_present",
+                                "_ct_present")],
+                    F.coalesce("_chi2_present", F.lit(0.0))
+                    .alias("_chi2_present"))
+            .crossJoin(F.broadcast(tot)))
+    other = full.select(
+        "*",
+        F.expr("((n_g - _obs_present) * 1000000) div n_g")
+        .alias("_rg_o"),
+        F.expr("((n_corpus - ct_top) * 1000000) div n_corpus")
+        .alias("_rc_o"),
+        F.expr("CAST(n_g AS DOUBLE) * (n_corpus - ct_top) / n_corpus")
+        .alias("_e_o"))
+    return other.select(
+        F.col("_grp").alias(group_col),
+        F.col("n_g").alias("n_tokens"),
+        "n_cats_present",
+        (F.col("_present_ppm")
+         + (F.col("rc_top_sum") - F.col("_rc_present"))
+         + F.expr("((_rg_o - _rc_o) * (_rg_o - _rc_o)) "
+                  "div greatest(_rc_o, 1L)")).cast("long")
+        .alias("drift_ppm"),
+        (F.col("_chi2_present")
+         # absent top-V cells: (0 - e)^2 / e = e, summed = n_g * (top-V
+         # mass not present) / N
+         + F.expr("CAST(n_g AS DOUBLE) * (ct_top - _ct_present) "
+                  "/ n_corpus")
+         + F.when(F.col("n_corpus") > F.col("ct_top"), F.expr(
+             "((n_g - _obs_present) - _e_o) "
+             "* ((n_g - _obs_present) - _e_o) / _e_o"))
+         .otherwise(F.lit(0.0))).alias("chi2"))

@@ -1,5 +1,6 @@
 """HTML -> text extraction (sources/webtext.py)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from csvweb_spark.sources.webtext import (escape_html, extract_page_text,
@@ -474,3 +475,92 @@ def test_bpe_train_and_count_hand_computed(spark):
     # low -> [low</w>] = 1; lowest -> [lowe, s, t, </w>] = 4;
     # banana: no merges apply -> 6 chars + </w> = 7
     assert out == {10: 1 + 4 + 7, 11: 0, 12: 0}
+
+
+def _drift_replay(groups, top_v):
+    """Independent pure-Python replay of token_drift's contract."""
+    from collections import Counter
+    corpus = Counter(t for ts in groups.values() for t in ts)
+    n = sum(corpus.values())
+    top = sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:top_v]
+    ct_top = sum(c for _, c in top)
+    rows = {}
+    for g, ts in groups.items():
+        cg = Counter(ts)
+        n_g = len(ts)
+        drift, chi2, present, obs_p = 0, 0.0, 0, 0
+        for t, c in top:
+            obs = cg.get(t, 0)
+            r_c = c * 10**6 // n
+            if obs:
+                present += 1
+                obs_p += obs
+                r_g = obs * 10**6 // n_g
+                drift += (r_g - r_c) ** 2 // max(r_c, 1)
+            else:
+                drift += r_c
+            e = n_g * c / n
+            chi2 += (obs - e) ** 2 / e
+        obs_o, ct_o = n_g - obs_p, n - ct_top
+        rg_o, rc_o = obs_o * 10**6 // n_g, ct_o * 10**6 // n
+        drift += (rg_o - rc_o) ** 2 // max(rc_o, 1)
+        if ct_o > 0:
+            e_o = n_g * ct_o / n
+            chi2 += (obs_o - e_o) ** 2 / e_o
+        rows[g] = (n_g, present, drift, chi2)
+    return rows
+
+
+def test_token_drift_matches_replay(spark):
+    from csvweb_spark.operators.text import token_drift
+    groups = {
+        "conforming": ["the", "a", "of", "the", "a", "cat", "dog"],
+        "spammy": ["buy", "buy", "buy", "now", "buy", "buy", "pills"],
+        "tiny": ["the"],
+    }
+    df = spark.createDataFrame(
+        [(g, " ".join(ts)) for g, ts in groups.items()],
+        "source string, text string")
+    got = {r.source: (r.n_tokens, r.n_cats_present, r.drift_ppm, r.chi2)
+           for r in token_drift(df, "source", top_v=3).collect()}
+    want = _drift_replay(groups, 3)
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g][:3] == want[g][:3], g
+        assert got[g][3] == pytest.approx(want[g][3], rel=1e-9), g
+
+
+def test_token_drift_flags_divergent_group(spark):
+    from csvweb_spark.operators.text import token_drift
+    # 9 groups share the corpus distribution; 1 is pure spam tokens
+    rows = [(f"h{i}", "the quick brown fox jumps over the lazy dog")
+            for i in range(9)]
+    rows.append(("spam", "viagra casino viagra casino viagra"))
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r.source: r.drift_ppm
+           for r in token_drift(df, "source", top_v=8).collect()}
+    assert out["spam"] == max(out.values())
+    assert out["spam"] > 10 * out["h0"]
+
+
+def test_token_drift_group_outside_top_v(spark):
+    from csvweb_spark.operators.text import token_drift
+    # group "odd" has NO top-1 token: still gets a row, absent + OTHER
+    # contributions only (replay-checked)
+    groups = {"main": ["x"] * 10 + ["y"], "odd": ["z", "w", "z"]}
+    df = spark.createDataFrame(
+        [(g, " ".join(ts)) for g, ts in groups.items()],
+        "source string, text string")
+    got = {r.source: (r.n_tokens, r.n_cats_present, r.drift_ppm, r.chi2)
+           for r in token_drift(df, "source", top_v=1).collect()}
+    want = _drift_replay(groups, 1)
+    assert got["odd"][:3] == want["odd"][:3]
+    assert got["odd"][1] == 0
+    assert got["main"][:3] == want["main"][:3]
+
+
+def test_token_drift_validates(spark):
+    from csvweb_spark.operators.text import token_drift
+    df = spark.createDataFrame([("a", "x")], "source string, text string")
+    with pytest.raises(ValueError):
+        token_drift(df, "source", top_v=0)
