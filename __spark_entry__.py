@@ -1113,6 +1113,25 @@ def q_token_drift(spark, sf_dir):
             .select("source", "n_tokens", "n_cats_present", "drift_ppm"))
 
 
+def q_pq_ann(spark, sf_dir):
+    """Product-quantization ANN end to end (similarity.pq_train /
+    pq_search_adc): subspace-grouped integer Lloyd trains 4 codebooks
+    of 4 centroids over 16-dim slices in ONE set of map-side shuffles
+    (sub rides every key), corpus rows become 4-long code words, and
+    the ADC search ranks them from per-query lookup tables without
+    touching raw vectors - the memory/IO half of billion-scale ANN
+    (IVF, LSH and brute force are the other entries). The oracle
+    replays seeding, the Lloyd round, encoding, LUTs and the ADC sum
+    bit-for-bit (the embed_kmeans unroll with `sub` added to every
+    key)."""
+    from csvweb_spark.operators.similarity import pq_search_adc, pq_train
+    emb = _load(spark, sf_dir, "embeddings")
+    codes, books = pq_train(emb, m=4, k=4, iterations=1)
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return pq_search_adc(queries, codes, books, k=5)
+
+
 def q_text_quality(spark, sf_dir):
     from csvweb_spark.operators.text import quality_features
     docs = _load(spark, sf_dir, "documents")
@@ -4124,6 +4143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bloom_prefilter": q_bloom_prefilter,
         "token_drift": q_token_drift,
+        "pq_ann": q_pq_ann,
         "web_link_hosts": q_web_link_hosts,
         "web_anchor_aliases": q_web_anchor_aliases,
         "web_jsonld_triples": q_web_jsonld_triples,
@@ -7703,6 +7723,79 @@ def _oracle_sql_literal() -> dict[str, str]:
                     + ((rg_o - rc_o) * (rg_o - rc_o))
                       // greatest(rc_o, 1))::bigint AS drift_ppm
             FROM fl
+        """,
+        "pq_ann": """
+            WITH q AS (
+                SELECT vec_id AS id,
+                       list_transform(embedding::DOUBLE[],
+                                      x -> floor(x*1000000)::BIGINT) AS v
+                FROM embeddings),
+            subs AS (SELECT unnest(range(0, 4)) AS sub),
+            sq AS (
+                SELECT id, sub, v[sub*16+1 : sub*16+16] AS sv
+                FROM q, subs),
+            seeds AS (
+                SELECT id, v, row_number() OVER (
+                    ORDER BY md5(id::VARCHAR), id) - 1 AS cell
+                FROM q QUALIFY cell < 4),
+            c0 AS (
+                SELECT sub, cell, v[sub*16+1 : sub*16+16] AS cv
+                FROM seeds, subs),
+            s0 AS (
+                SELECT sq.id, sq.sub, sq.sv, c.cell,
+                       list_sum(list_transform(list_zip(sq.sv, c.cv),
+                           p -> (p[1]-p[2])*(p[1]-p[2])))::BIGINT AS d
+                FROM sq JOIN c0 c USING (sub)),
+            a0 AS (
+                SELECT id, sub, sv, cell FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY id, sub
+                        ORDER BY d, cell) AS rn FROM s0)
+                WHERE rn = 1),
+            u0 AS (
+                SELECT sub, cell, i AS pos, sum(sv[i]) AS sm,
+                       count(*) AS c
+                FROM a0, LATERAL (SELECT unnest(range(1, len(sv) + 1))
+                                  AS i) t
+                GROUP BY 1, 2, 3),
+            n0 AS (
+                SELECT sub, cell, list((sm // c)::BIGINT ORDER BY pos)
+                       AS ncv
+                FROM u0 GROUP BY sub, cell),
+            c1 AS (
+                SELECT c.sub, c.cell, coalesce(n.ncv, c.cv) AS cv
+                FROM c0 c LEFT JOIN n0 n USING (sub, cell)),
+            sfin AS (
+                SELECT sq.id, sq.sub, c.cell,
+                       list_sum(list_transform(list_zip(sq.sv, c.cv),
+                           p -> (p[1]-p[2])*(p[1]-p[2])))::BIGINT AS d
+                FROM sq JOIN c1 c USING (sub)),
+            codes AS (
+                SELECT id, sub, cell FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY id, sub
+                        ORDER BY d, cell) AS rn FROM sfin)
+                WHERE rn = 1),
+            lut AS (
+                SELECT sq.id AS qid, sq.sub, c.cell,
+                       list_sum(list_transform(list_zip(sq.sv, c.cv),
+                           p -> (p[1]-p[2])*(p[1]-p[2])))::BIGINT AS d
+                FROM sq JOIN c1 c USING (sub)
+                WHERE sq.id < 3),
+            scored AS (
+                SELECT l.qid, cd.id AS key,
+                       sum(l.d)::BIGINT AS adc_dist
+                FROM codes cd JOIN lut l
+                  ON cd.sub = l.sub AND cd.cell = l.cell
+                GROUP BY l.qid, cd.id),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY qid
+                    ORDER BY adc_dist ASC, key ASC) AS rnk
+                FROM scored)
+            SELECT qid::BIGINT AS query_id, key::BIGINT AS vec_id,
+                   adc_dist, rnk::BIGINT AS rnk
+            FROM r WHERE rnk <= 5
         """,
         "doc_fingerprint": """
             WITH d AS (

@@ -604,6 +604,18 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     timed("token_drift", lambda: token_drift(
         docs.select("source", "text"), "source", top_v=256).count())
 
+    # PQ ANN end to end: train 8x16-dim codebooks (one subspace-grouped
+    # Lloyd), encode the corpus, ADC-rank 8 queries
+    from csvweb_spark.operators.similarity import pq_search_adc, pq_train
+
+    def _pq():
+        codes, books = pq_train(emb, m=8, k=16, iterations=1)
+        qs = (emb.filter(F.col("vec_id") < 8)
+              .select(F.col("vec_id").alias("query_id"), "embedding"))
+        return pq_search_adc(qs, codes, books, k=10).count()
+
+    timed("pq_ann", _pq)
+
     # 10x-edge graph entries (r4 VERDICT item #9): the small chain+star
     # graph above measures per-round scheduling constants for the
     # iterative ops (rounds x ~10 jobs), not throughput - a real 2x

@@ -408,3 +408,186 @@ def assign_to_centroids(df: DataFrame, centroids: DataFrame,
             .select(F.col("_id").alias(key_col),
                     F.col("b.cell").alias("cell"),
                     F.col("b.d").alias("dist")))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (compressed ANN: train / encode / ADC search)
+# ---------------------------------------------------------------------------
+
+def _subvectors(df: DataFrame, key_col: str, vec_col: str, m: int,
+                scale: int) -> DataFrame:
+    """(_id, sub, v): quantized subvectors - each embedding split into
+    `m` contiguous slices.  One narrow projection + explode; the slice
+    width is probed from one row (the dedup.py dim-probe precedent),
+    and a non-divisible dimension raises."""
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("empty input")
+    dim = first.d
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    w = dim // m
+    q = df.select(F.col(key_col).alias("_id"),
+                  quantize_vec(F.col(vec_col), scale).alias("_v"))
+    subs = F.array(*[
+        F.struct(F.lit(j).cast("long").alias("sub"),
+                 F.slice("_v", j * w + 1, w).alias("sv"))
+        for j in range(m)])
+    return (q.select("_id", F.explode(subs).alias("s"))
+            .select("_id", F.col("s.sub").alias("sub"),
+                    F.col("s.sv").alias("v")))
+
+
+def _sub_l2(a: str = "v", b: str = "cv") -> Column:
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def pq_train(df: DataFrame, m: int = 4, k: int = 16,
+             iterations: int = 2, key_col: str = "vec_id",
+             vec_col: str = "embedding", scale: int = 1_000_000):
+    """Product-quantization codebooks (Jegou et al. 2011): split each
+    embedding into `m` contiguous subvectors and k-means each subspace
+    - the memory-compression half of billion-scale ANN: a 768-dim
+    float vector becomes `m` small code ids (m longs here, m BYTES in
+    a packed layout), and `pq_search_adc` ranks candidates from
+    codebook lookup tables without ever touching raw vectors.
+
+    One subspace-grouped Lloyd instead of m separate jobs: subvector
+    rows carry a `sub` column, assignment joins the (m*k)-row codebook
+    dimension on `sub` (broadcast by visible size), updates aggregate
+    per (sub, cell, pos) - all m subspaces train in the same
+    map-side-combinable shuffles, and the SQL oracle replays the whole
+    thing as ONE kmeans unroll with `sub` added to every key (the
+    embed_kmeans oracle shape).  Shared deterministic seeding: the k
+    corpus rows with the smallest (md5(key), key) seed EVERY subspace
+    with their slices - same integer arithmetic, argmin ties to the
+    lowest cell, empty cells carry forward, fixed iterations (the
+    kmeans_lloyd contract, inherited trick for trick).
+
+    Returns (codes, codebooks): (key, codes array<long>, m entries in
+    subspace order) and (sub, cell, cv array<bigint>)."""
+    if k < 1 or iterations < 0:
+        raise ValueError("k >= 1 and iterations >= 0 required")
+    spark = df.sparkSession
+    subq = _subvectors(df, key_col, vec_col, m, scale)
+    seeds = (df.select(F.col(key_col).alias("_id"),
+                       quantize_vec(F.col(vec_col), scale).alias("v"))
+             .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+             .limit(k).collect())
+    dim = len(seeds[0].v)
+    w = dim // m
+    cents = spark.createDataFrame(
+        [(j, i, list(r.v[j * w:(j + 1) * w]))
+         for j in range(m) for i, r in enumerate(seeds)],
+        "sub bigint, cell bigint, cv array<bigint>")
+
+    def _assign(cents_df):
+        cand = (subq.join(F.broadcast(cents_df), "sub")
+                .select("_id", "sub", "v",
+                        F.struct(_sub_l2().alias("d"),
+                                 F.col("cell").alias("cell"),
+                                 F.col("v").alias("vv")).alias("s")))
+        return (cand.groupBy("_id", "sub").agg(F.min("s").alias("b"))
+                .select("_id", "sub", F.col("b.cell").alias("cell"),
+                        F.col("b.d").alias("dist"),
+                        F.col("b.vv").alias("v")))
+
+    for _ in range(iterations):
+        best = _assign(cents)
+        sums = (best.select("sub", "cell",
+                            F.posexplode("v").alias("pos", "val"))
+                .groupBy("sub", "cell", "pos")
+                .agg(F.sum("val").alias("s"),
+                     F.count(F.lit(1)).alias("c")))
+        newc = (sums.withColumn("cval", F.expr("s div c"))
+                .groupBy("sub", "cell")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("pos", "cval"))),
+                    lambda st: st["cval"]).alias("ncv")))
+        cents = (cents.join(newc, ["sub", "cell"], "left")
+                 .select("sub", "cell",
+                         F.coalesce("ncv", "cv").alias("cv"))
+                 .localCheckpoint(eager=True))
+    codes = (_assign(cents)
+             .groupBy("_id")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(
+                     F.struct("sub", "cell"))),
+                 lambda st: st["cell"]).alias("codes"))
+             .select(F.col("_id").alias(key_col), "codes"))
+    return codes, cents
+
+
+def pq_encode(df: DataFrame, codebooks: DataFrame,
+              key_col: str = "vec_id", vec_col: str = "embedding",
+              scale: int = 1_000_000) -> DataFrame:
+    """Encode NEW vectors against trained PQ codebooks - the
+    incremental path (identical arithmetic to training's final pass,
+    the assign_to_centroids contract).  Returns (key, codes)."""
+    probe = codebooks.agg(F.max("sub").alias("mx")).first()
+    m = int(probe.mx) + 1
+    subq = _subvectors(df, key_col, vec_col, m, scale)
+    cand = (subq.join(F.broadcast(codebooks), "sub")
+            .select("_id", "sub",
+                    F.struct(_sub_l2().alias("d"),
+                             F.col("cell").alias("cell")).alias("s")))
+    return (cand.groupBy("_id", "sub").agg(F.min("s").alias("b"))
+            .groupBy("_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("sub", F.col("b.cell").alias("cell")))),
+                lambda st: st["cell"]).alias("codes"))
+            .select(F.col("_id").alias(key_col), "codes"))
+
+
+def pq_search_adc(queries: DataFrame, codes: DataFrame,
+                  codebooks: DataFrame, k: int = 5,
+                  query_key_col: str = "query_id",
+                  vec_col: str = "embedding",
+                  key_col: str = "vec_id",
+                  scale: int = 1_000_000) -> DataFrame:
+    """Asymmetric-distance PQ search: rank the encoded corpus against
+    RAW query vectors through per-query lookup tables - the classic
+    ADC scan (Jegou et al. 2011).  Per query and subspace, the
+    distance to each codebook centroid is precomputed (Q*m*k rows -
+    tiny, broadcast by visible size); the corpus side only ever
+    touches its m-long codes: posexplode -> join the LUT on
+    (sub, code) -> one map-side-combinable sum per (query, key) ->
+    per-query top-k via partial WindowGroupLimit.  A 768-dim corpus
+    is ranked from m lookups per row instead of 768 multiplies, and
+    raw corpus vectors are never read - the memory/IO win that makes
+    billion-vector rerank pipelines feasible.  Exact integer
+    arithmetic end to end; ADC distance is an approximation OF the
+    true distance by construction (quantization error), which is the
+    operator's documented contract - rerank survivors with
+    ann_topk_bruteforce for exact final order.
+
+    Returns (query_key, key, adc_dist, rnk), ties (dist asc, key
+    asc)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    probe = codebooks.agg(F.max("sub").alias("mx")).first()
+    m = int(probe.mx) + 1
+    qsub = _subvectors(queries, query_key_col, vec_col, m, scale)
+    lut = (qsub.join(F.broadcast(codebooks), "sub")
+           .select(F.col("_id").alias("_qid"), "sub", "cell",
+                   _sub_l2().alias("d")))
+    probe_codes = (codes.select(F.col(key_col).alias("_key"),
+                                F.posexplode("codes")
+                                .alias("sub", "cell"))
+                   .withColumn("sub", F.col("sub").cast("long")))
+    scored = (probe_codes.join(lut, ["sub", "cell"])
+              .groupBy("_qid", "_key")
+              .agg(F.sum("d").cast("long").alias("adc_dist")))
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("adc_dist").asc(), F.col("_key").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(F.col("_qid").alias(query_key_col),
+                    F.col("_key").alias(key_col),
+                    "adc_dist", F.col("rnk").cast("long").alias("rnk")))
