@@ -4073,6 +4073,47 @@ def q_web_robots_filter(spark, sf_dir):
     return out.select("url", "allowed")
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (the missing half of the BPE
+    family - `bpe_token_counts` encoded under a DRIVER-trained merge
+    list until now): 6 merge rounds over the corpus word-frequency
+    table, each round one map-side-combinable pair-count shuffle + a
+    1-row winner election, merges applied as a narrow array fold.
+    Output = the ordered merge table. The oracle replays every round
+    end-to-end (pair counts, (cnt DESC, a, b) winner election, greedy
+    left-to-right application via run-parity windows) with no injected
+    constants - upgrading the BPE family from unit-tested to
+    oracle-gated."""
+    from csvweb_spark.operators.text import (train_bpe_distributed,
+                                             word_frequencies)
+    docs = _load(spark, sf_dir, "documents")
+    merges, syms = train_bpe_distributed(word_frequencies(docs), 6)
+    syms.unpersist()
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank long, left_sym string, right_sym string")
+
+
+def q_bpe_vocab(spark, sf_dir):
+    """Learned-subword vocabulary after the 6 trained merges: top-50
+    symbols by corpus frequency (ties by symbol). This is the
+    DISTRIBUTED check of the merge-application fold (`bpe_merge_pair`):
+    a wrong greedy scan anywhere in any round changes symbol counts and
+    breaks the hash."""
+    from csvweb_spark.operators.text import (bpe_symbol_frequencies,
+                                             train_bpe_distributed,
+                                             word_frequencies)
+    docs = _load(spark, sf_dir, "documents")
+    merges, syms = train_bpe_distributed(word_frequencies(docs), 6)
+    out = (bpe_symbol_frequencies(syms)
+           .orderBy(F.col("cnt").desc(), F.col("symbol").asc())
+           .limit(50)
+           .select("symbol", F.col("cnt").cast("long").alias("cnt")))
+    rows = out.collect()
+    syms.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4144,6 +4185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prefilter": q_bloom_prefilter,
         "token_drift": q_token_drift,
         "pq_ann": q_pq_ann,
+        "bpe_train": q_bpe_train,
+        "bpe_vocab": q_bpe_vocab,
         "web_link_hosts": q_web_link_hosts,
         "web_anchor_aliases": q_web_anchor_aliases,
         "web_jsonld_triples": q_web_jsonld_triples,
@@ -4616,6 +4659,85 @@ def _ppr_oracle_sql(iterations: int = 3, damping_bp: int = 8500,
             {",".join(steps)}
             SELECT node::BIGINT AS node, rank
             FROM pr{iterations} WHERE rank > 0"""
+
+
+def _bpe_oracle_cte(rounds: int = 6) -> str:
+    """Unrolled-SQL replay of text.train_bpe_distributed over the
+    documents word-frequency table: per round, pair counts via a
+    pos/pos+1 self-join, winner = ORDER BY cnt DESC, a, b LIMIT 1
+    (DuckDB and Spark both compare strings by UTF-8 code point, so the
+    tie rule is engine-exact), and GREEDY left-to-right application via
+    windows - consecutive-occurrence runs (only possible when a = b)
+    take alternate starts (run id = pos - row_number over occurrence
+    rows; odd row_number within the run merges), rows consumed as a
+    merge's right half drop, positions re-rank densely so the next
+    round's pos+1 adjacency join stays valid. s{r}/best{r} are
+    MATERIALIZED: each is referenced 3x per round and DuckDB inlines
+    plain CTEs (the kcore lesson: unmaterialized means exponential
+    replay of the whole chain)."""
+    ctes = [
+        """tok AS (
+            SELECT unnest(CASE WHEN regexp_replace(lower(text),
+                              '^\\s+|\\s+$', '', 'g') = ''
+                          THEN []::VARCHAR[]
+                          ELSE string_split_regex(
+                              regexp_replace(lower(text),
+                                  '^\\s+|\\s+$', '', 'g'),
+                              '\\s+') END) AS word
+            FROM documents)""",
+        """wf AS MATERIALIZED (
+            SELECT word, count(*)::BIGINT AS n FROM tok GROUP BY word)""",
+        """s0 AS MATERIALIZED (
+            SELECT word, n, i AS pos,
+                   CASE WHEN i < length(word)
+                        THEN substr(word, i + 1, 1)
+                        ELSE '</w>' END AS sym
+            FROM wf, LATERAL (SELECT unnest(range(length(word) + 1))
+                              AS i) t)""",
+    ]
+    for r in range(rounds):
+        ctes += [
+            f"""pr{r} AS (
+                SELECT x.sym AS a, y.sym AS b, sum(x.n)::BIGINT AS cnt
+                FROM s{r} x JOIN s{r} y
+                  ON x.word = y.word AND y.pos = x.pos + 1
+                GROUP BY 1, 2)""",
+            f"""best{r} AS MATERIALIZED (
+                SELECT a, b FROM pr{r} ORDER BY cnt DESC, a, b LIMIT 1)""",
+            f"""occ{r} AS (
+                SELECT word, n, pos, sym,
+                       coalesce(sym = (SELECT a FROM best{r})
+                                AND lead(sym) OVER (PARTITION BY word
+                                    ORDER BY pos)
+                                    = (SELECT b FROM best{r}),
+                                false) AS is_occ
+                FROM s{r})""",
+            f"""run{r} AS (
+                SELECT word, n, pos, sym, is_occ,
+                       CASE WHEN is_occ THEN pos - row_number() OVER
+                            (PARTITION BY word, is_occ ORDER BY pos)
+                       END AS grp
+                FROM occ{r})""",
+            f"""ch{r} AS (
+                SELECT word, n, pos, sym,
+                       is_occ AND row_number() OVER (PARTITION BY word,
+                           grp ORDER BY pos) % 2 = 1 AS take
+                FROM run{r})""",
+            f"""cm{r} AS (
+                SELECT word, n, pos, sym, take,
+                       coalesce(lag(take) OVER (PARTITION BY word
+                           ORDER BY pos), false) AS consumed
+                FROM ch{r})""",
+            f"""s{r + 1} AS MATERIALIZED (
+                SELECT word, n,
+                       row_number() OVER (PARTITION BY word
+                           ORDER BY pos) - 1 AS pos,
+                       CASE WHEN take
+                            THEN sym || (SELECT b FROM best{r})
+                            ELSE sym END AS sym
+                FROM cm{r} WHERE NOT consumed)""",
+        ]
+    return "WITH " + ",\n".join(ctes)
 
 
 def _kmeans_oracle_cte(k: int = 4, iterations: int = 2,
@@ -7723,6 +7845,25 @@ def _oracle_sql_literal() -> dict[str, str]:
                     + ((rg_o - rc_o) * (rg_o - rc_o))
                       // greatest(rc_o, 1))::bigint AS drift_ppm
             FROM fl
+        """,
+        # distributed BPE training: the unrolled per-round replay (pair
+        # counts -> winner election -> greedy merge application) - see
+        # _bpe_oracle_cte; the merge-table and vocabulary reads share it
+        "bpe_train": _bpe_oracle_cte(6) + """
+            SELECT * FROM (
+                SELECT 0::BIGINT AS rank, a AS left_sym, b AS right_sym
+                FROM best0
+                UNION ALL SELECT 1, a, b FROM best1
+                UNION ALL SELECT 2, a, b FROM best2
+                UNION ALL SELECT 3, a, b FROM best3
+                UNION ALL SELECT 4, a, b FROM best4
+                UNION ALL SELECT 5, a, b FROM best5)
+            ORDER BY rank
+        """,
+        "bpe_vocab": _bpe_oracle_cte(6) + """
+            SELECT sym AS symbol, sum(n)::BIGINT AS cnt
+            FROM s6 GROUP BY sym
+            ORDER BY cnt DESC, symbol ASC LIMIT 50
         """,
         "pq_ann": """
             WITH q AS (

@@ -616,6 +616,20 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
 
     timed("pq_ann", _pq)
 
+    # distributed BPE training: 6 pair-count shuffles over the
+    # vocabulary table + narrow merge folds (the tokenizer-training
+    # pass of the LLM-data pipeline)
+    from csvweb_spark.operators.text import (train_bpe_distributed,
+                                             word_frequencies)
+
+    def _bpe():
+        merges, syms = train_bpe_distributed(word_frequencies(docs), 6)
+        n = syms.count()
+        syms.unpersist()
+        return n
+
+    timed("bpe_train", _bpe)
+
     # 10x-edge graph entries (r4 VERDICT item #9): the small chain+star
     # graph above measures per-round scheduling constants for the
     # iterative ops (rounds x ~10 jobs), not throughput - a real 2x

@@ -1029,6 +1029,126 @@ def bpe_token_counts(df: DataFrame, merges: list,
     return df.withColumn(out_col, _count(F.col(text_col)))
 
 
+def bpe_merge_pair(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of every non-overlapping adjacent
+    (left, right) occurrence in a symbol array into one symbol - the
+    application step of one BPE training round, as a NARROW array fold
+    (`F.aggregate`): no shuffle, no Python, whole-stage codegen.
+
+    Greedy semantics match the reference scan in `train_bpe`: a run of
+    overlapping occurrences (only possible when left == right, e.g.
+    merging ('a','a') over "a a a a") takes the 1st, 3rd, ... start.
+    The fold carries (out, pend): `pend` holds a just-seen `left`
+    symbol awaiting its partner; a hit emits the merged symbol and
+    clears it (so the consumed `right` can never start the next
+    overlapping merge), a miss flushes it. Symbols are never empty, so
+    '' is a safe no-pending sentinel."""
+    merged = left + right
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit("").alias("pend"),
+    )
+
+    def step(acc, x):
+        out, pend = acc.getField("out"), acc.getField("pend")
+        hit = (pend == F.lit(left)) & (x == F.lit(right))
+        flushed = (F.when(pend != "", F.concat(out, F.array(pend)))
+                   .otherwise(out))
+        return F.when(hit, F.struct(
+            F.concat(out, F.array(F.lit(merged))).alias("out"),
+            F.lit("").alias("pend"),
+        )).otherwise(F.struct(
+            F.when(x == F.lit(left), flushed)
+             .otherwise(F.concat(flushed, F.array(x))).alias("out"),
+            F.when(x == F.lit(left), x).otherwise(F.lit("")).alias("pend"),
+        ))
+
+    def fin(acc):
+        out, pend = acc.getField("out"), acc.getField("pend")
+        return F.when(pend != "", F.concat(out, F.array(pend))).otherwise(out)
+
+    return F.aggregate(syms, init, step, fin)
+
+
+def bpe_symbols_init(word: Column) -> Column:
+    """Initial BPE symbol array for a word: its characters plus the
+    end-of-word marker (suffixes vs free-standing words stay distinct
+    symbols, exactly as `train_bpe` seeds its tuples)."""
+    return F.concat(F.split(word, ""), F.array(F.lit(BPE_EOW)))
+
+
+def train_bpe_distributed(words: DataFrame, n_merges: int,
+                          word_col: str = "word", count_col: str = "n"):
+    """Distributed BPE training over the (word, count) vocabulary table
+    (the `word_frequencies` output): per round, ONE map-side-combinable
+    shuffle counts adjacent symbol pairs weighted by word count, a
+    single-row `min(struct(-cnt, a, b))` aggregate elects the winner
+    (highest count, ties to the lexicographically smallest pair - the
+    exact `train_bpe` rule), and the merge applies as a narrow
+    `bpe_merge_pair` fold. Returns (merges, symbols_df) where merges is
+    the ordered [(left, right), ...] list and symbols_df is
+    (word, n, syms) after all merges.
+
+    100 TB shape: the state is VOCABULARY-sized (distinct words, not
+    the corpus - word_frequencies already map-side-combined the
+    corpus scan away), each round's pair count is a partial-aggregate
+    shuffle over slim (a, b, n) rows, and the per-round result is
+    persisted so round r+1 starts from materialized state instead of
+    re-folding r rounds of lineage (without the persist the r-th count
+    job would recompute every earlier round: O(R^2) total work).
+
+    Unlike driver-side `train_bpe` (collect the vocabulary, loop in
+    Python) this never materializes the vocabulary on the driver - only
+    one (cnt, left, right) row per round - so it holds at web-scale
+    vocabularies. Both implementations are provably output-identical
+    (tested), and every round is SQL-expressible: the driver query
+    `bpe_train`'s oracle replays pair counting, winner election AND
+    greedy application per round (windows over exploded symbol rows)
+    with no injected constants."""
+    cur = words.select(
+        F.col(word_col).alias("word"),
+        F.col(count_col).cast("long").alias("n"),
+        bpe_symbols_init(F.col(word_col)).alias("syms"),
+    ).persist()
+    merges: list = []
+    try:
+        for _ in range(int(n_merges)):
+            pairs = cur.select(
+                "n",
+                F.explode(F.arrays_zip(
+                    F.expr("slice(syms, 1, size(syms) - 1)").alias("a"),
+                    F.expr("slice(syms, 2, size(syms) - 1)").alias("b"),
+                )).alias("p"),
+            ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "n")
+            best = (pairs.groupBy("a", "b").agg(F.sum("n").alias("cnt"))
+                    .agg(F.min(F.struct(
+                        (-F.col("cnt")).alias("neg"),
+                        F.col("a"), F.col("b"))).alias("w"))
+                    .select("w.a", "w.b").collect())
+            if not best or best[0]["a"] is None:
+                break  # vocabulary fully merged: no adjacent pairs left
+            left, right = best[0]["a"], best[0]["b"]
+            merges.append((left, right))
+            nxt = cur.withColumn(
+                "syms", bpe_merge_pair(F.col("syms"), left, right)).persist()
+            nxt.count()  # materialize before dropping the parent
+            cur.unpersist()
+            cur = nxt
+        return merges, cur
+    except Exception:
+        cur.unpersist()
+        raise
+
+
+def bpe_symbol_frequencies(symbols: DataFrame) -> DataFrame:
+    """(symbol, cnt) over a trained (word, n, syms) table - the learned
+    subword vocabulary with corpus frequencies. One explode + one
+    map-side-combinable sum; verifies the distributed merge application
+    end-to-end when oracle-checked."""
+    return (symbols.select(F.explode("syms").alias("symbol"), "n")
+            .groupBy("symbol").agg(F.sum("n").alias("cnt")))
+
+
 # ---------------------------------------------------------------------------
 # Token-distribution drift (per-group goodness-of-fit vs the corpus)
 # ---------------------------------------------------------------------------

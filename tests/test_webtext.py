@@ -477,6 +477,54 @@ def test_bpe_train_and_count_hand_computed(spark):
     assert out == {10: 1 + 4 + 7, 11: 0, 12: 0}
 
 
+def test_bpe_distributed_matches_driver_reference(spark):
+    """train_bpe_distributed is output-identical to the collected-list
+    train_bpe, including the a==b overlap-run greedy rule, lexicographic
+    tie breaks and vocabulary exhaustion."""
+    from csvweb_spark.operators.text import train_bpe, train_bpe_distributed
+    wc = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3),
+          ("aaa", 4), ("aaaa", 2), ("banana", 3), ("abab", 2)]
+    ref = train_bpe(wc, 8)
+    df = spark.createDataFrame(wc, "word string, n long")
+    merges, syms = train_bpe_distributed(df, 8)
+    try:
+        assert merges == ref
+        rows = {r["word"]: list(r["syms"]) for r in syms.collect()}
+    finally:
+        syms.unpersist()
+    # greedy left-to-right over the ('a','a') run: 1st and (skipping the
+    # consumed middle) 3rd starts merge -> aaa = [aa, a</w>]
+    assert rows["aaa"] == ["aa", "a</w>"]
+    # exhaustion: single-char words run out of pairs after the EOW merge
+    wc2 = [("a", 3), ("b", 2)]
+    m2, s2 = train_bpe_distributed(
+        spark.createDataFrame(wc2, "word string, n long"), 5)
+    s2.unpersist()
+    assert m2 == train_bpe(wc2, 5) == [("a", "</w>"), ("b", "</w>")]
+
+
+def test_bpe_merge_pair_fold_edges(spark):
+    """The narrow-fold application step: overlap runs, flush-at-end,
+    occurrence at array end, no-occurrence identity."""
+    import pyspark.sql.functions as F
+    from csvweb_spark.operators.text import bpe_merge_pair
+
+    def apply(arr, left, right):
+        df = spark.createDataFrame([(arr,)], "syms array<string>")
+        return df.select(
+            bpe_merge_pair(F.col("syms"), left, right).alias("o")
+        ).head()["o"]
+
+    assert apply(["a", "a", "a", "a"], "a", "a") == ["aa", "aa"]
+    assert apply(["a", "a", "a"], "a", "a") == ["aa", "a"]
+    assert apply(["x", "a", "b", "a", "b", "y"], "a", "b") \
+        == ["x", "ab", "ab", "y"]
+    assert apply(["a", "b"], "a", "b") == ["ab"]
+    assert apply(["b", "a"], "a", "b") == ["b", "a"]  # pend flushes
+    assert apply(["a"], "a", "b") == ["a"]
+    assert apply(["c", "d"], "a", "b") == ["c", "d"]
+
+
 def _drift_replay(groups, top_v):
     """Independent pure-Python replay of token_drift's contract."""
     from collections import Counter
