@@ -4114,6 +4114,28 @@ def q_bpe_vocab(spark, sf_dir):
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_cm_heavy_hitters(spark, sf_dir):
+    """Count-Min frequency sketch end to end: build 4x512 counters over
+    the corpus token frequencies (weight_col rides the already
+    partially-aggregated word counts, so the sketch build never re-scans
+    text), probe every vocabulary word, report the top-100 estimates
+    with the exact count alongside (est >= exact always - the
+    no-undercount contract the oracle re-proves on every row). The
+    sketch is <= 2048 rows regardless of corpus size: the broadcastable
+    frequency summary of a 10^12-row column."""
+    from csvweb_spark.operators.sketches import cm_build, cm_estimate
+    from csvweb_spark.operators.text import word_frequencies
+    docs = _load(spark, sf_dir, "documents")
+    wf = word_frequencies(docs)
+    sk = cm_build(wf, "word", d=4, w=512, weight_col="n")
+    est = cm_estimate(wf, sk, "word", d=4, w=512)
+    return (est.orderBy(F.col("est_cnt").desc(), F.col("word").asc())
+            .limit(100)
+            .select(F.col("word").alias("token"),
+                    F.col("n").cast("long").alias("exact_cnt"),
+                    F.col("est_cnt")))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4187,6 +4209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann": q_pq_ann,
         "bpe_train": q_bpe_train,
         "bpe_vocab": q_bpe_vocab,
+        "cm_heavy_hitters": q_cm_heavy_hitters,
         "web_link_hosts": q_web_link_hosts,
         "web_anchor_aliases": q_web_anchor_aliases,
         "web_jsonld_triples": q_web_jsonld_triples,
@@ -7864,6 +7887,42 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT sym AS symbol, sum(n)::BIGINT AS cnt
             FROM s6 GROUP BY sym
             ORDER BY cnt DESC, symbol ASC LIMIT 50
+        """,
+        # Count-Min sketch: md5-positioned counters + min-over-rows
+        # estimates replayed exactly; exact_cnt rides along so the
+        # no-undercount contract is visible in the gated rows
+        "cm_heavy_hitters": """
+            WITH tok AS (
+                SELECT unnest(CASE WHEN regexp_replace(lower(text),
+                                  '^\\s+|\\s+$', '', 'g') = ''
+                              THEN []::VARCHAR[]
+                              ELSE string_split_regex(
+                                  regexp_replace(lower(text),
+                                      '^\\s+|\\s+$', '', 'g'),
+                                  '\\s+') END) AS word
+                FROM documents),
+            wf AS MATERIALIZED (
+                SELECT word, count(*)::BIGINT AS n FROM tok GROUP BY word),
+            cm AS MATERIALIZED (
+                SELECT i AS row_ix,
+                       ('0x' || substr(md5(i::VARCHAR || ':' || word),
+                                       1, 15))::BIGINT % 512 AS col_ix,
+                       sum(n)::BIGINT AS cnt
+                FROM wf, (SELECT unnest(range(4)) AS i) t
+                GROUP BY 1, 2),
+            pr AS (
+                SELECT w.word, w.n, t.i,
+                       ('0x' || substr(md5(t.i::VARCHAR || ':' || w.word),
+                                       1, 15))::BIGINT % 512 AS col_ix
+                FROM wf w, (SELECT unnest(range(4)) AS i) t),
+            est AS (
+                SELECT p.word, p.n,
+                       min(coalesce(c.cnt, 0))::BIGINT AS est_cnt
+                FROM pr p LEFT JOIN cm c
+                  ON c.row_ix = p.i AND c.col_ix = p.col_ix
+                GROUP BY 1, 2)
+            SELECT word AS token, n::BIGINT AS exact_cnt, est_cnt
+            FROM est ORDER BY est_cnt DESC, token ASC LIMIT 100
         """,
         "pq_ann": """
             WITH q AS (

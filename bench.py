@@ -598,6 +598,18 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
 
     timed("bloom_prefilter", _bloom)
 
+    # Count-Min frequency sketch: build 4x512 counters over token
+    # frequencies + probe the vocabulary (d chained broadcastable joins)
+    from csvweb_spark.operators.sketches import cm_build, cm_estimate
+    from csvweb_spark.operators.text import word_frequencies
+
+    def _cm():
+        wf = word_frequencies(docs)
+        sk = cm_build(wf, "word", d=4, w=512, weight_col="n")
+        return cm_estimate(wf, sk, "word", d=4, w=512).count()
+
+    timed("cm_heavy_hitters", _cm)
+
     # per-source unigram-distribution drift audit (explode + map-side
     # aggs + V-row broadcast dimension + per-group fold)
     from csvweb_spark.operators.text import token_drift

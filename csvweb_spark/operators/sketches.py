@@ -319,3 +319,90 @@ def bloom_probe(df: DataFrame, bloom: DataFrame, value_col: str,
             F.expr(f"(_w{i} & _m{i}) = _m{i}"), F.lit(False)))
     might = reduce(lambda a, b: a & b, tests)
     return out.select(*df.columns, might.alias("might_contain"))
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (frequency estimation / heavy hitters)
+# --------------------------------------------------------------------------
+
+def cm_build(df: DataFrame, value_col: str, d: int = 4, w: int = 1024,
+             weight_col: str | None = None) -> DataFrame:
+    """Count-Min sketch over a key column: (row_ix, col_ix, cnt)
+    counters, row_ix in 0..d-1, col_ix = md5_hash60(row_ix || ':' || x)
+    mod w - the frequency member of the mergeable-sketch family (KMV =
+    distinct, Bloom = membership, CM = counts). At most d*w rows
+    (4x1024 = ~4k rows, ~100 KB) no matter how many keys went in, so
+    the summary of a 10^12-row column broadcasts.
+
+    Scale shape: one narrow projection (d (row, col) pairs per key via
+    an inline array + explode) then ONE map-side-combinable groupBy on
+    <= d*w uniform counter keys - each map task forwards at most d*w
+    partially-summed counters regardless of input size. Deterministic
+    (shared md5 base hash), all-integer, replayed bit-for-bit by the
+    SQL oracle.
+
+    `weight_col` counts each input row that many times (e.g. token
+    frequencies already partially aggregated upstream); default 1.
+
+    Guarantees (tested): estimates NEVER undercount; overcounts are
+    collision mass bounded by 2*N/w per row with prob 1-(1/2)^d under
+    the standard CM analysis; cm_merge(build(X), build(Y)) ==
+    build(X ++ Y) exactly (counter addition is commutative/associative).
+    """
+    from .dedup import md5_hash60
+
+    if d < 1 or w < 1:
+        raise ValueError("d and w must be >= 1")
+    v = F.col(value_col).cast("string")
+    n = (F.col(weight_col).cast("long") if weight_col is not None
+         else F.lit(1).cast("long"))
+    pairs = F.array(*[
+        F.struct(F.lit(i).cast("int").alias("row_ix"),
+                 F.pmod(md5_hash60(F.concat(F.lit(f"{i}:"), v)),
+                        F.lit(w)).cast("int").alias("col_ix"))
+        for i in range(d)])
+    return (df.select(F.explode(pairs).alias("_p"), n.alias("_n"))
+            .groupBy(F.col("_p.row_ix").alias("row_ix"),
+                     F.col("_p.col_ix").alias("col_ix"))
+            .agg(F.sum("_n").alias("cnt")))
+
+
+def cm_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two sketches built with the SAME (d, w): add per counter.
+    merge(build(X), build(Y)) == build(X ++ Y) (bag union), exactly."""
+    return (a.unionByName(b).groupBy("row_ix", "col_ix")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def cm_estimate(df: DataFrame, sketch: DataFrame, value_col: str,
+                d: int = 4, w: int = 1024,
+                out_col: str = "est_cnt") -> DataFrame:
+    """Point-frequency estimates: input rows + est_cnt = min over the d
+    counters the value hashes to (0 if a counter row is absent - the
+    counter was never touched). est_cnt >= true count, always.
+
+    Plan: d chained left equi-joins against the <= d*w-row counter
+    table (AQE broadcasts from visible size, no hint - one derived
+    (row, col) key per hash), keeping ONE ROW PER INPUT ROW throughout:
+    duplicates keep their multiplicity and no explode + wide re-group
+    shuffles every payload column."""
+    from .dedup import md5_hash60
+
+    if d < 1 or w < 1:
+        raise ValueError("d and w must be >= 1")
+    for c in df.columns:
+        if c.startswith("_cm") or c == out_col:
+            raise ValueError(f"column {c!r} collides with probe internals")
+    v = F.col(value_col).cast("string")
+    out = df
+    ests = []
+    for i in range(d):
+        col_i = F.pmod(md5_hash60(F.concat(F.lit(f"{i}:"), v)), F.lit(w)) \
+                 .cast("int")
+        out = out.withColumn(f"_cmc{i}", col_i)
+        side = sketch.filter(F.col("row_ix") == i).select(
+            F.col("col_ix").alias(f"_cmc{i}"), F.col("cnt").alias(f"_cme{i}"))
+        out = out.join(side, f"_cmc{i}", "left")
+        ests.append(F.coalesce(F.col(f"_cme{i}"), F.lit(0).cast("long")))
+    est = F.least(*ests) if d > 1 else ests[0]
+    return out.select(*df.columns, est.alias(out_col))

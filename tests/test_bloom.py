@@ -87,3 +87,75 @@ def test_bloom_probe_plan_no_python(spark):
     out = bloom_probe(_keys(spark, ["x", "z"]), bl, "k")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------- Count-Min
+
+
+def _bag(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "k string")
+
+
+def test_cm_never_undercounts_and_small_config_collides_upward(spark):
+    from collections import Counter
+
+    from csvweb_spark.operators.sketches import cm_build, cm_estimate
+    vals = ([f"tok-{i}" for i in range(60)] * 2
+            + ["hot"] * 25 + ["warm"] * 7)
+    truth = Counter(vals)
+    # deliberately tight width so collisions exist: estimates may only
+    # move UP, never down
+    sk = cm_build(_bag(spark, vals), "k", d=3, w=32)
+    probes = _bag(spark, sorted(truth))
+    out = cm_estimate(probes, sk, "k", d=3, w=32)
+    got = {r["k"]: r["est_cnt"] for r in out.collect()}
+    assert all(got[v] >= c for v, c in truth.items())
+    # the heavy key's estimate is still dominated by its own mass
+    assert got["hot"] >= 25
+
+
+def test_cm_exact_when_width_ample(spark):
+    from collections import Counter
+
+    from csvweb_spark.operators.sketches import cm_build, cm_estimate
+    vals = ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"]
+    truth = Counter(vals)
+    sk = cm_build(_bag(spark, vals), "k", d=4, w=4096)
+    out = cm_estimate(_bag(spark, sorted(truth)), sk, "k", d=4, w=4096)
+    got = {r["k"]: r["est_cnt"] for r in out.collect()}
+    assert got == dict(truth)  # 4 keys in 4096 cols: no collisions
+
+
+def test_cm_merge_equals_build_of_bag_union(spark):
+    from csvweb_spark.operators.sketches import cm_build, cm_merge
+    xs = [f"a-{i % 13}" for i in range(70)]
+    ys = [f"b-{i % 7}" for i in range(50)] + ["a-1"] * 4
+    merged = cm_merge(cm_build(_bag(spark, xs), "k", d=3, w=64),
+                      cm_build(_bag(spark, ys), "k", d=3, w=64))
+    direct = cm_build(_bag(spark, xs + ys), "k", d=3, w=64)
+    assert sorted(map(tuple, merged.collect())) \
+        == sorted(map(tuple, direct.collect()))
+
+
+def test_cm_weight_col_equals_repeated_rows(spark):
+    from csvweb_spark.operators.sketches import cm_build
+    rows = [("x", 3), ("y", 2), ("z", 1)]
+    weighted = cm_build(
+        spark.createDataFrame(rows, "k string, n long"), "k",
+        d=3, w=64, weight_col="n")
+    repeated = cm_build(
+        _bag(spark, [k for k, n in rows for _ in range(n)]), "k",
+        d=3, w=64)
+    assert sorted(map(tuple, weighted.collect())) \
+        == sorted(map(tuple, repeated.collect()))
+
+
+def test_cm_size_bounded_and_probe_keeps_duplicates(spark):
+    from csvweb_spark.operators.sketches import cm_build, cm_estimate
+    vals = [f"v-{i}" for i in range(500)]
+    sk = cm_build(_bag(spark, vals), "k", d=2, w=16)
+    assert sk.count() <= 2 * 16
+    probes = _bag(spark, ["v-1", "v-1", "nope"])
+    out = cm_estimate(probes, sk, "k", d=2, w=16)
+    assert out.count() == 3  # one row per input row, duplicates kept
+    assert out.columns == ["k", "est_cnt"]
