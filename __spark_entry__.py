@@ -4114,6 +4114,54 @@ def q_bpe_vocab(spark, sf_dir):
     return spark.createDataFrame(rows, out.schema)
 
 
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary-growth curve over the documents corpus in
+    doc_id order, sampled at log2 buckets: one min-per-token
+    first-occurrence aggregate + a running sum over <= 64 bucket rows
+    (the unbounded window never sees the corpus). The oracle replays
+    first occurrences, exact-integer log2 bucketing (binary length)
+    and the cumulative curve."""
+    from csvweb_spark.operators.text import vocab_growth
+    docs = _load(spark, sf_dir, "documents")
+    return vocab_growth(docs)
+
+
+def q_sample_weighted(spark, sf_dir):
+    """Deterministic weight-proportional sampling without replacement:
+    top-20 documents per language by priority (h+1) div n_chars
+    ascending - longer documents proportionally likelier, selection a
+    pure row property (partition/cluster/engine-invariant; the oracle
+    replays the EXACT selected set, not just its size). Integer-only
+    rank key, partial WindowGroupLimit below the stratum exchange."""
+    from csvweb_spark.operators.sampling import sample_weighted_topk
+    docs = _load(spark, sf_dir, "documents")
+    out = sample_weighted_topk(
+        docs.select("doc_id", "lang", "n_chars"),
+        k=20, weight_col="n_chars", stratum_col="lang")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "lang",
+                      F.col("n_chars").cast("long").alias("n_chars"))
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Per-returnflag distinct-part cardinality via own-rolled
+    HyperLogLog registers (p=8, 256 registers): the FIXED-SIZE
+    cardinality form next to kmv_distinct's bottom-k - no distinct
+    pre-shuffle at all (map-side max absorbs duplicates), <= 256
+    register rows per group however large the group. Gate = the
+    register count, zero-register count and the exact-integer
+    inverse-power sum (the harmonic-mean denominator scaled by 2^53);
+    the float estimate finish rides outside the gate (BM25 ln
+    precedent), unit-tested against a pure-Python replay."""
+    from csvweb_spark.operators.sketches import hll_distinct
+    li = _load(spark, sf_dir, "lineitem")
+    vals = li.select("l_returnflag",
+                     F.col("l_partkey").cast("string").alias("pk"))
+    out = hll_distinct(vals, "pk", ["l_returnflag"], p=8)
+    return out.select("l_returnflag", "n_regs_set", "n_zero_regs",
+                      "inv_sum_scaled")
+
+
 def q_cm_heavy_hitters(spark, sf_dir):
     """Count-Min frequency sketch end to end: build 4x512 counters over
     the corpus token frequencies (weight_col rides the already
@@ -4210,6 +4258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_vocab": q_bpe_vocab,
         "cm_heavy_hitters": q_cm_heavy_hitters,
+        "hll_distinct": q_hll_distinct,
+        "sample_weighted": q_sample_weighted,
+        "vocab_growth": q_vocab_growth,
         "web_link_hosts": q_web_link_hosts,
         "web_anchor_aliases": q_web_anchor_aliases,
         "web_jsonld_triples": q_web_jsonld_triples,
@@ -7923,6 +7974,74 @@ def _oracle_sql_literal() -> dict[str, str]:
                 GROUP BY 1, 2)
             SELECT word AS token, n::BIGINT AS exact_cnt, est_cnt
             FROM est ORDER BY est_cnt DESC, token ASC LIMIT 100
+        """,
+        # Heaps-law curve: first occurrences + exact-integer log2
+        # buckets + the cumulative vocabulary size
+        "vocab_growth": """
+            WITH tok AS (
+                SELECT doc_id::BIGINT AS k,
+                       unnest(CASE WHEN regexp_replace(lower(text),
+                                       '^\\s+|\\s+$', '', 'g') = ''
+                              THEN []::VARCHAR[]
+                              ELSE string_split_regex(
+                                  regexp_replace(lower(text),
+                                      '^\\s+|\\s+$', '', 'g'),
+                                  '\\s+') END) AS token
+                FROM documents),
+            first AS (
+                SELECT token, min(k) AS first_key FROM tok
+                GROUP BY token),
+            pb AS (
+                SELECT (length(bin(first_key + 1)) - 1)::BIGINT AS bucket,
+                       max(first_key)::BIGINT AS max_key,
+                       count(*)::BIGINT AS n_new_tokens
+                FROM first GROUP BY 1)
+            SELECT bucket, max_key, n_new_tokens,
+                   sum(n_new_tokens) OVER (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       ::BIGINT AS vocab_size
+            FROM pb
+        """,
+        # priority sampling: the EXACT selected set replayed (rank key
+        # (h+1) // w, ties by doc_id)
+        "sample_weighted": """
+            WITH d AS (
+                SELECT doc_id, lang, n_chars,
+                       (('0x' || substr(md5('42:' || doc_id), 1, 15))
+                        ::BIGINT + 1) // n_chars::BIGINT AS pk
+                FROM documents WHERE n_chars > 0),
+            r AS (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY pk, doc_id) AS rn
+                FROM d)
+            SELECT doc_id::BIGINT AS doc_id, lang,
+                   n_chars::BIGINT AS n_chars
+            FROM r WHERE rn <= 20
+        """,
+        # HyperLogLog registers + exact-integer harmonic-mean
+        # denominator (the float finish is outside the gate)
+        "hll_distinct": """
+            WITH h AS (
+                SELECT l_returnflag,
+                       ('0x' || substr(md5(l_partkey::VARCHAR),
+                                       1, 15))::BIGINT AS h
+                FROM lineitem),
+            r AS (
+                SELECT l_returnflag, h % 256 AS reg_ix,
+                       CASE WHEN h // 256 = 0 THEN 53
+                            ELSE 53 - length(bin(h // 256)) END AS rho
+                FROM h),
+            regs AS (
+                SELECT l_returnflag, reg_ix, max(rho) AS rho
+                FROM r GROUP BY 1, 2)
+            SELECT l_returnflag,
+                   count(*)::BIGINT AS n_regs_set,
+                   (256 - count(*))::BIGINT AS n_zero_regs,
+                   (sum(1::BIGINT << (53 - rho))
+                    + (256 - count(*)) * (1::BIGINT << 53))::BIGINT
+                       AS inv_sum_scaled
+            FROM regs GROUP BY l_returnflag
         """,
         "pq_ann": """
             WITH q AS (

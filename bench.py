@@ -128,9 +128,12 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     extras["docs_per_sec_kernel"] = round(
         n_docs / max(timings["csvw_extract_kernel"], 1e-9), 1)
 
-    # dedup: MinHash-LSH near-dup over documents
+    # dedup: MinHash-LSH near-dup over documents (retry_under raised:
+    # a host throttling epoch can inflate one ~6 s run past 40 s, and
+    # an unretried single sample then reads as a fake 7x regression -
+    # measured 45.6 s throttled vs 6.3 s clean on identical code)
     timed("dedup_minhash_lsh", lambda: dedup_minhash_lsh(
-        docs, threshold=0.6).count())
+        docs, threshold=0.6).count(), retry_under=120.0)
 
     # dedup: span-level exact-substring (stride-1 = suffix-array guarantee)
     from csvweb_spark.operators.dedup import duplicate_spans
@@ -153,7 +156,7 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     # end-to-end KG construction stages A-D (extraction -> conversion ->
     # linking -> connected-components canonicalization)
     timed("kg_pipeline_e2e", lambda: kg_canonical_triples(
-        pages, table, synth_aliases(docs))[0].count())
+        pages, table, synth_aliases(docs))[0].count(), retry_under=120.0)
 
     # text analysis full pass
     timed("text_profile", lambda: text_profile(docs).count())
@@ -597,6 +600,18 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
                            m_bits=1 << 20, k=4).count()
 
     timed("bloom_prefilter", _bloom)
+
+    # HyperLogLog registers per returnflag over lineitem part keys
+    # (no distinct pre-shuffle; map-side max absorbs duplicates)
+    from csvweb_spark.operators.sketches import hll_distinct
+
+    def _hll():
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        vals = li.select("l_returnflag",
+                         F.col("l_partkey").cast("string").alias("pk"))
+        return hll_distinct(vals, "pk", ["l_returnflag"], p=8).count()
+
+    timed("hll_distinct", _hll)
 
     # Count-Min frequency sketch: build 4x512 counters over token
     # frequencies + probe the vocabulary (d chained broadcastable joins)

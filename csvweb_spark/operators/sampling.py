@@ -176,3 +176,46 @@ def split_corpus(df: DataFrame, splits: dict, key_col: str = "doc_id",
     for n, hi in reversed(bounds[:-1]):
         expr = F.when(h < F.lit(hi), F.lit(n)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def sample_weighted_topk(df: DataFrame, k: int, weight_col: str,
+                         stratum_col: Optional[str] = None,
+                         key_col: str = "doc_id",
+                         seed: int = 42) -> DataFrame:
+    """Deterministic weight-proportional sampling WITHOUT replacement
+    (the priority-sampling shape, Duffield/Lund/Thorup): per stratum
+    (or globally when `stratum_col` is None), keep the k rows with the
+    highest priority w/u, u = ((60-bit sampling hash of key) + 1) -
+    i.e. heavier rows are proportionally likelier to make the sample,
+    but the CHOICE is a pure row property: same rows on any
+    partitioning, any cluster, any engine (the oracle replays the
+    exact selected set). The curation use: sample documents
+    proportional to quality score / token count for inspection or
+    mixture building, reproducibly.
+
+    Integer-exact ranking: rank key = (h+1) div w ASCENDING (u/w
+    ascending == w/u descending), which always fits int64 (h < 2^60,
+    w >= 1) - no decimal overflow path anywhere, both engines truncate
+    identically, ties (coarser as w grows: resolution is ~2^60/w
+    distinct key values, plenty through w ~ 10^12) break by key for
+    full determinism. Rows with weight <= 0 are never sampled
+    (filtered before ranking, so they also cannot eat window budget).
+
+    Scale shape: same as stratified_sample_topk - row_number over
+    (stratum, key asc) compiles to a PARTIAL WindowGroupLimit below
+    the exchange, so each map task forwards at most k rows per stratum
+    however large the stratum."""
+    from .dedup import md5_hash60
+
+    h = md5_hash60(F.concat(F.lit(f"{seed}:"),
+                            F.col(key_col).cast("string")))
+    base = (df.filter(F.col(weight_col).cast("long") > 0)
+            .withColumn("_pk", h + F.lit(1).cast("long"))
+            .withColumn("_pk", F.expr(
+                f"_pk div CAST({weight_col} AS BIGINT)")))
+    part = [stratum_col] if stratum_col is not None else [F.lit(0)]
+    w = Window.partitionBy(*part).orderBy(
+        F.col("_pk").asc(), F.col(key_col).asc())
+    return (base.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_pk", "_rk"))

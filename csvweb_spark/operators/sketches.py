@@ -13,6 +13,11 @@ partitioning or merge order, (b) exactly mergeable (union, re-take k
 smallest), and (c) replayable by a DuckDB window query, which makes it
 the one cardinality sketch this repo can put behind its value-hash
 oracle gate (`approx_count_distinct`'s HLL++ has neither property).
+Round 5 adds an own-rolled HyperLogLog alongside (hll_sketch below):
+its REGISTERS have both properties too (max is order-invariant and
+SQL-replayable; only the float harmonic-mean finish sits outside the
+gate), giving the fixed-size form for groups where even k hashes per
+group is too much state.
 
 Estimates are integer-exact on both engines: hashes are the md5-prefix
 60-bit family shared with simhash/duplicate_spans, the estimator is
@@ -406,3 +411,98 @@ def cm_estimate(df: DataFrame, sketch: DataFrame, value_col: str,
         ests.append(F.coalesce(F.col(f"_cme{i}"), F.lit(0).cast("long")))
     est = F.least(*ests) if d > 1 else ests[0]
     return out.select(*df.columns, est.alias(out_col))
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog (fixed-size cardinality registers)
+# --------------------------------------------------------------------------
+
+def hll_sketch(df: DataFrame, value_col: str, group_cols: list[str],
+               p: int = 8) -> DataFrame:
+    """HyperLogLog registers per group (Flajolet et al. 2007):
+    (group..., reg_ix, rho) rows, reg_ix = low p bits of the shared
+    60-bit md5 hash, rho = leading-zero count of the remaining
+    (60-p)-bit word + 1 (exact integer bit-length arithmetic, the
+    degree_histogram idiom - FP log drifts at powers of two). Absent
+    register rows mean register value 0.
+
+    Where KMV (above) trades size for exactness, HLL is the
+    FIXED-SIZE form: <= 2^p register rows per group however large the
+    group, and - unlike Spark's built-in approx_count_distinct HLL++,
+    which is neither deterministic nor SQL-replayable - these
+    registers ARE both: max() is partitioning/merge-order-invariant
+    and duplicate-insensitive (so the build needs NO distinct
+    pre-shuffle at all - the map-side max absorbs duplicates, one
+    full shuffle of <= 2^p rows per group), and the register table +
+    the exact-integer inverse-power sum sit behind the value-hash
+    oracle gate; only the final harmonic-mean ESTIMATE is float, and
+    it rides outside the gate (the BM25 ln-score precedent).
+    hll_merge(sketch(X), sketch(Y)) == sketch(X union Y), exactly."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    w_bits = 60 - p
+    h = md5_hash60(F.col(value_col))
+    hashed = df.select(*group_cols, h.alias("_h"))
+    rest = F.expr(f"_h div {m}")
+    bitlen = F.length(F.conv(rest.cast("string"), 10, 2))
+    rho = (F.when(rest == 0, F.lit(w_bits + 1))
+           .otherwise(F.lit(w_bits + 1) - bitlen)).cast("int")
+    return (hashed.select(*group_cols,
+                          F.pmod(F.col("_h"), F.lit(m)).cast("int")
+                          .alias("reg_ix"),
+                          rho.alias("rho"))
+            .groupBy(*group_cols, "reg_ix")
+            .agg(F.max("rho").alias("rho")))
+
+
+def hll_merge(a: DataFrame, b: DataFrame,
+              group_cols: list[str]) -> DataFrame:
+    """Fold two register tables built with the SAME p: max per
+    register. merge(sketch(X), sketch(Y)) == sketch(X union Y)."""
+    return (a.unionByName(b).groupBy(*group_cols, "reg_ix")
+            .agg(F.max("rho").alias("rho")))
+
+
+def hll_estimate(sketches: DataFrame, group_cols: list[str],
+                 p: int = 8) -> DataFrame:
+    """Per-group cardinality estimate from a register table:
+    (group..., n_regs_set, n_zero_regs, inv_sum_scaled, distinct_est).
+
+    inv_sum_scaled = sum over all 2^p registers of 2^(w+1 - rho)
+    (w = 60-p; zero registers contribute 2^(w+1)) - the harmonic-mean
+    denominator scaled by the common power 2^(w+1), EXACT in int64
+    (rho >= 1 keeps every term <= 2^w; 2^16 registers x 2^w fits).
+    distinct_est is the classical float finish: alpha_m * m^2 *
+    2^(w+1) / inv_sum_scaled, with the small-range linear-counting
+    correction m * ln(m / n_zero) when est <= 2.5m and zero registers
+    remain. Gate on the integer columns; the float rides alongside."""
+    m = 1 << p
+    w1 = 60 - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    n_set = F.count(F.lit(1)).cast("long")
+    present = F.sum(F.expr(f"shiftleft(1L, {w1} - rho)")).cast("long")
+    agg = (sketches.groupBy(*group_cols)
+           .agg(n_set.alias("n_regs_set"), present.alias("_present")))
+    n_zero = (F.lit(m) - F.col("n_regs_set")).cast("long")
+    inv = (F.col("_present")
+           + n_zero * F.lit(1 << w1).cast("long")).cast("long")
+    raw = (F.lit(alpha * m * m * float(1 << w1))
+           / F.col("inv_sum_scaled").cast("double"))
+    out = agg.select(*group_cols, "n_regs_set",
+                     n_zero.alias("n_zero_regs"),
+                     inv.alias("inv_sum_scaled"))
+    est = (F.when((raw <= 2.5 * m) & (F.col("n_zero_regs") > 0),
+                  F.lit(float(m)) * F.log(F.lit(float(m))
+                                          / F.col("n_zero_regs")
+                                          .cast("double")))
+           .otherwise(raw))
+    return out.withColumn("distinct_est", est)
+
+
+def hll_distinct(df: DataFrame, value_col: str, group_cols: list[str],
+                 p: int = 8) -> DataFrame:
+    """One-call per-group HLL estimate: (group..., n_regs_set,
+    n_zero_regs, inv_sum_scaled, distinct_est)."""
+    return hll_estimate(hll_sketch(df, value_col, group_cols, p),
+                        group_cols, p)

@@ -16,7 +16,7 @@ shuffle, column-pruned to `text` (+key), linear scale-out.
 from __future__ import annotations
 
 import pandas as pd  # module-level: pandas_udf type hints resolve by name
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # marker lexicons for the language-id heuristic (tiny, constant-folded into
@@ -1147,6 +1147,46 @@ def bpe_symbol_frequencies(symbols: DataFrame) -> DataFrame:
     end-to-end when oracle-checked."""
     return (symbols.select(F.explode("syms").alias("symbol"), "n")
             .groupBy("symbol").agg(F.sum("n").alias("cnt")))
+
+
+def vocab_growth(df: DataFrame, text_col: str = "text",
+                 key_col: str = "doc_id") -> DataFrame:
+    """Heaps-law vocabulary-growth curve: distinct-token count as the
+    corpus grows in `key_col` order, sampled at log2 buckets of the key
+    (Heaps' law V ~ k*n^b is a log-log line, so log-spaced sample
+    points carry the whole curve) - the corpus-health audit that
+    separates organic text (sublinear growth) from id-spam/templated
+    corpora (linear or flat).
+
+    Scale shape: one explode + a map-side-combinable min(key) per
+    token (the corpus-first-occurrence grain, 16-byte-hash-free
+    because the token itself is the group key), then a count per log2
+    bucket and a running sum over <= 64 bucket rows - the unbounded
+    ordered window runs over the BUCKET table, never the corpus (a
+    per-document cumulative curve would put 10^12 rows through one
+    reducer).
+
+    Returns (bucket, max_key, n_new_tokens, vocab_size): vocab_size =
+    distinct tokens seen across all documents with key < 2^(bucket+1);
+    max_key = the largest first-occurrence key inside the bucket.
+    Buckets where no new token appeared emit no row (the curve is
+    sampled where it moves)."""
+    toks = df.select(F.col(key_col).cast("long").alias("_k"),
+                     F.explode(whitespace_tokens(F.col(text_col)))
+                     .alias("token"))
+    first = toks.groupBy("token").agg(F.min("_k").alias("first_key"))
+    # floor(log2(k+1)): exact integer bit length (key 0 -> bucket 0)
+    bucket = (F.length(F.conv((F.col("first_key") + 1).cast("string"),
+                              10, 2)) - 1).cast("long")
+    per_bucket = (first.groupBy(bucket.alias("bucket"))
+                  .agg(F.count(F.lit(1)).cast("long")
+                       .alias("n_new_tokens"),
+                       F.max("first_key").cast("long").alias("max_key")))
+    win = (Window.orderBy("bucket")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return per_bucket.select(
+        "bucket", "max_key", "n_new_tokens",
+        F.sum("n_new_tokens").over(win).cast("long").alias("vocab_size"))
 
 
 # ---------------------------------------------------------------------------

@@ -288,6 +288,61 @@ def test_kmv_merge_equals_union_sketch(spark):
     assert est.n_kept == 64 and est.distinct_est > 0
 
 
+def _hll_replay(vals, p=8):
+    """Independent pure-Python replay of hll_sketch's register contract."""
+    import hashlib
+    m, w = 1 << p, 60 - p
+    regs = {}
+    for v in vals:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        ix, rest = h % m, h // m
+        rho = (w + 1) if rest == 0 else (w + 1 - rest.bit_length())
+        regs[ix] = max(regs.get(ix, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_python_replay(spark):
+    from csvweb_spark.operators.sketches import hll_sketch
+    vals = [f"v{i}" for i in range(300)] + ["v1", "v2"]  # dups absorbed
+    df = spark.createDataFrame([(v,) for v in vals], "v string") \
+        .withColumn("g", F.lit("g"))
+    got = {r.reg_ix: r.rho
+           for r in hll_sketch(df, "v", ["g"], p=8).collect()}
+    assert got == _hll_replay(vals, p=8)
+
+
+def test_hll_merge_equals_union_sketch_and_is_partition_invariant(spark):
+    from csvweb_spark.operators.sketches import hll_merge, hll_sketch
+    a = spark.createDataFrame([(f"v{i}",) for i in range(400)], "v string") \
+        .withColumn("g", F.lit("g"))
+    b = spark.createDataFrame([(f"v{i}",) for i in range(200, 600)],
+                              "v string").withColumn("g", F.lit("g"))
+    merged = hll_merge(hll_sketch(a, "v", ["g"]),
+                       hll_sketch(b, "v", ["g"]), ["g"])
+    direct = hll_sketch(a.unionByName(b).repartition(13), "v", ["g"])
+    assert sorted(map(tuple, merged.collect())) \
+        == sorted(map(tuple, direct.collect()))
+
+
+def test_hll_estimate_accuracy_and_small_range(spark):
+    from csvweb_spark.operators.sketches import hll_distinct
+    n = 5000
+    df = spark.createDataFrame([(f"v{i % n}",) for i in range(2 * n)],
+                               "v string").withColumn("g", F.lit("g"))
+    row = hll_distinct(df, "v", ["g"], p=8).collect()[0]
+    # deterministic fixed outcome, ~1.04/sqrt(256) relative error class
+    assert abs(row.distinct_est - n) / n < 0.15
+    assert row.n_regs_set + row.n_zero_regs == 256
+    # small range: linear counting keeps tiny sets near-exact
+    small = spark.createDataFrame([(f"s{i}",) for i in range(10)],
+                                  "v string").withColumn("g", F.lit("g"))
+    srow = hll_distinct(small, "v", ["g"], p=8).collect()[0]
+    assert abs(srow.distinct_est - 10) < 1.0
+    # s3/s7 share a register under the deterministic md5 family, so 9
+    # registers set; linear counting reads 256*ln(256/247) = 9.16
+    assert srow.n_regs_set == 9
+
+
 # -------------------------------------------------- node similarity (round 4)
 
 

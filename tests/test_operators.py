@@ -633,6 +633,57 @@ def test_deterministic_sampling(spark, docs):
         sorted(map(tuple, topk.collect()))
 
 
+def test_weighted_sampling_matches_python_replay(spark):
+    """sample_weighted_topk's selected SET is a pure row property: it
+    equals an independent pure-Python replay of the priority rule
+    ((h+1) div w ascending, ties by key), is partition-invariant, and
+    never includes weight<=0 rows."""
+    import hashlib
+
+    from csvweb_spark.operators.sampling import sample_weighted_topk
+    rows = [(i, f"s{i % 2}", (i * 37) % 100 - 5) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string, w long")
+
+    def replay(k):
+        picked = []
+        for g in ("s0", "s1"):
+            pri = []
+            for i, s, w in rows:
+                if s != g or w <= 0:
+                    continue
+                h = int(hashlib.md5(f"42:{i}".encode())
+                        .hexdigest()[:15], 16)
+                pri.append(((h + 1) // w, i))
+            picked += [i for _, i in sorted(pri)[:k]]
+        return sorted(picked)
+
+    got = sample_weighted_topk(df, k=7, weight_col="w",
+                               stratum_col="stratum")
+    ids = sorted(r.doc_id for r in got.collect())
+    assert ids == replay(7)
+    got2 = sample_weighted_topk(df.repartition(13), k=7, weight_col="w",
+                                stratum_col="stratum")
+    assert sorted(r.doc_id for r in got2.collect()) == ids
+    ws = {i: w for i, _, w in rows}
+    assert all(ws[i] > 0 for i in ids)
+    # output keeps the input columns, no ranking internals
+    assert got.columns == ["doc_id", "stratum", "w"]
+
+
+def test_weighted_sampling_prefers_heavy_rows(spark):
+    """Inclusion tracks weight: a population where half the keys carry
+    100x the weight should dominate the sample (deterministic fixed
+    outcome under the md5 family, not a statistical flake)."""
+    from csvweb_spark.operators.sampling import sample_weighted_topk
+    rows = [(i, 1000 if i % 2 == 0 else 10) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = sample_weighted_topk(df, k=40, weight_col="w")
+    heavy = sum(1 for r in got.collect() if r.doc_id % 2 == 0)
+    assert got.count() == 40 and heavy >= 35
+    # global mode (no stratum) still exactly k
+    assert sample_weighted_topk(df, k=500, weight_col="w").count() == 400
+
+
 def test_stratified_topk_window_group_limit(spark):
     """Mega-stratum scale shape (round-3 VERDICT minor): the top-k window
     must compile with Catalyst's PARTIAL WindowGroupLimit below the

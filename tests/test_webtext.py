@@ -525,6 +525,21 @@ def test_bpe_merge_pair_fold_edges(spark):
     assert apply(["c", "d"], "a", "b") == ["c", "d"]
 
 
+def test_vocab_growth_hand_computed(spark):
+    """Heaps curve buckets: first occurrences, log2(key+1) buckets,
+    cumulative vocabulary; growth-free buckets emit no row."""
+    from csvweb_spark.operators.text import vocab_growth
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a c"), (3, "d"), (7, "a b c"), (10, "e a")],
+        "doc_id long, text string")
+    rows = {r.bucket: (r.max_key, r.n_new_tokens, r.vocab_size)
+            for r in vocab_growth(docs).collect()}
+    # a,b first at key 0 -> bucket log2(1)=0; c at 1 -> bucket 1;
+    # d at 3 -> bucket 2; e at 10 -> bucket 3; doc 7 adds nothing
+    assert rows == {0: (0, 2, 2), 1: (1, 1, 3),
+                    2: (3, 1, 4), 3: (10, 1, 5)}
+
+
 def _drift_replay(groups, top_v):
     """Independent pure-Python replay of token_drift's contract."""
     from collections import Counter
