@@ -4109,9 +4109,11 @@ def q_bpe_vocab(spark, sf_dir):
            .orderBy(F.col("cnt").desc(), F.col("symbol").asc())
            .limit(50)
            .select("symbol", F.col("cnt").cast("long").alias("cnt")))
-    rows = out.collect()
+    # release the training cache; the returned plan recomputes through
+    # the (self-contained: merge pairs are literals) fold lineage, so
+    # the REAL plan shape stays visible to explain()/the plan audit
     syms.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return out
 
 
 def q_vocab_growth(spark, sf_dir):

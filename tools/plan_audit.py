@@ -305,6 +305,31 @@ AUDITS = [
     ("Publish dates", "web_publish_dates",
      "The meta/time/url priority chain folds into one codegen "
      "projection of regexp_extracts - no Python, no shuffle."),
+    ("Distributed BPE vocabulary (post-training application)", "bpe_vocab",
+     "Each trained round applied as a NARROW aggregate() array fold "
+     "over the persisted vocabulary (InMemoryTableScan at the base) - "
+     "the only exchange is the final symbol-count groupBy with a "
+     "partial_sum below it; training's per-round pair counts ran as "
+     "separate already-finished jobs."),
+    ("Count-Min heavy hitters", "cm_heavy_hitters",
+     "Build = explode of d (row,col) structs + ONE map-side-combinable "
+     "sum on <= d*w counter keys; probe = d chained joins whose build "
+     "sides are the tiny counter table (AQE broadcast from visible "
+     "size), one row per probe row throughout."),
+    ("HyperLogLog registers", "hll_distinct",
+     "NO distinct pre-shuffle: partial_max below the (group, reg_ix) "
+     "exchange absorbs duplicates map-side; the estimate finish is one "
+     "more map-side-combinable aggregation over <= 2^p rows per group."),
+    ("Weight-proportional sampling", "sample_weighted",
+     "WindowGroupLimit (Partial) BELOW the stratum exchange on the "
+     "integer priority key - each map task forwards at most k rows per "
+     "stratum; the weight filter and key projection are in the scan "
+     "stage."),
+    ("Heaps-law vocabulary growth", "vocab_growth",
+     "First-occurrence = partial_min below the token exchange; the "
+     "running sum's unbounded window runs over the <= 64-row bucket "
+     "table (a single tiny partition is correct here), never the "
+     "corpus."),
 ]
 
 
