@@ -1071,6 +1071,123 @@ def compact_table_fingerprint(spark: SparkSession, output_dir: str,
                           read_table_fingerprint, batch_id)
 
 
+CM_STATE_SUBDIR = "_state/cm_tokens"
+HLL_STATE_SUBDIR = "_state/hll_vocab"
+
+
+def read_token_counters(spark: SparkSession,
+                        output_dir: str) -> Optional[DataFrame]:
+    """The cumulative Count-Min token-frequency sketch maintained by
+    stream_corpus_sketches: per (row_ix, col_ix), the SUM of committed
+    per-batch counter deltas - CM counters are additive over bag
+    union, so the merge EQUALS cm_build of every ingested token
+    (`cm_merge`'s contract, proven in the batch tests), under any
+    batch order or redelivery pattern. None before the first commit."""
+    from ..plans.fs import fs_for
+    fs = fs_for(output_dir, spark)
+    dirs = [p for _, p in
+            _batch_dirs(fs, fs.join(output_dir, CM_STATE_SUBDIR))]
+    if not dirs:
+        return None
+    return (spark.read.parquet(*dirs)
+            .groupBy("row_ix", "col_ix")
+            .agg(F.sum("cnt").cast("long").alias("cnt")))
+
+
+def read_vocab_registers(spark: SparkSession,
+                         output_dir: str) -> Optional[DataFrame]:
+    """The cumulative HyperLogLog vocabulary registers maintained by
+    stream_corpus_sketches: per reg_ix, the MAX over committed
+    per-batch register deltas - registers max-merge, so the fold
+    EQUALS hll_sketch of the union of every ingested token
+    (`hll_merge`'s contract), duplicate-insensitively. None before
+    the first commit."""
+    from ..plans.fs import fs_for
+    fs = fs_for(output_dir, spark)
+    dirs = [p for _, p in
+            _batch_dirs(fs, fs.join(output_dir, HLL_STATE_SUBDIR))]
+    if not dirs:
+        return None
+    return (spark.read.parquet(*dirs)
+            .groupBy("reg_ix").agg(F.max("rho").alias("rho")))
+
+
+def stream_corpus_sketches(spark: SparkSession, input_dir: str,
+                           output_dir: str, checkpoint_dir: str,
+                           d: int = 4, w: int = 1024, p: int = 8,
+                           max_files_per_trigger: Optional[int] = None,
+                           available_now: bool = True,
+                           batch_hook=None):
+    """Continuously-maintained corpus sketches: each micro-batch
+    commits ONLY its own Count-Min token-counter delta (<= d*w rows)
+    and HLL vocabulary-register delta (<= 2^p rows) - stateless per
+    batch (no committed-state read, no join: the stream_web_graph
+    additive shape, legal because CM merges by addition and HLL by
+    max). So live token-frequency estimates and vocabulary-size
+    estimates are available at ANY point of a 10^12-document ingest
+    for the cost of reading a few thousand counter rows - the
+    monitoring half of the curation pipeline (drift, vocabulary
+    explosion, heavy-hitter emergence) without ever re-scanning the
+    landed corpus.
+
+    Both deltas commit under one batch id; a crash between the two
+    writes is repaired by the checkpoint's batch replay (same dir ids,
+    idempotent overwrite - the stream_warc_ingest two-dir precedent).
+    A torn dir (no _SUCCESS) is invisible to readers. Compaction folds
+    each family behind the shared crash-safe offset protocol."""
+    from ..operators.sketches import cm_build, hll_sketch
+    from ..operators.text import whitespace_tokens
+    from ..plans.fs import fs_for
+
+    pages = read_pages_stream(spark, input_dir, max_files_per_trigger)
+    fs = fs_for(output_dir, spark)
+
+    def process(batch_df, batch_id):
+        if batch_hook is not None:
+            batch_hook(batch_id, "start")
+        toks = batch_df.select(
+            F.explode(whitespace_tokens(F.col("text"))).alias("token"))
+        cm_root = fs.join(output_dir, CM_STATE_SUBDIR)
+        hll_root = fs.join(output_dir, HLL_STATE_SUBDIR)
+        cm_delta = cm_build(toks, "token", d=d, w=w)
+        if not cm_delta.take(1):
+            if batch_hook is not None:
+                batch_hook(batch_id, "done")
+            return  # no tokens in this batch -> nothing to commit
+        cm_delta.write.mode("overwrite").parquet(
+            fs.join(cm_root, f"batch={batch_id + _compact_offset(fs, cm_root)}"))
+        if batch_hook is not None:
+            batch_hook(batch_id, "cm_committed")
+        hll_delta = hll_sketch(toks, "token", [], p=p)
+        hll_delta.write.mode("overwrite").parquet(
+            fs.join(hll_root,
+                    f"batch={batch_id + _compact_offset(fs, hll_root)}"))
+        if batch_hook is not None:
+            batch_hook(batch_id, "done")
+
+    writer = (pages.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_token_counters(spark: SparkSession, output_dir: str,
+                           batch_id: Optional[int] = None) -> int:
+    """Fold the CM counter deltas into one consolidated partition
+    (crash-safe protocol of _compact_state)."""
+    return _compact_state(spark, output_dir, CM_STATE_SUBDIR,
+                          read_token_counters, batch_id)
+
+
+def compact_vocab_registers(spark: SparkSession, output_dir: str,
+                            batch_id: Optional[int] = None) -> int:
+    """Fold the HLL register deltas into one consolidated partition
+    (crash-safe protocol of _compact_state)."""
+    return _compact_state(spark, output_dir, HLL_STATE_SUBDIR,
+                          read_vocab_registers, batch_id)
+
+
 WARC_PAGES_SUBDIR = "_state/warc_pages"
 WARC_CDX_SUBDIR = "_state/warc_cdx"
 

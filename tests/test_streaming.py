@@ -1161,3 +1161,136 @@ def test_stream_inverted_index_matches_batch_build(spark, tmp_path):
     dirs = sorted(d for d in os.listdir(state_root)
                   if d.startswith("batch="))
     assert f"batch={cid}" in dirs and len(dirs) == 2
+
+
+def test_stream_corpus_sketches_match_batch_builds(spark, tmp_path):
+    """Streaming sketch maintenance: CM counter deltas sum-merge to
+    EXACTLY cm_build over every ingested token and HLL register deltas
+    max-merge to EXACTLY hll_sketch over the same bag; compaction +
+    resume preserve both."""
+    import os
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from csvweb_spark.operators.sketches import cm_build, hll_sketch
+    from csvweb_spark.operators.text import whitespace_tokens
+    from csvweb_spark.streaming.pipeline import (
+        compact_token_counters, compact_vocab_registers,
+        read_token_counters, read_vocab_registers,
+        stream_corpus_sketches)
+
+    pages_dir = str(tmp_path / "pages")
+    out = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(pages_dir)
+    schema = ("url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+
+    def row(u, t):
+        return (u, datetime(2026, 1, 1), None, t, "en")
+
+    def add_batch_file(name, rows):
+        stage = f"{tmp_path}/_stage_{name}"
+        spark.createDataFrame(rows, schema) \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage)
+                if f.endswith(".parquet")][0]
+        os.rename(f"{stage}/{part}", f"{pages_dir}/{name}.parquet")
+
+    def toks_of(rows):
+        return spark.createDataFrame(rows, schema).select(
+            F.explode(whitespace_tokens(F.col("text"))).alias("token"))
+
+    b0 = [row("http://a/1", "alpha beta alpha"), row("http://a/2", None)]
+    b1 = [row("http://a/3", "beta gamma"), row("http://a/4", "alpha")]
+    add_batch_file("b0", b0)
+    add_batch_file("b1", b1)
+    q = stream_corpus_sketches(spark, pages_dir, out, ckpt,
+                               d=3, w=64, p=6, max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    def cm_dict(df):
+        return {(r.row_ix, r.col_ix): r.cnt for r in df.collect()}
+
+    def hll_dict(df):
+        return {r.reg_ix: r.rho for r in df.collect()}
+
+    assert cm_dict(read_token_counters(spark, out)) \
+        == cm_dict(cm_build(toks_of(b0 + b1), "token", d=3, w=64))
+    assert hll_dict(read_vocab_registers(spark, out)) \
+        == hll_dict(hll_sketch(toks_of(b0 + b1), "token", [], p=6))
+
+    cid_cm = compact_token_counters(spark, out)
+    cid_h = compact_vocab_registers(spark, out)
+    b2 = [row("http://a/5", "delta alpha")]
+    add_batch_file("b2", b2)
+    q2 = stream_corpus_sketches(spark, pages_dir, out, ckpt,
+                                d=3, w=64, p=6, max_files_per_trigger=1)
+    q2.awaitTermination(180)
+    assert cm_dict(read_token_counters(spark, out)) \
+        == cm_dict(cm_build(toks_of(b0 + b1 + b2), "token", d=3, w=64))
+    assert hll_dict(read_vocab_registers(spark, out)) \
+        == hll_dict(hll_sketch(toks_of(b0 + b1 + b2), "token", [], p=6))
+    for sub, cid in (("cm_tokens", cid_cm), ("hll_vocab", cid_h)):
+        root = os.path.join(out, "_state", sub)
+        dirs = sorted(d for d in os.listdir(root) if d.startswith("batch="))
+        assert f"batch={cid}" in dirs and len(dirs) == 2
+
+
+def test_stream_corpus_sketches_crash_between_commits(spark, tmp_path):
+    """A crash AFTER the CM delta commits but BEFORE the HLL delta does
+    is repaired by checkpoint replay: the batch re-runs under the same
+    id, both dirs end up committed exactly once (idempotent
+    overwrite), and both reads equal the batch builds."""
+    import os
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from csvweb_spark.operators.sketches import cm_build, hll_sketch
+    from csvweb_spark.operators.text import whitespace_tokens
+    from csvweb_spark.streaming.pipeline import (
+        read_token_counters, read_vocab_registers, stream_corpus_sketches)
+
+    pages_dir = str(tmp_path / "pages")
+    out = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(pages_dir)
+    schema = ("url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+    rows = [("http://a/1", datetime(2026, 1, 1), None, "x y x z", "en")]
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(pages_dir)
+
+    boom = {"armed": True}
+
+    def hook(batch_id, status):
+        if status == "cm_committed" and boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("injected crash between sketch commits")
+
+    q = stream_corpus_sketches(spark, pages_dir, out, ckpt,
+                               d=3, w=64, p=6, batch_hook=hook)
+    try:
+        q.awaitTermination(180)
+    except Exception:
+        pass  # the injected crash surfaces as a query failure
+    assert read_vocab_registers(spark, out) is None  # torn: HLL missing
+    q2 = stream_corpus_sketches(spark, pages_dir, out, ckpt,
+                                d=3, w=64, p=6)
+    q2.awaitTermination(180)
+    toks = spark.createDataFrame(rows, schema).select(
+        F.explode(whitespace_tokens(F.col("text"))).alias("token"))
+    assert {(r.row_ix, r.col_ix): r.cnt
+            for r in read_token_counters(spark, out).collect()} \
+        == {(r.row_ix, r.col_ix): r.cnt
+            for r in cm_build(toks, "token", d=3, w=64).collect()}
+    assert {r.reg_ix: r.rho
+            for r in read_vocab_registers(spark, out).collect()} \
+        == {r.reg_ix: r.rho
+            for r in hll_sketch(toks, "token", [], p=6).collect()}
+    for sub in ("cm_tokens", "hll_vocab"):
+        root = os.path.join(out, "_state", sub)
+        dirs = [d for d in os.listdir(root) if d.startswith("batch=")]
+        assert dirs == ["batch=0"]
