@@ -198,8 +198,14 @@ def sample_weighted_topk(df: DataFrame, k: int, weight_col: str,
     w >= 1) - no decimal overflow path anywhere, both engines truncate
     identically, ties (coarser as w grows: resolution is ~2^60/w
     distinct key values, plenty through w ~ 10^12) break by key for
-    full determinism. Rows with weight <= 0 are never sampled
-    (filtered before ranking, so they also cannot eat window budget).
+    full determinism. WEIGHTS MUST BE AN INTEGER COLUMN (token counts,
+    basis-point scores): a fractional score like 0.7 would silently
+    truncate to 0 and drop the row, so fractional weight types are
+    rejected with instructions to pre-scale (review fix - the
+    docstring used to promise 'proportional to quality score' while
+    the cast did exactly that silent truncation). Rows with weight
+    <= 0 or NULL are never sampled (filtered before ranking, so they
+    also cannot eat window budget).
 
     Scale shape: same as stratified_sample_topk - row_number over
     (stratum, key asc) compiles to a PARTIAL WindowGroupLimit below
@@ -207,12 +213,23 @@ def sample_weighted_topk(df: DataFrame, k: int, weight_col: str,
     however large the stratum."""
     from .dedup import md5_hash60
 
+    wtype = dict(df.dtypes).get(weight_col)
+    if wtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"weight column {weight_col!r} has type {wtype}; "
+            "sample_weighted_topk needs an integer weight - scale "
+            "fractional scores to integers first (e.g. basis points: "
+            "F.floor(score * 10000).cast('long'))")
+    for c in df.columns:
+        if c in ("_pk", "_rk"):
+            raise ValueError(
+                f"column {c!r} collides with ranking internals")
     h = md5_hash60(F.concat(F.lit(f"{seed}:"),
                             F.col(key_col).cast("string")))
     base = (df.filter(F.col(weight_col).cast("long") > 0)
             .withColumn("_pk", h + F.lit(1).cast("long"))
             .withColumn("_pk", F.expr(
-                f"_pk div CAST({weight_col} AS BIGINT)")))
+                f"_pk div CAST(`{weight_col}` AS BIGINT)")))
     part = [stratum_col] if stratum_col is not None else [F.lit(0)]
     w = Window.partitionBy(*part).orderBy(
         F.col("_pk").asc(), F.col(key_col).asc())

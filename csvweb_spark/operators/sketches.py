@@ -366,7 +366,11 @@ def cm_build(df: DataFrame, value_col: str, d: int = 4, w: int = 1024,
                  F.pmod(md5_hash60(F.concat(F.lit(f"{i}:"), v)),
                         F.lit(w)).cast("int").alias("col_ix"))
         for i in range(d)])
-    return (df.select(F.explode(pairs).alias("_p"), n.alias("_n"))
+    # NULL values are no observation (COUNT semantics) - unfiltered
+    # they would produce col_ix=NULL counter rows that no probe can
+    # ever match (review fix)
+    return (df.filter(F.col(value_col).isNotNull())
+            .select(F.explode(pairs).alias("_p"), n.alias("_n"))
             .groupBy(F.col("_p.row_ix").alias("row_ix"),
                      F.col("_p.col_ix").alias("col_ix"))
             .agg(F.sum("_n").alias("cnt")))
@@ -410,6 +414,10 @@ def cm_estimate(df: DataFrame, sketch: DataFrame, value_col: str,
         out = out.join(side, f"_cmc{i}", "left")
         ests.append(F.coalesce(F.col(f"_cme{i}"), F.lit(0).cast("long")))
     est = F.least(*ests) if d > 1 else ests[0]
+    # a NULL probe value was never counted (cm_build ignores NULLs):
+    # report NULL, not a fake 0 that would read as 'definitely absent'
+    est = (F.when(F.col(value_col).isNull(), F.lit(None).cast("long"))
+           .otherwise(est))
     return out.select(*df.columns, est.alias(out_col))
 
 
@@ -440,10 +448,18 @@ def hll_sketch(df: DataFrame, value_col: str, group_cols: list[str],
     hll_merge(sketch(X), sketch(Y)) == sketch(X union Y), exactly."""
     if not 4 <= p <= 16:
         raise ValueError("p must be in [4, 16]")
+    for c in group_cols:
+        if c in ("_h", "reg_ix", "rho"):
+            raise ValueError(
+                f"group column {c!r} collides with sketch internals")
     m = 1 << p
     w_bits = 60 - p
-    h = md5_hash60(F.col(value_col))
-    hashed = df.select(*group_cols, h.alias("_h"))
+    # cast like cm_build so integer key columns work directly; NULL
+    # values are no observation (review fix: a NULL would otherwise
+    # produce a reg_ix=NULL row that corrupts the estimate columns)
+    h = md5_hash60(F.col(value_col).cast("string"))
+    hashed = (df.filter(F.col(value_col).isNotNull())
+              .select(*group_cols, h.alias("_h")))
     rest = F.expr(f"_h div {m}")
     bitlen = F.length(F.conv(rest.cast("string"), 10, 2))
     rho = (F.when(rest == 0, F.lit(w_bits + 1))
@@ -479,7 +495,10 @@ def hll_estimate(sketches: DataFrame, group_cols: list[str],
     remain. Gate on the integer columns; the float rides alongside."""
     m = 1 << p
     w1 = 60 - p + 1
-    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # Flajolet et al. give exact constants for small m; the asymptotic
+    # formula only applies from m = 128 (review fix: it biased p=4..6)
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1.0 + 1.079 / m))
     n_set = F.count(F.lit(1)).cast("long")
     present = F.sum(F.expr(f"shiftleft(1L, {w1} - rho)")).cast("long")
     agg = (sketches.groupBy(*group_cols)

@@ -1131,7 +1131,11 @@ def train_bpe_distributed(words: DataFrame, n_merges: int,
             merges.append((left, right))
             nxt = cur.withColumn(
                 "syms", bpe_merge_pair(F.col("syms"), left, right)).persist()
-            nxt.count()  # materialize before dropping the parent
+            try:
+                nxt.count()  # materialize before dropping the parent
+            except Exception:
+                nxt.unpersist()  # don't orphan the round's cache entry
+                raise
             cur.unpersist()
             cur = nxt
         return merges, cur

@@ -251,6 +251,21 @@ def stream_deduped_documents(spark: SparkSession, input_dir: str,
             docs = _cached(batch_df.select(key_col, text_col))
             if docs.count() == 0:
                 return
+            if (_folded_in_snapshot(
+                    fs, fs.join(output_dir, "_state", "bands"), batch_id)
+                or _folded_in_snapshot(
+                    fs, fs.join(output_dir, "_state", "sigs"), batch_id)):
+                # folded replay: this batch's state is already inside a
+                # compaction snapshot (docs committed first, so the
+                # docs dir exists too). Recomputing would dedup the
+                # batch against its OWN folded bands and drop every
+                # document as a cross-batch duplicate. If only the
+                # bands family was folded (crash between the two state
+                # commits + a bands-only compaction), the sigs rows
+                # stay missing - future candidates against them verify
+                # as misses (quality, never correctness); compact both
+                # families together, as compact_dedup_state does.
+                return
             sigs = _cached(minhash_signatures(docs, text_col, key_col,
                                               num_hashes=num_hashes,
                                               seed=seed))
@@ -453,7 +468,8 @@ LABEL_STATE_SUBDIR = "_state/labels"
 REQUIRE_COMMIT_MARKER = True
 
 
-def _batch_dirs(fs, root: str, committed_only: bool = True):
+def _batch_dirs(fs, root: str, committed_only: bool = True,
+                apply_fold_exclusion: bool = True):
     """(batch_id, absolute_path) for every `batch=<id>` partition dir
     under `root`, ascending by id - the ONE place the partition layout
     is parsed. With `committed_only` (the default read path), dirs
@@ -461,7 +477,15 @@ def _batch_dirs(fs, root: str, committed_only: bool = True):
     REQUIRE_COMMIT_MARKER is off): a crashed batch's torn part-files
     must never reach a consumer - the owning stream's retry overwrites
     the dir, and until then the visible state is simply 'as of the
-    previous batch', which is consistent."""
+    previous batch', which is consistent.
+
+    `apply_fold_exclusion` (default, read path): once a compaction's
+    SNAPSHOT dir is committed, every committed input dir at id <=
+    its folded_max is hidden - so in the crash window between the
+    snapshot commit and the input removals, additive (sum-merged)
+    reads do not count the folded mass twice (review fix; the
+    exclusion is a no-op after the removals land). Compaction
+    internals list raw."""
     if not fs.isdir(root):
         return []
     out = []
@@ -473,7 +497,33 @@ def _batch_dirs(fs, root: str, committed_only: bool = True):
                 and not fs.exists(fs.join(path, "_SUCCESS")):
             continue
         out.append((int(d.split("=", 1)[1]), path))
-    return sorted(out)
+    out = sorted(out)
+    if committed_only and apply_fold_exclusion and out:
+        ids = {b for b, _ in out}
+        for m in _epoch_markers(fs, root):
+            if ("snapshot" in m and "folded_max" in m
+                    and m["snapshot"] in ids):
+                out = [(b, p) for b, p in out if b > m["folded_max"]]
+    return out
+
+
+def _epoch_markers(fs, root: str) -> list:
+    """Parsed `_epoch_<n>` compaction markers under `root`, ascending
+    by offset. Legacy markers (pre-review protocol) parse to just
+    their offset and never trigger skip/exclusion logic."""
+    if not fs.isdir(root):
+        return []
+    out = []
+    for f in fs.listdir(root):
+        if not f.startswith("_epoch_"):
+            continue
+        try:
+            meta = dict(fs.read_json(fs.join(root, f)))
+        except Exception:
+            meta = {}
+        meta["offset"] = int(f.rsplit("_", 1)[1])
+        out.append(meta)
+    return sorted(out, key=lambda m: m["offset"])
 
 
 def _compact_offset(fs, root: str) -> int:
@@ -500,6 +550,36 @@ def _compact_offset(fs, root: str) -> int:
     offs = [int(f.rsplit("_", 1)[1]) for f in fs.listdir(root)
             if f.startswith("_epoch_")]
     return max(offs, default=0)
+
+
+def _folded_in_snapshot(fs, root: str, batch_id: int) -> bool:
+    """True when this micro-batch's delta is ALREADY inside a
+    compaction snapshot: the batch committed its dir, crashed before
+    the checkpoint acknowledged it, and compaction ran before the
+    restart - the replay must then SKIP its commit, because for
+    additive (sum-merged) families a re-written delta at the
+    post-compaction offset is a NEW dir and its mass would be counted
+    twice (review fix; latest-wins/union families were merely
+    redundant). Checked against EVERY epoch marker: the batch's
+    write-time offset equals the prev_offset of the first compaction
+    after the write, so batch_id + prev_offset <= folded_max
+    identifies it even across chained compactions; a LIVE batch id B'
+    can never match (every marker's folded_max <= max-dir-id at its
+    compaction < B' + its prev_offset). Markers from before this
+    protocol version lack the fields and never match."""
+    return any(
+        "prev_offset" in m and "folded_max" in m
+        and batch_id + m["prev_offset"] <= m["folded_max"]
+        for m in _epoch_markers(fs, root))
+
+
+def _delta_dir(fs, root: str, batch_id: int):
+    """Destination dir for a micro-batch's state-delta commit, or None
+    when the delta is already folded into a compaction snapshot and
+    the commit must be skipped (see _folded_in_snapshot)."""
+    if _folded_in_snapshot(fs, root, batch_id):
+        return None
+    return fs.join(root, f"batch={batch_id + _compact_offset(fs, root)}")
 
 
 def read_entity_components(spark: SparkSession, output_dir: str,
@@ -577,6 +657,14 @@ def stream_entity_components(spark: SparkSession, input_dir: str,
                     batch_hook(batch_id, "done")
                 return
             root = fs.join(output_dir, LABEL_STATE_SUBDIR)
+            if _folded_in_snapshot(fs, root, batch_id):
+                # folded replay: this batch's labels are already inside
+                # the compaction snapshot (recomputing against it would
+                # merge the batch's edges into themselves - a no-op
+                # delta not worth a new dir)
+                if batch_hook is not None:
+                    batch_hook(batch_id, "done")
+                return
             # dir id = batch id + compaction offset (see _compact_offset:
             # keeps consolidated snapshots out of the stream's id space)
             dir_id = batch_id + _compact_offset(fs, root)
@@ -631,32 +719,70 @@ def compact_entity_components(spark: SparkSession, output_dir: str,
 def _compact_state(spark: SparkSession, output_dir: str, subdir: str,
                    read_fn, batch_id: Optional[int] = None) -> int:
     """The generic crash-safe fold shared by every batch-dir state
-    family: write `read_fn(spark, output_dir)` as a fresh partition,
-    advance the id offset (a NEW `_epoch_<n>` marker, see
-    _compact_offset), only then remove the inputs (the step-by-step
-    safety argument is in compact_entity_components' docstring).
+    family, MARKER-FIRST (review fix: the old snapshot-first order was
+    only idempotent for latest-wins folds - for additive families a
+    crash between the snapshot write and the input removals, or a
+    retry of a crashed compaction, counted the folded mass twice).
+    The stream must not run concurrently, and a crashed compaction
+    should be re-run to completion before the stream restarts.
 
-    The offset advances by TWO, not one: a micro-batch that crashed
-    after its state write but before the checkpoint commit will be
-    RETRIED after this compaction, at dir id batch_id + new_offset. If
-    its (possibly max-id) dir is M = batch_id + old_offset, a +1 bump
-    would land the retry exactly on the consolidated id M + 1 and the
-    retry would exclude-and-overwrite the snapshot; +2 puts the retry
-    at M + 2, strictly after the snapshot, so latest-wins reads stay
-    correct (round-4 review). Only COMMITTED dirs are folded and
-    removed - torn dirs from a crashed batch are left for that batch's
-    retry to overwrite; their ids stay burned via the max scan."""
+    Order and the per-step crash argument:
+      1. The marker `_epoch_<old_offset+2>` commits atomically
+         (first-commit-wins) with {prev_offset, folded_max: M,
+         snapshot: S}. Crash before it: no trace. From the marker on,
+         a checkpoint REPLAY of a batch whose dir id <= M skips its
+         commit (_folded_in_snapshot) - correct in both futures: the
+         fold (resumed or original) includes that committed dir
+         exactly once. The offset advances by TWO so post-restart
+         batches land strictly after S.
+      2. The snapshot is written at S = max(all dir ids) + 1 (> M, no
+         collision; overwrite-idempotent on retry, and a retry
+         re-derives M, S from the marker). Until S commits, readers
+         see the original deltas - the marker alone hides nothing.
+      3. Once S is committed, _batch_dirs hides every committed dir
+         with id <= M, so reads are exactly-once even before the
+         removals land.
+      4. Inputs <= M are removed; leftovers were already invisible
+         (step 3) and a re-run just finishes the removal. Torn dirs
+         are never folded or removed: a torn dir's batch id maps
+         strictly above M (ids are monotone within an offset epoch),
+         so the replay-skip can never suppress unfolded data."""
     import json
 
     from ..plans.fs import fs_for
     fs = fs_for(output_dir, spark)
     root = fs.join(output_dir, subdir)
-    all_dirs = _batch_dirs(fs, root, committed_only=False)
-    committed = _batch_dirs(fs, root, committed_only=True)
-    if len(committed) <= 1:
-        return committed[0][0] if committed else -1
-    new_id = (max(b for b, _ in all_dirs) + 1
-              if batch_id is None else batch_id)
+    raw = _batch_dirs(fs, root, apply_fold_exclusion=False)
+    raw_ids = {b for b, _ in raw}
+    markers = [m for m in _epoch_markers(fs, root)
+               if "snapshot" in m and "folded_max" in m]
+    pending = [m for m in markers if m["snapshot"] not in raw_ids]
+    if pending:
+        # resume a compaction that crashed before its snapshot commit
+        m = pending[-1]
+        new_id, fold_max = m["snapshot"], m["folded_max"]
+    else:
+        done = [m for m in markers if m["snapshot"] in raw_ids]
+        leftover = [(b, p) for b, p in raw
+                    if done and b <= done[-1]["folded_max"]]
+        if leftover:  # resume step 4 only: finish the removals
+            for _b, p in leftover:
+                fs.rmtree(p)
+            return done[-1]["snapshot"]
+        if len(raw) <= 1:
+            return raw[0][0] if raw else -1
+        all_dirs = _batch_dirs(fs, root, committed_only=False,
+                               apply_fold_exclusion=False)
+        fold_max = max(raw_ids)
+        new_id = (max(b for b, _ in all_dirs) + 1
+                  if batch_id is None else batch_id)
+        old_offset = _compact_offset(fs, root)
+        fs.write_text_atomic(
+            fs.join(root, f"_epoch_{old_offset + 2}"),
+            json.dumps({"offset": old_offset + 2,
+                        "prev_offset": old_offset,
+                        "folded_max": fold_max, "snapshot": new_id}),
+            fs.join(root, "._tmp_epoch"))
     state = read_fn(spark, output_dir)
     if state is None:  # defensive: committed>=2 implies readable state
         return -1
@@ -667,13 +793,8 @@ def _compact_state(spark: SparkSession, output_dir: str, subdir: str,
             fs.join(root, f"batch={new_id}"))
     finally:
         state.unpersist()
-    new_offset = _compact_offset(fs, root) + 2
-    marker = fs.join(root, f"_epoch_{new_offset}")
-    if not fs.exists(marker):  # crash-retry of compaction: content-free
-        fs.write_text_atomic(marker, json.dumps({"offset": new_offset}),
-                             fs.join(root, "._tmp_epoch"))
-    for b, path in committed:
-        if b != new_id:
+    for b, path in _batch_dirs(fs, root, apply_fold_exclusion=False):
+        if b <= fold_max:
             fs.rmtree(path)
     return new_id
 
@@ -779,6 +900,14 @@ def stream_line_deduped_documents(spark: SparkSession, input_dir: str,
                     batch_hook(batch_id, "done")
                 return
             root = fs.join(output_dir, LINE_STATE_SUBDIR)
+            if _folded_in_snapshot(fs, root, batch_id):
+                # folded replay: the state commit happened (and was
+                # folded), so the docs commit that PRECEDES it in this
+                # function also happened - recomputing here would dedup
+                # the batch against its own folded digests; skip both
+                if batch_hook is not None:
+                    batch_hook(batch_id, "done")
+                return
             dir_id = batch_id + _compact_offset(fs, root)
             dirs = [p for b, p in _batch_dirs(fs, root) if b != dir_id]
             seen = (spark.read.parquet(*dirs) if dirs
@@ -883,9 +1012,12 @@ def stream_latest_assertions(spark: SparkSession, input_dir: str,
             if batch_hook is not None:  # empty batch still completes
                 batch_hook(batch_id, "done")
             return
-        dir_id = batch_id + _compact_offset(fs, root)
-        delta.write.mode("overwrite").parquet(
-            fs.join(root, f"batch={dir_id}"))
+        dest = _delta_dir(fs, root, batch_id)
+        if dest is None:  # replay of a batch a snapshot already folded
+            if batch_hook is not None:
+                batch_hook(batch_id, "done")
+            return
+        delta.write.mode("overwrite").parquet(dest)
         if batch_hook is not None:
             batch_hook(batch_id, "done")
 
@@ -969,9 +1101,13 @@ def stream_web_graph(spark: SparkSession, input_dir: str,
             if batch_hook is not None:
                 batch_hook(batch_id, "done")
             return
-        dir_id = batch_id + _compact_offset(fs, root)
-        delta.write.mode("overwrite").parquet(
-            fs.join(root, f"batch={dir_id}"))
+        dest = _delta_dir(fs, root, batch_id)
+        if dest is None:  # replay of a batch a snapshot already folded:
+            # re-writing would DOUBLE the additive edge counts
+            if batch_hook is not None:
+                batch_hook(batch_id, "done")
+            return
+        delta.write.mode("overwrite").parquet(dest)
         if batch_hook is not None:
             batch_hook(batch_id, "done")
 
@@ -1050,9 +1186,13 @@ def stream_table_fingerprint(spark: SparkSession, input_dir: str,
             if batch_hook is not None:
                 batch_hook(batch_id, "done")
             return
-        dir_id = batch_id + _compact_offset(fs, root)
-        delta.write.mode("overwrite").parquet(
-            fs.join(root, f"batch={dir_id}"))
+        dest = _delta_dir(fs, root, batch_id)
+        if dest is None:  # replay of a batch a snapshot already folded:
+            # re-writing would DOUBLE the additive checksum mass
+            if batch_hook is not None:
+                batch_hook(batch_id, "done")
+            return
+        delta.write.mode("overwrite").parquet(dest)
         if batch_hook is not None:
             batch_hook(batch_id, "done")
 
@@ -1145,23 +1285,34 @@ def stream_corpus_sketches(spark: SparkSession, input_dir: str,
     def process(batch_df, batch_id):
         if batch_hook is not None:
             batch_hook(batch_id, "start")
+        # persist the tokenized batch: it feeds BOTH sketch builds and
+        # the emptiness probe (review fix: un-persisted, the batch was
+        # scanned + tokenized three times per trigger)
         toks = batch_df.select(
-            F.explode(whitespace_tokens(F.col("text"))).alias("token"))
-        cm_root = fs.join(output_dir, CM_STATE_SUBDIR)
-        hll_root = fs.join(output_dir, HLL_STATE_SUBDIR)
-        cm_delta = cm_build(toks, "token", d=d, w=w)
-        if not cm_delta.take(1):
+            F.explode(whitespace_tokens(F.col("text"))).alias("token")
+        ).persist()
+        try:
+            cm_root = fs.join(output_dir, CM_STATE_SUBDIR)
+            hll_root = fs.join(output_dir, HLL_STATE_SUBDIR)
+            cm_delta = cm_build(toks, "token", d=d, w=w)
+            if not cm_delta.take(1):
+                if batch_hook is not None:
+                    batch_hook(batch_id, "done")
+                return  # no tokens in this batch -> nothing to commit
+            # per-family folded-replay skips (independent: a crash
+            # between the two commits can leave one family folded and
+            # the other pending)
+            cm_dest = _delta_dir(fs, cm_root, batch_id)
+            if cm_dest is not None:
+                cm_delta.write.mode("overwrite").parquet(cm_dest)
             if batch_hook is not None:
-                batch_hook(batch_id, "done")
-            return  # no tokens in this batch -> nothing to commit
-        cm_delta.write.mode("overwrite").parquet(
-            fs.join(cm_root, f"batch={batch_id + _compact_offset(fs, cm_root)}"))
-        if batch_hook is not None:
-            batch_hook(batch_id, "cm_committed")
-        hll_delta = hll_sketch(toks, "token", [], p=p)
-        hll_delta.write.mode("overwrite").parquet(
-            fs.join(hll_root,
-                    f"batch={batch_id + _compact_offset(fs, hll_root)}"))
+                batch_hook(batch_id, "cm_committed")
+            hll_dest = _delta_dir(fs, hll_root, batch_id)
+            if hll_dest is not None:
+                hll_sketch(toks, "token", [], p=p) \
+                    .write.mode("overwrite").parquet(hll_dest)
+        finally:
+            toks.unpersist()
         if batch_hook is not None:
             batch_hook(batch_id, "done")
 
@@ -1279,18 +1430,23 @@ def stream_warc_ingest(spark: SparkSession, input_dir: str,
             # retries both overwrites harmlessly
             from ..sources.cdx import cdx_index
             cdx_root = fs.join(output_dir, WARC_CDX_SUBDIR)
-            cdx_dir_id = batch_id + _compact_offset(fs, cdx_root)
-            cdx_index(segs).write.mode("overwrite").parquet(
-                fs.join(cdx_root, f"batch={cdx_dir_id}"))
+            cdx_dest = _delta_dir(fs, cdx_root, batch_id)
+            if cdx_dest is not None:  # folded replay: index rows would
+                # duplicate (append-only union read)
+                cdx_index(segs).write.mode("overwrite").parquet(cdx_dest)
         delta = warc_pages(segs,
                            content_type_prefix=content_type_prefix)
         if not delta.take(1):
             if batch_hook is not None:
                 batch_hook(batch_id, "done")
             return
-        dir_id = batch_id + _compact_offset(fs, root)
-        delta.write.mode("overwrite").parquet(
-            fs.join(root, f"batch={dir_id}"))
+        dest = _delta_dir(fs, root, batch_id)
+        if dest is None:  # folded replay (pages read is ts-argmax, so
+            # this is economy, not correctness)
+            if batch_hook is not None:
+                batch_hook(batch_id, "done")
+            return
+        delta.write.mode("overwrite").parquet(dest)
         if batch_hook is not None:
             batch_hook(batch_id, "done")
 
@@ -1378,9 +1534,13 @@ def stream_inverted_index(spark: SparkSession, input_dir: str,
             if batch_hook is not None:
                 batch_hook(batch_id, "done")
             return
-        dir_id = batch_id + _compact_offset(fs, root)
-        delta.write.mode("overwrite").parquet(
-            fs.join(root, f"batch={dir_id}"))
+        dest = _delta_dir(fs, root, batch_id)
+        if dest is None:  # replay of a batch a snapshot already folded:
+            # duplicate postings would double tf/df for its documents
+            if batch_hook is not None:
+                batch_hook(batch_id, "done")
+            return
+        delta.write.mode("overwrite").parquet(dest)
         if batch_hook is not None:
             batch_hook(batch_id, "done")
 

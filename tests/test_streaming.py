@@ -537,8 +537,11 @@ def test_retry_after_compaction_preserves_snapshot(spark, tmp_path):
     # committed; compact NOW (stream stopped)
     cid = compact_entity_components(spark, out)
     assert cid == 2
-    # resume: Spark retries batch 1 -> dir 1 + offset(2) = 3, NOT the
-    # snapshot's id; the snapshot must survive with full state
+    # resume: Spark retries batch 1, whose delta is already inside the
+    # snapshot - the folded-replay rule SKIPS its commit (round-5
+    # review: for additive families a re-written delta would double-
+    # count; for latest-wins labels it would just be a redundant dir),
+    # and the snapshot survives with full state
     q2 = stream_entity_components(spark, edges_dir, out, ckpt,
                                   max_files_per_trigger=1)
     q2.awaitTermination(180)
@@ -548,7 +551,7 @@ def test_retry_after_compaction_preserves_snapshot(spark, tmp_path):
     state_root = os.path.join(out, "_state", "labels")
     dirs = sorted(d for d in os.listdir(state_root)
                   if d.startswith("batch="))
-    assert dirs == ["batch=2", "batch=3"]
+    assert dirs == ["batch=2"]
 
 
 def test_double_compaction_offset_monotonic(spark, tmp_path):
@@ -585,8 +588,13 @@ def test_double_compaction_offset_monotonic(spark, tmp_path):
     fs = fs_for(out, spark)
     root = os.path.join(out, "_state", "labels")
     assert _compact_offset(fs, root) == 2
-    # more deltas arrive (fresh checkpoint = full redelivery into new
-    # dirs at the offset), then compact AGAIN: offset must reach 4
+    # genuinely NEW deltas arrive (new files via a fresh checkpoint:
+    # its replay of the folded b0/b1 batch ids is SKIPPED by the
+    # folded-replay rule - round-5 review - while the new files land
+    # at later batch ids, above the snapshot via the offset), then
+    # compact AGAIN: offset must reach 4
+    add_batch_file("b2", [(7, 8)])
+    add_batch_file("b3", [(9, 10)])
     q2 = stream_entity_components(spark, edges_dir, out,
                                   str(tmp_path / "ckpt2"),
                                   max_files_per_trigger=1)
@@ -595,7 +603,7 @@ def test_double_compaction_offset_monotonic(spark, tmp_path):
     assert _compact_offset(fs, root) == 4
     got = {r.node: r.component for r in
            read_entity_components(spark, out).collect()}
-    assert got == {1: 1, 2: 1, 5: 5, 6: 5}
+    assert got == {1: 1, 2: 1, 5: 5, 6: 5, 7: 7, 8: 7, 9: 9, 10: 9}
 
 
 def test_compact_dedup_state(spark, tmp_path):
@@ -1294,3 +1302,66 @@ def test_stream_corpus_sketches_crash_between_commits(spark, tmp_path):
         root = os.path.join(out, "_state", sub)
         dirs = [d for d in os.listdir(root) if d.startswith("batch=")]
         assert dirs == ["batch=0"]
+
+
+def test_additive_replay_after_compaction_does_not_double_count(
+        spark, tmp_path):
+    """ROUND-5 REVIEW: a micro-batch that committed its ADDITIVE delta
+    (web-graph edge counts) but crashed before the checkpoint ack,
+    with compaction running before the restart, must NOT re-commit on
+    replay - the snapshot already folded its mass, and a re-written
+    delta at the post-compaction offset would be a new dir whose
+    counts the sum-merge read doubles."""
+    import os
+
+    from csvweb_spark.streaming.pipeline import (compact_host_graph,
+                                                 read_host_graph,
+                                                 stream_web_graph)
+
+    pages_dir = str(tmp_path / "pages")
+    out = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(pages_dir)
+    schema = ("url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+
+    def page(u, href):
+        from datetime import datetime
+        return (u, datetime(2026, 1, 1),
+                f'<a href="{href}">x</a>'.encode(), None, "en")
+
+    def add_batch_file(name, rows):
+        stage = f"{tmp_path}/_stage_{name}"
+        spark.createDataFrame(rows, schema) \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage)
+                if f.endswith(".parquet")][0]
+        os.rename(f"{stage}/{part}", f"{pages_dir}/{name}.parquet")
+
+    add_batch_file("b0", [page("http://a.org/1", "http://b.org/x")])
+    add_batch_file("b1", [page("http://a.org/2", "http://b.org/y")])
+
+    def crash_after_batch1_commit(batch_id, point):
+        if batch_id == 1 and point == "done":
+            raise RuntimeError("injected crash before checkpoint ack")
+
+    q = stream_web_graph(spark, pages_dir, out, ckpt,
+                         max_files_per_trigger=1,
+                         batch_hook=crash_after_batch1_commit)
+    try:
+        q.awaitTermination(180)
+    except Exception:
+        pass
+    # both deltas committed (batch 1's ack is what crashed); compact
+    compact_host_graph(spark, out)
+    edges = {(r.src_host, r.dst_host): r.n_links
+             for r in read_host_graph(spark, out).collect()}
+    assert edges == {("a.org", "b.org"): 2}
+    # restart: Spark replays batch 1 -> the folded-replay rule skips
+    # its commit; the count must STAY 2, not become 3
+    q2 = stream_web_graph(spark, pages_dir, out, ckpt,
+                          max_files_per_trigger=1)
+    q2.awaitTermination(180)
+    edges2 = {(r.src_host, r.dst_host): r.n_links
+              for r in read_host_graph(spark, out).collect()}
+    assert edges2 == {("a.org", "b.org"): 2}

@@ -306,10 +306,12 @@ AUDITS = [
      "The meta/time/url priority chain folds into one codegen "
      "projection of regexp_extracts - no Python, no shuffle."),
     ("Distributed BPE vocabulary (post-training application)", "bpe_vocab",
-     "Each trained round applied as a NARROW aggregate() array fold "
-     "over the persisted vocabulary (InMemoryTableScan at the base) - "
-     "the only exchange is the final symbol-count groupBy with a "
-     "partial_sum below it; training's per-round pair counts ran as "
+     "Each trained round applied as a NARROW aggregate() array fold in "
+     "one Project over the word-frequency aggregate (the returned plan "
+     "recomputes from the parquet scan: the training cache is released "
+     "so the fold lineage stays visible) - the only exchanges are the "
+     "word-count groupBy and the final symbol-count groupBy, each with "
+     "a partial_sum below it; training's per-round pair counts ran as "
      "separate already-finished jobs."),
     ("Count-Min heavy hitters", "cm_heavy_hitters",
      "Build = explode of d (row,col) structs + ONE map-side-combinable "
