@@ -4254,8 +4254,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_site_quality": q_web_site_quality,
         "tfidf_topk": q_tfidf_topk,
         "bm25_topk": q_bm25_topk,
-        "bloom_prefilter": q_bloom_prefilter,
-        "token_drift": q_token_drift,
         "pq_ann": q_pq_ann,
         "bpe_train": q_bpe_train,
         "bpe_vocab": q_bpe_vocab,
@@ -4263,6 +4261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "sample_weighted": q_sample_weighted,
         "vocab_growth": q_vocab_growth,
+        "bloom_prefilter": q_bloom_prefilter,
+        "token_drift": q_token_drift,
         "web_link_hosts": q_web_link_hosts,
         "web_anchor_aliases": q_web_anchor_aliases,
         "web_jsonld_triples": q_web_jsonld_triples,
