@@ -4164,6 +4164,27 @@ def q_hll_distinct(spark, sf_dir):
                       "inv_sum_scaled")
 
 
+def q_pagerank_incremental(spark, sf_dir):
+    """Warm-started (incremental) PageRank: 4 rounds from uniform over
+    the chain+star graph, then a second hub star (100 -> 101..150)
+    lands as a kg_diff-style delta and ranks re-converge in just 2
+    rounds seeded from the previous table - the maintenance path that
+    avoids re-iterating a 10^10-edge graph from scratch after a small
+    change. New nodes start at scale; integer arithmetic throughout, so
+    the oracle replays both phases exactly (a0..a4 then b0..b2)."""
+    from csvweb_spark.operators.graph import pagerank
+    base = _chain_star_edges(spark, sf_dir)
+    r1 = pagerank(base, iterations=4)
+    cust = _load(spark, sf_dir, "customer")
+    delta = (cust.filter((F.col("c_custkey") > 100)
+                         & (F.col("c_custkey") <= 150))
+             .select(F.lit(100).cast("long").alias("src"),
+                     F.col("c_custkey").alias("dst")))
+    out = pagerank(base.unionByName(delta), iterations=2, init_ranks=r1)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def q_cm_heavy_hitters(spark, sf_dir):
     """Count-Min frequency sketch end to end: build 4x512 counters over
     the corpus token frequencies (weight_col rides the already
@@ -4259,6 +4280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": q_bpe_vocab,
         "cm_heavy_hitters": q_cm_heavy_hitters,
         "hll_distinct": q_hll_distinct,
+        "pagerank_incremental": q_pagerank_incremental,
         "sample_weighted": q_sample_weighted,
         "vocab_growth": q_vocab_growth,
         "bloom_prefilter": q_bloom_prefilter,
@@ -4892,6 +4914,65 @@ def _kcore_oracle_sql(k: int = 2, rounds: int = 8) -> str:
             JOIN a{rounds} x ON x.node = e.u
             JOIN a{rounds} y ON y.node = e.v
             GROUP BY e.u HAVING count(*) >= {k}"""
+
+
+def _pagerank_incr_oracle_sql(r1: int = 4, r2: int = 2,
+                              damping_bp: int = 8500,
+                              scale: int = 1_000_000) -> str:
+    """Two-phase unrolled replay of warm-started PageRank: phase A
+    iterates r1 rounds from uniform over the chain+star graph, phase B
+    seeds pr0 from phase A's final ranks (new nodes at `scale`) and
+    iterates r2 rounds over the graph + a second star delta - exactly
+    graph.pagerank(..., init_ranks=...)."""
+    base = (scale * (10_000 - damping_bp)) // 10_000
+
+    def step(pfx: str, i: int, edges: str, nodes: str, odeg: str) -> str:
+        return f"""
+            {pfx}{i} AS (
+                SELECT n.node,
+                       ({base} + ({damping_bp} * coalesce(cs.in_sum, 0))
+                        // 10000)::BIGINT AS rank
+                FROM {nodes} n LEFT JOIN (
+                    SELECT e.d AS node, sum(p.rank // o.odeg) AS in_sum
+                    FROM {edges} e
+                    JOIN {pfx}{i - 1} p ON p.node = e.s
+                    JOIN {odeg} o ON o.s = e.s
+                    GROUP BY e.d) cs ON cs.node = n.node)"""
+
+    steps = [step("a", i, "edges1", "nodes1", "odeg1")
+             for i in range(1, r1 + 1)]
+    steps += [step("b", i, "edges2", "nodes2", "odeg2")
+              for i in range(1, r2 + 1)]
+    return f"""
+            WITH base_raw AS (
+                SELECT c_custkey AS s, c_custkey + 1 AS d FROM customer
+                WHERE c_custkey < 400 AND c_custkey % 100 != 99
+                  AND (c_custkey + 1) IN (SELECT c_custkey FROM customer
+                                          WHERE c_custkey < 400)
+                UNION ALL
+                SELECT 0, c_custkey FROM customer
+                WHERE c_custkey > 0 AND c_custkey < 100),
+            edges1 AS MATERIALIZED (SELECT DISTINCT s, d FROM base_raw),
+            nodes1 AS (SELECT DISTINCT x AS node FROM (
+                SELECT s AS x FROM edges1 UNION ALL SELECT d FROM edges1)),
+            odeg1 AS (SELECT s, count(*) AS odeg FROM edges1 GROUP BY s),
+            a0 AS (SELECT node, {scale}::BIGINT AS rank FROM nodes1),
+            edges2 AS MATERIALIZED (
+                SELECT DISTINCT s, d FROM (
+                    SELECT s, d FROM base_raw
+                    UNION ALL
+                    SELECT 100, c_custkey FROM customer
+                    WHERE c_custkey > 100 AND c_custkey <= 150)),
+            nodes2 AS (SELECT DISTINCT x AS node FROM (
+                SELECT s AS x FROM edges2 UNION ALL SELECT d FROM edges2)),
+            odeg2 AS (SELECT s, count(*) AS odeg FROM edges2 GROUP BY s),
+            b0 AS (SELECT n.node,
+                          coalesce(a{r1}.rank, {scale})::BIGINT AS rank
+                   FROM nodes2 n LEFT JOIN a{r1} ON a{r1}.node = n.node),
+            {",".join(steps)}
+            SELECT node::BIGINT AS node, rank::BIGINT AS rank
+            FROM b{r2}
+    """
 
 
 def _pagerank_oracle_sql(iterations: int = 5, damping_bp: int = 8500,
@@ -8021,6 +8102,9 @@ def _oracle_sql_literal() -> dict[str, str]:
                    n_chars::BIGINT AS n_chars
             FROM r WHERE rn <= 20
         """,
+        # warm-started PageRank: both phases unrolled (see
+        # _pagerank_incr_oracle_sql)
+        "pagerank_incremental": _pagerank_incr_oracle_sql(4, 2),
         # HyperLogLog registers + exact-integer harmonic-mean
         # denominator (the float finish is outside the gate)
         "hll_distinct": """

@@ -39,7 +39,8 @@ def degree_stats(edges: DataFrame, src: str = "src",
 def pagerank(edges: DataFrame, iterations: int = 5,
              damping_bp: int = 8500, scale: int = 1_000_000,
              src: str = "src", dst: str = "dst",
-             redistribute_dangling: bool = False) -> DataFrame:
+             redistribute_dangling: bool = False,
+             init_ranks: DataFrame | None = None) -> DataFrame:
     """Integer-scaled PageRank over the DIRECTED edge set - the KG hub/
     importance score feeding retrieval ranking and curation (which
     entities deserve canonical-page status).
@@ -67,6 +68,19 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     subquery in the unrolled CTE chain). Default stays False for
     continuity with the recorded r4 ranks.
 
+    `init_ranks` (a previous (node, rank) table) WARM-STARTS the
+    iteration - the incremental-maintenance path: after a kg_diff
+    delta touches a sliver of a 10^10-edge graph, ranks re-converge
+    from the previous fixpoint in a couple of rounds instead of
+    re-iterating from uniform (the iteration is a contraction toward
+    one fixpoint, so any start converges to the same ranks - warm
+    start changes the ROUND COUNT needed, never the limit; tested:
+    warm-starting from the converged ranks is a fixpoint, one more
+    round is a no-op up to integer truncation). Nodes absent from
+    init_ranks (the delta's new nodes) start at `scale`; departed
+    nodes' stale rows are ignored (left join on the CURRENT node set).
+    Still fully oracle-replayable: pr0 seeds from the carried table.
+
     Scale shape: each round is one bounded join of edges against the
     (node, rank) table - both keyed on node id, AQE-skew-splittable - and
     one map-side-combinable integer sum groupBy(dst); a 10^8-in-degree
@@ -80,7 +94,14 @@ def pagerank(edges: DataFrame, iterations: int = 5,
              .distinct())
     outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("odeg"))
     base = (scale * (10_000 - damping_bp)) // 10_000
-    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    if init_ranks is not None:
+        ranks = (nodes.join(init_ranks.select(
+            F.col("node"), F.col("rank").cast("long").alias("_init")),
+            "node", "left")
+            .select("node", F.coalesce("_init", F.lit(scale).cast("long"))
+                    .alias("rank")))
+    else:
+        ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     if redistribute_dangling:
         n_nodes = nodes.count()
         dang = (nodes.join(outdeg.select(F.col("s").alias("node")),

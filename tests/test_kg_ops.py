@@ -1439,3 +1439,25 @@ def test_ktruss_clique_survives_triangle_chain_cascades(spark):
     out3 = {(r.u, r.v) for r in ktruss(spark.createDataFrame(
         clique + chain, "src long, dst long"), k=3).collect()}
     assert out3 == set(clique) | set(chain)
+
+
+def test_pagerank_warm_start_continues_iteration(spark):
+    """pagerank(G, 2, init_ranks=pagerank(G, 4)) is EXACTLY
+    pagerank(G, 6): warm start continues the same integer iteration -
+    and nodes absent from the carried table start at scale."""
+    from csvweb_spark.operators.graph import pagerank
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)])
+
+    def d(df):
+        return {r.node: r.rank for r in df.collect()}
+
+    full = d(pagerank(e, iterations=6))
+    warm = d(pagerank(e, iterations=2,
+                      init_ranks=pagerank(e, iterations=4)))
+    assert warm == full
+    # a delta introduces node 5: it seeds at scale, old nodes carry
+    e2 = _edges(spark, [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (5, 1)])
+    out = pagerank(e2, iterations=0, init_ranks=pagerank(e, iterations=4))
+    got = d(out)
+    assert got[5] == 1_000_000
+    assert got[1] == d(pagerank(e, iterations=4))[1]
