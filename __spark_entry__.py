@@ -4164,6 +4164,32 @@ def q_hll_distinct(spark, sf_dir):
                       "inv_sum_scaled")
 
 
+def q_kg_bitemporal(spark, sf_dir):
+    """Bitemporal as-of/as-at read over the events log with a
+    deterministic late-arrival transaction axis (tx = ts + (event_id
+    mod 3) days - facts land up to 2 days late): per (user, type), the
+    latest value VALID by Jan 20 as KNOWN on Jan 21 - late rows whose
+    tx hadn't landed are invisible even though their valid ts
+    qualifies, the audit semantics snapshot_asof alone cannot give.
+    One struct-max aggregate; the oracle replays the (ts DESC, tx
+    DESC, value DESC) election per key."""
+    from csvweb_spark.operators.asof import snapshot_bitemporal
+    ev = (_load(spark, sf_dir, "events")
+          .select(F.col("user_id").cast("long").alias("user_id"),
+                  "event_type",
+                  F.floor(F.col("value") * 100).cast("long").alias("obj"),
+                  "ts",
+                  F.expr("timestampadd(DAY, CAST(event_id % 3 AS INT), "
+                         "ts)").alias("tx_ts")))
+    out = snapshot_bitemporal(
+        ev, "2024-01-20 00:00:00", "2024-01-21 00:00:00",
+        ts_col="ts", tx_col="tx_ts",
+        key_cols=("user_id", "event_type"), val_cols=("obj",))
+    return out.select("user_id", "event_type", "obj",
+                      F.col("ts").alias("valid_ts"),
+                      F.col("tx_ts").alias("tx"))
+
+
 def q_pagerank_incremental(spark, sf_dir):
     """Warm-started (incremental) PageRank: 4 rounds from uniform over
     the chain+star graph, then a second hub star (100 -> 101..150)
@@ -4281,6 +4307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_heavy_hitters": q_cm_heavy_hitters,
         "hll_distinct": q_hll_distinct,
         "pagerank_incremental": q_pagerank_incremental,
+        "kg_bitemporal": q_kg_bitemporal,
         "sample_weighted": q_sample_weighted,
         "vocab_growth": q_vocab_growth,
         "bloom_prefilter": q_bloom_prefilter,
@@ -8105,6 +8132,27 @@ def _oracle_sql_literal() -> dict[str, str]:
         # warm-started PageRank: both phases unrolled (see
         # _pagerank_incr_oracle_sql)
         "pagerank_incremental": _pagerank_incr_oracle_sql(4, 2),
+        # bitemporal as-of/as-at: the (ts DESC, tx DESC, obj DESC)
+        # election over rows visible at the transaction cut
+        "kg_bitemporal": """
+            WITH t AS (
+                SELECT user_id::BIGINT AS user_id, event_type,
+                       floor(value * 100)::BIGINT AS obj, ts,
+                       ts + (event_id % 3) * INTERVAL 1 DAY AS tx_ts
+                FROM events),
+            v AS (
+                SELECT * FROM t
+                WHERE tx_ts <= TIMESTAMP '2024-01-21 00:00:00'
+                  AND ts <= TIMESTAMP '2024-01-20 00:00:00'),
+            r AS (
+                SELECT user_id, event_type, obj, ts, tx_ts,
+                       row_number() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, tx_ts DESC, obj DESC) AS rn
+                FROM v)
+            SELECT user_id, event_type, obj, ts AS valid_ts, tx_ts AS tx
+            FROM r WHERE rn = 1
+        """,
         # HyperLogLog registers + exact-integer harmonic-mean
         # denominator (the float finish is outside the gate)
         "hll_distinct": """

@@ -119,6 +119,43 @@ def snapshot_asof(df: DataFrame, at, ts_col: str = "warc_ts",
                     F.col("_m._ts").alias(ts_col))
 
 
+def snapshot_bitemporal(df: DataFrame, valid_at, known_at,
+                        ts_col: str = "warc_ts", tx_col: str = "tx_ts",
+                        key_cols: tuple = ("subj", "pred"),
+                        val_cols: tuple = ("obj",)) -> DataFrame:
+    """BITEMPORAL point read: the state as of VALID time `valid_at`,
+    as it was KNOWN at transaction time `known_at` - the audit/
+    reproducibility query snapshot_asof cannot answer once facts
+    arrive late (a crawl recorded on tx day T+2 about content valid at
+    T must not appear in a report generated on T+1, but must appear
+    when the same report is re-generated later). `ts_col` is the valid
+    axis, `tx_col` the ingest/assertion axis.
+
+    Per key: among rows with tx <= known_at and ts <= valid_at, the
+    greatest (ts, tx, vals) - latest valid version wins; same valid
+    timestamp re-stated later (a correction) is superseded by its
+    latest transaction. Same struct-max shape as snapshot_asof (ONE
+    map-side-combinable aggregate, one candidate row per key per map
+    task - never a window sort); deterministic, and a SQL row_number
+    oracle (ORDER BY ts DESC, tx DESC, vals DESC) replays it
+    exactly."""
+    valid_ts = (valid_at if isinstance(valid_at, Column)
+                else F.lit(valid_at).cast("timestamp"))
+    known_ts = (known_at if isinstance(known_at, Column)
+                else F.lit(known_at).cast("timestamp"))
+    fields = [F.col(ts_col).alias("_ts"), F.col(tx_col).alias("_tx")] + \
+        [F.col(c).alias(f"_v{i}") for i, c in enumerate(val_cols)]
+    m = (df.filter((F.col(tx_col) <= known_ts)
+                   & (F.col(ts_col) <= valid_ts))
+         .groupBy(*key_cols)
+         .agg(F.max(F.struct(*fields)).alias("_m")))
+    return m.select(*key_cols,
+                    *[F.col(f"_m._v{i}").alias(c)
+                      for i, c in enumerate(val_cols)],
+                    F.col("_m._ts").alias(ts_col),
+                    F.col("_m._tx").alias(tx_col))
+
+
 def kg_diff(old: DataFrame, new: DataFrame,
             key_cols: tuple = ("subj", "pred", "obj", "obj_kind",
                                "obj_datatype", "obj_lang")) -> DataFrame:

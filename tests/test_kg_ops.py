@@ -1461,3 +1461,28 @@ def test_pagerank_warm_start_continues_iteration(spark):
     got = d(out)
     assert got[5] == 1_000_000
     assert got[1] == d(pagerank(e, iterations=4))[1]
+
+
+def test_snapshot_bitemporal_late_arrivals_and_corrections(spark):
+    """As-of/as-at semantics: late facts are invisible before their
+    transaction lands; a correction (same valid ts, later tx)
+    supersedes; snapshot_asof-equivalent once everything is known."""
+    from datetime import datetime
+
+    from csvweb_spark.operators.asof import snapshot_bitemporal
+    d = lambda n: datetime(2024, 1, n)
+    rows = [("A", d(1), d(1), 10),   # on-time fact
+            ("A", d(2), d(4), 20),   # arrives 2 days late
+            ("A", d(2), d(5), 21)]   # correction of the same valid ts
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, tx_ts timestamp, v long")
+
+    def read(valid, known):
+        out = snapshot_bitemporal(df, d(valid), d(known), ts_col="ts",
+                                  key_cols=("k",), val_cols=("v",))
+        return {r.k: r.v for r in out.collect()}
+
+    assert read(3, 2) == {"A": 10}   # late fact not yet known
+    assert read(3, 4) == {"A": 20}   # now known, latest valid wins
+    assert read(3, 5) == {"A": 21}   # correction supersedes by tx
+    assert read(1, 5) == {"A": 10}   # valid axis still cuts at day 1
