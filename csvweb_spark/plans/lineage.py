@@ -296,9 +296,14 @@ def write_resumable_iceberg(df: DataFrame, table_ident: str,
 
     `executor` injects {'sql': fn(sql_str)->DataFrame, 'append':
     fn(df, ident)} - the HttpResolver pattern: no Iceberg catalog exists
-    in-sandbox, so tests drive the protocol through a recording fake and
-    verify the emitted plan/SQL shape; on a real cluster the default
-    executor runs the same calls against the live catalog."""
+    in-sandbox, so tests drive the protocol through a recording fake
+    (shape assertions) AND through plans/local_catalog.py's
+    LocalSnapshotCatalog - a directory-backed table format with real
+    parquet staging and atomic link-exclusive snapshot commits, so the
+    DDL / resume / filter / append sequence, the crash-before-commit
+    window and concurrent-writer races all run END-TO-END against real
+    storage; on a real cluster the default executor runs the same calls
+    against the live catalog."""
     spark = df.sparkSession
     if executor is None:
         if not has_iceberg_catalog(spark, table_ident):

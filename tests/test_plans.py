@@ -652,3 +652,117 @@ def test_kg_diff_zero_exchange_over_bucketed_stores(spark, tmp_path):
                        old_req)
         spark.sql("DROP TABLE IF EXISTS diff_old_test")
         spark.sql("DROP TABLE IF EXISTS diff_new_test")
+
+
+def test_local_snapshot_catalog_end_to_end(spark, tmp_path):
+    """Round-5 upgrade of the S7 'partial': the resumable-iceberg
+    protocol runs END-TO-END against real storage - real parquet
+    staging, atomic link-exclusive snapshot commits, real resume reads
+    - not just a recording fake."""
+    from csvweb_spark.plans.lineage import write_resumable_iceberg
+    from csvweb_spark.plans.local_catalog import LocalSnapshotCatalog
+
+    cat = LocalSnapshotCatalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(f"http://p/{i}.csv", f"t{i}") for i in range(64)],
+        "url string, text string")
+    res = write_resumable_iceberg(df, "lake.db.triples", n_buckets=8,
+                                  executor=cat.executor())
+    assert res["resumed_past"] == []
+    got = cat.read_table("lake.db.triples")
+    assert got.count() == 64
+    assert set(got.columns) == {"url", "text", "part_key"}
+    parts = cat.sql("SELECT DISTINCT partition.part_key AS part_key "
+                    "FROM lake.db.triples.partitions")
+    assert {r.part_key for r in parts.collect()} == set(range(8))
+    log = cat.sql("SELECT snapshot_id, committed_at, operation "
+                  "FROM lake.db.triples.snapshots ORDER BY committed_at")
+    assert [(r.snapshot_id, r.operation) for r in log.collect()] \
+        == [(1, "append")]
+    # idempotent full re-run: everything resumed, no new snapshot
+    res2 = write_resumable_iceberg(df, "lake.db.triples", n_buckets=8,
+                                   executor=cat.executor())
+    assert res2["resumed_past"] == list(range(8))
+    assert cat.read_table("lake.db.triples").count() == 64
+
+
+def test_local_snapshot_catalog_crash_before_commit_and_resume(
+        spark, tmp_path):
+    """Executor lost AFTER staging, BEFORE the commit link: the table is
+    observably unchanged (orphan staged files are never referenced);
+    the retry lands the whole append exactly once."""
+    import pytest as _pytest
+
+    from csvweb_spark.plans.lineage import write_resumable_iceberg
+    from csvweb_spark.plans.local_catalog import LocalSnapshotCatalog
+
+    cat = LocalSnapshotCatalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(f"http://p/{i}.csv", f"t{i}") for i in range(32)],
+        "url string, text string")
+    # first: commit HALF the buckets so the crash-retry also exercises
+    # resume (urls hashing to buckets 0..3 via a pre-filtered append)
+    from csvweb_spark.plans.lineage import with_part_key
+    keyed = with_part_key(df, "url", 8)
+    first = keyed.filter(keyed.part_key < 4)
+    cat.sql("CREATE TABLE IF NOT EXISTS lake.db.t "
+            "(url string, text string, part_key bigint) "
+            "USING iceberg PARTITIONED BY (part_key)")
+    cat.append(first, "lake.db.t")
+    n_first = first.count()
+
+    cat.fail_before_commit = True
+    with _pytest.raises(RuntimeError, match="injected executor loss"):
+        write_resumable_iceberg(df, "lake.db.t", n_buckets=8,
+                                executor=cat.executor())
+    # crash window: nothing new visible
+    assert cat.read_table("lake.db.t").count() == n_first
+    parts = cat.sql("SELECT DISTINCT partition.part_key AS part_key "
+                    "FROM lake.db.t.partitions")
+    assert {r.part_key for r in parts.collect()} == {0, 1, 2, 3}
+    # retry: resumes past 0..3, appends exactly the rest, once
+    res = write_resumable_iceberg(df, "lake.db.t", n_buckets=8,
+                                  executor=cat.executor())
+    assert res["resumed_past"] == [0, 1, 2, 3]
+    got = cat.read_table("lake.db.t")
+    assert got.count() == 32
+    assert got.select("url").distinct().count() == 32  # no duplicates
+
+
+def test_local_snapshot_catalog_concurrent_writers_first_commit_wins(
+        spark, tmp_path):
+    """Two writers racing: the exclusive link makes snapshot ids
+    first-commit-wins; the loser retries at the next id and BOTH
+    appends end up visible (optimistic concurrency, the Iceberg commit
+    loop)."""
+    import os
+
+    from csvweb_spark.plans.local_catalog import LocalSnapshotCatalog
+
+    cat = LocalSnapshotCatalog(spark, str(tmp_path / "wh"))
+    cat.sql("CREATE TABLE IF NOT EXISTS lake.db.c "
+            "(url string, text string, part_key bigint) "
+            "USING iceberg PARTITIONED BY (part_key)")
+    a = spark.createDataFrame([("http://a", "x", 0)],
+                              "url string, text string, part_key bigint")
+    b = spark.createDataFrame([("http://b", "y", 1)],
+                              "url string, text string, part_key bigint")
+    sid_a = cat.append(a, "lake.db.c")
+    # simulate the race: pre-plant the NEXT id's snapshot file so b's
+    # first link attempt collides and must retry
+    snapdir = cat._snapdir("lake.db.c")
+    planted = os.path.join(snapdir, "snap-2.json")
+    with open(os.path.join(snapdir, "snap-1.json")) as f:
+        import json as _json
+        planted_snap = _json.load(f)
+    planted_snap["snapshot_id"] = 2
+    planted_snap["committed_at"] = 2
+    with open(planted, "w") as f:
+        _json.dump(planted_snap, f)
+    sid_b = cat.append(b, "lake.db.c")
+    assert (sid_a, sid_b) == (1, 3)  # b lost id 2 and retried at 3
+    assert cat.read_table("lake.db.c").count() == 3  # a + planted + b
+    # statements outside the protocol are refused, not misread
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="outside the resumable-write"):
+        cat.sql("DROP TABLE lake.db.c")
