@@ -613,6 +613,31 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
 
     timed("hll_distinct", _hll)
 
+    # weight-proportional sampling + Heaps-law vocabulary curve +
+    # bitemporal as-of/as-at read (all narrow/one-shuffle shapes)
+    from csvweb_spark.operators.asof import snapshot_bitemporal
+    from csvweb_spark.operators.sampling import sample_weighted_topk
+    from csvweb_spark.operators.text import vocab_growth
+
+    timed("sample_weighted", lambda: sample_weighted_topk(
+        docs.select("doc_id", "lang", "n_chars"), k=20,
+        weight_col="n_chars", stratum_col="lang").count())
+    timed("vocab_growth", lambda: vocab_growth(docs).count())
+
+    def _bitemporal():
+        ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+              .select("user_id", "event_type",
+                      F.floor(F.col("value") * 100).cast("long")
+                      .alias("obj"), "ts",
+                      F.expr("timestampadd(DAY, CAST(event_id % 3 AS "
+                             "INT), ts)").alias("tx_ts")))
+        return snapshot_bitemporal(
+            ev, "2024-01-20 00:00:00", "2024-01-21 00:00:00",
+            ts_col="ts", tx_col="tx_ts",
+            key_cols=("user_id", "event_type"), val_cols=("obj",)).count()
+
+    timed("kg_bitemporal", _bitemporal)
+
     # Count-Min frequency sketch: build 4x512 counters over token
     # frequencies + probe the vocabulary (d chained broadcastable joins)
     from csvweb_spark.operators.sketches import cm_build, cm_estimate

@@ -327,6 +327,16 @@ AUDITS = [
      "integer priority key - each map task forwards at most k rows per "
      "stratum; the weight filter and key projection are in the scan "
      "stage."),
+    ("Warm-started (incremental) PageRank", "pagerank_incremental",
+     "The shown plan is the LAST warm round only (localCheckpoint "
+     "truncates both phases' lineage): one edges-vs-ranks join + one "
+     "map-side-combinable integer sum, identical per-round shape to "
+     "cold pagerank - warm start changes the round count, not the "
+     "plan."),
+    ("Bitemporal as-of/as-at snapshot", "kg_bitemporal",
+     "ONE map-side-combinable max(struct(ts, tx, vals)) aggregate over "
+     "the doubly-filtered scan (both time cuts pushed) - never a "
+     "window sort; partial_max below the key exchange."),
     ("Heaps-law vocabulary growth", "vocab_growth",
      "First-occurrence = partial_min below the token exchange; the "
      "running sum's unbounded window runs over the <= 64-row bucket "
