@@ -128,10 +128,21 @@ class LocalSnapshotCatalog:
                 for r in df.select("part_key").distinct().collect()]
         if not keys:
             return -1
+        # allocate the stage dir with create-EXCLUSIVE mkdir (review
+        # fix: a max(listdir)+1 read-then-write let two concurrent
+        # writers pick the same stage and clobber each other's parquet
+        # before either committed); each writer therefore also gets a
+        # unique tmp-file name for its snapshot json
         n_stage = 1 + max(
             [int(d.split("-")[1]) for d in
              os.listdir(os.path.join(tdir, "_staged"))] or [0])
-        data_dir = os.path.join(tdir, "_staged", f"stage-{n_stage}")
+        while True:
+            data_dir = os.path.join(tdir, "_staged", f"stage-{n_stage}")
+            try:
+                os.mkdir(data_dir)
+                break
+            except FileExistsError:
+                n_stage += 1
         df.write.mode("overwrite").parquet(data_dir)
         if self.fail_before_commit:
             self.fail_before_commit = False

@@ -251,6 +251,9 @@ def stream_deduped_documents(spark: SparkSession, input_dir: str,
             docs = _cached(batch_df.select(key_col, text_col))
             if docs.count() == 0:
                 return
+            for _sub in ("bands", "sigs"):
+                _claim_owner(fs, fs.join(output_dir, "_state", _sub),
+                             checkpoint_dir)
             if (_folded_in_snapshot(
                     fs, fs.join(output_dir, "_state", "bands"), batch_id)
                 or _folded_in_snapshot(
@@ -517,10 +520,12 @@ def _epoch_markers(fs, root: str) -> list:
     for f in fs.listdir(root):
         if not f.startswith("_epoch_"):
             continue
-        try:
-            meta = dict(fs.read_json(fs.join(root, f)))
-        except Exception:
-            meta = {}
+        # markers are written atomically (write_text_atomic) and are
+        # load-bearing for exactly-once: an unreadable one must FAIL
+        # the read, not silently disable fold-exclusion / replay-skip
+        # (round-5 review - a swallowed error here re-opens the very
+        # double-count this protocol closes)
+        meta = dict(fs.read_json(fs.join(root, f)))
         meta["offset"] = int(f.rsplit("_", 1)[1])
         out.append(meta)
     return sorted(out, key=lambda m: m["offset"])
@@ -576,10 +581,45 @@ def _folded_in_snapshot(fs, root: str, batch_id: int) -> bool:
 def _delta_dir(fs, root: str, batch_id: int):
     """Destination dir for a micro-batch's state-delta commit, or None
     when the delta is already folded into a compaction snapshot and
-    the commit must be skipped (see _folded_in_snapshot)."""
-    if _folded_in_snapshot(fs, root, batch_id):
+    the commit must be skipped (see _folded_in_snapshot). One marker
+    listing serves both the skip test and the offset (review fix: two
+    separate scans doubled object-store round trips per batch)."""
+    markers = _epoch_markers(fs, root)
+    if any("prev_offset" in m and "folded_max" in m
+           and batch_id + m["prev_offset"] <= m["folded_max"]
+           for m in markers):
         return None
-    return fs.join(root, f"batch={batch_id + _compact_offset(fs, root)}")
+    off = max((m["offset"] for m in markers), default=0)
+    return fs.join(root, f"batch={batch_id + off}")
+
+
+def _claim_owner(fs, root: str, checkpoint_dir: str) -> None:
+    """Enforce the one-checkpoint-lineage-owns-one-state-dir contract
+    the folded-replay skip depends on: batch ids are per-checkpoint, so
+    a FRESH checkpoint pointed at an existing state dir would alias its
+    early batch ids onto folded ones and the skip would silently drop
+    genuinely new data (round-5 review; the pre-skip protocol corrupted
+    such runs with duplicates/overwrites instead - both are contract
+    violations, this makes them LOUD). The first commit stamps the
+    checkpoint path into `_owner` (atomic, first-commit-wins); every
+    later commit must match or the batch fails with instructions."""
+    import json as _json
+
+    fs.makedirs(root)
+    marker = fs.join(root, "_owner")
+    if fs.exists(marker):
+        owner = fs.read_json(marker).get("checkpoint")
+        if owner != checkpoint_dir:
+            raise RuntimeError(
+                f"state dir {root!r} is owned by checkpoint "
+                f"{owner!r}, but this stream runs from "
+                f"{checkpoint_dir!r}. One checkpoint lineage owns one "
+                f"state dir (batch ids are per-checkpoint): reuse the "
+                f"original checkpoint, or start a fresh state dir.")
+        return
+    fs.write_text_atomic(marker,
+                         _json.dumps({"checkpoint": checkpoint_dir}),
+                         fs.join(root, "._tmp_owner"))
 
 
 def read_entity_components(spark: SparkSession, output_dir: str,
@@ -657,6 +697,7 @@ def stream_entity_components(spark: SparkSession, input_dir: str,
                     batch_hook(batch_id, "done")
                 return
             root = fs.join(output_dir, LABEL_STATE_SUBDIR)
+            _claim_owner(fs, root, checkpoint_dir)
             if _folded_in_snapshot(fs, root, batch_id):
                 # folded replay: this batch's labels are already inside
                 # the compaction snapshot (recomputing against it would
@@ -756,19 +797,23 @@ def _compact_state(spark: SparkSession, output_dir: str, subdir: str,
     raw_ids = {b for b, _ in raw}
     markers = [m for m in _epoch_markers(fs, root)
                if "snapshot" in m and "folded_max" in m]
-    pending = [m for m in markers if m["snapshot"] not in raw_ids]
-    if pending:
+    # ONLY the newest marker can legitimately be mid-flight: an older
+    # marker's snapshot was an INPUT of the next compaction and gets
+    # removed by it - treating such a consumed marker as 'pending'
+    # would resurrect a garbage dir at its old snapshot id and never
+    # fold live deltas again (round-5 review: verified livelock)
+    newest = markers[-1] if markers else None
+    if newest is not None and newest["snapshot"] not in raw_ids:
         # resume a compaction that crashed before its snapshot commit
-        m = pending[-1]
-        new_id, fold_max = m["snapshot"], m["folded_max"]
+        new_id, fold_max = newest["snapshot"], newest["folded_max"]
     else:
-        done = [m for m in markers if m["snapshot"] in raw_ids]
         leftover = [(b, p) for b, p in raw
-                    if done and b <= done[-1]["folded_max"]]
+                    if newest is not None
+                    and b <= newest["folded_max"]]
         if leftover:  # resume step 4 only: finish the removals
             for _b, p in leftover:
                 fs.rmtree(p)
-            return done[-1]["snapshot"]
+            return newest["snapshot"]
         if len(raw) <= 1:
             return raw[0][0] if raw else -1
         all_dirs = _batch_dirs(fs, root, committed_only=False,
@@ -776,6 +821,13 @@ def _compact_state(spark: SparkSession, output_dir: str, subdir: str,
         fold_max = max(raw_ids)
         new_id = (max(b for b, _ in all_dirs) + 1
                   if batch_id is None else batch_id)
+        if new_id <= fold_max:
+            # a caller-chosen snapshot id at or below the fold ceiling
+            # would be deleted by the removal pass together with the
+            # inputs (round-5 review: verified total state loss)
+            raise ValueError(
+                f"batch_id={new_id} must exceed every folded input id "
+                f"(max committed is {fold_max})")
         old_offset = _compact_offset(fs, root)
         fs.write_text_atomic(
             fs.join(root, f"_epoch_{old_offset + 2}"),
@@ -794,7 +846,7 @@ def _compact_state(spark: SparkSession, output_dir: str, subdir: str,
     finally:
         state.unpersist()
     for b, path in _batch_dirs(fs, root, apply_fold_exclusion=False):
-        if b <= fold_max:
+        if b <= fold_max and b != new_id:  # never the fresh snapshot
             fs.rmtree(path)
     return new_id
 
@@ -900,6 +952,7 @@ def stream_line_deduped_documents(spark: SparkSession, input_dir: str,
                     batch_hook(batch_id, "done")
                 return
             root = fs.join(output_dir, LINE_STATE_SUBDIR)
+            _claim_owner(fs, root, checkpoint_dir)
             if _folded_in_snapshot(fs, root, batch_id):
                 # folded replay: the state commit happened (and was
                 # folded), so the docs commit that PRECEDES it in this
@@ -1005,6 +1058,7 @@ def stream_latest_assertions(spark: SparkSession, input_dir: str,
         if batch_hook is not None:
             batch_hook(batch_id, "start")
         root = fs.join(output_dir, LATEST_STATE_SUBDIR)
+        _claim_owner(fs, root, checkpoint_dir)
         delta = snapshot_asof(batch_df, "9999-12-31 23:59:59",
                               ts_col=ts_col, key_cols=key_cols,
                               val_cols=val_cols)
@@ -1096,6 +1150,7 @@ def stream_web_graph(spark: SparkSession, input_dir: str,
         if batch_hook is not None:
             batch_hook(batch_id, "start")
         root = fs.join(output_dir, WEBGRAPH_STATE_SUBDIR)
+        _claim_owner(fs, root, checkpoint_dir)
         delta = host_edges(extract_links(batch_df), drop_self=drop_self)
         if not delta.take(1):
             if batch_hook is not None:
@@ -1180,6 +1235,7 @@ def stream_table_fingerprint(spark: SparkSession, input_dir: str,
         if batch_hook is not None:
             batch_hook(batch_id, "start")
         root = fs.join(output_dir, FINGERPRINT_STATE_SUBDIR)
+        _claim_owner(fs, root, checkpoint_dir)
         delta = table_fingerprint(batch_df, list(cols),
                                   n_buckets=n_buckets)
         if not delta.take(1):
@@ -1294,11 +1350,15 @@ def stream_corpus_sketches(spark: SparkSession, input_dir: str,
         try:
             cm_root = fs.join(output_dir, CM_STATE_SUBDIR)
             hll_root = fs.join(output_dir, HLL_STATE_SUBDIR)
-            cm_delta = cm_build(toks, "token", d=d, w=w)
-            if not cm_delta.take(1):
+            _claim_owner(fs, cm_root, checkpoint_dir)
+            _claim_owner(fs, hll_root, checkpoint_dir)
+            if not toks.take(1):  # cheap: tokenization is cached, no
+                # point running the full d-way aggregate just to learn
+                # the batch is empty (review fix)
                 if batch_hook is not None:
                     batch_hook(batch_id, "done")
                 return  # no tokens in this batch -> nothing to commit
+            cm_delta = cm_build(toks, "token", d=d, w=w)
             # per-family folded-replay skips (independent: a crash
             # between the two commits can leave one family folded and
             # the other pending)
@@ -1420,6 +1480,7 @@ def stream_warc_ingest(spark: SparkSession, input_dir: str,
         if batch_hook is not None:
             batch_hook(batch_id, "start")
         root = fs.join(output_dir, WARC_PAGES_SUBDIR)
+        _claim_owner(fs, root, checkpoint_dir)
         segs = batch_df.select(F.col("path").alias("segment_id"),
                                F.col("content").alias("blob"))
         if maintain_cdx:
@@ -1430,6 +1491,7 @@ def stream_warc_ingest(spark: SparkSession, input_dir: str,
             # retries both overwrites harmlessly
             from ..sources.cdx import cdx_index
             cdx_root = fs.join(output_dir, WARC_CDX_SUBDIR)
+            _claim_owner(fs, cdx_root, checkpoint_dir)
             cdx_dest = _delta_dir(fs, cdx_root, batch_id)
             if cdx_dest is not None:  # folded replay: index rows would
                 # duplicate (append-only union read)
@@ -1528,6 +1590,7 @@ def stream_inverted_index(spark: SparkSession, input_dir: str,
         if batch_hook is not None:
             batch_hook(batch_id, "start")
         root = fs.join(output_dir, POSTINGS_STATE_SUBDIR)
+        _claim_owner(fs, root, checkpoint_dir)
         delta = build_inverted_index(
             batch_df.select(key_col, text_col), text_col, key_col)
         if not delta.take(1):

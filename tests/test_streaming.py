@@ -306,10 +306,12 @@ def test_stream_entity_components_crash_resume(spark, tmp_path):
     except Exception:
         pass
     assert not q.isActive or q.exception() is not None
-    # resume with a FRESH checkpoint redelivers everything; state must
-    # end up identical, not doubled
+    # resume from the SAME checkpoint (a fresh one is now refused by
+    # the _owner stamp - round-5 review): the crashed batch's ack never
+    # landed, so it REDELIVERS; its own-dir overwrite is byte-identical
+    # and the state must end up identical, not doubled
     q2 = stream_entity_components(spark, edges_dir, out,
-                                  str(tmp_path / "ckpt2"))
+                                  str(tmp_path / "ckpt1"))
     q2.awaitTermination(180)
     got = {r.node: r.component for r in
            read_entity_components(spark, out).collect()}
@@ -342,12 +344,14 @@ def test_compact_entity_components(spark, tmp_path):
               read_entity_components(spark, out).collect()}
     assert before == {1: 1, 2: 1, 5: 1, 6: 1}
     state_root = os.path.join(out, "_state", "labels")
-    assert len(os.listdir(state_root)) == 2
+    assert len([d for d in os.listdir(state_root)
+                if d.startswith("batch=")]) == 2
     new_id = compact_entity_components(spark, out)
     assert new_id == 2
     # one consolidated partition + the batch-id offset marker (+2 per
     # compaction: the retry-collision guard, see _compact_state)
-    assert sorted(os.listdir(state_root)) == ["_epoch_2", "batch=2"]
+    assert sorted(d for d in os.listdir(state_root)
+                  if d != "_owner") == ["_epoch_2", "batch=2"]
     after = {r.node: r.component for r in
              read_entity_components(spark, out).collect()}
     assert after == before
@@ -588,15 +592,15 @@ def test_double_compaction_offset_monotonic(spark, tmp_path):
     fs = fs_for(out, spark)
     root = os.path.join(out, "_state", "labels")
     assert _compact_offset(fs, root) == 2
-    # genuinely NEW deltas arrive (new files via a fresh checkpoint:
-    # its replay of the folded b0/b1 batch ids is SKIPPED by the
-    # folded-replay rule - round-5 review - while the new files land
-    # at later batch ids, above the snapshot via the offset), then
+    # genuinely NEW deltas arrive on the SAME checkpoint lineage (the
+    # _owner stamp rejects a different checkpoint against this state
+    # dir - round-5 review closed that silent batch-id-aliasing hole),
+    # landing at batch ids 2/3 -> dirs 4/5 above the snapshot; then
     # compact AGAIN: offset must reach 4
     add_batch_file("b2", [(7, 8)])
     add_batch_file("b3", [(9, 10)])
     q2 = stream_entity_components(spark, edges_dir, out,
-                                  str(tmp_path / "ckpt2"),
+                                  str(tmp_path / "ckpt"),
                                   max_files_per_trigger=1)
     q2.awaitTermination(180)
     assert compact_entity_components(spark, out) > 2
@@ -637,8 +641,9 @@ def test_compact_dedup_state(spark, tmp_path):
     bands_id, sigs_id = compact_dedup_state(spark, out)
     assert (bands_id, sigs_id) == (2, 2)
     for fam in ("bands", "sigs"):
-        assert sorted(os.listdir(os.path.join(out, "_state", fam))) == \
-            ["_epoch_2", "batch=2"]
+        assert sorted(f for f in os.listdir(os.path.join(out, "_state",
+                                                         fam))
+                      if f != "_owner") == ["_epoch_2", "batch=2"]
     # batch 3 (stream batch id 2 -> dir id 4): near-dup of the COMPACTED
     # doc 1 must still be dropped, fresh doc survives
     spark.createDataFrame([(3, near_a), (4, "fresh " * 30)],
@@ -740,7 +745,8 @@ def test_stream_line_dedup_and_compaction(spark, tmp_path):
     assert n_digests == 4  # common, unique1, unique2, fresh3
     assert compact_line_digest_state(spark, out) == 2
     root = os.path.join(out, "_state", "lines")
-    assert sorted(os.listdir(root)) == ["_epoch_2", "batch=2"]
+    assert sorted(d for d in os.listdir(root)
+                  if d != "_owner") == ["_epoch_2", "batch=2"]
     assert read_line_digest_state(spark, out).count() == n_digests
     # batch 3 after compaction, with a crash between docs and digest
     # commit: redelivery rewrites both deterministically
@@ -1365,3 +1371,109 @@ def test_additive_replay_after_compaction_does_not_double_count(
     edges2 = {(r.src_host, r.dst_host): r.n_links
               for r in read_host_graph(spark, out).collect()}
     assert edges2 == {("a.org", "b.org"): 2}
+
+
+def test_state_dir_owner_enforced_and_repeated_compaction_folds(
+        spark, tmp_path):
+    """ROUND-5 REVIEW, two regressions in one run: (1) a DIFFERENT
+    checkpoint pointed at an owned state dir fails loudly instead of
+    silently skipping aliased batch ids; (2) repeated compactions with
+    interleaved new batches keep folding (a consumed older marker must
+    not be resurrected as 'pending' - the verified livelock)."""
+    import os
+
+    from csvweb_spark.streaming.pipeline import (compact_host_graph,
+                                                 read_host_graph,
+                                                 stream_web_graph)
+
+    pages_dir = str(tmp_path / "pages")
+    out = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(pages_dir)
+    schema = ("url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+
+    def page(u, href):
+        from datetime import datetime
+        return (u, datetime(2026, 1, 1),
+                f'<a href="{href}">x</a>'.encode(), None, "en")
+
+    def add_batch_file(name, rows):
+        stage = f"{tmp_path}/_stage_{name}"
+        spark.createDataFrame(rows, schema) \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage)
+                if f.endswith(".parquet")][0]
+        os.rename(f"{stage}/{part}", f"{pages_dir}/{name}.parquet")
+
+    def run(ck):
+        q = stream_web_graph(spark, pages_dir, out, ck,
+                             max_files_per_trigger=1)
+        q.awaitTermination(180)
+
+    def edges():
+        return {(r.src_host, r.dst_host): r.n_links
+                for r in read_host_graph(spark, out).collect()}
+
+    add_batch_file("b0", [page("http://a.org/1", "http://b.org/x")])
+    add_batch_file("b1", [page("http://a.org/2", "http://b.org/y")])
+    run(ckpt)
+    compact_host_graph(spark, out)                      # epoch 1
+    add_batch_file("b2", [page("http://a.org/3", "http://b.org/z")])
+    run(ckpt)
+    compact_host_graph(spark, out)                      # epoch 2
+    add_batch_file("b3", [page("http://a.org/4", "http://c.org/w")])
+    run(ckpt)
+    # epoch 3: before the fix, epoch 1's consumed marker read as
+    # 'pending' here and this call stopped folding forever
+    compact_host_graph(spark, out)
+    assert edges() == {("a.org", "b.org"): 3, ("a.org", "c.org"): 1}
+    root = os.path.join(out, "_state", "host_edges")
+    dirs = [d for d in os.listdir(root) if d.startswith("batch=")]
+    assert len(dirs) == 1  # everything folded into ONE snapshot
+    # a different checkpoint against the same state dir: loud refusal
+    add_batch_file("b4", [page("http://a.org/5", "http://c.org/v")])
+    q = stream_web_graph(spark, pages_dir, out, str(tmp_path / "ckpt2"),
+                         max_files_per_trigger=1)
+    try:
+        q.awaitTermination(180)
+        raised = False
+    except Exception as e:
+        raised = "owned by checkpoint" in str(e)
+    assert raised
+    assert edges() == {("a.org", "b.org"): 3, ("a.org", "c.org"): 1}
+
+
+def test_compact_state_rejects_low_explicit_batch_id(spark, tmp_path):
+    """ROUND-5 REVIEW: an explicit compaction batch_id at or below the
+    fold ceiling would have been deleted together with the inputs -
+    now a loud ValueError."""
+    import os
+
+    import pytest as _pytest
+
+    from csvweb_spark.streaming.pipeline import (compact_host_graph,
+                                                 stream_web_graph)
+
+    pages_dir = str(tmp_path / "pages")
+    out = str(tmp_path / "state")
+    os.makedirs(pages_dir)
+    schema = ("url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+    from datetime import datetime
+    rows = [("http://a.org/1", datetime(2026, 1, 1),
+             b'<a href="http://b.org/x">x</a>', None, "en"),
+            ("http://a.org/2", datetime(2026, 1, 1),
+             b'<a href="http://b.org/y">y</a>', None, "en")]
+    for i, r in enumerate(rows):
+        stage = f"{tmp_path}/_stage_{i}"
+        spark.createDataFrame([r], schema).coalesce(1) \
+            .write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage)
+                if f.endswith(".parquet")][0]
+        os.rename(f"{stage}/{part}", f"{pages_dir}/b{i}.parquet")
+    q = stream_web_graph(spark, pages_dir, out, str(tmp_path / "ckpt"),
+                         max_files_per_trigger=1)
+    q.awaitTermination(180)
+    with _pytest.raises(ValueError, match="must exceed every folded"):
+        compact_host_graph(spark, out, batch_id=1)
