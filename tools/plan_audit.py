@@ -328,11 +328,12 @@ AUDITS = [
      "stratum; the weight filter and key projection are in the scan "
      "stage."),
     ("Warm-started (incremental) PageRank", "pagerank_incremental",
-     "The shown plan is the LAST warm round only (localCheckpoint "
-     "truncates both phases' lineage): one edges-vs-ranks join + one "
-     "map-side-combinable integer sum, identical per-round shape to "
-     "cold pagerank - warm start changes the round count, not the "
-     "plan."),
+     "A bare checkpointed-result scan: every round (cold AND warm) ran "
+     "as its own already-finished job and localCheckpoint truncated "
+     "the lineage, so nothing is left to recompute at read time - the "
+     "per-round join+partial_sum shape is audited under the cold "
+     "`pagerank` section (same code path; warm start changes the "
+     "round count and pr0 seed, not the plan)."),
     ("Bitemporal as-of/as-at snapshot", "kg_bitemporal",
      "ONE map-side-combinable max(struct(ts, tx, vals)) aggregate over "
      "the doubly-filtered scan (both time cuts pushed) - never a "
