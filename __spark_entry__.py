@@ -1624,6 +1624,36 @@ def q_entity_link_fuzzy(spark, sf_dir):
     return out.select("mention_id", "mention", "alias", "jaccard_dist_bp")
 
 
+def q_link_editdist(spark, sf_dir):
+    """Single-typo entity linking (round 5, linking.py::link_editdist):
+    SymSpell deletion-neighborhood candidate generation + exact
+    Levenshtein verify - the in-token-typo complement to the token-set
+    MinHash path (entity_link_fuzzy), which scores 'germani' vs
+    'germany' at Jaccard 0. Mentions are part names (p_partkey < 500)
+    with ONE deterministic character deletion at position
+    p_partkey % length + 1; aliases are the clean names. The delete-1
+    blocking is lossless for edit distance <= 1, so every typo whose
+    deletion didn't collapse a double space relinks at distance 1
+    (space-adjacent deletions normalize to distance 2 and are
+    correctly rejected - the oracle replays that too). Oracle: the
+    same typo synthesis, neighborhoods via a DuckDB list
+    comprehension, the same distinct-pair + levenshtein verify."""
+    from csvweb_spark.operators.linking import link_editdist
+    part = _load(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    nm = F.col("p_name")
+    pos = (F.col("p_partkey") % F.length(nm) + 1).cast("int")
+    mentions = part.select(
+        F.col("p_partkey").cast("long").alias("mention_id"),
+        F.concat(F.substr(nm, F.lit(1), pos - F.lit(1)),
+                 F.substr(nm, pos + F.lit(1), F.length(nm)))
+        .alias("mention"))
+    aliases = part.select(F.col("p_name").alias("alias"))
+    out = link_editdist(mentions, aliases, max_dist=1)
+    return out.select(F.col("mention_id").cast("long").alias("mention_id"),
+                      "mention", "alias",
+                      F.col("edit_dist").cast("long").alias("edit_dist"))
+
+
 def q_entity_disambiguate(spark, sf_dir):
     """Coherence disambiguation (round 5, linking.py::
     disambiguate_by_coherence): customers < 200 act as documents, each
@@ -4275,6 +4305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": q_kg_negatives,
         "kg_harmonic": q_kg_harmonic,
         "entity_disambiguate": q_entity_disambiguate,
+        "link_editdist": q_link_editdist,
         "kg_diff": q_kg_diff,
         "kg_validity": q_kg_validity,
         "table_fingerprint": q_table_fingerprint,
@@ -8341,6 +8372,54 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE t_in.c NOT IN (SELECT c FROM v)
         """,
         "entity_link_fuzzy": _fuzzy_link_oracle_sql(),
+        "link_editdist": """
+            -- linking.py::link_editdist replayed exactly: the same
+            -- deterministic typo synthesis (delete char at
+            -- p_partkey % length + 1), normalize (lower, non-alnum ->
+            -- space, squeeze, trim), delete-1 neighborhoods via a list
+            -- comprehension, distinct candidate pairs on neighborhood
+            -- intersection, levenshtein <= 1 verify.
+            WITH src AS (SELECT p_partkey, p_name FROM part
+                         WHERE p_partkey < 500),
+            m0 AS (SELECT p_partkey::BIGINT AS mention_id,
+                          concat(substr(p_name, 1,
+                                        (p_partkey % length(p_name))::INT),
+                                 substr(p_name,
+                                        (p_partkey % length(p_name))::INT
+                                        + 2)) AS mention
+                   FROM src),
+            mn AS (SELECT mention_id, mention,
+                          trim(regexp_replace(regexp_replace(
+                              lower(mention), '[^a-z0-9 ]', ' ', 'g'),
+                              '\\s+', ' ', 'g')) AS nf
+                   FROM m0 WHERE length(trim(regexp_replace(
+                       regexp_replace(lower(mention), '[^a-z0-9 ]', ' ',
+                                      'g'), '\\s+', ' ', 'g'))) > 0),
+            an AS (SELECT DISTINCT p_name AS alias,
+                          trim(regexp_replace(regexp_replace(
+                              lower(p_name), '[^a-z0-9 ]', ' ', 'g'),
+                              '\\s+', ' ', 'g')) AS nf
+                   FROM src),
+            mk AS (SELECT mention_id, nf,
+                          unnest(list_append(
+                              [substr(nf, 1, i - 1) || substr(nf, i + 1)
+                               for i in generate_series(1, length(nf))],
+                              nf)) AS key
+                   FROM mn),
+            ak AS (SELECT alias, nf,
+                          unnest(list_append(
+                              [substr(nf, 1, i - 1) || substr(nf, i + 1)
+                               for i in generate_series(1, length(nf))],
+                              nf)) AS key
+                   FROM an WHERE length(nf) > 0),
+            cand AS (SELECT DISTINCT mk.mention_id, mk.nf AS mnf,
+                            ak.alias, ak.nf AS anf
+                     FROM mk JOIN ak ON ak.key = mk.key)
+            SELECT c.mention_id, mn.mention, c.alias,
+                   levenshtein(c.mnf, c.anf)::BIGINT AS edit_dist
+            FROM cand c JOIN mn ON mn.mention_id = c.mention_id
+            WHERE levenshtein(c.mnf, c.anf) <= 1
+        """,
         "entity_disambiguate": """
             WITH c AS (SELECT c_custkey AS d, c_custkey % 20 AS j,
                               c_custkey % 5 AS r

@@ -158,6 +158,22 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     timed("kg_pipeline_e2e", lambda: kg_canonical_triples(
         pages, table, synth_aliases(docs))[0].count(), retry_under=120.0)
 
+    # single-typo edit-distance linking: SymSpell delete-1 neighborhood
+    # candidates (alias side broadcast) + levenshtein verify, over every
+    # part name with one deterministic character deletion
+    from csvweb_spark.operators.linking import link_editdist
+    part_b = spark.read.parquet(f"{sf_dir}/part.parquet")
+    _nm = F.col("p_name")
+    _pos = (F.col("p_partkey") % F.length(_nm) + 1).cast("int")
+    typo_mentions = part_b.select(
+        F.col("p_partkey").cast("long").alias("mention_id"),
+        F.concat(F.substr(_nm, F.lit(1), _pos - F.lit(1)),
+                 F.substr(_nm, _pos + F.lit(1), F.length(_nm)))
+        .alias("mention"))
+    timed("link_editdist", lambda: link_editdist(
+        typo_mentions, part_b.select(F.col("p_name").alias("alias"))
+    ).count())
+
     # text analysis full pass
     timed("text_profile", lambda: text_profile(docs).count())
     timed("text_quality", lambda: quality_features(docs).count())

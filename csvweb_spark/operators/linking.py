@@ -172,6 +172,72 @@ def link_fuzzy_minhash(mentions: DataFrame, aliases: DataFrame,
         "jaccard_dist_bp")
 
 
+def link_editdist(mentions: DataFrame, aliases: DataFrame,
+                  mention_col: str = "mention",
+                  alias_col: str = "alias",
+                  mention_key: str = "mention_id",
+                  max_dist: int = 1) -> DataFrame:
+    """Edit-distance entity linking for single-typo surface forms: the
+    classic record-linkage complement to link_fuzzy_minhash (token-set
+    Jaccard is blind to in-token typos - 'germani' vs 'germany' shares
+    ZERO tokens, Jaccard 0, but edit distance 1).
+
+    Candidate generation is the SymSpell deletion-neighborhood scheme:
+    each side expands its normalized form into {itself} U {every
+    single-character deletion}, and candidates are pairs whose
+    neighborhoods intersect. For max_dist=1 this blocking is LOSSLESS:
+    ed(m,a)<=1 means m=a (shared identity key), or one is a deletion of
+    the other (m's delete-1 set contains a, or vice versa), or they
+    differ by one substitution (deleting the substituted position from
+    BOTH yields a shared key). Only max_dist=1 is accepted - deeper
+    thresholds need delete-k neighborhoods (O(len^k) keys/row), a
+    different cost class that should be an explicit caller choice.
+    Exact `levenshtein() <= max_dist` verification keeps precision
+    exact, so blocking only ever bounds recall - and for k=1 it
+    provably doesn't.
+
+    Scale shape: the alias dictionary's neighborhood (~len keys per
+    alias, dictionary is MBs-GBs) broadcasts; the mention side explodes
+    to O(total chars) slim (key, id) rows - linear, never
+    |mentions| x |aliases|; the per-pair verify runs only on
+    neighborhood collisions. Deterministic string ops end-to-end, so a
+    DuckDB oracle replays the exact candidate set and distances
+    (Spark's levenshtein and DuckDB's are both plain Levenshtein).
+
+    Returns (mention_key, mention, alias, edit_dist), edit_dist <=
+    max_dist, distinct per (mention_key, alias)."""
+    assert max_dist == 1, "delete-1 blocking is only lossless for ed<=1"
+
+    def neighborhood(nf):
+        dels = F.transform(
+            F.sequence(F.lit(1), F.length(nf)),
+            lambda i: F.concat(F.substr(nf, F.lit(1), i - F.lit(1)),
+                               F.substr(nf, i + F.lit(1), F.length(nf))))
+        return F.array_union(F.array(nf), dels)
+
+    m = (mentions.select(F.col(mention_key),
+                         F.col(mention_col).alias("mention"),
+                         F.trim(normalize_surface(F.col(mention_col)))
+                         .alias("_mnf"))
+         .filter(F.length("_mnf") > 0))
+    a = (aliases.select(F.col(alias_col).alias("alias"),
+                        F.trim(normalize_surface(F.col(alias_col)))
+                        .alias("_anf"))
+         .filter(F.length("_anf") > 0).distinct())
+    mk = m.select(mention_key, "_mnf",
+                  F.explode(neighborhood(F.col("_mnf"))).alias("_key"))
+    ak = a.select("alias", "_anf",
+                  F.explode(neighborhood(F.col("_anf"))).alias("_key"))
+    cand = (mk.join(F.broadcast(ak), "_key")
+            .select(mention_key, "_mnf", "alias", "_anf").distinct())
+    return (cand
+            .withColumn("edit_dist",
+                        F.levenshtein("_mnf", "_anf").cast("long"))
+            .filter(F.col("edit_dist") <= max_dist)
+            .join(m.select(mention_key, "mention"), mention_key)
+            .select(mention_key, "mention", "alias", "edit_dist"))
+
+
 def disambiguate_by_coherence(candidates: DataFrame, edges: DataFrame,
                               key_col: str = "doc_id",
                               mention_col: str = "mention",

@@ -771,6 +771,33 @@ def test_link_exact_and_contains(spark, docs):
     assert 3 not in ids and len(ids) >= 1
 
 
+def test_link_editdist_single_typo(spark):
+    """Delete-1 blocking + levenshtein verify: deletion, insertion and
+    substitution typos all relink at distance <= 1 (the three ed=1
+    cases the SymSpell neighborhood must cover); unrelated strings and
+    ed=2 forms do not; the exact form links at distance 0."""
+    from csvweb_spark.operators.linking import link_editdist
+    aliases = spark.createDataFrame(
+        [("Germany",), ("France",), ("United States",)], "alias string")
+    mentions = spark.createDataFrame(
+        [(1, "germani"),        # substitution -> ed 1
+         (2, "grmany"),         # deletion -> ed 1
+         (3, "germanyy"),       # insertion -> ed 1
+         (4, "germany"),        # exact -> ed 0
+         (5, "germnai"),        # ed 2: blocked or rejected
+         (6, "zzz")],           # unrelated
+        "mention_id long, mention string")
+    got = {(r.mention_id, r.alias, r.edit_dist) for r in
+           link_editdist(mentions, aliases).collect()}
+    assert got == {(1, "Germany", 1), (2, "Germany", 1),
+                   (3, "Germany", 1), (4, "Germany", 0)}
+    # max_dist != 1 must refuse (delete-1 blocking is only lossless
+    # for ed<=1) rather than silently under-recall
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        link_editdist(mentions, aliases, max_dist=2)
+
+
 def test_link_contains_prefilter_matches_bnlj(spark, docs):
     """The inverted-index pre-filter must be lossless vs the nested-loop
     reference plan, including multi-token aliases and rarest-token mode."""

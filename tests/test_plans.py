@@ -76,6 +76,20 @@ def test_link_exact_uses_broadcast_join(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_link_editdist_broadcasts_alias_neighborhood(spark):
+    """The deletion-neighborhood candidate join must broadcast the
+    alias side (dictionary = MBs-GBs vs TB-scale mentions) and never
+    compile a nested-loop |mentions| x |aliases| compare."""
+    from csvweb_spark.operators.linking import link_editdist
+    mentions = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").alias("mention_id"),
+        F.col("source").alias("mention"))
+    aliases = spark.createDataFrame([("web",), ("wweb",)], "alias string")
+    plan = plan_of(link_editdist(mentions, aliases))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_link_contains_prefilter_is_hash_join(spark):
     """Containment linking's default plan must be the inverted-index
     equi-join (BroadcastHashJoin on the alias index token), NOT the

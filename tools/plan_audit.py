@@ -343,6 +343,12 @@ AUDITS = [
      "running sum's unbounded window runs over the <= 64-row bucket "
      "table (a single tiny partition is correct here), never the "
      "corpus."),
+    ("Edit-distance linking (delete-1 neighborhood)", "link_editdist",
+     "The candidate join is a BroadcastHashJoin on the deletion-"
+     "neighborhood key with the alias side broadcast - never a "
+     "BroadcastNestedLoopJoin over |mentions| x |aliases|; the "
+     "levenshtein verify runs only on neighborhood collisions, after "
+     "the distinct pair dedup."),
 ]
 
 
