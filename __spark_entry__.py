@@ -850,6 +850,38 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
             .select("id_a", "id_b", "jaccard_bp"))
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Directed quote-containment detection (round 5, dedup.py::
+    dedup_containment): the corpus is documents doc_id < 60 plus
+    synthetic 'quoting pages' (id 30000+i for i < 20) whose text is
+    doc i's text followed by doc i+1's - the asymmetric shape that is
+    invisible to symmetric Jaccard gates. Word-3-gram containment of
+    doc i in its quoting page is exactly 10000 bp (every 3-word window
+    of a verbatim quote survives concatenation); the reverse direction
+    is ~size(i)/(size(i)+size(i+1)) and is correctly NOT emitted at
+    threshold 0.8 - the directedness is the tested behavior, not a
+    formality. Oracle replays tokenization, word shingles (DuckDB list
+    slicing), the blocked directed self-join and the integer-bp
+    containment exactly."""
+    from csvweb_spark.operators.dedup import dedup_containment
+    d = (_load(spark, sf_dir, "documents")
+         .select(F.col("doc_id").cast("long").alias("doc_id"),
+                 "text", "source"))
+    inner = d.filter(F.col("doc_id") < 60)
+    nxt = d.select((F.col("doc_id") - 1).alias("doc_id"),
+                   F.col("text").alias("text2"))
+    combined = (d.filter(F.col("doc_id") < 20).join(nxt, "doc_id")
+                .select((F.col("doc_id") + 30000).alias("doc_id"),
+                        F.concat("text", F.lit(" "), "text2").alias("text"),
+                        "source"))
+    corpus = inner.unionByName(combined)
+    out = dedup_containment(corpus, threshold=0.8)
+    return out.select(F.col("inner_id").cast("long").alias("inner_id"),
+                      F.col("outer_id").cast("long").alias("outer_id"),
+                      F.col("containment_bp").cast("long")
+                      .alias("containment_bp"))
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash (Carter-Wegman over GF(2^31-1), md5 base hash) + banded LSH
     bucket join + exact-Jaccard verify. Oracle-EXACT since round 2: the
@@ -4306,6 +4338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_harmonic": q_kg_harmonic,
         "entity_disambiguate": q_entity_disambiguate,
         "link_editdist": q_link_editdist,
+        "dedup_containment": q_dedup_containment,
         "kg_diff": q_kg_diff,
         "kg_validity": q_kg_validity,
         "table_fingerprint": q_table_fingerprint,
@@ -6103,6 +6136,46 @@ def _oracle_sql_literal() -> dict[str, str]:
               ON a.source = b.source AND a.doc_id < b.doc_id
             WHERE (len(list_intersect(a.s, b.s))::bigint * 10000)
                   // len(list_distinct(a.s || b.s)) >= 3500
+        """,
+        "dedup_containment": """
+            -- dedup.py::dedup_containment replayed exactly: the shared
+            -- whitespace_tokens mirror, word 3-gram shingles via DuckDB
+            -- list slicing, blocked DIRECTED self-join, integer-bp
+            -- containment floor(|a&b|*10000/|a|) >= 8000
+            WITH base AS (
+                SELECT doc_id, text, source FROM documents
+                WHERE doc_id < 60
+                UNION ALL
+                SELECT a.doc_id + 30000, a.text || ' ' || b.text, a.source
+                FROM documents a JOIN documents b
+                  ON b.doc_id = a.doc_id + 1
+                WHERE a.doc_id < 20),
+            tk AS (
+                SELECT doc_id, source,
+                       CASE WHEN regexp_replace(lower(text),
+                                 '^\\s+|\\s+$', '', 'g') = ''
+                            THEN []::VARCHAR[]
+                            ELSE string_split_regex(
+                                regexp_replace(lower(text),
+                                               '^\\s+|\\s+$', '', 'g'),
+                                '\\s+') END AS toks
+                FROM base),
+            sh AS (
+                SELECT doc_id, source,
+                       CASE WHEN len(toks) >= 3 THEN
+                           list_distinct([array_to_string(toks[i:i+2], ' ')
+                                          for i in range(1, len(toks) - 1)])
+                       ELSE []::VARCHAR[] END AS s
+                FROM tk)
+            SELECT a.doc_id::BIGINT AS inner_id,
+                   b.doc_id::BIGINT AS outer_id,
+                   ((len(list_intersect(a.s, b.s))::BIGINT * 10000)
+                    // len(a.s))::BIGINT AS containment_bp
+            FROM sh a JOIN sh b
+              ON a.source = b.source AND a.doc_id <> b.doc_id
+            WHERE len(a.s) > 0
+              AND (len(list_intersect(a.s, b.s))::BIGINT * 10000)
+                  // len(a.s) >= 8000
         """,
         "dedup_embedding_cosine": """
             WITH e AS (

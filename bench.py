@@ -140,6 +140,12 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     timed("dedup_spans", lambda: duplicate_spans(
         docs, window=16, stride=1).count())
 
+    # dedup: directed quote containment (word 3-grams, blocked on source)
+    from csvweb_spark.operators.dedup import dedup_containment
+    # half the corpus: 20 source blocks -> ~312k directed pair compares
+    timed("dedup_containment", lambda: dedup_containment(
+        docs.filter(F.col("doc_id") % 2 == 0), threshold=0.8).count())
+
     # similarity: exact top-5 for 32 query vectors
     queries = emb.filter(F.col("vec_id") < 32)
     timed("ann_topk", lambda: ann_topk_bruteforce(emb, queries, k=5).count())

@@ -771,6 +771,36 @@ def test_link_exact_and_contains(spark, docs):
     assert 3 not in ids and len(ids) >= 1
 
 
+def test_dedup_containment_directed(spark):
+    """Asymmetric quote detection: the quote is fully contained in the
+    quoting page (10000 bp, emitted) while the page is NOT contained in
+    the quote (below threshold, not emitted) - the directedness IS the
+    semantics. Hand-computed: doc 1 has 4 word-3-grams, all present in
+    doc 2 (10 tokens -> 8 grams): 1-in-2 = 10000 bp, 2-in-1 = 4/8 =
+    5000 bp."""
+    from csvweb_spark.operators.dedup import dedup_containment
+    quote = "the quick brown fox jumps over"          # 6 tokens, 4 grams
+    page = quote + " the lazy sleeping dog"           # 10 tokens, 8 grams
+    df = spark.createDataFrame(
+        [(1, quote, "s"), (2, page, "s"), (3, "unrelated words here", "s"),
+         (4, quote, "other-block")],
+        "doc_id long, text string, source string")
+    got = {(r.inner_id, r.outer_id, r.containment_bp) for r in
+           dedup_containment(df, threshold=0.8).collect()}
+    # only the quote-in-page direction; doc 4 is block-separated
+    assert got == {(1, 2, 10000)}
+    low = {(r.inner_id, r.outer_id, r.containment_bp) for r in
+           dedup_containment(df, threshold=0.5).collect()}
+    assert (2, 1, 5000) in low and (1, 2, 10000) in low
+    # char unit: containment of a substring-heavy pair
+    ch = {(r.inner_id, r.outer_id) for r in dedup_containment(
+        df, threshold=0.99, unit="char", n=3).collect()}
+    assert (1, 2) in ch
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dedup_containment(df, unit="sentence")
+
+
 def test_link_editdist_single_typo(spark):
     """Delete-1 blocking + levenshtein verify: deletion, insertion and
     substitution typos all relink at distance <= 1 (the three ed=1

@@ -343,6 +343,11 @@ AUDITS = [
      "running sum's unbounded window runs over the <= 64-row bucket "
      "table (a single tiny partition is correct here), never the "
      "corpus."),
+    ("Directed quote containment", "dedup_containment",
+     "Both self-join sides shuffle ONCE on the block key (hash "
+     "equi-join, no cartesian); shingling is pure JVM higher-order "
+     "array ops (no Python stage); the integer-bp containment filter "
+     "sits directly on the joined rows."),
     ("Edit-distance linking (delete-1 neighborhood)", "link_editdist",
      "The candidate join is a BroadcastHashJoin on the deletion-"
      "neighborhood key with the alias side broadcast - never a "
