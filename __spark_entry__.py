@@ -639,6 +639,205 @@ def q_kg_ktruss(spark, sf_dir):
                       F.col("v").cast("long").alias("v"), "support")
 
 
+def q_kg_fusion(spark, sf_dir):
+    """Weighted truth-discovery fusion (round 5, fusion.py::
+    fuse_triples): customers < 300 assert (ex:C{k%50}, ex:mktseg,
+    c_mktsegment) from source src{k%7} - six crawl sources per subject
+    that genuinely DISAGREE on the object (market segments differ
+    across the custkey residue class), weighted by a 7-row
+    source-authority table (src_i -> weight i+1). The elected object
+    is max summed DISTINCT-source weight, ties to the
+    lexicographically smallest object. Oracle replays the
+    distinct-assertion dedup, the weight join, both aggregates and the
+    window election exactly."""
+    from csvweb_spark.operators.fusion import fuse_triples
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    triples = cust.select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey") % 50).alias("subj"),
+        F.lit("ex:mktseg").alias("pred"),
+        F.col("c_mktsegment").alias("obj"),
+        F.concat(F.lit("src"), F.col("c_custkey") % 7).alias("source"))
+    weights = spark.range(7).select(
+        F.concat(F.lit("src"), F.col("id")).alias("source"),
+        (F.col("id") + 1).cast("long").alias("weight"))
+    out = fuse_triples(triples, weights)
+    return out.select("subj", "pred", "obj",
+                      F.col("support").cast("long").alias("support"),
+                      F.col("n_sources").cast("long").alias("n_sources"),
+                      F.col("n_objects").cast("long").alias("n_objects"),
+                      F.col("total_support").cast("long")
+                      .alias("total_support"),
+                      "conflict")
+
+
+def q_kg_ontology(spark, sf_dir):
+    """Instance-level ontology induction (round 5, ontology.py::
+    induce_domain_range): customers < 200 are typed ex:Customer (every
+    5th also ex:Preferred - multi-typing contributes one pair per
+    class), nations are typed ex:Nation, and customers < 250 assert
+    ex:inNation - so customers 200-249 are UNTYPED subjects excluded
+    from the domain denominator while their nation objects still count
+    toward range. coverage_ppm is exact integer floor division, so the
+    oracle replays the type joins, the per-position window totals and
+    the ppm arithmetic bit-for-bit."""
+    from csvweb_spark.operators.ontology import RDF_TYPE, induce_domain_range
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 250)
+    nation = _load(spark, sf_dir, "nation")
+    typed = cust.filter(F.col("c_custkey") < 200)
+    t_cust = typed.select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit(RDF_TYPE).alias("pred"), F.lit("ex:Customer").alias("obj"))
+    t_pref = typed.filter(F.col("c_custkey") % 5 == 0).select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit(RDF_TYPE).alias("pred"), F.lit("ex:Preferred").alias("obj"))
+    t_nat = nation.select(
+        F.concat(F.lit("ex:N"), F.col("n_nationkey")).alias("subj"),
+        F.lit(RDF_TYPE).alias("pred"), F.lit("ex:Nation").alias("obj"))
+    rel = cust.select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit("ex:inNation").alias("pred"),
+        F.concat(F.lit("ex:N"), F.col("c_nationkey")).alias("obj"))
+    triples = t_cust.unionByName(t_pref).unionByName(t_nat).unionByName(rel)
+    out = induce_domain_range(triples)
+    return out.select("pred", "position", "type",
+                      F.col("support").cast("long").alias("support"),
+                      F.col("typed_total").cast("long").alias("typed_total"),
+                      "coverage_ppm")
+
+
+def q_kg_link_predict(spark, sf_dir):
+    """Resource-allocation link prediction (round 5, graph.py::
+    link_prediction_ra) over the chain+star KG graph: every absent
+    distance-2 pair scored by sum(10^6 div deg(common neighbor)) -
+    the hub's 99 rim pairs each score ~10101 per wedge while chain
+    wedges (degree-2/3 centers) score 333333-500000, exercising
+    exactly the low-degree-evidence weighting RA exists for. Exact
+    integer floor division, so the oracle replays the wedge join, the
+    existing-edge anti-join and the scores bit-for-bit."""
+    from csvweb_spark.operators.graph import link_prediction_ra
+    out = link_prediction_ra(_chain_star_edges(spark, sf_dir))
+    return out.select(F.col("node_a").cast("long").alias("node_a"),
+                      F.col("node_b").cast("long").alias("node_b"),
+                      F.col("common").cast("long").alias("common"),
+                      F.col("score_ppm").cast("long").alias("score_ppm"))
+
+
+def q_kg_modularity(spark, sf_dir):
+    """Community-quality audit (round 5, graph.py::modularity) of a
+    deterministic blocks-of-50 labeling over the chain+star graph:
+    chain blocks are near-perfect communities (one boundary edge
+    each) while the hub's star edges leak 50 inter-community edges
+    from c0 into c1, so Q is high but visibly below the no-hub ideal.
+    Emitted in exact rational arithmetic (q_num_4m2 / q_den_4m2 over
+    the common denominator 4m^2); the float rendering stays outside
+    the hash gate per the operator contract. Oracle replays the label
+    joins, the intra-edge and degree sums and the integer numerator
+    exactly."""
+    from csvweb_spark.operators.graph import modularity
+    edges = _chain_star_edges(spark, sf_dir)
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    labels = nodes.select(
+        "node", F.concat(F.lit("c"), F.expr("node div 50")).alias("community"))
+    out = modularity(edges, labels)
+    return out.select("community",
+                      F.col("n_nodes").cast("long").alias("n_nodes"),
+                      F.col("intra_edges").cast("long").alias("intra_edges"),
+                      F.col("degree_sum").cast("long").alias("degree_sum"),
+                      F.col("q_num_4m2").cast("long").alias("q_num_4m2"),
+                      F.col("q_den_4m2").cast("long").alias("q_den_4m2"))
+
+
+def q_kg_functionality(spark, sf_dir):
+    """Predicate functionality profiling (round 5, ontology.py::
+    predicate_functionality): customers < 300 assert one ex:segment
+    each (functional, but only 5 distinct segments - inverse
+    functionality collapses) and their name under subject ex:C{k%50}
+    (each subject accumulates ~6 aliases - multi-valued, fun_ppm low,
+    while names stay unique so inv_fun_ppm = 10^6). The signal that
+    tells fuse_triples which predicates are fusable and align_entities
+    which values identify. Oracle replays the distinct + two
+    count-distincts + ppm floor division exactly."""
+    from csvweb_spark.operators.ontology import predicate_functionality
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    seg = cust.select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit("ex:segment").alias("pred"),
+        F.col("c_mktsegment").alias("obj"))
+    alias = cust.select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey") % 50).alias("subj"),
+        F.lit("ex:alias").alias("pred"),
+        F.col("c_name").alias("obj"))
+    out = predicate_functionality(seg.unionByName(alias))
+    return out.select("pred",
+                      F.col("n_pairs").cast("long").alias("n_pairs"),
+                      F.col("n_subjects").cast("long").alias("n_subjects"),
+                      F.col("n_objects").cast("long").alias("n_objects"),
+                      "fun_ppm", "inv_fun_ppm")
+
+
+def q_kg_taxonomy_reduce(spark, sf_dir):
+    """Transitive reduction of a redundantly-closed taxonomy (round 5,
+    entail.py::transitive_reduction): the nation < region < ex:Place <
+    ex:Thing hierarchy arrives WITH its shortcut closure edges
+    (nation < Place, region < Thing - the shape a fused multi-source
+    subclass harvest actually has), and the reduction recovers exactly
+    the covering edges. Oracle: recursive-CTE closure + the
+    edge-continues-with-path anti-join replay."""
+    from csvweb_spark.operators.entail import transitive_reduction
+    nation = _load(spark, sf_dir, "nation")
+    n_r = nation.select(
+        F.concat(F.lit("ex:N"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("ex:R"), F.col("n_regionkey")).alias("dst"))
+    r_p = (nation.select("n_regionkey").distinct().select(
+        F.concat(F.lit("ex:R"), F.col("n_regionkey")).alias("src"),
+        F.lit("ex:Place").alias("dst")))
+    p_t = spark.createDataFrame([("ex:Place", "ex:Thing")],
+                                "src string, dst string")
+    shortcut_np = nation.select(
+        F.concat(F.lit("ex:N"), F.col("n_nationkey")).alias("src"),
+        F.lit("ex:Place").alias("dst"))
+    shortcut_rt = (nation.select("n_regionkey").distinct().select(
+        F.concat(F.lit("ex:R"), F.col("n_regionkey")).alias("src"),
+        F.lit("ex:Thing").alias("dst")))
+    edges = (n_r.unionByName(r_p).unionByName(p_t)
+             .unionByName(shortcut_np).unionByName(shortcut_rt))
+    return transitive_reduction(edges).select("src", "dst")
+
+
+def q_kg_align(spark, sf_dir):
+    """Cross-KG entity alignment (round 5, align.py::align_entities):
+    two extractions of the customer universe with their own IRI mints -
+    kg1 = ex:A{k} for k < 200, kg2 = ex:B{k} for 100 <= k < 300, each
+    asserting ex:name (globally unique - full-scale evidence) and
+    ex:nation (shared by ~1/25 of customers - near-zero RA weight).
+    Overlap entities align A{k} -> B{k} mutually on the name; edge
+    entities settle for weak nation-only matches. Oracle replays the
+    censuses, the capped evidence join, the pair sums and both rank
+    windows exactly."""
+    from csvweb_spark.operators.align import align_entities
+    cust = _load(spark, sf_dir, "customer")
+
+    def kg(prefix, lo, hi):
+        c = cust.filter((F.col("c_custkey") >= lo) &
+                        (F.col("c_custkey") < hi))
+        name = c.select(
+            F.concat(F.lit(prefix), F.col("c_custkey")).alias("subj"),
+            F.lit("ex:name").alias("pred"), F.col("c_name").alias("obj"))
+        nat = c.select(
+            F.concat(F.lit(prefix), F.col("c_custkey")).alias("subj"),
+            F.lit("ex:nation").alias("pred"),
+            F.concat(F.lit("ex:N"), F.col("c_nationkey")).alias("obj"))
+        return name.unionByName(nat)
+
+    out = align_entities(kg("ex:A", 0, 200), kg("ex:B", 100, 300))
+    return out.select("e1", "e2",
+                      F.col("n_shared").cast("long").alias("n_shared"),
+                      F.col("score_ppm").cast("long").alias("score_ppm"),
+                      "mutual")
+
+
 def q_kg_harmonic(spark, sf_dir):
     """Seed-sampled harmonic centrality (round 5, graph.py::
     harmonic_centrality over multi_source_distances): per-seed
@@ -4339,6 +4538,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_disambiguate": q_entity_disambiguate,
         "link_editdist": q_link_editdist,
         "dedup_containment": q_dedup_containment,
+        "kg_fusion": q_kg_fusion,
+        "kg_ontology": q_kg_ontology,
+        "kg_link_predict": q_kg_link_predict,
+        "kg_modularity": q_kg_modularity,
+        "kg_functionality": q_kg_functionality,
+        "kg_taxonomy_reduce": q_kg_taxonomy_reduce,
+        "kg_align": q_kg_align,
         "kg_diff": q_kg_diff,
         "kg_validity": q_kg_validity,
         "table_fingerprint": q_table_fingerprint,
@@ -6643,6 +6849,255 @@ def _oracle_sql_literal() -> dict[str, str]:
             n AS (SELECT unnest([a, b, c]) AS node FROM tri)
             SELECT node::bigint AS node, count(*)::bigint AS triangles
             FROM n GROUP BY node
+        """,
+        "kg_fusion": """
+            -- fusion.py::fuse_triples replayed exactly: distinct
+            -- (s,p,o,source) assertions, the weight join, per-object
+            -- support sums, then the (support DESC, obj ASC) election
+            -- with contention stats from the same window partition
+            WITH
+            asserted AS (
+                SELECT DISTINCT 'ex:C' || (c_custkey % 50) AS subj,
+                       'ex:mktseg' AS pred, c_mktsegment AS obj,
+                       'src' || (c_custkey % 7) AS source
+                FROM customer WHERE c_custkey < 300),
+            w AS (SELECT 'src' || i AS source, (i + 1)::BIGINT AS wt
+                  FROM range(7) t(i)),
+            sup AS (SELECT subj, pred, obj,
+                           sum(wt)::BIGINT AS support,
+                           count(*)::BIGINT AS n_sources
+                    FROM asserted JOIN w USING (source)
+                    GROUP BY subj, pred, obj),
+            r AS (SELECT *,
+                    row_number() OVER (PARTITION BY subj, pred
+                                       ORDER BY support DESC, obj ASC) AS rk,
+                    count(*) OVER (PARTITION BY subj, pred) AS n_objects,
+                    sum(support) OVER (PARTITION BY subj, pred)
+                        AS total_support
+                  FROM sup)
+            SELECT subj, pred, obj, support, n_sources,
+                   n_objects::BIGINT AS n_objects,
+                   total_support::BIGINT AS total_support,
+                   n_objects > 1 AS conflict
+            FROM r WHERE rk = 1
+        """,
+        "kg_ontology": """
+            -- ontology.py::induce_domain_range replayed exactly: the
+            -- distinct (entity, type) map, one join per position over
+            -- the relation assertions, per-(pred, position) window
+            -- totals and the exact ppm floor division
+            WITH
+            cust AS (SELECT c_custkey AS k, c_nationkey AS nk
+                     FROM customer WHERE c_custkey < 250),
+            types AS (
+                SELECT DISTINCT entity, typ FROM (
+                    SELECT 'ex:C' || k AS entity, 'ex:Customer' AS typ
+                    FROM cust WHERE k < 200
+                    UNION ALL
+                    SELECT 'ex:C' || k, 'ex:Preferred'
+                    FROM cust WHERE k < 200 AND k % 5 = 0
+                    UNION ALL
+                    SELECT 'ex:N' || n_nationkey, 'ex:Nation' FROM nation)),
+            rel AS (SELECT 'ex:inNation' AS pred, 'ex:C' || k AS s_ent,
+                           'ex:N' || nk AS o_ent
+                    FROM cust),
+            dom AS (SELECT pred, typ, 'domain' AS position,
+                           count(*)::BIGINT AS support
+                    FROM rel JOIN types ON types.entity = rel.s_ent
+                    GROUP BY pred, typ),
+            rng AS (SELECT pred, typ, 'range' AS position,
+                           count(*)::BIGINT AS support
+                    FROM rel JOIN types ON types.entity = rel.o_ent
+                    GROUP BY pred, typ),
+            posn AS (SELECT * FROM dom UNION ALL SELECT * FROM rng),
+            tot AS (SELECT *, sum(support) OVER (PARTITION BY pred, position)
+                        AS typed_total
+                    FROM posn)
+            SELECT pred, position, typ AS type, support,
+                   typed_total::BIGINT AS typed_total,
+                   (1000000::BIGINT * support // typed_total)::BIGINT
+                       AS coverage_ppm
+            FROM tot
+        """,
+        "kg_link_predict": """
+            -- graph.py::link_prediction_ra replayed exactly over the
+            -- shared chain+star graph: bidirectional wedge self-join
+            -- carrying floor(10^6 / deg(center)), summed per pair,
+            -- existing edges anti-joined away
+            WITH
+            c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 400),
+            dir AS (
+                SELECT a.k AS a, a.k + 1 AS b
+                FROM c a JOIN c n ON n.k = a.k + 1
+                WHERE a.k % 100 <> 99
+                UNION ALL
+                SELECT 0, k FROM c WHERE k > 0 AND k < 100),
+            und AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+                    FROM dir WHERE a <> b),
+            bidir AS (SELECT lo AS node, hi AS nbr FROM und
+                      UNION ALL
+                      SELECT hi, lo FROM und),
+            deg AS (SELECT node, count(*)::BIGINT AS degree
+                    FROM bidir GROUP BY node),
+            cw AS (SELECT node AS ctr, (1000000::BIGINT // degree) AS ra
+                   FROM deg),
+            pairs AS (
+                SELECT l.node AS a, r.node AS b,
+                       count(*)::BIGINT AS common,
+                       sum(cw.ra)::BIGINT AS score_ppm
+                FROM bidir l
+                JOIN bidir r ON l.nbr = r.nbr AND l.node < r.node
+                JOIN cw ON cw.ctr = l.nbr
+                GROUP BY l.node, r.node)
+            SELECT p.a::BIGINT AS node_a, p.b::BIGINT AS node_b,
+                   p.common, p.score_ppm
+            FROM pairs p
+            LEFT JOIN und e ON e.lo = p.a AND e.hi = p.b
+            WHERE e.lo IS NULL
+        """,
+        "kg_modularity": """
+            -- graph.py::modularity replayed exactly: blocks-of-50
+            -- labels over the chain+star node set, intra-edge counts
+            -- via two label joins, full-graph degree sums per
+            -- community, and the exact integer numerator 4*m*e_c -
+            -- d_c^2 over the common denominator 4m^2
+            WITH
+            c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 400),
+            dir AS (
+                SELECT a.k AS a, a.k + 1 AS b
+                FROM c a JOIN c n ON n.k = a.k + 1
+                WHERE a.k % 100 <> 99
+                UNION ALL
+                SELECT 0, k FROM c WHERE k > 0 AND k < 100),
+            und AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+                    FROM dir WHERE a <> b),
+            nodes AS (SELECT DISTINCT node FROM (
+                SELECT lo AS node FROM und UNION ALL SELECT hi FROM und)),
+            lab AS (SELECT node, 'c' || (node // 50) AS community
+                    FROM nodes),
+            m AS (SELECT count(*)::BIGINT AS m FROM und),
+            intra AS (SELECT ll.community,
+                             count(*)::BIGINT AS intra_edges
+                      FROM und
+                      JOIN lab ll ON ll.node = und.lo
+                      JOIN lab lh ON lh.node = und.hi
+                      WHERE ll.community = lh.community
+                      GROUP BY ll.community),
+            bidir AS (SELECT lo AS node, hi AS nbr FROM und
+                      UNION ALL
+                      SELECT hi, lo FROM und),
+            deg AS (SELECT node, count(*)::BIGINT AS degree
+                    FROM bidir GROUP BY node),
+            dsum AS (SELECT community,
+                            sum(coalesce(degree, 0))::BIGINT AS degree_sum,
+                            count(*)::BIGINT AS n_nodes
+                     FROM lab LEFT JOIN deg USING (node)
+                     GROUP BY community)
+            SELECT d.community, d.n_nodes,
+                   coalesce(i.intra_edges, 0)::BIGINT AS intra_edges,
+                   d.degree_sum,
+                   (4 * m.m * coalesce(i.intra_edges, 0)
+                    - d.degree_sum * d.degree_sum)::BIGINT AS q_num_4m2,
+                   (4 * m.m * m.m)::BIGINT AS q_den_4m2
+            FROM dsum d
+            LEFT JOIN intra i USING (community)
+            CROSS JOIN m
+        """,
+        "kg_functionality": """
+            -- ontology.py::predicate_functionality replayed exactly:
+            -- RDF-set dedup, per-predicate pair/subject/object counts
+            -- and the ppm floor divisions
+            WITH
+            cust AS (SELECT * FROM customer WHERE c_custkey < 300),
+            t AS (
+                SELECT DISTINCT s, p, o FROM (
+                    SELECT 'ex:C' || c_custkey AS s, 'ex:segment' AS p,
+                           c_mktsegment AS o
+                    FROM cust
+                    UNION ALL
+                    SELECT 'ex:C' || (c_custkey % 50), 'ex:alias', c_name
+                    FROM cust) u)
+            SELECT p AS pred, count(*)::BIGINT AS n_pairs,
+                   count(DISTINCT s)::BIGINT AS n_subjects,
+                   count(DISTINCT o)::BIGINT AS n_objects,
+                   (1000000::BIGINT * count(DISTINCT s) // count(*))::BIGINT
+                       AS fun_ppm,
+                   (1000000::BIGINT * count(DISTINCT o) // count(*))::BIGINT
+                       AS inv_fun_ppm
+            FROM t GROUP BY p
+        """,
+        "kg_taxonomy_reduce": """
+            -- entail.py::transitive_reduction replayed exactly:
+            -- recursive-CTE closure, then an edge is kept unless some
+            -- outgoing edge continues with a closure path to its head
+            WITH RECURSIVE
+            e AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT 'ex:N' || n_nationkey AS src,
+                           'ex:R' || n_regionkey AS dst
+                    FROM nation
+                    UNION ALL
+                    SELECT DISTINCT 'ex:R' || n_regionkey, 'ex:Place'
+                    FROM nation
+                    UNION ALL
+                    SELECT 'ex:Place', 'ex:Thing'
+                    UNION ALL
+                    SELECT 'ex:N' || n_nationkey, 'ex:Place' FROM nation
+                    UNION ALL
+                    SELECT DISTINCT 'ex:R' || n_regionkey, 'ex:Thing'
+                    FROM nation) u
+                WHERE src <> dst),
+            clo AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT c.src, e2.dst FROM clo c JOIN e e2 ON e2.src = c.dst),
+            red AS (SELECT DISTINCT m.src, r.dst
+                    FROM e m JOIN clo r ON r.src = m.dst)
+            SELECT e.src, e.dst FROM e
+            LEFT JOIN red ON red.src = e.src AND red.dst = e.dst
+            WHERE red.src IS NULL
+        """,
+        "kg_align": """
+            -- align.py::align_entities replayed exactly: per-side
+            -- evidence censuses, the capped RA-weighted key join, the
+            -- pair aggregate and both rank windows
+            WITH
+            c1 AS (SELECT c_custkey AS k, c_name, c_nationkey
+                   FROM customer WHERE c_custkey < 200),
+            c2 AS (SELECT c_custkey AS k, c_name, c_nationkey
+                   FROM customer
+                   WHERE c_custkey >= 100 AND c_custkey < 300),
+            s1 AS (SELECT DISTINCT 'ex:A' || k AS e1, p, o FROM (
+                       SELECT k, 'ex:name' AS p, c_name AS o FROM c1
+                       UNION ALL
+                       SELECT k, 'ex:nation', 'ex:N' || c_nationkey
+                       FROM c1) u),
+            s2 AS (SELECT DISTINCT 'ex:B' || k AS e2, p, o FROM (
+                       SELECT k, 'ex:name' AS p, c_name AS o FROM c2
+                       UNION ALL
+                       SELECT k, 'ex:nation', 'ex:N' || c_nationkey
+                       FROM c2) u),
+            n1 AS (SELECT p, o, count(*)::BIGINT AS n1
+                   FROM s1 GROUP BY p, o),
+            n2 AS (SELECT p, o, count(*)::BIGINT AS n2
+                   FROM s2 GROUP BY p, o),
+            keys AS (SELECT p, o, (1000000::BIGINT // (n1 * n2)) AS w
+                     FROM n1 JOIN n2 USING (p, o)
+                     WHERE n1 * n2 <= 10000),
+            cand AS (SELECT e1, e2, count(*)::BIGINT AS n_shared,
+                            sum(w)::BIGINT AS score_ppm
+                     FROM s1 JOIN keys USING (p, o) JOIN s2 USING (p, o)
+                     GROUP BY e1, e2),
+            r AS (SELECT *,
+                    row_number() OVER (PARTITION BY e1
+                                       ORDER BY score_ppm DESC, e2 ASC)
+                        AS r1,
+                    row_number() OVER (PARTITION BY e2
+                                       ORDER BY score_ppm DESC, e1 ASC)
+                        AS r2
+                  FROM cand)
+            SELECT e1, e2, n_shared, score_ppm, r2 = 1 AS mutual
+            FROM r WHERE r1 = 1
         """,
         "rdfs_entail": _rdfs_oracle_sql(),
         "rdfs_entail_incr": (

@@ -737,6 +737,17 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     from csvweb_spark.operators.graph import hits as _hits10
     timed("kg_hits_10x", lambda: _hits10(
         edges10, iterations=2).count(), retry_under=0.0)
+    # RA link prediction with the hub cap engaged (deg-20k hub would
+    # contribute C(20k,2) near-zero-score pairs; the cap IS the scale
+    # path) and modularity of a blocks-of-500 labeling
+    from csvweb_spark.operators.graph import link_prediction_ra, modularity
+    timed("kg_link_predict_10x", lambda: link_prediction_ra(
+        edges10, max_center_degree=100).count(), retry_under=0.0)
+    labels10 = ids10.select(
+        F.col("n").alias("node"),
+        F.concat(F.lit("c"), F.expr("n div 500")).alias("community"))
+    timed("kg_modularity_10x", lambda: modularity(
+        edges10, labels10).count(), retry_under=0.0)
     edges10.unpersist()
 
     # round-5 additions: SHACL/VoID over a customer-proportional KG
@@ -786,6 +797,12 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     timed("kg_shacl_validate", lambda: validate_shapes(
         bench_kg, _shapes).count())
     timed("kg_void_stats", lambda: predicate_partitions(bench_kg).count())
+    from csvweb_spark.operators.ontology import (induce_domain_range,
+                                                 predicate_functionality)
+    timed("kg_ontology", lambda: induce_domain_range(
+        bench_kg.select("subj", "pred", "obj")).count())
+    timed("kg_functionality", lambda: predicate_functionality(
+        bench_kg.select("subj", "pred", "obj")).count())
     bench_kg.unpersist()
 
     timed("kg_hits", lambda: hits(edges_khop, iterations=2).count())
@@ -886,6 +903,42 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
         .otherwise(F.col("c_mktsegment")).alias("obj"))
     timed("kg_diff", lambda: kg_diff(
         old_kg, new_kg, key_cols=("subj", "pred", "obj")).count())
+    # truth-discovery fusion: 20 customers vote per subject, sources
+    # keyed by nation with a 25-row weight table (scales with sf)
+    from csvweb_spark.operators.fusion import fuse_triples
+    fuse_in = cust.select(
+        F.concat(F.lit("ex:C"), F.expr("c_custkey div 20")).alias("subj"),
+        F.lit("ex:segment").alias("pred"),
+        F.col("c_mktsegment").alias("obj"),
+        F.concat(F.lit("src"), F.col("c_nationkey")).alias("source"))
+    fuse_w = spark.range(25).select(
+        F.concat(F.lit("src"), F.col("id")).alias("source"),
+        (F.col("id") % 5 + 1).cast("long").alias("weight"))
+    timed("kg_fusion", lambda: fuse_triples(fuse_in, fuse_w).count())
+    # cross-KG alignment: two IRI mints over the same customers, names
+    # unique (full evidence) + nations shared (near-zero RA weight)
+    from csvweb_spark.operators.align import align_entities
+
+    def _mint(prefix):
+        s = F.concat(F.lit(prefix), _kk)
+        return (cust.select(s.alias("subj"),
+                            F.lit("ex:name").alias("pred"),
+                            F.col("c_name").alias("obj"))
+                .unionByName(cust.select(
+                    s.alias("subj"), F.lit("ex:nation").alias("pred"),
+                    F.concat(F.lit("ex:N"), F.col("c_nationkey"))
+                    .alias("obj"))))
+    timed("kg_align", lambda: align_entities(
+        _mint("ex:A"), _mint("ex:B")).count())
+    # transitive reduction of blocks-of-8 chains + head->tail shortcuts
+    from csvweb_spark.operators.entail import transitive_reduction
+    tr_edges = (cust.filter(_kk % 8 < 7)
+                .select(_kk.alias("src"), (_kk + 1).alias("dst"))
+                .unionByName(cust.filter(_kk % 8 == 0)
+                             .select(_kk.alias("src"),
+                                     (_kk + 7).alias("dst"))))
+    timed("kg_taxonomy_reduce", lambda: transitive_reduction(
+        tr_edges).count(), retry_under=0.0)
     timed("web_mojibake", lambda: add_mojibake_repair(docs)
           .agg(F.sum(F.col("text_fixed_applied").cast("long"))).count())
     from csvweb_spark.operators.graph import harmonic_centrality

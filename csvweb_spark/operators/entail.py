@@ -113,6 +113,50 @@ def transitive_closure_incremental(new_pairs: DataFrame, closed: DataFrame,
     return closure.join(a, ["src", "dst"], "left_anti")
 
 
+def transitive_reduction(pairs: DataFrame, src: str = "src",
+                         dst: str = "dst", max_rounds: int = 32,
+                         validate_acyclic: bool = True) -> DataFrame:
+    """Minimal equivalent DAG (Aho-Garey-Ullman): drop every edge
+    (a, c) for which a longer path a -> b ->* c also exists. For a DAG
+    the reduction is UNIQUE, so the output is a canonical hierarchy.
+
+    The ontology-cleanup stage after induction: subclass edges
+    harvested from 10^12 pages arrive redundantly closed (one site
+    asserts Poodle < Animal, another Poodle < Dog < Animal - both
+    true, but materializing the shortcut bloats every downstream
+    closure and renders the taxonomy unreadable). The reference never
+    faces this (tableSchema hierarchies are single-source,
+    /root/reference/src/DataDock.CsvWeb/Metadata/Schema.cs); a fused
+    crawl-scale ontology must be re-minimized.
+
+    An edge (a, c) is redundant iff some (a, b) edge continues with a
+    path b ->* c (b != c; on a DAG the closure has no self-pairs, so
+    the (a, c) edge itself never witnesses its own redundancy). One
+    closure (iterative doubling, log-depth rounds) + one hash join +
+    one anti-join - all on the slim schema-sized pair frame, never the
+    instance level.
+
+    Cycles make reduction non-unique; `validate_acyclic` (one cheap
+    take(1) on the closure's diagonal) raises instead of silently
+    emitting an arbitrary variant - condense cycles first
+    (`graph.strongly_connected_components` + `graph.condensation`).
+    """
+    e = (pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .filter(F.col("src") != F.col("dst"))
+         .distinct())
+    clo = transitive_closure(e, max_rounds=max_rounds)
+    if validate_acyclic and clo.filter(F.col("src") == F.col("dst")).take(1):
+        raise ValueError(
+            "transitive_reduction requires a DAG: the input relation "
+            "contains a cycle (condense SCCs first)")
+    mid = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    reach = clo.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    redundant = (mid.join(reach, "b")
+                 .select(F.col("a").alias("src"), F.col("c").alias("dst"))
+                 .distinct())
+    return e.join(redundant, ["src", "dst"], "left_anti")
+
+
 def rdfs_closure(triples: DataFrame, derived_only: bool = False,
                  dedupe: bool = True) -> DataFrame:
     """Materialize the RDFS entailment of a (subj, pred, obj) triple set

@@ -1,0 +1,126 @@
+"""Ontology induction: infer predicate domain/range class signatures
+from instance data (rdfs:domain / rdfs:range candidates with support
+and coverage).
+
+The reference converts tables under a user-supplied tableSchema
+(/root/reference/src/DataDock.CsvWeb/Metadata/TableSchema.cs) - the
+schema is an INPUT. A KG constructed from 10^12 heterogeneous web
+pages has no upfront schema; the ontology has to be induced from the
+instance level: for each predicate, which classes do its subjects and
+objects actually instantiate? The induced (pred, domain, range)
+signatures feed SHACL shape drafting (`operators/shacl.py`), entity-
+type inference, and extraction QA (a `birthPlace` whose subjects are
+60% Product is an extractor bug surfacing statistically).
+
+Counting semantics (deterministic, integer-exact):
+  * typed assertions count (assertion occurrence x type) pairs - an
+    entity with two rdf:type classes contributes one pair per class
+    (multi-typing is evidence for both signatures, and the denominator
+    counts the same pairs, so coverage_ppm still sums to 10^6 per
+    (pred, position));
+  * assertions whose subject/object has NO rdf:type row are excluded
+    from that position's denominator (untyped web entities dominate
+    any crawl; they carry no class evidence either way);
+  * coverage_ppm = floor(10^6 * support / typed_total) in exact
+    integer arithmetic - replayable bit-for-bit by the SQL oracle.
+
+Scale shape: the type map (entity -> class) is one filtered projection
+of the triple scan; each position is ONE hash join of slim
+(pred, entity) fact rows against it plus ONE map-side-combinable
+count. The type map's size is data-dependent (every typed entity), so
+no broadcast hint (round-4 verdict) - AQE promotes it when small, and
+over a subj-bucketed triple store the domain join is co-partitioned.
+The per-(pred, position) totals reuse the same counted rows via a
+window over pred x position - cardinality = predicates x 2, never the
+instance count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def predicate_functionality(triples: DataFrame,
+                            subj: str = "subj", pred: str = "pred",
+                            obj: str = "obj") -> DataFrame:
+    """Per-predicate functionality profile over the RDF SET of
+    assertions (duplicates collapse first - provenance copies are not
+    evidence of multi-valuedness).
+
+    fun_ppm     = floor(10^6 * n_subjects / n_pairs)   (PARIS's
+                  functionality: 10^6 exactly when every subject has
+                  one object - a functional predicate)
+    inv_fun_ppm = floor(10^6 * n_objects  / n_pairs)   (inverse
+                  functionality: 10^6 when objects identify subjects -
+                  the key-like predicates entity alignment weights by)
+
+    The audit that tells knowledge fusion WHICH predicates to fuse
+    (electing one object is only sound where fun_ppm is near 10^6;
+    `fusion.fuse_triples` on a genuinely multi-valued predicate like
+    ex:child would destroy data) and tells `align_entities` which
+    shared values are identifying. The reference emits whatever the
+    tableSchema prescribes (single-valued unless `separator` splits,
+    /root/reference/src/DataDock.CsvWeb/Metadata/ColumnDescription.cs)
+    - at crawl scale functionality must be MEASURED, not assumed.
+
+    Scale shape: one distinct on slim (s,p,o), then per predicate two
+    approx-free distinct counts + a pair count in ONE grouped
+    aggregate (count_distinct over two columns each - Spark expands to
+    partial aggregates; cardinality = predicates). Integer floor
+    division - oracle-exact.
+    """
+    t = (triples.select(F.col(subj).alias("s"), F.col(pred).alias("p"),
+                        F.col(obj).alias("o"))
+         .distinct())
+    return (t.groupBy(F.col("p").alias("pred"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.count_distinct(F.col("s")).alias("n_subjects"),
+                 F.count_distinct(F.col("o")).alias("n_objects"))
+            .select("pred", "n_pairs", "n_subjects", "n_objects",
+                    F.expr("CAST(1000000 AS BIGINT) * n_subjects div "
+                           "n_pairs").alias("fun_ppm"),
+                    F.expr("CAST(1000000 AS BIGINT) * n_objects div "
+                           "n_pairs").alias("inv_fun_ppm")))
+
+
+def induce_domain_range(triples: DataFrame,
+                        subj: str = "subj", pred: str = "pred",
+                        obj: str = "obj",
+                        type_pred: str = RDF_TYPE,
+                        min_support: int = 1) -> DataFrame:
+    """Per-predicate class-signature induction.
+
+    Returns (pred, position, type, support, typed_total, coverage_ppm)
+    where position is 'domain' (subject classes) or 'range' (object
+    classes), support counts (assertion, class) pairs, typed_total is
+    the position's denominator and coverage_ppm the exact integral
+    share. rdf:type rows themselves are excluded from the relation
+    side (their signature is definitional, not induced).
+    """
+    s, p, o = F.col(subj), F.col(pred), F.col(obj)
+    types = (triples.filter(p == type_pred)
+             .select(s.alias("entity"), o.alias("type"))
+             .distinct())
+    rel = triples.filter(p != type_pred)
+    dom = (rel.select(p.alias("pred"), s.alias("entity"))
+           .join(types, "entity")
+           .groupBy("pred", "type")
+           .agg(F.count(F.lit(1)).alias("support"))
+           .withColumn("position", F.lit("domain")))
+    rng = (rel.select(p.alias("pred"), o.alias("entity"))
+           .join(types, "entity")
+           .groupBy("pred", "type")
+           .agg(F.count(F.lit(1)).alias("support"))
+           .withColumn("position", F.lit("range")))
+    both = dom.unionByName(rng)
+    tot = Window.partitionBy("pred", "position")
+    return (both
+            .withColumn("typed_total", F.sum("support").over(tot))
+            .filter(F.col("support") >= int(min_support))
+            .select("pred", "position", "type", "support", "typed_total",
+                    F.expr("CAST(1000000 AS BIGINT) * support div "
+                           "typed_total").alias("coverage_ppm")))

@@ -1,0 +1,201 @@
+"""Round-5 closing operators: knowledge fusion, ontology induction,
+RA link prediction, modularity. Every expected value below is
+hand-computed in the comments."""
+
+from pyspark.sql import functions as F
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+# ------------------------------------------------------------- fuse_triples
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, source string")
+
+
+def test_fuse_weighted_vote_and_distinct_sources(spark):
+    from csvweb_spark.operators.fusion import fuse_triples
+    rows = [
+        ("s1", "p", "A", "x"),
+        ("s1", "p", "A", "x"),   # same source repeating: counts once
+        ("s1", "p", "A", "y"),
+        ("s1", "p", "B", "z"),
+    ]
+    weights = spark.createDataFrame(
+        [("x", 5), ("y", 1), ("z", 10)], "source string, weight long")
+    out = {(r.subj, r.pred): r
+           for r in fuse_triples(_triples(spark, rows), weights).collect()}
+    r = out[("s1", "p")]
+    # support(A) = 5 + 1 = 6 (x dedup'd), support(B) = 10 -> B wins
+    assert r.obj == "B"
+    assert r.support == 10 and r.n_sources == 1
+    assert r.n_objects == 2 and r.total_support == 16
+    assert r.conflict is True
+
+
+def test_fuse_tie_breaks_min_object_and_default_weight(spark):
+    from csvweb_spark.operators.fusion import fuse_triples
+    rows = [
+        ("s2", "p", "B", "x"),   # weight 5
+        ("s2", "p", "A", "u"),   # u absent from weights -> default 5
+        ("s3", "q", "C", "u"),   # unweighted, unconflicted
+    ]
+    weights = spark.createDataFrame([("x", 5)], "source string, weight long")
+    out = {(r.subj, r.pred): r
+           for r in fuse_triples(_triples(spark, rows), weights,
+                                 default_weight=5).collect()}
+    tie = out[("s2", "p")]
+    # equal support 5 vs 5 -> lexicographically smaller object wins
+    assert tie.obj == "A" and tie.support == 5 and tie.conflict is True
+    solo = out[("s3", "q")]
+    assert (solo.obj, solo.support, solo.n_objects, solo.conflict) == \
+        ("C", 5, 1, False)
+
+
+def test_fuse_no_weight_table_counts_sources(spark):
+    from csvweb_spark.operators.fusion import fuse_triples
+    rows = [("s", "p", "A", f"src{i}") for i in range(3)] + \
+        [("s", "p", "B", "src9")]
+    out = fuse_triples(_triples(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.obj == "A" and r.support == 3 and r.n_sources == 3
+    assert r.total_support == 4
+
+
+# ----------------------------------------------------- induce_domain_range
+
+
+def test_domain_range_induction(spark):
+    from csvweb_spark.operators.ontology import induce_domain_range
+    T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = [
+        ("c1", T, "Customer", "w"), ("c2", T, "Customer", "w"),
+        ("s1", T, "Supplier", "w"), ("s1", T, "Preferred", "w"),
+        ("n1", T, "Nation", "w"),
+        ("c1", "in", "n1", "w"), ("c2", "in", "n1", "w"),
+        ("s1", "in", "n1", "w"),
+        ("u1", "in", "n1", "w"),  # untyped subject: excluded from domain
+    ]
+    out = induce_domain_range(_triples(spark, rows).drop("source")
+                              .withColumnRenamed("subj", "subj"))
+    got = {(r.pred, r.position, r.type): r for r in out.collect()}
+    # domain pairs: c1/c2 -> Customer (2), s1 -> Supplier + Preferred
+    # (multi-type: one pair each); u1 contributes nothing. total = 4
+    d_cust = got[("in", "domain", "Customer")]
+    assert (d_cust.support, d_cust.typed_total, d_cust.coverage_ppm) == \
+        (2, 4, 500000)
+    assert got[("in", "domain", "Supplier")].coverage_ppm == 250000
+    assert got[("in", "domain", "Preferred")].coverage_ppm == 250000
+    # range: all 4 'in' assertions point at typed n1 -> Nation 4/4
+    r_nat = got[("in", "range", "Nation")]
+    assert (r_nat.support, r_nat.typed_total, r_nat.coverage_ppm) == \
+        (4, 4, 1000000)
+    # rdf:type rows themselves are not induced over
+    assert not any(p == T for (p, _, _) in got)
+
+
+def test_domain_range_min_support_keeps_denominator(spark):
+    from csvweb_spark.operators.ontology import induce_domain_range
+    T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = [
+        ("c1", T, "Customer", "w"), ("c2", T, "Customer", "w"),
+        ("s1", T, "Supplier", "w"), ("n1", T, "Nation", "w"),
+        ("c1", "in", "n1", "w"), ("c2", "in", "n1", "w"),
+        ("s1", "in", "n1", "w"),
+    ]
+    out = induce_domain_range(_triples(spark, rows).drop("source"),
+                              min_support=2)
+    dom = {r.type: r for r in out.collect() if r.position == "domain"}
+    # Supplier (support 1) filtered, but the denominator still counts it
+    assert list(dom) == ["Customer"]
+    assert dom["Customer"].typed_total == 3
+    assert dom["Customer"].coverage_ppm == 666666
+
+
+# ---------------------------------------------------- link_prediction_ra
+
+
+def test_ra_scores_and_excludes_existing_edges(spark):
+    from csvweb_spark.operators.graph import link_prediction_ra
+    # degrees: 1:3  2:2  3:3  4:3  5:1
+    e = [(1, 3), (1, 4), (1, 5), (2, 3), (2, 4), (3, 4)]
+    rows = {(r.node_a, r.node_b): r
+            for r in link_prediction_ra(_edges(spark, e)).collect()}
+    # (1,2) via centers 3 and 4 (deg 3 each): 2 * (10^6 div 3) = 666666
+    assert rows[(1, 2)].common == 2
+    assert rows[(1, 2)].score_ppm == 666666
+    # (3,5) and (4,5) via center 1 (deg 3)
+    assert rows[(3, 5)].score_ppm == 333333
+    assert rows[(4, 5)].score_ppm == 333333
+    # (3,4) shares {1,2} but IS an edge -> never predicted
+    assert set(rows) == {(1, 2), (3, 5), (4, 5)}
+
+
+def test_ra_top_k_tie_breaks_smaller_node(spark):
+    from csvweb_spark.operators.graph import link_prediction_ra
+    # star: hub 0 degree 4; every rim pair scores 10^6 div 4 = 250000
+    e = [(0, i) for i in range(1, 5)]
+    out = link_prediction_ra(_edges(spark, e), top_k=2).collect()
+    by_a = {}
+    for r in out:
+        by_a.setdefault(r.node_a, []).append(r.node_b)
+    assert sorted(by_a[1]) == [2, 3]  # tie -> smaller node_b kept
+    assert all(len(v) <= 2 for v in by_a.values())
+
+
+def test_ra_center_cap_drops_hub_wedges(spark):
+    from csvweb_spark.operators.graph import link_prediction_ra
+    e = [(0, i) for i in range(1, 10)]  # hub degree 9
+    full = link_prediction_ra(_edges(spark, e)).count()
+    assert full == 36  # C(9,2) rim pairs
+    capped = link_prediction_ra(_edges(spark, e), max_center_degree=5)
+    assert capped.count() == 0
+
+
+# ------------------------------------------------------------- modularity
+
+
+def test_modularity_two_triangles_bridge(spark):
+    from csvweb_spark.operators.graph import modularity
+    e = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    labels = spark.createDataFrame(
+        [(0, "A"), (1, "A"), (2, "A"), (3, "B"), (4, "B"), (5, "B")],
+        "node long, community string")
+    out = {r.community: r
+           for r in modularity(_edges(spark, e), labels).collect()}
+    # m=7; A: e_c=3, d_c=2+2+3=7 -> 4*7*3 - 49 = 35 over 4*49=196
+    for c in ("A", "B"):
+        assert out[c].n_nodes == 3
+        assert out[c].intra_edges == 3 and out[c].degree_sum == 7
+        assert int(out[c].q_num_4m2) == 35
+        assert int(out[c].q_den_4m2) == 196
+    q = sum(float(r.q_float) for r in out.values())
+    assert abs(q - 70 / 196) < 1e-12
+
+
+def test_modularity_unlabeled_nodes_excluded(spark):
+    from csvweb_spark.operators.graph import modularity
+    e = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    labels = spark.createDataFrame(
+        [(0, "A"), (1, "A"), (2, "A"), (3, "B"), (4, "B")],
+        "node long, community string")  # node 5 unlabeled
+    out = {r.community: r
+           for r in modularity(_edges(spark, e), labels).collect()}
+    b = out["B"]
+    # B keeps only edge (3,4); degrees still from the FULL graph (3,2)
+    assert b.n_nodes == 2 and b.intra_edges == 1 and b.degree_sum == 5
+    assert int(b.q_num_4m2) == 4 * 7 * 1 - 25
+    assert set(out) == {"A", "B"}  # no NULL community row
+
+
+def test_modularity_empty_graph_raises(spark):
+    import pytest
+    from csvweb_spark.operators.graph import modularity
+    labels = spark.createDataFrame([(0, "A")], "node long, community string")
+    with pytest.raises(ValueError):
+        modularity(_edges(spark, [(7, 7)]), labels)  # self-loop only
