@@ -838,6 +838,65 @@ def q_kg_align(spark, sf_dir):
                       "mutual")
 
 
+def q_kg_pred_align(spark, sf_dir):
+    """Predicate alignment given entity matches (round 5, align.py::
+    align_predicates): kg1 says ex:name/ex:nation, kg2 says
+    foaf:name/ex:country over the same customers with fresh IRIs;
+    matches cover the [100, 200) overlap. Names agree totally
+    (equiv 10^6); kg2's country is perturbed for every k % 3 == 0
+    customer, so (ex:nation, ex:country) lands at ~2/3 agreement -
+    the partial-equivalence case a real schema map is full of.
+    Integer ppm floor division; oracle replays the match restriction,
+    the (entity, value) agreement join and all three shares exactly."""
+    from csvweb_spark.operators.align import align_predicates
+    cust = _load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    kg1c = cust.filter(k < 200)
+    kg2c = cust.filter((k >= 100) & (k < 300))
+    kg1 = (kg1c.select(F.concat(F.lit("ex:A"), k).alias("subj"),
+                       F.lit("ex:name").alias("pred"),
+                       F.col("c_name").alias("obj"))
+           .unionByName(kg1c.select(
+               F.concat(F.lit("ex:A"), k).alias("subj"),
+               F.lit("ex:nation").alias("pred"),
+               F.concat(F.lit("ex:N"), F.col("c_nationkey")).alias("obj"))))
+    nk2 = F.when(k % 3 == 0, (F.col("c_nationkey") + 1) % 25) \
+        .otherwise(F.col("c_nationkey"))
+    kg2 = (kg2c.select(F.concat(F.lit("ex:B"), k).alias("subj"),
+                       F.lit("foaf:name").alias("pred"),
+                       F.col("c_name").alias("obj"))
+           .unionByName(kg2c.select(
+               F.concat(F.lit("ex:B"), k).alias("subj"),
+               F.lit("ex:country").alias("pred"),
+               F.concat(F.lit("ex:N"), nk2).alias("obj"))))
+    matches = cust.filter((k >= 100) & (k < 200)).select(
+        F.concat(F.lit("ex:A"), k).alias("e1"),
+        F.concat(F.lit("ex:B"), k).alias("e2"))
+    out = align_predicates(kg1, kg2, matches)
+    return out.select("p1", "p2",
+                      F.col("n_agree").cast("long").alias("n_agree"),
+                      F.col("n1").cast("long").alias("n1"),
+                      F.col("n2").cast("long").alias("n2"),
+                      "sub12_ppm", "sub21_ppm", "equiv_ppm")
+
+
+def q_kg_assortativity(spark, sf_dir):
+    """Degree assortativity (round 5, graph.py::assortativity) of the
+    chain+star KG graph: the hub makes it strongly disassortative -
+    exactly the hub-and-spoke extraction signature the audit exists to
+    flag. Single-row exact integers (r = r_num / r_den; the float
+    rendering stays outside the hash gate); oracle replays the
+    incidence degree joins and Pearson sums bit-for-bit."""
+    from csvweb_spark.operators.graph import assortativity
+    out = assortativity(_chain_star_edges(spark, sf_dir))
+    return out.select(F.col("m").cast("long").alias("m"),
+                      F.col("s_j").cast("long").alias("s_j"),
+                      F.col("s_jk").cast("long").alias("s_jk"),
+                      F.col("s_jj").cast("long").alias("s_jj"),
+                      F.col("r_num").cast("long").alias("r_num"),
+                      F.col("r_den").cast("long").alias("r_den"))
+
+
 def q_kg_harmonic(spark, sf_dir):
     """Seed-sampled harmonic centrality (round 5, graph.py::
     harmonic_centrality over multi_source_distances): per-seed
@@ -4545,6 +4604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_functionality": q_kg_functionality,
         "kg_taxonomy_reduce": q_kg_taxonomy_reduce,
         "kg_align": q_kg_align,
+        "kg_pred_align": q_kg_pred_align,
+        "kg_assortativity": q_kg_assortativity,
         "kg_diff": q_kg_diff,
         "kg_validity": q_kg_validity,
         "table_fingerprint": q_table_fingerprint,
@@ -7098,6 +7159,78 @@ def _oracle_sql_literal() -> dict[str, str]:
                   FROM cand)
             SELECT e1, e2, n_shared, score_ppm, r2 = 1 AS mutual
             FROM r WHERE r1 = 1
+        """,
+        "kg_pred_align": """
+            -- align.py::align_predicates replayed exactly: both sides
+            -- restricted to the matched [100,200) universe, the
+            -- (entity, value) agreement join, per-predicate totals and
+            -- the three ppm shares
+            WITH
+            ovl AS (SELECT c_custkey AS k, c_name, c_nationkey
+                    FROM customer
+                    WHERE c_custkey >= 100 AND c_custkey < 200),
+            s1 AS (SELECT DISTINCT 'ex:A' || k AS e1, p, o FROM (
+                       SELECT k, 'ex:name' AS p, c_name AS o FROM ovl
+                       UNION ALL
+                       SELECT k, 'ex:nation', 'ex:N' || c_nationkey
+                       FROM ovl) u),
+            s2 AS (SELECT DISTINCT 'ex:B' || k AS e2, p, o FROM (
+                       SELECT k, 'foaf:name' AS p, c_name AS o FROM ovl
+                       UNION ALL
+                       SELECT k, 'ex:country', 'ex:N' ||
+                           (CASE WHEN k % 3 = 0
+                                 THEN (c_nationkey + 1) % 25
+                                 ELSE c_nationkey END)
+                       FROM ovl) u),
+            mm AS (SELECT 'ex:A' || k AS e1, 'ex:B' || k AS e2 FROM ovl),
+            j1 AS (SELECT mm.e2, s1.p AS p1, s1.o
+                   FROM s1 JOIN mm USING (e1)),
+            agree AS (SELECT p1, s2.p AS p2, count(*)::BIGINT AS n_agree
+                      FROM j1 JOIN s2 ON s2.e2 = j1.e2 AND s2.o = j1.o
+                      GROUP BY p1, s2.p),
+            t1 AS (SELECT p AS p1, count(*)::BIGINT AS n1
+                   FROM s1 GROUP BY p),
+            t2 AS (SELECT p AS p2, count(*)::BIGINT AS n2
+                   FROM s2 GROUP BY p)
+            SELECT p1, p2, n_agree, n1, n2,
+                   (1000000::BIGINT * n_agree // n1)::BIGINT AS sub12_ppm,
+                   (1000000::BIGINT * n_agree // n2)::BIGINT AS sub21_ppm,
+                   (1000000::BIGINT * n_agree // (n1 + n2 - n_agree))::BIGINT
+                       AS equiv_ppm
+            FROM agree JOIN t1 USING (p1) JOIN t2 USING (p2)
+        """,
+        "kg_assortativity": """
+            -- graph.py::assortativity replayed exactly: undirected
+            -- dedup, degree joins on both incidence ends, the Pearson
+            -- sums and the integer numerator/denominator
+            WITH
+            c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 400),
+            dir AS (
+                SELECT a.k AS a, a.k + 1 AS b
+                FROM c a JOIN c n ON n.k = a.k + 1
+                WHERE a.k % 100 <> 99
+                UNION ALL
+                SELECT 0, k FROM c WHERE k > 0 AND k < 100),
+            und AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+                    FROM dir WHERE a <> b),
+            bidir AS (SELECT lo AS node, hi AS nbr FROM und
+                      UNION ALL
+                      SELECT hi, lo FROM und),
+            deg AS (SELECT node, count(*)::BIGINT AS degree
+                    FROM bidir GROUP BY node),
+            inc AS (SELECT dj.degree AS j, dk.degree AS k
+                    FROM bidir
+                    JOIN deg dj ON dj.node = bidir.node
+                    JOIN deg dk ON dk.node = bidir.nbr),
+            sums AS (SELECT count(*)::BIGINT AS m2,
+                            sum(j)::BIGINT AS s_j,
+                            sum(j * k)::BIGINT AS s_jk,
+                            sum(j * j)::BIGINT AS s_jj
+                     FROM inc)
+            SELECT (m2 / 2)::BIGINT AS m, s_j, s_jk, s_jj,
+                   (m2 * s_jk - s_j * s_j)::BIGINT AS r_num,
+                   (m2 * s_jj - s_j * s_j)::BIGINT AS r_den
+            FROM sums
         """,
         "rdfs_entail": _rdfs_oracle_sql(),
         "rdfs_entail_incr": (

@@ -748,6 +748,9 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
         F.concat(F.lit("c"), F.expr("n div 500")).alias("community"))
     timed("kg_modularity_10x", lambda: modularity(
         edges10, labels10).count(), retry_under=0.0)
+    from csvweb_spark.operators.graph import assortativity
+    timed("kg_assortativity_10x", lambda: assortativity(
+        edges10).count(), retry_under=0.0)
     edges10.unpersist()
 
     # round-5 additions: SHACL/VoID over a customer-proportional KG
@@ -930,6 +933,11 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
                     .alias("obj"))))
     timed("kg_align", lambda: align_entities(
         _mint("ex:A"), _mint("ex:B")).count())
+    from csvweb_spark.operators.align import align_predicates
+    id_map = cust.select(F.concat(F.lit("ex:A"), _kk).alias("e1"),
+                         F.concat(F.lit("ex:B"), _kk).alias("e2"))
+    timed("kg_pred_align", lambda: align_predicates(
+        _mint("ex:A"), _mint("ex:B"), id_map).count())
     # transitive reduction of blocks-of-8 chains + head->tail shortcuts
     from csvweb_spark.operators.entail import transitive_reduction
     tr_edges = (cust.filter(_kk % 8 < 7)

@@ -98,3 +98,66 @@ def align_entities(kg1: DataFrame, kg2: DataFrame,
     if mutual_only:
         out = out.filter(F.col("mutual"))
     return out
+
+
+def align_predicates(kg1: DataFrame, kg2: DataFrame, matches: DataFrame,
+                     subj: str = "subj", pred: str = "pred",
+                     obj: str = "obj",
+                     e1: str = "e1", e2: str = "e2",
+                     scale: int = 1_000_000,
+                     min_agree: int = 1) -> DataFrame:
+    """Predicate alignment GIVEN entity matches (the second half of
+    PARIS-style ontology alignment): two extractors name the same
+    relation differently (ex:birthPlace vs schema:birthPlace vs
+    ex:born_in), and the schema map must be induced from how the
+    predicates behave ON THE ALIGNED ENTITIES - p1 aligns with p2 to
+    the extent that p1(e1) and p2(e2) hold the same values across
+    matched pairs (e1, e2).
+
+    `matches` should be a 1-1 entity map - `align_entities(...,
+    mutual_only=True)` guarantees that shape (each e1 once, each e2 at
+    most once); under a many-to-one map the two directions count
+    different universes and the ppm shares lose their conditional-
+    probability reading.
+
+    Per (p1, p2) pair with any agreement:
+      n_agree    = |{(match, v): p1(e1)=v and p2(e2)=v}|
+      n1 / n2    = matched-universe assertion counts of p1 / p2
+      sub12_ppm  = floor(scale * n_agree / n1)  (evidence p1 => p2)
+      sub21_ppm  = floor(scale * n_agree / n2)  (evidence p2 => p1)
+      equiv_ppm  = floor(scale * n_agree / (n1 + n2 - n_agree))
+                   (Jaccard of the value sets - the equivalence score)
+    Both subsumption directions are emitted because real schema maps
+    are asymmetric (ex:capital => ex:city, never the reverse).
+
+    Scale shape: RDF-set dedup per side, one hash semi-join against
+    the (slim) match map per side, ONE join on (matched entity, value)
+    - keyed by entity, so no value-frequency skew can square up - and
+    per-predicate-pair map-side-combinable counts. Integer floor
+    division throughout; oracle-replayable.
+    """
+    m = (matches.select(F.col(e1).alias("_e1"), F.col(e2).alias("_e2"))
+         .distinct())
+    s1 = (kg1.select(F.col(subj).alias("_e1"), F.col(pred).alias("p1"),
+                     F.col(obj).alias("o"))
+          .distinct()
+          .join(m, "_e1"))
+    s2 = (kg2.select(F.col(subj).alias("_e2"), F.col(pred).alias("p2"),
+                     F.col(obj).alias("o"))
+          .distinct()
+          .join(m.select("_e2").distinct(), "_e2"))
+    agree = (s1.join(s2, ["_e2", "o"])
+             .groupBy("p1", "p2")
+             .agg(F.count(F.lit(1)).alias("n_agree"))
+             .filter(F.col("n_agree") >= int(min_agree)))
+    n1 = s1.groupBy("p1").agg(F.count(F.lit(1)).alias("n1"))
+    n2 = s2.groupBy("p2").agg(F.count(F.lit(1)).alias("n2"))
+    sc = int(scale)
+    return (agree.join(n1, "p1").join(n2, "p2")
+            .select("p1", "p2", "n_agree", "n1", "n2",
+                    F.expr(f"CAST({sc} AS BIGINT) * n_agree div n1")
+                    .alias("sub12_ppm"),
+                    F.expr(f"CAST({sc} AS BIGINT) * n_agree div n2")
+                    .alias("sub21_ppm"),
+                    F.expr(f"CAST({sc} AS BIGINT) * n_agree div "
+                           "(n1 + n2 - n_agree)").alias("equiv_ppm")))

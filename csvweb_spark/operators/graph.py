@@ -1262,3 +1262,68 @@ def modularity(edges: DataFrame, labels: DataFrame,
         .withColumn("q_float",
                     F.col("q_num_4m2").cast("double") /
                     F.col("q_den_4m2").cast("double")))
+
+
+def assortativity(edges: DataFrame, src: str = "src",
+                  dst: str = "dst") -> DataFrame:
+    """Degree assortativity of the undirected simple graph in EXACT
+    integer arithmetic: Newman's r is the Pearson correlation of the
+    degrees at the two ends of an edge. Over the 2m directed
+    (both-ways) edge incidences with end degrees (j, k), the symmetric
+    sums S_j = sum j, S_jk = sum j*k, S_jj = sum j^2 give
+
+        r = (2m * S_jk - S_j^2) / (2m * S_jj - S_j^2)
+
+    emitted as integer r_num / r_den in decimal(38,0) (no float drift;
+    the oracle replays bit-for-bit) with r_float alongside for humans.
+
+    The structural audit of an extracted web KG: strongly negative r
+    is the hub-and-spoke signature (every entity linked to
+    wikipedia.org and nothing else - extraction found pages, not
+    structure); r near 0 with real triangle counts is organic link
+    structure. Together with `modularity` and `degree_histogram` it is
+    the acceptance panel a 10^12-page graph build reports per
+    partition manifest.
+
+    Scale shape: dedup to undirected edges, one degree aggregate, two
+    hash joins to attach end degrees (degree table is data-dependent -
+    no broadcast hint; over a node-bucketed store they co-partition),
+    then ONE map-side-combinable global sum - a single row leaves the
+    executors. Degenerate denominators (all degrees equal, e.g. a pure
+    cycle) emit r_num = r_den = 0; consumers treat that as undefined.
+    """
+    und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .filter(F.col("u") != F.col("v"))
+           .select(F.greatest("u", "v").alias("hi"),
+                   F.least("u", "v").alias("lo"))
+           .distinct())
+    bidir = (und.select(F.col("lo").alias("node"), F.col("hi").alias("nbr"))
+             .unionByName(und.select(F.col("hi").alias("node"),
+                                     F.col("lo").alias("nbr"))))
+    deg = bidir.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    dj = deg.select(F.col("node").alias("node"), F.col("degree").alias("j"))
+    dk = deg.select(F.col("node").alias("nbr"), F.col("degree").alias("k"))
+    inc = bidir.join(dj, "node").join(dk, "nbr")
+    big = "CAST({} AS DECIMAL(38,0))"
+    sums = inc.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum(F.expr(big.format("j"))).alias("s_j"),
+        F.sum(F.expr(f"{big.format('j')} * {big.format('k')}"))
+        .alias("s_jk"),
+        F.sum(F.expr(f"{big.format('j')} * {big.format('j')}"))
+        .alias("s_jj"))
+    return (sums.select(
+        (F.col("m2") / 2).cast("long").alias("m"),
+        F.col("s_j").cast("decimal(38,0)").alias("s_j"),
+        F.col("s_jk").cast("decimal(38,0)").alias("s_jk"),
+        F.col("s_jj").cast("decimal(38,0)").alias("s_jj"),
+        (F.expr(big.format("m2")) * F.col("s_jk")
+         - F.col("s_j") * F.col("s_j")).cast("decimal(38,0)")
+        .alias("r_num"),
+        (F.expr(big.format("m2")) * F.col("s_jj")
+         - F.col("s_j") * F.col("s_j")).cast("decimal(38,0)")
+        .alias("r_den"))
+        .withColumn("r_float",
+                    F.when(F.col("r_den") == 0, F.lit(None).cast("double"))
+                    .otherwise(F.col("r_num").cast("double") /
+                               F.col("r_den").cast("double"))))

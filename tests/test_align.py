@@ -118,3 +118,84 @@ def test_align_min_shared_and_mutual_only(spark):
     both = align_entities(_kg1(spark), _kg2(spark), mutual_only=True)
     assert {(r.e1, r.e2) for r in both.collect()} == \
         {("P1", "Q1"), ("P2", "Q2")}
+
+
+# ------------------------------------------------------- align_predicates
+
+
+def test_pred_align_equiv_and_partial(spark):
+    from csvweb_spark.operators.align import align_predicates
+    kg1 = _t(spark, [
+        ("P1", "n1", "alice"), ("P1", "c1", "nyc"),
+        ("P2", "n1", "bob"), ("P2", "c1", "la"),
+    ])
+    kg2 = _t(spark, [
+        ("Q1", "n2", "alice"), ("Q1", "c2", "nyc"),
+        ("Q2", "n2", "bob"), ("Q2", "c2", "sf"),
+    ])
+    matches = spark.createDataFrame(
+        [("P1", "Q1"), ("P2", "Q2")], "e1 string, e2 string")
+    out = {(r.p1, r.p2): r
+           for r in align_predicates(kg1, kg2, matches).collect()}
+    n = out[("n1", "n2")]
+    # both names agree: 2/2 each direction, Jaccard 2/(2+2-2) = 1
+    assert (n.n_agree, n.n1, n.n2) == (2, 2, 2)
+    assert n.sub12_ppm == 1000000 and n.equiv_ppm == 1000000
+    c = out[("c1", "c2")]
+    # nyc agrees, la/sf don't: 1/2, Jaccard 1/3
+    assert (c.n_agree, c.sub12_ppm, c.sub21_ppm, c.equiv_ppm) == \
+        (1, 500000, 500000, 333333)
+    assert set(out) == {("n1", "n2"), ("c1", "c2")}
+
+
+def test_pred_align_asymmetric_subsumption(spark):
+    from csvweb_spark.operators.align import align_predicates
+    kg1 = _t(spark, [("P1", "capital", "paris")])
+    kg2 = _t(spark, [("Q1", "city", "paris"), ("Q1", "city", "lyon"),
+                     ("Q1", "city", "lyon")])  # dup: RDF set semantics
+    matches = spark.createDataFrame([("P1", "Q1")], "e1 string, e2 string")
+    r = align_predicates(kg1, kg2, matches).collect()[0]
+    # capital => city is total (1/1) but city => capital is half (1/2)
+    assert (r.sub12_ppm, r.sub21_ppm, r.equiv_ppm) == \
+        (1000000, 500000, 500000)
+
+
+def test_pred_align_ignores_unmatched_entities(spark):
+    from csvweb_spark.operators.align import align_predicates
+    kg1 = _t(spark, [("P1", "p", "v"), ("PX", "p", "w")])
+    kg2 = _t(spark, [("Q1", "q", "v"), ("QX", "q", "w")])
+    matches = spark.createDataFrame([("P1", "Q1")], "e1 string, e2 string")
+    r = align_predicates(kg1, kg2, matches).collect()[0]
+    # PX/QX agree on w but are unmatched: excluded from counts entirely
+    assert (r.n_agree, r.n1, r.n2) == (1, 1, 1)
+
+
+# ----------------------------------------------------------- assortativity
+
+
+def test_assortativity_path_is_minus_one(spark):
+    from csvweb_spark.operators.graph import assortativity
+    r = assortativity(_e(spark, [("a", "b"), ("b", "c")])).collect()[0]
+    # path of 3: S_j=6 S_jk=8 S_jj=10 over 4 incidences -> -4/4 = -1
+    assert r.m == 2
+    assert (int(r.r_num), int(r.r_den)) == (-4, 4)
+    assert r.r_float == -1.0
+
+
+def test_assortativity_triangle_plus_pendant(spark):
+    from csvweb_spark.operators.graph import assortativity
+    e = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("c", "d")]
+    r = assortativity(_e(spark, e)).collect()[0]
+    # degrees a=2 b=2 c=3 d=1: S_j=18 S_jk=38 S_jj=44, m2=8
+    # r_num = 8*38-324 = -20, r_den = 8*44-324 = 28 -> r = -5/7
+    assert r.m == 4
+    assert (int(r.r_num), int(r.r_den)) == (-20, 28)
+    assert abs(r.r_float - (-5 / 7)) < 1e-12
+
+
+def test_assortativity_regular_graph_undefined(spark):
+    from csvweb_spark.operators.graph import assortativity
+    e = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]  # 4-cycle
+    r = assortativity(_e(spark, e)).collect()[0]
+    assert (int(r.r_num), int(r.r_den)) == (0, 0)
+    assert r.r_float is None
