@@ -897,6 +897,48 @@ def q_kg_assortativity(spark, sf_dir):
                       F.col("r_den").cast("long").alias("r_den"))
 
 
+def q_kg_rules(spark, sf_dir):
+    """Depth-1 rule mining (round 5, ontology.py::
+    mine_predicate_rules): customers < 300 assert ex:market; the first
+    half also ex:sector with the same value (ex:sector => ex:market
+    total, the reverse at half confidence); ex:follows chains k -> k+1
+    for k < 100 with ex:followed_by mirrored for k < 50 (inverse at
+    1/2); ex:peer links even pairs with every 4th mirrored
+    (symmetric at 2*50/150). Generic integer-ppm confidences; the
+    oracle replays the RDF-set dedup, both entity-pair self-joins
+    (self-loop exclusion included) and the census join exactly."""
+    from csvweb_spark.operators.ontology import mine_predicate_rules
+    cust = _load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    c = F.concat(F.lit("ex:C"), k)
+    market = cust.filter(k < 300).select(
+        c.alias("subj"), F.lit("ex:market").alias("pred"),
+        F.col("c_mktsegment").alias("obj"))
+    sector = cust.filter(k < 150).select(
+        c.alias("subj"), F.lit("ex:sector").alias("pred"),
+        F.col("c_mktsegment").alias("obj"))
+    follows = cust.filter(k < 100).select(
+        c.alias("subj"), F.lit("ex:follows").alias("pred"),
+        F.concat(F.lit("ex:C"), k + 1).alias("obj"))
+    followed = cust.filter(k < 50).select(
+        F.concat(F.lit("ex:C"), k + 1).alias("subj"),
+        F.lit("ex:followed_by").alias("pred"), c.alias("obj"))
+    peer_f = cust.filter((k < 200) & (k % 2 == 0)).select(
+        c.alias("subj"), F.lit("ex:peer").alias("pred"),
+        F.concat(F.lit("ex:C"), k + 1).alias("obj"))
+    peer_r = cust.filter((k < 200) & (k % 4 == 0)).select(
+        F.concat(F.lit("ex:C"), k + 1).alias("subj"),
+        F.lit("ex:peer").alias("pred"), c.alias("obj"))
+    triples = (market.unionByName(sector).unionByName(follows)
+               .unionByName(followed).unionByName(peer_f)
+               .unionByName(peer_r))
+    out = mine_predicate_rules(triples, min_support=2)
+    return out.select("rule_type", "p1", "p2",
+                      F.col("support").cast("long").alias("support"),
+                      F.col("n_body").cast("long").alias("n_body"),
+                      "conf_ppm")
+
+
 def q_kg_harmonic(spark, sf_dir):
     """Seed-sampled harmonic centrality (round 5, graph.py::
     harmonic_centrality over multi_source_distances): per-seed
@@ -4606,6 +4648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_align": q_kg_align,
         "kg_pred_align": q_kg_pred_align,
         "kg_assortativity": q_kg_assortativity,
+        "kg_rules": q_kg_rules,
         "kg_diff": q_kg_diff,
         "kg_validity": q_kg_validity,
         "table_fingerprint": q_table_fingerprint,
@@ -7231,6 +7274,51 @@ def _oracle_sql_literal() -> dict[str, str]:
                    (m2 * s_jk - s_j * s_j)::BIGINT AS r_num,
                    (m2 * s_jj - s_j * s_j)::BIGINT AS r_den
             FROM sums
+        """,
+        "kg_rules": """
+            -- ontology.py::mine_predicate_rules replayed exactly:
+            -- RDF-set dedup, forward and inverse entity-pair
+            -- self-joins (self-loops excluded from inverse evidence),
+            -- support counts, predicate census and ppm confidences
+            WITH
+            cust AS (SELECT c_custkey AS k, c_mktsegment AS seg
+                     FROM customer),
+            t AS (
+                SELECT DISTINCT s, p, o FROM (
+                    SELECT 'ex:C' || k AS s, 'ex:market' AS p, seg AS o
+                    FROM cust WHERE k < 300
+                    UNION ALL
+                    SELECT 'ex:C' || k, 'ex:sector', seg
+                    FROM cust WHERE k < 150
+                    UNION ALL
+                    SELECT 'ex:C' || k, 'ex:follows', 'ex:C' || (k + 1)
+                    FROM cust WHERE k < 100
+                    UNION ALL
+                    SELECT 'ex:C' || (k + 1), 'ex:followed_by', 'ex:C' || k
+                    FROM cust WHERE k < 50
+                    UNION ALL
+                    SELECT 'ex:C' || k, 'ex:peer', 'ex:C' || (k + 1)
+                    FROM cust WHERE k < 200 AND k % 2 = 0
+                    UNION ALL
+                    SELECT 'ex:C' || (k + 1), 'ex:peer', 'ex:C' || k
+                    FROM cust WHERE k < 200 AND k % 4 = 0) u),
+            ev AS (
+                SELECT 'implies' AS rule_type, b.p AS p1, h.p AS p2
+                FROM t b JOIN t h ON h.s = b.s AND h.o = b.o
+                WHERE b.p <> h.p
+                UNION ALL
+                SELECT CASE WHEN b.p = h.p THEN 'symmetric'
+                            ELSE 'inverse' END, b.p, h.p
+                FROM t b JOIN t h ON h.o = b.s AND h.s = b.o
+                WHERE b.s <> b.o),
+            sup AS (SELECT rule_type, p1, p2, count(*)::BIGINT AS support
+                    FROM ev GROUP BY rule_type, p1, p2
+                    HAVING count(*) >= 2),
+            nb AS (SELECT p AS p1, count(*)::BIGINT AS n_body
+                   FROM t GROUP BY p)
+            SELECT rule_type, p1, p2, support, n_body,
+                   (1000000::BIGINT * support // n_body)::BIGINT AS conf_ppm
+            FROM sup JOIN nb USING (p1)
         """,
         "rdfs_entail": _rdfs_oracle_sql(),
         "rdfs_entail_incr": (

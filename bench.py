@@ -938,6 +938,23 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
                          F.concat(F.lit("ex:B"), _kk).alias("e2"))
     timed("kg_pred_align", lambda: align_predicates(
         _mint("ex:A"), _mint("ex:B"), id_map).count())
+    # depth-1 rule mining over sf-scaling implication/inverse fixtures
+    from csvweb_spark.operators.ontology import mine_predicate_rules
+    _c = F.concat(F.lit("ex:C"), _kk)
+    rules_in = (
+        cust.select(_c.alias("subj"), F.lit("ex:market").alias("pred"),
+                    F.col("c_mktsegment").alias("obj"))
+        .unionByName(cust.filter(_kk % 2 == 0).select(
+            _c.alias("subj"), F.lit("ex:sector").alias("pred"),
+            F.col("c_mktsegment").alias("obj")))
+        .unionByName(cust.select(
+            _c.alias("subj"), F.lit("ex:follows").alias("pred"),
+            F.concat(F.lit("ex:C"), _kk + 1).alias("obj")))
+        .unionByName(cust.filter(_kk % 2 == 0).select(
+            F.concat(F.lit("ex:C"), _kk + 1).alias("subj"),
+            F.lit("ex:followed_by").alias("pred"), _c.alias("obj"))))
+    timed("kg_rules", lambda: mine_predicate_rules(
+        rules_in, min_support=2).count())
     # transitive reduction of blocks-of-8 chains + head->tail shortcuts
     from csvweb_spark.operators.entail import transitive_reduction
     tr_edges = (cust.filter(_kk % 8 < 7)

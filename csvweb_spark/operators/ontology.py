@@ -87,6 +87,75 @@ def predicate_functionality(triples: DataFrame,
                            "n_pairs").alias("inv_fun_ppm")))
 
 
+def mine_predicate_rules(triples: DataFrame,
+                         subj: str = "subj", pred: str = "pred",
+                         obj: str = "obj",
+                         scale: int = 1_000_000,
+                         min_support: int = 1,
+                         min_conf_ppm: int = 0) -> DataFrame:
+    """Depth-1 horn-rule mining over the instance level (the AMIE
+    rule shapes a single join can evaluate): for every ordered
+    predicate pair, how often does one assertion entail the other?
+
+      implies    p1(x,y) => p2(x,y)   (p1 != p2; e.g. ex:capitalOf =>
+                                       ex:locatedIn)
+      inverse    p1(x,y) => p2(y,x)   (p1 != p2; ex:parent/ex:child)
+      symmetric  p(x,y)  => p(y,x)    (the p1 == p2 diagonal of the
+                                       inverse join; ex:spouse)
+
+    support  = |{(x, y): body AND head hold}| over the RDF SET
+    conf_ppm = floor(scale * support / n_body)  - AMIE's standard
+    confidence (no PCA denominator: deciding which absent facts count
+    as false needs the functionality profile; callers who want PCA
+    confidence can join `predicate_functionality` and rescale).
+
+    The ontology-enrichment stage after extraction: mined inverses
+    and symmetries feed `owl_property_closure` (which MATERIALIZES
+    owl:inverseOf / owl:SymmetricProperty semantics but has to be told
+    which predicates carry them), and high-confidence implications are
+    extraction-QA signals (a crawl-induced subPropertyOf candidate).
+
+    Scale shape: one distinct on slim (s,p,o), then two self-joins
+    keyed by the FULL entity pair ((x,y) forward, (y,x) inverse) -
+    the key includes both entities, so per-key fan-out is the number
+    of predicates asserted between one ordered pair (tiny; no hub can
+    square up) - plus one map-side-combinable support count per
+    ordered predicate pair and a broadcast-eligible denominator join
+    (predicate census: one row per predicate).
+    """
+    t = (triples.select(F.col(subj).alias("s"), F.col(pred).alias("p"),
+                        F.col(obj).alias("o"))
+         .distinct())
+    body = t.select(F.col("s").alias("x"), F.col("o").alias("y"),
+                    F.col("p").alias("p1"))
+    head_fwd = t.select(F.col("s").alias("x"), F.col("o").alias("y"),
+                        F.col("p").alias("p2"))
+    head_inv = t.select(F.col("o").alias("x"), F.col("s").alias("y"),
+                        F.col("p").alias("p2"))
+    implies = (body.join(head_fwd, ["x", "y"])
+               .filter(F.col("p1") != F.col("p2"))
+               .withColumn("rule_type", F.lit("implies")))
+    # a self-loop p(a,a) is its own mirror image - trivial, never
+    # evidence of inverseness/symmetry (it still counts in n_body)
+    inv = (body.filter(F.col("x") != F.col("y"))
+           .join(head_inv, ["x", "y"])
+           .withColumn("rule_type",
+                       F.when(F.col("p1") == F.col("p2"),
+                              F.lit("symmetric"))
+                       .otherwise(F.lit("inverse"))))
+    n_body = t.groupBy(F.col("p").alias("p1")) \
+        .agg(F.count(F.lit(1)).alias("n_body"))
+    return (implies.unionByName(inv)
+            .groupBy("rule_type", "p1", "p2")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= int(min_support))
+            .join(n_body, "p1")
+            .select("rule_type", "p1", "p2", "support", "n_body",
+                    F.expr(f"CAST({int(scale)} AS BIGINT) * support div "
+                           "n_body").alias("conf_ppm"))
+            .filter(F.col("conf_ppm") >= int(min_conf_ppm)))
+
+
 def induce_domain_range(triples: DataFrame,
                         subj: str = "subj", pred: str = "pred",
                         obj: str = "obj",

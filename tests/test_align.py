@@ -199,3 +199,44 @@ def test_assortativity_regular_graph_undefined(spark):
     r = assortativity(_e(spark, e)).collect()[0]
     assert (int(r.r_num), int(r.r_den)) == (0, 0)
     assert r.r_float is None
+
+
+# ------------------------------------------------- mine_predicate_rules
+
+
+def test_rule_mining_implies_inverse_symmetric(spark):
+    from csvweb_spark.operators.ontology import mine_predicate_rules
+    rows = [
+        ("a", "cap", "x"), ("b", "cap", "y"),
+        ("a", "loc", "x"), ("b", "loc", "y"), ("c", "loc", "y"),
+        ("a", "sp", "b"), ("b", "sp", "a"), ("c", "sp", "d"),
+        ("x", "in", "a"),
+        ("e", "sp", "e"),   # self-loop: counts in n_body, never as evidence
+    ]
+    out = {(r.rule_type, r.p1, r.p2): r
+           for r in mine_predicate_rules(_t(spark, rows)).collect()}
+    # cap(x,y) => loc(x,y) on both cap pairs: 2/2; reverse 2/3
+    assert out[("implies", "cap", "loc")].conf_ppm == 1000000
+    assert out[("implies", "loc", "cap")].conf_ppm == 666666
+    # cap(a,x) & in(x,a): inverse 1/2 and 1/1
+    assert out[("inverse", "cap", "in")].support == 1
+    assert out[("inverse", "cap", "in")].conf_ppm == 500000
+    assert out[("inverse", "in", "cap")].conf_ppm == 1000000
+    # sp symmetric on the (a,b) pair only: support 2 of n_body 4
+    sym = out[("symmetric", "sp", "sp")]
+    assert (sym.support, sym.n_body, sym.conf_ppm) == (2, 4, 500000)
+    # the self-loop never fabricates a symmetric witness
+    assert all(k != ("symmetric", "in", "in") for k in out)
+
+
+def test_rule_mining_thresholds(spark):
+    from csvweb_spark.operators.ontology import mine_predicate_rules
+    rows = [
+        ("a", "cap", "x"), ("b", "cap", "y"),
+        ("a", "loc", "x"), ("b", "loc", "y"), ("c", "loc", "y"),
+    ]
+    out = mine_predicate_rules(_t(spark, rows), min_support=2,
+                               min_conf_ppm=700000).collect()
+    # only cap => loc (support 2, conf 10^6) clears both gates
+    assert [(r.rule_type, r.p1, r.p2) for r in out] == \
+        [("implies", "cap", "loc")]

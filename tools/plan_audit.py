@@ -354,6 +354,33 @@ AUDITS = [
      "BroadcastNestedLoopJoin over |mentions| x |aliases|; the "
      "levenshtein verify runs only on neighborhood collisions, after "
      "the distinct pair dedup."),
+    ("Weighted truth-discovery fusion", "kg_fusion",
+     "Two map-side-combinable hash aggregates (per-object support sum, "
+     "then min-struct election carrying winner stats) with partial_* "
+     "below each exchange; the weight join carries NO broadcast hint "
+     "(source census is data-dependent) - AQE may promote it at "
+     "runtime, the plan must not force it."),
+    ("Cross-KG entity alignment", "kg_align",
+     "Per-side censuses hang off ReusedExchanges of the evidence "
+     "projections; the n1*n2 census cap filters keys BEFORE the "
+     "candidate join; the pair aggregate is partial below its "
+     "exchange; both rank windows run over the slim (e1, e2, counts) "
+     "frame - no obj values survive past the evidence join."),
+    ("RA link prediction", "kg_link_predict",
+     "Wedge self-join on the center key (hash equi-join, no "
+     "cartesian); the center weight floor(scale/deg) joins once per "
+     "wedge side; pair scores are a map-side-combinable sum; the "
+     "existing-edge removal is a left-anti hash join."),
+    ("Depth-1 rule mining", "kg_rules",
+     "Both evidence self-joins are hash equi-joins keyed by the FULL "
+     "entity pair (no cartesian, no single-entity hub key); support "
+     "and census aggregates are partial below their exchanges; the "
+     "census join input is one row per predicate."),
+    ("Degree assortativity", "kg_assortativity",
+     "Two degree hash joins attach end degrees to the incidence list, "
+     "then ONE global aggregate with partial sums below the single-"
+     "row exchange - one row leaves the executors; decimal(38,0) "
+     "arithmetic stays in codegen."),
 ]
 
 
