@@ -670,6 +670,42 @@ def q_kg_fusion(spark, sf_dir):
                       "conflict")
 
 
+def q_kg_fusion_incr(spark, sf_dir):
+    """INCREMENTAL fusion (round 5, fusion.py::
+    fuse_triples_incremental): the committed store holds customers
+    < 200 voting on subjects ex:C{k%100} (all 100 groups elected once);
+    the batch [200, 230) touches only subjects 0-29, including
+    cross-batch duplicate assertions that must gain no weight. Output
+    = re-elections for the 30 touched groups ONLY - the other 70
+    provably cannot change and are never re-voted. Oracle replays the
+    distinct-batch EXCEPT-committed freshness, the touched semi-join
+    and the identical election chain."""
+    from csvweb_spark.operators.fusion import fuse_triples_incremental
+    cust = _load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+
+    def asserts(df):
+        return df.select(
+            F.concat(F.lit("ex:C"), k % 100).alias("subj"),
+            F.lit("ex:mktseg").alias("pred"),
+            F.col("c_mktsegment").alias("obj"),
+            F.concat(F.lit("src"), k % 7).alias("source"))
+
+    committed = asserts(cust.filter(k < 200))
+    batch = asserts(cust.filter((k >= 200) & (k < 230)))
+    weights = spark.range(7).select(
+        F.concat(F.lit("src"), F.col("id")).alias("source"),
+        (F.col("id") + 1).cast("long").alias("weight"))
+    out = fuse_triples_incremental(batch, committed, weights)
+    return out.select("subj", "pred", "obj",
+                      F.col("support").cast("long").alias("support"),
+                      F.col("n_sources").cast("long").alias("n_sources"),
+                      F.col("n_objects").cast("long").alias("n_objects"),
+                      F.col("total_support").cast("long")
+                      .alias("total_support"),
+                      "conflict")
+
+
 def q_kg_ontology(spark, sf_dir):
     """Instance-level ontology induction (round 5, ontology.py::
     induce_domain_range): customers < 200 are typed ex:Customer (every
@@ -4640,6 +4676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_editdist": q_link_editdist,
         "dedup_containment": q_dedup_containment,
         "kg_fusion": q_kg_fusion,
+        "kg_fusion_incr": q_kg_fusion_incr,
         "kg_ontology": q_kg_ontology,
         "kg_link_predict": q_kg_link_predict,
         "kg_modularity": q_kg_modularity,
@@ -6965,6 +7002,49 @@ def _oracle_sql_literal() -> dict[str, str]:
                        'ex:mktseg' AS pred, c_mktsegment AS obj,
                        'src' || (c_custkey % 7) AS source
                 FROM customer WHERE c_custkey < 300),
+            w AS (SELECT 'src' || i AS source, (i + 1)::BIGINT AS wt
+                  FROM range(7) t(i)),
+            sup AS (SELECT subj, pred, obj,
+                           sum(wt)::BIGINT AS support,
+                           count(*)::BIGINT AS n_sources
+                    FROM asserted JOIN w USING (source)
+                    GROUP BY subj, pred, obj),
+            r AS (SELECT *,
+                    row_number() OVER (PARTITION BY subj, pred
+                                       ORDER BY support DESC, obj ASC) AS rk,
+                    count(*) OVER (PARTITION BY subj, pred) AS n_objects,
+                    sum(support) OVER (PARTITION BY subj, pred)
+                        AS total_support
+                  FROM sup)
+            SELECT subj, pred, obj, support, n_sources,
+                   n_objects::BIGINT AS n_objects,
+                   total_support::BIGINT AS total_support,
+                   n_objects > 1 AS conflict
+            FROM r WHERE rk = 1
+        """,
+        "kg_fusion_incr": """
+            -- fusion.py::fuse_triples_incremental replayed exactly:
+            -- fresh = distinct batch EXCEPT committed, touched groups
+            -- semi-joined, then the identical election chain over
+            -- (restricted committed UNION fresh)
+            WITH
+            com AS (SELECT DISTINCT 'ex:C' || (c_custkey % 100) AS subj,
+                           'ex:mktseg' AS pred, c_mktsegment AS obj,
+                           'src' || (c_custkey % 7) AS source
+                    FROM customer WHERE c_custkey < 200),
+            bat AS (SELECT DISTINCT 'ex:C' || (c_custkey % 100) AS subj,
+                           'ex:mktseg' AS pred, c_mktsegment AS obj,
+                           'src' || (c_custkey % 7) AS source
+                    FROM customer
+                    WHERE c_custkey >= 200 AND c_custkey < 230),
+            fresh AS (SELECT * FROM bat EXCEPT SELECT * FROM com),
+            touched AS (SELECT DISTINCT subj, pred FROM fresh),
+            base AS (SELECT c.* FROM com c
+                     WHERE EXISTS (SELECT 1 FROM touched t
+                                   WHERE t.subj = c.subj
+                                     AND t.pred = c.pred)),
+            asserted AS (SELECT DISTINCT * FROM (
+                SELECT * FROM base UNION ALL SELECT * FROM fresh) u),
             w AS (SELECT 'src' || i AS source, (i + 1)::BIGINT AS wt
                   FROM range(7) t(i)),
             sup AS (SELECT subj, pred, obj,

@@ -918,6 +918,12 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
         F.concat(F.lit("src"), F.col("id")).alias("source"),
         (F.col("id") % 5 + 1).cast("long").alias("weight"))
     timed("kg_fusion", lambda: fuse_triples(fuse_in, fuse_w).count())
+    # incremental fusion: a 1/8 batch against the other 7/8 committed
+    from csvweb_spark.operators.fusion import fuse_triples_incremental
+    fuse_com = fuse_in.filter(_kk % 8 != 0)
+    fuse_bat = fuse_in.filter(_kk % 8 == 0)
+    timed("kg_fusion_incr", lambda: fuse_triples_incremental(
+        fuse_bat, fuse_com, fuse_w).count())
     # cross-KG alignment: two IRI mints over the same customers, names
     # unique (full evidence) + nations shared (near-zero RA weight)
     from csvweb_spark.operators.align import align_entities

@@ -98,3 +98,52 @@ def fuse_triples(triples: DataFrame,
         F.col("_win.n_sources").alias("n_sources"),
         "n_objects", "total_support",
         (F.col("n_objects") > 1).alias("conflict"))
+
+
+def fuse_triples_incremental(new_triples: DataFrame,
+                             committed_assertions: DataFrame,
+                             source_weights: DataFrame | None = None,
+                             subj: str = "subj", pred: str = "pred",
+                             obj: str = "obj", source: str = "source",
+                             weight_col: str = "weight",
+                             default_weight: int = 1) -> DataFrame:
+    """Incremental fusion: when a new batch of assertions arrives,
+    re-elect ONLY the (subj, pred) groups the batch touches - never
+    re-vote the whole KG (the batch-twin shape of every incremental
+    here: rdfs_closure_incremental, dedup_minhash_incremental, ...).
+
+    `committed_assertions` is the already-ingested (subj, pred, obj,
+    source) assertion set (maintain it as a SET for size; duplicates
+    are tolerated - fuse_triples deduplicates before voting).
+    Semantics are EXACTLY fuse_triples over (committed UNION new)
+    restricted to touched groups, by construction:
+
+      fresh   = distinct new assertions not already committed
+                (a source repeating itself across batches gains no
+                weight - the cross-batch half of the RDF-set rule)
+      touched = distinct (subj, pred) of fresh
+      output  = fuse_triples(committed <semi-join touched> UNION fresh)
+
+    Groups the batch does not touch cannot change their election (the
+    vote is a pure function of the group's assertion set), so omitting
+    them is exact, and an empty or all-duplicate batch returns 0 rows.
+    Callers append `fresh` (= the same anti-join they can recompute,
+    or just the distinct batch) to the assertion store afterwards.
+
+    Scale shape: the committed store is only PROBED - one left-anti
+    join (batch-sized output) and one left-semi join (touched-group-
+    sized output), both zero-Exchange over a (subj, pred)-bucketed
+    store (`plans/bucketed.py`); per-batch cost is bounded by the
+    batch and its groups' assertion counts, never |KG|.
+    """
+    cols = [subj, pred, obj, source]
+    fresh = (new_triples.select(*[F.col(c) for c in cols]).distinct()
+             .join(committed_assertions.select(*[F.col(c) for c in cols]),
+                   cols, "left_anti"))
+    touched = fresh.select(subj, pred).distinct()
+    base = (committed_assertions.select(*[F.col(c) for c in cols])
+            .join(touched, [subj, pred], "left_semi"))
+    return fuse_triples(base.unionByName(fresh), source_weights,
+                        subj=subj, pred=pred, obj=obj, source=source,
+                        weight_col=weight_col,
+                        default_weight=default_weight)

@@ -199,3 +199,40 @@ def test_modularity_empty_graph_raises(spark):
     labels = spark.createDataFrame([(0, "A")], "node long, community string")
     with pytest.raises(ValueError):
         modularity(_edges(spark, [(7, 7)]), labels)  # self-loop only
+
+
+# -------------------------------------------------- fuse_triples_incremental
+
+
+def test_fuse_incremental_touched_groups_only(spark):
+    from csvweb_spark.operators.fusion import (fuse_triples,
+                                               fuse_triples_incremental)
+    committed = _triples(spark, [
+        ("s1", "p", "A", "x"), ("s1", "p", "A", "y"),   # A: support 2
+        ("s2", "p", "C", "x"),                           # untouched group
+    ])
+    batch = _triples(spark, [
+        ("s1", "p", "A", "x"),   # cross-batch duplicate: no extra weight
+        ("s1", "p", "B", "z"), ("s1", "p", "B", "w"),
+        ("s1", "p", "B", "v"),   # B: support 3 -> flips the election
+    ])
+    out = fuse_triples_incremental(batch, committed).collect()
+    # only the touched group (s1, p) is re-elected; (s2, p) is absent
+    assert len(out) == 1
+    r = out[0]
+    assert (r.subj, r.obj, r.support, r.n_objects, r.total_support) == \
+        ("s1", "B", 3, 2, 5)
+    # exactness: equals the full re-vote restricted to the touched group
+    full = {(x.subj, x.pred): x for x in fuse_triples(
+        committed.unionByName(batch)).collect()}
+    f = full[("s1", "p")]
+    assert (f.obj, f.support, f.n_objects, f.total_support) == \
+        ("B", 3, 2, 5)
+
+
+def test_fuse_incremental_all_duplicate_batch_is_empty(spark):
+    from csvweb_spark.operators.fusion import fuse_triples_incremental
+    committed = _triples(spark, [("s1", "p", "A", "x")])
+    batch = _triples(spark, [("s1", "p", "A", "x"),
+                             ("s1", "p", "A", "x")])
+    assert fuse_triples_incremental(batch, committed).count() == 0
