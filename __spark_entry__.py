@@ -975,6 +975,25 @@ def q_kg_rules(spark, sf_dir):
                       "conf_ppm")
 
 
+def q_kg_anf(spark, sf_dir):
+    """HyperANF neighborhood function (round 5, graph.py::
+    neighborhood_function, k=2, p=6) over the chain+star graph: the
+    hub's 2-hop ball swallows ~a quarter of the graph while deep-chain
+    nodes stay at 5 - the distance-structure audit no all-pairs BFS
+    could deliver at 10^12 edges. Register max-merge == sketch of the
+    exact ball (unit-tested), and registers are deterministic shared-
+    md5 arithmetic, so the oracle replays BOTH rounds and the exact
+    integer estimate columns bit-for-bit; the float harmonic-mean
+    estimate stays outside the hash gate."""
+    from csvweb_spark.operators.graph import neighborhood_function
+    out = neighborhood_function(_chain_star_edges(spark, sf_dir), k=2, p=6)
+    return out.select(F.col("node").cast("long").alias("node"), "t",
+                      F.col("n_regs_set").cast("long").alias("n_regs_set"),
+                      F.col("n_zero_regs").cast("long")
+                      .alias("n_zero_regs"),
+                      "inv_sum_scaled")
+
+
 def q_kg_harmonic(spark, sf_dir):
     """Seed-sampled harmonic centrality (round 5, graph.py::
     harmonic_centrality over multi_source_distances): per-seed
@@ -4686,6 +4705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pred_align": q_kg_pred_align,
         "kg_assortativity": q_kg_assortativity,
         "kg_rules": q_kg_rules,
+        "kg_anf": q_kg_anf,
         "kg_diff": q_kg_diff,
         "kg_validity": q_kg_validity,
         "table_fingerprint": q_table_fingerprint,
@@ -7321,6 +7341,65 @@ def _oracle_sql_literal() -> dict[str, str]:
                    (1000000::BIGINT * n_agree // (n1 + n2 - n_agree))::BIGINT
                        AS equiv_ppm
             FROM agree JOIN t1 USING (p1) JOIN t2 USING (p2)
+        """,
+        "kg_anf": """
+            -- graph.py::neighborhood_function replayed exactly: the
+            -- singleton-ball registers (shared 60-bit md5, p=6), two
+            -- neighbor max-merge rounds, and the exact integer
+            -- estimate columns per (node, t)
+            WITH
+            c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey < 400),
+            dir AS (
+                SELECT a.k AS a, a.k + 1 AS b
+                FROM c a JOIN c n ON n.k = a.k + 1
+                WHERE a.k % 100 <> 99
+                UNION ALL
+                SELECT 0, k FROM c WHERE k > 0 AND k < 100),
+            und AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+                    FROM dir WHERE a <> b),
+            bidir AS (SELECT lo AS s, hi AS d FROM und
+                      UNION ALL
+                      SELECT hi, lo FROM und),
+            nodes AS (SELECT DISTINCT s AS node FROM bidir),
+            h AS (SELECT node,
+                         ('0x' || substr(md5(node::VARCHAR), 1, 15))::BIGINT
+                             AS h
+                  FROM nodes),
+            r0 AS (SELECT node, h % 64 AS reg_ix,
+                          CASE WHEN h // 64 = 0 THEN 55
+                               ELSE 55 - length(bin(h // 64)) END AS rho
+                   FROM h),
+            c1 AS (SELECT b.s AS node, r.reg_ix, r.rho
+                   FROM bidir b JOIN r0 r ON r.node = b.d),
+            r1 AS (SELECT node, reg_ix, max(rho) AS rho FROM (
+                       SELECT * FROM r0 UNION ALL SELECT * FROM c1) u
+                   GROUP BY node, reg_ix),
+            c2 AS (SELECT b.s AS node, r.reg_ix, r.rho
+                   FROM bidir b JOIN r1 r ON r.node = b.d),
+            r2 AS (SELECT node, reg_ix, max(rho) AS rho FROM (
+                       SELECT * FROM r1 UNION ALL SELECT * FROM c2) u
+                   GROUP BY node, reg_ix)
+            SELECT node::BIGINT AS node, t,
+                   n_regs_set, n_zero_regs, inv_sum_scaled
+            FROM (
+                SELECT node, 0 AS t, count(*)::BIGINT AS n_regs_set,
+                       (64 - count(*))::BIGINT AS n_zero_regs,
+                       (sum(1::BIGINT << (55 - rho))
+                        + (64 - count(*)) * (1::BIGINT << 55))::BIGINT
+                           AS inv_sum_scaled
+                FROM r0 GROUP BY node
+                UNION ALL
+                SELECT node, 1, count(*)::BIGINT,
+                       (64 - count(*))::BIGINT,
+                       (sum(1::BIGINT << (55 - rho))
+                        + (64 - count(*)) * (1::BIGINT << 55))::BIGINT
+                FROM r1 GROUP BY node
+                UNION ALL
+                SELECT node, 2, count(*)::BIGINT,
+                       (64 - count(*))::BIGINT,
+                       (sum(1::BIGINT << (55 - rho))
+                        + (64 - count(*)) * (1::BIGINT << 55))::BIGINT
+                FROM r2 GROUP BY node) est
         """,
         "kg_assortativity": """
             -- graph.py::assortativity replayed exactly: undirected

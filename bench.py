@@ -751,6 +751,9 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     from csvweb_spark.operators.graph import assortativity
     timed("kg_assortativity_10x", lambda: assortativity(
         edges10).count(), retry_under=0.0)
+    from csvweb_spark.operators.graph import neighborhood_function
+    timed("kg_anf_10x", lambda: neighborhood_function(
+        edges10, k=2, p=6).count(), retry_under=0.0)
     edges10.unpersist()
 
     # round-5 additions: SHACL/VoID over a customer-proportional KG

@@ -236,3 +236,49 @@ def test_fuse_incremental_all_duplicate_batch_is_empty(spark):
     batch = _triples(spark, [("s1", "p", "A", "x"),
                              ("s1", "p", "A", "x")])
     assert fuse_triples_incremental(batch, committed).count() == 0
+
+
+# ------------------------------------------------- neighborhood_function
+
+
+def _exact_ball_sketch(spark, balls, p):
+    """hll_estimate(hll_sketch(exact membership pairs)) - the ground
+    truth HyperANF's round-t registers must equal exactly."""
+    from csvweb_spark.operators.sketches import hll_estimate, hll_sketch
+    pairs = [(node, member) for node, ms in balls.items() for member in ms]
+    df = spark.createDataFrame(pairs, "node string, member string")
+    return {r.node: (r.n_regs_set, r.n_zero_regs, r.inv_sum_scaled)
+            for r in hll_estimate(hll_sketch(df, "member", ["node"], p),
+                                  ["node"], p).collect()}
+
+
+def test_anf_equals_sketch_of_exact_balls(spark):
+    from csvweb_spark.operators.graph import neighborhood_function
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("e", "f")],
+        "src string, dst string")
+    out = neighborhood_function(e, k=2, p=6)
+    rows = {(r.node, r.t): (r.n_regs_set, r.n_zero_regs, r.inv_sum_scaled)
+            for r in out.collect()}
+    # t=0: every ball is the singleton -> exactly one register set
+    for n in "abcdef":
+        assert rows[(n, 0)][0] == 1
+    balls2 = {"a": "abc", "b": "abcd", "c": "abcd", "d": "bcd",
+              "e": "ef", "f": "ef"}
+    want = _exact_ball_sketch(spark, {n: list(m) for n, m in balls2.items()},
+                              p=6)
+    for n in "abcdef":
+        assert rows[(n, 2)] == want[n], n
+
+
+def test_anf_directed_follows_out_edges(spark):
+    from csvweb_spark.operators.graph import neighborhood_function
+    e = spark.createDataFrame([("a", "b"), ("b", "c")],
+                              "src string, dst string")
+    out = neighborhood_function(e, k=2, p=6, directed=True)
+    rows = {(r.node, r.t): r.n_regs_set for r in out.collect()}
+    balls2 = {"a": "abc", "b": "bc", "c": "c"}
+    want = _exact_ball_sketch(spark, {n: list(m) for n, m in balls2.items()},
+                              p=6)
+    for n in "abc":
+        assert rows[(n, 2)] == want[n][0], n

@@ -376,6 +376,12 @@ AUDITS = [
      "entity pair (no cartesian, no single-entity hub key); support "
      "and census aggregates are partial below their exchanges; the "
      "census join input is one row per predicate."),
+    ("HyperANF neighborhood function", "kg_anf",
+     "Per round ONE register-vs-edge hash join and ONE max groupBy "
+     "with partial_max below the exchange (map-side max absorbs the "
+     "per-edge register replication); localCheckpoint truncates "
+     "lineage so the shown plan is the LAST round's merge + the "
+     "estimate aggregates, never a k-round tower."),
     ("Degree assortativity", "kg_assortativity",
      "Two degree hash joins attach end degrees to the incidence list, "
      "then ONE global aggregate with partial sums below the single-"
