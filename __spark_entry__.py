@@ -994,6 +994,44 @@ def q_kg_anf(spark, sf_dir):
                       "inv_sum_scaled")
 
 
+def q_kg_bowtie(spark, sf_dir):
+    """Broder bow-tie decomposition (round 5, graph.py::
+    bowtie_decomposition composed with strongly_connected_components)
+    over a 10-block web-shaped fixture: block heads form the one giant
+    10-cycle (the core), each block hangs an IN chain, an OUT chain, a
+    core-bypassing IN->OUT tube, two tendrils (one off IN, one feeding
+    OUT) and a disconnected pair - every Broder class populated and
+    hand-checkable. The oracle is SEMANTIC like kg_scc's: recursive-CTE
+    mutual reachability elects the giant SCC, recursive reachability
+    CTEs rebuild the five closures, and the same CASE classifies - it
+    never replays the algorithm, so the hash match certifies the
+    classes themselves."""
+    from csvweb_spark.operators.graph import (
+        bowtie_decomposition, strongly_connected_components)
+    cust = (_load(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") < 120).select("c_custkey"))
+    k = F.col("c_custkey")
+    r = k % 12
+
+    def part(cond, s, d):
+        return cust.filter(cond).select(s.alias("src"), d.alias("dst"))
+
+    edges = (part((r == 0) & (k < 108), k, k + 12)
+             .unionByName(part(k == 108, k, F.lit(0).cast("long")))
+             .unionByName(part(r == 1, k, k - 1))     # IN: h+1 -> h
+             .unionByName(part(r == 2, k, k - 1))     # IN: h+2 -> h+1
+             .unionByName(part(r == 0, k, k + 3))     # OUT: h -> h+3
+             .unionByName(part(r == 3, k, k + 1))     # OUT: h+3 -> h+4
+             .unionByName(part(r == 2, k, k + 3))     # TUBE: h+2 -> h+5
+             .unionByName(part(r == 5, k, k - 1))     # TUBE: h+5 -> h+4
+             .unionByName(part(r == 1, k, k + 5))     # tendril off IN
+             .unionByName(part(r == 7, k, k - 4))     # tendril into OUT
+             .unionByName(part(r == 8, k, k + 1)))    # disconnected pair
+    scc = strongly_connected_components(edges, max_outer=3)
+    out = bowtie_decomposition(edges, scc)
+    return out.select(F.col("node").cast("long").alias("node"), "cls")
+
+
 def q_kg_harmonic(spark, sf_dir):
     """Seed-sampled harmonic centrality (round 5, graph.py::
     harmonic_centrality over multi_source_distances): per-seed
@@ -4706,6 +4744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_assortativity": q_kg_assortativity,
         "kg_rules": q_kg_rules,
         "kg_anf": q_kg_anf,
+        "kg_bowtie": q_kg_bowtie,
         "kg_diff": q_kg_diff,
         "kg_validity": q_kg_validity,
         "table_fingerprint": q_table_fingerprint,
@@ -7400,6 +7439,86 @@ def _oracle_sql_literal() -> dict[str, str]:
                        (sum(1::BIGINT << (55 - rho))
                         + (64 - count(*)) * (1::BIGINT << 55))::BIGINT
                 FROM r2 GROUP BY node) est
+        """,
+        "kg_bowtie": """
+            -- SEMANTIC bow-tie oracle: recursive-CTE mutual
+            -- reachability elects the giant SCC, five recursive
+            -- closures rebuild fwd/bwd/from-IN/to-OUT/weak-component,
+            -- and the same precedence CASE classifies
+            WITH RECURSIVE
+            c AS (SELECT c_custkey AS k FROM customer
+                  WHERE c_custkey < 120),
+            e AS (
+                SELECT DISTINCT a, b FROM (
+                    SELECT k AS a, k + 12 AS b FROM c
+                    WHERE k % 12 = 0 AND k < 108
+                    UNION ALL SELECT k, 0 FROM c WHERE k = 108
+                    UNION ALL SELECT k, k - 1 FROM c WHERE k % 12 = 1
+                    UNION ALL SELECT k, k - 1 FROM c WHERE k % 12 = 2
+                    UNION ALL SELECT k, k + 3 FROM c WHERE k % 12 = 0
+                    UNION ALL SELECT k, k + 1 FROM c WHERE k % 12 = 3
+                    UNION ALL SELECT k, k + 3 FROM c WHERE k % 12 = 2
+                    UNION ALL SELECT k, k - 1 FROM c WHERE k % 12 = 5
+                    UNION ALL SELECT k, k + 5 FROM c WHERE k % 12 = 1
+                    UNION ALL SELECT k, k - 4 FROM c WHERE k % 12 = 7
+                    UNION ALL SELECT k, k + 1 FROM c WHERE k % 12 = 8) u
+                WHERE a <> b),
+            nodes AS (SELECT DISTINCT n FROM (
+                SELECT a AS n FROM e UNION ALL SELECT b FROM e) u),
+            clo AS (SELECT a AS s, b AS d FROM e
+                    UNION
+                    SELECT c2.s, e.b FROM clo c2 JOIN e ON e.a = c2.d),
+            mutual AS (SELECT c1.s AS x, c1.d AS y
+                       FROM clo c1 JOIN clo c3
+                         ON c3.s = c1.d AND c3.d = c1.s),
+            scc AS (SELECT nodes.n AS node,
+                           min(least(nodes.n, coalesce(m.y, nodes.n)))
+                               AS scc
+                    FROM nodes LEFT JOIN mutual m ON m.x = nodes.n
+                    GROUP BY nodes.n),
+            giant AS (SELECT scc FROM (
+                SELECT scc, count(*) AS cnt FROM scc GROUP BY scc
+                ORDER BY cnt DESC, scc ASC LIMIT 1) g),
+            core AS (SELECT node FROM scc
+                     WHERE scc = (SELECT scc FROM giant)),
+            fwd AS (SELECT node FROM core
+                    UNION
+                    SELECT e.b FROM fwd JOIN e ON e.a = fwd.node),
+            bwd AS (SELECT node FROM core
+                    UNION
+                    SELECT e.a FROM bwd JOIN e ON e.b = bwd.node),
+            outs AS (SELECT * FROM (
+                SELECT node FROM fwd EXCEPT SELECT node FROM core) t),
+            ins AS (SELECT * FROM (
+                SELECT node FROM bwd EXCEPT SELECT node FROM core) t),
+            cio AS (SELECT node FROM core
+                    UNION SELECT node FROM ins
+                    UNION SELECT node FROM outs),
+            fin AS (SELECT node FROM ins
+                    UNION
+                    SELECT e.b FROM fin JOIN e ON e.a = fin.node),
+            tout AS (SELECT node FROM outs
+                     UNION
+                     SELECT e.a FROM tout JOIN e ON e.b = tout.node),
+            from_in AS (SELECT * FROM (
+                SELECT node FROM fin EXCEPT SELECT node FROM cio) t),
+            to_out AS (SELECT * FROM (
+                SELECT node FROM tout EXCEPT SELECT node FROM cio) t),
+            tube AS (SELECT * FROM (
+                SELECT node FROM from_in
+                INTERSECT SELECT node FROM to_out) t),
+            ue AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            wcc AS (SELECT node FROM core
+                    UNION
+                    SELECT ue.b FROM wcc JOIN ue ON ue.a = wcc.node)
+            SELECT n::BIGINT AS node,
+                   CASE WHEN n IN (SELECT node FROM core) THEN 'core'
+                        WHEN n IN (SELECT node FROM ins) THEN 'in'
+                        WHEN n IN (SELECT node FROM outs) THEN 'out'
+                        WHEN n IN (SELECT node FROM tube) THEN 'tube'
+                        WHEN n IN (SELECT node FROM wcc) THEN 'tendril'
+                        ELSE 'disconnected' END AS cls
+            FROM nodes
         """,
         "kg_assortativity": """
             -- graph.py::assortativity replayed exactly: undirected

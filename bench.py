@@ -964,6 +964,31 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
             F.lit("ex:followed_by").alias("pred"), _c.alias("obj"))))
     timed("kg_rules", lambda: mine_predicate_rules(
         rules_in, min_support=2).count())
+    # bow-tie: bounded 10-head core cycle + sf-scaling block
+    # attachments (blocks past 120 are the DISCONNECTED mass TRIM
+    # retires - the realistic crawl shape)
+    from csvweb_spark.operators.graph import (
+        bowtie_decomposition, strongly_connected_components as _scc_op)
+    _r12 = _kk % 12
+
+    def _bt(cond, s, d):
+        return cust.filter(cond).select(s.alias("src"), d.alias("dst"))
+
+    bt_edges = (
+        _bt((_r12 == 0) & (_kk < 108), _kk, _kk + 12)
+        .unionByName(_bt(_kk == 108, _kk, F.lit(0).cast("long")))
+        .unionByName(_bt(_r12 == 1, _kk, _kk - 1))
+        .unionByName(_bt(_r12 == 2, _kk, _kk - 1))
+        .unionByName(_bt(_r12 == 0, _kk, _kk + 3))
+        .unionByName(_bt(_r12 == 3, _kk, _kk + 1))
+        .unionByName(_bt(_r12 == 2, _kk, _kk + 3))
+        .unionByName(_bt(_r12 == 5, _kk, _kk - 1))
+        .unionByName(_bt(_r12 == 1, _kk, _kk + 5))
+        .unionByName(_bt(_r12 == 7, _kk, _kk - 4))
+        .unionByName(_bt(_r12 == 8, _kk, _kk + 1)))
+    timed("kg_bowtie", lambda: bowtie_decomposition(
+        bt_edges, _scc_op(bt_edges, max_outer=3)).count(),
+        retry_under=0.0)
     # transitive reduction of blocks-of-8 chains + head->tail shortcuts
     from csvweb_spark.operators.entail import transitive_reduction
     tr_edges = (cust.filter(_kk % 8 < 7)

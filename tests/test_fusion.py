@@ -282,3 +282,38 @@ def test_anf_directed_follows_out_edges(spark):
                               p=6)
     for n in "abc":
         assert rows[(n, 2)] == want[n][0], n
+
+
+# ---------------------------------------------------- bowtie_decomposition
+
+
+def test_bowtie_all_six_classes(spark):
+    from csvweb_spark.operators.graph import (bowtie_decomposition,
+                                              strongly_connected_components)
+    e = _edges(spark, [
+        (0, 1), (1, 2), (2, 0),      # core 3-cycle
+        (3, 0), (4, 3),              # IN chain
+        (2, 5), (5, 6),              # OUT chain
+        (4, 7), (7, 5),              # TUBE: IN -> 7 -> OUT, core bypassed
+        (3, 8),                      # tendril hanging off IN
+        (9, 5),                      # tendril feeding OUT
+        (10, 11),                    # separate weak component
+    ])
+    scc = strongly_connected_components(e)
+    out = {r.node: r.cls for r in bowtie_decomposition(e, scc).collect()}
+    want = {0: "core", 1: "core", 2: "core",
+            3: "in", 4: "in", 5: "out", 6: "out",
+            7: "tube", 8: "tendril", 9: "tendril",
+            10: "disconnected", 11: "disconnected"}
+    assert out == want
+
+
+def test_bowtie_no_in_out(spark):
+    from csvweb_spark.operators.graph import bowtie_decomposition
+    # pure 2-cycle plus an unrelated edge: no IN/OUT/tube/tendril
+    e = _edges(spark, [(0, 1), (1, 0), (5, 6)])
+    scc = spark.createDataFrame(
+        [(0, 0), (1, 0), (5, 5), (6, 6)], "node long, scc long")
+    out = {r.node: r.cls for r in bowtie_decomposition(e, scc).collect()}
+    assert out == {0: "core", 1: "core",
+                   5: "disconnected", 6: "disconnected"}

@@ -376,6 +376,11 @@ AUDITS = [
      "entity pair (no cartesian, no single-entity hub key); support "
      "and census aggregates are partial below their exchanges; the "
      "census join input is one row per predicate."),
+    ("Bow-tie decomposition", "kg_bowtie",
+     "Five frontier fixpoints truncated by localCheckpoint (the shown "
+     "plan is the final classification pass: six left joins of slim "
+     "membership flags onto the node set + a CASE), never a tower of "
+     "BFS rounds; the giant-SCC election is a 1-row take."),
     ("HyperANF neighborhood function", "kg_anf",
      "Per round ONE register-vs-edge hash join and ONE max groupBy "
      "with partial_max below the exchange (map-side max absorbs the "
