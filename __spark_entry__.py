@@ -4701,7 +4701,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER = recording priority. Round 3's driver harness recorded
     # exactly 50 rows and silently dropped the then-last entry (VERDICT
-    # r3 "what's wrong" #4), so with 158 queries the dict leads with
+    # r3 "what's wrong" #4), so with 191 queries the dict leads with
     # (1) the flagship e2e query and its raw-WARC twin, (2) the
     # late-round-5 graph/ML/temporal flagships and the round-5
     # web-ingest entries that have NEVER appeared in a driver
