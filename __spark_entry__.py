@@ -1032,6 +1032,31 @@ def q_kg_bowtie(spark, sf_dir):
     return out.select(F.col("node").cast("long").alias("node"), "cls")
 
 
+def q_kg_cards(spark, sf_dir):
+    """Entity cards (round 5, retrieval.py::entity_cards, k=2):
+    customers < 300 are typed (census 300), the first 150 named
+    (census 150), the first 100 segmented (census 100), so the card
+    ranks segment > name > type by exact rarity ppm and the k=2 cut
+    drops the weakest fact exactly where all three exist. Oracle
+    replays the census, the rarity weights and the rank window."""
+    from csvweb_spark.operators.retrieval import entity_cards
+    cust = _load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    c = F.concat(F.lit("ex:C"), k)
+    t = (cust.filter(k < 300).select(
+            c.alias("subj"), F.lit("ex:type").alias("pred"),
+            F.lit("ex:Customer").alias("obj"))
+         .unionByName(cust.filter(k < 150).select(
+             c.alias("subj"), F.lit("ex:name").alias("pred"),
+             F.col("c_name").alias("obj")))
+         .unionByName(cust.filter(k < 100).select(
+             c.alias("subj"), F.lit("ex:segment").alias("pred"),
+             F.col("c_mktsegment").alias("obj"))))
+    out = entity_cards(t, k=2)
+    return out.select("subj", F.col("rank").cast("int").alias("rank"),
+                      "pred", "obj", "weight_ppm")
+
+
 def q_kg_harmonic(spark, sf_dir):
     """Seed-sampled harmonic centrality (round 5, graph.py::
     harmonic_centrality over multi_source_distances): per-seed
@@ -4745,6 +4770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rules": q_kg_rules,
         "kg_anf": q_kg_anf,
         "kg_bowtie": q_kg_bowtie,
+        "kg_cards": q_kg_cards,
         "kg_diff": q_kg_diff,
         "kg_validity": q_kg_validity,
         "table_fingerprint": q_table_fingerprint,
@@ -7439,6 +7465,38 @@ def _oracle_sql_literal() -> dict[str, str]:
                        (sum(1::BIGINT << (55 - rho))
                         + (64 - count(*)) * (1::BIGINT << 55))::BIGINT
                 FROM r2 GROUP BY node) est
+        """,
+        "kg_cards": """
+            -- retrieval.py::entity_cards replayed exactly: RDF-set
+            -- dedup, predicate census, rarity ppm and the
+            -- (weight desc, pred, obj) rank window cut at k=2
+            WITH
+            cust AS (SELECT c_custkey AS k, c_name, c_mktsegment
+                     FROM customer),
+            t AS (
+                SELECT DISTINCT s, p, o FROM (
+                    SELECT 'ex:C' || k AS s, 'ex:type' AS p,
+                           'ex:Customer' AS o
+                    FROM cust WHERE k < 300
+                    UNION ALL
+                    SELECT 'ex:C' || k, 'ex:name', c_name
+                    FROM cust WHERE k < 150
+                    UNION ALL
+                    SELECT 'ex:C' || k, 'ex:segment', c_mktsegment
+                    FROM cust WHERE k < 100) u),
+            census AS (SELECT p, count(*)::BIGINT AS n
+                       FROM t GROUP BY p),
+            w AS (SELECT p, (1000000::BIGINT // n)::BIGINT AS weight_ppm
+                  FROM census),
+            r AS (SELECT t.s, t.p, t.o, w.weight_ppm,
+                         row_number() OVER (
+                             PARTITION BY t.s
+                             ORDER BY w.weight_ppm DESC, t.p ASC,
+                                      t.o ASC) AS rank
+                  FROM t JOIN w USING (p))
+            SELECT s AS subj, rank::INT AS rank, p AS pred, o AS obj,
+                   weight_ppm
+            FROM r WHERE rank <= 2
         """,
         "kg_bowtie": """
             -- SEMANTIC bow-tie oracle: recursive-CTE mutual

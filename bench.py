@@ -809,6 +809,9 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
         bench_kg.select("subj", "pred", "obj")).count())
     timed("kg_functionality", lambda: predicate_functionality(
         bench_kg.select("subj", "pred", "obj")).count())
+    from csvweb_spark.operators.retrieval import entity_cards
+    timed("kg_cards", lambda: entity_cards(
+        bench_kg.select("subj", "pred", "obj"), k=3).count())
     bench_kg.unpersist()
 
     timed("kg_hits", lambda: hits(edges_khop, iterations=2).count())

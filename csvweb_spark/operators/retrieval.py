@@ -193,3 +193,43 @@ def bm25_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     return bm25_topk_terms(postings, qterms, k, k1_100=k1_100,
                            b_100=b_100, idf_cap_ppm=idf_cap_ppm,
                            max_df=max_df)
+
+
+def entity_cards(triples: DataFrame, k: int = 5,
+                 subj: str = "subj", pred: str = "pred",
+                 obj: str = "obj",
+                 scale: int = 1_000_000) -> DataFrame:
+    """Top-k most-identifying facts per entity - the 'entity card' a
+    KG serving layer renders for search/QA: a hub subject with
+    thousands of assertions shows its k most DISCRIMINATING facts,
+    not its first k in storage order.
+
+    Informativeness is IDF-shaped but integer-exact: weight_ppm =
+    floor(scale / n_pred) where n_pred is the predicate's global
+    assertion census over the RDF set - a predicate asserted
+    everywhere (rdf:type, ex:crawledFrom) weighs ~0, a rare one
+    weighs the full scale. Ties break (pred, obj) lexicographically,
+    so the card is reproducible on any cluster shape. rank is
+    1-based per subject.
+
+    Scale shape: one distinct on slim (s,p,o), one predicate census
+    (rows = predicates) joined back (broadcast-eligible; no hint -
+    AQE promotes it), and ONE rank window whose row_number <= k
+    compiles with a partial WindowGroupLimit below the subject
+    exchange - each map task forwards at most k facts per subject,
+    the same plan-pinned shape as `sample_stratified`'s exact-k.
+    """
+    t = (triples.select(F.col(subj).alias("subj"),
+                        F.col(pred).alias("pred"),
+                        F.col(obj).alias("obj"))
+         .distinct())
+    census = t.groupBy("pred").agg(F.count(F.lit(1)).alias("_n"))
+    w = census.select(
+        "pred",
+        F.expr(f"CAST({int(scale)} AS BIGINT) div _n").alias("weight_ppm"))
+    win = Window.partitionBy("subj").orderBy(
+        F.col("weight_ppm").desc(), F.col("pred").asc(), F.col("obj").asc())
+    return (t.join(w, "pred")
+            .withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= int(k))
+            .select("subj", "rank", "pred", "obj", "weight_ppm"))

@@ -240,3 +240,40 @@ def test_rule_mining_thresholds(spark):
     # only cap => loc (support 2, conf 10^6) clears both gates
     assert [(r.rule_type, r.p1, r.p2) for r in out] == \
         [("implies", "cap", "loc")]
+
+
+# -------------------------------------------------------------- entity_cards
+
+
+def test_entity_cards_rank_by_rarity(spark):
+    from csvweb_spark.operators.retrieval import entity_cards
+    rows = [
+        ("e1", "type", "T"), ("e2", "type", "T"), ("e3", "type", "T"),
+        ("e4", "type", "T"),                       # census(type) = 4
+        ("e1", "name", "alice"), ("e2", "name", "bob"),  # census(name) = 2
+        ("e1", "ssn", "123"),                      # census(ssn) = 1
+        ("e1", "ssn", "123"),                      # dup: RDF set
+    ]
+    out = {(r.subj, r.rank): r for r in entity_cards(
+        spark.createDataFrame(rows, "subj string, pred string, obj string"),
+        k=2).collect()}
+    # e1: ssn (10^6) beats name (500000) beats type (250000, cut by k)
+    assert (out[("e1", 1)].pred, out[("e1", 1)].weight_ppm) == \
+        ("ssn", 1000000)
+    assert (out[("e1", 2)].pred, out[("e1", 2)].weight_ppm) == \
+        ("name", 500000)
+    assert ("e1", 3) not in out
+    # e3 has only its type fact
+    assert (out[("e3", 1)].pred, out[("e3", 1)].weight_ppm) == \
+        ("type", 250000)
+
+
+def test_entity_cards_tie_breaks_lexicographic(spark):
+    from csvweb_spark.operators.retrieval import entity_cards
+    rows = [("e", "b_pred", "z"), ("e", "a_pred", "y"),
+            ("x", "b_pred", "w"), ("x", "a_pred", "v")]
+    out = [(r.rank, r.pred) for r in entity_cards(
+        spark.createDataFrame(rows, "subj string, pred string, obj string"),
+        k=2).collect() if r.subj == "e"]
+    # equal weights (census 2 each): pred asc decides
+    assert sorted(out) == [(1, "a_pred"), (2, "b_pred")]
