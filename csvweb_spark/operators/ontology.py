@@ -3,7 +3,7 @@ from instance data (rdfs:domain / rdfs:range candidates with support
 and coverage).
 
 The reference converts tables under a user-supplied tableSchema
-(/root/reference/src/DataDock.CsvWeb/Metadata/TableSchema.cs) - the
+(/root/reference/src/DataDock.CsvWeb/Metadata/Schema.cs) - the
 schema is an INPUT. A KG constructed from 10^12 heterogeneous web
 pages has no upfront schema; the ontology has to be induced from the
 instance level: for each predicate, which classes do its subjects and
