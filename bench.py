@@ -181,7 +181,13 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     ).count())
 
     # text analysis full pass
+    # text_profile switched to the Cavnar-Trenkle n-gram LID in round 5
+    # (r4 VERDICT item #8); the marker-model twin keeps the r4 plan
+    # measurable so BENCH deltas attribute any text_profile move to the
+    # model upgrade vs a plan regression.
     timed("text_profile", lambda: text_profile(docs).count())
+    timed("text_profile_marker", lambda: text_profile(
+        docs, lid_model="marker").count())
     timed("text_quality", lambda: quality_features(docs).count())
 
     # corpus curation: C4 line cleaning + full vocabulary statistics
