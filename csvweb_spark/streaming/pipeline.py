@@ -1620,3 +1620,121 @@ def compact_inverted_index(spark: SparkSession, output_dir: str,
     (crash-safe protocol of _compact_state)."""
     return _compact_state(spark, output_dir, POSTINGS_STATE_SUBDIR,
                           read_inverted_index, batch_id)
+
+
+FUSION_STATE_SUBDIR = "_state/assertions"
+
+
+def read_assertion_set(spark: SparkSession,
+                       output_dir: str) -> Optional[DataFrame]:
+    """The cumulative DISTINCT (subj, pred, obj, source) assertion set
+    maintained by stream_fused_assertions: set union of the committed
+    per-batch deltas. Union + distinct is associative, commutative and
+    idempotent, so batch ordering, redelivery AND cross-batch duplicate
+    assertions (the same page re-crawled, the same source echoed into
+    two micro-batches) cannot change the set - exactly the property the
+    fusion vote needs, since a source repeating itself must gain no
+    extra weight. None before the first commit."""
+    from ..plans.fs import fs_for
+
+    fs = fs_for(output_dir, spark)
+    dirs = [p for _, p in
+            _batch_dirs(fs, fs.join(output_dir, FUSION_STATE_SUBDIR))]
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs).distinct()
+
+
+def read_fused_assertions(spark: SparkSession, output_dir: str,
+                          source_weights: Optional[DataFrame] = None,
+                          default_weight: int = 1) -> Optional[DataFrame]:
+    """The CURRENT fused view over everything ingested so far: the
+    ordinary `fuse_triples` election over the maintained assertion set
+    (election at read time, like read_latest_assertions re-runs the
+    argmax; the election is a pure function of the set, so the streamed
+    view provably equals the batch build over the ingested corpus)."""
+    from ..operators.fusion import fuse_triples
+
+    asserted = read_assertion_set(spark, output_dir)
+    if asserted is None:
+        return None
+    return fuse_triples(asserted, source_weights,
+                        default_weight=default_weight)
+
+
+def stream_fused_assertions(spark: SparkSession, input_dir: str,
+                            output_dir: str, checkpoint_dir: str,
+                            schema: str = ("subj string, pred string, "
+                                           "obj string, source string"),
+                            max_files_per_trigger: Optional[int] = None,
+                            available_now: bool = True,
+                            batch_hook=None):
+    """Continuously-maintained knowledge-fusion state: conflicting
+    (subj, pred, obj, source) assertions arrive as a stream (the crawl
+    re-extracting the same facts from thousands of sources) and
+    `read_fused_assertions` serves the weighted-vote election at any
+    time.
+
+    STATELESS per batch, the set-union member of the batch-dir state
+    family (stream_web_graph folds by +, stream_corpus_sketches by
+    +/max, stream_latest_assertions by ts-argmax - this one folds by
+    set union): each micro-batch writes only its own WITHIN-BATCH
+    DISTINCT assertion delta; no committed-state read, no join.
+    Cross-batch duplicates are absorbed on the read side (distinct is
+    idempotent), so the merged state is exactly the RDF set of every
+    assertion ever ingested and the election over it equals the batch
+    `fuse_triples` over the same corpus - duplicates across batches
+    gain no weight, which a naive additive support-sum state would get
+    WRONG. Crash safety inherited wholesale: torn delta dirs invisible,
+    retries overwrite their own dir byte-identically, and
+    compact_fused_assertions folds (union + distinct) behind the shared
+    marker-first offset protocol.
+
+    Scale: each delta is bounded by the batch's distinct assertions;
+    compaction bounds read fan-in and re-dedups across batches. The
+    batch twin for committed stores is
+    `operators.fusion.fuse_triples_incremental` (touched-group
+    re-election); this stream is the landing path that FEEDS such a
+    store."""
+    from ..plans.fs import fs_for
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+    fs = fs_for(output_dir, spark)
+    cols = [c.split()[0] for c in schema.split(",")]
+
+    def process(batch_df, batch_id):
+        if batch_hook is not None:
+            batch_hook(batch_id, "start")
+        root = fs.join(output_dir, FUSION_STATE_SUBDIR)
+        _claim_owner(fs, root, checkpoint_dir)
+        delta = batch_df.select(*cols).distinct()
+        if not delta.take(1):
+            if batch_hook is not None:
+                batch_hook(batch_id, "done")
+            return
+        dest = _delta_dir(fs, root, batch_id)
+        if dest is None:  # replay of a batch a snapshot already folded
+            if batch_hook is not None:
+                batch_hook(batch_id, "done")
+            return
+        delta.write.mode("overwrite").parquet(dest)
+        if batch_hook is not None:
+            batch_hook(batch_id, "done")
+
+    writer = (stream.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_fused_assertions(spark: SparkSession, output_dir: str,
+                             batch_id: Optional[int] = None) -> int:
+    """Fold the assertion-set deltas into one deduplicated snapshot
+    (crash-safe marker-first protocol of _compact_state; set union is
+    idempotent, so even the latest-wins replay order is safe here)."""
+    return _compact_state(spark, output_dir, FUSION_STATE_SUBDIR,
+                          read_assertion_set, batch_id)

@@ -1477,3 +1477,122 @@ def test_compact_state_rejects_low_explicit_batch_id(spark, tmp_path):
     q.awaitTermination(180)
     with _pytest.raises(ValueError, match="must exceed every folded"):
         compact_host_graph(spark, out, batch_id=1)
+
+
+def test_stream_fused_assertions_dedup_and_compaction(spark, tmp_path):
+    """Fusion state folds by SET UNION: a source repeating an assertion
+    in a LATER micro-batch must gain no extra weight (the cross-batch
+    half of the RDF-set vote rule a naive additive support state gets
+    wrong); compaction + resume preserve the election, and the streamed
+    view equals the batch fuse_triples over the ingested corpus."""
+    import os
+
+    from csvweb_spark.operators.fusion import fuse_triples
+    from csvweb_spark.streaming.pipeline import (
+        compact_fused_assertions, read_assertion_set,
+        read_fused_assertions, stream_fused_assertions)
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    schema = "subj string, pred string, obj string, source string"
+
+    def add_batch_file(name, rows):
+        stage = f"{tmp_path}/_stage_{name}"
+        spark.createDataFrame(rows, schema) \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage)
+                if f.endswith(".parquet")][0]
+        os.rename(f"{stage}/{part}", f"{in_dir}/{name}.parquet")
+
+    weights = spark.createDataFrame(
+        [("x", 5), ("y", 1), ("z", 10)], "source string, weight long")
+    b0 = [("s1", "p", "A", "x"), ("s1", "p", "A", "y")]
+    b1 = [("s1", "p", "A", "x"),   # cross-batch duplicate: no extra weight
+          ("s1", "p", "B", "z"),   # weight 10: flips the election
+          ("s2", "p", "C", "y")]
+    add_batch_file("b0", b0)
+    add_batch_file("b1", b1)
+    q = stream_fused_assertions(spark, in_dir, out, ckpt,
+                                max_files_per_trigger=1)
+    q.awaitTermination(180)
+    got = {(r.subj, r.pred): (r.obj, r.support, r.total_support) for r in
+           read_fused_assertions(spark, out, weights).collect()}
+    # support(A) = 5 + 1 (x dedup'd across batches), support(B) = 10
+    assert got == {("s1", "p"): ("B", 10, 16), ("s2", "p"): ("C", 1, 1)}
+    # streamed view == batch build over the same corpus
+    batch = {(r.subj, r.pred): (r.obj, r.support, r.total_support) for r in
+             fuse_triples(spark.createDataFrame(b0 + b1, schema),
+                          weights).collect()}
+    assert got == batch
+
+    # compact, resume with new data from the SAME checkpoint
+    cid = compact_fused_assertions(spark, out)
+    assert read_assertion_set(spark, out).count() == 4
+    add_batch_file("b2", [("s1", "p", "A", "z")])  # A: 5+1+10 beats B's 10
+    q2 = stream_fused_assertions(spark, in_dir, out, ckpt,
+                                 max_files_per_trigger=1)
+    q2.awaitTermination(180)
+    got2 = {(r.subj, r.pred): (r.obj, r.support) for r in
+            read_fused_assertions(spark, out, weights).collect()}
+    assert got2 == {("s1", "p"): ("A", 16), ("s2", "p"): ("C", 1)}
+    state_root = os.path.join(out, "_state", "assertions")
+    dirs = sorted(d for d in os.listdir(state_root)
+                  if d.startswith("batch="))
+    assert f"batch={cid}" in dirs and len(dirs) == 2
+
+
+def test_fused_assertions_crash_retry_after_compaction(spark, tmp_path):
+    """The fusion state inherits the folded-replay rule: a micro-batch
+    that wrote its delta but crashed before its checkpoint commit is
+    retried AFTER a compaction folded it - the replay must skip its
+    commit (set union would make a re-written dir harmless for VALUES
+    but the dir-id collision with the snapshot would not be), and the
+    election survives with full state."""
+    import os
+
+    from csvweb_spark.streaming.pipeline import (
+        compact_fused_assertions, read_fused_assertions,
+        stream_fused_assertions)
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    schema = "subj string, pred string, obj string, source string"
+
+    def add_batch_file(name, rows):
+        stage = f"{tmp_path}/_stage_{name}"
+        spark.createDataFrame(rows, schema) \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage)
+                if f.endswith(".parquet")][0]
+        os.rename(f"{stage}/{part}", f"{in_dir}/{name}.parquet")
+
+    add_batch_file("b0", [("s", "p", "A", "x"), ("s", "p", "A", "y")])
+    add_batch_file("b1", [("s", "p", "B", "z")])
+
+    class Crash(Exception):
+        pass
+
+    def crash_after_batch1_commit(batch_id, point):
+        if batch_id == 1 and point == "done":
+            raise Crash("injected")
+
+    q = stream_fused_assertions(spark, in_dir, out, ckpt,
+                                max_files_per_trigger=1,
+                                batch_hook=crash_after_batch1_commit)
+    try:
+        q.awaitTermination(180)
+    except Exception:
+        pass
+    cid = compact_fused_assertions(spark, out)
+    assert cid == 2
+    q2 = stream_fused_assertions(spark, in_dir, out, ckpt,
+                                 max_files_per_trigger=1)
+    q2.awaitTermination(180)
+    got = {(r.subj, r.pred): (r.obj, r.support, r.n_objects) for r in
+           read_fused_assertions(spark, out).collect()}
+    # unweighted: A has 2 distinct sources, B has 1 -> A wins, both seen
+    assert got == {("s", "p"): ("A", 2, 2)}
