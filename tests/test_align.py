@@ -277,3 +277,17 @@ def test_entity_cards_tie_breaks_lexicographic(spark):
         k=2).collect() if r.subj == "e"]
     # equal weights (census 2 each): pred asc decides
     assert sorted(out) == [(1, "a_pred"), (2, "b_pred")]
+
+
+def test_entity_cards_plan_partial_window_group_limit(spark):
+    """The k-cut must compile with a partial WindowGroupLimit below the
+    subject exchange (two WindowGroupLimit nodes: partial + final) so
+    each map task forwards at most k facts per subject - the same
+    plan-pinned shape as sample_stratified's exact-k."""
+    from csvweb_spark.operators.retrieval import entity_cards
+    df = spark.createDataFrame(
+        [("e", "p", "v"), ("e", "q", "w")],
+        "subj string, pred string, obj string")
+    plan = entity_cards(df, k=1)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2
