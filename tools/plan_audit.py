@@ -376,6 +376,17 @@ AUDITS = [
      "entity pair (no cartesian, no single-entity hub key); support "
      "and census aggregates are partial below their exchanges; the "
      "census join input is one row per predicate."),
+    ("Incremental fusion (touched groups)", "kg_fusion_incr",
+     "The committed store is only PROBED: one left-anti join "
+     "(freshness) and one left-semi join (touched groups) - both "
+     "plain hash joins with no broadcast hint on the store side - "
+     "then the ordinary two-aggregate election runs over the "
+     "restricted union, bounded by the batch's groups."),
+    ("Entity cards (top-k facts)", "kg_cards",
+     "The k-cut compiles with a partial WindowGroupLimit BELOW the "
+     "subject exchange (each map task forwards at most k facts per "
+     "subject); the predicate census join is AQE-broadcast-eligible "
+     "with no forced hint."),
     ("Bow-tie decomposition", "kg_bowtie",
      "Five frontier fixpoints truncated by localCheckpoint (the shown "
      "plan is the final classification pass: six left joins of slim "
