@@ -1057,6 +1057,36 @@ def q_kg_cards(spark, sf_dir):
                       "pred", "obj", "weight_ppm")
 
 
+def q_kg_subclass(spark, sf_dir):
+    """Subclass-axiom mining (round 5, ontology.py::
+    mine_subclass_candidates): customers < 300 are ex:Customer, the
+    first 100 also ex:Preferred (a true subset - 10^6 one way, 1/3 the
+    other) and the evens ex:EU (10^6 into Customer, half overlaps with
+    Preferred) - the instance-driven taxonomy that feeds
+    transitive_reduction. Oracle replays the type dedup, the
+    entity-keyed self-join, the class census and the containment ppm
+    exactly."""
+    from csvweb_spark.operators.ontology import (RDF_TYPE,
+                                                 mine_subclass_candidates)
+    cust = _load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    c = F.concat(F.lit("ex:C"), k)
+
+    def typed(cond, cls):
+        return cust.filter(cond).select(
+            c.alias("subj"), F.lit(RDF_TYPE).alias("pred"),
+            F.lit(cls).alias("obj"))
+
+    triples = (typed(k < 300, "ex:Customer")
+               .unionByName(typed(k < 100, "ex:Preferred"))
+               .unionByName(typed((k < 300) & (k % 2 == 0), "ex:EU")))
+    out = mine_subclass_candidates(triples)
+    return out.select("sub", "sup",
+                      F.col("support").cast("long").alias("support"),
+                      F.col("n_sub").cast("long").alias("n_sub"),
+                      "conf_ppm")
+
+
 def q_kg_harmonic(spark, sf_dir):
     """Seed-sampled harmonic centrality (round 5, graph.py::
     harmonic_centrality over multi_source_distances): per-seed
@@ -4771,6 +4801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_anf": q_kg_anf,
         "kg_bowtie": q_kg_bowtie,
         "kg_cards": q_kg_cards,
+        "kg_subclass": q_kg_subclass,
         "kg_diff": q_kg_diff,
         "kg_validity": q_kg_validity,
         "table_fingerprint": q_table_fingerprint,
@@ -7465,6 +7496,34 @@ def _oracle_sql_literal() -> dict[str, str]:
                        (sum(1::BIGINT << (55 - rho))
                         + (64 - count(*)) * (1::BIGINT << 55))::BIGINT
                 FROM r2 GROUP BY node) est
+        """,
+        "kg_subclass": """
+            -- ontology.py::mine_subclass_candidates replayed exactly:
+            -- distinct (entity, class), the entity-keyed self-join
+            -- (diagonal excluded), per-pair support, class census and
+            -- the containment ppm
+            WITH
+            cust AS (SELECT c_custkey AS k FROM customer),
+            types AS (
+                SELECT DISTINCT entity, cls FROM (
+                    SELECT 'ex:C' || k AS entity, 'ex:Customer' AS cls
+                    FROM cust WHERE k < 300
+                    UNION ALL
+                    SELECT 'ex:C' || k, 'ex:Preferred'
+                    FROM cust WHERE k < 100
+                    UNION ALL
+                    SELECT 'ex:C' || k, 'ex:EU'
+                    FROM cust WHERE k < 300 AND k % 2 = 0) u),
+            pairs AS (SELECT a.cls AS sub, b.cls AS sup,
+                             count(*)::BIGINT AS support
+                      FROM types a JOIN types b USING (entity)
+                      WHERE a.cls <> b.cls
+                      GROUP BY a.cls, b.cls),
+            n AS (SELECT cls AS sub, count(*)::BIGINT AS n_sub
+                  FROM types GROUP BY cls)
+            SELECT sub, sup, support, n_sub,
+                   (1000000::BIGINT * support // n_sub)::BIGINT AS conf_ppm
+            FROM pairs JOIN n USING (sub)
         """,
         "kg_cards": """
             -- retrieval.py::entity_cards replayed exactly: RDF-set

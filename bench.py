@@ -818,6 +818,17 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     from csvweb_spark.operators.retrieval import entity_cards
     timed("kg_cards", lambda: entity_cards(
         bench_kg.select("subj", "pred", "obj"), k=3).count())
+    # subclass mining over a 3-type-per-entity sf-scaling type set
+    from csvweb_spark.operators.ontology import mine_subclass_candidates
+    sub_types = (
+        _t(cust, _s, _RT, F.lit("ex:Customer"), "iri")
+        .unionByName(_t(cust, _s, _RT,
+                        F.concat(F.lit("ex:Seg"), F.col("c_mktsegment")),
+                        "iri"))
+        .unionByName(_t(cust.filter(_k % 2 == 0), _s, _RT,
+                        F.lit("ex:EU"), "iri")))
+    timed("kg_subclass", lambda: mine_subclass_candidates(
+        sub_types.select("subj", "pred", "obj")).count())
     bench_kg.unpersist()
 
     timed("kg_hits", lambda: hits(edges_khop, iterations=2).count())

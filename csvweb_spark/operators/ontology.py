@@ -156,6 +156,56 @@ def mine_predicate_rules(triples: DataFrame,
             .filter(F.col("conf_ppm") >= int(min_conf_ppm)))
 
 
+def mine_subclass_candidates(triples: DataFrame,
+                             subj: str = "subj", pred: str = "pred",
+                             obj: str = "obj",
+                             type_pred: str = RDF_TYPE,
+                             scale: int = 1_000_000,
+                             min_support: int = 1,
+                             min_conf_ppm: int = 0) -> DataFrame:
+    """Subclass-axiom mining from instance overlap: class A is a
+    subclass CANDIDATE of class B to the extent that A's instances
+    are also typed B - conf_ppm = floor(scale * |A cap B| / |A|), the
+    set-containment confidence (10^6 = every A instance is a B
+    instance; the class-level sibling of `mine_predicate_rules`'
+    implication shape).
+
+    The taxonomy-INDUCTION stage: harvested rdf:type assertions from
+    10^12 pages carry no subclass axioms, so the hierarchy is mined
+    here, fed through `entail.transitive_reduction` to recover the
+    covering edges, and then drafted into SHACL shapes - induction ->
+    reduction -> validation, all instance-driven. Both directions are
+    emitted (real taxonomies are asymmetric: Poodle => Dog at 10^6,
+    Dog => Poodle low) and the diagonal is excluded.
+
+    Scale shape: one distinct on the slim (entity, class) projection,
+    ONE self-join keyed by ENTITY (fan-out per key = that entity's
+    type count squared - multi-typing is small, so no class however
+    huge can square the join up), one map-side-combinable support
+    count per ordered class pair, and a broadcast-eligible class
+    census join (one row per class). Integer floor division - the
+    oracle replays bit-for-bit.
+    """
+    types = (triples.filter(F.col(pred) == type_pred)
+             .select(F.col(subj).alias("entity"),
+                     F.col(obj).alias("cls"))
+             .distinct())
+    a = types.select("entity", F.col("cls").alias("sub"))
+    b = types.select("entity", F.col("cls").alias("sup"))
+    n = types.groupBy(F.col("cls").alias("sub")) \
+        .agg(F.count(F.lit(1)).alias("n_sub"))
+    return (a.join(b, "entity")
+            .filter(F.col("sub") != F.col("sup"))
+            .groupBy("sub", "sup")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= int(min_support))
+            .join(n, "sub")
+            .select("sub", "sup", "support", "n_sub",
+                    F.expr(f"CAST({int(scale)} AS BIGINT) * support div "
+                           "n_sub").alias("conf_ppm"))
+            .filter(F.col("conf_ppm") >= int(min_conf_ppm)))
+
+
 def induce_domain_range(triples: DataFrame,
                         subj: str = "subj", pred: str = "pred",
                         obj: str = "obj",

@@ -291,3 +291,36 @@ def test_entity_cards_plan_partial_window_group_limit(spark):
     plan = entity_cards(df, k=1)._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("WindowGroupLimit") >= 2
+
+
+# --------------------------------------------------- mine_subclass_candidates
+
+
+def test_subclass_mining_containment_confidence(spark):
+    from csvweb_spark.operators.ontology import (RDF_TYPE,
+                                                 mine_subclass_candidates)
+    T = RDF_TYPE
+    rows = [("e1", T, "A"), ("e2", T, "A"), ("e3", T, "A"),
+            ("e1", T, "B"), ("e2", T, "B"), ("e3", T, "B"), ("e4", T, "B"),
+            ("e9", T, "C"),
+            ("e1", T, "A"),              # dup typing: RDF set
+            ("e1", "other", "B")]        # non-type triple: ignored
+    out = {(r.sub, r.sup): r for r in
+           mine_subclass_candidates(_t(spark, rows)).collect()}
+    # A (3 instances) fully inside B (4): A=>B 10^6, B=>A 750000
+    assert (out[("A", "B")].support, out[("A", "B")].n_sub,
+            out[("A", "B")].conf_ppm) == (3, 3, 1000000)
+    assert out[("B", "A")].conf_ppm == 750000
+    # C shares nothing: no row in either direction, no diagonal rows
+    assert set(out) == {("A", "B"), ("B", "A")}
+
+
+def test_subclass_mining_gates(spark):
+    from csvweb_spark.operators.ontology import (RDF_TYPE,
+                                                 mine_subclass_candidates)
+    T = RDF_TYPE
+    rows = [("e1", T, "A"), ("e2", T, "A"),
+            ("e1", T, "B"), ("e2", T, "B"), ("e3", T, "B")]
+    out = mine_subclass_candidates(_t(spark, rows), min_support=2,
+                                   min_conf_ppm=900000).collect()
+    assert [(r.sub, r.sup) for r in out] == [("A", "B")]

@@ -317,3 +317,42 @@ def test_bowtie_no_in_out(spark):
     out = {r.node: r.cls for r in bowtie_decomposition(e, scc).collect()}
     assert out == {0: "core", 1: "core",
                    5: "disconnected", 6: "disconnected"}
+
+
+def test_fuse_matches_pure_python_brute_force(spark):
+    """Randomized (fixed-seed) brute-force check: 400 assertions over
+    ~40 contended groups, duplicate-heavy, weighted - the Spark
+    election must equal an independent pure-Python implementation of
+    the documented vote semantics on every group."""
+    import random
+
+    from csvweb_spark.operators.fusion import fuse_triples
+    rng = random.Random(20260819)
+    rows = [(f"s{rng.randrange(40)}", "p", f"o{rng.randrange(5)}",
+             f"src{rng.randrange(10)}") for _ in range(400)]
+    wt = {f"src{i}": (i % 4) + 1 for i in range(10)}
+    weights = spark.createDataFrame(
+        sorted(wt.items()), "source string, weight long")
+
+    # pure-Python replay of the documented semantics
+    asserted = sorted(set(rows))
+    sup, srcs = {}, {}
+    for s, p, o, src in asserted:
+        sup[(s, p, o)] = sup.get((s, p, o), 0) + wt[src]
+        srcs[(s, p, o)] = srcs.get((s, p, o), 0) + 1
+    want = {}
+    for (s, p, o), w in sup.items():
+        g = want.setdefault((s, p), [])
+        g.append((-w, o, w, srcs[(s, p, o)]))
+    expected = {}
+    for (s, p), cands in want.items():
+        cands.sort()
+        neg, o, w, ns = cands[0]
+        expected[(s, p)] = (o, w, ns, len(cands),
+                            sum(c[2] for c in cands), len(cands) > 1)
+
+    out = fuse_triples(_triples(spark, rows), weights)
+    got = {(r.subj, r.pred): (r.obj, r.support, r.n_sources, r.n_objects,
+                              r.total_support, r.conflict)
+           for r in out.collect()}
+    assert got == expected
