@@ -55,7 +55,8 @@ def align_entities(kg1: DataFrame, kg2: DataFrame,
                    max_key_pairs: int = 10_000,
                    min_shared: int = 1,
                    min_score: int = 0,
-                   mutual_only: bool = False) -> DataFrame:
+                   mutual_only: bool = False,
+                   return_dropped: bool = False):
     """Align kg1 entities to kg2 entities by weighted shared facts.
 
     Returns one row per matched side-1 entity:
@@ -64,6 +65,12 @@ def align_entities(kg1: DataFrame, kg2: DataFrame,
     evidence keys, n_shared counts them, and mutual is true when
     (e1, e2) is the best pair from both directions. `mutual_only`
     keeps only that subset. Ties elect the smallest entity IRI.
+
+    The census cap is ON by default, so it is auditable (repo rule:
+    no silent cuts): `return_dropped=True` returns (matches, dropped)
+    where dropped lists every evidence key the cap excluded as
+    (p, o, n1, n2) - each would have contributed <= scale/(n1*n2)
+    ~ scale/cap per pair, so the audit doubles as the error bound.
     """
     def side(kg, name):
         return (kg.select(F.col(subj).alias(name),
@@ -73,7 +80,10 @@ def align_entities(kg1: DataFrame, kg2: DataFrame,
     s1, s2 = side(kg1, "e1"), side(kg2, "e2")
     c1 = s1.groupBy("p", "o").agg(F.count(F.lit(1)).alias("n1"))
     c2 = s2.groupBy("p", "o").agg(F.count(F.lit(1)).alias("n2"))
-    keys = (c1.join(c2, ["p", "o"])
+    censused = c1.join(c2, ["p", "o"])
+    dropped = censused.filter(
+        F.col("n1") * F.col("n2") > int(max_key_pairs))
+    keys = (censused
             .filter(F.col("n1") * F.col("n2") <= int(max_key_pairs))
             .select("p", "o",
                     F.expr(f"CAST({int(scale)} AS BIGINT) div "
@@ -97,7 +107,7 @@ def align_entities(kg1: DataFrame, kg2: DataFrame,
                    (F.col("_r2") == 1).alias("mutual")))
     if mutual_only:
         out = out.filter(F.col("mutual"))
-    return out
+    return (out, dropped) if return_dropped else out
 
 
 def align_predicates(kg1: DataFrame, kg2: DataFrame, matches: DataFrame,

@@ -108,7 +108,12 @@ def test_align_census_cap_drops_busy_keys(spark):
     from csvweb_spark.operators.align import align_entities
     kg1 = _t(spark, [("P", "t", "x")])
     kg2 = _t(spark, [("A", "t", "x"), ("B", "t", "x")])
-    assert align_entities(kg1, kg2, max_key_pairs=1).count() == 0
+    out, dropped = align_entities(kg1, kg2, max_key_pairs=1,
+                                  return_dropped=True)
+    assert out.count() == 0
+    # the cut is audited, not silent: the excluded key with its census
+    assert [(r.p, r.o, r.n1, r.n2) for r in dropped.collect()] == \
+        [("t", "x", 1, 2)]
 
 
 def test_align_min_shared_and_mutual_only(spark):

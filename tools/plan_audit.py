@@ -376,6 +376,11 @@ AUDITS = [
      "entity pair (no cartesian, no single-entity hub key); support "
      "and census aggregates are partial below their exchanges; the "
      "census join input is one row per predicate."),
+    ("Subclass mining (instance overlap)", "kg_subclass",
+     "The class-pair self-join keys on ENTITY (hash equi-join; "
+     "per-key fan-out = the entity's type count squared, never a "
+     "class size), support is a partial-aggregated count and the "
+     "class census join carries one row per class."),
     ("Incremental fusion (touched groups)", "kg_fusion_incr",
      "The committed store is only PROBED: one left-anti join "
      "(freshness) and one left-semi join (touched groups) - both "
