@@ -356,3 +356,76 @@ def test_fuse_matches_pure_python_brute_force(spark):
                               r.total_support, r.conflict)
            for r in out.collect()}
     assert got == expected
+
+
+def test_graph_ops_match_pure_python_brute_force(spark):
+    """Randomized (fixed-seed) brute-force check of the round-5 graph
+    trio on one 60-node random graph: RA link prediction, modularity
+    and assortativity must match independent pure-Python
+    implementations of their documented semantics exactly (integer
+    arithmetic everywhere, so equality is exact, not approximate)."""
+    import random
+    from collections import defaultdict
+
+    from csvweb_spark.operators.graph import (assortativity,
+                                              link_prediction_ra,
+                                              modularity)
+    rng = random.Random(20260819)
+    raw = {(rng.randrange(60), rng.randrange(60)) for _ in range(150)}
+    edges = [(a, b) for a, b in raw if a != b]
+    e_df = spark.createDataFrame(edges, "src long, dst long")
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    nbrs = defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+
+    # --- RA link prediction
+    want_ra = {}
+    nodes = sorted(nbrs)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) in und:
+                continue
+            common = nbrs[a] & nbrs[b]
+            if common:
+                want_ra[(a, b)] = (len(common),
+                                   sum(1_000_000 // len(nbrs[z])
+                                       for z in common))
+    got_ra = {(r.node_a, r.node_b): (r.common, r.score_ppm)
+              for r in link_prediction_ra(e_df).collect()}
+    assert got_ra == want_ra
+
+    # --- modularity of a blocks-of-20 labeling
+    labels = {n: n // 20 for n in nbrs}
+    lab_df = spark.createDataFrame(
+        [(n, f"c{c}") for n, c in labels.items()],
+        "node long, community string")
+    m = len(und)
+    want_mod = {}
+    for c in sorted(set(labels.values())):
+        members = [n for n in nbrs if labels[n] == c]
+        e_c = sum(1 for a, b in und
+                  if labels[a] == c and labels[b] == c)
+        d_c = sum(len(nbrs[n]) for n in members)
+        want_mod[f"c{c}"] = (len(members), e_c, d_c,
+                             4 * m * e_c - d_c * d_c, 4 * m * m)
+    got_mod = {r.community: (r.n_nodes, r.intra_edges, r.degree_sum,
+                             int(r.q_num_4m2), int(r.q_den_4m2))
+               for r in modularity(e_df, lab_df).collect()}
+    assert got_mod == want_mod
+
+    # --- assortativity
+    s_j = s_jk = s_jj = 0
+    for a, b in und:
+        for j, k in ((len(nbrs[a]), len(nbrs[b])),
+                     (len(nbrs[b]), len(nbrs[a]))):
+            s_j += j
+            s_jk += j * k
+            s_jj += j * j
+    m2 = 2 * m
+    r = assortativity(e_df).collect()[0]
+    assert (r.m, int(r.s_j), int(r.s_jk), int(r.s_jj)) == \
+        (m, s_j, s_jk, s_jj)
+    assert int(r.r_num) == m2 * s_jk - s_j * s_j
+    assert int(r.r_den) == m2 * s_jj - s_j * s_j
