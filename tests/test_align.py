@@ -329,3 +329,95 @@ def test_subclass_mining_gates(spark):
     out = mine_subclass_candidates(_t(spark, rows), min_support=2,
                                    min_conf_ppm=900000).collect()
     assert [(r.sub, r.sup) for r in out] == [("A", "B")]
+
+
+def test_align_ontology_family_pure_python_brute_force(spark):
+    """Randomized (fixed-seed) brute-force check of the alignment /
+    ontology family against independent pure-Python implementations of
+    the documented semantics: align_entities (weights, census cap,
+    election, mutual flag), predicate_functionality, and
+    mine_subclass_candidates - exact integer equality throughout."""
+    import random
+    from collections import defaultdict
+
+    from csvweb_spark.operators.align import align_entities
+    from csvweb_spark.operators.ontology import (
+        RDF_TYPE, mine_subclass_candidates, predicate_functionality)
+
+    rng = random.Random(20260819)
+    preds = [f"p{i}" for i in range(4)]
+    vals = [f"v{i}" for i in range(12)]
+
+    def kg(prefix, n):
+        rows = {(f"{prefix}{rng.randrange(n)}", rng.choice(preds),
+                 rng.choice(vals)) for _ in range(120)}
+        return sorted(rows)
+
+    k1, k2 = kg("A", 25), kg("B", 25)
+    df1 = _t(spark, k1)
+    df2 = _t(spark, k2)
+
+    # --- align_entities (cap small enough to actually bite)
+    cap = 9
+    c1, c2 = defaultdict(int), defaultdict(int)
+    for e, p, o in k1:
+        c1[(p, o)] += 1
+    for e, p, o in k2:
+        c2[(p, o)] += 1
+    w = {k: 1_000_000 // (c1[k] * c2[k]) for k in c1
+         if k in c2 and c1[k] * c2[k] <= cap}
+    cand = defaultdict(lambda: [0, 0])
+    for e1, p, o in k1:
+        if (p, o) not in w:
+            continue
+        for e2, q, u in k2:
+            if (q, u) == (p, o):
+                cand[(e1, e2)][0] += 1
+                cand[(e1, e2)][1] += w[(p, o)]
+    best1, best2 = {}, {}
+    for (e1, e2), (ns, sc) in cand.items():
+        if e1 not in best1 or (-sc, e2) < best1[e1][0]:
+            best1[e1] = ((-sc, e2), ns, sc)
+        if e2 not in best2 or (-sc, e1) < best2[e2][0]:
+            best2[e2] = ((-sc, e1), ns, sc)
+    want = {}
+    for e1, ((negsc, e2), ns, sc) in best1.items():
+        mutual = best2[e2][0][1] == e1
+        want[e1] = (e2, ns, sc, mutual)
+    got = {r.e1: (r.e2, r.n_shared, r.score_ppm, r.mutual)
+           for r in align_entities(df1, df2, max_key_pairs=cap).collect()}
+    assert got == want
+
+    # --- predicate_functionality on side 1
+    per_pred = defaultdict(list)
+    for e, p, o in k1:
+        per_pred[p].append((e, o))
+    want_fun = {}
+    for p, pairs in per_pred.items():
+        n = len(pairs)
+        ns = len({e for e, _ in pairs})
+        no = len({o for _, o in pairs})
+        want_fun[p] = (n, ns, no, 1_000_000 * ns // n, 1_000_000 * no // n)
+    got_fun = {r.pred: (r.n_pairs, r.n_subjects, r.n_objects,
+                        r.fun_ppm, r.inv_fun_ppm)
+               for r in predicate_functionality(df1).collect()}
+    assert got_fun == want_fun
+
+    # --- mine_subclass_candidates over random multi-typing
+    trows = sorted({(f"E{rng.randrange(30)}", RDF_TYPE,
+                     f"K{rng.randrange(5)}") for _ in range(80)})
+    inst = defaultdict(set)
+    for e, _, c in trows:
+        inst[c].add(e)
+    want_sub = {}
+    for a in inst:
+        for b in inst:
+            if a == b:
+                continue
+            s = len(inst[a] & inst[b])
+            if s:
+                want_sub[(a, b)] = (s, len(inst[a]),
+                                    1_000_000 * s // len(inst[a]))
+    got_sub = {(r.sub, r.sup): (r.support, r.n_sub, r.conf_ppm)
+               for r in mine_subclass_candidates(_t(spark, trows)).collect()}
+    assert got_sub == want_sub
