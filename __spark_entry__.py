@@ -1087,6 +1087,41 @@ def q_kg_subclass(spark, sf_dir):
                       "conf_ppm")
 
 
+def q_kg_schema_graph(spark, sf_dir):
+    """VoID linkset / schema graph (round 5, void_stats.py::
+    class_linkage) over the kg_ontology fixture: customers < 200 typed
+    (every 5th multi-typed ex:Preferred - one linkage row per class),
+    nations typed, ex:inNation asserted by customers < 250 so the
+    untyped [200, 250) subjects drop out of every row. The dataset
+    diagram: (Customer -inNation-> Nation, n_triples, distinct
+    subjects/objects). Oracle replays the type joins on both endpoints
+    and the exact distinct counts."""
+    from csvweb_spark.operators.ontology import RDF_TYPE
+    from csvweb_spark.operators.void_stats import class_linkage
+    cust = _load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 250)
+    nation = _load(spark, sf_dir, "nation")
+    typed = cust.filter(F.col("c_custkey") < 200)
+    t_cust = typed.select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit(RDF_TYPE).alias("pred"), F.lit("ex:Customer").alias("obj"))
+    t_pref = typed.filter(F.col("c_custkey") % 5 == 0).select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit(RDF_TYPE).alias("pred"), F.lit("ex:Preferred").alias("obj"))
+    t_nat = nation.select(
+        F.concat(F.lit("ex:N"), F.col("n_nationkey")).alias("subj"),
+        F.lit(RDF_TYPE).alias("pred"), F.lit("ex:Nation").alias("obj"))
+    rel = cust.select(
+        F.concat(F.lit("ex:C"), F.col("c_custkey")).alias("subj"),
+        F.lit("ex:inNation").alias("pred"),
+        F.concat(F.lit("ex:N"), F.col("c_nationkey")).alias("obj"))
+    triples = t_cust.unionByName(t_pref).unionByName(t_nat).unionByName(rel)
+    out = class_linkage(triples)
+    return out.select("subj_class", "pred", "obj_class",
+                      F.col("n_triples").cast("long").alias("n_triples"),
+                      F.col("n_subjects").cast("long").alias("n_subjects"),
+                      F.col("n_objects").cast("long").alias("n_objects"))
+
+
 def q_kg_harmonic(spark, sf_dir):
     """Seed-sampled harmonic centrality (round 5, graph.py::
     harmonic_centrality over multi_source_distances): per-seed
@@ -4802,6 +4837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bowtie": q_kg_bowtie,
         "kg_cards": q_kg_cards,
         "kg_subclass": q_kg_subclass,
+        "kg_schema_graph": q_kg_schema_graph,
         "kg_diff": q_kg_diff,
         "kg_validity": q_kg_validity,
         "table_fingerprint": q_table_fingerprint,
@@ -7496,6 +7532,36 @@ def _oracle_sql_literal() -> dict[str, str]:
                        (sum(1::BIGINT << (55 - rho))
                         + (64 - count(*)) * (1::BIGINT << 55))::BIGINT
                 FROM r2 GROUP BY node) est
+        """,
+        "kg_schema_graph": """
+            -- void_stats.py::class_linkage replayed exactly: the type
+            -- map joined on BOTH relation endpoints, then per
+            -- (subj_class, pred, obj_class) the triple count and the
+            -- exact distinct entity counts
+            WITH
+            cust AS (SELECT c_custkey AS k, c_nationkey AS nk
+                     FROM customer WHERE c_custkey < 250),
+            types AS (
+                SELECT DISTINCT entity, cls FROM (
+                    SELECT 'ex:C' || k AS entity, 'ex:Customer' AS cls
+                    FROM cust WHERE k < 200
+                    UNION ALL
+                    SELECT 'ex:C' || k, 'ex:Preferred'
+                    FROM cust WHERE k < 200 AND k % 5 = 0
+                    UNION ALL
+                    SELECT 'ex:N' || n_nationkey, 'ex:Nation'
+                    FROM nation) u),
+            rel AS (SELECT 'ex:C' || k AS s, 'ex:inNation' AS pred,
+                           'ex:N' || nk AS o
+                    FROM cust)
+            SELECT st.cls AS subj_class, rel.pred, ot.cls AS obj_class,
+                   count(*)::BIGINT AS n_triples,
+                   count(DISTINCT rel.s)::BIGINT AS n_subjects,
+                   count(DISTINCT rel.o)::BIGINT AS n_objects
+            FROM rel
+            JOIN types st ON st.entity = rel.s
+            JOIN types ot ON ot.entity = rel.o
+            GROUP BY st.cls, rel.pred, ot.cls
         """,
         "kg_subclass": """
             -- ontology.py::mine_subclass_candidates replayed exactly:

@@ -829,6 +829,9 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
                         F.lit("ex:EU"), "iri")))
     timed("kg_subclass", lambda: mine_subclass_candidates(
         sub_types.select("subj", "pred", "obj")).count())
+    from csvweb_spark.operators.void_stats import class_linkage
+    timed("kg_schema_graph", lambda: class_linkage(
+        bench_kg.select("subj", "pred", "obj")).count())
     bench_kg.unpersist()
 
     timed("kg_hits", lambda: hits(edges_khop, iterations=2).count())

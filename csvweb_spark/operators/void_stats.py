@@ -125,3 +125,46 @@ def class_partitions(triples: DataFrame, exact: bool = True,
     return (triples.where(F.col("pred") == type_pred)
             .groupBy(F.col("obj").alias("class"))
             .agg(d(F.col("subj")).alias("n_entities")))
+
+
+def class_linkage(triples: DataFrame, exact: bool = True,
+                  type_pred: str = RDF_TYPE,
+                  min_count: int = 1) -> DataFrame:
+    """The VoID linkset / SCHEMA GRAPH of an induced KG: one row per
+    (subj_class, pred, obj_class) with void:triples plus distinct
+    subject/object entity counts - the dataset diagram ("Customer
+    -ex:inNation-> Nation, 1.5M triples") ops teams read before
+    writing a single SPARQL query, and the class-to-class complement
+    of `class_partitions` (entities per class) and
+    `predicate_partitions` (triples per predicate).
+
+    Counting matches `ontology.induce_domain_range`: multi-typed
+    endpoints contribute one row per class pair (multi-typing is
+    evidence for every signature), assertions with an untyped endpoint
+    are excluded (no class evidence), and rdf:type triples themselves
+    are not linked over. `exact=False` swaps the distinct counts for
+    approx_count_distinct when the class pair cardinality is huge.
+
+    Scale shape: ONE filtered (entity, class) projection of the triple
+    scan joined onto each endpoint of the slim (subj, pred, obj)
+    relation rows - entity-keyed hash joins (co-partitioned over a
+    subj-bucketed store), then one grouped aggregate whose cardinality
+    is schema-sized (class x predicate x class), never instance-sized.
+    """
+    d = _distinct_fn(exact)
+    types = (triples.where(F.col("pred") == type_pred)
+             .select(F.col("subj").alias("entity"),
+                     F.col("obj").alias("cls"))
+             .distinct())
+    rel = (triples.where(F.col("pred") != type_pred)
+           .select("subj", "pred", "obj"))
+    s_t = types.select(F.col("entity").alias("subj"),
+                       F.col("cls").alias("subj_class"))
+    o_t = types.select(F.col("entity").alias("obj"),
+                       F.col("cls").alias("obj_class"))
+    return (rel.join(s_t, "subj").join(o_t, "obj")
+            .groupBy("subj_class", "pred", "obj_class")
+            .agg(F.count(F.lit(1)).alias("n_triples"),
+                 d(F.col("subj")).alias("n_subjects"),
+                 d(F.col("obj")).alias("n_objects"))
+            .filter(F.col("n_triples") >= int(min_count)))

@@ -84,3 +84,31 @@ def test_sketched_partitions_merge_property(spark):
     t = {r.pred: r.n_subjects_est
          for r in estimate_sketched_partitions(tiny, k=8).collect()}
     assert t["ex:p"] == 3
+
+
+def test_class_linkage_schema_graph(spark):
+    """Schema-graph rows: multi-typed endpoints fan out one row per
+    class pair, untyped endpoints are excluded, rdf:type triples are
+    never linked over, and the distinct entity counts are exact."""
+    from csvweb_spark.operators.void_stats import RDF_TYPE, class_linkage
+    T = RDF_TYPE
+    rows = [
+        ("c1", T, "Customer"), ("c2", T, "Customer"),
+        ("s1", T, "Supplier"), ("s1", T, "Preferred"),  # multi-typed
+        ("n1", T, "Nation"),
+        ("c1", "in", "n1"), ("c2", "in", "n1"), ("s1", "in", "n1"),
+        ("u1", "in", "n1"),          # untyped subject: excluded
+        ("c1", "knows", "u2"),       # untyped object: excluded
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {(r.subj_class, r.pred, r.obj_class):
+           (r.n_triples, r.n_subjects, r.n_objects)
+           for r in class_linkage(df).collect()}
+    assert got == {
+        ("Customer", "in", "Nation"): (2, 2, 1),
+        ("Supplier", "in", "Nation"): (1, 1, 1),
+        ("Preferred", "in", "Nation"): (1, 1, 1),
+    }
+    # min_count gate
+    from csvweb_spark.operators.void_stats import class_linkage as cl
+    assert cl(df, min_count=2).count() == 1
