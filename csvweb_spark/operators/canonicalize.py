@@ -175,13 +175,22 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     for _ in range(max_iter):
         if adaptive:
             n_salts = choose_n_salts(e, "u", "v")
-        e = _small_star(_large_star(e, n_salts), n_salts)
-        e = e.localCheckpoint(eager=True)
-        sig = e.agg(
+        # round-6 optimization: the convergence signature rides as an
+        # observed metric on the checkpoint job itself (metrics fire
+        # when the eager localCheckpoint materializes the round), so
+        # each round costs ONE job instead of checkpoint + a second
+        # signature aggregate. Identical signature: same count + the
+        # same order-independent hash sum over the round's edge set.
+        from pyspark.sql import Observation
+        obs = Observation()
+        e = _small_star(_large_star(e, n_salts), n_salts).observe(
+            obs,
             F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum(F.hash("u", "v").cast("long")), F.lit(0)).alias("h"),
-        ).collect()[0]
-        sig = (sig["n"], sig["h"])
+            F.coalesce(F.sum(F.hash("u", "v").cast("long")),
+                       F.lit(0)).alias("h"))
+        e = e.localCheckpoint(eager=True)
+        m = obs.get
+        sig = (m["n"], m["h"])
         if sig == prev_sig:
             break
         prev_sig = sig

@@ -53,19 +53,30 @@ def transitive_closure(pairs: DataFrame, src: str = "src",
     depth-d hierarchy closes in ceil(log2(d)) rounds, each a hash join +
     distinct on the (small, schema-sized) closure frame with a
     localCheckpoint to truncate lineage. Deterministic set semantics."""
+    from pyspark.sql import Observation
     closure = pairs.select(F.col(src).alias("src"),
                            F.col(dst).alias("dst")).distinct() \
         .localCheckpoint(eager=True)
     for _ in range(max_rounds):
         hop = closure.select(F.col("src").alias("mid"),
                              F.col("dst").alias("dst2"))
+        # round-6 optimization: eager-checkpoint `new` with the
+        # emptiness probe as an observed metric - the old take(1)
+        # probe computed the join once for the probe and the union
+        # checkpoint re-computed it in full, i.e. ~2 executions per
+        # round. The union with the checkpointed delta stays LAZY
+        # (a union of cached RDDs is re-read, never re-joined), so
+        # each round is exactly one join execution.
+        obs = Observation()
         new = (closure.join(hop, closure["dst"] == hop["mid"])
                .select("src", F.col("dst2").alias("dst"))
                .join(closure, ["src", "dst"], "left_anti")
-               .distinct())
-        if not new.take(1):
+               .distinct()
+               .observe(obs, F.count(F.lit(1)).alias("n"))
+               .localCheckpoint(eager=True))
+        if obs.get["n"] == 0:
             break
-        closure = closure.unionByName(new).localCheckpoint(eager=True)
+        closure = closure.unionByName(new)
     return closure
 
 
@@ -99,17 +110,22 @@ def transitive_closure_incremental(new_pairs: DataFrame, closed: DataFrame,
         with_pre.join(suf, with_pre["dst"] == suf["_ss"])
         .select(F.col("src"), F.col("_sd").alias("dst"))) \
         .distinct().localCheckpoint(eager=True)
+    from pyspark.sql import Observation
     closure = seed
     for _ in range(max_rounds):
         hop = closure.select(F.col("src").alias("_mid"),
                              F.col("dst").alias("_d2"))
+        # same one-execution-per-round shape as transitive_closure
+        obs = Observation()
         new = (closure.join(hop, closure["dst"] == hop["_mid"])
                .select("src", F.col("_d2").alias("dst"))
                .join(closure, ["src", "dst"], "left_anti")
-               .distinct())
-        if not new.take(1):
+               .distinct()
+               .observe(obs, F.count(F.lit(1)).alias("n"))
+               .localCheckpoint(eager=True))
+        if obs.get["n"] == 0:
             break
-        closure = closure.unionByName(new).localCheckpoint(eager=True)
+        closure = closure.unionByName(new)
     return closure.join(a, ["src", "dst"], "left_anti")
 
 

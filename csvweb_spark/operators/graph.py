@@ -22,6 +22,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Persist a LOOP-INVARIANT frame of an iterative operator (round-6
+    optimization, guide SS2.4/SS5): without this, every round's job
+    re-executes the edge-set distinct / node-set union-distinct /
+    degree aggregate from the source - 2-4 redundant shuffles per
+    round that dominate the per-round cost at every scale. The persist
+    lives only for the duration of the operator call (callers of _pin
+    unpersist before returning); it is an intra-query working set, the
+    same memory class as the shuffle files the recomputation would
+    write anyway, spilling to disk under pressure."""
+    from pyspark.storagelevel import StorageLevel
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def degree_stats(edges: DataFrame, src: str = "src",
                  dst: str = "dst") -> DataFrame:
     """(node, degree) over the undirected view (self-loops dropped,
@@ -88,11 +102,12 @@ def pagerank(edges: DataFrame, iterations: int = 5,
     concentrating rows. localCheckpoint per round truncates the growing
     lineage exactly as connected_components does."""
     assert iterations >= 0 and 0 <= damping_bp <= 10_000
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
-    nodes = (e.select(F.col("s").alias("node"))
-             .unionByName(e.select(F.col("d").alias("node")))
-             .distinct())
-    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("odeg"))
+    e = _pin(edges.select(F.col(src).alias("s"),
+                          F.col(dst).alias("d")).distinct())
+    nodes = _pin(e.select(F.col("s").alias("node"))
+                 .unionByName(e.select(F.col("d").alias("node")))
+                 .distinct())
+    outdeg = _pin(e.groupBy("s").agg(F.count(F.lit(1)).alias("odeg")))
     base = (scale * (10_000 - damping_bp)) // 10_000
     if init_ranks is not None:
         ranks = (nodes.join(init_ranks.select(
@@ -131,6 +146,10 @@ def pagerank(edges: DataFrame, iterations: int = 5,
                                  f"({damping_bp} * coalesce(in_sum, 0L)) "
                                  f"div 10000")).cast("long").alias("rank")))
         ranks = ranks.localCheckpoint(eager=True)
+    # final ranks are checkpoint-materialized (or, with iterations=0, a
+    # cheap projection); the loop-invariant caches can go
+    for _df in (e, nodes, outdeg):
+        _df.unpersist()
     return ranks
 
 
@@ -202,7 +221,8 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     map-side-combined integer sums, localCheckpoint per round); the
     seed frame joins broadcast-or-hash by Catalyst's size estimate."""
     assert iterations >= 0 and 0 <= damping_bp <= 10_000
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    e = _pin(edges.select(F.col(src).alias("s"),
+                          F.col(dst).alias("d")).distinct())
     nodes = (e.select(F.col("s").alias("node"))
              .unionByName(e.select(F.col("d").alias("node")))
              .distinct())
@@ -211,7 +231,7 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     nodes = nodes.join(seed, "node", "left") \
         .select("node", F.coalesce("_is_seed", F.lit(False))
                 .alias("_is_seed")).localCheckpoint(eager=True)
-    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("odeg"))
+    outdeg = _pin(e.groupBy("s").agg(F.count(F.lit(1)).alias("odeg")))
     base = (scale * (10_000 - damping_bp)) // 10_000
     ranks = nodes.withColumn(
         "rank", F.when(F.col("_is_seed"), F.lit(scale))
@@ -229,6 +249,8 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
                      + F.expr(f"({damping_bp} * coalesce(in_sum, 0L)) "
                               f"div 10000")).cast("long").alias("rank")))
         ranks = ranks.localCheckpoint(eager=True)
+    for _df in (e, outdeg):
+        _df.unpersist()
     return ranks.where(F.col("rank") > 0)
 
 
@@ -259,17 +281,24 @@ def hits(edges: DataFrame, iterations: int = 3, scale: int = 1_000_000,
     is a 1-row broadcast (crossJoin of an aggregate, never a driver
     collect); localCheckpoint truncates lineage per round."""
     assert iterations >= 1 and scale > 0
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
-    nodes = (e.select(F.col("s").alias("node"))
-             .unionByName(e.select(F.col("d").alias("node")))
-             .distinct())
+    e = _pin(edges.select(F.col(src).alias("s"),
+                          F.col(dst).alias("d")).distinct())
+    nodes = _pin(e.select(F.col("s").alias("node"))
+                 .unionByName(e.select(F.col("d").alias("node")))
+                 .distinct())
     hubs = nodes.withColumn("hub", F.lit(scale).cast("long"))
     auth = None
 
     def _normalize(raw: DataFrame, out_name: str) -> DataFrame:
+        # checkpoint BEFORE the max aggregate: `full` feeds both the
+        # 1-row max and the rescale, and un-checkpointed it executed
+        # the whole upstream join+sum twice per half-round (round-6
+        # optimization; the rescale itself is a narrow projection, so
+        # checkpointing here also keeps lineage truncated per round)
         full = (nodes.join(raw, "node", "left")
                 .select("node", F.coalesce("raw", F.lit(0))
-                        .cast("long").alias("raw")))
+                        .cast("long").alias("raw"))
+                .localCheckpoint(eager=True))
         mx = full.agg(F.greatest(F.max("raw"), F.lit(1)).alias("_m"))
         return (full.crossJoin(F.broadcast(mx))
                 .select("node", F.expr(f"(raw * {scale}) div _m")
@@ -279,11 +308,15 @@ def hits(edges: DataFrame, iterations: int = 3, scale: int = 1_000_000,
         a_raw = (e.join(hubs.withColumnRenamed("node", "s"), "s")
                  .groupBy(F.col("d").alias("node"))
                  .agg(F.sum("hub").alias("raw")))
-        auth = _normalize(a_raw, "authority").localCheckpoint(eager=True)
+        auth = _normalize(a_raw, "authority")
         h_raw = (e.join(auth.withColumnRenamed("node", "d"), "d")
                  .groupBy(F.col("s").alias("node"))
                  .agg(F.sum("authority").alias("raw")))
-        hubs = _normalize(h_raw, "hub").localCheckpoint(eager=True)
+        hubs = _normalize(h_raw, "hub")
+    # hubs/auth are narrow rescales over their checkpointed `full`
+    # frames - the loop-invariant caches are no longer referenced
+    for _df in (e, nodes):
+        _df.unpersist()
     return hubs.join(auth, "node")
 
 
@@ -365,14 +398,19 @@ def khop_neighbors(edges: DataFrame, seeds: DataFrame, k: int,
     visited = (seeds.select(F.col(seed_col).alias("node")).distinct()
                .withColumn("hops", F.lit(0)))
     frontier = visited.select("node")
+    from pyspark.sql import Observation
     for hop in range(1, k + 1):
         f = F.broadcast(frontier) if broadcast_frontier else frontier
         reached = (bidir.join(f, bidir["a"] == f["node"])
                    .select(F.col("b").alias("node")).distinct())
+        # emptiness probe rides as an observed metric on the frontier
+        # checkpoint job (round 6) - one job per hop, no extra take()
+        obs = Observation()
         frontier = (reached.join(visited.select("node"), "node",
                                  "left_anti")
+                    .observe(obs, F.count(F.lit(1)).alias("n"))
                     .localCheckpoint(eager=True))
-        if not frontier.take(1):
+        if obs.get["n"] == 0:
             break
         visited = visited.unionByName(
             frontier.withColumn("hops", F.lit(hop))) \
@@ -594,9 +632,9 @@ def label_propagation(edges: DataFrame, rounds: int = 3,
     assert rounds >= 0
     und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .filter(F.col("u") != F.col("v")))
-    und = (und.unionByName(und.select(F.col("v").alias("u"),
-                                      F.col("u").alias("v")))
-           .distinct())
+    und = _pin(und.unionByName(und.select(F.col("v").alias("u"),
+                                          F.col("u").alias("v")))
+               .distinct())
     labels = (und.select(F.col("u").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     for _ in range(rounds):
@@ -610,6 +648,11 @@ def label_propagation(edges: DataFrame, rounds: int = 3,
                        .alias("m"))
                   .select("node", F.col("m.label").alias("label"))
                   .localCheckpoint(eager=True))
+    if rounds == 0:
+        # labels is a projection over `und`: materialize before the
+        # cache goes away so rounds=0 callers don't recompute uncached
+        labels = labels.localCheckpoint(eager=True)
+    und.unpersist()
     return labels
 
 
@@ -690,10 +733,13 @@ def strongly_connected_components(edges: DataFrame, max_outer: int = 4,
         for _t in range(trim_rounds):
             has_out = live.select(F.col("u").alias("node")).distinct()
             has_in = live.select(F.col("v").alias("node")).distinct()
+            from pyspark.sql import Observation
+            obs = Observation()
             keep = (remaining.join(has_out, "node", "left_semi")
                     .join(has_in, "node", "left_semi")
+                    .observe(obs, F.count(F.lit(1)).alias("n"))
                     .localCheckpoint(eager=True))
-            n_keep = keep.count()
+            n_keep = obs.get["n"]
             if n_keep == n_remaining:
                 break
             done.append(remaining.join(keep, "node", "left_anti")
@@ -704,7 +750,12 @@ def strongly_connected_components(edges: DataFrame, max_outer: int = 4,
         if n_remaining == 0:
             break
         live = live.localCheckpoint(eager=True)
-        # 2. forward min-label fixpoint (color)
+        # 2. forward min-label fixpoint (color). Round-6 optimization:
+        # the per-round checksum rides as an observed metric on the
+        # checkpoint job (one job per round instead of checkpoint +
+        # checksum aggregate); same order-independent decimal(38,0)
+        # label sum, so the fixpoint detection is unchanged.
+        from pyspark.sql import Observation
         labels = remaining.withColumn("label", F.col("node")) \
             .localCheckpoint(eager=True)
         checksum = labels.agg(
@@ -714,13 +765,16 @@ def strongly_connected_components(edges: DataFrame, max_outer: int = 4,
             prop = (live.join(labels.withColumnRenamed("node", "u"), "u")
                     .groupBy(F.col("v").alias("node"))
                     .agg(F.min("label").alias("inmin")))
+            obs = Observation()
             labels = (labels.join(prop, "node", "left")
                       .select("node",
                               F.least("label", F.coalesce("inmin", "label"))
                               .alias("label"))
+                      .observe(obs, F.sum(F.col("label")
+                                          .cast("decimal(38,0)"))
+                               .alias("s"))
                       .localCheckpoint(eager=True))
-            new_sum = labels.agg(
-                F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+            new_sum = obs.get["s"]
             if new_sum == checksum:
                 converged = True
                 break
@@ -742,9 +796,11 @@ def strongly_connected_components(edges: DataFrame, max_outer: int = 4,
                           "node")
                     .where(F.col("label") == F.col("ulabel"))
                     .select("node", "label"))
+            obs = Observation()
             marked = (marked.unionByName(cand).distinct()
+                      .observe(obs, F.count(F.lit(1)).alias("n"))
                       .localCheckpoint(eager=True))
-            n_new = marked.count()
+            n_new = obs.get["n"]
             if n_new == n_marked:
                 break
             n_marked = n_new
@@ -753,10 +809,12 @@ def strongly_connected_components(edges: DataFrame, max_outer: int = 4,
                 f"strongly_connected_components: harvest walk not "
                 f"closed within max_rounds={max_rounds}; raise it")
         done.append(marked.select("node", F.col("label").alias("scc")))
+        obs = Observation()
         remaining = (remaining.join(marked.select("node"), "node",
                                     "left_anti")
+                     .observe(obs, F.count(F.lit(1)).alias("n"))
                      .localCheckpoint(eager=True))
-        n_remaining = remaining.count()
+        n_remaining = obs.get["n"]
     if n_remaining > 0:
         raise ValueError(
             f"strongly_connected_components: {n_remaining} nodes "
@@ -879,13 +937,16 @@ def multi_source_distances(edges: DataFrame, seeds: DataFrame, k: int,
                        F.lit(0).cast("long").alias("hops"))
                .localCheckpoint(eager=True))
     frontier = visited.select("seed", "node")
+    from pyspark.sql import Observation
     for hop in range(1, k + 1):
         reached = (e.join(frontier, e["a"] == frontier["node"])
                    .select("seed", F.col("b").alias("node")).distinct())
+        obs = Observation()
         frontier = (reached.join(visited.select("seed", "node"),
                                  ["seed", "node"], "left_anti")
+                    .observe(obs, F.count(F.lit(1)).alias("n"))
                     .localCheckpoint(eager=True))
-        if not frontier.take(1):
+        if obs.get["n"] == 0:
             break
         visited = (visited.unionByName(
             frontier.withColumn("hops", F.lit(hop).cast("long")))
@@ -988,18 +1049,34 @@ def negative_triple_samples(triples: DataFrame, n_per: int = 1,
     r = F.pmod(md5_hash60(F.concat(key, F.lit("|r"))),
                F.lit(n_total)).cast("long")
     side = F.pmod(md5_hash60(F.concat(key, F.lit("|side"))), F.lit(2))
-    # cumulative-size CASE chains: draw -> (bucket, offset), projection
-    bexpr = F.lit(cum[-1][0])
-    oexpr = (r - F.lit(cum[-1][1])).cast("long")
-    for b, start in reversed(cum[:-1]):
-        nxt = start + sizes[b]
-        bexpr = F.when(r < F.lit(nxt), F.lit(b)).otherwise(bexpr)
-        oexpr = F.when(r < F.lit(nxt), (r - F.lit(start)).cast("long")) \
-            .otherwise(oexpr)
+    # cumulative-size CASE: draw -> (bucket, offset). Round-6
+    # optimization: the draw `_r` is projected ONCE and the mapping is
+    # a single FLAT CaseWhen (one branch per bucket, conditions in
+    # ascending cumulative order, first match wins) - the previous
+    # nested when/otherwise loop built a CASE tree 64 levels deep with
+    # the md5 draw expression replicated into every level, which blew
+    # up optimizer/codegen time (the query's cost was dominated by the
+    # driver compiling the expression, not by data). Semantics are
+    # identical: r falls in bucket b iff r < cum_end(b) and r >=
+    # cum_end(b-1), exactly the first true ascending condition.
     drawn = fact.select("subj", "pred", "obj", "sample_ix",
                         (side == 0).alias("corrupt_s"),
-                        bexpr.cast("long").alias("bucket"),
-                        oexpr.alias("rank"))
+                        r.alias("_r"))
+    bexpr = None
+    oexpr = None
+    rr = F.col("_r")
+    for b, start in cum:
+        nxt = start + sizes[b]
+        cond = rr < F.lit(nxt)
+        if bexpr is None:
+            bexpr = F.when(cond, F.lit(b))
+            oexpr = F.when(cond, (rr - F.lit(start)).cast("long"))
+        else:
+            bexpr = bexpr.when(cond, F.lit(b))
+            oexpr = oexpr.when(cond, (rr - F.lit(start)).cast("long"))
+    drawn = drawn.select("subj", "pred", "obj", "sample_ix", "corrupt_s",
+                         bexpr.cast("long").alias("bucket"),
+                         oexpr.cast("long").alias("rank"))
     joined = drawn.join(ranked, ["bucket", "rank"])
     out = (joined
            .where(F.when(F.col("corrupt_s"),
@@ -1373,6 +1450,10 @@ def neighborhood_function(edges: DataFrame, k: int, p: int = 8,
         e = (e.unionByName(e.select(F.col("d").alias("s"),
                                     F.col("s").alias("d")))
              .distinct())
+    # the register-table join re-reads the edge list every round: pin
+    # it once (round 6; _pin - the distinct/union otherwise re-shuffles
+    # per round)
+    e = _pin(e)
     nodes = (e.select(F.col("s").alias("node"))
              .unionByName(e.select(F.col("d").alias("node")))
              .distinct())
@@ -1392,6 +1473,7 @@ def neighborhood_function(edges: DataFrame, k: int, p: int = 8,
         out = out.unionByName(
             hll_estimate(regs, ["node"], p)
             .withColumn("t", F.lit(t).cast("int")))
+    e.unpersist()
     return out.select("node", "t", "n_regs_set", "n_zero_regs",
                       "inv_sum_scaled", "distinct_est")
 
@@ -1403,14 +1485,17 @@ def _reach_fixpoint(pairs: DataFrame, seeds: DataFrame,
     per round, raises if `max_rounds` passes without converging
     (silently truncated reachability would misclassify bow-tie
     regions)."""
+    from pyspark.sql import Observation
     visited = seeds.select("node").distinct().localCheckpoint(eager=True)
     frontier = visited
     for _ in range(max_rounds):
         reached = (pairs.join(frontier, pairs["a"] == frontier["node"])
                    .select(F.col("b").alias("node")).distinct())
+        obs = Observation()
         frontier = (reached.join(visited, "node", "left_anti")
+                    .observe(obs, F.count(F.lit(1)).alias("n"))
                     .localCheckpoint(eager=True))
-        if not frontier.take(1):
+        if obs.get["n"] == 0:
             return visited
         visited = visited.unionByName(frontier).localCheckpoint(eager=True)
     raise ValueError(

@@ -129,6 +129,14 @@ def bm25_topk_terms(postings: DataFrame, qterms: DataFrame, k: int = 10,
         raise ValueError("b_100 must be in [0, 100]")
     if k1_100 < 0:
         raise ValueError("k1_100 must be >= 0")
+    # round-6 optimization (guide SS1.2/SS5): three consumers read the
+    # posting table (corpus stats, document frequencies, the probe
+    # join), and their pruned projections differ, so Catalyst cannot
+    # reuse one exchange - an unpinned posting plan re-ran the full
+    # corpus explode+aggregate three times per query. A lazy local
+    # checkpoint materializes it once on the first action and truncates
+    # the lineage; no extra job, storage freed when the frame is GC'd.
+    postings = postings.localCheckpoint(eager=False)
     stats = _corpus_stats(postings)
     dft = document_frequencies(postings)
     if max_df is not None:

@@ -42,15 +42,28 @@ CDX_SCHEMA = ("segment_id string, offset long, length long, url string, "
 def _gzip_member_spans(blob: bytes):
     """(offset, length, inflated bytes) per gzip member - the WARC spec
     writes one member per record, so member spans ARE record spans.
-    Stops at the first broken member (the caller audits the tail)."""
+    Stops at the first broken member (the caller audits the tail).
+
+    Round-6 optimization (guide SS1/SS4.2): the previous walk sliced a
+    fresh 1 MB chunk per member, so a segment of small members (a few
+    hundred bytes each, the CDX bench shape) paid a ~1 MB copy + scan
+    per RECORD - quadratic in practice (~150 GB of memcpy for 150k
+    members). Now the decompressor's `unused_data` tail (the bytes it
+    already holds past the member end) carries over as the next
+    member's first feed, so each input byte is sliced out of the blob
+    exactly once regardless of member size. Same offsets, same spans,
+    same break behavior on a broken member."""
     spans, pos, n = [], 0, len(blob)
     mv = memoryview(blob)
     chunk_size = 1 << 20
+    carry = b""  # unconsumed input already sliced; starts at `pos`
     while pos < n and blob[pos:pos + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(31)
         out = bytearray()
-        fed = pos
+        fed = pos + len(carry)
         try:
+            if carry:
+                out += d.decompress(carry)
             while not d.eof and fed < n:
                 piece = mv[fed:fed + chunk_size]
                 out += d.decompress(bytes(piece))
@@ -61,6 +74,7 @@ def _gzip_member_spans(blob: bytes):
             break
         consumed = (fed - pos) - len(d.unused_data)
         spans.append((pos, consumed, bytes(out)))
+        carry = d.unused_data
         pos += consumed
     return spans, pos
 
