@@ -150,20 +150,24 @@ def _small_star(edges: DataFrame, n_salts: int = N_SALTS) -> DataFrame:
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iter: int = 30,
-                         n_salts: int | None = N_SALTS) -> DataFrame:
+                         n_salts: int | None = None) -> DataFrame:
     """-> (node, component) for every node appearing in `edges`;
     component = min node id reachable.
 
-    `n_salts=None` picks the salt count adaptively: re-measured from the
-    CURRENT edge set's max degree at the start of every round
-    (choose_n_salts on the checkpointed frame - one cheap
-    map-side-combinable agg per round, the same order as the convergence
-    signature the loop already pays), because star rounds contract
-    components and grow root degrees toward the component size - an
-    input-only measurement would under-salt late rounds of a hub-free
-    mesh (review fix). Uniform early rounds still skip the salting
-    overhead. The default stays the static N_SALTS (no extra jobs;
-    always hub-safe for degrees up to ~N_SALTS * task budget)."""
+    `n_salts=None` (the default since round 6) picks the salt count
+    adaptively: re-measured from the CURRENT edge set's max degree at
+    the start of every round (choose_n_salts on the checkpointed frame -
+    one cheap map-side-combinable agg per round, the same order as the
+    convergence signature the loop already pays), because star rounds
+    contract components and grow root degrees toward the component size
+    - an input-only measurement would under-salt late rounds of a
+    hub-free mesh (review fix). Round-6 measurement: the old static
+    N_SALTS=16 default replicated the per-key min map 16x into every
+    round's join-back even on hub-free graphs (~7.7M extra build rows
+    per round on the bench sameAs graph at sf1.0) - salting is pure
+    overhead until a hub actually appears, and the adaptive probe costs
+    one small cached-frame aggregate per round. Pass an explicit int to
+    pin the salt count (the salt count never changes the result)."""
     nodes = (edges.select(F.col(src).alias("node"))
              .unionByName(edges.select(F.col(dst).alias("node")))
              .distinct())

@@ -355,9 +355,12 @@ def dedup_containment(df: DataFrame, text_col: str = "text",
                              F.col("containment_bp") / 10000.0))
         return pairs.select("inner_id", "outer_id", "containment",
                             "containment_bp")
+    # lazily checkpoint the exploded gram table: both join sides read
+    # it, and un-pinned each side re-ran the shingle pass (round 6)
     ex = base.select(F.col(key_col), F.col(block_col).alias("blk"),
                      F.size("sh").cast("long").alias("n_sh"),
-                     F.explode("sh").alias("gram"))
+                     F.explode("sh").alias("gram")) \
+        .localCheckpoint(eager=False)
     a = ex.select(F.col(key_col).alias("inner_id"), "blk",
                   F.col("n_sh").alias("na"), "gram")
     b = ex.select(F.col(key_col).alias("outer_id"), "blk", "gram")
@@ -399,14 +402,35 @@ def _minhash_params(num_hashes: int, seed: int = 42):
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-grams (the standard web-dedup shingle unit: far more
     distinctive than character n-grams, so LSH buckets don't saturate on
-    small vocabularies) - pure JVM."""
-    toks = whitespace_tokens(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(
-            F.array().cast("array<string>")))
+    small vocabularies).
+
+    Round-6 optimization (guide SS4.2): the n-gram assembly moved from
+    Catalyst higher-order functions (transform + slice + concat_ws over
+    the token array) into ONE Arrow-batched pandas UDF over the
+    JVM-tokenized words. HOF lambdas execute INTERPRETED per element
+    (no codegen), measured at ~100 CPU-seconds per corpus pass at bench
+    sf1.0 - the dominant cost of every shingle consumer. The Python
+    loop builds identical strings (' '.join over the same token slices
+    == concat_ws(' ', slice(toks, i, n)) for non-null tokens) with the
+    identical first-occurrence-ordered distinct (dict.fromkeys ==
+    array_distinct), so the oracle contract is unchanged. Tokenization
+    itself stays the shared JVM `whitespace_tokens` (codegen regex;
+    its lower/trim/split semantics define the cross-engine contract)."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _grams(tok_col: pd.Series) -> pd.Series:
+        out = []
+        for toks in tok_col:
+            if toks is None or len(toks) < n:
+                out.append([])
+                continue
+            t = list(toks)
+            out.append(list(dict.fromkeys(
+                " ".join(t[i:i + n]) for i in range(len(t) - n + 1))))
+        return pd.Series(out)
+
+    return _grams(whitespace_tokens(text))
 
 
 def md5_hash31(col: Column) -> Column:
@@ -438,23 +462,57 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     import numpy as np
     from pyspark.sql.types import ArrayType, LongType
 
+    import hashlib
+
     a_params, b_params = _minhash_params(num_hashes, seed)
-    sh = (word_shingles(F.col(text_col), n) if shingle_unit == "word"
-          else token_set(F.col(text_col)) if shingle_unit == "token"
+
+    def _mins(hs: list[int]) -> list[int]:
+        if not hs:
+            return [0] * num_hashes
+        x = np.asarray(hs, dtype="int64").reshape(-1, 1)
+        v = (x * a_params + b_params) % MERSENNE31
+        return v.min(axis=0).tolist()
+
+    if shingle_unit == "word":
+        # Round-6 optimization (guide SS4.2): the whole
+        # tokens -> word shingles -> md5 base hash -> per-permutation
+        # min pipeline is ONE Arrow-batched pandas UDF. The previous
+        # shape ran the shingle assembly AND the per-shingle
+        # md5_hash31 through Catalyst higher-order functions, which
+        # execute interpreted (no codegen) - ~100 CPU-seconds per
+        # corpus pass at bench sf1.0, by far the operator's dominant
+        # cost. hashlib.md5 over the identical shingle strings yields
+        # the identical base hashes (int(hex[:8], 16) % (2^31-1) ==
+        # conv(substr(md5(x),1,8),16,10) % 2147483647), so signatures
+        # are bit-identical and the DuckDB oracle replay is unchanged.
+        toks_col = whitespace_tokens(F.col(text_col))
+
+        @F.pandas_udf(ArrayType(LongType()))
+        def sig_from_tokens(tok_col: pd.Series) -> pd.Series:
+            out = []
+            for toks in tok_col:
+                if toks is None or len(toks) < n:
+                    out.append([0] * num_hashes)
+                    continue
+                t = list(toks)
+                grams = dict.fromkeys(
+                    " ".join(t[i:i + n]) for i in range(len(t) - n + 1))
+                out.append(_mins([
+                    int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+                    % MERSENNE31 for g in grams]))
+            return pd.Series(out)
+
+        return df.select(F.col(key_col),
+                         sig_from_tokens(toks_col).alias("signature"))
+
+    sh = (token_set(F.col(text_col)) if shingle_unit == "token"
           else shingles(F.col(text_col), n))
     hashed = df.select(F.col(key_col), F.transform(sh, md5_hash31).alias("_h"))
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig(hashes: pd.Series) -> pd.Series:
-        out = []
-        for hs in hashes:
-            if hs is None or len(hs) == 0:
-                out.append([0] * num_hashes)
-                continue
-            x = np.asarray(hs, dtype="int64").reshape(-1, 1)
-            v = (x * a_params + b_params) % MERSENNE31
-            out.append(v.min(axis=0).tolist())
-        return pd.Series(out)
+        return pd.Series([
+            _mins(list(hs) if hs is not None else []) for hs in hashes])
 
     return hashed.select(key_col, sig(F.col("_h")).alias("signature"))
 
@@ -518,17 +576,21 @@ def dedup_minhash_lsh(df: DataFrame, text_col: str = "text",
                               shingle_unit)
     # explode into (band, band_hash, key): bucket join key is uniform
     banded = lsh_band_buckets(sigs, key_col, bands, rows_per_band)
-    # one explicit exchange on the bucket key that EVERY downstream consumer
-    # (census, prune join, candidate self-join) shares via ReusedExchange --
-    # without it the census's aggregate exchange differs from the join
-    # exchanges and the signature UDF stage would compute twice. The
-    # explicit isNotNull filters make every branch's scan constraints
-    # identical (the joins would otherwise INFER them on their sides only,
-    # breaking canonical-plan equality and with it the reuse).
+    # Round-6 optimization (guide SS1.2/SS5): the census, the prune
+    # join and BOTH candidate self-join sides consume this frame. The
+    # previous exchange-reuse trick (explicit repartition + identical
+    # isNotNull constraints on every branch) stopped deduplicating the
+    # branches under Spark 4's planner - the event log showed the
+    # signature stage executing SIX times per query, ~100 CPU-seconds
+    # each. A lazy local checkpoint materializes the banded table once
+    # on the first action and every consumer reads the cached rows; the
+    # handful of tiny re-exchanges it costs (16 bytes/row) is noise
+    # against one signature pass. The isNotNull filters stay: they
+    # preserve the exact pre-round-6 null-key semantics.
     banded = banded.filter(F.col(key_col).isNotNull()
                            & F.col("band").isNotNull()
                            & F.col("bucket").isNotNull())
-    banded = banded.repartition("band", "bucket")
+    banded = banded.localCheckpoint(eager=False)
     # bucket-size census: map-side-combinable count, then keep only buckets
     # that can produce pairs and stay under the skew cap. count(key) rather
     # than count(1): it keeps the census's projection identical to the join
@@ -558,7 +620,10 @@ def dedup_minhash_lsh(df: DataFrame, text_col: str = "text",
     sh_expr = (word_shingles(F.col(text_col), n) if shingle_unit == "word"
                else token_set(F.col(text_col)) if shingle_unit == "token"
                else shingles(F.col(text_col), n))
-    sh = df.select(F.col(key_col), sh_expr.alias("sh"))
+    # lazily checkpoint the shingle table: both verify-join sides read
+    # it, and un-pinned each side re-ran the full shingle pass (round 6)
+    sh = df.select(F.col(key_col), sh_expr.alias("sh")) \
+        .localCheckpoint(eager=False)
     cands = (cands
              .join(sh.select(F.col(key_col).alias("id_a"),
                              F.col("sh").alias("sh_a")), "id_a")
@@ -690,24 +755,41 @@ def simhash(df: DataFrame, text_col: str = "text", key_col: str = "doc_id",
     tokens never concentrate anywhere) -> pack sign bits. bits must be
     <= 60 (the token-hash width; keeps every value in a signed long)."""
     assert bits <= 60, "token hash provides 60 bits"
-    toks = whitespace_tokens(F.col(text_col))
-    tok = df.select(F.col(key_col), F.explode(toks).alias("t"))
-    tok = tok.select(key_col, md5_hash60(F.col("t")).alias("h"))
-    votes = tok.groupBy(key_col).agg(*[
-        F.sum(F.shiftrightunsigned("h", j).bitwiseAND(F.lit(1)) * 2 - 1)
-         .alias(f"v{j}")
-        for j in range(bits)])
-    sim = F.lit(0).cast("long")
-    for j in range(bits):
-        sim = sim + F.when(F.col(f"v{j}") > 0,
-                           F.lit(1 << j).cast("long")).otherwise(F.lit(0))
-    out = votes.select(key_col, sim.alias("simhash"))
-    # null-text docs have no tokens and would vanish in the explode; keep
-    # them with simhash 0 (review fix: parity with the round-1 UDF, and no
-    # silent row loss for downstream key joins)
-    return (df.select(key_col).join(out, key_col, "left")
-            .select(key_col, F.coalesce("simhash", F.lit(0).cast("long"))
-                    .alias("simhash")))
+    # Round-6 optimization (guide SS4.2): one Arrow-batched pandas UDF
+    # over the JVM token arrays replaces the explode + 60 per-bit sum
+    # aggregates + 60-branch bit-packing projection - the aggregate
+    # evaluated 60 shift/mask expressions per TOKEN occurrence plus a
+    # shuffle; numpy computes the same vote matrix per doc in one
+    # vectorized op, and the null-key row-preservation join disappears
+    # (the UDF is a per-row projection). Bit-identical: the token hash
+    # int(md5(t)[:15], 16) equals conv(substr(md5(t),1,15),16,10),
+    # duplicate tokens still vote once per OCCURRENCE (no distinct),
+    # votes compare > 0 per bit, empty/null text yields simhash 0 -
+    # the DuckDB oracle replay is unchanged.
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _simhash(tok_col: pd.Series) -> pd.Series:
+        out = []
+        for toks in tok_col:
+            if toks is None or len(toks) == 0:
+                out.append(0)
+                continue
+            hs = np.asarray(
+                [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                 for t in toks], dtype="int64")
+            votes = (((hs[:, None] >> np.arange(bits)) & 1) * 2 - 1).sum(
+                axis=0)
+            out.append(int(((votes > 0)
+                            * (np.int64(1) << np.arange(bits))).sum()))
+        return pd.Series(out)
+
+    return df.select(F.col(key_col),
+                     _simhash(whitespace_tokens(F.col(text_col)))
+                     .alias("simhash"))
 
 
 def dedup_simhash(df: DataFrame, text_col: str = "text",
@@ -759,9 +841,15 @@ def dedup_simhash(df: DataFrame, text_col: str = "text",
          .bitwiseAND(F.lit((1 << width) - 1))
         for bi in range(blocks)
     ]
+    # Round-6 optimization: census + both self-join sides consume this
+    # frame; a lazy local checkpoint materializes the simhash pass once
+    # (the former explicit-repartition exchange-reuse no longer
+    # deduplicates the branches under Spark 4 - same finding as
+    # dedup_minhash_lsh)
     parts = h.select(
         key_col, "simhash",
-        F.posexplode(F.array(*block_exprs)).alias("blk", "blk_val"))
+        F.posexplode(F.array(*block_exprs)).alias("blk", "blk_val")) \
+        .localCheckpoint(eager=False)
     if return_dropped and max_bucket_size is None:
         from pyspark.sql.types import (IntegerType, LongType, StructField,
                                        StructType)
@@ -772,10 +860,9 @@ def dedup_simhash(df: DataFrame, text_col: str = "text",
     else:
         dropped = None
     if max_bucket_size is not None:
-        # census + prune before the quadratic self-join; one explicit
-        # exchange on the bucket key shared by census and both join sides
+        # census + prune before the quadratic self-join, off the
+        # checkpointed parts table
         parts = parts.filter(F.col(key_col).isNotNull())
-        parts = parts.repartition("blk", "blk_val")
         sizes = parts.groupBy("blk", "blk_val").agg(
             F.count(key_col).alias("bucket_size"))
         eligible = (sizes

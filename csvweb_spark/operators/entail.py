@@ -490,7 +490,10 @@ def smush_sameas(triples: DataFrame, sameas_pred: str = OWL_SAMEAS,
     only the final distinct shuffles (drop it when the downstream sink
     dedups)."""
     from .canonicalize import resolve_broadcast
-    canon = sameas_labels(triples, sameas_pred)
+    # round-6 optimization: the canonical map feeds the broadcast-policy
+    # probe plus BOTH rewrite join sides - un-pinned, each consumer
+    # re-ran the label election joins above the CC fixpoint
+    canon = sameas_labels(triples, sameas_pred).localCheckpoint(eager=False)
     rest = (triples if keep_sameas
             else triples.filter(F.col("pred") != sameas_pred))
     hint = (F.broadcast if resolve_broadcast(canon, broadcast_map)

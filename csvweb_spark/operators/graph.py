@@ -346,7 +346,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst",
            .filter(F.col("u") != F.col("v"))
            .select(F.greatest("u", "v").alias("hi"),
                    F.least("u", "v").alias("lo"))
-           .distinct())
+           .distinct().localCheckpoint(eager=False))
     if orient_by_degree:
         deg = degree_stats(und, "lo", "hi")
         lod = deg.select(F.col("node").alias("lo"),
@@ -443,11 +443,14 @@ def node_similarity(edges: DataFrame, src: str = "src", dst: str = "dst",
     why capped centers are dropped rather than sampled; the pair's OWN
     degrees still count every edge, keeping jaccard_bp honest as a
     lower bound. Default None = exact (the oracle config)."""
+    # round-6 optimization: the undirected-dedup frame feeds the degree
+    # table and both wedge-join sides - lazily checkpoint so the
+    # distinct runs once, not per consumer
     und = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
            .filter(F.col("u") != F.col("v"))
            .select(F.greatest("u", "v").alias("hi"),
                    F.least("u", "v").alias("lo"))
-           .distinct())
+           .distinct().localCheckpoint(eager=False))
     bidir = (und.select(F.col("lo").alias("node"), F.col("hi").alias("nbr"))
              .unionByName(und.select(F.col("hi").alias("node"),
                                      F.col("lo").alias("nbr"))))
@@ -582,12 +585,15 @@ def cooccurrence_projection(edges: DataFrame, src: str = "src",
     Deterministic (set semantics on edges, ordered pair output), so a
     SQL self-join oracle replays it exactly."""
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")) \
-        .distinct()
+        .distinct().localCheckpoint(eager=False)
     dropped = None
     if max_fanout is not None:
         census = e.groupBy("d").agg(F.count(F.lit(1)).alias("fanout"))
         dropped = census.filter(F.col("fanout") > max_fanout)
-        e = e.join(dropped.select("d"), "d", "left_anti")
+        # round-6: both projection sides re-ran the census anti-join -
+        # lazily checkpoint the pruned edge set too
+        e = e.join(dropped.select("d"), "d", "left_anti") \
+            .localCheckpoint(eager=False)
     a = e.select(F.col("s").alias("node_a"), "d")
     b = e.select(F.col("s").alias("node_b"), "d")
     pairs = (a.join(b, "d")
@@ -1228,7 +1234,7 @@ def link_prediction_ra(edges: DataFrame, src: str = "src",
            .filter(F.col("u") != F.col("v"))
            .select(F.greatest("u", "v").alias("hi"),
                    F.least("u", "v").alias("lo"))
-           .distinct())
+           .distinct().localCheckpoint(eager=False))
     bidir = (und.select(F.col("lo").alias("node"), F.col("hi").alias("nbr"))
              .unionByName(und.select(F.col("hi").alias("node"),
                                      F.col("lo").alias("nbr"))))
@@ -1304,7 +1310,7 @@ def modularity(edges: DataFrame, labels: DataFrame,
            .filter(F.col("u") != F.col("v"))
            .select(F.greatest("u", "v").alias("hi"),
                    F.least("u", "v").alias("lo"))
-           .distinct())
+           .distinct().localCheckpoint(eager=False))
     lab = labels.select(F.col(node).alias("_n"),
                         F.col(community).alias("_c"))
     lab_lo = lab.select(F.col("_n").alias("lo"), F.col("_c").alias("c_lo"))
@@ -1373,7 +1379,7 @@ def assortativity(edges: DataFrame, src: str = "src",
            .filter(F.col("u") != F.col("v"))
            .select(F.greatest("u", "v").alias("hi"),
                    F.least("u", "v").alias("lo"))
-           .distinct())
+           .distinct().localCheckpoint(eager=False))
     bidir = (und.select(F.col("lo").alias("node"), F.col("hi").alias("nbr"))
              .unionByName(und.select(F.col("hi").alias("node"),
                                      F.col("lo").alias("nbr"))))

@@ -265,6 +265,29 @@ def _render_segments(pages: DataFrame, url_col: str, ts_col: str,
 
     out_schema = "segment_id string, blob binary, n_records long"
     if segment_col is None:
+        # Round-6 scale-adaptive sink parallelism (guide SS2): partition
+        # mode inherits the upstream partition count, so a small input
+        # (e.g. one parquet split) would render - and every downstream
+        # byte walk would parse - on ONE core while the rest idle. When
+        # the optimizer's size ESTIMATE (driver-side, no job) says the
+        # whole input is below `spark.csvweb.render.smallInputBytesPerCore`
+        # (default 8 MB) per core, spread it round-robin first; at real
+        # segment scale (GB-class inputs, thousands of splits) the
+        # estimate exceeds the bound and the sink stays shuffle-free.
+        # Round-robin repartition is deterministic (Spark sorts before
+        # round-robin), so re-rendering stays byte-identical.
+        spark = pages.sparkSession
+        par = spark.sparkContext.defaultParallelism
+        try:
+            per_core = int(spark.conf.get(
+                "spark.csvweb.render.smallInputBytesPerCore",
+                str(8 << 20)))
+            est = int(pages._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes())
+        except Exception:
+            per_core, est = 0, 0
+        if per_core > 0 and 0 < est < par * per_core:
+            pages = pages.repartition(par)
         src = pages.select(
             F.spark_partition_id().cast("string").alias("_sid"),
             F.col(url_col).alias("_url"), F.col(ts_col).alias("_ts"),

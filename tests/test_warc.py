@@ -165,15 +165,43 @@ def test_render_warc_gzip_members_roundtrip_and_determinism(spark):
 def test_render_warc_partition_mode_shuffle_free(spark):
     from csvweb_spark.sources.warc import render_warc
     pages = _sink_pages(spark).repartition(2)
+    # disable the small-input spread so the scale-path plan shape is
+    # what gets pinned: at real segment scale the size estimate exceeds
+    # the bound and the sink adds no exchange of its own
+    spark.conf.set("spark.csvweb.render.smallInputBytesPerCore", "0")
+    try:
+        segs = render_warc(pages)
+        plan = segs._jdf.queryExecution().executedPlan().toString()
+        # partition-mode sink: scan -> project -> mapInPandas, no shuffle
+        # past the explicit repartition of the fixture
+        assert plan.count("Exchange") == 1  # only the fixture repartition
+        rows = segs.collect()
+        assert sum(r.n_records for r in rows) == 3
+        back = warc_pages(segs, ok_only=False)
+        assert back.count() == 3
+    finally:
+        spark.conf.unset("spark.csvweb.render.smallInputBytesPerCore")
+
+
+def test_render_warc_small_input_spreads_to_cores(spark, tmp_path):
+    # round-6 guard: a tiny single-split FILE input (the only shape with
+    # a real optimizer size estimate - in-memory fixtures default to
+    # "unknown = huge" and correctly never spread) goes round-robin so
+    # the render (and any downstream byte walk) parallelizes; the round
+    # trip is unchanged and re-rendering is still deterministic
+    from csvweb_spark.sources.warc import render_warc
+    pq = str(tmp_path / "pages.parquet")
+    _sink_pages(spark).coalesce(1).write.parquet(pq)
+    pages = spark.read.parquet(pq)
     segs = render_warc(pages)
     plan = segs._jdf.queryExecution().executedPlan().toString()
-    # partition-mode sink: scan -> project -> mapInPandas, no shuffle
-    # past the explicit repartition of the fixture
-    assert plan.count("Exchange") == 1  # only the fixture repartition
-    rows = segs.collect()
-    assert sum(r.n_records for r in rows) == 3
-    back = warc_pages(segs, ok_only=False)
-    assert back.count() == 3
+    assert "Exchange" in plan  # the adaptive spread fired
+    back = warc_pages(segs, ok_only=False).collect()
+    orig = {(r.url, r.warc_ts, bytes(r.html)) for r in pages.collect()}
+    assert {(r.url, r.warc_ts, bytes(r.html)) for r in back} == orig
+    b1 = {r.segment_id: bytes(r.blob) for r in segs.collect()}
+    b2 = {r.segment_id: bytes(r.blob) for r in render_warc(pages).collect()}
+    assert b1 == b2
 
 
 def test_render_wet_roundtrip(spark):
@@ -191,10 +219,15 @@ def test_render_wet_roundtrip(spark):
     back = {(r.url, r.text) for r in wet_pages(segs).collect()}
     assert back == {(u, t) for u, t, in
                     ((r[0], r[2]) for r in rows)}
-    # partition mode is shuffle-free here too
-    plan = render_wet(pages)._jdf.queryExecution() \
-        .executedPlan().toString()
-    assert "Exchange" not in plan
+    # partition mode is shuffle-free here too (guard conf-disabled so
+    # the scale-path plan shape is what gets pinned)
+    spark.conf.set("spark.csvweb.render.smallInputBytesPerCore", "0")
+    try:
+        plan = render_wet(pages)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.unset("spark.csvweb.render.smallInputBytesPerCore")
 
 
 # ----------------------------------------------------------------- WAT
