@@ -23,17 +23,24 @@ from pyspark.sql import functions as F
 
 
 def _pin(df: DataFrame) -> DataFrame:
-    """Persist a LOOP-INVARIANT frame of an iterative operator (round-6
+    """Pin a LOOP-INVARIANT frame of an iterative operator (round-6
     optimization, guide SS2.4/SS5): without this, every round's job
     re-executes the edge-set distinct / node-set union-distinct /
     degree aggregate from the source - 2-4 redundant shuffles per
-    round that dominate the per-round cost at every scale. The persist
-    lives only for the duration of the operator call (callers of _pin
-    unpersist before returning); it is an intra-query working set, the
-    same memory class as the shuffle files the recomputation would
-    write anyway, spilling to disk under pressure."""
-    from pyspark.storagelevel import StorageLevel
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    round that dominate the per-round cost at every scale.
+
+    localCheckpoint(eager=True) rather than persist(): a persisted
+    plan is materialized WITHOUT adaptive partition coalescing
+    (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning is off
+    by default), so the cache holds shuffle.partitions tiny blocks and
+    every round's stage that reads it schedules that many near-empty
+    tasks - measured as the dominant per-round cost on bench-scale
+    graphs. The eager checkpoint executes through AQE (coalesced
+    output), truncates lineage, and the stored partitions are sized by
+    the advisory target at every scale. Storage is freed when the
+    operator's frames are garbage-collected; callers' unpersist()
+    calls are harmless no-ops on checkpointed frames."""
+    return df.localCheckpoint(eager=True)
 
 
 def degree_stats(edges: DataFrame, src: str = "src",
@@ -585,15 +592,12 @@ def cooccurrence_projection(edges: DataFrame, src: str = "src",
     Deterministic (set semantics on edges, ordered pair output), so a
     SQL self-join oracle replays it exactly."""
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")) \
-        .distinct().localCheckpoint(eager=False)
+        .distinct()
     dropped = None
     if max_fanout is not None:
         census = e.groupBy("d").agg(F.count(F.lit(1)).alias("fanout"))
         dropped = census.filter(F.col("fanout") > max_fanout)
-        # round-6: both projection sides re-ran the census anti-join -
-        # lazily checkpoint the pruned edge set too
-        e = e.join(dropped.select("d"), "d", "left_anti") \
-            .localCheckpoint(eager=False)
+        e = e.join(dropped.select("d"), "d", "left_anti")
     a = e.select(F.col("s").alias("node_a"), "d")
     b = e.select(F.col("s").alias("node_b"), "d")
     pairs = (a.join(b, "d")

@@ -92,19 +92,27 @@ def kg_canonical_triples(pages: DataFrame, table: Table, aliases: DataFrame,
     re-running extraction per consumer. Pass `cache_registry` (a list) to
     receive the persisted handles for unpersisting once every consumer
     has materialized (build_knowledge_graph does)."""
-    from pyspark.storagelevel import StorageLevel
-
     from .operators.triples import convert_table_group_spark_with_errors
 
     # A+B: extraction + conversion (narrow)
     triples, errors = convert_table_group_spark_with_errors(
         pages, table, mode=mode, scope_by_url=True)
     triples, obs = observe_metrics(triples, "triples")
-    triples = triples.persist(StorageLevel.MEMORY_AND_DISK)
+    # Round-6 optimization (guide SS7.3): lazy localCheckpoint instead of
+    # persist. Both pin the rows after the first action, but persist
+    # leaves the full extraction expression tree in the logical plan, and
+    # every downstream action during pipeline CONSTRUCTION (CC round
+    # checkpoints, the broadcast-policy probe, the final count)
+    # re-ANALYZED that tree - measured ~12 s of driver-only time per
+    # kg_pipeline run at bench sf1.0 with all executors idle. The lazy
+    # checkpoint truncates the logical plan immediately (consumers see a
+    # leaf RDD scan), computes nothing until the first action, and frees
+    # storage when the frames are garbage-collected.
+    triples = triples.localCheckpoint(eager=False)
 
     # C: entity linking -> sameAs edges
     edges_uri = link_triple_objects(triples, aliases) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
 
     # D: connected components over hashed node ids
     edges = edges_from_uris(edges_uri)
