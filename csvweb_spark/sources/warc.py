@@ -276,17 +276,25 @@ def _render_segments(pages: DataFrame, url_col: str, ts_col: str,
         # estimate exceeds the bound and the sink stays shuffle-free.
         # Round-robin repartition is deterministic (Spark sorts before
         # round-robin), so re-rendering stays byte-identical.
+        # A lower WORK floor (`minSpreadBytesPerCore`, default 128 KB)
+        # keeps truly tiny inputs on their existing partitioning: below
+        # ~128 KB of payload per core the spread's exchange + extra task
+        # scheduling costs more than the serial render saves (measured
+        # +1 s at bench sf0.1 vs -7 s at sf1.0 without the floor).
         spark = pages.sparkSession
         par = spark.sparkContext.defaultParallelism
         try:
             per_core = int(spark.conf.get(
                 "spark.csvweb.render.smallInputBytesPerCore",
                 str(8 << 20)))
+            min_core = int(spark.conf.get(
+                "spark.csvweb.render.minSpreadBytesPerCore",
+                str(128 << 10)))
             est = int(pages._jdf.queryExecution().optimizedPlan()
                       .stats().sizeInBytes())
         except Exception:
             per_core, est = 0, 0
-        if per_core > 0 and 0 < est < par * per_core:
+        if per_core > 0 and par * min_core <= est < par * per_core:
             pages = pages.repartition(par)
         src = pages.select(
             F.spark_partition_id().cast("string").alias("_sid"),

@@ -193,15 +193,22 @@ def test_render_warc_small_input_spreads_to_cores(spark, tmp_path):
     pq = str(tmp_path / "pages.parquet")
     _sink_pages(spark).coalesce(1).write.parquet(pq)
     pages = spark.read.parquet(pq)
-    segs = render_warc(pages)
-    plan = segs._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" in plan  # the adaptive spread fired
-    back = warc_pages(segs, ok_only=False).collect()
-    orig = {(r.url, r.warc_ts, bytes(r.html)) for r in pages.collect()}
-    assert {(r.url, r.warc_ts, bytes(r.html)) for r in back} == orig
-    b1 = {r.segment_id: bytes(r.blob) for r in segs.collect()}
-    b2 = {r.segment_id: bytes(r.blob) for r in render_warc(pages).collect()}
-    assert b1 == b2
+    # drop the work floor so the 3-row fixture clears it; the floor's
+    # default keeps byte-trivial inputs on their existing partitioning
+    spark.conf.set("spark.csvweb.render.minSpreadBytesPerCore", "0")
+    try:
+        segs = render_warc(pages)
+        plan = segs._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan  # the adaptive spread fired
+        back = warc_pages(segs, ok_only=False).collect()
+        orig = {(r.url, r.warc_ts, bytes(r.html)) for r in pages.collect()}
+        assert {(r.url, r.warc_ts, bytes(r.html)) for r in back} == orig
+        b1 = {r.segment_id: bytes(r.blob) for r in segs.collect()}
+        b2 = {r.segment_id: bytes(r.blob)
+              for r in render_warc(pages).collect()}
+        assert b1 == b2
+    finally:
+        spark.conf.unset("spark.csvweb.render.minSpreadBytesPerCore")
 
 
 def test_render_wet_roundtrip(spark):
