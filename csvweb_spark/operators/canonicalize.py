@@ -119,6 +119,18 @@ def _large_star(edges: DataFrame, n_salts: int = N_SALTS) -> DataFrame:
     bidir = (edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
              .unionByName(edges.select(F.col("v").alias("a"),
                                        F.col("u").alias("b"))))
+    if n_salts <= 1:
+        # round-6 fast path: on a salt-free round (hub-free graph, the
+        # adaptive default's common case) skip the salt machinery - a
+        # plain map-side-combinable min + one key join, two fewer
+        # exchanges per star round. Identical result: salting only
+        # changes physical distribution, never the per-key min.
+        mins = (bidir.groupBy("a").agg(F.min("b").alias("_m"))
+                .select("a", F.least("_m", F.col("a")).alias("m")))
+        joined = bidir.filter(F.col("b") > F.col("a")).join(mins, "a")
+        return (joined
+                .select(F.col("b").alias("u"), F.col("m").alias("v"))
+                .distinct())
     salted, mins = _salted_min(bidir, "a", "b", n_salts)
     mins = mins.select("a", F.least("_m", F.col("a")).alias("m"))
     # only b > a rows survive large-star, so filter BEFORE the join-back:
@@ -137,6 +149,20 @@ def _small_star(edges: DataFrame, n_salts: int = N_SALTS) -> DataFrame:
     all of its smaller neighbors and u itself to the minimum neighbor.
     Same salted two-phase min as _large_star; the u->min self edge comes
     straight from the (tiny) per-key min map, no join needed."""
+    if n_salts <= 1:
+        # round-6 fast path (see _large_star): plain min + key join on
+        # salt-free rounds
+        mins = edges.groupBy("u").agg(F.min("v").alias("_m"))
+        joined = edges.join(mins, "u")
+        to_min = joined.select(F.col("v").alias("s"),
+                               F.col("_m").alias("d"))
+        self_edge = mins.select(F.col("u").alias("s"),
+                                F.col("_m").alias("d"))
+        return (to_min.unionByName(self_edge)
+                .filter(F.col("s") != F.col("d"))
+                .select(F.greatest("s", "d").alias("u"),
+                        F.least("s", "d").alias("v"))
+                .distinct())
     salted, mins = _salted_min(edges, "u", "v", n_salts)
     joined = salted.join(_replicate_per_salt(mins, n_salts), ["u", "_salt"])
     to_min = joined.select(F.col("v").alias("s"), F.col("_m").alias("d"))

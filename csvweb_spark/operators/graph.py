@@ -1563,21 +1563,37 @@ def bowtie_decomposition(edges: DataFrame, scc_labels: DataFrame,
     giant = giant_row[0]["_scc"]
     core = lab.filter(F.col("_scc") == F.lit(giant)).select("node") \
         .localCheckpoint(eager=True)
-    fwd = _reach_fixpoint(e, core, max_rounds)
-    bwd = _reach_fixpoint(rev, core, max_rounds)
+    # Round-6 optimization (guide SS2.6 - overlap independent jobs): the
+    # forward, backward and weak-component fixpoints depend only on
+    # `core`, and the IN->fwd / OUT->bwd walks only on each other's
+    # first-stage results - each fixpoint is a chain of small
+    # driver-synchronous jobs that leaves most cores idle, so running
+    # the independent ones from a small thread pool lets their rounds
+    # back-fill each other's task tails (FIFO scheduling; job
+    # descriptions and groups are thread-local). Results are identical:
+    # the same five fixpoints over the same frames.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_fwd = pool.submit(_reach_fixpoint, e, core, max_rounds)
+        f_bwd = pool.submit(_reach_fixpoint, rev, core, max_rounds)
+        f_wcc = pool.submit(_reach_fixpoint, und, core, max_rounds)
+        fwd, bwd, wcc = f_fwd.result(), f_bwd.result(), f_wcc.result()
     out_set = fwd.join(core, "node", "left_anti") \
         .localCheckpoint(eager=True)
     in_set = bwd.join(core, "node", "left_anti") \
         .localCheckpoint(eager=True)
     cio = core.unionByName(in_set).unionByName(out_set)
-    from_in = (_reach_fixpoint(e, in_set, max_rounds)
-               .join(cio, "node", "left_anti")) if in_set.take(1) \
-        else in_set
-    to_out = (_reach_fixpoint(rev, out_set, max_rounds)
-              .join(cio, "node", "left_anti")) if out_set.take(1) \
-        else out_set
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_fi = pool.submit(
+            lambda: (_reach_fixpoint(e, in_set, max_rounds)
+                     .join(cio, "node", "left_anti")) if in_set.take(1)
+            else in_set)
+        f_to = pool.submit(
+            lambda: (_reach_fixpoint(rev, out_set, max_rounds)
+                     .join(cio, "node", "left_anti")) if out_set.take(1)
+            else out_set)
+        from_in, to_out = f_fi.result(), f_to.result()
     tube = from_in.join(to_out, "node", "left_semi")
-    wcc = _reach_fixpoint(und, core, max_rounds)
 
     def flag(s, name):
         return s.select("node").withColumn(name, F.lit(True))

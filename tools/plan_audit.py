@@ -21,10 +21,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # (title, query key, what the plan must show)
 AUDITS = [
     ("MinHash-LSH near-dedup", "dedup_minhash_lsh",
-     "The signature stage appears ONCE; the census and both self-join "
-     "sides hang off a ReusedExchange of the explicit (band, bucket) "
-     "repartition. The bucket-size census filters before the quadratic "
-     "self-join (skew cap)."),
+     "The signature stage executes ONCE: the banded table is a lazily "
+     "checkpointed frame (round 6), so the census, the prune join and "
+     "both candidate self-join sides scan the pinned RDD - NO "
+     "ArrowEvalPython in the consuming plan (the fused tokens->shingles"
+     "->md5->minima UDF runs only inside the checkpoint's own "
+     "materialization). The bucket-size census still filters before "
+     "the quadratic self-join (skew cap)."),
     ("Incremental near-dedup vs signature state", "dedup_incremental_near",
      "Band-bucket joins on uniform 60-bit keys; both sides' over-cap "
      "buckets pruned by a census BEFORE the joins; signature-agreement "
@@ -344,10 +347,13 @@ AUDITS = [
      "table (a single tiny partition is correct here), never the "
      "corpus."),
     ("Directed quote containment", "dedup_containment",
-     "Both self-join sides shuffle ONCE on the block key (hash "
-     "equi-join, no cartesian); shingling is pure JVM higher-order "
-     "array ops (no Python stage); the integer-bp containment filter "
-     "sits directly on the joined rows."),
+     "Round-6 inverted-index shape: the exploded (block, gram) table "
+     "is built once (Arrow-batched shingle UDF above the JVM "
+     "tokenizer, lazily checkpointed), both join sides scan it, the "
+     "match count per (inner, outer) pair is a partial+final "
+     "HashAggregate (map-side combinable), and the integer-bp "
+     "containment filter sits on the counted pairs - no pair ever "
+     "carries a shingle array, no cartesian."),
     ("Edit-distance linking (delete-1 neighborhood)", "link_editdist",
      "The candidate join is a BroadcastHashJoin on the deletion-"
      "neighborhood key with the alias side broadcast - never a "
