@@ -542,7 +542,12 @@ def shortest_paths(edges: DataFrame, seeds: DataFrame,
                 .groupBy("node").agg(F.min("d").alias("d")))
         old = dist.select("node", F.col("dist").alias("_old"))
         # lazy checkpoint: the take(1) below materializes it, so each
-        # round costs two jobs (probe + dist merge), not three
+        # round costs two jobs (probe + dist merge), not three. NB a
+        # round-6 attempt to fold the probe into the merge job via an
+        # observed metric on this lazy checkpoint mis-fires: the
+        # checkpoint's creation completes an "action" with zero tasks,
+        # so the observation reports n=0 before any data flows -
+        # observations only pair with EAGER materialization.
         improved = (cand.join(old, "node", "left")
                     .filter(F.col("_old").isNull() |
                             (F.col("d") < F.col("_old")))
