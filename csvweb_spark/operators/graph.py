@@ -1320,8 +1320,14 @@ def modularity(edges: DataFrame, labels: DataFrame,
            .select(F.greatest("u", "v").alias("hi"),
                    F.least("u", "v").alias("lo"))
            .distinct().localCheckpoint(eager=False))
+    # round-6 (r5 ADVICE): the one-row-per-node contract was documented
+    # but not enforced - provenance-duplicated (node, community) rows
+    # silently double-counted degree_sum and n_nodes. Deduplicate the
+    # projection (same normalization discipline as the edge set); a
+    # node labeled with CONFLICTING communities remains the caller's
+    # contract violation, but exact duplicates are now harmless.
     lab = labels.select(F.col(node).alias("_n"),
-                        F.col(community).alias("_c"))
+                        F.col(community).alias("_c")).distinct()
     lab_lo = lab.select(F.col("_n").alias("lo"), F.col("_c").alias("c_lo"))
     lab_hi = lab.select(F.col("_n").alias("hi"), F.col("_c").alias("c_hi"))
     labeled = und.join(lab_lo, "lo", "left").join(lab_hi, "hi", "left")

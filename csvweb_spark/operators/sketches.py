@@ -502,9 +502,25 @@ def hll_estimate(sketches: DataFrame, group_cols: list[str],
     n_set = F.count(F.lit(1)).cast("long")
     present = F.sum(F.expr(f"shiftleft(1L, {w1} - rho)")).cast("long")
     agg = (sketches.groupBy(*group_cols)
-           .agg(n_set.alias("n_regs_set"), present.alias("_present")))
+           .agg(n_set.alias("n_regs_set"), present.alias("_present"),
+                F.max("reg_ix").alias("_max_ix")))
     n_zero = (F.lit(m) - F.col("n_regs_set")).cast("long")
-    inv = (F.col("_present")
+    # round-6 (r5 ADVICE): an estimate-p below the sketch-p silently
+    # corrupts every output column (negative n_zero_regs, wrong
+    # inv_sum_scaled). The violation is detectable in-plan - register
+    # indexes and the per-group register count must fit in 2^p - so
+    # fail loudly instead of emitting garbage. The guard adds exactly
+    # 0 to inv_sum_scaled when the table is consistent.
+    _guard = F.coalesce(
+        F.assert_true(
+            (F.col("_max_ix") < F.lit(m))
+            & (F.col("n_regs_set") <= F.lit(m)),
+            F.lit(f"hll_estimate: register table does not fit p={p} "
+                  f"(reg_ix or per-group register count >= {m}); the "
+                  "estimate p must match the p the sketch was built "
+                  "with")).cast("long"),
+        F.lit(0).cast("long"))
+    inv = (F.col("_present") + _guard
            + n_zero * F.lit(1 << w1).cast("long")).cast("long")
     raw = (F.lit(alpha * m * m * float(1 << w1))
            / F.col("inv_sum_scaled").cast("double"))

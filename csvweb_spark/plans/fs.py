@@ -61,6 +61,23 @@ class LocalFS:
             f.write(text)
         os.replace(tmp, p)
 
+    def write_text_exclusive(self, p: str, text: str, tmp: str) -> None:
+        """FIRST-COMMIT-WINS create (round-6, r5 ADVICE on
+        _claim_owner): write tmp, then hard-link it to `p` - os.link
+        fails atomically if `p` exists, so of any number of concurrent
+        creators exactly one wins and the rest keep the winner's
+        content. Callers must read `p` back to learn who won. Unlike
+        write_text_atomic (os.replace, last-write-wins), this is safe
+        for ownership stamps."""
+        with open(tmp, "w") as f:
+            f.write(text)
+        try:
+            os.link(tmp, p)
+        except FileExistsError:
+            pass
+        finally:
+            os.unlink(tmp)
+
     def parquet_source(self, p: str):
         """Something pyarrow.parquet.ParquetFile accepts."""
         return p
@@ -207,6 +224,12 @@ class HadoopFS:
             self._fs.delete(self._p(tmp), False)
             return
         self._fs.rename(self._p(tmp), self._p(p))
+
+    def write_text_exclusive(self, p: str, text: str, tmp: str) -> None:
+        """First-commit-wins create (see LocalFS): HDFS rename never
+        overwrites, so the existing write_text_atomic semantics already
+        are first-commit-wins - delegate."""
+        self.write_text_atomic(p, text, tmp)
 
     def parquet_source(self, p: str):
         import pyarrow as pa

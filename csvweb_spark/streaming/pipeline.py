@@ -601,25 +601,31 @@ def _claim_owner(fs, root: str, checkpoint_dir: str) -> None:
     genuinely new data (round-5 review; the pre-skip protocol corrupted
     such runs with duplicates/overwrites instead - both are contract
     violations, this makes them LOUD). The first commit stamps the
-    checkpoint path into `_owner` (atomic, first-commit-wins); every
-    later commit must match or the batch fails with instructions."""
+    checkpoint path into `_owner` with a CREATE-EXCLUSIVE write (round
+    6, r5 ADVICE: the old exists-check-then-atomic-write was
+    TOCTOU-racy on LocalFS, where os.replace is last-write-wins - two
+    streams started simultaneously against a fresh state dir could
+    both claim it). write_text_exclusive guarantees exactly one
+    concurrent creator wins; every claimant reads the marker BACK and
+    must match it, so a losing racer fails loudly on its first
+    batch."""
     import json as _json
+    import os as _os
 
     fs.makedirs(root)
     marker = fs.join(root, "_owner")
-    if fs.exists(marker):
-        owner = fs.read_json(marker).get("checkpoint")
-        if owner != checkpoint_dir:
-            raise RuntimeError(
-                f"state dir {root!r} is owned by checkpoint "
-                f"{owner!r}, but this stream runs from "
-                f"{checkpoint_dir!r}. One checkpoint lineage owns one "
-                f"state dir (batch ids are per-checkpoint): reuse the "
-                f"original checkpoint, or start a fresh state dir.")
-        return
-    fs.write_text_atomic(marker,
-                         _json.dumps({"checkpoint": checkpoint_dir}),
-                         fs.join(root, "._tmp_owner"))
+    if not fs.exists(marker):
+        fs.write_text_exclusive(
+            marker, _json.dumps({"checkpoint": checkpoint_dir}),
+            fs.join(root, f"._tmp_owner_{_os.getpid()}"))
+    owner = fs.read_json(marker).get("checkpoint")
+    if owner != checkpoint_dir:
+        raise RuntimeError(
+            f"state dir {root!r} is owned by checkpoint "
+            f"{owner!r}, but this stream runs from "
+            f"{checkpoint_dir!r}. One checkpoint lineage owns one "
+            f"state dir (batch ids are per-checkpoint): reuse the "
+            f"original checkpoint, or start a fresh state dir.")
 
 
 def read_entity_components(spark: SparkSession, output_dir: str,
@@ -1365,8 +1371,14 @@ def stream_corpus_sketches(spark: SparkSession, input_dir: str,
             cm_dest = _delta_dir(fs, cm_root, batch_id)
             if cm_dest is not None:
                 cm_delta.write.mode("overwrite").parquet(cm_dest)
-            if batch_hook is not None:
-                batch_hook(batch_id, "cm_committed")
+                if batch_hook is not None:
+                    batch_hook(batch_id, "cm_committed")
+            elif batch_hook is not None:
+                # round-6 (r5 ADVICE): a folded replay skips the CM
+                # write - firing 'cm_committed' for a commit that never
+                # happened would let crash-injection tests sequence
+                # against a phantom event; report the skip distinctly
+                batch_hook(batch_id, "cm_skipped")
             hll_dest = _delta_dir(fs, hll_root, batch_id)
             if hll_dest is not None:
                 hll_sketch(toks, "token", [], p=p) \
